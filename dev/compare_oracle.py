@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Dev-only replica of the driver's t2 correctness gate.
+
+Runs each oracle SQL in DuckDB over the sf parquet tables and compares with
+the Spark result parquet that graft.Verify wrote. Comparison mirrors the
+driver: columns sorted by name, values hashed in row order.
+
+Usage: python3 dev/compare_oracle.py /root/testdata/sf0.01 /tmp/graft_verify
+"""
+import sys, os, json, hashlib, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_val(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+def table_digest(cols, rows):
+    """cols: list of names; rows: list of tuples (in result order)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(norm_val(r[i]) for i in order).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    ok = fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_dir = f"{outdir}/{name}"
+        if not os.path.isdir(spark_dir):
+            print(f"MISSING  {name} (no spark output)")
+            fail += 1
+            continue
+        try:
+            orc = con.execute(sql)
+            o_cols = [d[0] for d in orc.description]
+            o_rows = orc.fetchall()
+        except Exception as e:
+            print(f"ORAERR   {name}: {e}")
+            fail += 1
+            continue
+        try:
+            sprk = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            s_cols = [d[0] for d in sprk.description]
+            s_rows = sprk.fetchall()
+        except Exception as e:
+            print(f"SPARKERR {name}: {e}")
+            fail += 1
+            continue
+        if sorted(o_cols) != sorted(s_cols):
+            print(f"SCHEMA   {name}: oracle={sorted(o_cols)} spark={sorted(s_cols)}")
+            fail += 1
+            continue
+        if len(o_rows) != len(s_rows):
+            print(f"ROWS     {name}: oracle={len(o_rows)} spark={len(s_rows)}")
+            fail += 1
+            continue
+        oh = table_digest(o_cols, o_rows)
+        sh = table_digest(s_cols, s_rows)
+        if oh != sh:
+            print(f"HASH     {name}: oracle={oh[:12]} spark={sh[:12]}")
+            # show first differing row
+            order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+            order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            for i, (orow, srow) in enumerate(zip(o_rows, s_rows)):
+                ov = [norm_val(orow[j]) for j in order_o]
+                sv = [norm_val(srow[j]) for j in order_s]
+                if ov != sv:
+                    print(f"         row {i}: oracle={ov} spark={sv}")
+                    break
+            fail += 1
+        else:
+            ok += 1
+            print(f"OK       {name} ({len(o_rows)} rows)")
+    print(f"\n{ok} ok, {fail} failed of {ok + fail}")
+    return 1 if fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

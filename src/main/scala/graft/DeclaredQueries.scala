@@ -1,0 +1,141 @@
+package graft
+
+/** SURVEY.md §2.12 declared oracle queries (t2 contract).
+  *
+  * Each value is DuckDB-dialect SQL: it is handed verbatim to the driver's
+  * DuckDB oracle, and run through [[graft.dialect.Translator]] + Spark on our
+  * side — one source of truth, so column names always line up.
+  *
+  * Literal `/root/testdata/sf0.01` paths are substituted with the runtime sf
+  * dir on the Spark side (the oracle always runs at sf0.01 per TESTDATA.md).
+  */
+object DeclaredQueries {
+  private val SF = "/root/testdata/sf0.01"
+
+  val all: Seq[(String, String)] = Seq(
+    "q01_scan_filter" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey = 7 ORDER BY c_custkey",
+    "q02_read_parquet" ->
+      s"SELECT read_parquet.r_name FROM read_parquet('$SF/region.parquet') WHERE read_parquet.r_regionkey >= 0 ORDER BY read_parquet.r_name",
+    "q03_bare_file_table" ->
+      s"SELECT count(*) AS n FROM '$SF/lineitem.parquet'",
+    "q04_infer_scan" ->
+      "SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey LIMIT 20",
+    "q05_topk_agg" ->
+      "SELECT o_orderpriority, count() AS c, FROM orders GROUP BY o_orderpriority ORDER BY c DESC, o_orderpriority LIMIT 10",
+    "q06_predicates" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.05 AND NOT (l_returnflag = 'A') ORDER BY l_orderkey, l_linenumber",
+    "q07_between_in" ->
+      "SELECT o_orderkey FROM orders WHERE o_totalprice BETWEEN 1000 AND 2000 AND o_orderstatus IN ('F','O') ORDER BY o_orderkey",
+    "q08_is_null" ->
+      "SELECT count(*) AS n FROM events WHERE props IS NOT NULL",
+    "q09_case_cast" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice >= 100000 THEN 'big' WHEN o_totalprice >= 10000 THEN 'mid' ELSE 'small' END AS bucket, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q10_coalesce_nullif" ->
+      "SELECT event_id, COALESCE(NULLIF(event_type,''), 'unknown') AS et FROM events ORDER BY event_id LIMIT 100",
+    "q11_implicit_join" ->
+      "SELECT n_name, count(*) AS c FROM customer, nation WHERE c_nationkey = n_nationkey GROUP BY n_name ORDER BY c DESC, n_name",
+    "q12_inner_join" ->
+      "SELECT c.c_custkey, n.n_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey ORDER BY c.c_custkey LIMIT 50",
+    "q13_join_using" ->
+      "SELECT c_custkey, n_name FROM (SELECT c_custkey, c_nationkey AS n_nationkey FROM customer) JOIN nation USING (n_nationkey) ORDER BY c_custkey LIMIT 50",
+    "q14_left_join" ->
+      "SELECT n.n_nationkey, count(s.s_suppkey) AS suppliers FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY n.n_nationkey ORDER BY n.n_nationkey",
+    "q15_right_join" ->
+      "SELECT n.n_nationkey, count(s.s_suppkey) AS suppliers FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_nationkey ORDER BY n.n_nationkey",
+    "q16_full_join" ->
+      "SELECT COALESCE(a.k, b.k) AS k, a.ca, b.cs FROM (SELECT c_nationkey AS k, count(*) AS ca FROM customer GROUP BY c_nationkey) a FULL JOIN (SELECT s_nationkey AS k, count(*) AS cs FROM supplier GROUP BY s_nationkey) b ON a.k = b.k ORDER BY k NULLS FIRST",
+    "q17_semi_exists" ->
+      "SELECT p_partkey FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49) ORDER BY p_partkey",
+    "q18_anti_not_exists" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000) ORDER BY c_custkey",
+    "q19_cross_join" ->
+      "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n ORDER BY r.r_name, n.n_name",
+    "q20_theta_join" ->
+      "SELECT r.r_regionkey, count(*) AS c FROM region r JOIN nation n ON n.n_regionkey < r.r_regionkey GROUP BY r.r_regionkey ORDER BY r.r_regionkey",
+    "q21_self_join" ->
+      // amended from SURVEY §2.12: duplicate output names are not writable
+      // to parquet, so both sides are aliased (same SQL on both engines)
+      "SELECT a.n_nationkey AS na, b.n_nationkey AS nb FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey ORDER BY na, nb",
+    "q22_asof_join" ->
+      "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts ORDER BY e.event_id LIMIT 100",
+    "q23_count_variants" ->
+      "SELECT count(*) AS a, count(props) AS b, count(DISTINCT event_type) AS c FROM events",
+    "q24_group_having" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus HAVING count(*) > 100 ORDER BY l_returnflag, l_linestatus",
+    "q25_avg_decimal" ->
+      "SELECT CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS avg_bal FROM customer",
+    "q26_sum_min_max" ->
+      "SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q27_multi_distinct" ->
+      "SELECT count(DISTINCT l_returnflag) AS a, count(DISTINCT l_linestatus) AS b FROM lineitem",
+    "q28_grouping_sets" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS c FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q29_rollup" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS c FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q30_cube_grouping" ->
+      "SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) AS g1, count(*) AS c FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g1",
+    "q31_filtered_agg" ->
+      "SELECT count(*) FILTER (WHERE l_discount > 0.05) AS hi, count(*) FILTER (WHERE l_discount <= 0.05) AS lo FROM lineitem",
+    "q32_string_agg" ->
+      "SELECT r_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names FROM region JOIN nation ON n_regionkey = r_regionkey GROUP BY r_regionkey ORDER BY r_regionkey",
+    "q33_stddev" ->
+      "SELECT CAST(ROUND(STDDEV_SAMP(CAST(p_size AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS sd FROM part",
+    "q34_row_number_rank" ->
+      "SELECT c_custkey, rn, rk FROM (SELECT c_custkey, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn, rank() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment, c_custkey) AS rk FROM customer) t WHERE rn <= 3 ORDER BY c_custkey",
+    "q35_ntile" ->
+      "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_orderkey) AS q FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q36_lag_lead" ->
+      "SELECT event_id, lag(event_id, 1) OVER w AS prev_id, lead(event_id, 1) OVER w AS next_id FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id) ORDER BY event_id LIMIT 200",
+    "q37_running_sum" ->
+      "SELECT l_orderkey, l_linenumber, SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber",
+    "q38_first_last_value" ->
+      "SELECT o_orderkey, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fst FROM orders ORDER BY o_orderkey LIMIT 200",
+    "q39_qualify" ->
+      "SELECT c_custkey, c_nationkey FROM customer QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) = 1 ORDER BY c_custkey",
+    "q40_distinct_on" ->
+      "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey FROM orders ORDER BY o_custkey, o_orderkey",
+    "q41_limit_offset" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20",
+    "q42_null_order" ->
+      "SELECT event_id, value FROM events ORDER BY event_type DESC NULLS LAST, event_id ASC LIMIT 100",
+    "q43_union_all" ->
+      "SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 5 UNION ALL SELECT s_nationkey FROM supplier WHERE s_suppkey <= 5 ORDER BY k",
+    "q44_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k",
+    "q45_except" ->
+      "SELECT n_nationkey AS k FROM nation EXCEPT SELECT c_nationkey FROM customer WHERE c_custkey <= 60 ORDER BY k",
+    "q46_string_core" ->
+      "SELECT c_custkey, upper(c_name) AS u, length(c_name) AS l, substr(c_name, 1, 8) AS s8, replace(c_name, '#', '-') AS rep FROM customer ORDER BY c_custkey LIMIT 50",
+    "q47_concat_pad_like" ->
+      "SELECT s_suppkey, concat(trim(s_name), '|', lpad(CAST(s_suppkey AS VARCHAR), 6, '0')) AS tag FROM supplier WHERE s_name LIKE 'Supplier%' ORDER BY s_suppkey",
+    "q48_regexp_extract" ->
+      "SELECT p_partkey, regexp_extract(p_type, '([A-Z]+)', 1) AS first_word FROM part ORDER BY p_partkey LIMIT 100",
+    "q49_extract_ym" ->
+      "SELECT EXTRACT(year FROM o_orderdate) AS y, EXTRACT(month FROM o_orderdate) AS m, count(*) AS c FROM orders GROUP BY y, m ORDER BY y, m",
+    "q50_date_trunc" ->
+      // amended from SURVEY §2.12: DuckDB's date_trunc('month', ts) yields
+      // DATE, Spark's yields TIMESTAMP — explicit CAST pins both to DATE
+      "SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon, count(*) AS c FROM lineitem GROUP BY mon ORDER BY mon",
+    "q51_math" ->
+      "SELECT p_partkey, abs(p_size - 25) AS a, round(sqrt(CAST(p_size AS DOUBLE)), 3) AS r, p_size % 7 AS m FROM part ORDER BY p_partkey LIMIT 100",
+    "q52_array_contains" ->
+      "SELECT n_name FROM nation WHERE array_contains(['NATION_1','NATION_5','NATION_19'], n_name) ORDER BY n_name",
+    "q53_unnest" ->
+      "SELECT u AS v FROM (SELECT unnest([1, 2, 3]) AS u) t ORDER BY v",
+    "q54_struct_literal" ->
+      "SELECT t.s.a AS a, t.s.b AS b FROM (SELECT {'a': 1, 'b': 'x'} AS s) t",
+    "q55_json_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events WHERE props LIKE '{%' ORDER BY event_id LIMIT 100",
+    "q56_conditional" ->
+      "SELECT o_orderkey, if(o_totalprice > 50000, 'hi', 'lo') AS band, greatest(o_orderkey, o_custkey) AS g FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q57_prefix_dedup" ->
+      "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND substr(a.text, 1, 40) = substr(b.text, 1, 40) ORDER BY d1, d2",
+    "q58_embeddings_scan" ->
+      "SELECT vec_id, label FROM embeddings WHERE label = 3 ORDER BY vec_id LIMIT 50",
+  )
+
+  /** Spark-side SQL with the sf dir substituted at runtime. */
+  def forDir(duckSql: String, dir: String): String =
+    duckSql.replace(SF, dir)
+}

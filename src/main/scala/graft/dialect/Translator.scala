@@ -1,0 +1,687 @@
+package graft.dialect
+
+import Lexer._
+import scala.collection.mutable.ArrayBuffer
+
+/** DuckDB/ClickHouse SQL → Spark SQL translator.
+  *
+  * The reference accepts DuckDB SQL (plus ClickHouse-isms) and passes it to
+  * its embedded engine verbatim (`/root/reference/main.py:231,781`); the only
+  * rewrites it performs are regex-level (`main.py:252-259,769-777`). Our
+  * engine is Spark SQL, whose dialect differs in small but breaking ways
+  * (SURVEY.md §7.3), so this module translates at the token level:
+  *
+  *  - `FORMAT X` suffix strip (ClickHouse wire)       → [[Sanitizer]]
+  *  - zero-arg `count()` → `count(*)`; trailing `,` before FROM dropped
+  *  - `read_parquet('p')` → `parquet.`p`` scan; `read_csv_auto` → temp view
+  *  - bare `'file.parquet'` table refs → `parquet.`p``
+  *  - `[a, b]` list literal → `array(a, b)`; `{'k': v}` → `named_struct`;
+  *    `MAP {'k': v}` → `map`
+  *  - function-name mapping (`random`→`rand`, 1-arg `log`→`log10`,
+  *    `json_extract_string`→`get_json_object`, ClickHouse `toX()`→ casts, …)
+  *  - type-name mapping (`VARCHAR`→`STRING`, `DATETIME`→`TIMESTAMP`)
+  *  - DuckDB default null order (NULLS LAST) injected into ORDER BY items
+  *  - `QUALIFY`, `DISTINCT ON`, `ASOF JOIN`, `SEMI/ANTI JOIN`, `unnest`
+  *    rewritten to Spark-native forms
+  */
+object Translator {
+
+  /** Temp view the engine must register before running the translated SQL. */
+  final case class ViewReg(name: String, format: String, path: String)
+  final case class Translation(sql: String, views: Seq[ViewReg], format: Option[String])
+
+  private val clauseStarters = Set("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
+    "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "FORMAT")
+
+  def translate(sql: String): Translation = {
+    val (noFmt, fmt) = Sanitizer.stripFormat(sql)
+    var toks = lex(noFmt)
+    val views = ArrayBuffer[ViewReg]()
+    toks = rewriteSemiAnti(toks)
+    toks = rewriteAsof(toks)
+    toks = rewriteDistinctOn(toks)
+    toks = rewriteQualify(toks)
+    toks = rewriteCountStar(toks)
+    toks = rewriteTrailingComma(toks)
+    toks = rewriteTableFunctions(toks, views)
+    toks = rewriteBareFileTables(toks)
+    toks = rewriteArrayLiterals(toks)
+    toks = rewriteStructMapLiterals(toks)
+    toks = rewriteCastFuncs(toks)
+    toks = rewriteStringAgg(toks)
+    toks = rewriteFunctionNames(toks)
+    toks = rewriteTypeNames(toks)
+    toks = injectNullOrder(toks)
+    Translation(render(toks).trim, views.toSeq, fmt)
+  }
+
+  /** Convenience: translated SQL text only. */
+  def sparkSql(sql: String): String = translate(sql).sql
+
+  // ---- helpers ---------------------------------------------------------
+
+  private def isWs(t: Tok) = t.isInstanceOf[Ws]
+  private def up(t: Tok): String = t match { case i: Ident => i.upper; case _ => "" }
+  private def nextNonWs(toks: Vector[Tok], i: Int): Int = {
+    var j = i + 1; while (j < toks.length && isWs(toks(j))) j += 1; j
+  }
+  private def prevNonWs(toks: Vector[Tok], i: Int): Int = {
+    var j = i - 1; while (j >= 0 && isWs(toks(j))) j -= 1; j
+  }
+  private def depthDelta(t: Tok): Int = t match {
+    case Punct("(") => 1; case Punct(")") => -1; case _ => 0
+  }
+  /** Index of the matching close paren for the open paren at `open`. */
+  private def matchParen(toks: Vector[Tok], open: Int): Int = {
+    var d = 0; var i = open
+    while (i < toks.length) {
+      d += depthDelta(toks(i))
+      if (d == 0 && i > open) return i
+      i += 1
+    }
+    toks.length - 1
+  }
+
+  // ---- simple token rewrites ------------------------------------------
+
+  /** `count()` → `count(*)` (`/root/reference/README.md:5` ClickHouse-ism). */
+  private[dialect] def rewriteCountStar(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.flatMap { case (t, i) =>
+      t match {
+        case Punct("(") =>
+          val p = prevNonWs(toks, i); val n = nextNonWs(toks, i)
+          if (p >= 0 && up(toks(p)) == "COUNT" && n < toks.length && toks(n) == Punct(")"))
+            Seq(t, Punct("*"))
+          else Seq(t)
+        case _ => Seq(t)
+      }
+    }
+
+  /** Drop `,` directly before FROM (`SELECT a, count() AS c, FROM t`). */
+  private[dialect] def rewriteTrailingComma(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.flatMap { case (t, i) =>
+      t match {
+        case Punct(",") if { val n = nextNonWs(toks, i); n < toks.length && up(toks(n)) == "FROM" } => Nil
+        case _ => Seq(t)
+      }
+    }
+
+  /** Alias-follows check: the token after a rewritten table ref that would
+    * make an implicit alias (bare non-keyword identifier). */
+  private def hasAliasAfter(toks: Vector[Tok], i: Int): Boolean = {
+    val n = nextNonWs(toks, i)
+    n < toks.length && (toks(n) match {
+      case id: Ident => id.upper == "AS" ||
+        !(clauseStarters ++ Set("ON", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+          "CROSS", "USING", "NATURAL", "")).contains(id.upper)
+      case _ => false
+    })
+  }
+
+  /** `read_parquet('p')` → `parquet.`p``; `read_csv_auto('p')` → temp view.
+    * Aliased by function name when no explicit alias follows, so
+    * `read_parquet.town` qualifications keep working
+    * (`/root/reference/public/index.html:466`). */
+  private[dialect] def rewriteTableFunctions(toks0: Vector[Tok], views: ArrayBuffer[ViewReg]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case id: Ident if id.upper == "READ_PARQUET" || id.upper == "READ_CSV_AUTO" || id.upper == "READ_CSV" =>
+            val open = nextNonWs(toks, i)
+            if (open < toks.length && toks(open) == Punct("(")) {
+              val close = matchParen(toks, open)
+              // first string arg = path (ignore extra named args)
+              toks.slice(open, close).collectFirst { case s: Str => s } match {
+                case Some(path) =>
+                  val fnName = id.text.toLowerCase
+                  val alias = if (hasAliasAfter(toks, close)) "" else s" AS $fnName"
+                  val repl: String =
+                    if (id.upper == "READ_PARQUET") s"parquet.`${path.value}`$alias"
+                    else {
+                      val vn = s"graft_csv_view_${views.length}"
+                      views += ViewReg(vn, "csv", path.value)
+                      s"$vn$alias"
+                    }
+                  toks = toks.patch(i, Seq(Ident(repl)), close - i + 1)
+                  changed = true
+                case None =>
+              }
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** `FROM '/x/y.parquet'` / `FROM "https://…/f.parquet"` → `parquet.`…``
+    * (`/root/reference/public/index.html:467-469`). */
+  private[dialect] def rewriteBareFileTables(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.map { case (t, i) =>
+      def isTablePos = { val p = prevNonWs(toks, i); p >= 0 && Set("FROM", "JOIN").contains(up(toks(p))) }
+      t match {
+        case s: Str if isTablePos && looksLikeFile(s.value) => Ident(fileRef(s.value))
+        case id: Ident if id.text.startsWith("\"") && isTablePos && {
+          val v = id.text.substring(1, id.text.length - 1); looksLikeFile(v)
+        } => Ident(fileRef(id.text.substring(1, id.text.length - 1)))
+        case other => other
+      }
+    }
+
+  private def looksLikeFile(v: String): Boolean =
+    v.endsWith(".parquet") || v.endsWith(".csv") || v.endsWith(".json") ||
+      v.endsWith(".tsv") || v.endsWith(".orc")
+  private def fileRef(v: String): String = {
+    val fmt = v.substring(v.lastIndexOf('.') + 1) match {
+      case "parquet" => "parquet"; case "csv" | "tsv" => "csv"
+      case "json" => "json"; case "orc" => "orc"; case _ => "parquet"
+    }
+    s"$fmt.`$v`"
+  }
+
+  /** `[a, b, c]` literal → `array(a, b, c)`. A `[` is a literal (not a
+    * subscript) when the previous non-ws token cannot end an expression. */
+  private[dialect] def rewriteArrayLiterals(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer[Tok]()
+    val stack = ArrayBuffer[Boolean]() // true = this bracket became array(
+    for ((t, i) <- toks.zipWithIndex) t match {
+      case Punct("[") =>
+        val p = prevNonWs(toks, i)
+        val isSubscript = p >= 0 && (toks(p) match {
+          case _: Ident => up(toks(p)) == "" || !keywordLike(up(toks(p)))
+          case Punct(")") | Punct("]") => true
+          case _: Str | _: Num => true
+          case _ => false
+        })
+        if (isSubscript) { out += t; stack += false }
+        else { out += Ident("array"); out += Punct("("); stack += true }
+      case Punct("]") =>
+        if (stack.nonEmpty && stack.remove(stack.length - 1)) out += Punct(")") else out += t
+      case other => out += other
+    }
+    out.toVector
+  }
+  private def keywordLike(u: String): Boolean =
+    Set("SELECT", "WHERE", "AND", "OR", "NOT", "IN", "ON", "BY", "AS", "THEN",
+      "ELSE", "WHEN", "CASE", "FROM", "HAVING", "RETURN", "ARRAY", "VALUES",
+      "UNNEST", "DISTINCT", "ALL", "BETWEEN", "LIKE", "ILIKE", "IS", "NULL").contains(u)
+
+  /** `{'a': 1}` → `named_struct('a', 1)`; `MAP {'a': 1}` → `map('a', 1)`
+    * (`/root/reference/README.md:103,125`). */
+  private[dialect] def rewriteStructMapLiterals(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Punct("{") =>
+          // find matching }
+          var d = 0; var j = i
+          var end = -1
+          while (j < toks.length && end < 0) {
+            toks(j) match {
+              case Punct("{") => d += 1
+              case Punct("}") => d -= 1; if (d == 0) end = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (end > i) {
+            val p = prevNonWs(toks, i)
+            val isMap = p >= 0 && up(toks(p)) == "MAP"
+            val inner = toks.slice(i + 1, end)
+            // replace top-level ':' with ','
+            var dd = 0
+            val replaced = inner.map {
+              case t @ Punct("(") => dd += 1; t
+              case t @ Punct(")") => dd -= 1; t
+              case Punct(":") if dd == 0 => Punct(",")
+              case t => t
+            }
+            val fn = if (isMap) "map" else "named_struct"
+            val start = if (isMap) p else i
+            toks = toks.patch(start, Ident(fn) +: Punct("(") +: replaced :+ Punct(")"), end - start + 1)
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** ClickHouse-style `toString(x)`/`toInt32(x)`… (chsql macro surface,
+    * `/root/reference/main.py:83-86`) → `CAST(x AS T)`. */
+  private val castFuncs = Map(
+    "TOSTRING" -> "STRING", "TOINT8" -> "TINYINT", "TOINT16" -> "SMALLINT",
+    "TOINT32" -> "INT", "TOINT64" -> "BIGINT", "TOFLOAT32" -> "FLOAT",
+    "TOFLOAT64" -> "DOUBLE", "TODATE" -> "DATE", "TODATETIME" -> "TIMESTAMP",
+    "TOBOOL" -> "BOOLEAN", "TODECIMAL" -> "DECIMAL(38,9)")
+  private[dialect] def rewriteCastFuncs(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case id: Ident if castFuncs.contains(id.upper) =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            toks = toks
+              .patch(close, Seq(Ident(s" AS ${castFuncs(id.upper)}"), Punct(")")), 1)
+              .patch(i, Seq(Ident("CAST")), 1)
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** `string_agg(x, d ORDER BY k)` → `listagg(x, d) WITHIN GROUP (ORDER BY k)`. */
+  private[dialect] def rewriteStringAgg(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case id: Ident if id.upper == "STRING_AGG" || id.upper == "LISTAGG" || id.upper == "GROUP_CONCAT" =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            // locate ORDER BY inside at depth 1
+            var d = 0; var ob = -1
+            for (j <- open to close) {
+              d += depthDelta(toks(j))
+              if (d == 1 && ob < 0 && up(toks(j)) == "ORDER") ob = j
+            }
+            if (ob > 0) {
+              val orderToks = toks.slice(ob, close)
+              val before = toks.slice(open, ob) // "( x , d "
+              val rebuilt = Vector(Ident("listagg")) ++ before ++ Vector(Punct(")"),
+                Ws(" "), Ident("WITHIN"), Ws(" "), Ident("GROUP"), Ws(" "),
+                Punct("("), Ws(" ")) ++ orderToks ++ Vector(Punct(")"))
+              toks = toks.patch(i, rebuilt, close - i + 1)
+            } else if (id.upper != "LISTAGG") {
+              toks = toks.patch(i, Seq(Ident("listagg")), 1)
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** Safe 1:1 function renames (SURVEY.md §2.9 dialect-intersection table). */
+  private val fnMap = Map(
+    "RANDOM" -> "rand",
+    "JSON_EXTRACT_STRING" -> "get_json_object",
+    "TODAY" -> "current_date",
+    "IFF" -> "if",
+    "LIST_ELEMENT" -> "element_at",
+    "LIST_EXTRACT" -> "element_at",
+    "LIST_CONTAINS" -> "array_contains",
+    "ARRAY_LENGTH" -> "size",
+    "LIST_TRANSFORM" -> "transform",
+    "LIST_FILTER" -> "filter",
+    "STRING_SPLIT" -> "split",
+    "STR_SPLIT" -> "split",
+    "REGEXP_MATCHES" -> "rlike",
+    "STRFTIME" -> "date_format",
+    "STARTS_WITH" -> "startswith",
+    "ENDS_WITH" -> "endswith",
+    "LIST_SORT" -> "array_sort",
+    "LIST_REVERSE_SORT" -> "reverse_sorted_graft_unsupported",
+    "ARRAY_AGG" -> "collect_list",
+    "LIST" -> "collect_list",
+    "UNNEST" -> "explode",
+    "EDITDIST3" -> "levenshtein")
+
+  private[dialect] def rewriteFunctionNames(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.map { case (t, i) =>
+      t match {
+        case id: Ident if { val n = nextNonWs(toks, i); n < toks.length && toks(n) == Punct("(") } =>
+          if (fnMap.contains(id.upper)) Ident(fnMap(id.upper))
+          else if (id.upper == "LOG") {
+            // 1-arg log is log10 in DuckDB, ln in Spark
+            val open = nextNonWs(toks, i)
+            val close = matchParen(toks, open)
+            var d = 0; var commas = 0
+            for (j <- open to close) {
+              d += depthDelta(toks(j))
+              if (d == 1 && toks(j) == Punct(",")) commas += 1
+            }
+            if (commas == 0) Ident("log10") else id
+          }
+          else if (id.upper == "STRFTIME") Ident("date_format")
+          else id
+        case _ => t
+      }
+    }
+
+  /** `%Y-%m-%d`-style strftime patterns inside string literals following a
+    * date_format( call are translated to JDK patterns. */
+  private val strftimeMap = Seq(
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd", "%H" -> "HH",
+    "%I" -> "hh", "%M" -> "mm", "%S" -> "ss", "%f" -> "SSSSSS", "%p" -> "a",
+    "%j" -> "DDD", "%a" -> "EEE", "%A" -> "EEEE", "%b" -> "MMM", "%B" -> "MMMM",
+    "%%" -> "%")
+  def strftimeToJava(p: String): String =
+    strftimeMap.foldLeft(p) { case (s, (k, v)) => s.replace(k, v) }
+
+  /** Type-name mapping in CAST/DDL positions. */
+  private[dialect] def rewriteTypeNames(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.map { case (t, i) =>
+      t match {
+        case id: Ident if id.upper == "VARCHAR" || id.upper == "BPCHAR" =>
+          // NOT "TEXT": that is a common column name (documents.text); VARCHAR
+          // with a length (VARCHAR(10)) is valid Spark and kept as-is.
+          val n = nextNonWs(toks, i)
+          if (n < toks.length && toks(n) == Punct("(")) t else Ident("STRING")
+        case id: Ident if id.upper == "DATETIME" => Ident("TIMESTAMP")
+        case id: Ident if id.upper == "HUGEINT" => Ident("DECIMAL(38,0)")
+        case id: Ident if id.upper == "UTINYINT" => Ident("SMALLINT")
+        case id: Ident if id.upper == "UINTEGER" => Ident("BIGINT")
+        case id: Ident if id.upper == "UBIGINT" => Ident("DECIMAL(20,0)")
+        case _ => t
+      }
+    }
+
+  /** DuckDB `SEMI JOIN` / `ANTI JOIN` → Spark `LEFT SEMI/ANTI JOIN`. */
+  private[dialect] def rewriteSemiAnti(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.flatMap { case (t, i) =>
+      t match {
+        case id: Ident if (id.upper == "SEMI" || id.upper == "ANTI") && {
+          val n = nextNonWs(toks, i); val p = prevNonWs(toks, i)
+          n < toks.length && up(toks(n)) == "JOIN" &&
+            !(p >= 0 && (up(toks(p)) == "LEFT" || up(toks(p)) == "RIGHT"))
+        } => Seq(Ident("LEFT"), Ws(" "), id)
+        case _ => Seq(t)
+      }
+    }
+
+  // ---- DuckDB default null order --------------------------------------
+
+  /** DuckDB sorts NULLS LAST by default (both directions); Spark defaults to
+    * NULLS FIRST on ASC. Inject explicit `NULLS LAST` into every ORDER BY
+    * sort item that lacks a NULLS spec, at any nesting depth (window OVER
+    * clauses included). */
+  private[dialect] def injectNullOrder(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer[Tok]()
+    var i = 0
+    val n = toks.length
+    def isOrderBy(j: Int) = up(toks(j)) == "ORDER" && {
+      val k = nextNonWs(toks, j); k < n && up(toks(k)) == "BY"
+    }
+    while (i < n) {
+      if (isOrderBy(i)) {
+        val by = nextNonWs(toks, i)
+        out += toks(i); out ++= toks.slice(i + 1, by + 1)
+        i = by + 1
+        // parse items until clause end at depth 0 (relative)
+        var d = 0
+        var itemToks = ArrayBuffer[Tok]()
+        var done = false
+        def flushItem(): Unit = {
+          val nonWs = itemToks.filterNot(isWs)
+          if (nonWs.nonEmpty && !nonWs.exists(t => up(t) == "NULLS")) {
+            // insert NULLS LAST before trailing ws
+            var e = itemToks.length
+            while (e > 0 && isWs(itemToks(e - 1))) e -= 1
+            itemToks.insertAll(e, Seq(Ws(" "), Ident("NULLS"), Ws(" "), Ident("LAST")))
+          }
+          out ++= itemToks
+          itemToks = ArrayBuffer[Tok]()
+        }
+        while (i < n && !done) {
+          val t = toks(i)
+          val isEnd = d == 0 && (t match {
+            case Punct(")") | Punct(";") => true
+            case id: Ident => Set("LIMIT", "OFFSET", "ROWS", "RANGE", "UNION",
+              "INTERSECT", "EXCEPT", "FORMAT", "WINDOW", "GROUPS").contains(id.upper)
+            case _ => false
+          })
+          if (isEnd) { flushItem(); done = true }
+          else {
+            t match {
+              case Punct("(") => d += 1; itemToks += t; i += 1
+              case Punct(")") => d -= 1; itemToks += t; i += 1
+              case Punct(",") if d == 0 => flushItem(); out += t; i += 1
+              case _ => itemToks += t; i += 1
+            }
+          }
+        }
+        if (!done) flushItem()
+      } else { out += toks(i); i += 1 }
+    }
+    out.toVector
+  }
+
+  // ---- statement-level restructures -----------------------------------
+
+  /** Top-level clause boundaries of a SELECT statement. */
+  private[dialect] final case class Clauses(toks: Vector[Tok],
+      selectIdx: Int, fromIdx: Int, whereIdx: Int, groupIdx: Int, havingIdx: Int,
+      windowIdx: Int, qualifyIdx: Int, orderIdx: Int, limitIdx: Int, offsetIdx: Int)
+
+  private[dialect] def splitClauses(toks: Vector[Tok]): Option[Clauses] = {
+    var d = 0
+    var sel, frm, whr, grp, hav, win, qua, ord, lim, off = -1
+    for (i <- toks.indices) {
+      d += depthDelta(toks(i))
+      if (d == 0) up(toks(i)) match {
+        case "SELECT" if sel < 0 => sel = i
+        case "FROM" if sel >= 0 && frm < 0 => frm = i
+        case "WHERE" if whr < 0 => whr = i
+        case "GROUP" if grp < 0 => grp = i
+        case "HAVING" if hav < 0 => hav = i
+        case "WINDOW" if win < 0 => win = i
+        case "QUALIFY" if qua < 0 => qua = i
+        case "ORDER" if ord < 0 => ord = i
+        case "LIMIT" if lim < 0 => lim = i
+        case "OFFSET" if off < 0 => off = i
+        case _ =>
+      }
+    }
+    if (sel < 0) None else Some(Clauses(toks, sel, frm, whr, grp, hav, win, qua, ord, lim, off))
+  }
+
+  /** Output name of a select-list item: explicit alias, else last identifier
+    * segment of a plain (possibly qualified) column reference. */
+  private[dialect] def itemName(item: Vector[Tok]): Option[String] = {
+    val nw = item.filterNot(isWs)
+    if (nw.isEmpty) None
+    else {
+      val asIdx = nw.lastIndexWhere(t => up(t) == "AS")
+      if (asIdx >= 0 && asIdx == nw.length - 2) Some(nw.last.text)
+      else nw match {
+        case Vector(id: Ident) => Some(id.text)
+        case v if v.length >= 3 && v.forall(t => t.isInstanceOf[Ident] || t == Punct(".")) =>
+          Some(v.last.text)
+        case v if v.length >= 2 && v.last.isInstanceOf[Ident] && !keywordLike(up(v.last)) =>
+          Some(v.last.text) // implicit alias `expr name`
+        case _ => None
+      }
+    }
+  }
+
+  /** Split token run on top-level commas. */
+  private[dialect] def splitTopLevel(toks: Vector[Tok]): Vector[Vector[Tok]] = {
+    val out = Vector.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    var d = 0
+    for (t <- toks) {
+      d += depthDelta(t)
+      if (d == 0 && t == Punct(",")) { out += cur.result(); cur = Vector.newBuilder[Tok] }
+      else cur += t
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** QUALIFY (DuckDB-ism) → subquery + WHERE on the window predicate. */
+  private[dialect] def rewriteQualify(toks: Vector[Tok]): Vector[Tok] =
+    splitClauses(toks) match {
+      case Some(c) if c.qualifyIdx >= 0 =>
+        val qEnd = Seq(c.orderIdx, c.limitIdx, c.offsetIdx).filter(_ > c.qualifyIdx)
+          .minOption.getOrElse(toks.length)
+        val pred = toks.slice(c.qualifyIdx + 1, qEnd)
+        val selectList = toks.slice(c.selectIdx + 1, c.fromIdx)
+        val fromPart = toks.slice(c.fromIdx, c.qualifyIdx)
+        val tail = toks.slice(qEnd, toks.length)
+        val inner = s"SELECT *, (${render(pred).trim}) AS __graft_qualify ${render(fromPart).trim}"
+        val outSql = s"SELECT ${render(selectList).trim} FROM ( $inner ) __graft_q WHERE __graft_qualify ${render(tail).trim}"
+        lex(outSql)
+      case _ => toks
+    }
+
+  /** `SELECT DISTINCT ON (keys) sel FROM … ORDER BY o` →
+    * row_number()-per-key = 1 (DuckDB-ism, SURVEY Q40). */
+  private[dialect] def rewriteDistinctOn(toks: Vector[Tok]): Vector[Tok] = {
+    val c0 = splitClauses(toks).orNull
+    if (c0 == null) return toks
+    val sel = c0.selectIdx
+    val dIdx = nextNonWs(toks, sel)
+    if (dIdx >= toks.length || up(toks(dIdx)) != "DISTINCT") return toks
+    val onIdx = nextNonWs(toks, dIdx)
+    if (onIdx >= toks.length || up(toks(onIdx)) != "ON") return toks
+    val open = nextNonWs(toks, onIdx)
+    if (open >= toks.length || toks(open) != Punct("(")) return toks
+    val close = matchParen(toks, open)
+    val keys = render(toks.slice(open + 1, close)).trim
+    val selectList = render(toks.slice(close + 1, c0.fromIdx)).trim
+    val fromEnd = Seq(c0.orderIdx, c0.limitIdx, c0.offsetIdx).filter(_ >= 0)
+      .minOption.getOrElse(toks.length)
+    val fromPart = render(toks.slice(c0.fromIdx, fromEnd)).trim
+    val orderPart =
+      if (c0.orderIdx >= 0) {
+        val oEnd = Seq(c0.limitIdx, c0.offsetIdx).filter(_ > c0.orderIdx).minOption.getOrElse(toks.length)
+        val byIdx = nextNonWs(toks, c0.orderIdx) // the BY keyword
+        render(toks.slice(byIdx + 1, oEnd)).trim
+      } else keys
+    val tail = if (c0.orderIdx >= 0) render(toks.slice(c0.orderIdx, toks.length)).trim else ""
+    val sql =
+      s"SELECT $selectList FROM (SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $orderPart) AS __graft_rn $fromPart) __graft_d WHERE __graft_rn = 1 $tail"
+    lex(sql)
+  }
+
+  /** `L la ASOF [LEFT] JOIN R ra ON eq… AND ineq` → unique-left-row-id range
+    * join + row_number()=1 pick of the closest right row (SURVEY §2.4 Q22).
+    *
+    * Correct but O(matches) at scale — the scalable merge-asof lives in
+    * [[graft.operators.AsOfJoin]]; this textual rewrite serves the SQL
+    * surface.
+    */
+  private[dialect] def rewriteAsof(toks: Vector[Tok]): Vector[Tok] = {
+    var d = 0
+    var asofIdx = -1
+    for (i <- toks.indices) {
+      d += depthDelta(toks(i))
+      if (d == 0 && asofIdx < 0 && up(toks(i)) == "ASOF") asofIdx = i
+    }
+    if (asofIdx < 0) return toks
+    val c = splitClauses(toks).getOrElse(return toks)
+    // parse:  FROM <left> <lalias> ASOF [LEFT] JOIN <right> <ralias> ON <cond>
+    val leftToks = toks.slice(c.fromIdx + 1, asofIdx)
+    var j = nextNonWs(toks, asofIdx)
+    val isLeftJoin = up(toks(j)) == "LEFT"
+    if (isLeftJoin) j = nextNonWs(toks, j)
+    if (up(toks(j)) != "JOIN") return toks
+    val onIdx = {
+      var k = j; var dd = 0
+      var found = -1
+      while (k < toks.length && found < 0) {
+        dd += depthDelta(toks(k))
+        if (dd == 0 && up(toks(k)) == "ON") found = k
+        k += 1
+      }
+      found
+    }
+    if (onIdx < 0) return toks
+    val rightToks = toks.slice(j + 1, onIdx)
+    val condEnd = Seq(c.whereIdx, c.groupIdx, c.orderIdx, c.limitIdx)
+      .filter(_ > onIdx).minOption.getOrElse(toks.length)
+    val condToks = toks.slice(onIdx + 1, condEnd)
+
+    // alias = last bare ident of the ref (skip AS)
+    def aliasOf(ref: Vector[Tok]): String = {
+      val nw = ref.filterNot(isWs).filterNot(t => up(t) == "AS")
+      nw.lastOption.collect { case id: Ident => id.text }.getOrElse("")
+    }
+    def srcOf(ref: Vector[Tok]): String = {
+      val nw = ref.filterNot(isWs).filterNot(t => up(t) == "AS")
+      if (nw.length <= 1) render(ref).trim
+      else render(ref).trim.stripSuffix(nw.last.text).trim
+    }
+    val la = aliasOf(leftToks); val ra = aliasOf(rightToks)
+    val lsrc = srcOf(leftToks); val rsrc = srcOf(rightToks)
+    if (la.isEmpty || ra.isEmpty) return toks
+
+    // find the single top-level inequality conjunct → ordering expression
+    val conjs = {
+      val out = Vector.newBuilder[Vector[Tok]]
+      var cur = Vector.newBuilder[Tok]
+      var dd = 0
+      for (t <- condToks) {
+        dd += depthDelta(t)
+        if (dd == 0 && up(t) == "AND") { out += cur.result(); cur = Vector.newBuilder[Tok] }
+        else cur += t
+      }
+      out += cur.result()
+      out.result()
+    }
+    val ineqOps = Set("<=", "<", ">=", ">")
+    val ineq = conjs.find(_.exists { case Punct(op) => ineqOps(op); case _ => false })
+      .getOrElse(return toks)
+    val opIdx = ineq.indexWhere { case Punct(op) => ineqOps(op); case _ => false }
+    val lhs = ineq.take(opIdx); val rhs = ineq.drop(opIdx + 1)
+    val op = ineq(opIdx).text
+    def refersTo(ts: Vector[Tok], alias: String) = {
+      val nw = ts.filterNot(isWs)
+      nw.zipWithIndex.exists { case (t, k) =>
+        t.isInstanceOf[Ident] && t.text.equalsIgnoreCase(alias) &&
+          k + 1 < nw.length && nw(k + 1) == Punct(".")
+      }
+    }
+    // normalize to (rightExpr OP' leftExpr): the right-side expression orders the pick
+    val (rexpr, effOp) =
+      if (refersTo(lhs, ra) && !refersTo(lhs, la)) (render(lhs).trim, op)
+      else if (refersTo(rhs, ra) && !refersTo(rhs, la))
+        (render(rhs).trim, op match { case "<=" => ">="; case "<" => ">"; case ">=" => "<="; case ">" => "<" })
+      else return toks
+    val dir = if (effOp == "<=" || effOp == "<") "DESC" else "ASC"
+
+    val selectList = splitTopLevel(toks.slice(c.selectIdx + 1, c.fromIdx))
+    val names = selectList.map(itemName)
+    if (names.exists(_.isEmpty)) return toks
+    val outNames = names.flatten.mkString(", ")
+    val innerSel = render(toks.slice(c.selectIdx + 1, c.fromIdx)).trim
+    val tail = {
+      val tailStart = Seq(c.whereIdx, c.groupIdx, c.orderIdx, c.limitIdx)
+        .filter(_ > onIdx).minOption.getOrElse(toks.length)
+      // strip la./ra. qualifiers in the tail (outer query has no such aliases)
+      val t = toks.slice(tailStart, toks.length)
+      val out = ArrayBuffer[Tok]()
+      var k = 0
+      while (k < t.length) {
+        val isQual = t(k).isInstanceOf[Ident] &&
+          (t(k).text.equalsIgnoreCase(la) || t(k).text.equalsIgnoreCase(ra)) && {
+            val nn = nextNonWs(t, k); nn < t.length && t(nn) == Punct(".")
+          }
+        if (isQual) k = nextNonWs(t, k) + 1 // skip alias and dot
+        else { out += t(k); k += 1 }
+      }
+      render(out.toVector).trim
+    }
+    val joinKw = if (isLeftJoin) "LEFT JOIN" else "JOIN"
+    val sql =
+      s"SELECT $outNames FROM (" +
+        s"SELECT $innerSel, row_number() OVER (PARTITION BY $la.__graft_asof_id ORDER BY $rexpr $dir) AS __graft_asof_rn " +
+        s"FROM (SELECT *, monotonically_increasing_id() AS __graft_asof_id FROM $lsrc) $la " +
+        s"$joinKw $rsrc $ra ON ${render(condToks).trim}" +
+        s") __graft_a WHERE __graft_asof_rn = 1 $tail"
+    lex(sql)
+  }
+}

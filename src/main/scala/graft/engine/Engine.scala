@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dialect.{Sanitizer, Translator}
+
+/** Session + catalog glue: registers the fixture tables as temp views and
+  * executes dialect-translated SQL.
+  *
+  * Plays the role of the reference's connection manager
+  * (`/root/reference/main.py:71-132`): there the engine is a per-tenant
+  * embedded DuckDB; here it is one shared SparkSession with views/databases
+  * as the namespace.
+  */
+object Engine {
+
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register each `<dir>/<table>.parquet` as a temp view named by file stem
+    * (the driver's DuckDB oracle does the same). Idempotent; re-registers
+    * only when the directory changes for this session. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    val key = "graft.registered.dir"
+    val cur = spark.conf.getOption(key)
+    if (!cur.contains(dir)) {
+      // Parquet TIMESTAMP(NANOS) (events.ts) is rejected by Spark's reader
+      // unless read as raw long; we convert back to TimestampType at micro
+      // precision (Spark's native resolution — DuckDB keeps ns, a <1µs
+      // truncation that cannot affect the declared queries, which never
+      // project a ns timestamp).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tableNames.foreach { t =>
+        val path = s"$dir/$t.parquet"
+        if (new java.io.File(path).exists()) {
+          val raw = spark.read.parquet(path)
+          val df = nanoLongCols(path).foldLeft(raw) { (d, c) =>
+            d.withColumn(c, org.apache.spark.sql.functions.expr(
+              s"timestamp_micros(CAST($c DIV 1000 AS BIGINT))"))
+          }
+          df.createOrReplaceTempView(t)
+        }
+      }
+      spark.conf.set(key, dir)
+    }
+  }
+
+  /** Columns annotated TIMESTAMP(NANOS) in the parquet footer — these come
+    * back as raw long under nanosAsLong and need explicit conversion. */
+  private def nanoLongCols(path: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+    import scala.jdk.CollectionConverters._
+    try {
+      val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+      val reader = ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+          case f if Option(f.getLogicalTypeAnnotation).exists {
+            case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+            case _ => false
+          } => f.getName
+        }.toSeq
+      } finally reader.close()
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** Translate one DuckDB-dialect statement and run it. */
+  def sql(spark: SparkSession, duckSql: String): DataFrame = {
+    val t = Translator.translate(duckSql)
+    t.views.foreach { v =>
+      v.format match {
+        case "csv" => spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(v.path).createOrReplaceTempView(v.name)
+        case f => spark.read.format(f).load(v.path).createOrReplaceTempView(v.name)
+      }
+    }
+    spark.sql(t.sql)
+  }
+
+  /** Multi-statement ticket execution: run serially, return the last result
+    * (reference behavior, `/root/reference/examples/flight_read.py:7`). */
+  def sqlScript(spark: SparkSession, script: String): DataFrame = {
+    val stmts = Sanitizer.splitStatements(script)
+    require(stmts.nonEmpty, "empty SQL script")
+    stmts.map(s => sql(spark, s)).last
+  }
+
+  /** Standard local session for tests/benchmarks: 32 shuffle partitions to
+    * match local[32] (not the 200 default sized for real clusters), AQE on so
+    * plans re-partition/de-skew at runtime the way they would at scale. */
+  def localSession(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
