@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's custom Catalyst expressions.
+  *
+  * Two paths:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` for deployments
+  *    (the idiomatic [[SparkSessionExtensions]] route);
+  *  - [[GraftFunctions.register]] for runtime injection into an existing
+  *    session (the driver hands us its own session).
+  *
+  * The reference's equivalent surface is the chsql extension auto-load
+  * (`/root/reference/main.py:83-86`) — engine-level function registration at
+  * connection time.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", "cosine similarity of two float arrays",
+      args => CosineSim(args(0), args(1))),
+    ("simhash64", "64-bit simhash of a token array",
+      args => SimHash64(args(0))),
+    ("graft_version", "engine version string",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),
+  )
+
+  /** Idempotent runtime registration into a (classic) SparkSession. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (name, usage, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  /** Column-API forms (require [[register]] on the session first). */
+  def cosine_sim(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  def simhash64(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash64", tokens)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

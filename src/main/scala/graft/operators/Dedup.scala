@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.11).
+  *
+  * Every variant is shuffle-bounded: candidate generation always goes
+  * through a `groupBy`/join on a bucket key (hash, LSH band, simhash band),
+  * never a cross join — the O(n²) pair space is only materialized inside
+  * buckets, which stay small under any reasonable hash. This is the property
+  * that survives 100 TB; the exact-verify step then touches only candidate
+  * pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: first doc per md5(text) survives. One hash shuffle. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup groups: hash → surviving id + duplicate count. */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(idCol).as("keep_id"), count("*").as("dups"))
+
+  /** Word shingles (n-grams of whitespace tokens) as strings. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = filter(split(lower(text), " "), t => t =!= "")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: numHashes independent min-hashes of the shingle set.
+    * Seeded xxhash64 per hash index — pure column expression, codegen'd. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+
+  /** MinHash + LSH banding candidate pairs.
+    *
+    * bands × rowsPerBand = numHashes; docs sharing any band land in the same
+    * bucket → pairs generated per-bucket via self-join on the band key (a
+    * shuffle join on (band index, band hash), NOT a cross join). Pairs are
+    * then exact-verified with true n-gram Jaccard >= threshold.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("b"), xxhash64(concat_ws(",",
+        transform(slice(col("sig"), lit(b * r + 1), lit(r)), x => x.cast("string")))).as("h"))
+    }
+    val sig = docs.select(col(idCol).as("id"), col(textCol).as("t"),
+        minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      .withColumn("band", explode(array(bandStructs: _*)))
+      .select(col("id"), col("t"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"),
+        col("x.t").as("t1"), col("y.t").as("t2"))
+      .dropDuplicates("d1", "d2")
+    // exact verify on candidates only
+    val s1 = array_distinct(shingles(col("t1"), shingleSize))
+    val s2 = array_distinct(shingles(col("t2"), shingleSize))
+    cand.withColumn("jaccard",
+        size(array_intersect(s1, s2)).cast("double") / size(array_union(s1, s2)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash, banded into `bands` chunks —
+    * pairs within hamming distance `maxHamming` must share at least one
+    * exact band (pigeonhole, needs maxHamming < bands), so candidates come
+    * from an equi-join on (band index, band bits). */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val width = 64 / bands
+    val sh = docs.select(col(idCol).as("id"),
+      GraftFunctions.simhash64(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("sh"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("sh"), b * width)
+          .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1)).as("bits"))
+    }
+    val banded = sh.withColumn("band", explode(array(bandStructs: _*)))
+      .select(col("id"), col("sh"), col("band.b").as("band_id"), col("band.bits").as("band_bits"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over prefix-bucketed candidates (deterministic —
+    * oracle-checkable; the LSH variants above are the scale path for when no
+    * cheap bucket key exists). */
+  def ngramJaccardPairs(docs: DataFrame, prefixLen: Int = 40): DataFrame = {
+    val a = docs.select(col("doc_id").as("d1"), col("text").as("t1"),
+      substring(col("text"), 1, prefixLen).as("pfx"))
+    val b = docs.select(col("doc_id").as("d2"), col("text").as("t2"),
+      substring(col("text"), 1, prefixLen).as("pfx"))
+    a.join(b, Seq("pfx")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("CAST(round(10000.0 * size(array_intersect(array_distinct(split(t1,' ')), array_distinct(split(t2,' ')))) " +
+          "/ size(array_distinct(concat(split(t1,' '), split(t2,' '))))) AS BIGINT)").as("jac_bp"))
+  }
+
+  /** Embedding near-dup pairs: LSH-bucketed cosine (see
+    * [[Similarity.hyperplaneSignature]]) + exact cosine verify. */
+  def embeddingPairs(
+      emb: DataFrame,
+      minCosine: Double = 0.95,
+      planes: Int = 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    sig.as("x").join(sig.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"),
+        GraftFunctions.cosine_sim(col("x.v"), col("y.v")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

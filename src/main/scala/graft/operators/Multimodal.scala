@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for training-data pipelines (SURVEY §2.11).
+  *
+  * Media (image/audio/video) travels as opaque `binary` payloads with typed
+  * metadata; decode/feature-extraction runs per-partition in batches — the
+  * Spark-side shape (schema, partitioning, batch iteration) is real and
+  * tested, while the actual codec call is a clearly-marked deterministic
+  * STUB (no image/audio libraries ship in this environment).
+  */
+object Multimodal {
+
+  /** One media object: payload + typed metadata. */
+  final case class MediaItem(
+      id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      meta: Map[String, String])
+
+  final case class MediaFeatures(
+      id: Long,
+      kind: String,
+      nBytes: Long,
+      contentHash: String,
+      features: Array[Float])
+
+  val featureDim = 8
+
+  /** STUB decode: a real deployment would decode the payload (JPEG/WAV/MP4)
+    * and run feature extraction per batch. Here: deterministic features from
+    * the payload bytes, so tests are stable. Replace with a real codec via
+    * this single seam. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    Array.tabulate(featureDim) { i =>
+      // map digest bytes to [-1, 1)
+      (((md(2 * i) & 0xff) << 8 | (md(2 * i + 1) & 0xff)) - 32768) / 32768.0f
+    }
+  }
+
+  /** Per-partition batched feature extraction. Batches model the vectorized
+    * decode call (a GPU/codec batch); partition boundaries are preserved so
+    * parallelism = input splits and no shuffle happens. */
+  def extractFeatures(items: Dataset[MediaItem], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "vectorized" decode call per batch
+        val decoded = batch.map(m => decodeStub(m.payload))
+        batch.lazyZip(decoded).map { (m, feats) =>
+          MediaFeatures(
+            id = m.id,
+            kind = m.kind,
+            nBytes = m.payload.length.toLong,
+            contentHash = String.format("%032x", new java.math.BigInteger(1,
+              java.security.MessageDigest.getInstance("MD5").digest(m.payload))),
+            features = feats)
+        }
+      }
+    }
+  }
+
+  /** Fixture adapter: documents.text as fake media payloads (the container
+    * has no binary media fixture; the plumbing is what's under test). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaItem] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("id"),
+        lit("image").as("kind"),
+        col("text").cast("binary").as("payload"),
+        map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
+      .as[MediaItem]
+  }
+}

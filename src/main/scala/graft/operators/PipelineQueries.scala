@@ -1,10 +1,165 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+import graft.functions.GraftFunctions
 
 /** Query/oracle registrations for the LLM-training-data pipeline operators
-  * (SURVEY §2.11 north star). Filled in by the modules in this package. */
+  * (SURVEY §2.11 north star): dedup, similarity search, text analysis,
+  * multimodal plumbing, plus the scalable as-of join.
+  *
+  * Oracle-declared entries are bit-deterministic against DuckDB (integer
+  * quantization for anything FP-derived — see SURVEY §2.12 preamble).
+  * Entries without an oracle (minhash/simhash/LSH: engine-specific hashes
+  * cannot cross-match) get the driver's rows-only check and are covered by
+  * ScalaTest specs instead.
+  */
 object PipelineQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
-  def oracleSql: Map[String, String] = Map.empty
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      Engine.registerTables(spark, dir)
+      GraftFunctions.register(spark)
+      f(spark, dir)
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----
+    "p01_dedup_exact" -> q((s, _) =>
+      Dedup.exactGroups(s.table("documents")).orderBy("h")),
+    "p02_dedup_ngram_jaccard" -> q((s, _) =>
+      Dedup.ngramJaccardPairs(s.table("documents")).orderBy("d1", "d2")),
+    "p03_dedup_minhash" -> q((s, _) =>
+      Dedup.minhashPairs(s.table("documents"), threshold = 0.5)
+        .orderBy("d1", "d2")),
+    "p04_dedup_simhash" -> q((s, _) =>
+      Dedup.simhashPairs(s.table("documents"), maxHamming = 3)
+        .orderBy("d1", "d2")),
+    // fixture embeddings are near-random (max pairwise cosine ~0.5): the
+    // 0.95 near-dup default correctly finds nothing, so the demo entry uses
+    // a low threshold + wide buckets to exercise the bucket-join path
+    "p05_dedup_embedding" -> q((s, _) =>
+      Dedup.embeddingPairs(s.table("embeddings"), minCosine = 0.3, planes = 4)
+        .orderBy("d1", "d2")),
+    // ---- similarity search ----
+    "p06_sim_dot_topk" -> q((s, _) => {
+      val emb = s.table("embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          expr("CAST(aggregate(zip_with(embedding, qv, (x, y) -> " +
+            "CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(y AS DOUBLE)*1000) AS BIGINT)), " +
+            "0L, (acc, v) -> acc + v) AS BIGINT)").as("dot"))
+        .orderBy(col("dot").desc, col("vec_id")).limit(20)
+    }),
+    "p07_sim_cos_micro_topk" -> q((s, _) => {
+      val emb = s.table("embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val quant = "CAST(round(CAST(%s AS DOUBLE)*1000) AS BIGINT)"
+      def qdot(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> ${quant.format("x")} * ${quant.format("y")}), 0L, (acc, v) -> acc + v)"
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          expr(s"CAST(round(1000000.0 * CAST(${qdot("embedding", "qv")} AS DOUBLE) / " +
+            s"(sqrt(CAST(${qdot("qv", "qv")} AS DOUBLE)) * sqrt(CAST(${qdot("embedding", "embedding")} AS DOUBLE)))) AS BIGINT)")
+            .as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("vec_id")).limit(20)
+    }),
+    "p08_sim_cosine_brute" -> q((s, _) => {
+      val emb = s.table("embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), qv, 20)
+        .select(col("vec_id"), (round(col("cosine") * 1e6)).cast("long").as("cos_micro"))
+    }),
+    "p09_sim_ann_lsh" -> q((s, _) => {
+      val emb = s.table("embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.annTopK(emb.filter(col("vec_id") =!= 0), qv, 20, planes = 4, probes = 4)
+    }),
+    // ---- text analysis ----
+    "p10_text_tokens" -> q((s, _) =>
+      s.table("documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"), col("n_chars"))
+        .orderBy("doc_id")),
+    "p11_text_quality" -> q((s, _) =>
+      TextAnalysis.qualityScored(s.table("documents")).orderBy("doc_id")),
+    "p12_text_langid" -> q((s, _) =>
+      TextAnalysis.langId(s.table("documents")).orderBy("doc_id")),
+    "p13_text_fingerprint" -> q((s, _) =>
+      TextAnalysis.fingerprints(s.table("documents")).orderBy("doc_id")),
+    // ---- multimodal plumbing ----
+    "p14_multimodal_meta" -> q((s, _) =>
+      s.table("documents")
+        .select(col("doc_id"), octet_length(col("text").cast("binary")).as("nbytes"))
+        .orderBy("doc_id")),
+    "p15_multimodal_features" -> q((s, _) => {
+      val items = Multimodal.mediaFromDocuments(s, s.table("documents"))
+      Multimodal.extractFeatures(items).toDF()
+        .select(col("id"), col("nBytes").as("n_bytes"), col("contentHash").as("content_hash"))
+        .orderBy("id")
+    }),
+    // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
+    "p16_asof_merge" -> q((s, _) => {
+      val events = s.table("events")
+      val orders = s.table("orders")
+      AsOfJoin.asof(events, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightPayload = Seq("o_orderdate"))
+        .select(col("event_id"), col("o_orderdate"))
+        .orderBy("event_id").limit(100)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p01_dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups FROM documents GROUP BY h ORDER BY h",
+    "p02_dedup_ngram_jaccard" ->
+      ("SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(round(10000.0 * len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) " +
+        "/ len(list_distinct(string_split(a.text,' ') || string_split(b.text,' ')))) AS BIGINT) AS jac_bp " +
+        "FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND substr(a.text,1,40) = substr(b.text,1,40) " +
+        "ORDER BY d1, d2"),
+    "p06_sim_dot_topk" ->
+      ("SELECT e.vec_id, CAST(list_sum(list_transform(range(1, len(e.embedding)+1), " +
+        "i -> CAST(round(CAST(e.embedding[i] AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(q.embedding[i] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS dot " +
+        "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE e.vec_id <> 0 ORDER BY dot DESC, e.vec_id LIMIT 20"),
+    "p07_sim_cos_micro_topk" ->
+      ("WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), " +
+        "s AS (SELECT e.vec_id, " +
+        "list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(round(CAST(e.embedding[i] AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(q.embedding[i] AS DOUBLE)*1000) AS BIGINT))) AS dot, " +
+        "list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(round(CAST(e.embedding[i] AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(e.embedding[i] AS DOUBLE)*1000) AS BIGINT))) AS nb, " +
+        "list_sum(list_transform(range(1, len(q.embedding)+1), i -> CAST(round(CAST(q.embedding[i] AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(q.embedding[i] AS DOUBLE)*1000) AS BIGINT))) AS na " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0) " +
+        "SELECT vec_id, CAST(round(1000000.0 * CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))) AS BIGINT) AS cos_micro " +
+        "FROM s ORDER BY cos_micro DESC, vec_id LIMIT 20"),
+    "p10_text_tokens" ->
+      "SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
+    "p11_text_quality" ->
+      ("SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, " +
+        "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt, " +
+        "CAST(round(10000.0 * len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), t -> list_contains(['the','a','of','and','to','in','is'], t))) " +
+        "/ len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS stop_bp " +
+        "FROM documents ORDER BY doc_id"),
+    "p12_text_langid" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks FROM documents), " +
+        "h AS (SELECT doc_id, " +
+        "len(list_filter(toks, w -> list_contains(['the','and','of','to','a','in','is'], w))) AS en, " +
+        "len(list_filter(toks, w -> list_contains(['der','die','das','und','ist','nicht'], w))) AS de, " +
+        "len(list_filter(toks, w -> list_contains(['le','la','les','et','est','une'], w))) AS fr, " +
+        "len(list_filter(toks, w -> list_contains(['el','la','los','y','es','una'], w))) AS es FROM t) " +
+        "SELECT doc_id, CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en' " +
+        "WHEN de >= fr AND de >= es THEN 'de' WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred " +
+        "FROM h ORDER BY doc_id"),
+    "p13_text_fingerprint" ->
+      "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp FROM documents ORDER BY doc_id",
+    "p14_multimodal_meta" ->
+      "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS nbytes FROM documents ORDER BY doc_id",
+    "p16_asof_merge" ->
+      "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts ORDER BY e.event_id LIMIT 100",
+    // p03/p04/p05/p08/p09/p15: hash-seeded or engine-specific output — no
+    // cross-engine oracle exists; covered by ScalaTest + rows-only check.
+  )
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.11 north
+  * star): token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure column expressions — they stay inside whole-stage codegen, read
+  * only the `text` column from parquet (column pruning applies), and involve
+  * zero shuffles, so they scale linearly with input splits.
+  *
+  * Ratios are emitted in integer basis points / micro-units so results are
+  * bit-identical against the DuckDB oracle (FP-division-then-round on exact
+  * integers is IEEE-deterministic; see SURVEY §2.12 preamble).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (matches DuckDB
+    * `list_filter(string_split(text,' '), x -> x <> '')`). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordHits(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** doc_id, n_tokens, punct_cnt, stop_bp (stopword ratio in basis points). */
+  def qualityScored(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("punct_cnt"),
+        stopwordHits(col("text")).as("stop_hits"))
+      .withColumn("stop_bp",
+        expr("CAST(round(10000.0 * stop_hits / n_tokens) AS BIGINT)"))
+      .drop("stop_hits")
+
+  /** n-gram-heuristic language ID: stopword hits per language, argmax with a
+    * fixed tie order (en > de > fr > es). */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val withHits = langStopwords.foldLeft(docs.withColumn("__toks", toks)) {
+      case (df, (lang, words)) =>
+        val sw = array(words.map(lit): _*)
+        df.withColumn(s"__$lang", size(filter(col("__toks"), t => array_contains(sw, t))))
+    }
+    withHits.select(col("doc_id"),
+      expr("""CASE WHEN __en >= __de AND __en >= __fr AND __en >= __es THEN 'en'
+             |WHEN __de >= __fr AND __de >= __es THEN 'de'
+             |WHEN __fr >= __es THEN 'fr' ELSE 'es' END""".stripMargin).as("pred"))
+  }
+
+  /** Normalization fingerprint: md5 of lowercased text with everything but
+    * [a-z0-9 ] stripped — stable under punctuation/case edits. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9 ]", "")))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+}

@@ -1,0 +1,152 @@
+package graft.dialect
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TranslatorSpec extends AnyFunSuite {
+  private def t(sql: String): String = Translator.sparkSql(sql)
+
+  test("FORMAT suffix is stripped and reported") {
+    val tr = Translator.translate("SELECT 1 FORMAT JSONCompact")
+    assert(tr.sql == "SELECT 1")
+    assert(tr.format.contains("JSONCompact"))
+  }
+
+  test("FORMAT inside a string literal is untouched") {
+    val tr = Translator.translate("SELECT 'FORMAT JSON' AS s")
+    assert(tr.sql.contains("'FORMAT JSON'"))
+    assert(tr.format.isEmpty)
+  }
+
+  test("zero-arg count() becomes count(*)") {
+    assert(t("SELECT count() FROM t").contains("count(*)"))
+  }
+
+  test("count() inside string untouched") {
+    assert(t("SELECT 'count()' FROM t").contains("'count()'"))
+  }
+
+  test("trailing comma before FROM dropped") {
+    assert(t("SELECT a, count() AS c, FROM t") == "SELECT a, count(*) AS c FROM t")
+  }
+
+  test("read_parquet becomes parquet.`path` with function-name alias") {
+    val s = t("SELECT read_parquet.x FROM read_parquet('/d/f.parquet')")
+    assert(s.contains("parquet.`/d/f.parquet` AS read_parquet"))
+  }
+
+  test("read_parquet keeps explicit alias") {
+    val s = t("SELECT r.x FROM read_parquet('/d/f.parquet') r")
+    assert(s.contains("parquet.`/d/f.parquet` r"))
+    assert(!s.contains("AS read_parquet"))
+  }
+
+  test("read_csv_auto registers a view") {
+    val tr = Translator.translate("SELECT * FROM read_csv_auto('/d/f.csv')")
+    assert(tr.views.nonEmpty)
+    assert(tr.views.head.format == "csv")
+    assert(tr.sql.contains(s"${tr.views.head.name} AS read_csv_auto"))
+  }
+
+  test("bare quoted file path as table") {
+    assert(t("SELECT count(*) FROM '/d/f.parquet'").contains("parquet.`/d/f.parquet`"))
+    assert(t("""SELECT 1 FROM "/d/f.csv"""").contains("csv.`/d/f.csv`"))
+  }
+
+  test("array literal becomes array(); subscript untouched") {
+    assert(t("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)")
+    assert(t("SELECT x[1] FROM t") == "SELECT x[1] FROM t")
+  }
+
+  test("struct literal becomes named_struct") {
+    assert(t("SELECT {'a': 1, 'b': 'x'} AS s") == "SELECT named_struct('a', 1, 'b', 'x') AS s")
+  }
+
+  test("MAP literal becomes map()") {
+    assert(t("SELECT MAP {'k': 'v'}") == "SELECT map('k', 'v')")
+  }
+
+  test("ClickHouse toX() functions become casts") {
+    assert(t("SELECT toString(x)") == "SELECT CAST(x AS STRING)")
+    assert(t("SELECT toInt32(x + 1)") == "SELECT CAST(x + 1 AS INT)")
+  }
+
+  test("function renames: random, json_extract_string, 1-arg log") {
+    assert(t("SELECT random()").contains("rand()"))
+    assert(t("SELECT json_extract_string(j, '$.k')").contains("get_json_object"))
+    assert(t("SELECT log(x)").contains("log10(x)"))
+    assert(t("SELECT log(2, x)").contains("log(2, x)"))
+  }
+
+  test("VARCHAR cast becomes STRING") {
+    assert(t("SELECT CAST(x AS VARCHAR)").contains("AS STRING"))
+    assert(t("SELECT CAST(x AS VARCHAR(10))").contains("VARCHAR(10)"))
+  }
+
+  test("NULLS LAST injected per DuckDB default, explicit spec kept") {
+    assert(t("SELECT a FROM t ORDER BY a") == "SELECT a FROM t ORDER BY a NULLS LAST")
+    assert(t("SELECT a FROM t ORDER BY a DESC NULLS FIRST")
+      == "SELECT a FROM t ORDER BY a DESC NULLS FIRST")
+    assert(t("SELECT a FROM t ORDER BY a LIMIT 5")
+      == "SELECT a FROM t ORDER BY a NULLS LAST LIMIT 5")
+  }
+
+  test("NULLS LAST injected inside OVER clauses") {
+    val s = t("SELECT row_number() OVER (PARTITION BY k ORDER BY v) FROM t")
+    assert(s.contains("ORDER BY v NULLS LAST)"))
+  }
+
+  test("QUALIFY rewritten to subquery filter") {
+    val s = t("SELECT a, b FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a")
+    assert(s.contains("__graft_qualify"))
+    assert(s.startsWith("SELECT a, b FROM ("))
+  }
+
+  test("DISTINCT ON rewritten to row_number pick") {
+    val s = t("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v")
+    assert(s.contains("row_number() OVER (PARTITION BY k ORDER BY k NULLS LAST, v NULLS LAST)"))
+    assert(s.contains("__graft_rn = 1"))
+  }
+
+  test("ASOF JOIN rewritten to windowed range join") {
+    val s = t("SELECT e.id, o.ts FROM ev e ASOF JOIN ord o ON o.k = e.k AND o.ts <= e.ts")
+    assert(s.contains("monotonically_increasing_id()"))
+    assert(s.contains("ORDER BY o.ts DESC"))
+    assert(s.contains("__graft_asof_rn = 1"))
+  }
+
+  test("ASOF JOIN >= direction orders ASC") {
+    val s = t("SELECT e.id, o.ts FROM ev e ASOF JOIN ord o ON o.k = e.k AND o.ts >= e.ts")
+    assert(s.contains("ORDER BY o.ts ASC"))
+  }
+
+  test("SEMI/ANTI JOIN become LEFT SEMI/ANTI") {
+    assert(t("SELECT * FROM a SEMI JOIN b ON a.x = b.x").contains("LEFT SEMI JOIN"))
+    assert(t("SELECT * FROM a ANTI JOIN b ON a.x = b.x").contains("LEFT ANTI JOIN"))
+  }
+
+  test("unnest becomes explode") {
+    assert(t("SELECT unnest([1,2]) AS u") == "SELECT explode(array(1,2)) AS u")
+  }
+
+  test("string_agg with ORDER BY becomes listagg WITHIN GROUP") {
+    val s = t("SELECT string_agg(x, ',' ORDER BY x) FROM t GROUP BY k")
+    assert(s.contains("listagg"))
+    assert(s.contains("WITHIN GROUP"))
+  }
+
+  test("statement splitting is quote- and paren-aware") {
+    val stmts = Sanitizer.splitStatements("SELECT ';' AS s; SELECT (1); SELECT 2")
+    assert(stmts == Seq("SELECT ';' AS s", "SELECT (1)", "SELECT 2"))
+  }
+
+  test("catalog prefix strip is token-aware") {
+    assert(Sanitizer.stripCatalogPrefix("SELECT * FROM deltalake.s.t", "deltalake")
+      == "SELECT * FROM s.t")
+    assert(Sanitizer.stripCatalogPrefix("SELECT 'deltalake.s.t'", "deltalake")
+      == "SELECT 'deltalake.s.t'")
+  }
+
+  test("strftime pattern translation") {
+    assert(Translator.strftimeToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
+  }
+}

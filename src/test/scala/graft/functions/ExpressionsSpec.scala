@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class ExpressionsSpec extends SparkTestBase {
+
+  private def withFns[T](f: => T): T = { GraftFunctions.register(spark); f }
+
+  test("cosine_sim matches a reference computation") {
+    withFns {
+      val a = Array(1.0f, 2.0f, 3.0f)
+      val b = Array(4.0f, 5.0f, 6.0f)
+      val expected = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      val df = spark.createDataFrame(Seq((a, b))).toDF("x", "y")
+      val got = df.select(expr("cosine_sim(x, y)")).head.getDouble(0)
+      assert(math.abs(got - expected) < 1e-12)
+    }
+  }
+
+  test("cosine_sim of identical vectors is 1; orthogonal is 0; zero vector is null") {
+    withFns {
+      val df = spark.createDataFrame(Seq(
+        (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+        (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+        (Array(0.0f, 0.0f), Array(1.0f, 1.0f)))).toDF("x", "y")
+      val rows = df.select(expr("cosine_sim(x, y)")).collect()
+      assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(rows(1).getDouble(0)) < 1e-12)
+      assert(rows(2).isNullAt(0))
+    }
+  }
+
+  test("cosine_sim length mismatch yields null") {
+    withFns {
+      val df = spark.createDataFrame(Seq((Array(1.0f), Array(1.0f, 2.0f)))).toDF("x", "y")
+      assert(df.select(expr("cosine_sim(x, y)")).head.isNullAt(0))
+    }
+  }
+
+  test("simhash64: identical token arrays collide, disjoint ones differ") {
+    withFns {
+      val df = spark.createDataFrame(Seq(
+        (1L, Seq("a", "b", "c", "d")),
+        (2L, Seq("a", "b", "c", "d")),
+        (3L, Seq("w", "x", "y", "z", "q", "r", "s", "t")))).toDF("id", "toks")
+      val hs = df.select(expr("simhash64(toks)")).collect().map(_.getLong(0))
+      assert(hs(0) == hs(1))
+      assert(hs(0) != hs(2))
+    }
+  }
+
+  test("simhash64 of near-identical docs has small hamming distance") {
+    withFns {
+      val base = (1 to 50).map(i => s"tok$i")
+      val edited = base.updated(10, "CHANGED").updated(30, "ALSO")
+      val df = spark.createDataFrame(Seq((base, edited))).toDF("a", "b")
+      val d = df.select(expr("bit_count(simhash64(a) ^ simhash64(b))")).head.getInt(0)
+      assert(d <= 16, s"hamming distance $d too large for near-identical docs")
+    }
+  }
+
+  test("graft_version registered") {
+    withFns {
+      assert(spark.sql("SELECT graft_version()").head.getString(0).startsWith("graft-spark"))
+    }
+  }
+}

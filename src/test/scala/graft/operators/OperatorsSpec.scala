@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestBase}
+import graft.engine.Engine
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkTestBase {
+
+  test("every registered query runs at sf0.001 and returns a schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.schema.fields.nonEmpty, s"$name: empty schema")
+      df.limit(1).collect() // forces execution of the plan head
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("minhash candidates cover known prefix near-dup pairs") {
+    Engine.registerTables(spark, sfDir)
+    val docs = spark.table("documents")
+    val prefixPairs = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          substring(col("a.text"), 1, 40) === substring(col("b.text"), 1, 40))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixPairs.subsetOf(mh),
+      s"minhash missed ${prefixPairs.diff(mh).size} of ${prefixPairs.size} near-dup pairs")
+  }
+
+  test("simhash pairs respect the hamming bound and find near-dups") {
+    Engine.registerTables(spark, sfDir)
+    val pairs = Dedup.simhashPairs(spark.table("documents"), maxHamming = 3).collect()
+    assert(pairs.forall(_.getInt(2) <= 3))
+    assert(pairs.nonEmpty, "no simhash near-dup pairs found in fixture")
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    Engine.registerTables(spark, sfDir)
+    val docs = spark.table("documents")
+    val deduped = Dedup.exact(docs)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(deduped.count() == distinctTexts)
+  }
+
+  test("ANN recall is high on clustered vectors") {
+    import spark.implicits._
+    // 20 clusters of 25 near-identical vectors: ANN must find same-cluster
+    // neighbors. Deterministic synthetic data.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" =!= 0), qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb.filter($"vec_id" =!= 0), qv, 10, planes = 6, probes = 6)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ANN recall $recall below 0.8 on clustered data")
+  }
+
+  test("asof merge operator matches the SQL-rewrite asof on sf0.001") {
+    Engine.registerTables(spark, sfDir)
+    val viaSql = SparkEntry.queries("q22_asof_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), String.valueOf(r.get(1)))).toSeq
+    val viaMerge = SparkEntry.queries("p16_asof_merge")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), String.valueOf(r.get(1)))).toSeq
+    assert(viaMerge == viaSql)
+  }
+
+  test("multimodal feature extraction preserves schema and batch shape") {
+    Engine.registerTables(spark, sfDir)
+    val items = Multimodal.mediaFromDocuments(spark, spark.table("documents"))
+    val feats = Multimodal.extractFeatures(items, batchSize = 7).collect()
+    assert(feats.length == spark.table("documents").count())
+    assert(feats.forall(_.features.length == Multimodal.featureDim))
+    assert(feats.forall(f => f.features.forall(v => v >= -1.0f && v < 1.0f)))
+    // determinism: same payload → same features
+    val f0 = Multimodal.extractFeatures(items, batchSize = 3).collect()
+      .sortBy(_.id).map(_.contentHash)
+    assert(f0.sameElements(feats.sortBy(_.id).map(_.contentHash)))
+  }
+
+  test("text quality columns are sane") {
+    Engine.registerTables(spark, sfDir)
+    val q = TextAnalysis.qualityScored(spark.table("documents")).collect()
+    assert(q.forall(r => r.getInt(1) > 0))            // n_tokens
+    assert(q.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 10000)) // stop_bp
+  }
+}
