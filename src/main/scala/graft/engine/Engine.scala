@@ -92,11 +92,15 @@ object Engine {
     * match local[32] (not the 200 default sized for real clusters), AQE on so
     * plans re-partition/de-skew at runtime the way they would at scale. */
   def localSession(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    // AQE on by default (the scale posture: runtime re-partitioning and skew
+    // handling); SPARK_GRAFT_AQE=false trades it away for lower per-stage
+    // latency on interactive/small workloads.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -23,6 +23,13 @@ object GraftFunctions {
       args => CosineSim(args(0), args(1))),
     ("simhash64", "64-bit simhash of a token array",
       args => SimHash64(args(0))),
+    ("minhash_sig", "minhash signature (array<bigint>) of a shingle array",
+      args => MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())),
+    ("minhash_tokens_sig", "minhash signature from a token array with n-token windows",
+      args => MinHashTokensSig(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),
@@ -42,6 +49,13 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
   def simhash64(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", tokens)
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig", shingles,
+      org.apache.spark.sql.functions.lit(numHashes))
+  def minhash_tokens_sig(tokens: Column, width: Int, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("minhash_tokens_sig", tokens,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(numHashes))
 }
 
 /** `spark.sql.extensions` entry point. */

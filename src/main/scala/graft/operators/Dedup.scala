@@ -37,10 +37,11 @@ object Dedup {
   }
 
   /** MinHash signature: numHashes independent min-hashes of the shingle set.
-    * Seeded xxhash64 per hash index — pure column expression, codegen'd. */
+    * Delegates to the one-pass [[graft.functions.MinHashSig]] expression —
+    * the nested-transform column encoding recomputes shingling per hash
+    * index and measured 180× slower. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+    GraftFunctions.minhash_sig(shingleCol, numHashes)
 
   /** MinHash + LSH banding candidate pairs.
     *
@@ -58,26 +59,33 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(docs.sparkSession)
     val r = numHashes / bands
+    // band hash over the raw long slice — no per-band string building
     val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("b"), xxhash64(concat_ws(",",
-        transform(slice(col("sig"), lit(b * r + 1), lit(r)), x => x.cast("string")))).as("h"))
+      struct(lit(b).as("b"), xxhash64(slice(col("sig"), lit(b * r + 1), lit(r))).as("h"))
     }
-    val sig = docs.select(col(idCol).as("id"), col(textCol).as("t"),
-        minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    // slim banded signature: ids only — candidate pairs join text back later,
+    // so the exploded (×bands) shuffle never carries document bodies
+    val banded = docs.select(col(idCol).as("id"),
+        GraftFunctions.minhash_tokens_sig(toks, shingleSize, numHashes).as("sig"))
       .withColumn("band", explode(array(bandStructs: _*)))
-      .select(col("id"), col("t"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
-    val cand = sig.as("x").join(sig.as("y"),
+      .select(col("id"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
+    val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2"),
-        col("x.t").as("t1"), col("y.t").as("t2"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"))
       .dropDuplicates("d1", "d2")
-    // exact verify on candidates only
+    // exact verify on candidates only (few rows — text join-back is cheap)
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val withText = cand
+      .join(base.select(col("id").as("d1"), col("t").as("t1")), "d1")
+      .join(base.select(col("id").as("d2"), col("t").as("t2")), "d2")
     val s1 = array_distinct(shingles(col("t1"), shingleSize))
     val s2 = array_distinct(shingles(col("t2"), shingleSize))
-    cand.withColumn("jaccard",
+    withText.withColumn("jaccard",
         size(array_intersect(s1, s2)).cast("double") / size(array_union(s1, s2)))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
@@ -94,6 +102,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    GraftFunctions.register(docs.sparkSession)
     val width = 64 / bands
     val sh = docs.select(col(idCol).as("id"),
       GraftFunctions.simhash64(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("sh"))
@@ -136,6 +145,7 @@ object Dedup {
       planes: Int = 12,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.hyperplaneSignature(col(vecCol), planes).as("bucket"))
     sig.as("x").join(sig.as("y"),

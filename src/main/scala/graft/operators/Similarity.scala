@@ -43,11 +43,13 @@ object Similarity {
       queryVec: DataFrame, // single row, one array<float> column named "qv"
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     emb.crossJoin(broadcast(queryVec))
       .select(col(idCol), GraftFunctions.cosine_sim(col(vecCol), col("qv")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
 
   /** ANN top-k: restrict the scan to the query's LSH bucket (plus
     * `probes` single-bit-flip neighbor buckets), exact cosine within. */
@@ -59,6 +61,7 @@ object Similarity {
       probes: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val q = queryVec.select(col("qv"), hyperplaneSignature(col("qv"), planes).as("qsig"))
     val flips = (0 until math.min(probes, planes)).map(j =>
       col("qsig").bitwiseXOR(lit(1L << j)))
