@@ -1,0 +1,161 @@
+package graft.flight
+
+import org.apache.spark.sql.SparkSession
+import graft.arrowio.ArrowIO
+import graft.flight.Msgpack._
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.jdk.CollectionConverters._
+
+/** Airport-protocol Flight semantics, transport-agnostic (reference
+  * S10, S15–S21, `/root/reference/main.py:361-399,541-739,793-799`).
+  *
+  * The gRPC transport isn't on this classpath; these are the byte-level
+  * handlers a `FlightProducer` would delegate to — tickets in, SQL out;
+  * action bodies in, msgpack+zstd envelopes out; Arrow streams in, appends
+  * out. Each is tested directly.
+  */
+object FlightActions {
+
+  // ---- S10: ticket → SQL (main.py:361-372) -----------------------------
+
+  /** Tickets carry either JSON `{"query": "..."}` (double-encoding
+    * tolerated) or raw UTF-8 SQL. */
+  def parseTicket(ticket: Array[Byte]): String = {
+    val s = new String(ticket, "UTF-8")
+    def fromJson(j: String): Option[String] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+        if (node.isTextual) fromJson(node.asText()) // double-encoded
+        else Option(node.get("query")).map(_.asText())
+      } catch { case _: Throwable => None }
+    fromJson(s).getOrElse(s)
+  }
+
+  // ---- S17: list_schemas envelope (main.py:541-598) ---------------------
+
+  /** msgpack payload, zstd-compressed, prefixed with the 4-byte LE
+    * decompressed length (the Airport envelope, main.py:420-428). */
+  def compressEnvelope(payload: Array[Byte]): Array[Byte] = {
+    val compressed = com.github.luben.zstd.Zstd.compress(payload)
+    val out = ByteBuffer.allocate(4 + compressed.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(payload.length)
+    out.put(compressed)
+    out.array()
+  }
+
+  def decompressEnvelope(bytes: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val len = buf.getInt
+    com.github.luben.zstd.Zstd.decompress(
+      java.util.Arrays.copyOfRange(bytes, 4, bytes.length), len)
+  }
+
+  def listSchemas(spark: SparkSession, catalog: String): Array[Byte] = {
+    val schemas = spark.catalog.listDatabases().collect().map { db =>
+      obj(
+        "schema" -> Str(db.name),
+        "description" -> Str(Option(db.description).getOrElse("")),
+        "tags" -> MapV(Seq.empty),
+        "contents" -> obj("url" -> Str(""), "sha256" -> Str(""),
+          "serialized" -> Nil),
+        "type" -> Str("schema"))
+    }
+    val payload = pack(obj(
+      "contents" -> obj("url" -> Str(""), "sha256" -> Str(""), "serialized" -> Nil),
+      "schemas" -> Arr(schemas.toIndexedSeq)))
+    compressEnvelope(payload)
+  }
+
+  // ---- S18: create_schema (main.py:600-635) ------------------------------
+
+  /** Body is msgpack Str or raw UTF-8; the last dotted segment names the
+    * schema. */
+  def createSchema(spark: SparkSession, body: Array[Byte]): String = {
+    val name0 =
+      try Msgpack.unpack(body) match {
+        case Str(s) => s
+        case _ => new String(body, "UTF-8")
+      } catch { case _: Throwable => new String(body, "UTF-8") }
+    val name = name0.split('.').last.replaceAll("[^\\w]", "")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+    name
+  }
+
+  // ---- S19: create_table from an Arrow IPC schema (main.py:637-739) ------
+
+  final case class TableRef(catalog: String, schema: String, table: String)
+
+  /** Arrow IPC stream whose schema metadata carries catalog_name /
+    * schema_name / table_name → CREATE TABLE IF NOT EXISTS. Returns the
+    * parsed ref + created DDL. */
+  def createTable(spark: SparkSession, arrowIpc: Array[Byte]): (TableRef, String) = {
+    val allocator = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(arrowIpc), allocator)
+    try {
+      val schema = reader.getVectorSchemaRoot.getSchema
+      val meta = schema.getCustomMetadata.asScala
+      val ref = TableRef(
+        meta.getOrElse("catalog_name", "spark_catalog"),
+        meta.getOrElse("schema_name", "default"),
+        meta.getOrElse("table_name", "unnamed"))
+      val sparkSchema = ArrowIO.toSparkSchema(schema)
+      val cols = sparkSchema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val ddl = s"CREATE TABLE IF NOT EXISTS `${ref.schema}`.`${ref.table}` ($cols) USING parquet"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `${ref.schema}`")
+      spark.sql(ddl)
+      (ref, ddl)
+    } finally { reader.close(); allocator.close() }
+  }
+
+  // ---- S20: flight info for a command — schema WITHOUT execution ---------
+
+  /** The reference executes the query twice to learn its schema
+    * (main.py:820-828); Spark's analyzed plan gives it for free. */
+  def commandSchema(spark: SparkSession, sql: String): org.apache.spark.sql.types.StructType =
+    spark.sql(graft.dialect.Translator.sparkSql(sql)).schema
+
+  /** FlightInfo app_metadata envelope (msgpack, main.py:375-399). */
+  def flightInfoMetadata(catalog: String, schema: String, name: String,
+      comment: String, inputSchemaIpc: Array[Byte]): Array[Byte] =
+    pack(obj(
+      "type" -> Str("table"),
+      "catalog" -> Str(catalog),
+      "schema" -> Str(schema),
+      "name" -> Str(name),
+      "comment" -> Str(comment),
+      "input_schema" -> Bin(inputSchemaIpc)))
+
+  // ---- S21: list_flights (main.py:853-986) --------------------------------
+
+  final case class FlightDesc(catalog: String, schema: String, table: String, ticketSql: String)
+
+  /** Table listing with the same `SELECT * FROM cat.sch.tbl` tickets the
+    * reference emits (main.py:950-964). */
+  def listFlights(spark: SparkSession, catalogFilter: Option[String],
+      schemaFilter: Option[String]): Seq[FlightDesc] = {
+    val dbs = schemaFilter match {
+      case Some(s) => Seq(s)
+      case None => spark.catalog.listDatabases().collect().map(_.name).toSeq
+    }
+    dbs.flatMap { db =>
+      spark.catalog.listTables(db).collect().map { t =>
+        FlightDesc(catalogFilter.getOrElse("spark_catalog"), db, t.name,
+          s"SELECT * FROM ${db}.${t.name}")
+      }
+    }
+  }
+
+  // ---- S15/S16: Arrow ingest (do_put / do_exchange insert) ---------------
+
+  /** Arrow IPC stream → append to table; returns rows inserted (the
+    * do_exchange response is a 1-row {rows_inserted: int64} table,
+    * main.py:1089-1094). */
+  def doPut(spark: SparkSession, table: String, arrowIpc: Array[Byte]): Long = {
+    val df = ArrowIO.fromArrowStream(spark, arrowIpc)
+    val n = df.count()
+    df.write.mode("append").insertInto(table)
+    n
+  }
+}

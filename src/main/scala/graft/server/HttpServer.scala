@@ -1,0 +1,143 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
+import org.apache.spark.sql.SparkSession
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** ClickHouse-compatible HTTP API (reference `main.py:262-358`):
+  *
+  *  - `GET/POST /` — `query` param (POST body appended), `default_format`,
+  *    `database`, `query_id` (cache replay), basic auth → tenant
+  *  - `POST /` with `INSERT INTO t` + JSONEachRow body — bulk ingest
+  *  - `GET /play` — SQL play UI
+  *  - `GET /ping` — health check "Ok"
+  *
+  * Built on the JDK's HttpServer (zero extra deps; the env has no egress).
+  * Each request runs on a cloned SparkSession scoped to its tenant database,
+  * so concurrent queries and inserts don't share mutable session state —
+  * the reference's "concurrent inserts and querying" claim
+  * (`README.md:14`) maps to Spark's natural multi-session concurrency.
+  */
+final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[String] = None) {
+
+  private val tenants = new TenantManager(spark)
+  private val cache = new ResultCache(10)
+  private var server: JdkHttpServer = _
+
+  def start(): Int = {
+    server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", handle _)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split('&').toIndexedSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  private def respond(ex: HttpExchange, code: Int, bytes: Array[Byte],
+      contentType: String = "application/json; charset=UTF-8"): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit =
+    try route(ex)
+    catch {
+      case e: Throwable =>
+        respond(ex, 500, Option(e.getMessage).getOrElse("internal error")
+          .getBytes(StandardCharsets.UTF_8), "text/plain")
+    }
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    path match {
+      case "/ping" => respond(ex, 200, "Ok\n".getBytes, "text/plain")
+      case "/play" | "/" if ex.getRequestMethod == "GET" && {
+        val p = queryParams(ex)
+        p.get("query").isEmpty && p.get("query_id").isEmpty
+      } => serveUi(ex)
+      case _ => serveQuery(ex)
+    }
+  }
+
+  private def serveUi(ex: HttpExchange): Unit = {
+    val html = uiDir.map(d => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d, "index.html")), StandardCharsets.UTF_8))
+      .getOrElse("<html><body><h3>graft-spark play</h3><p>POST SQL to / or use ?query=...</p></body></html>")
+    respond(ex, 200, html.getBytes(StandardCharsets.UTF_8), "text/html; charset=UTF-8")
+  }
+
+  private def serveQuery(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val auth = tenants.parseAuthHeader(
+      Option(ex.getRequestHeaders.getFirst("Authorization")))
+    val defaultFormat = params.getOrElse("default_format", "JSONCompact")
+    val queryId = params.get("query_id")
+    val paramQuery = params.getOrElse("query", "")
+
+    // cache replay: query_id with no query (reference main.py:276-278)
+    if (paramQuery.isEmpty && body.isEmpty && queryId.nonEmpty) {
+      cache.get(queryId.get) match {
+        case Some(bytes) => respond(ex, 200, bytes); return
+        case None => respond(ex, 404, "query_id not cached\n".getBytes, "text/plain"); return
+      }
+    }
+
+    val session = tenants.sessionFor(auth)
+    params.get("database").foreach { db =>
+      session.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      session.catalog.setCurrentDatabase(db)
+    }
+
+    // POST INSERT with NDJSON body (reference main.py:228-229,196-211)
+    val insertTarget = if (ex.getRequestMethod == "POST" && paramQuery.nonEmpty && body.nonEmpty)
+      QueryExecutor.insertTarget(paramQuery) else None
+
+    val result = insertTarget match {
+      case Some(table) => QueryExecutor.runInsert(session, table, body)
+      case None =>
+        val sql = if (paramQuery.nonEmpty && body.nonEmpty) s"$paramQuery\n$body"
+          else if (paramQuery.nonEmpty) paramQuery else body
+        if (sql.trim.isEmpty) { respond(ex, 400, "no query\n".getBytes, "text/plain"); return }
+        QueryExecutor.run(session, sql, defaultFormat)
+    }
+
+    result match {
+      case Right(r) =>
+        queryId.foreach(id => cache.put(id, r.bytes))
+        respond(ex, 200, r.bytes)
+      case Left(err) =>
+        respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
+    }
+  }
+}
+
+/** Standalone entry point (reference S24 lifecycle, `main.py:1107-1127`). */
+object HttpServerMain {
+  def main(args: Array[String]): Unit = {
+    val port = sys.env.getOrElse("GRAFT_HTTP_PORT", "8123").toInt
+    val spark = graft.engine.Engine.localSession()
+    sys.env.get("SPARK_GRAFT_SF_DIR").foreach(d => graft.engine.Engine.registerTables(spark, d))
+    graft.functions.GraftFunctions.register(spark)
+    val s = new HttpServer(spark, port, sys.env.get("GRAFT_UI_DIR"))
+    val actual = s.start()
+    println(s"graft-spark HTTP listening on :$actual")
+    Thread.currentThread.join()
+  }
+}

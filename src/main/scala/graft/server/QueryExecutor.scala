@@ -1,0 +1,62 @@
+package graft.server
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dialect.{Sanitizer, Translator}
+import graft.engine.Engine
+import graft.formats.Encoders
+
+/** Query execution + format dispatch + error channel (reference S2,
+  * `duckdb_query_with_errmsg`, `/root/reference/main.py:223-249`).
+  */
+object QueryExecutor {
+
+  final case class Result(bytes: Array[Byte], rows: Long, elapsedSec: Double)
+
+  /** Execute a (possibly multi-statement, possibly FORMAT-suffixed) SQL
+    * script; encode the last statement's result. */
+  def run(spark: SparkSession, sql: String, defaultFormat: String): Either[String, Result] =
+    try {
+      val t0 = System.nanoTime()
+      val (noFmt, fmt) = Sanitizer.stripFormat(sql)
+      val df = Engine.sqlScript(spark, noFmt)
+      val bytes = Encoders.encode(df, fmt.getOrElse(defaultFormat), t0)
+      Right(Result(bytes, -1L, (System.nanoTime() - t0) / 1e9))
+    } catch {
+      case e: Throwable =>
+        Left(Option(e.getMessage).map(_.trim).filter(_.nonEmpty)
+          .getOrElse(e.getClass.getSimpleName))
+    }
+
+  /** HTTP POST `INSERT INTO <t>` with a JSONEachRow body (reference S3,
+    * `handle_insert_query`, `/root/reference/main.py:196-211`): the body is
+    * parsed as NDJSON and appended — no temp file needed
+    * (`spark.read.json` over an in-memory dataset).
+    */
+  private val insertRe = "(?is)^\\s*INSERT\\s+INTO\\s+([\\w.`\"]+)\\s*$".r
+
+  def insertTarget(sql: String): Option[String] =
+    Sanitizer.stripFormat(sql)._1 match {
+      case insertRe(t) => Some(t.replaceAll("[`\"]", ""))
+      case _ => None
+    }
+
+  def runInsert(spark: SparkSession, table: String, ndjsonBody: String): Either[String, Result] =
+    try {
+      val t0 = System.nanoTime()
+      import spark.implicits._
+      val lines = ndjsonBody.split('\n').toIndexedSeq.filter(_.trim.nonEmpty)
+      val df = spark.read.json(spark.createDataset(lines))
+      // align column order with the target before appending
+      val target = spark.table(table)
+      val aligned = target.schema.fieldNames.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+          .cast(target.schema(c).dataType))
+      }.select(target.schema.fieldNames.map(c =>
+        org.apache.spark.sql.functions.col(c).cast(target.schema(c).dataType)): _*)
+      aligned.write.mode("append").insertInto(table)
+      Right(Result(Array.emptyByteArray, lines.length.toLong, (System.nanoTime() - t0) / 1e9))
+    } catch {
+      case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName).trim)
+    }
+}

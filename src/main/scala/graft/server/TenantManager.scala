@@ -1,0 +1,56 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+import java.security.MessageDigest
+
+/** Multi-tenant routing (reference S22, `/root/reference/main.py:71-132`):
+  * sha256(user:password) keys the tenant's namespace. The reference maps the
+  * hash to a per-user DuckDB file; here it maps to a per-tenant Spark
+  * database under one shared warehouse (same isolation unit: separate
+  * catalogs of tables; note the reference performs no real password
+  * verification either — the hash IS the key, `main.py:122-132`).
+  *
+  * Anonymous requests share the `default` database (reference: shared
+  * `:memory:`, `main.py:77,93`).
+  */
+final class TenantManager(spark: SparkSession) {
+
+  def tenantDatabase(auth: Option[(String, String)]): String = auth match {
+    case None | Some(("", _)) => "default"
+    case Some((user, pass)) =>
+      val h = MessageDigest.getInstance("SHA-256")
+        .digest(s"$user:$pass".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      s"tenant_$h"
+  }
+
+  /** Session for a request. Anonymous requests share the base session (the
+    * reference shares one `:memory:` connection for them, `main.py:77,93` —
+    * and the fixture temp views are session-scoped, so sharing is also what
+    * makes them visible). Authed tenants get a cloned session pinned to
+    * their database, so concurrent tenants never race on currentDatabase. */
+  def sessionFor(auth: Option[(String, String)]): SparkSession = {
+    val db = tenantDatabase(auth)
+    if (db == "default") spark
+    else {
+      val s = spark.newSession()
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.catalog.setCurrentDatabase(db)
+      s
+    }
+  }
+
+  /** Parse `Authorization: Basic ...` / `Bearer user:pass` headers
+    * (reference strips Bearer and splits on ':', `main.py:468,529-534`). */
+  def parseAuthHeader(header: Option[String]): Option[(String, String)] =
+    header.flatMap { h =>
+      val cred =
+        if (h.startsWith("Basic ")) new String(
+          java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ")), "UTF-8")
+        else h.stripPrefix("Bearer ").trim
+      cred.split(":", 2) match {
+        case Array(u, p) if u.nonEmpty => Some((u, p))
+        case _ => None
+      }
+    }
+}

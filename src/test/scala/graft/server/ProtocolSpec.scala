@@ -1,0 +1,265 @@
+package graft.server
+
+import graft.SparkTestBase
+import graft.arrowio.ArrowIO
+import graft.flight.{FlightActions, Msgpack}
+import graft.formats.Encoders
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+class ProtocolSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  test("JSONCompact envelope has the reference shape") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val node = mapper.readTree(new String(Encoders.jsonCompact(df, System.nanoTime()), "UTF-8"))
+    assert(node.get("meta").get(0).get("name").asText() == "k")
+    assert(node.get("meta").get(0).get("type").asText() == "Int64")
+    assert(node.get("meta").get(1).get("type").asText() == "String")
+    assert(node.get("data").get(0).isArray)
+    assert(node.get("data").get(0).get(0).asLong() == 1L)
+    assert(node.get("rows").asLong() == 2)
+    assert(node.get("rows_before_limit_at_least").asLong() == 2)
+    assert(node.get("statistics").has("elapsed"))
+    assert(node.get("statistics").has("rows_read"))
+    assert(node.get("statistics").has("bytes_read"))
+  }
+
+  test("JSON envelope uses row objects") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val node = mapper.readTree(new String(Encoders.json(df, System.nanoTime()), "UTF-8"))
+    assert(node.get("data").get(0).get("k").asLong() == 1L)
+    assert(node.get("data").get(0).get("v").asText() == "a")
+    assert(!node.has("rows_before_limit_at_least")) // main.py:163-181 omits it
+  }
+
+  test("JSONEachRow is one object per line") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val lines = new String(Encoders.ndjson(df), "UTF-8").trim.split('\n')
+    assert(lines.length == 2)
+    assert(mapper.readTree(lines(0)).get("k").asLong() == 1L)
+  }
+
+  test("JSONCompactColumns is column-oriented") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val node = mapper.readTree(new String(Encoders.jsonCompactColumns(df), "UTF-8"))
+    assert(node.get(0).get(0).asLong() == 1L)
+    assert(node.get(0).get(1).asLong() == 2L)
+    assert(node.get(1).get(0).asText() == "a")
+  }
+
+  test("CSV/TSV with null and quoting rules") {
+    val df = Seq((Some("x,y"), 1L), (None, 2L)).toDF("s", "k")
+    val csv = new String(Encoders.csvTsv(df, ",", withNames = true), "UTF-8")
+    val lines = csv.trim.split('\n')
+    assert(lines(0) == "s,k")
+    assert(lines(1) == "\"x,y\",1")
+    assert(lines(2) == "\\N,2")
+  }
+
+  test("ResultCache evicts LRU beyond 10") {
+    val c = new ResultCache(10)
+    (1 to 12).foreach(i => c.put(s"q$i", Array(i.toByte)))
+    assert(c.size == 10)
+    assert(c.get("q1").isEmpty && c.get("q2").isEmpty)
+    assert(c.get("q12").nonEmpty)
+  }
+
+  test("tenant hash is deterministic and anonymous maps to default") {
+    val tm = new TenantManager(spark)
+    assert(tm.tenantDatabase(None) == "default")
+    val a = tm.tenantDatabase(Some(("alice", "pw")))
+    assert(a == tm.tenantDatabase(Some(("alice", "pw"))))
+    assert(a != tm.tenantDatabase(Some(("bob", "pw"))))
+    assert(a.startsWith("tenant_"))
+  }
+
+  test("auth header parsing: Basic and Bearer") {
+    val tm = new TenantManager(spark)
+    val b64 = java.util.Base64.getEncoder.encodeToString("u:p".getBytes)
+    assert(tm.parseAuthHeader(Some(s"Basic $b64")).contains(("u", "p")))
+    assert(tm.parseAuthHeader(Some("Bearer u:p")).contains(("u", "p")))
+    assert(tm.parseAuthHeader(None).isEmpty)
+  }
+
+  test("ticket parsing: raw SQL, JSON, double-encoded JSON") {
+    assert(FlightActions.parseTicket("SELECT 1".getBytes) == "SELECT 1")
+    assert(FlightActions.parseTicket("""{"query": "SELECT 2"}""".getBytes) == "SELECT 2")
+    assert(FlightActions.parseTicket("\"{\\\"query\\\": \\\"SELECT 3\\\"}\"".getBytes) == "SELECT 3")
+  }
+
+  test("msgpack round-trip") {
+    import Msgpack._
+    val v = obj("a" -> Num(42), "b" -> Str("hello"), "c" -> Arr(Seq(Bool(true), Nil)),
+      "d" -> Bin(Array[Byte](1, 2, 3)), "e" -> Dbl(1.5))
+    val back = unpack(pack(v)).asInstanceOf[MapV]
+    val m = back.v.map { case (Str(k), x) => k -> x; case x => throw new MatchError(x) }.toMap
+    assert(m("a") == Num(42))
+    assert(m("b") == Str("hello"))
+    assert(m("e") == Dbl(1.5))
+    assert(m("d").asInstanceOf[Bin].v.toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("zstd envelope round-trip with 4-byte LE length prefix") {
+    val payload = "payload-bytes".getBytes
+    val env = FlightActions.compressEnvelope(payload)
+    val le = java.nio.ByteBuffer.wrap(env, 0, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(le == payload.length)
+    assert(FlightActions.decompressEnvelope(env).toSeq == payload.toSeq)
+  }
+
+  test("list_schemas action emits a decodable envelope") {
+    val env = FlightActions.listSchemas(spark, "spark_catalog")
+    val payload = Msgpack.unpack(FlightActions.decompressEnvelope(env)).asInstanceOf[Msgpack.MapV]
+    val keys = payload.v.map(_._1).collect { case Msgpack.Str(s) => s }
+    assert(keys.contains("schemas") && keys.contains("contents"))
+  }
+
+  test("arrow round-trip preserves scalar types and values") {
+    val df = Seq(
+      (1L, 10, 1.5, 2.5f, "s", true),
+      (2L, 20, -1.0, 0.0f, "t", false)).toDF("l", "i", "d", "f", "s", "b")
+    val bytes = ArrowIO.toArrowStream(df)
+    val back = ArrowIO.fromArrowStream(spark, bytes)
+    assert(back.schema.map(_.dataType) == df.schema.map(_.dataType))
+    assert(back.orderBy("l").collect().toSeq == df.orderBy("l").collect().toSeq)
+  }
+
+  test("arrow round-trip handles nulls and float arrays") {
+    val df = Seq(
+      (1L, Some("x"), Seq(1.0f, 2.0f)),
+      (2L, None, Seq(3.0f))).toDF("k", "s", "emb")
+    val back = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStream(df))
+    val rows = back.orderBy("k").collect()
+    assert(rows(1).isNullAt(1))
+    assert(rows(0).getSeq[Float](2) == Seq(1.0f, 2.0f))
+  }
+
+  test("arrow stream re-chunks to 1024-row batches") {
+    val df = spark.range(3000).toDF("id")
+    val bytes = ArrowIO.toArrowStream(df)
+    val back = ArrowIO.fromArrowStream(spark, bytes)
+    assert(back.count() == 3000)
+  }
+
+  test("HTTP server end-to-end: query, formats, ping, cache, errors") {
+    graft.engine.Engine.registerTables(spark, sfDir)
+    val srv = new HttpServer(spark, 0) // port 0: ephemeral
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(pathAndQuery: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathAndQuery")).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      assert(get("/ping").body() == "Ok\n")
+
+      val q = java.net.URLEncoder.encode(
+        "SELECT o_orderpriority, count() AS c, FROM orders GROUP BY o_orderpriority ORDER BY c DESC, o_orderpriority LIMIT 2 FORMAT JSONCompact", "UTF-8")
+      val r = get(s"/?query=$q&query_id=test1")
+      assert(r.statusCode() == 200)
+      val node = mapper.readTree(r.body())
+      assert(node.get("rows").asLong() == 2)
+      assert(node.get("meta").get(1).get("name").asText() == "c")
+
+      // cache replay: query_id only
+      val cached = get("/?query_id=test1")
+      assert(cached.statusCode() == 200 && cached.body() == r.body())
+
+      // CSV format param
+      val q2 = java.net.URLEncoder.encode("SELECT 1 AS one", "UTF-8")
+      val csv = get(s"/?query=$q2&default_format=CSV")
+      assert(csv.body().trim == "1")
+
+      // error channel: 400 + message
+      val bad = get("/?query=" + java.net.URLEncoder.encode("SELECT * FROM nope_missing", "UTF-8"))
+      assert(bad.statusCode() == 400)
+      assert(bad.body().toUpperCase.contains("NOPE_MISSING"))
+
+      // POST body query (play UI path, main.py:320-322)
+      val post = client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/"))
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 41 + 1 AS answer FORMAT JSON"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() == 200)
+      assert(mapper.readTree(post.body()).get("data").get(0).get("answer").asInt() == 42)
+    } finally srv.stop()
+  }
+
+  test("HTTP insert round-trip: CREATE TABLE, NDJSON POST insert, SELECT back") {
+    val srv = new HttpServer(spark, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(query: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$port/?query=" + java.net.URLEncoder.encode(query, "UTF-8")))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def get(query: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$port/?query=" + java.net.URLEncoder.encode(query, "UTF-8"))).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      spark.sql("DROP TABLE IF EXISTS graft_ins_test")
+      val mk = get("CREATE TABLE graft_ins_test (name STRING, n BIGINT) USING parquet")
+      assert(mk.statusCode() == 200, mk.body())
+      val ins = post("INSERT INTO graft_ins_test",
+        """{"name": "rusty", "n": 5}""" + "\n" + """{"name": "quacky", "n": 7}""")
+      assert(ins.statusCode() == 200, ins.body())
+      val sel = get("SELECT name, n FROM graft_ins_test ORDER BY n FORMAT JSONCompact")
+      val node = mapper.readTree(sel.body())
+      assert(node.get("rows").asLong() == 2)
+      assert(node.get("data").get(0).get(0).asText() == "rusty")
+      spark.sql("DROP TABLE IF EXISTS graft_ins_test")
+    } finally srv.stop()
+  }
+
+  test("create_schema and create_table flight actions") {
+    val name = FlightActions.createSchema(spark, "cat.flight_test_db".getBytes)
+    assert(name == "flight_test_db")
+    assert(spark.catalog.databaseExists("flight_test_db"))
+
+    // build an Arrow IPC stream whose schema carries the table metadata
+    import org.apache.arrow.vector.types.pojo.{Schema => ASchema}
+    import scala.jdk.CollectionConverters._
+    val fields = List(
+      ArrowIO.toArrowField(org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)),
+      ArrowIO.toArrowField(org.apache.spark.sql.types.StructField("love_of_duckdb",
+        org.apache.spark.sql.types.IntegerType)))
+    val meta = Map("catalog_name" -> "spark_catalog", "schema_name" -> "flight_test_db",
+      "table_name" -> "people").asJava
+    val schema = new ASchema(fields.asJava, meta)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val root = org.apache.arrow.vector.VectorSchemaRoot.create(schema, alloc)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
+    w.start(); w.end(); root.close(); alloc.close()
+
+    val (ref, ddl) = FlightActions.createTable(spark, out.toByteArray)
+    assert(ref.table == "people" && ref.schema == "flight_test_db")
+    assert(spark.catalog.tableExists("flight_test_db.people"))
+    spark.sql("DROP TABLE flight_test_db.people")
+    spark.sql("DROP DATABASE flight_test_db")
+  }
+
+  test("doPut appends an arrow stream to a table") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_put_test")
+    spark.sql("CREATE TABLE graft_put_test (k BIGINT, v STRING) USING parquet")
+    val bytes = ArrowIO.toArrowStream(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val n = FlightActions.doPut(spark, "graft_put_test", bytes)
+    assert(n == 2)
+    assert(spark.table("graft_put_test").count() == 2)
+    spark.sql("DROP TABLE graft_put_test")
+  }
+
+  test("commandSchema resolves schema without executing") {
+    graft.engine.Engine.registerTables(spark, sfDir)
+    val schema = FlightActions.commandSchema(spark, "SELECT count() AS c, FROM orders")
+    assert(schema.fieldNames.toSeq == Seq("c"))
+  }
+}
