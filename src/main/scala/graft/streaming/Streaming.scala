@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.10).
+  *
+  * The reference's "streaming" is concurrent Flight inserts polled by
+  * repeated COUNT(*) queries (`/root/reference/examples/flight_insert.py:73-95`,
+  * `flight_watch.py:43-66`) — no watermarks, windows, or state. This module
+  * keeps that parity path (appends to a table are immediately visible to
+  * queries — plain Spark behavior the HTTP layer already provides) and adds
+  * the real streaming operators a training-data pipeline needs:
+  *
+  *  - tumbling/sliding-window aggregation with event-time watermarks
+  *  - streaming dedup (`dropDuplicates` within the watermark)
+  *  - sessionization via `flatMapGroupsWithState` (custom state machine)
+  *
+  * All transforms are source-agnostic: they take the streaming DataFrame,
+  * so the same code runs from `spark.readStream.parquet(dir)` (the file
+  * source mirrors the reference's append-a-table pattern), Kafka, or a
+  * MemoryStream in tests. At scale the state store shards by
+  * `groupBy`/`groupByKey` key — the same partitioning discipline as the
+  * batch operators.
+  */
+object Streaming {
+
+  /** Events-per-window aggregation: 1-minute tumbling windows, 10-minute
+    * watermark for late data. Output schema: window_start, window_end,
+    * event_type, c, total. */
+  def windowedCounts(events: DataFrame,
+      windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count("*").as("c"), sum("value").as("total"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("c"), col("total"))
+
+  /** Streaming exact dedup on a key within the watermark horizon — the
+    * streaming form of [[graft.operators.Dedup.exact]]: state is bounded by
+    * the watermark, so it runs forever without unbounded state growth. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
+  // ---- sessionization ---------------------------------------------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, events: Int, total: Double)
+  final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization: a session closes after `gapMs` of user
+    * inactivity (enforced via event-time timeout, so it also closes from
+    * watermark progress alone). The canonical
+    * `flatMapGroupsWithState` pattern — state is one small record per live
+    * user, sharded by the group key. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, s.start, s.lastTs, s.events, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                    events = s.events + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out ::= UserSession(userId, s.start, s.lastTs, s.events, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Reference-parity concurrent ingest/poll (README.md:14): append batches
+    * to a parquet dir while a reader re-counts — the file stream source
+    * makes the "watch" side a real continuous query instead of a poll loop. */
+  def watchCounts(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .groupBy(col("event_type")).count()
+}

@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.engine.Engine
+
+/** Plan-quality audit: prints the formatted physical plan of representative
+  * queries and checks the properties that matter at scale — filter pushdown
+  * into the parquet scan, column pruning, broadcast for small dimensions,
+  * whole-stage codegen coverage.
+  *
+  * Run: `sbt "runMain graft.tools.PlanAudit [sfDir]"`.
+  */
+object PlanAudit {
+
+  final case class Check(query: String, wantAll: Seq[String] = Nil, wantNone: Seq[String] = Nil)
+
+  val checks: Seq[Check] = Seq(
+    // filter + projection pushdown into the scan
+    Check("q01_scan_filter",
+      wantAll = Seq("PushedFilters: [IsNotNull(c_nationkey), EqualTo(c_nationkey,7)]",
+        "ReadSchema: struct<c_custkey:bigint,c_name:string,c_nationkey:int,c_mktsegment:string>")),
+    // small dimension should broadcast, not shuffle
+    Check("q11_implicit_join", wantAll = Seq("BroadcastHashJoin"), wantNone = Seq("SortMergeJoin")),
+    Check("q12_inner_join", wantAll = Seq("BroadcastHashJoin")),
+    // partial aggregation (map-side combine) before the exchange
+    Check("q26_sum_min_max", wantAll = Seq("HashAggregate", "Exchange")),
+    // top-k must be TakeOrderedAndProject, not a full sort
+    Check("q05_topk_agg", wantAll = Seq("TakeOrderedAndProject")),
+    // EXISTS decorrelates to a join, not a per-row subquery
+    Check("q17_semi_exists", wantAll = Seq("LeftSemi")),
+    Check("q18_anti_not_exists", wantAll = Seq("LeftAnti")),
+    // similarity: single-row query vector must broadcast
+    Check("p06_sim_dot_topk", wantAll = Seq("BroadcastNestedLoopJoin", "TakeOrderedAndProject")),
+    // minhash candidate join: shuffle join on band key is expected (both
+    // sides same cardinality); the point is it is an equi-join, not NLJ
+    Check("p03_dedup_minhash", wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Engine.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    Engine.registerTables(spark, sfDir)
+    var failures = 0
+    checks.foreach { c =>
+      val df = SparkEntry.queries(c.query)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val missing = c.wantAll.filterNot(plan.contains)
+      val present = c.wantNone.filter(plan.contains)
+      if (missing.isEmpty && present.isEmpty) println(s"PLAN OK   ${c.query}")
+      else {
+        failures += 1
+        println(s"PLAN BAD  ${c.query}  missing=$missing unexpected=$present")
+        if (sys.env.contains("PLAN_AUDIT_VERBOSE")) println(plan)
+      }
+    }
+    // codegen coverage: how much of a representative plan is inside
+    // WholeStageCodegen spans
+    val q = SparkEntry.queries("q24_group_having")(spark, sfDir)
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    println("--- q24 formatted plan (codegen spans) ---")
+    println(formatted.linesIterator.takeWhile(!_.startsWith("(1) ")).mkString("\n"))
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

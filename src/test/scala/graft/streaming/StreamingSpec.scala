@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = Streaming.windowedCounts(events, "1 minute", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData((ts(0, 10), "click", 1.0), (ts(0, 40), "click", 2.0), (ts(1, 5), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("c"), r.getAs[Double]("total"))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 10:01:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeats within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "event_type", "value")
+
+    val q = Streaming.dedupStream(events, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(0), 1L, "a", 1.0), (ts(0), 1L, "a", 1.0), (ts(1), 2L, "b", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Event]
+    val q = Streaming.sessionize(input.toDS(), gapMs = 60000) // 1-minute gap
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10s apart (one session), then 5 minutes silence,
+      // then another event (second session); watermark advances via user 2
+      input.addData(
+        Streaming.Event(1L, ts(0, 0), "a", 1.0),
+        Streaming.Event(1L, ts(0, 10), "b", 2.0),
+        Streaming.Event(1L, ts(5, 0), "c", 4.0))
+      q.processAllAvailable()
+      input.addData(Streaming.Event(2L, ts(30, 0), "z", 0.0)) // pushes watermark past session 1+2
+      q.processAllAvailable()
+      input.addData(Streaming.Event(2L, ts(59, 0), "z", 0.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions").as[Streaming.UserSession].collect()
+        .filter(_.user_id == 1L).sortBy(_.start_ms)
+      assert(sessions.length >= 1)
+      val first = sessions.head
+      assert(first.n_events == 2 && first.total_value == 3.0)
+      assert(first.end_ms - first.start_ms == 10000)
+    } finally q.stop()
+  }
+
+  test("file-source watch sees appended batches (reference concurrent-insert parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_watch").toString
+    val schema = Seq((ts(0), "click", 1.0)).toDF("ts", "event_type", "value").schema
+    Seq((ts(0), "click", 1.0)).toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(dir)
+    val q = Streaming.watchCounts(spark, dir, schema)
+      .writeStream.format("memory").queryName("watch_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("watch_counts").collect().map(_.getLong(1)).sum == 1)
+      // concurrent writer appends another batch
+      Seq((ts(1), "click", 2.0), (ts(1), "view", 1.0)).toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("watch_counts").collect().map(_.getLong(1)).sum == 3)
+    } finally q.stop()
+  }
+}
