@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Partitioning/skew utilities for the 100 TB posture (SURVEY §7.5 item 8).
+  *
+  * AQE's skew-join splitting handles most runtime skew; these helpers cover
+  * the two cases it can't: aggregation skew (a hot group key overwhelming
+  * one reducer) and known-skewed join keys where the small side can be
+  * replicated deterministically. Plus the bucketed-layout writer that makes
+  * repeated big-big joins shuffle-free.
+  */
+object Partitioning {
+
+  /** Two-phase (salted) aggregation: `groupBy(keys :+ salt)` partial, then
+    * `groupBy(keys)` final. Use when one key value dominates (e.g. counting
+    * by `lang` when 90% of a corpus is English): the hot key's rows spread
+    * over `saltBuckets` reducers in phase 1.
+    *
+    * `aggs` must be algebraic (sum/count/min/max — re-aggregatable).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int)(
+      partial: Seq[Column],
+      fin: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__graft_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__graft_salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1.groupBy(keys.map(col): _*).agg(fin.head, fin.tail: _*)
+  }
+
+  /** Salted join for a known-skewed key: the big (skewed) side gets a random
+    * salt in [0, n); the small side is replicated n× with every salt value.
+    * Equality on (key, salt) then spreads the hot key across n reducers.
+    * Prefer AQE skew handling first; use this when the skew is extreme and
+    * known ahead of time. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      saltBuckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__graft_salt",
+      (rand(42) * saltBuckets).cast("int"))
+    val replicatedSmall = small.withColumn("__graft_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(replicatedSmall,
+        saltedBig(bigKey) === replicatedSmall(smallKey) &&
+          saltedBig("__graft_salt") === replicatedSmall("__graft_salt"),
+        joinType)
+      .drop("__graft_salt")
+  }
+
+  /** Bucketed table layout: co-locates both sides of a recurring join so
+    * Catalyst plans a zero-shuffle SortMergeJoin. The 100 TB pattern for
+    * fact-fact joins (e.g. orders ⋈ lineitem on orderkey): pay one shuffle
+    * at write time, never again. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+}
