@@ -49,6 +49,9 @@ object Translator {
     toks = rewriteStructMapLiterals(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
+    toks = rewriteStrftime(toks)
+    toks = rewriteRegexpReplaceFlag(toks)
+    toks = rewriteJsonArrows(toks)
     toks = rewriteFunctionNames(toks)
     toks = rewriteTypeNames(toks)
     toks = injectNullOrder(toks)
@@ -370,6 +373,103 @@ object Translator {
     "%%" -> "%")
   def strftimeToJava(p: String): String =
     strftimeMap.foldLeft(p) { case (s, (k, v)) => s.replace(k, v) }
+
+  /** `strftime(ts, '%Y-%m-%d')` → `date_format(ts, 'yyyy-MM-dd')`: rename
+    * plus strftime→JDK pattern translation of string-literal args. */
+  private[dialect] def rewriteStrftime(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case id: Ident if id.upper == "STRFTIME" =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            toks = toks.zipWithIndex.map {
+              case (s: Str, j) if j > open && j < close && s.value.contains("%") =>
+                Str("'" + strftimeToJava(s.value).replace("'", "''") + "'")
+              case (t, _) => t
+            }
+            toks = toks.patch(i, Seq(Ident("date_format")), 1)
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** DuckDB `regexp_replace(s, p, r, 'g')` == Spark's default (global)
+    * `regexp_replace(s, p, r)` → drop the flag. 3-arg DuckDB form is
+    * first-match-only, which Spark cannot express directly — left as-is
+    * (documented divergence, SURVEY §2.9). */
+  private[dialect] def rewriteRegexpReplaceFlag(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case id: Ident if id.upper == "REGEXP_REPLACE" =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            // last top-level arg == 'g' → remove it (and its comma)
+            var d = 0
+            var lastComma = -1
+            for (j <- open to close) {
+              d += depthDelta(toks(j))
+              if (d == 1 && toks(j) == Punct(",")) lastComma = j
+            }
+            if (lastComma > 0) {
+              val lastArg = toks.slice(lastComma + 1, close).filterNot(isWs)
+              lastArg match {
+                case Vector(s: Str) if s.value == "g" =>
+                  toks = toks.patch(lastComma, Vector.empty, close - lastComma)
+                case _ =>
+              }
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** DuckDB JSON arrows: `j ->> '$.k'` / `j -> '$.k'` →
+    * `get_json_object(j, '$.k')` (for a simple column/qualified-column left
+    * operand). */
+  private[dialect] def rewriteJsonArrows(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Punct("->>") | Punct("->") =>
+          val rhsIdx = nextNonWs(toks, i)
+          val lhsEnd = prevNonWs(toks, i)
+          if (rhsIdx < toks.length && lhsEnd >= 0 && toks(rhsIdx).isInstanceOf[Str]) {
+            // walk the qualified-column chain backwards: ident (. ident)*
+            var lhsStart = lhsEnd
+            var done = false
+            while (!done && lhsStart >= 0) {
+              val p = prevNonWs(toks, lhsStart)
+              if (p >= 1 && toks(p) == Punct(".") &&
+                toks(prevNonWs(toks, p)).isInstanceOf[Ident]) lhsStart = prevNonWs(toks, p)
+              else done = true
+            }
+            if (toks(lhsStart).isInstanceOf[Ident]) {
+              val lhs = render(toks.slice(lhsStart, lhsEnd + 1)).trim
+              val path = toks(rhsIdx).text
+              toks = toks.patch(lhsStart,
+                Seq(Ident(s"get_json_object($lhs, $path)")), rhsIdx - lhsStart + 1)
+              i = lhsStart
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
 
   /** Type-name mapping in CAST/DDL positions. */
   private[dialect] def rewriteTypeNames(toks: Vector[Tok]): Vector[Tok] =

@@ -149,4 +149,20 @@ class TranslatorSpec extends AnyFunSuite {
   test("strftime pattern translation") {
     assert(Translator.strftimeToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
   }
+
+  test("strftime call renamed with pattern literal translated") {
+    assert(t("SELECT strftime(ts, '%Y-%m')") == "SELECT date_format(ts, 'yyyy-MM')")
+  }
+
+  test("regexp_replace 'g' flag dropped (Spark is global by default)") {
+    assert(t("SELECT regexp_replace(s, 'a+', 'x', 'g')") == "SELECT regexp_replace(s, 'a+', 'x')")
+    assert(t("SELECT regexp_replace(s, 'a+', 'x')") == "SELECT regexp_replace(s, 'a+', 'x')")
+  }
+
+  test("JSON arrow operators become get_json_object") {
+    assert(t("SELECT props ->> '$.k' FROM events")
+      == "SELECT get_json_object(props, '$.k') FROM events")
+    assert(t("SELECT e.props -> '$.k' FROM events e")
+      == "SELECT get_json_object(e.props, '$.k') FROM events e")
+  }
 }
