@@ -37,6 +37,7 @@ object Translator {
     val (noFmt, fmt) = Sanitizer.stripFormat(sql)
     var toks = lex(noFmt)
     val views = ArrayBuffer[ViewReg]()
+    toks = rewriteAttach(toks)
     toks = rewriteSemiAnti(toks)
     toks = rewriteAsof(toks)
     toks = rewriteDistinctOn(toks)
@@ -488,6 +489,20 @@ object Translator {
         case _ => t
       }
     }
+
+  /** `ATTACH '<file>' AS db` (reference S9, `main.py:283-284`) → the
+    * database namespace: `CREATE DATABASE IF NOT EXISTS db`. The file path
+    * is dropped — storage lives under the shared warehouse; `USE db` is
+    * native Spark and passes through. */
+  private[dialect] def rewriteAttach(toks: Vector[Tok]): Vector[Tok] = {
+    val nw = sig(toks)
+    if (nw.isEmpty || up(toks(nw.head)) != "ATTACH") return toks
+    val asIdx = nw.find(i => up(toks(i)) == "AS").getOrElse(return toks)
+    val dbIdx = nextNonWs(toks, asIdx)
+    if (dbIdx >= toks.length) return toks
+    val db = toks(dbIdx).text.replaceAll("[`\"]", "")
+    lex(s"CREATE DATABASE IF NOT EXISTS `$db`")
+  }
 
   /** DuckDB `SEMI JOIN` / `ANTI JOIN` → Spark `LEFT SEMI/ANTI JOIN`. */
   private[dialect] def rewriteSemiAnti(toks: Vector[Tok]): Vector[Tok] =

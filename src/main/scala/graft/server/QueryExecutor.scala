@@ -40,6 +40,16 @@ object QueryExecutor {
       case _ => None
     }
 
+  /** Concurrent appends to one parquet table race on the Hadoop
+    * FileOutputCommitter's shared `_temporary` directory — writes to the
+    * same table are serialized here (reads stay fully concurrent). The
+    * reference gets this from DuckDB's single-writer transactions; on a
+    * real cluster a transactional format (Iceberg/Delta) lifts the lock. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
+
   def runInsert(spark: SparkSession, table: String, ndjsonBody: String): Either[String, Result] =
     try {
       val t0 = System.nanoTime()
@@ -54,7 +64,9 @@ object QueryExecutor {
           .cast(target.schema(c).dataType))
       }.select(target.schema.fieldNames.map(c =>
         org.apache.spark.sql.functions.col(c).cast(target.schema(c).dataType)): _*)
-      aligned.write.mode("append").insertInto(table)
+      lockFor(table).synchronized {
+        aligned.write.mode("append").insertInto(table)
+      }
       Right(Result(Array.emptyByteArray, lines.length.toLong, (System.nanoTime() - t0) / 1e9))
     } catch {
       case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName).trim)

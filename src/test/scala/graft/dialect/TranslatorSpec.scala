@@ -159,6 +159,12 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT regexp_replace(s, 'a+', 'x')") == "SELECT regexp_replace(s, 'a+', 'x')")
   }
 
+  test("ATTACH becomes CREATE DATABASE; USE passes through") {
+    assert(t("ATTACH '/tmp/file.db' AS mydb") == "CREATE DATABASE IF NOT EXISTS `mydb`")
+    assert(t("ATTACH ':memory:' AS x (TYPE DUCKDB)") == "CREATE DATABASE IF NOT EXISTS `x`")
+    assert(t("USE mydb") == "USE mydb")
+  }
+
   test("JSON arrow operators become get_json_object") {
     assert(t("SELECT props ->> '$.k' FROM events")
       == "SELECT get_json_object(props, '$.k') FROM events")

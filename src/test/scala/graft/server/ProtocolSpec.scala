@@ -217,6 +217,59 @@ class ProtocolSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("concurrent inserts and querying over HTTP (reference soak, README.md:14)") {
+    val srv = new HttpServer(spark, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def call(query: String, body: String = ""): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/?query=" + java.net.URLEncoder.encode(query, "UTF-8")))
+        client.send(if (body.isEmpty) b.build()
+          else b.POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_soak")
+      val loc = new java.io.File("spark-warehouse/graft_soak")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+      val mk = call("CREATE TABLE graft_soak (batch_id BIGINT, value DOUBLE, category STRING) USING parquet")
+      assert(mk.statusCode() == 200, mk.body())
+
+      val writers = 3; val batches = 4; val rowsPerBatch = 50
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val writerThreads = (1 to writers).map { w =>
+        new Thread(() => (1 to batches).foreach { b =>
+          val body = (1 to rowsPerBatch)
+            .map(i => s"""{"batch_id": ${w * 1000 + b}, "value": $i.5, "category": "${('A' + i % 4).toChar}"}""")
+            .mkString("\n")
+          val r = call("INSERT INTO graft_soak", body)
+          if (r.statusCode() != 200) errors.add(s"insert: ${r.body()}")
+        })
+      }
+      val reader = new Thread(() => (1 to 6).foreach { _ =>
+        val r = call("SELECT count(*) AS n FROM graft_soak FORMAT CSV")
+        if (r.statusCode() == 200) counts.add(r.body().trim.toLong)
+        else errors.add(s"read: ${r.body()}")
+        Thread.sleep(50)
+      })
+      (writerThreads :+ reader).foreach(_.start())
+      (writerThreads :+ reader).foreach(_.join())
+      assert(errors.isEmpty, s"concurrent errors: ${errors.toArray.mkString("; ")}")
+      // reader observed monotonically non-decreasing counts
+      val seen = counts.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(seen.zip(seen.tail).forall { case (a, b) => a <= b }, seen.mkString(","))
+      val fin = call("SELECT count(*) AS n FROM graft_soak FORMAT CSV").body().trim.toLong
+      assert(fin == writers.toLong * batches * rowsPerBatch)
+      spark.sql("DROP TABLE graft_soak")
+    } finally srv.stop()
+  }
+
   test("create_schema and create_table flight actions") {
     val name = FlightActions.createSchema(spark, "cat.flight_test_db".getBytes)
     assert(name == "flight_test_db")
