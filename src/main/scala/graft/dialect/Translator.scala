@@ -39,9 +39,7 @@ object Translator {
     val views = ArrayBuffer[ViewReg]()
     toks = rewriteAttach(toks)
     toks = rewriteSemiAnti(toks)
-    toks = rewriteAsof(toks)
-    toks = rewriteDistinctOn(toks)
-    toks = rewriteQualify(toks)
+    toks = rewriteStatementLevel(toks)
     toks = rewriteCountStar(toks)
     toks = rewriteTrailingComma(toks)
     toks = rewriteTableFunctions(toks, views)
@@ -575,6 +573,31 @@ object Translator {
   }
 
   // ---- statement-level restructures -----------------------------------
+
+  /** Apply the SELECT-statement restructures (ASOF, DISTINCT ON, QUALIFY)
+    * at this level AND inside every parenthesized subquery, innermost
+    * first. */
+  private[dialect] def rewriteStatementLevel(toks0: Vector[Tok]): Vector[Tok] = {
+    // recurse into ( SELECT ... ) regions first
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i) == Punct("(")) {
+        val n = nextNonWs(toks, i)
+        if (n < toks.length && up(toks(n)) == "SELECT") {
+          val close = matchParen(toks, i)
+          val inner = toks.slice(i + 1, close)
+          val rewritten = rewriteStatementLevel(inner)
+          if (rewritten != inner) {
+            toks = toks.patch(i + 1, rewritten, close - i - 1)
+            i += rewritten.length + 1
+          } else i = close
+        }
+      }
+      i += 1
+    }
+    rewriteQualify(rewriteDistinctOn(rewriteAsof(toks)))
+  }
 
   /** Top-level clause boundaries of a SELECT statement. */
   private[dialect] final case class Clauses(toks: Vector[Tok],

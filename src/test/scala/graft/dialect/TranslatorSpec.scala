@@ -119,6 +119,19 @@ class TranslatorSpec extends AnyFunSuite {
     assert(s.contains("ORDER BY o.ts ASC"))
   }
 
+  test("QUALIFY inside a subquery is rewritten too") {
+    val s = t("SELECT * FROM (SELECT a, b FROM t QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1) x WHERE b > 0")
+    assert(s.contains("__graft_qualify"))
+    assert(s.startsWith("SELECT * FROM ("))
+    assert(s.endsWith("WHERE b > 0"))
+  }
+
+  test("DISTINCT ON inside a subquery is rewritten") {
+    val s = t("SELECT count(*) AS c FROM (SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v) d")
+    assert(s.contains("__graft_rn = 1"))
+    assert(s.startsWith("SELECT count(*) AS c FROM ("))
+  }
+
   test("SEMI/ANTI JOIN become LEFT SEMI/ANTI") {
     assert(t("SELECT * FROM a SEMI JOIN b ON a.x = b.x").contains("LEFT SEMI JOIN"))
     assert(t("SELECT * FROM a ANTI JOIN b ON a.x = b.x").contains("LEFT ANTI JOIN"))

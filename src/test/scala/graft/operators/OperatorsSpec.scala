@@ -95,6 +95,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(f0.sameElements(feats.sortBy(_.id).map(_.contentHash)))
   }
 
+  test("read_csv_auto end-to-end: header + schema inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "airports.csv"),
+      "code,city,elevation\nSEA,Seattle,131\nDEN,Denver,5434\n")
+    val df = Engine.sql(spark,
+      s"SELECT read_csv_auto.city, elevation FROM read_csv_auto('$dir/airports.csv') WHERE elevation > 1000 ORDER BY city")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "Denver")
+    assert(df.schema("elevation").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
   test("text quality columns are sane") {
     Engine.registerTables(spark, sfDir)
     val q = TextAnalysis.qualityScored(spark.table("documents")).collect()
