@@ -67,11 +67,14 @@ object Dedup {
     }
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
     // slim banded signature: ids only — candidate pairs join text back later,
-    // so the exploded (×bands) shuffle never carries document bodies
+    // so the exploded (×bands) shuffle never carries document bodies.
+    // localCheckpoint materializes the signatures once: the self-join would
+    // otherwise recompute tokenize+minhash on BOTH sides (measured 2×).
     val banded = docs.select(col(idCol).as("id"),
         GraftFunctions.minhash_tokens_sig(toks, shingleSize, numHashes).as("sig"))
       .withColumn("band", explode(array(bandStructs: _*)))
       .select(col("id"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
+      .localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&

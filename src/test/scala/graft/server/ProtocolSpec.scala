@@ -145,6 +145,18 @@ class ProtocolSpec extends SparkTestBase {
     assert(back.count() == 3000)
   }
 
+  test("distributed arrow production equals driver-side production") {
+    graft.engine.Engine.registerTables(spark, sfDir)
+    val df = spark.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")
+    val driverSide = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStream(df))
+      .orderBy("o_orderkey").collect().toSeq
+    val distributed = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStreamDistributed(df))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(distributed == driverSide)
+    assert(distributed.nonEmpty)
+  }
+
   test("HTTP server end-to-end: query, formats, ping, cache, errors") {
     graft.engine.Engine.registerTables(spark, sfDir)
     val srv = new HttpServer(spark, 0) // port 0: ephemeral
