@@ -49,6 +49,7 @@ object Translator {
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
     toks = rewriteStrftime(toks)
+    toks = rewriteDateFns(toks)
     toks = rewriteRegexpReplaceFlag(toks)
     toks = rewriteJsonArrows(toks)
     toks = rewriteFunctionNames(toks)
@@ -372,6 +373,65 @@ object Translator {
     "%%" -> "%")
   def strftimeToJava(p: String): String =
     strftimeMap.foldLeft(p) { case (s, (k, v)) => s.replace(k, v) }
+
+  /** DuckDB `date_diff('day', a, b)` / `date_part('year', ts)` /
+    * `epoch(ts)` → Spark `datediff(b, a)` / `extract(year FROM ts)` /
+    * `unix_timestamp(ts)`. date_diff needs an argument swap: DuckDB counts
+    * from a to b, Spark's datediff(end, start). */
+  private[dialect] def rewriteDateFns(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case id: Ident if id.upper == "DATE_DIFF" || id.upper == "DATEDIFF" =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            val args = splitTopLevel(toks.slice(open + 1, close))
+            if (args.length == 3) {
+              args.head.filterNot(isWs) match {
+                case Vector(part: Str) =>
+                  val a = render(args(1)).trim
+                  val b = render(args(2)).trim
+                  val repl = part.value.toLowerCase match {
+                    case "day" => s"datediff($b, $a)"
+                    case "month" => s"CAST(months_between(date_trunc('month', $b), date_trunc('month', $a)) AS BIGINT)"
+                    case "year" => s"(year($b) - year($a))"
+                    case "hour" => s"CAST((unix_timestamp($b) - unix_timestamp($a)) / 3600 AS BIGINT)"
+                    case "minute" => s"CAST((unix_timestamp($b) - unix_timestamp($a)) / 60 AS BIGINT)"
+                    case "second" => s"(unix_timestamp($b) - unix_timestamp($a))"
+                    case _ => ""
+                  }
+                  if (repl.nonEmpty) toks = toks.patch(i, Seq(Ident(repl)), close - i + 1)
+                case _ =>
+              }
+            }
+          }
+        case id: Ident if id.upper == "DATE_PART" =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            val args = splitTopLevel(toks.slice(open + 1, close))
+            if (args.length == 2) {
+              args.head.filterNot(isWs) match {
+                case Vector(part: Str) =>
+                  val e = render(args(1)).trim
+                  toks = toks.patch(i,
+                    Seq(Ident(s"extract(${part.value} FROM $e)")), close - i + 1)
+                case _ =>
+              }
+            }
+          }
+        case id: Ident if id.upper == "EPOCH" =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("("))
+            toks = toks.patch(i, Seq(Ident("unix_timestamp")), 1)
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
 
   /** `strftime(ts, '%Y-%m-%d')` → `date_format(ts, 'yyyy-MM-dd')`: rename
     * plus strftime→JDK pattern translation of string-literal args. */

@@ -67,8 +67,38 @@ object Engine {
     } catch { case _: Throwable => Nil }
   }
 
+  /** DuckDB `COPY <table | (query)> TO '<path>' (FORMAT X [, HEADER])` →
+    * a distributed `df.write`. Returns the 1-row `Count` result DuckDB
+    * produces. */
+  private val copyToRe =
+    "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+'([^']+)'\\s*(?:\\(([^)]*)\\))?\\s*$".r
+
+  private def runCopyTo(spark: SparkSession, source: String, path: String,
+      opts: String): DataFrame = {
+    val df =
+      if (source.trim.startsWith("(")) sql(spark, source.trim.stripPrefix("(").stripSuffix(")"))
+      else spark.table(source.trim)
+    val optU = opts.toUpperCase
+    val format =
+      if (optU.contains("PARQUET")) "parquet"
+      else if (optU.contains("JSON")) "json"
+      else "csv"
+    val n = df.count()
+    val writer = df.write.mode("overwrite").format(format)
+    val withHeader = if (format == "csv" && (optU.contains("HEADER") || optU.isEmpty))
+      writer.option("header", "true") else writer
+    withHeader.save(path)
+    import spark.implicits._
+    Seq(n).toDF("Count")
+  }
+
   /** Translate one DuckDB-dialect statement and run it. */
   def sql(spark: SparkSession, duckSql: String): DataFrame = {
+    duckSql match {
+      case copyToRe(source, path, opts) =>
+        return runCopyTo(spark, source, path, Option(opts).getOrElse(""))
+      case _ =>
+    }
     val t = Translator.translate(duckSql)
     t.views.foreach { v =>
       v.format match {

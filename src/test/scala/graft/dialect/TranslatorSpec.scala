@@ -172,6 +172,14 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT regexp_replace(s, 'a+', 'x')") == "SELECT regexp_replace(s, 'a+', 'x')")
   }
 
+  test("date_diff / date_part / epoch mappings") {
+    assert(t("SELECT date_diff('day', a, b)") == "SELECT datediff(b, a)")
+    assert(t("SELECT date_part('year', ts)") == "SELECT extract(year FROM ts)")
+    assert(t("SELECT epoch(ts)") == "SELECT unix_timestamp(ts)")
+    // 2-arg Spark-native datediff untouched
+    assert(t("SELECT datediff(b, a)") == "SELECT datediff(b, a)")
+  }
+
   test("ATTACH becomes CREATE DATABASE; USE passes through") {
     assert(t("ATTACH '/tmp/file.db' AS mydb") == "CREATE DATABASE IF NOT EXISTS `mydb`")
     assert(t("ATTACH ':memory:' AS x (TYPE DUCKDB)") == "CREATE DATABASE IF NOT EXISTS `x`")

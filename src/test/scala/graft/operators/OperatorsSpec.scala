@@ -95,6 +95,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(f0.sameElements(feats.sortBy(_.id).map(_.contentHash)))
   }
 
+  test("COPY TO exports a query result and returns the count") {
+    Engine.registerTables(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    val res = Engine.sql(spark,
+      s"COPY (SELECT r_regionkey, r_name FROM region) TO '$dir/regions' (FORMAT PARQUET)")
+    assert(res.columns.toSeq == Seq("Count"))
+    assert(res.head.getLong(0) == 5)
+    assert(spark.read.parquet(s"$dir/regions").count() == 5)
+    val res2 = Engine.sql(spark, s"COPY region TO '$dir/regions_csv' (FORMAT CSV, HEADER)")
+    assert(res2.head.getLong(0) == 5)
+    val back = spark.read.option("header", "true").csv(s"$dir/regions_csv")
+    assert(back.columns.contains("r_name") && back.count() == 5)
+  }
+
   test("read_csv_auto end-to-end: header + schema inference") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "airports.csv"),
