@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -16,15 +16,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * times — measured 180× slower at sf0.1.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(numHashes > 0 && numHashes <= MinHashSig.maxHashes)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -41,6 +40,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -71,7 +77,7 @@ object MinHashSig {
   * fixture at sf0.1) with equivalent MinHash statistics.
   */
 case class MinHashTokensSig(child: Expression, width: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(width > 0 && numHashes > 0 && numHashes <= MinHashSig.maxHashes)
 
@@ -81,8 +87,7 @@ case class MinHashTokensSig(child: Expression, width: Int, numHashes: Int)
   private def combine(a: Long, b: Long): Long =
     MinHashSig.splitmix(a ^ (b + 0x9e3779b97f4a7c15L + (a << 6) + (a >>> 2)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val th = new Array[Long](n)
     var i = 0
@@ -116,6 +121,13 @@ case class MinHashTokensSig(child: Expression, width: Int, numHashes: Int)
       }
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashTokensSig", this, classOf[MinHashTokensSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashTokensSig =

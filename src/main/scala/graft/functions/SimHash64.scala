@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
@@ -13,18 +13,32 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   * found with `bit_count(a ^ b) <= k` band joins (see
   * [[graft.operators.Dedup.simhashPairs]]), never a cross join.
   *
-  * Interpreted (CodegenFallback): the per-token 64-bit loop dominates; the
-  * hash itself is the cost either way.
+  * Codegen: emits a static call into [[SimHash64.compute]] — the token loop
+  * runs as compiled Scala while the expression stays inside the
+  * whole-stage-codegen span (no per-row InternalRow boxing, unlike
+  * CodegenFallback).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // input must be array<string> (AbstractDataType is private[sql])
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
@@ -47,7 +61,4 @@ case class SimHash64(child: Expression)
     }
     out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
 }
