@@ -53,6 +53,7 @@ object Translator {
     toks = rewriteRegexpReplaceFlag(toks)
     toks = rewriteJsonArrows(toks)
     toks = rewriteFunctionNames(toks)
+    toks = rewriteInfoSchema(toks)
     toks = rewriteTypeNames(toks)
     toks = injectNullOrder(toks)
     Translation(render(toks).trim, views.toSeq, fmt)
@@ -332,6 +333,7 @@ object Translator {
     "STRING_SPLIT" -> "split",
     "STR_SPLIT" -> "split",
     "REGEXP_MATCHES" -> "rlike",
+    "VERSION" -> "graft_version",
     "STRFTIME" -> "date_format",
     "STARTS_WITH" -> "startswith",
     "ENDS_WITH" -> "endswith",
@@ -521,6 +523,30 @@ object Translator {
               toks = toks.patch(lhsStart,
                 Seq(Ident(s"get_json_object($lhs, $path)")), rhsIdx - lhsStart + 1)
               i = lhsStart
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** `information_schema.<t>` (reference S17/S21 issue these,
+    * `main.py:548-556,888-901`) → `graft_infoschema_<t>` temp views the
+    * engine materializes from `spark.catalog` on demand. */
+  private[dialect] def rewriteInfoSchema(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case id: Ident if id.upper == "INFORMATION_SCHEMA" =>
+          val dot = nextNonWs(toks, i)
+          if (dot < toks.length && toks(dot) == Punct(".")) {
+            val t = nextNonWs(toks, dot)
+            if (t < toks.length && toks(t).isInstanceOf[Ident]) {
+              val tbl = toks(t).text.toLowerCase
+              toks = toks.patch(i, Seq(Ident(s"graft_infoschema_$tbl")), t - i + 1)
             }
           }
         case _ =>

@@ -99,6 +99,7 @@ object Engine {
         return runCopyTo(spark, source, path, Option(opts).getOrElse(""))
       case _ =>
     }
+    graft.functions.GraftFunctions.register(spark) // idempotent; version() etc.
     val t = Translator.translate(duckSql)
     t.views.foreach { v =>
       v.format match {
@@ -107,7 +108,36 @@ object Engine {
         case f => spark.read.format(f).load(v.path).createOrReplaceTempView(v.name)
       }
     }
+    if (t.sql.contains("graft_infoschema_")) registerInfoSchema(spark)
     spark.sql(t.sql)
+  }
+
+  /** `information_schema` emulation (reference queries it for catalog
+    * actions, `/root/reference/main.py:548-556,888-901`): snapshot views
+    * over `spark.catalog`, refreshed per referencing query. */
+  def registerInfoSchema(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val dbs = spark.catalog.listDatabases().collect()
+    dbs.map(d => (spark.catalog.currentCatalog(), d.name, "public"))
+      .toSeq.toDF("catalog_name", "schema_name", "schema_owner")
+      .createOrReplaceTempView("graft_infoschema_schemata")
+    val tables = dbs.flatMap(d => spark.catalog.listTables(d.name).collect())
+    tables.map(tb => (spark.catalog.currentCatalog(),
+        Option(tb.namespace).map(_.mkString(".")).getOrElse(""), tb.name,
+        tb.tableType))
+      .toSeq.toDF("table_catalog", "table_schema", "table_name", "table_type")
+      .createOrReplaceTempView("graft_infoschema_tables")
+    val cols = tables.flatMap { tb =>
+      val fq = (Option(tb.namespace).getOrElse(Array.empty[String]) :+ tb.name).mkString(".")
+      try spark.catalog.listColumns(fq).collect().zipWithIndex.map { case (c, i) =>
+        (Option(tb.namespace).map(_.mkString(".")).getOrElse(""), tb.name,
+          c.name, i + 1, c.dataType, c.nullable)
+      } catch { case _: Throwable => Array.empty[(String, String, String, Int, String, Boolean)] }
+    }
+    cols.toSeq
+      .toDF("table_schema", "table_name", "column_name", "ordinal_position",
+        "data_type", "is_nullable")
+      .createOrReplaceTempView("graft_infoschema_columns")
   }
 
   /** Multi-statement ticket execution: run serially, return the last result

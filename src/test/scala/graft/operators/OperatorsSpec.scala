@@ -95,6 +95,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(f0.sameElements(feats.sortBy(_.id).map(_.contentHash)))
   }
 
+  test("information_schema emulation and version()") {
+    spark.sql("DROP TABLE IF EXISTS graft_info_probe")
+    spark.sql("CREATE TABLE graft_info_probe (a BIGINT, b STRING) USING parquet")
+    graft.functions.GraftFunctions.register(spark)
+    val schemas = Engine.sql(spark,
+      "SELECT schema_name FROM information_schema.schemata ORDER BY schema_name")
+      .collect().map(_.getString(0))
+    assert(schemas.contains("default"))
+    val cols = Engine.sql(spark,
+      "SELECT column_name, data_type FROM information_schema.columns WHERE table_name = 'graft_info_probe' ORDER BY ordinal_position")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(cols.toSeq == Seq(("a", "bigint"), ("b", "string")))
+    val v = Engine.sql(spark, "SELECT version() AS v").head.getString(0)
+    assert(v.startsWith("graft-spark"))
+    spark.sql("DROP TABLE graft_info_probe")
+  }
+
   test("COPY TO exports a query result and returns the count") {
     Engine.registerTables(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
