@@ -38,6 +38,7 @@ object Translator {
     var toks = lex(noFmt)
     val views = ArrayBuffer[ViewReg]()
     toks = rewriteAttach(toks)
+    toks = rewriteMisc(toks)
     toks = rewriteSemiAnti(toks)
     toks = rewriteStatementLevel(toks)
     toks = rewriteCountStar(toks)
@@ -586,6 +587,51 @@ object Translator {
     if (dbIdx >= toks.length) return toks
     val db = toks(dbIdx).text.replaceAll("[`\"]", "")
     lex(s"CREATE DATABASE IF NOT EXISTS `$db`")
+  }
+
+  /** Misc DuckDB-isms with 1:1 Spark spellings:
+    *  - `USING SAMPLE 10%` / `USING SAMPLE 10 PERCENT` → `TABLESAMPLE (10 PERCENT)`
+    *  - `SELECT * EXCLUDE (a, b)` → `* EXCEPT (a, b)`
+    *  - `SHOW ALL TABLES` → `SHOW TABLES`
+    */
+  private[dialect] def rewriteMisc(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    // SHOW ALL TABLES
+    val nw = sig(toks)
+    if (nw.length >= 3 && up(toks(nw(0))) == "SHOW" && up(toks(nw(1))) == "ALL" &&
+      up(toks(nw(2))) == "TABLES")
+      toks = toks.patch(nw(1), Nil, nw(2) - nw(1)) // drop "ALL "
+    // EXCLUDE after *
+    toks = toks.zipWithIndex.map { case (t, i) =>
+      t match {
+        case id: Ident if id.upper == "EXCLUDE" && {
+          val p = prevNonWs(toks, i); p >= 0 && toks(p) == Punct("*")
+        } => Ident("EXCEPT")
+        case other => other
+      }
+    }
+    // USING SAMPLE n% | n PERCENT | n ROWS
+    var i = 0
+    while (i < toks.length) {
+      if (up(toks(i)) == "USING") {
+        val s = nextNonWs(toks, i)
+        if (s < toks.length && up(toks(s)) == "SAMPLE") {
+          val numIdx = nextNonWs(toks, s)
+          if (numIdx < toks.length && toks(numIdx).isInstanceOf[Num]) {
+            val n = toks(numIdx).text
+            val after = nextNonWs(toks, numIdx)
+            val (endIdx, unit) =
+              if (after < toks.length && toks(after) == Punct("%")) (after, "PERCENT")
+              else if (after < toks.length && up(toks(after)) == "PERCENT") (after, "PERCENT")
+              else if (after < toks.length && up(toks(after)) == "ROWS") (after, "ROWS")
+              else (numIdx, "ROWS")
+            toks = toks.patch(i, Seq(Ident(s"TABLESAMPLE ($n $unit)")), endIdx - i + 1)
+          }
+        }
+      }
+      i += 1
+    }
+    toks
   }
 
   /** DuckDB `SEMI JOIN` / `ANTI JOIN` → Spark `LEFT SEMI/ANTI JOIN`. */

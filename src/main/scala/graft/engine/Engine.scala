@@ -92,11 +92,16 @@ object Engine {
     Seq(n).toDF("Count")
   }
 
+  private val summarizeRe = "(?is)^\\s*SUMMARIZE\\s+([\\w.`\"]+)\\s*$".r
+
   /** Translate one DuckDB-dialect statement and run it. */
   def sql(spark: SparkSession, duckSql: String): DataFrame = {
     duckSql match {
       case copyToRe(source, path, opts) =>
         return runCopyTo(spark, source, path, Option(opts).getOrElse(""))
+      case summarizeRe(table) =>
+        // DuckDB SUMMARIZE → per-column stats (Spark's summary())
+        return spark.table(table.replaceAll("[`\"]", "")).summary()
       case _ =>
     }
     graft.functions.GraftFunctions.register(spark) // idempotent; version() etc.

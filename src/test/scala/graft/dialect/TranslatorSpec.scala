@@ -172,6 +172,13 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT regexp_replace(s, 'a+', 'x')") == "SELECT regexp_replace(s, 'a+', 'x')")
   }
 
+  test("USING SAMPLE, EXCLUDE, SHOW ALL TABLES rewrites") {
+    assert(t("SELECT * FROM t USING SAMPLE 10%") == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(t("SELECT * FROM t USING SAMPLE 100 ROWS") == "SELECT * FROM t TABLESAMPLE (100 ROWS)")
+    assert(t("SELECT * EXCLUDE (a, b) FROM t") == "SELECT * EXCEPT (a, b) FROM t")
+    assert(t("SHOW ALL TABLES") == "SHOW TABLES")
+  }
+
   test("date_diff / date_part / epoch mappings") {
     assert(t("SELECT date_diff('day', a, b)") == "SELECT datediff(b, a)")
     assert(t("SELECT date_part('year', ts)") == "SELECT extract(year FROM ts)")

@@ -95,6 +95,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(f0.sameElements(feats.sortBy(_.id).map(_.contentHash)))
   }
 
+  test("USING SAMPLE, EXCLUDE star, SUMMARIZE run end-to-end") {
+    Engine.registerTables(spark, sfDir)
+    val sampled = Engine.sql(spark, "SELECT * FROM orders USING SAMPLE 50%").count()
+    assert(sampled > 0 && sampled < spark.table("orders").count())
+    val ex = Engine.sql(spark, "SELECT * EXCLUDE (o_orderpriority, o_orderdate) FROM orders LIMIT 1")
+    assert(!ex.columns.contains("o_orderpriority"))
+    assert(ex.columns.contains("o_orderkey"))
+    val summ = Engine.sql(spark, "SUMMARIZE region")
+    assert(summ.columns.contains("summary") && summ.count() > 0)
+  }
+
   test("information_schema emulation and version()") {
     spark.sql("DROP TABLE IF EXISTS graft_info_probe")
     spark.sql("CREATE TABLE graft_info_probe (a BIGINT, b STRING) USING parquet")
