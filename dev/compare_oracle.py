@@ -53,23 +53,47 @@ def main(sfdir, outdir):
             fail += 1
             continue
         try:
-            orc = con.execute(sql)
-            o_cols = [d[0] for d in orc.description]
-            o_rows = orc.fetchall()
+            rel = con.sql(sql)
+            o_cols = list(rel.columns)
+            o_types = [str(t) for t in rel.types]
+            o_rows = rel.fetchall()
         except Exception as e:
             print(f"ORAERR   {name}: {e}")
             fail += 1
             continue
         try:
-            sprk = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-            s_cols = [d[0] for d in sprk.description]
-            s_rows = sprk.fetchall()
+            srel = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            s_cols = list(srel.columns)
+            s_types = [str(t) for t in srel.types]
+            s_rows = srel.fetchall()
         except Exception as e:
             print(f"SPARKERR {name}: {e}")
             fail += 1
             continue
         if sorted(o_cols) != sorted(s_cols):
             print(f"SCHEMA   {name}: oracle={sorted(o_cols)} spark={sorted(s_cols)}")
+            fail += 1
+            continue
+        # Driver parity: the t2 gate normalizes integer widths (int32 vs
+        # int64 passes, e.g. q49's EXTRACT year) but hashes decimals with
+        # their precision/scale — DECIMAL(28,2) vs DECIMAL(38,2) with equal
+        # digits failed q26/q37 in round 1. Mirror that exactly.
+        def norm_type(t):
+            t = t.upper()
+            if t.startswith("DECIMAL"):
+                return t  # precision/scale-sensitive
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "INT"
+            if t in ("FLOAT", "DOUBLE", "REAL"):
+                return "FLOAT"
+            if t.startswith("TIMESTAMP"):
+                return "TIMESTAMP"
+            return t
+        o_tmap = sorted(zip(o_cols, [norm_type(t) for t in o_types]))
+        s_tmap = sorted(zip(s_cols, [norm_type(t) for t in s_types]))
+        if o_tmap != s_tmap:
+            print(f"TYPES    {name}: oracle={o_tmap} spark={s_tmap}")
             fail += 1
             continue
         if len(o_rows) != len(s_rows):

@@ -30,7 +30,10 @@ object DeclaredQueries {
     "q08_is_null" ->
       "SELECT count(*) AS n FROM events WHERE props IS NOT NULL",
     "q09_case_cast" ->
-      "SELECT o_orderkey, CASE WHEN o_totalprice >= 100000 THEN 'big' WHEN o_totalprice >= 10000 THEN 'mid' ELSE 'small' END AS bucket, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders ORDER BY o_orderkey LIMIT 100",
+      // amended round 2 (SURVEY §2.12 protocol): the driver hashes decimals
+      // type-sensitively and Spark/DuckDB render double→decimal differently;
+      // integer cents are representation-proof in both engines
+      "SELECT o_orderkey, CASE WHEN o_totalprice >= 100000 THEN 'big' WHEN o_totalprice >= 10000 THEN 'mid' ELSE 'small' END AS bucket, CAST(round(o_totalprice * 100) AS BIGINT) AS p_cents FROM orders ORDER BY o_orderkey LIMIT 100",
     "q10_coalesce_nullif" ->
       "SELECT event_id, COALESCE(NULLIF(event_type,''), 'unknown') AS et FROM events ORDER BY event_id LIMIT 100",
     "q11_implicit_join" ->
@@ -66,7 +69,11 @@ object DeclaredQueries {
     "q25_avg_decimal" ->
       "SELECT CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS avg_bal FROM customer",
     "q26_sum_min_max" ->
-      "SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      // amended round 2: SUM(DECIMAL(18,2)) widens to DECIMAL(28,2) in Spark
+      // vs DECIMAL(38,2) in DuckDB → type-sensitive hash mismatch. Sum exact
+      // integer cents instead; outer CAST pins BIGINT (DuckDB SUM(BIGINT)
+      // would otherwise widen to HUGEINT)
+      "SELECT l_returnflag, CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sq_cents, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q27_multi_distinct" ->
       "SELECT count(DISTINCT l_returnflag) AS a, count(DISTINCT l_linestatus) AS b FROM lineitem",
     "q28_grouping_sets" ->
@@ -88,7 +95,9 @@ object DeclaredQueries {
     "q36_lag_lead" ->
       "SELECT event_id, lag(event_id, 1) OVER w AS prev_id, lead(event_id, 1) OVER w AS next_id FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id) ORDER BY event_id LIMIT 200",
     "q37_running_sum" ->
-      "SELECT l_orderkey, l_linenumber, SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber",
+      // amended round 2: windowed SUM(DECIMAL) hits the same 28,2-vs-38,2
+      // widening as q26 — run the frame over exact integer cents
+      "SELECT l_orderkey, l_linenumber, CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber",
     "q38_first_last_value" ->
       "SELECT o_orderkey, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fst FROM orders ORDER BY o_orderkey LIMIT 200",
     "q39_qualify" ->
