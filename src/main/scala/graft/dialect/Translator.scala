@@ -147,7 +147,14 @@ object Translator {
                   val repl: String =
                     if (id.upper == "READ_PARQUET") s"parquet.`${path.value}`$alias"
                     else {
-                      val vn = s"graft_csv_view_${views.length}"
+                      // name derived from the path, not a per-translation
+                      // counter: two concurrent queries over different files
+                      // must never share a temp-view name (the registration
+                      // happens in the shared session)
+                      val vn = s"graft_csv_view_${
+                        java.security.MessageDigest.getInstance("MD5")
+                          .digest(path.value.getBytes("UTF-8"))
+                          .take(8).map("%02x".format(_)).mkString}"
                       views += ViewReg(vn, "csv", path.value)
                       s"$vn$alias"
                     }
@@ -801,9 +808,11 @@ object Translator {
         val selectList = toks.slice(c.selectIdx + 1, c.fromIdx)
         val fromPart = toks.slice(c.fromIdx, c.qualifyIdx)
         val tail = toks.slice(qEnd, toks.length)
+        // tokens before SELECT (a WITH-CTE prefix) must survive the rebuild
+        val prefix = render(toks.take(c.selectIdx)).trim
         val inner = s"SELECT *, (${render(pred).trim}) AS __graft_qualify ${render(fromPart).trim}"
-        val outSql = s"SELECT ${render(selectList).trim} FROM ( $inner ) __graft_q WHERE __graft_qualify ${render(tail).trim}"
-        lex(outSql)
+        val outSql = s"$prefix SELECT ${render(selectList).trim} FROM ( $inner ) __graft_q WHERE __graft_qualify ${render(tail).trim}"
+        lex(outSql.trim)
       case _ => toks
     }
 
@@ -832,9 +841,11 @@ object Translator {
         render(toks.slice(byIdx + 1, oEnd)).trim
       } else keys
     val tail = if (c0.orderIdx >= 0) render(toks.slice(c0.orderIdx, toks.length)).trim else ""
+    // tokens before SELECT (a WITH-CTE prefix) must survive the rebuild
+    val prefix = render(toks.take(sel)).trim
     val sql =
-      s"SELECT $selectList FROM (SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $orderPart) AS __graft_rn $fromPart) __graft_d WHERE __graft_rn = 1 $tail"
-    lex(sql)
+      s"$prefix SELECT $selectList FROM (SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $orderPart) AS __graft_rn $fromPart) __graft_d WHERE __graft_rn = 1 $tail"
+    lex(sql.trim)
   }
 
   /** `L la ASOF [LEFT] JOIN R ra ON eq… AND ineq` → unique-left-row-id range
@@ -946,8 +957,13 @@ object Translator {
       render(out.toVector).trim
     }
     val joinKw = if (isLeftJoin) "LEFT JOIN" else "JOIN"
+    // tokens before SELECT (a WITH-CTE prefix) must survive the rebuild
+    val prefix = {
+      val p = render(toks.take(c.selectIdx)).trim
+      if (p.isEmpty) "" else p + " "
+    }
     val sql =
-      s"SELECT $outNames FROM (" +
+      s"${prefix}SELECT $outNames FROM (" +
         s"SELECT $innerSel, row_number() OVER (PARTITION BY $la.__graft_asof_id ORDER BY $rexpr $dir) AS __graft_asof_rn " +
         s"FROM (SELECT *, monotonically_increasing_id() AS __graft_asof_id FROM $lsrc) $la " +
         s"$joinKw $rsrc $ra ON ${render(condToks).trim}" +

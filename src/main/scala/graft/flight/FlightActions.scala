@@ -56,12 +56,14 @@ object FlightActions {
         "schema" -> Str(db.name),
         "description" -> Str(Option(db.description).getOrElse("")),
         "tags" -> MapV(Seq.empty),
-        "contents" -> obj("url" -> Str(""), "sha256" -> Str(""),
+        // url/sha256 are msgpack nil to byte-match the reference's None
+        // values (main.py:572-577) — clients distinguish null from ""
+        "contents" -> obj("url" -> Nil, "sha256" -> Nil,
           "serialized" -> Nil),
         "type" -> Str("schema"))
     }
     val payload = pack(obj(
-      "contents" -> obj("url" -> Str(""), "sha256" -> Str(""), "serialized" -> Nil),
+      "contents" -> obj("url" -> Nil, "sha256" -> Nil, "serialized" -> Nil),
       "schemas" -> Arr(schemas.toIndexedSeq)))
     compressEnvelope(payload)
   }

@@ -40,21 +40,31 @@ object Msgpack {
       val b = s.getBytes(StandardCharsets.UTF_8)
       if (b.length < 32) out.write(0xa0 | b.length)
       else if (b.length < 256) { out.write(0xd9); out.write(b.length) }
-      else { out.write(0xda); out.write(b.length >> 8); out.write(b.length & 0xff) }
+      else if (b.length < 65536) { out.write(0xda); writeShort(out, b.length) }
+      else { out.write(0xdb); writeInt(out, b.length) } // str32
       out.write(b, 0, b.length)
     case Bin(b) =>
       if (b.length < 256) { out.write(0xc4); out.write(b.length) }
-      else { out.write(0xc5); out.write(b.length >> 8); out.write(b.length & 0xff) }
+      else if (b.length < 65536) { out.write(0xc5); writeShort(out, b.length) }
+      else { out.write(0xc6); writeInt(out, b.length) } // bin32
       out.write(b, 0, b.length)
     case Arr(items) =>
       if (items.length < 16) out.write(0x90 | items.length)
-      else { out.write(0xdc); out.write(items.length >> 8); out.write(items.length & 0xff) }
+      else if (items.length < 65536) { out.write(0xdc); writeShort(out, items.length) }
+      else { out.write(0xdd); writeInt(out, items.length) } // array32
       items.foreach(write(out, _))
     case MapV(kvs) =>
       if (kvs.length < 16) out.write(0x80 | kvs.length)
-      else { out.write(0xde); out.write(kvs.length >> 8); out.write(kvs.length & 0xff) }
+      else if (kvs.length < 65536) { out.write(0xde); writeShort(out, kvs.length) }
+      else { out.write(0xdf); writeInt(out, kvs.length) } // map32
       kvs.foreach { case (k, x) => write(out, k); write(out, x) }
   }
+
+  private def writeShort(out: ByteArrayOutputStream, n: Int): Unit = {
+    out.write((n >> 8) & 0xff); out.write(n & 0xff)
+  }
+  private def writeInt(out: ByteArrayOutputStream, n: Int): Unit =
+    (3 to 0 by -1).foreach(i => out.write((n >> (8 * i)) & 0xff))
 
   private def writeLong(out: ByteArrayOutputStream, n: Long): Unit =
     (7 to 0 by -1).foreach(i => out.write(((n >> (8 * i)) & 0xff).toInt))
@@ -96,11 +106,17 @@ object Msgpack {
       case 0xda =>
         val len = takeLong(2).toInt
         (Str(new String(b, p, len, StandardCharsets.UTF_8)), p + len)
+      case 0xdb =>
+        val len = takeLong(4).toInt
+        (Str(new String(b, p, len, StandardCharsets.UTF_8)), p + len)
       case 0xc4 =>
         val len = takeLong(1).toInt
         (Bin(java.util.Arrays.copyOfRange(b, p, p + len)), p + len)
       case 0xc5 =>
         val len = takeLong(2).toInt
+        (Bin(java.util.Arrays.copyOfRange(b, p, p + len)), p + len)
+      case 0xc6 =>
+        val len = takeLong(4).toInt
         (Bin(java.util.Arrays.copyOfRange(b, p, p + len)), p + len)
       case x if (x & 0xf0) == 0x90 =>
         var pp = p
@@ -110,6 +126,11 @@ object Msgpack {
         (Arr(items), pp)
       case 0xdc =>
         val n = takeLong(2).toInt
+        var pp = p
+        val items = (0 until n).map { _ => val (v, np) = read(b, pp); pp = np; v }
+        (Arr(items), pp)
+      case 0xdd =>
+        val n = takeLong(4).toInt
         var pp = p
         val items = (0 until n).map { _ => val (v, np) = read(b, pp); pp = np; v }
         (Arr(items), pp)
@@ -124,6 +145,16 @@ object Msgpack {
         (MapV(kvs), pp)
       case 0xde =>
         val n = takeLong(2).toInt
+        var pp = p
+        val kvs = (0 until n).map { _ =>
+          val (k, p1) = read(b, pp)
+          val (v, p2) = read(b, p1)
+          pp = p2
+          (k, v)
+        }
+        (MapV(kvs), pp)
+      case 0xdf =>
+        val n = takeLong(4).toInt
         var pp = p
         val kvs = (0 until n).map { _ =>
           val (k, p1) = read(b, pp)

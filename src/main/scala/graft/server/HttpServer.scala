@@ -99,11 +99,7 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
       }
     }
 
-    val session = tenants.sessionFor(auth)
-    params.get("database").foreach { db =>
-      session.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
-      session.catalog.setCurrentDatabase(db)
-    }
+    val session = tenants.sessionFor(auth, params.get("database"))
 
     // POST INSERT with NDJSON body (reference main.py:228-229,196-211)
     val insertTarget = if (ex.getRequestMethod == "POST" && paramQuery.nonEmpty && body.nonEmpty)

@@ -28,16 +28,32 @@ final class TenantManager(spark: SparkSession) {
     * reference shares one `:memory:` connection for them, `main.py:77,93` —
     * and the fixture temp views are session-scoped, so sharing is also what
     * makes them visible). Authed tenants get a cloned session pinned to
-    * their database, so concurrent tenants never race on currentDatabase. */
-  def sessionFor(auth: Option[(String, String)]): SparkSession = {
+    * their database, so concurrent tenants never race on currentDatabase.
+    *
+    * A `database` request param must never mutate the shared session's
+    * currentDatabase (it would silently re-point every other concurrent
+    * anonymous query — the reference instead prepends per-query ATTACH/USE
+    * on a per-tenant connection, `main.py:283-284`), so any request carrying
+    * one gets a clone too, with the fixture views re-registered so the
+    * anonymous surface stays visible. */
+  def sessionFor(auth: Option[(String, String)],
+      database: Option[String] = None): SparkSession = {
     val db = tenantDatabase(auth)
-    if (db == "default") spark
+    if (db == "default" && database.isEmpty) return spark
+    val s = spark.newSession()
+    if (db == "default")
+      spark.conf.getOption("graft.registered.dir")
+        .foreach(d => graft.engine.Engine.registerTables(s, d))
     else {
-      val s = spark.newSession()
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       s.catalog.setCurrentDatabase(db)
-      s
     }
+    database.foreach { d =>
+      val clean = d.replaceAll("[^\\w]", "")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS `$clean`")
+      s.catalog.setCurrentDatabase(clean)
+    }
+    s
   }
 
   /** Parse `Authorization: Basic ...` / `Bearer user:pass` headers

@@ -132,6 +132,32 @@ class TranslatorSpec extends AnyFunSuite {
     assert(s.startsWith("SELECT count(*) AS c FROM ("))
   }
 
+  test("WITH-CTE prefix survives QUALIFY rewrite") {
+    val s = t("WITH c AS (SELECT a, b FROM t) SELECT a, b FROM c QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a")
+    assert(s.startsWith("WITH c AS (SELECT a, b FROM t) SELECT"))
+    assert(s.contains("__graft_qualify"))
+  }
+
+  test("WITH-CTE prefix survives DISTINCT ON rewrite") {
+    val s = t("WITH c AS (SELECT k, v FROM t) SELECT DISTINCT ON (k) k, v FROM c ORDER BY k, v")
+    assert(s.startsWith("WITH c AS (SELECT k, v FROM t) SELECT"))
+    assert(s.contains("__graft_rn = 1"))
+  }
+
+  test("WITH-CTE prefix survives ASOF rewrite") {
+    val s = t("WITH ev AS (SELECT id, k, ts FROM raw) SELECT e.id, o.ts FROM ev e ASOF JOIN ord o ON o.k = e.k AND o.ts <= e.ts")
+    assert(s.startsWith("WITH ev AS (SELECT id, k, ts FROM raw) SELECT"))
+    assert(s.contains("__graft_asof_rn = 1"))
+  }
+
+  test("read_csv_auto view names are path-derived, not positional") {
+    val t1 = Translator.translate("SELECT * FROM read_csv_auto('/a/one.csv')")
+    val t2 = Translator.translate("SELECT * FROM read_csv_auto('/b/two.csv')")
+    val t1b = Translator.translate("SELECT * FROM read_csv_auto('/a/one.csv')")
+    assert(t1.views.head.name != t2.views.head.name) // different files never collide
+    assert(t1.views.head.name == t1b.views.head.name) // same file is stable
+  }
+
   test("SEMI/ANTI JOIN become LEFT SEMI/ANTI") {
     assert(t("SELECT * FROM a SEMI JOIN b ON a.x = b.x").contains("LEFT SEMI JOIN"))
     assert(t("SELECT * FROM a ANTI JOIN b ON a.x = b.x").contains("LEFT ANTI JOIN"))

@@ -103,6 +103,29 @@ class ProtocolSpec extends SparkTestBase {
     assert(m("d").asInstanceOf[Bin].v.toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("msgpack 32-bit formats round-trip (str/bin/array >= 64KiB)") {
+    import Msgpack._
+    val bigStr = "x" * 70000
+    val bigBin = Array.fill[Byte](70000)(7)
+    val bigArr = Arr((0 until 70000).map(i => Num(i.toLong): Value))
+    val v = obj("s" -> Str(bigStr), "b" -> Bin(bigBin), "a" -> bigArr)
+    val back = unpack(pack(v)).asInstanceOf[MapV]
+    val m = back.v.map { case (Str(k), x) => k -> x; case x => throw new MatchError(x) }.toMap
+    assert(m("s").asInstanceOf[Str].v == bigStr)
+    assert(m("b").asInstanceOf[Bin].v.length == 70000)
+    assert(m("a").asInstanceOf[Arr].v.length == 70000)
+    assert(m("a").asInstanceOf[Arr].v(69999) == Num(69999))
+  }
+
+  test("anonymous ?database= request never mutates the shared session") {
+    val tm = new TenantManager(spark)
+    val before = spark.catalog.currentDatabase
+    val s = tm.sessionFor(None, Some("adv_db_iso"))
+    assert(s ne spark) // must be a clone
+    assert(s.catalog.currentDatabase == "adv_db_iso")
+    assert(spark.catalog.currentDatabase == before)
+  }
+
   test("zstd envelope round-trip with 4-byte LE length prefix") {
     val payload = "payload-bytes".getBytes
     val env = FlightActions.compressEnvelope(payload)
@@ -116,6 +139,13 @@ class ProtocolSpec extends SparkTestBase {
     val payload = Msgpack.unpack(FlightActions.decompressEnvelope(env)).asInstanceOf[Msgpack.MapV]
     val keys = payload.v.map(_._1).collect { case Msgpack.Str(s) => s }
     assert(keys.contains("schemas") && keys.contains("contents"))
+    // url/sha256 are msgpack nil (reference emits None, main.py:572-577)
+    val contents = payload.v.collectFirst {
+      case (Msgpack.Str("contents"), m: Msgpack.MapV) => m
+    }.get
+    val cm = contents.v.collect { case (Msgpack.Str(k), x) => k -> x }.toMap
+    assert(cm("url") == Msgpack.Nil)
+    assert(cm("sha256") == Msgpack.Nil)
   }
 
   test("arrow round-trip preserves scalar types and values") {
