@@ -233,7 +233,12 @@ object ArrowIO {
 
   /** Arrow IPC stream bytes → DataFrame (reference S15 `do_put` ingest path:
     * register + INSERT, `main.py:793-799`). */
-  def fromArrowStream(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+  def fromArrowStream(spark: SparkSession, bytes: Array[Byte]): DataFrame =
+    fromArrowStreamWithCount(spark, bytes)._1
+
+  /** Decode once, returning the row count known from the IPC batches — so
+    * ingest paths never re-execute the DataFrame just to count it. */
+  def fromArrowStreamWithCount(spark: SparkSession, bytes: Array[Byte]): (DataFrame, Long) = {
     val allocator = new RootAllocator()
     val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)
     try {
@@ -249,7 +254,7 @@ object ArrowIO {
           i += 1
         }
       }
-      spark.createDataFrame(rows.asJava, sparkSchema)
+      (spark.createDataFrame(rows.asJava, sparkSchema), rows.length.toLong)
     } finally { reader.close(); allocator.close() }
   }
 

@@ -83,11 +83,17 @@ object Engine {
       if (optU.contains("PARQUET")) "parquet"
       else if (optU.contains("JSON")) "json"
       else "csv"
-    val n = df.count()
-    val writer = df.write.mode("overwrite").format(format)
+    // single execution: the row count is observed during the write job
+    // itself (a count()-then-save would scan the source twice — at 100 TB
+    // an export query must not run twice)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val writer = observed.write.mode("overwrite").format(format)
     val withHeader = if (format == "csv" && (optU.contains("HEADER") || optU.isEmpty))
       writer.option("header", "true") else writer
     withHeader.save(path)
+    val n = obs.get("n").asInstanceOf[Long]
     import spark.implicits._
     Seq(n).toDF("Count")
   }

@@ -155,8 +155,10 @@ object FlightActions {
     * do_exchange response is a 1-row {rows_inserted: int64} table,
     * main.py:1089-1094). */
   def doPut(spark: SparkSession, table: String, arrowIpc: Array[Byte]): Long = {
-    val df = ArrowIO.fromArrowStream(spark, arrowIpc)
-    val n = df.count()
+    // count comes from the Arrow batches during decode — the write is the
+    // only Spark job (the reference's shape, and at scale a second full
+    // execution of the ingest would double its cost)
+    val (df, n) = ArrowIO.fromArrowStreamWithCount(spark, arrowIpc)
     df.write.mode("append").insertInto(table)
     n
   }

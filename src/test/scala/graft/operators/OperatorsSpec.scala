@@ -137,6 +137,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(back.columns.contains("r_name") && back.count() == 5)
   }
 
+  test("COPY TO runs exactly one job (no count-then-write double scan)") {
+    Engine.registerTables(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy1job").toString
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Engine.sql(spark, s"COPY (SELECT l_orderkey FROM lineitem) TO '$dir/lo' (FORMAT PARQUET)")
+      // listener events are async; give the bus a moment to drain
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(250)
+      assert(jobs.get() == 1, s"COPY TO launched ${jobs.get()} jobs, expected 1")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("read_csv_auto end-to-end: header + schema inference") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "airports.csv"),

@@ -341,12 +341,26 @@ class ProtocolSpec extends SparkTestBase {
     spark.sql("DROP DATABASE flight_test_db")
   }
 
-  test("doPut appends an arrow stream to a table") {
+  test("doPut appends an arrow stream to a table in a single job") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_put_test")
     spark.sql("CREATE TABLE graft_put_test (k BIGINT, v STRING) USING parquet")
     val bytes = ArrowIO.toArrowStream(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
-    val n = FlightActions.doPut(spark, "graft_put_test", bytes)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n =
+      try {
+        val r = FlightActions.doPut(spark, "graft_put_test", bytes)
+        val deadline = System.currentTimeMillis() + 5000
+        while (jobs.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        Thread.sleep(250)
+        assert(jobs.get() == 1, s"doPut launched ${jobs.get()} jobs, expected 1")
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
     assert(n == 2)
     assert(spark.table("graft_put_test").count() == 2)
     spark.sql("DROP TABLE graft_put_test")
