@@ -30,6 +30,9 @@ object GraftFunctions {
       args => MinHashTokensSig(args(0),
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())),
+    ("hyperplane_sig", "random-hyperplane LSH signature (bigint) of a float array",
+      args => HyperplaneSig(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),
@@ -56,6 +59,9 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("minhash_tokens_sig", tokens,
       org.apache.spark.sql.functions.lit(width),
       org.apache.spark.sql.functions.lit(numHashes))
+  def hyperplane_sig(vec: Column, planes: Int): Column =
+    org.apache.spark.sql.functions.call_function("hyperplane_sig", vec,
+      org.apache.spark.sql.functions.lit(planes))
 }
 
 /** `spark.sql.extensions` entry point. */

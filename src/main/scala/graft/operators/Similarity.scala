@@ -1,41 +1,36 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, HyperplaneSig}
 
 /** Similarity search over an embedding column (`array<float>`), SURVEY
   * §2.11 north star.
   *
-  * Two tiers:
+  * Three tiers:
   *  - [[bruteForceTopK]]: exact cosine top-k. One broadcast of the query
   *    vector, one scan, a TakeOrderedAndProject — the right baseline, and
   *    already distributed (scan parallelism = input splits).
   *  - [[annTopK]] / [[Dedup.embeddingPairs]]: random-hyperplane LSH buckets
   *    prune the scan to candidate buckets; recall is tunable via `planes` /
-  *    `probes`. At 100 TB the bucketed path turns a full-corpus scan per
-  *    query into a bucket-sized scan.
+  *    `probes`.
+  *  - [[buildAnnIndex]] + [[annTopKIndexed]]: the 100 TB path. Signatures
+  *    are computed ONCE at ingest and persisted as a bucketed-by-signature
+  *    table; each query derives its probe buckets driver-side (no Spark job
+  *    over the corpus) and pushes them down as an IN filter, so the scan
+  *    touches only candidate buckets.
   *
-  * Hyperplanes are pseudo-random but fully deterministic (seeded xxhash64 of
-  * (plane, dim)), so signatures are reproducible across runs and clusters.
+  * Hyperplanes are pseudo-random but fully deterministic (SplitMix64 of
+  * (plane, dim), [[HyperplaneSig.component]]), so signatures are
+  * reproducible across runs and clusters with no model to ship.
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component g(plane, dim) in
-    * [-1, 1): derived from xxhash64 — no materialized model, recomputed
-    * inside codegen. */
-  private def gauss(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(2000003L)) - lit(1000001L)).cast("double") / lit(1000001.0)
-
-  /** `planes`-bit signature of a float vector: bit j = sign(v · r_j). */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
-    val dims = size(vec)
-    (0 until planes).map { j =>
-      val dot = aggregate(sequence(lit(0), dims - 1), lit(0.0d),
-        (s, i) => s + element_at(vec, i + 1).cast("double") * gauss(lit(j), i))
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** `planes`-bit signature of a float vector: bit j = sign(v · r_j).
+    * Backed by the codegen'd [[HyperplaneSig]] expression — one pass over
+    * the vector for all planes. */
+  def hyperplaneSignature(vec: Column, planes: Int): Column =
+    GraftFunctions.hyperplane_sig(vec, planes)
 
   /** Exact cosine top-k against one query vector (broadcast). */
   def bruteForceTopK(
@@ -72,6 +67,67 @@ object Similarity {
     bucketed.join(broadcast(probeSigs), "sig")
       .select(col(idCol), GraftFunctions.cosine_sim(col(vecCol), col("qv")).as("cosine"))
       .dropDuplicates(idCol)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- persisted-index tier (the 100 TB path) ---------------------------
+
+  /** One-time index build: materialize the signature column and bucket the
+    * table BY signature. Pay one signature pass + one shuffle at ingest;
+    * every later query prunes to its probe buckets. */
+  def buildAnnIndex(
+      emb: DataFrame,
+      indexTable: String,
+      planes: Int = 8,
+      numBuckets: Int = 16,
+      vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    // a previous JVM may have left the warehouse dir without a catalog
+    // entry (fresh session, persistent cwd) — saveAsTable would then fail
+    // on LOCATION_ALREADY_EXISTS
+    if (!spark.catalog.tableExists(indexTable)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .stripPrefix("file:")
+      val stale = new java.io.File(wh, indexTable.toLowerCase)
+      if (stale.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(stale)
+      }
+    }
+    Partitioning.writeBucketed(
+      emb.withColumn("sig", hyperplaneSignature(col(vecCol), planes)),
+      indexTable, Seq("sig"), numBuckets)
+  }
+
+  /** ANN top-k against a persisted index. The query's signature and its
+    * `probes` single-bit-flip neighbors are computed on the DRIVER
+    * ([[HyperplaneSig.signatureOf]]) — no per-query signature job over the
+    * corpus — and pushed down as `sig IN (...)`, which Spark's bucket
+    * pruning turns into a candidate-buckets-only scan. */
+  def annTopKIndexed(
+      spark: SparkSession,
+      indexTable: String,
+      queryVec: Array[Float],
+      k: Int,
+      planes: Int = 8,
+      probes: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(spark)
+    // without this, DisableUnnecessaryBucketedScan demotes the scan (no
+    // join wants the distribution) and bucket PRUNING is forfeited with it —
+    // pruning is the entire point of the bucketed index
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val qsig = HyperplaneSig.signatureOf(queryVec, planes)
+    val sigs = (qsig +: (0 until math.min(probes, planes)).map(j => qsig ^ (1L << j))).distinct
+    spark.table(indexTable)
+      .filter(col("sig").isin(sigs: _*))
+      .select(col(idCol),
+        GraftFunctions.cosine_sim(col(vecCol), typedLit(queryVec.toSeq)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

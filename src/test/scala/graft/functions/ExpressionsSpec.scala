@@ -42,6 +42,32 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("hyperplane_sig matches driver-side signatureOf exactly") {
+    withFns {
+      val rnd = new scala.util.Random(3)
+      val vecs = (0 until 50).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      val df = spark.createDataFrame(vecs).toDF("id", "v")
+      val got = df.select(col("id"), expr("hyperplane_sig(v, 12)").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      vecs.foreach { case (id, v) =>
+        assert(got(id) == HyperplaneSig.signatureOf(v, 12),
+          s"executor/driver signature divergence for vec $id")
+      }
+    }
+  }
+
+  test("hyperplane_sig groups near-identical vectors, separates far ones") {
+    withFns {
+      val base = Array.fill(16)(0.5f)
+      val near = base.map(_ + 0.001f)
+      val far = base.map(-_)
+      val df = spark.createDataFrame(Seq((1L, base), (2L, near), (3L, far))).toDF("id", "v")
+      val sigs = df.orderBy("id").select(expr("hyperplane_sig(v, 16)")).collect().map(_.getLong(0))
+      assert(sigs(0) == sigs(1))
+      assert(sigs(0) != sigs(2))
+    }
+  }
+
   test("simhash64: identical token arrays collide, disjoint ones differ") {
     withFns {
       val df = spark.createDataFrame(Seq(

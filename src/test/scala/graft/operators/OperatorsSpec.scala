@@ -73,6 +73,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"ANN recall $recall below 0.8 on clustered data")
   }
 
+  test("indexed ANN: persisted signatures, bucket-pruned scan, recall holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    spark.sql("DROP TABLE IF EXISTS graft_ann_spec_idx")
+    // a crashed previous run can leave the warehouse dir without the
+    // catalog entry — saveAsTable then fails on LOCATION_ALREADY_EXISTS
+    val loc = new java.io.File("spark-warehouse/graft_ann_spec_idx")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    Similarity.buildAnnIndex(emb.filter($"vec_id" =!= 0), "graft_ann_spec_idx",
+      planes = 6, numBuckets = 8)
+    val qvec = vecs.head._2
+    val ann = Similarity.annTopKIndexed(spark, "graft_ann_spec_idx", qvec, 10,
+      planes = 6, probes = 6)
+    val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" =!= 0), qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = ann.collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"indexed ANN recall $recall below 0.8 on clustered data")
+    // scale posture: the query plan must not recompute signatures over the
+    // corpus (they are a stored column) and must prune to candidate buckets
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("hyperplane_sig"), "per-query signature recompute in plan")
+    assert(plan.contains("SelectedBucketsCount"), s"no bucket pruning in plan:\n$plan")
+    spark.sql("DROP TABLE graft_ann_spec_idx")
+  }
+
   test("asof merge operator matches the SQL-rewrite asof on sf0.001") {
     Engine.registerTables(spark, sfDir)
     val viaSql = SparkEntry.queries("q22_asof_join")(spark, sfDir)
