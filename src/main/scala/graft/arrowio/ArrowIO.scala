@@ -236,6 +236,16 @@ object ArrowIO {
   def fromArrowStream(spark: SparkSession, bytes: Array[Byte]): DataFrame =
     fromArrowStreamWithCount(spark, bytes)._1
 
+  /** Decode the currently-loaded record batch of `root` into Rows — the
+    * per-chunk unit of the do_exchange insert loop. */
+  def currentBatchRows(root: VectorSchemaRoot, sparkSchema: StructType): Seq[Row] = {
+    val n = root.getRowCount
+    (0 until n).map { i =>
+      Row.fromSeq(sparkSchema.fields.indices.map(c =>
+        readValue(root.getVector(c), i, sparkSchema.fields(c).dataType)))
+    }
+  }
+
   /** Decode once, returning the row count known from the IPC batches — so
     * ingest paths never re-execute the DataFrame just to count it. */
   def fromArrowStreamWithCount(spark: SparkSession, bytes: Array[Byte]): (DataFrame, Long) = {

@@ -154,6 +154,38 @@ object FlightActions {
   /** Arrow IPC stream → append to table; returns rows inserted (the
     * do_exchange response is a 1-row {rows_inserted: int64} table,
     * main.py:1089-1094). */
+  /** S16: `do_exchange` insert — the bidi loop (main.py:1007-1105). Reads
+    * the incoming Arrow IPC stream CHUNK BY CHUNK, appending each record
+    * batch as it arrives (the reference registers + INSERTs per chunk,
+    * main.py:1057-1075), then returns the response the reference's writer
+    * emits: an Arrow IPC stream holding one 1-row `{rows_inserted: int64}`
+    * table (main.py:1048-1049,1089-1094). */
+  def doExchange(spark: SparkSession, table: String, arrowIpc: Array[Byte]): Array[Byte] = {
+    val allocator = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(arrowIpc), allocator)
+    var total = 0L
+    try {
+      val root = reader.getVectorSchemaRoot
+      val sparkSchema = ArrowIO.toSparkSchema(root.getSchema)
+      while (reader.loadNextBatch()) {
+        val rows = ArrowIO.currentBatchRows(root, sparkSchema)
+        if (rows.nonEmpty) {
+          spark.createDataFrame(rows.asJava, sparkSchema)
+            .write.mode("append").insertInto(table)
+          total += rows.length
+        }
+      }
+    } finally { reader.close(); allocator.close() }
+    exchangeResponse(spark, total)
+  }
+
+  /** The 1-row `{rows_inserted: int64}` response table as Arrow IPC bytes. */
+  def exchangeResponse(spark: SparkSession, rowsInserted: Long): Array[Byte] = {
+    import spark.implicits._
+    ArrowIO.toArrowStream(Seq(rowsInserted).toDF("rows_inserted"))
+  }
+
   def doPut(spark: SparkSession, table: String, arrowIpc: Array[Byte]): Long = {
     // count comes from the Arrow batches during decode — the write is the
     // only Spark job (the reference's shape, and at scale a second full

@@ -366,6 +366,33 @@ class ProtocolSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_put_test")
   }
 
+  test("doExchange appends per batch and replies with a {rows_inserted: int64} arrow table") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_exch_test")
+    spark.sql("CREATE TABLE graft_exch_test (id BIGINT) USING parquet")
+    // 3000 rows re-chunk to three 1024/1024/952 batches — exercises the loop
+    val bytes = ArrowIO.toArrowStream(spark.range(3000).toDF("id"))
+    val resp = FlightActions.doExchange(spark, "graft_exch_test", bytes)
+    assert(spark.table("graft_exch_test").count() == 3000)
+    // byte-level response check: IPC stream, one batch, one int64 column
+    // named rows_inserted with the total (main.py:1048-1049,1089-1094)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(resp), alloc)
+    try {
+      val root = rdr.getVectorSchemaRoot
+      val field = root.getSchema.getFields.get(0)
+      assert(field.getName == "rows_inserted")
+      assert(field.getType.isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.Int])
+      assert(field.getType.asInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.Int].getBitWidth == 64)
+      assert(rdr.loadNextBatch())
+      assert(root.getRowCount == 1)
+      assert(root.getVector(0).asInstanceOf[org.apache.arrow.vector.BigIntVector].get(0) == 3000L)
+      assert(!rdr.loadNextBatch())
+    } finally { rdr.close(); alloc.close() }
+    spark.sql("DROP TABLE graft_exch_test")
+  }
+
   test("commandSchema resolves schema without executing") {
     graft.engine.Engine.registerTables(spark, sfDir)
     val schema = FlightActions.commandSchema(spark, "SELECT count() AS c, FROM orders")
