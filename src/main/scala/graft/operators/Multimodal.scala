@@ -43,24 +43,30 @@ object Multimodal {
 
   /** Per-partition batched feature extraction. Batches model the vectorized
     * decode call (a GPU/codec batch); partition boundaries are preserved so
-    * parallelism = input splits and no shuffle happens. */
+    * parallelism = input splits and no shuffle happens.
+    *
+    * Only the codec call lives inside the `mapPartitions` seam — `nBytes`
+    * and `contentHash` are Catalyst `octet_length`/`md5` expressions
+    * computed in whole-stage codegen downstream (computing them inside the
+    * seam would pull per-row JVM hashing out of codegen for work the engine
+    * already has vectorized builtins for). */
   def extractFeatures(items: Dataset[MediaItem], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
-    items.mapPartitions { it =>
+    // codec seam: payload in, features out; payload rides through once so
+    // the metadata expressions below can consume it without a join
+    val decoded = items.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one "vectorized" decode call per batch
-        val decoded = batch.map(m => decodeStub(m.payload))
-        batch.lazyZip(decoded).map { (m, feats) =>
-          MediaFeatures(
-            id = m.id,
-            kind = m.kind,
-            nBytes = m.payload.length.toLong,
-            contentHash = String.format("%032x", new java.math.BigInteger(1,
-              java.security.MessageDigest.getInstance("MD5").digest(m.payload))),
-            features = feats)
-        }
+        val feats = batch.map(m => decodeStub(m.payload))
+        batch.lazyZip(feats).map((m, f) => (m.id, m.kind, m.payload, f))
       }
-    }
+    }.toDF("id", "kind", "payload", "features")
+    decoded.select(
+        col("id"), col("kind"),
+        octet_length(col("payload")).cast("long").as("nBytes"),
+        lower(md5(col("payload"))).as("contentHash"),
+        col("features"))
+      .as[MediaFeatures]
   }
 
   /** Fixture adapter: documents.text as fake media payloads (the container

@@ -26,8 +26,12 @@ object Partitioning {
       saltBuckets: Int)(
       partial: Seq[Column],
       fin: Seq[Column]): DataFrame = {
+    // salt from a hash of the WHOLE row, not partition-id/monotonic-id or
+    // rand: task retries must re-salt a row identically or a lost executor
+    // can double/drop rows mid-aggregation on a real cluster. Hashing all
+    // columns still spreads a hot key (its rows differ elsewhere).
     val salted = df.withColumn("__graft_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keys :+ "__graft_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
@@ -46,8 +50,10 @@ object Partitioning {
       smallKey: String,
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
+    // deterministic under retries (see saltedAgg); int-typed to match the
+    // replicated small side's sequence()
     val saltedBig = big.withColumn("__graft_salt",
-      (rand(42) * saltBuckets).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedBig.join(replicatedSmall,

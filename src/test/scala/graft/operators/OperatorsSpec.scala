@@ -123,6 +123,11 @@ class OperatorsSpec extends SparkTestBase {
   test("multimodal feature extraction preserves schema and batch shape") {
     Engine.registerTables(spark, sfDir)
     val items = Multimodal.mediaFromDocuments(spark, spark.table("documents"))
+    // metadata must be Catalyst expressions (codegen), not seam-side JVM code
+    val plan = Multimodal.extractFeatures(items, batchSize = 7).queryExecution
+      .optimizedPlan.toString
+    assert(plan.contains("md5(") && plan.contains("octet_length("),
+      s"nBytes/contentHash not computed as Catalyst expressions:\n$plan")
     val feats = Multimodal.extractFeatures(items, batchSize = 7).collect()
     assert(feats.length == spark.table("documents").count())
     assert(feats.forall(_.features.length == Multimodal.featureDim))

@@ -27,6 +27,26 @@ class PartitioningSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("salts are deterministic: identical per row across runs and repartitionings") {
+    // a retried task must re-salt its rows identically, or a lossy cluster
+    // double-counts/drops rows mid-computation
+    val df = (1 to 2000).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v")
+    // same data through different partitionings → identical salted agg output
+    val a = Partitioning.saltedAgg(df, Seq("k"), 8)(
+      Seq(sum("v").as("ps")), Seq(sum("ps").as("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Partitioning.saltedAgg(df.repartition(13), Seq("k"), 8)(
+      Seq(sum("v").as("ps")), Seq(sum("ps").as("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // and the salt expression itself is a pure function of the row
+    val salted = df.withColumn("__graft_salt",
+      pmod(xxhash64(col("k"), col("v")), lit(8L)))
+    val s1 = salted.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val s2 = salted.repartition(5).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s1 == s2)
+  }
+
   test("bucketed tables join without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
