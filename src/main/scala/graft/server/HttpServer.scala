@@ -65,12 +65,16 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
 
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
+    val noQuery = {
+      val p = queryParams(ex)
+      p.get("query").isEmpty && p.get("query_id").isEmpty
+    }
     path match {
       case "/ping" => respond(ex, 200, "Ok\n".getBytes, "text/plain")
-      case "/play" | "/" if ex.getRequestMethod == "GET" && {
-        val p = queryParams(ex)
-        p.get("query").isEmpty && p.get("query_id").isEmpty
-      } => serveUi(ex)
+      case "/play" | "/" if ex.getRequestMethod == "GET" && noQuery => serveUi(ex)
+      // reference: unknown paths fall back to the UI (404→index.html,
+      // main.py:340-352) so deep links into the console work
+      case p if p != "/" && ex.getRequestMethod == "GET" && noQuery => serveUi(ex)
       case _ => serveQuery(ex)
     }
   }
@@ -78,7 +82,7 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
   private def serveUi(ex: HttpExchange): Unit = {
     val html = uiDir.map(d => new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(d, "index.html")), StandardCharsets.UTF_8))
-      .getOrElse("<html><body><h3>graft-spark play</h3><p>POST SQL to / or use ?query=...</p></body></html>")
+      .getOrElse(PlayUi.html)
     respond(ex, 200, html.getBytes(StandardCharsets.UTF_8), "text/html; charset=UTF-8")
   }
 

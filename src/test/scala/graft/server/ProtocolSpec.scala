@@ -230,6 +230,27 @@ class ProtocolSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("GET /play serves the built-in console; unknown paths fall back to it") {
+    val srv = new HttpServer(spark, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$p")).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val play = get("/play")
+      assert(play.statusCode() == 200)
+      assert(play.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(play.body().contains("graft-spark play"))
+      assert(play.body().contains("default_format")) // wired to the query API
+      // 404 → console fallback (reference main.py:340-352)
+      assert(get("/some/unknown/path").body().contains("graft-spark play"))
+      // a query on an unknown path still executes (POST / is the API)
+      assert(get("/?query=" + java.net.URLEncoder.encode("SELECT 7 AS x FORMAT CSV", "UTF-8"))
+        .body().trim == "7")
+    } finally srv.stop()
+  }
+
   test("HTTP insert round-trip: CREATE TABLE, NDJSON POST insert, SELECT back") {
     val srv = new HttpServer(spark, 0)
     val port = srv.start()
