@@ -71,11 +71,72 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
     }
     path match {
       case "/ping" => respond(ex, 200, "Ok\n".getBytes, "text/plain")
+      case p if p.startsWith("/flight/") => serveFlight(ex, p)
       case "/play" | "/" if ex.getRequestMethod == "GET" && noQuery => serveUi(ex)
       // reference: unknown paths fall back to the UI (404→index.html,
       // main.py:340-352) so deep links into the console work
       case p if p != "/" && ex.getRequestMethod == "GET" && noQuery => serveUi(ex)
       case _ => serveQuery(ex)
+    }
+  }
+
+  /** Flight semantics over HTTP: the gRPC transport's jars are not
+    * available in this environment (zero egress — see README), so the
+    * byte-level Flight handlers ([[graft.flight.FlightActions]]) are
+    * exposed as HTTP endpoints with the same request/response payloads a
+    * Flight transport would carry:
+    *
+    *  - `POST /flight/do_get` — ticket bytes (raw SQL or JSON `{query}`)
+    *    in the body → Arrow IPC stream of the result
+    *  - `POST /flight/do_put?table=t` — Arrow IPC body → append; returns
+    *    the `{rows_inserted: int64}` Arrow response table
+    *  - `POST /flight/do_exchange?table=t` — per-batch insert loop, same
+    *    response table
+    *  - `GET /flight/info?query=…` — result schema WITHOUT execution, as
+    *    a schema-only Arrow IPC stream
+    *  - `GET /flight/list_schemas?catalog=…` — msgpack+zstd Airport
+    *    envelope
+    */
+  private def serveFlight(ex: HttpExchange, path: String): Unit = {
+    import graft.flight.FlightActions
+    import graft.arrowio.ArrowIO
+    val params = queryParams(ex)
+    val body = ex.getRequestBody.readAllBytes()
+    val auth = tenants.parseAuthHeader(
+      Option(ex.getRequestHeaders.getFirst("Authorization")))
+    val session = tenants.sessionFor(auth, params.get("database"))
+    val arrowType = "application/vnd.apache.arrow.stream"
+    path match {
+      case "/flight/do_get" =>
+        val ticket = if (body.nonEmpty) body
+          else params.getOrElse("ticket", "").getBytes(StandardCharsets.UTF_8)
+        if (ticket.isEmpty) { respond(ex, 400, "no ticket\n".getBytes, "text/plain"); return }
+        val sql = FlightActions.parseTicket(ticket)
+        val df = graft.engine.Engine.sqlScript(session, sql)
+        respond(ex, 200, ArrowIO.toArrowStream(df), arrowType)
+      case "/flight/do_put" | "/flight/do_exchange" =>
+        params.get("table") match {
+          case None => respond(ex, 400, "missing table param\n".getBytes, "text/plain")
+          case Some(table) =>
+            val resp =
+              if (path.endsWith("do_exchange")) FlightActions.doExchange(session, table, body)
+              else FlightActions.exchangeResponse(session,
+                FlightActions.doPut(session, table, body))
+            respond(ex, 200, resp, arrowType)
+        }
+      case "/flight/info" =>
+        val sql = params.getOrElse("query", new String(body, StandardCharsets.UTF_8))
+        if (sql.trim.isEmpty) { respond(ex, 400, "no query\n".getBytes, "text/plain"); return }
+        // schema without execution (S20): an empty-limit plan carries the
+        // analyzed schema through the IPC stream header
+        val df = graft.engine.Engine.sql(session, sql).limit(0)
+        respond(ex, 200, ArrowIO.toArrowStream(df), arrowType)
+      case "/flight/list_schemas" =>
+        respond(ex, 200,
+          FlightActions.listSchemas(session, params.getOrElse("catalog", "spark_catalog")),
+          "application/octet-stream")
+      case _ =>
+        respond(ex, 404, s"unknown flight endpoint $path\n".getBytes, "text/plain")
     }
   }
 

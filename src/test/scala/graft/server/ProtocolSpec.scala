@@ -230,6 +230,53 @@ class ProtocolSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("flight-over-HTTP shim: do_get ticket -> arrow stream, do_put/do_exchange ingest, info schema") {
+    graft.engine.Engine.registerTables(spark, sfDir)
+    val srv = new HttpServer(spark, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(p: String, body: Array[Byte]): HttpResponse[Array[Byte]] =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$p"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+
+      // do_get with a JSON ticket (examples/flight_read.py flow: the ticket
+      // may carry multiple statements; last result streams back as Arrow)
+      val ticket = """{"query": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"}"""
+      val r = post("/flight/do_get", ticket.getBytes("UTF-8"))
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("")
+        .startsWith("application/vnd.apache.arrow.stream"))
+      val back = ArrowIO.fromArrowStream(spark, r.body())
+      assert(back.count() == 5)
+      assert(back.columns.toSeq == Seq("r_regionkey", "r_name"))
+
+      // do_put + do_exchange (examples/flight_insert.py flow)
+      spark.sql("DROP TABLE IF EXISTS graft_shim_tbl")
+      spark.sql("CREATE TABLE graft_shim_tbl (id BIGINT) USING parquet")
+      import spark.implicits._
+      val put = post("/flight/do_put?table=graft_shim_tbl",
+        ArrowIO.toArrowStream(spark.range(10).toDF("id")))
+      assert(put.statusCode() == 200)
+      val putResp = ArrowIO.fromArrowStream(spark, put.body()).head
+      assert(putResp.getLong(0) == 10L)
+      val exch = post("/flight/do_exchange?table=graft_shim_tbl",
+        ArrowIO.toArrowStream(spark.range(5).toDF("id")))
+      assert(ArrowIO.fromArrowStream(spark, exch.body()).head.getLong(0) == 5L)
+      assert(spark.table("graft_shim_tbl").count() == 15)
+      spark.sql("DROP TABLE graft_shim_tbl")
+
+      // get_flight_info: schema only, no execution
+      val info = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/flight/info?query=" +
+            java.net.URLEncoder.encode("SELECT count() AS c, FROM orders", "UTF-8"))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val infoDf = ArrowIO.fromArrowStream(spark, info.body())
+      assert(infoDf.columns.toSeq == Seq("c") && infoDf.isEmpty)
+    } finally srv.stop()
+  }
+
   test("GET /play serves the built-in console; unknown paths fall back to it") {
     val srv = new HttpServer(spark, 0)
     val port = srv.start()
