@@ -120,35 +120,80 @@ object Engine {
       }
     }
     if (t.sql.contains("graft_infoschema_")) registerInfoSchema(spark)
-    spark.sql(t.sql)
+    val out = spark.sql(t.sql)
+    // DDL invalidates the cached information_schema snapshot (spark.sql
+    // has already executed the command eagerly at this point)
+    if (ddlRe.pattern.matcher(t.sql).matches()) bumpCatalogVersion()
+    out
   }
 
-  /** `information_schema` emulation (reference queries it for catalog
-    * actions, `/root/reference/main.py:548-556,888-901`): snapshot views
-    * over `spark.catalog`, refreshed per referencing query. */
-  def registerInfoSchema(spark: SparkSession): Unit = {
-    import spark.implicits._
+  // ---- information_schema emulation ------------------------------------
+  //
+  // The reference queries information_schema for its catalog actions
+  // (`/root/reference/main.py:548-556,888-901`). Spark has no such views, so
+  // we snapshot spark.catalog — but a snapshot per catalog CALL would
+  // re-collect the whole table/column listing each time (catalog clients
+  // poll these constantly). The snapshot is cached per session and
+  // invalidated by a DDL version counter.
+
+  final case class InfoSnapshot(
+      version: Long,
+      schemata: Seq[(String, String, String, String)], // catalog, schema, owner, description
+      tables: Seq[(String, String, String, String)], // catalog, schema, name, type
+      columns: Seq[(String, String, String, Int, String, Boolean)])
+
+  private val ddlVersion = new java.util.concurrent.atomic.AtomicLong(0)
+  private val infoCache: java.util.Map[SparkSession, InfoSnapshot] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, InfoSnapshot]())
+
+  /** Call after any DDL that changes the catalog (CREATE/DROP/ALTER). */
+  def bumpCatalogVersion(): Unit = { ddlVersion.incrementAndGet(); () }
+
+  private val ddlRe = "(?is)^\\s*(CREATE|DROP|ALTER|TRUNCATE)\\b.*".r
+
+  /** Cached catalog snapshot; re-collected only when the DDL version moved. */
+  def infoSnapshot(spark: SparkSession): InfoSnapshot = {
+    val v = ddlVersion.get()
+    val cached = infoCache.get(spark)
+    if (cached != null && cached.version == v) return cached
+    val cat = spark.catalog.currentCatalog()
     val dbs = spark.catalog.listDatabases().collect()
-    dbs.map(d => (spark.catalog.currentCatalog(), d.name, "public"))
-      .toSeq.toDF("catalog_name", "schema_name", "schema_owner")
-      .createOrReplaceTempView("graft_infoschema_schemata")
-    val tables = dbs.flatMap(d => spark.catalog.listTables(d.name).collect())
-    tables.map(tb => (spark.catalog.currentCatalog(),
-        Option(tb.namespace).map(_.mkString(".")).getOrElse(""), tb.name,
-        tb.tableType))
-      .toSeq.toDF("table_catalog", "table_schema", "table_name", "table_type")
-      .createOrReplaceTempView("graft_infoschema_tables")
-    val cols = tables.flatMap { tb =>
+    val schemata = dbs.toSeq.map(d =>
+      (cat, d.name, "public", Option(d.description).getOrElse("")))
+    val tbls = dbs.flatMap(d => spark.catalog.listTables(d.name).collect())
+    val tables = tbls.toSeq.map(tb => (cat,
+      Option(tb.namespace).map(_.mkString(".")).getOrElse(""), tb.name, tb.tableType))
+    val columns = tbls.toSeq.flatMap { tb =>
       val fq = (Option(tb.namespace).getOrElse(Array.empty[String]) :+ tb.name).mkString(".")
-      try spark.catalog.listColumns(fq).collect().zipWithIndex.map { case (c, i) =>
+      try spark.catalog.listColumns(fq).collect().toSeq.zipWithIndex.map { case (c, i) =>
         (Option(tb.namespace).map(_.mkString(".")).getOrElse(""), tb.name,
           c.name, i + 1, c.dataType, c.nullable)
-      } catch { case _: Throwable => Array.empty[(String, String, String, Int, String, Boolean)] }
+      } catch { case _: Throwable => Seq.empty }
     }
-    cols.toSeq
+    val snap = InfoSnapshot(v, schemata, tables, columns)
+    infoCache.put(spark, snap)
+    snap
+  }
+
+  /** Register the snapshot as the `graft_infoschema_*` temp views the
+    * dialect layer rewrites information_schema references to. */
+  def registerInfoSchema(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val key = "graft.infoschema.version"
+    val snap = infoSnapshot(spark)
+    if (spark.conf.getOption(key).contains(snap.version.toString)) return
+    snap.schemata.map { case (c, s, o, _) => (c, s, o) }
+      .toDF("catalog_name", "schema_name", "schema_owner")
+      .createOrReplaceTempView("graft_infoschema_schemata")
+    snap.tables
+      .toDF("table_catalog", "table_schema", "table_name", "table_type")
+      .createOrReplaceTempView("graft_infoschema_tables")
+    snap.columns
       .toDF("table_schema", "table_name", "column_name", "ordinal_position",
         "data_type", "is_nullable")
       .createOrReplaceTempView("graft_infoschema_columns")
+    spark.conf.set(key, snap.version.toString)
   }
 
   /** Multi-statement ticket execution: run serially, return the last result

@@ -51,10 +51,13 @@ object FlightActions {
   }
 
   def listSchemas(spark: SparkSession, catalog: String): Array[Byte] = {
-    val schemas = spark.catalog.listDatabases().collect().map { db =>
+    // cached catalog snapshot (Engine.infoSnapshot): catalog clients poll
+    // list_schemas constantly; a full listDatabases().collect() per call
+    // re-runs driver-side catalog RPCs for an unchanged catalog
+    val schemas = graft.engine.Engine.infoSnapshot(spark).schemata.map { case (_, name, _, desc) =>
       obj(
-        "schema" -> Str(db.name),
-        "description" -> Str(Option(db.description).getOrElse("")),
+        "schema" -> Str(name),
+        "description" -> Str(desc),
         "tags" -> MapV(Seq.empty),
         // url/sha256 are msgpack nil to byte-match the reference's None
         // values (main.py:572-577) — clients distinguish null from ""
@@ -80,6 +83,7 @@ object FlightActions {
       } catch { case _: Throwable => new String(body, "UTF-8") }
     val name = name0.split('.').last.replaceAll("[^\\w]", "")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+    graft.engine.Engine.bumpCatalogVersion()
     name
   }
 
@@ -107,6 +111,7 @@ object FlightActions {
       val ddl = s"CREATE TABLE IF NOT EXISTS `${ref.schema}`.`${ref.table}` ($cols) USING parquet"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `${ref.schema}`")
       spark.sql(ddl)
+      graft.engine.Engine.bumpCatalogVersion()
       (ref, ddl)
     } finally { reader.close(); allocator.close() }
   }
@@ -137,16 +142,13 @@ object FlightActions {
     * reference emits (main.py:950-964). */
   def listFlights(spark: SparkSession, catalogFilter: Option[String],
       schemaFilter: Option[String]): Seq[FlightDesc] = {
-    val dbs = schemaFilter match {
-      case Some(s) => Seq(s)
-      case None => spark.catalog.listDatabases().collect().map(_.name).toSeq
-    }
-    dbs.flatMap { db =>
-      spark.catalog.listTables(db).collect().map { t =>
-        FlightDesc(catalogFilter.getOrElse("spark_catalog"), db, t.name,
-          s"SELECT * FROM ${db}.${t.name}")
+    // same cached snapshot as listSchemas — no per-call catalog re-collect
+    graft.engine.Engine.infoSnapshot(spark).tables
+      .filter { case (_, schema, _, _) => schemaFilter.forall(_ == schema) }
+      .map { case (_, schema, name, _) =>
+        FlightDesc(catalogFilter.getOrElse("spark_catalog"), schema, name,
+          s"SELECT * FROM ${schema}.${name}")
       }
-    }
   }
 
   // ---- S15/S16: Arrow ingest (do_put / do_exchange insert) ---------------

@@ -150,8 +150,10 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("information_schema emulation and version()") {
-    spark.sql("DROP TABLE IF EXISTS graft_info_probe")
-    spark.sql("CREATE TABLE graft_info_probe (a BIGINT, b STRING) USING parquet")
+    // DDL goes through Engine.sql (the server path) so the cached catalog
+    // snapshot is invalidated; raw spark.sql DDL must bumpCatalogVersion
+    Engine.sql(spark, "DROP TABLE IF EXISTS graft_info_probe")
+    Engine.sql(spark, "CREATE TABLE graft_info_probe (a BIGINT, b STRING) USING parquet")
     graft.functions.GraftFunctions.register(spark)
     val schemas = Engine.sql(spark,
       "SELECT schema_name FROM information_schema.schemata ORDER BY schema_name")
@@ -163,7 +165,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(cols.toSeq == Seq(("a", "bigint"), ("b", "string")))
     val v = Engine.sql(spark, "SELECT version() AS v").head.getString(0)
     assert(v.startsWith("graft-spark"))
-    spark.sql("DROP TABLE graft_info_probe")
+    Engine.sql(spark, "DROP TABLE graft_info_probe")
+  }
+
+  test("catalog snapshot is cached until DDL and sees new tables after it") {
+    val s1 = Engine.infoSnapshot(spark)
+    val s2 = Engine.infoSnapshot(spark)
+    assert(s1 eq s2, "unchanged catalog must reuse the cached snapshot")
+    Engine.sql(spark, "CREATE TABLE graft_snap_probe (x BIGINT) USING parquet")
+    val s3 = Engine.infoSnapshot(spark)
+    assert(!(s3 eq s1))
+    assert(s3.tables.exists(_._3 == "graft_snap_probe"))
+    Engine.sql(spark, "DROP TABLE graft_snap_probe")
+    assert(!Engine.infoSnapshot(spark).tables.exists(_._3 == "graft_snap_probe"))
+  }
+
+  test("DESCRIBE and SHOW CREATE TABLE pass through the dialect layer") {
+    Engine.registerTables(spark, sfDir)
+    val desc = Engine.sql(spark, "DESCRIBE region").collect()
+    assert(desc.map(_.getString(0)).toSeq == Seq("r_regionkey", "r_name"))
+    Engine.sql(spark, "CREATE TABLE IF NOT EXISTS graft_sct_probe (a BIGINT) USING parquet")
+    val ddl = Engine.sql(spark, "SHOW CREATE TABLE graft_sct_probe").head.getString(0)
+    assert(ddl.contains("graft_sct_probe") && ddl.toUpperCase.contains("CREATE TABLE"))
+    Engine.sql(spark, "DROP TABLE graft_sct_probe")
   }
 
   test("COPY TO exports a query result and returns the count") {
