@@ -45,6 +45,9 @@ object GraftFunctions {
     all.foreach { case (name, usage, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DateTruncToDateCast))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DateTruncToDateCast
   }
 
   /** Column-API forms (require [[register]] on the session first). */
@@ -66,11 +69,13 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.DateTruncToDateCast)
+  }
 }

@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+
+class PlansSpec extends SparkTestBase {
+
+  private def withRule[T](f: => T): T = { GraftFunctions.register(spark); f }
+
+  test("date_trunc-then-date-cast rewrites to trunc-of-date-cast at day-or-coarser units") {
+    withRule {
+      val df = spark.sql(
+        "SELECT CAST(date_trunc('month', TIMESTAMP '2024-03-17 13:45:09') AS DATE) AS m")
+      val plan = df.queryExecution.optimizedPlan.toString
+      // constant-folded or not, no timestamp-domain truncation may remain
+      assert(!plan.contains("date_trunc("), s"TruncTimestamp survived:\n$plan")
+    }
+  }
+
+  test("rewrite preserves values across units and edge dates") {
+    withRule {
+      val cases = Seq(
+        ("year", "2024-03-17 13:45:09", "2024-01-01"),
+        ("quarter", "2024-11-30 23:59:59", "2024-10-01"),
+        ("month", "2024-02-29 00:00:00", "2024-02-01"),
+        ("week", "2024-01-01 00:00:00", "2024-01-01"), // Monday
+        ("week", "2024-01-07 10:00:00", "2024-01-01"),
+        ("day", "2023-12-31 23:59:59", "2023-12-31"))
+      cases.foreach { case (unit, ts, want) =>
+        // non-literal input so the rewrite (not constant folding) is on the
+        // execution path
+        val got = spark.sql(
+          s"SELECT CAST(date_trunc('$unit', ts) AS DATE) AS d FROM (SELECT TIMESTAMP '$ts' AS ts UNION ALL SELECT TIMESTAMP '$ts') LIMIT 1")
+          .head.getDate(0).toString
+        assert(got == want, s"unit=$unit ts=$ts: got $got want $want")
+      }
+    }
+  }
+
+  test("rewrite fires on the declared q50 shape and the plan shows trunc-of-date") {
+    withRule {
+      graft.engine.Engine.registerTables(spark, sfDir)
+      val df = graft.engine.Engine.sql(spark,
+        "SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon, count(*) AS c FROM lineitem GROUP BY mon ORDER BY mon")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("trunc(cast(") && plan.contains("as date), month)"),
+        s"expected trunc-of-date-cast:\n$plan")
+      assert(!plan.contains("date_trunc("), s"TruncTimestamp survived:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("sub-day units are left untouched") {
+    withRule {
+      val df = spark.sql(
+        "SELECT CAST(date_trunc('hour', ts) AS DATE) AS d FROM (SELECT TIMESTAMP '2024-03-17 13:45:09' AS ts UNION ALL SELECT TIMESTAMP '2024-03-17 15:45:09') LIMIT 1")
+      assert(df.head.getDate(0).toString == "2024-03-17")
+    }
+  }
+}
