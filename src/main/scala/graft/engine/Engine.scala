@@ -71,7 +71,9 @@ object Engine {
     * a distributed `df.write`. Returns the 1-row `Count` result DuckDB
     * produces. */
   private val copyToRe =
-    "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+'([^']+)'\\s*(?:\\(([^)]*)\\))?\\s*$".r
+    "(?is)^\\s*COPY\\s+(.+?)\\s+TO\\s+'([^']+)'\\s*(?:\\((.*)\\))?\\s*$".r
+
+  private val partitionByRe = "(?is)PARTITION_BY\\s*\\(([^)]*)\\)|PARTITION_BY\\s+([\\w`\"]+)".r
 
   private def runCopyTo(spark: SparkSession, source: String, path: String,
       opts: String): DataFrame = {
@@ -83,13 +85,21 @@ object Engine {
       if (optU.contains("PARQUET")) "parquet"
       else if (optU.contains("JSON")) "json"
       else "csv"
+    // DuckDB `PARTITION_BY (cols)` → hive-style partitioned layout
+    // (df.write.partitionBy): the 100 TB export shape — downstream readers
+    // get partition pruning on the exported dataset for free
+    val partitionCols = partitionByRe.findFirstMatchIn(opts).toSeq.flatMap { m =>
+      Option(m.group(1)).orElse(Option(m.group(2))).toSeq
+        .flatMap(_.split(',')).map(_.trim.replaceAll("[`\"]", "")).filter(_.nonEmpty)
+    }
     // single execution: the row count is observed during the write job
     // itself (a count()-then-save would scan the source twice — at 100 TB
     // an export query must not run twice)
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs,
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
-    val writer = observed.write.mode("overwrite").format(format)
+    val writer0 = observed.write.mode("overwrite").format(format)
+    val writer = if (partitionCols.nonEmpty) writer0.partitionBy(partitionCols: _*) else writer0
     val withHeader = if (format == "csv" && (optU.contains("HEADER") || optU.isEmpty))
       writer.option("header", "true") else writer
     withHeader.save(path)

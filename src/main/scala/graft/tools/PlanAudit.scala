@@ -33,7 +33,15 @@ object PlanAudit {
     Check("p06_sim_dot_topk", wantAll = Seq("BroadcastNestedLoopJoin", "TakeOrderedAndProject")),
     // minhash candidate join: shuffle join on band key is expected (both
     // sides same cardinality); the point is it is an equi-join, not NLJ
-    Check("p03_dedup_minhash", wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+    Check("p03_dedup_minhash", wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // indexed ANN: signatures are a STORED column — the query plan must not
+    // recompute them over the corpus, and must prune to candidate buckets
+    Check("p09_sim_ann_lsh",
+      wantAll = Seq("SelectedBucketsCount"), wantNone = Seq("hyperplane_sig")),
+    // round-2 optimizer rule: month-truncation runs in the date domain
+    Check("q50_date_trunc", wantAll = Seq("as date), month)"), wantNone = Seq("date_trunc(")),
+    // multimodal metadata stays in codegen expressions, not the codec seam
+    Check("p15_multimodal_features", wantAll = Seq("md5(", "octet_length(")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

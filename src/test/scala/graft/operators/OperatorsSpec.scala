@@ -180,6 +180,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(!Engine.infoSnapshot(spark).tables.exists(_._3 == "graft_snap_probe"))
   }
 
+  test("EXPLAIN passes through the dialect layer") {
+    Engine.registerTables(spark, sfDir)
+    val out = Engine.sql(spark,
+      "EXPLAIN SELECT c_custkey FROM customer WHERE c_nationkey = 7").collect()
+    assert(out.nonEmpty && out.head.getString(0).contains("Physical Plan"))
+  }
+
   test("DESCRIBE and SHOW CREATE TABLE pass through the dialect layer") {
     Engine.registerTables(spark, sfDir)
     val desc = Engine.sql(spark, "DESCRIBE region").collect()
@@ -202,6 +209,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(res2.head.getLong(0) == 5)
     val back = spark.read.option("header", "true").csv(s"$dir/regions_csv")
     assert(back.columns.contains("r_name") && back.count() == 5)
+  }
+
+  test("COPY TO with PARTITION_BY writes a hive-partitioned layout") {
+    Engine.registerTables(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy_part").toString
+    val res = Engine.sql(spark,
+      s"COPY (SELECT l_orderkey, l_returnflag FROM lineitem) TO '$dir/li' (FORMAT PARQUET, PARTITION_BY (l_returnflag))")
+    assert(res.head.getLong(0) == spark.table("lineitem").count())
+    val parts = new java.io.File(s"$dir/li").listFiles().map(_.getName).filter(_.startsWith("l_returnflag="))
+    assert(parts.nonEmpty, "no hive-style partition dirs written")
+    // downstream readers get partition pruning on the export
+    val back = spark.read.parquet(s"$dir/li").filter(col("l_returnflag") === "A")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), s"no partition pruning:\n$plan")
   }
 
   test("COPY TO runs exactly one job (no count-then-write double scan)") {

@@ -230,6 +230,47 @@ class ProtocolSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("concurrent anonymous ?database= requests never cross-talk") {
+    graft.engine.Engine.registerTables(spark, sfDir)
+    val srv = new HttpServer(spark, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def run(db: String, sql: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/?database=$db&query=" +
+              java.net.URLEncoder.encode(sql, "UTF-8"))).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // seed one table per database (drop first: crashed runs leave state)
+      for (db <- Seq("iso_a", "iso_b")) run(db, "DROP TABLE IF EXISTS marker")
+      run("iso_a", "CREATE TABLE marker (v STRING) USING parquet")
+      run("iso_a", "INSERT INTO marker VALUES ('from_a')")
+      run("iso_b", "CREATE TABLE marker (v STRING) USING parquet")
+      run("iso_b", "INSERT INTO marker VALUES ('from_b')")
+      // hammer both databases concurrently: every response must come from
+      // the database its request named (the round-1 bug re-pointed the
+      // shared session's currentDatabase mid-flight)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val futures = (1 to 40).map { i =>
+        val db = if (i % 2 == 0) "iso_a" else "iso_b"
+        pool.submit(new java.util.concurrent.Callable[(String, String)] {
+          def call(): (String, String) =
+            db -> run(db, "SELECT v FROM marker FORMAT CSV").body().trim
+        })
+      }
+      futures.foreach { f =>
+        val (db, got) = f.get()
+        val want = if (db == "iso_a") "from_a" else "from_b"
+        assert(got == want, s"request for $db answered from the wrong database: $got")
+      }
+      pool.shutdown()
+      // the shared session itself was never re-pointed
+      assert(spark.catalog.currentDatabase == "default")
+      spark.sql("DROP TABLE iso_a.marker"); spark.sql("DROP DATABASE iso_a")
+      spark.sql("DROP TABLE iso_b.marker"); spark.sql("DROP DATABASE iso_b")
+    } finally srv.stop()
+  }
+
   test("flight-over-HTTP shim: do_get ticket -> arrow stream, do_put/do_exchange ingest, info schema") {
     graft.engine.Engine.registerTables(spark, sfDir)
     val srv = new HttpServer(spark, 0)
