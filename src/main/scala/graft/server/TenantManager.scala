@@ -24,6 +24,13 @@ final class TenantManager(spark: SparkSession) {
       s"tenant_$h"
   }
 
+  /** One cached session per (tenant, database) — the reference likewise
+    * caches per-tenant connections (`main.py:95-112`). A cached clone's
+    * currentDatabase is set once at creation and never mutated afterward,
+    * so concurrent requests can share it safely. */
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), SparkSession]()
+
   /** Session for a request. Anonymous requests share the base session (the
     * reference shares one `:memory:` connection for them, `main.py:77,93` —
     * and the fixture temp views are session-scoped, so sharing is also what
@@ -34,26 +41,28 @@ final class TenantManager(spark: SparkSession) {
     * currentDatabase (it would silently re-point every other concurrent
     * anonymous query — the reference instead prepends per-query ATTACH/USE
     * on a per-tenant connection, `main.py:283-284`), so any request carrying
-    * one gets a clone too, with the fixture views re-registered so the
-    * anonymous surface stays visible. */
+    * one gets its own cached clone too, with the fixture views
+    * re-registered so the anonymous surface stays visible. */
   def sessionFor(auth: Option[(String, String)],
       database: Option[String] = None): SparkSession = {
     val db = tenantDatabase(auth)
     if (db == "default" && database.isEmpty) return spark
-    val s = spark.newSession()
-    if (db == "default")
-      spark.conf.getOption("graft.registered.dir")
-        .foreach(d => graft.engine.Engine.registerTables(s, d))
-    else {
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      s.catalog.setCurrentDatabase(db)
-    }
-    database.foreach { d =>
-      val clean = d.replaceAll("[^\\w]", "")
-      s.sql(s"CREATE DATABASE IF NOT EXISTS `$clean`")
-      s.catalog.setCurrentDatabase(clean)
-    }
-    s
+    val clean = database.map(_.replaceAll("[^\\w]", "")).getOrElse("")
+    sessions.computeIfAbsent((db, clean), { _ =>
+      val s = spark.newSession()
+      if (db == "default")
+        spark.conf.getOption("graft.registered.dir")
+          .foreach(d => graft.engine.Engine.registerTables(s, d))
+      else {
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        s.catalog.setCurrentDatabase(db)
+      }
+      if (clean.nonEmpty) {
+        s.sql(s"CREATE DATABASE IF NOT EXISTS `$clean`")
+        s.catalog.setCurrentDatabase(clean)
+      }
+      s
+    })
   }
 
   /** Parse `Authorization: Basic ...` / `Bearer user:pass` headers

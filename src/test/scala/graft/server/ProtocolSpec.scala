@@ -124,6 +124,12 @@ class ProtocolSpec extends SparkTestBase {
     assert(s ne spark) // must be a clone
     assert(s.catalog.currentDatabase == "adv_db_iso")
     assert(spark.catalog.currentDatabase == before)
+    // sessions are cached per (tenant, database) — repeated requests reuse
+    assert(tm.sessionFor(None, Some("adv_db_iso")) eq s)
+    assert(tm.sessionFor(None, Some("adv_db_other")) ne s)
+    val t1 = tm.sessionFor(Some(("alice", "pw")))
+    assert(tm.sessionFor(Some(("alice", "pw"))) eq t1)
+    assert(tm.sessionFor(Some(("bob", "pw"))) ne t1)
   }
 
   test("zstd envelope round-trip with 4-byte LE length prefix") {
