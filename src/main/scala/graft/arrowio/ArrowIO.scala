@@ -38,6 +38,7 @@ object ArrowIO {
       case BooleanType => prim(new ArrowType.Bool())
       case BinaryType => prim(new ArrowType.Binary())
       case DateType => prim(new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY))
+      case d: DecimalType => prim(new ArrowType.Decimal(d.precision, d.scale, 128))
       case _: TimestampType => prim(new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC"))
       case TimestampNTZType => prim(new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null))
       case ArrayType(et, containsNull) =>
@@ -62,6 +63,7 @@ object ArrowIO {
     case _: ArrowType.Bool => BooleanType
     case _: ArrowType.Binary => BinaryType
     case _: ArrowType.Date => DateType
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
     case _: ArrowType.Timestamp => TimestampType
     case _ => StringType // reference default, main.py:1004-1005
   }
@@ -130,6 +132,8 @@ object ArrowIO {
         case v: BitVector => v.setSafe(idx, if (row.getBoolean(c)) 1 else 0)
         case v: VarCharVector => v.setSafe(idx, row.get(c).toString.getBytes("UTF-8"))
         case v: VarBinaryVector => v.setSafe(idx, row.getAs[Array[Byte]](c))
+        case v: DecimalVector =>
+          v.setSafe(idx, row.getDecimal(c).setScale(v.getScale))
         case v: DateDayVector =>
           v.setSafe(idx, row.getAs[java.sql.Date](c).toLocalDate.toEpochDay.toInt)
         case v: TimeStampMicroTZVector => v.setSafe(idx, toMicros(row.get(c)))
@@ -280,6 +284,7 @@ object ArrowIO {
       case v: BitVector => v.get(idx) == 1
       case v: VarCharVector => new String(v.get(idx), "UTF-8")
       case v: VarBinaryVector => v.get(idx)
+      case v: DecimalVector => v.getObject(idx)
       case v: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(idx)))
       case v: TimeStampMicroTZVector => microsToTs(v.get(idx))
       case v: TimeStampMicroVector => microsToTs(v.get(idx))

@@ -164,6 +164,17 @@ class ProtocolSpec extends SparkTestBase {
     assert(back.orderBy("l").collect().toSeq == df.orderBy("l").collect().toSeq)
   }
 
+  test("arrow round-trip carries decimals as decimal128, not strings") {
+    val df = spark.sql(
+      "SELECT CAST(v AS DECIMAL(18,2)) AS d FROM VALUES (1.25), (NULL), (-7.10) t(v)")
+    val back = ArrowIO.fromArrowStream(spark, ArrowIO.toArrowStream(df))
+    assert(back.schema.head.dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    val vals = back.orderBy("d").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDecimal(0).toPlainString)
+    assert(vals.toSeq == Seq(null, "-7.10", "1.25"))
+  }
+
   test("arrow round-trip handles nulls and float arrays") {
     val df = Seq(
       (1L, Some("x"), Seq(1.0f, 2.0f)),
