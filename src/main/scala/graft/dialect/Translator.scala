@@ -848,12 +848,157 @@ object Translator {
     lex(sql.trim)
   }
 
+  /** Structured description of a merge-eligible ASOF statement — bare left
+    * and right tables, one equality + one non-strict inequality, simple
+    * qualified select items, tail of at most ORDER BY/LIMIT/OFFSET. The
+    * engine routes statements matching this shape onto the single-shuffle
+    * merge operator ([[graft.operators.AsOfJoin]]); everything else falls
+    * back to [[rewriteAsof]]'s range-join SQL. */
+  final case class AsofMergeSpec(
+      leftTable: String, leftAlias: String,
+      rightTable: String, rightAlias: String,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      direction: String, isLeftJoin: Boolean,
+      selects: Seq[(String, String, String)], // (alias, col, outName)
+      tailSql: String)
+
+  /** Parse a statement into [[AsofMergeSpec]] if it is merge-eligible. */
+  def asofMergeSpec(sql: String): Option[AsofMergeSpec] = {
+    val (noFmt, _) = Sanitizer.stripFormat(sql)
+    val toks = lex(noFmt)
+    var d = 0
+    var asofIdx = -1
+    for (i <- toks.indices) {
+      d += depthDelta(toks(i))
+      if (d == 0 && asofIdx < 0 && up(toks(i)) == "ASOF") asofIdx = i
+    }
+    if (asofIdx < 0) return None
+    val c = splitClauses(toks).getOrElse(return None)
+    // no CTE prefix, no WHERE/GROUP/HAVING/QUALIFY/WINDOW — tail only
+    if (toks.take(c.selectIdx).exists(!isWs(_))) return None
+    if (c.whereIdx >= 0 || c.groupIdx >= 0 || c.havingIdx >= 0 ||
+      c.qualifyIdx >= 0 || c.windowIdx >= 0) return None
+
+    val leftToks = toks.slice(c.fromIdx + 1, asofIdx)
+    var j = nextNonWs(toks, asofIdx)
+    val isLeftJoin = up(toks(j)) == "LEFT"
+    if (isLeftJoin) j = nextNonWs(toks, j)
+    if (up(toks(j)) != "JOIN") return None
+    val onIdx = {
+      var k = j; var dd = 0; var found = -1
+      while (k < toks.length && found < 0) {
+        dd += depthDelta(toks(k))
+        if (dd == 0 && up(toks(k)) == "ON") found = k
+        k += 1
+      }
+      found
+    }
+    if (onIdx < 0) return None
+    val rightToks = toks.slice(j + 1, onIdx)
+    val tailStart = Seq(c.orderIdx, c.limitIdx, c.offsetIdx).filter(_ > onIdx)
+      .minOption.getOrElse(toks.length)
+    val condToks = toks.slice(onIdx + 1, tailStart)
+
+    // bare `table [AS] alias` refs only
+    def tableAlias(ref: Vector[Tok]): Option[(String, String)] = {
+      val nw = ref.filterNot(isWs).filterNot(t => up(t) == "AS")
+      nw match {
+        case Vector(t: Ident, a: Ident) if t.text.matches("[\\w.]+") => Some((t.text, a.text))
+        case _ => None
+      }
+    }
+    val (lsrc, la) = tableAlias(leftToks).getOrElse(return None)
+    val (rsrc, ra) = tableAlias(rightToks).getOrElse(return None)
+
+    // conjuncts: exactly one equality + one non-strict inequality, both
+    // between simple alias.col refs
+    val conjs = {
+      val out = Vector.newBuilder[Vector[Tok]]
+      var cur = Vector.newBuilder[Tok]
+      var dd = 0
+      for (t <- condToks) {
+        dd += depthDelta(t)
+        if (dd == 0 && up(t) == "AND") { out += cur.result(); cur = Vector.newBuilder[Tok] }
+        else cur += t
+      }
+      out += cur.result()
+      out.result()
+    }
+    def qualRef(ts: Vector[Tok]): Option[(String, String)] =
+      ts.filterNot(isWs) match {
+        case Vector(a: Ident, Punct("."), x: Ident) => Some((a.text, x.text))
+        case _ => None
+      }
+    def binary(conj: Vector[Tok], ops: Set[String]): Option[((String, String), String, (String, String))] = {
+      val opIdx = conj.indexWhere { case Punct(op) => ops(op); case _ => false }
+      if (opIdx < 0) return None
+      for {
+        l <- qualRef(conj.take(opIdx))
+        r <- qualRef(conj.drop(opIdx + 1))
+      } yield (l, conj(opIdx).text, r)
+    }
+    if (conjs.length != 2) return None
+    val eqOpt = conjs.flatMap(binary(_, Set("="))).headOption
+    val ineqOpt = conjs.flatMap(binary(_, Set("<=", ">="))).headOption
+    val ((eqL, _, eqR), (inL, op0, inR)) = (eqOpt, ineqOpt) match {
+      case (Some(e), Some(i)) => (e, i)
+      case _ => return None
+    }
+    // keys by alias
+    val (leftKey, rightKey) = (eqL, eqR) match {
+      case ((a1, c1), (a2, c2)) if a1.equalsIgnoreCase(la) && a2.equalsIgnoreCase(ra) => (c1, c2)
+      case ((a1, c1), (a2, c2)) if a1.equalsIgnoreCase(ra) && a2.equalsIgnoreCase(la) => (c2, c1)
+      case _ => return None
+    }
+    // normalize inequality to (right OP left)
+    val (rightTime, op, leftTime) = (inL, inR) match {
+      case ((a1, c1), (a2, c2)) if a1.equalsIgnoreCase(ra) && a2.equalsIgnoreCase(la) => (c1, op0, c2)
+      case ((a1, c1), (a2, c2)) if a1.equalsIgnoreCase(la) && a2.equalsIgnoreCase(ra) =>
+        (c2, if (op0 == "<=") ">=" else "<=", c1)
+      case _ => return None
+    }
+    val direction = if (op == "<=") "backward" else "forward"
+
+    // select list: simple alias.col [AS out] items
+    val selects = splitTopLevel(toks.slice(c.selectIdx + 1, c.fromIdx)).map { item =>
+      val nw = item.filterNot(isWs)
+      nw match {
+        case Vector(a: Ident, Punct("."), x: Ident) => ((a.text, x.text, x.text))
+        case Vector(a: Ident, Punct("."), x: Ident, as: Ident, o: Ident) if as.upper == "AS" =>
+          ((a.text, x.text, o.text))
+        case _ => return None
+      }
+    }
+    if (!selects.forall { case (a, _, _) =>
+      a.equalsIgnoreCase(la) || a.equalsIgnoreCase(ra) }) return None
+
+    // tail with alias qualifiers stripped (outer projection has no aliases)
+    val tailSql = {
+      val t = toks.slice(tailStart, toks.length)
+      val out = ArrayBuffer[Tok]()
+      var k = 0
+      while (k < t.length) {
+        val isQual = t(k).isInstanceOf[Ident] &&
+          (t(k).text.equalsIgnoreCase(la) || t(k).text.equalsIgnoreCase(ra)) && {
+            val nn = nextNonWs(t, k); nn < t.length && t(nn) == Punct(".")
+          }
+        if (isQual) k = nextNonWs(t, k) + 1
+        else { out += t(k); k += 1 }
+      }
+      render(out.toVector).trim
+    }
+    Some(AsofMergeSpec(lsrc, la, rsrc, ra, leftKey, rightKey, leftTime, rightTime,
+      direction, isLeftJoin, selects, tailSql))
+  }
+
   /** `L la ASOF [LEFT] JOIN R ra ON eq… AND ineq` → unique-left-row-id range
     * join + row_number()=1 pick of the closest right row (SURVEY §2.4 Q22).
     *
-    * Correct but O(matches) at scale — the scalable merge-asof lives in
-    * [[graft.operators.AsOfJoin]]; this textual rewrite serves the SQL
-    * surface.
+    * O(matches) at scale — the engine prefers the merge route
+    * ([[asofMergeSpec]] + [[graft.operators.AsOfJoin]]) and uses this
+    * textual rewrite as the general fallback (subqueries, WHERE clauses,
+    * strict inequalities, expression select items).
     */
   private[dialect] def rewriteAsof(toks: Vector[Tok]): Vector[Tok] = {
     var d = 0
@@ -954,7 +1099,23 @@ object Translator {
         if (isQual) k = nextNonWs(t, k) + 1 // skip alias and dot
         else { out += t(k); k += 1 }
       }
-      render(out.toVector).trim
+      val stripped = out.toVector
+      // a WHERE tail must merge into the rewrite's own `WHERE rn = 1`, not
+      // produce a second WHERE clause
+      val firstIdx = stripped.indexWhere(!isWs(_))
+      if (firstIdx >= 0 && up(stripped(firstIdx)) == "WHERE") {
+        var d2 = 0
+        var predEnd = stripped.length
+        for (i <- stripped.indices) {
+          d2 += depthDelta(stripped(i))
+          if (d2 == 0 && i > firstIdx && predEnd == stripped.length &&
+            Set("GROUP", "ORDER", "LIMIT", "OFFSET").contains(up(stripped(i))))
+            predEnd = i
+        }
+        val pred = render(stripped.slice(firstIdx + 1, predEnd)).trim
+        val rest = render(stripped.slice(predEnd, stripped.length)).trim
+        s"AND ( $pred ) $rest".trim
+      } else render(stripped).trim
     }
     val joinKw = if (isLeftJoin) "LEFT JOIN" else "JOIN"
     // tokens before SELECT (a WITH-CTE prefix) must survive the rebuild

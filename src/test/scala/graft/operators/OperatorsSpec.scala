@@ -111,6 +111,27 @@ class OperatorsSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_ann_spec_idx")
   }
 
+  test("ASOF JOIN SQL routes to the merge operator and matches the range-join rewrite") {
+    Engine.registerTables(spark, sfDir)
+    val q = graft.DeclaredQueries.all.toMap.apply("q22_asof_join")
+    val viaEngine = Engine.sql(spark, q)
+    val analyzed = viaEngine.queryExecution.analyzed.toString
+    assert(!analyzed.contains("__graft_asof_rn"),
+      s"merge-eligible asof still used the range-join rewrite:\n$analyzed")
+    val viaRange = spark.sql(graft.dialect.Translator.sparkSql(q))
+    assert(viaEngine.collect().toSeq == viaRange.collect().toSeq)
+  }
+
+  test("asof with a WHERE clause falls back to the range-join rewrite") {
+    Engine.registerTables(spark, sfDir)
+    val q = "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
+      "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
+      "WHERE e.event_id <= 50 ORDER BY e.event_id"
+    val df = Engine.sql(spark, q)
+    assert(df.queryExecution.analyzed.toString.contains("__graft_asof_rn"))
+    assert(df.count() > 0)
+  }
+
   test("asof merge operator matches the SQL-rewrite asof on sf0.001") {
     Engine.registerTables(spark, sfDir)
     val viaSql = SparkEntry.queries("q22_asof_join")(spark, sfDir)
