@@ -122,6 +122,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(viaEngine.collect().toSeq == viaRange.collect().toSeq)
   }
 
+  test("forward-direction ASOF (>=) routes to merge and matches the range rewrite") {
+    Engine.registerTables(spark, sfDir)
+    val q = "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
+      "ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts ORDER BY e.event_id LIMIT 100"
+    val viaEngine = Engine.sql(spark, q)
+    assert(!viaEngine.queryExecution.analyzed.toString.contains("__graft_asof_rn"))
+    val viaRange = spark.sql(graft.dialect.Translator.sparkSql(q))
+    assert(viaEngine.collect().toSeq == viaRange.collect().toSeq)
+  }
+
   test("asof with a WHERE clause falls back to the range-join rewrite") {
     Engine.registerTables(spark, sfDir)
     val q = "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
