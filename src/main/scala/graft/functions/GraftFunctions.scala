@@ -33,6 +33,9 @@ object GraftFunctions {
     ("hyperplane_sig", "random-hyperplane LSH signature (bigint) of a float array",
       args => HyperplaneSig(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
+    ("token_window_hashes", "distinct 64-bit shingle-window hashes of a token array",
+      args => TokenWindowHashes(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),
@@ -65,6 +68,9 @@ object GraftFunctions {
   def hyperplane_sig(vec: Column, planes: Int): Column =
     org.apache.spark.sql.functions.call_function("hyperplane_sig", vec,
       org.apache.spark.sql.functions.lit(planes))
+  def token_window_hashes(tokens: Column, width: Int): Column =
+    org.apache.spark.sql.functions.call_function("token_window_hashes", tokens,
+      org.apache.spark.sql.functions.lit(width))
 }
 
 /** `spark.sql.extensions` entry point. */

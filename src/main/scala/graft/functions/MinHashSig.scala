@@ -133,3 +133,62 @@ case class MinHashTokensSig(child: Expression, width: Int, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashTokensSig =
     copy(child = newChild)
 }
+
+/** DISTINCT 64-bit hashes of the `width`-token shingle windows of a token
+  * array — the shingle SET as longs, for exact-Jaccard verification without
+  * ever materializing shingle strings. Same windowing as
+  * [[MinHashTokensSig]] (an n-shorter-than-width doc is one window), so
+  * |A∩B|/|A∪B| over these equals string-shingle Jaccard up to 2⁻⁶⁴
+  * collisions. Each doc's set computed once; pairs intersect long arrays.
+  */
+case class TokenWindowHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  require(width > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_window_hashes"
+
+  private def combine(a: Long, b: Long): Long =
+    MinHashSig.splitmix(a ^ (b + 0x9e3779b97f4a7c15L + (a << 6) + (a >>> 2)))
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (arr.isNullAt(i)) 0L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    def add(h: Long): Unit = if (seen.add(h)) { out += h; () }
+    if (n < width) {
+      var h = 0L
+      var k = 0
+      while (k < n) { h = combine(h, th(k)); k += 1 }
+      add(h)
+    } else {
+      i = 0
+      while (i <= n - width) {
+        var h = th(i)
+        var k = 1
+        while (k < width) { h = combine(h, th(i + k)); k += 1 }
+        add(h)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenWindowHashes", this, classOf[TokenWindowHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+}

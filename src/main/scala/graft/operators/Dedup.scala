@@ -87,8 +87,11 @@ object Dedup {
     // the moment the corpus has duplicate clusters (measured 115 s → 12 s
     // on 250k candidates over 50k docs with 10-way dup groups). The union
     // size comes from |A∪B| = |A|+|B|−|A∩B| to save a second set op.
+    // Sets are DISTINCT 64-bit window hashes ([[TokenWindowHashes]]), not
+    // shingle strings: the pair join then shuffles long arrays and
+    // intersects integers — same Jaccard up to 2⁻⁶⁴ hash collisions.
     val shingled = docs.select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+        GraftFunctions.token_window_hashes(toks, shingleSize).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .localCheckpoint()
     val withSh = cand

@@ -42,6 +42,27 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("token_window_hashes: distinct sets, window semantics, short-doc case") {
+    withFns {
+      val df = spark.createDataFrame(Seq(
+        (1L, Seq("a", "b", "c", "d")), // 2 windows of 3: abc, bcd
+        (2L, Seq("a", "b", "c", "d")), // identical doc → identical set
+        (3L, Seq("a", "b", "c", "a", "b", "c")), // windows repeat → distinct set smaller
+        (4L, Seq("x", "y")) // shorter than width → single window
+      )).toDF("id", "toks")
+      val rows = df.orderBy("id")
+        .select(expr("token_window_hashes(toks, 3)")).collect()
+        .map(_.getSeq[Long](0))
+      assert(rows(0).length == 2)
+      assert(rows(0).toSet == rows(1).toSet)
+      assert(rows(2).toSet.size == rows(2).length) // distinct
+      assert(rows(2).toSet.subsetOf(rows(2).toSet))
+      assert(rows(3).length == 1)
+      // jaccard of identical docs is 1 via these sets
+      assert(rows(0).toSet.intersect(rows(1).toSet).size == rows(0).length)
+    }
+  }
+
   test("hyperplane_sig matches driver-side signatureOf exactly") {
     withFns {
       val rnd = new scala.util.Random(3)
