@@ -202,6 +202,17 @@ object Engine {
   /** Call after any DDL that changes the catalog (CREATE/DROP/ALTER). */
   def bumpCatalogVersion(): Unit = { ddlVersion.incrementAndGet(); () }
 
+  /** Concurrent appends to one parquet table race on the Hadoop
+    * FileOutputCommitter's shared `_temporary` directory (found by the
+    * round-1 HTTP soak test) — every write path (HTTP NDJSON insert,
+    * Flight do_put/do_exchange) serializes through the same per-table
+    * lock. Reads stay fully concurrent; a transactional format
+    * (Iceberg/Delta) lifts this on a real cluster. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def tableWriteLock(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
+
   private val ddlRe = "(?is)^\\s*(CREATE|DROP|ALTER|TRUNCATE)\\b.*".r
 
   /** Cached catalog snapshot; re-collected only when the DDL version moved. */

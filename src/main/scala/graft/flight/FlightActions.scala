@@ -173,8 +173,10 @@ object FlightActions {
       while (reader.loadNextBatch()) {
         val rows = ArrowIO.currentBatchRows(root, sparkSchema)
         if (rows.nonEmpty) {
-          spark.createDataFrame(rows.asJava, sparkSchema)
-            .write.mode("append").insertInto(table)
+          graft.engine.Engine.tableWriteLock(table).synchronized {
+            spark.createDataFrame(rows.asJava, sparkSchema)
+              .write.mode("append").insertInto(table)
+          }
           total += rows.length
         }
       }
@@ -193,7 +195,9 @@ object FlightActions {
     // only Spark job (the reference's shape, and at scale a second full
     // execution of the ingest would double its cost)
     val (df, n) = ArrowIO.fromArrowStreamWithCount(spark, arrowIpc)
-    df.write.mode("append").insertInto(table)
+    graft.engine.Engine.tableWriteLock(table).synchronized {
+      df.write.mode("append").insertInto(table)
+    }
     n
   }
 }

@@ -40,15 +40,10 @@ object QueryExecutor {
       case _ => None
     }
 
-  /** Concurrent appends to one parquet table race on the Hadoop
-    * FileOutputCommitter's shared `_temporary` directory — writes to the
-    * same table are serialized here (reads stay fully concurrent). The
-    * reference gets this from DuckDB's single-writer transactions; on a
-    * real cluster a transactional format (Iceberg/Delta) lifts the lock. */
-  private val tableLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(table: String): Object =
-    tableLocks.computeIfAbsent(table, _ => new Object)
+  // per-table write serialization lives in Engine.tableWriteLock so the
+  // Flight ingest paths share the same locks (reference: DuckDB's
+  // single-writer transactions)
+  private def lockFor(table: String): Object = Engine.tableWriteLock(table)
 
   def runInsert(spark: SparkSession, table: String, ndjsonBody: String): Either[String, Result] =
     try {

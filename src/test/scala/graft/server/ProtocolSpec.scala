@@ -519,6 +519,28 @@ class ProtocolSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_exch_test")
   }
 
+  test("concurrent doPut writers to one table serialize and lose no rows") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_put_soak")
+    spark.sql("CREATE TABLE graft_put_soak (id BIGINT) USING parquet")
+    // the reference's flight_insert.py pattern: many concurrent writers to
+    // one table; without the shared per-table lock the FileOutputCommitter
+    // _temporary dir races and rows vanish or the write throws
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val futures = (0 until 6).map { w =>
+      val bytes = ArrowIO.toArrowStream(
+        spark.range(w * 100L, w * 100L + 100L).toDF("id"))
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = FlightActions.doPut(spark, "graft_put_soak", bytes)
+      })
+    }
+    assert(futures.map(_.get()).sum == 600L)
+    pool.shutdown()
+    assert(spark.table("graft_put_soak").count() == 600)
+    assert(spark.table("graft_put_soak").select("id").distinct().count() == 600)
+    spark.sql("DROP TABLE graft_put_soak")
+  }
+
   test("commandSchema resolves schema without executing") {
     graft.engine.Engine.registerTables(spark, sfDir)
     val schema = FlightActions.commandSchema(spark, "SELECT count() AS c, FROM orders")
