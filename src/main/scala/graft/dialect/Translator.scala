@@ -40,6 +40,7 @@ object Translator {
     toks = rewriteAttach(toks)
     toks = rewriteMisc(toks)
     toks = rewriteSemiAnti(toks)
+    toks = rewriteUnionByName(toks)
     toks = rewriteStatementLevel(toks)
     toks = rewriteCountStar(toks)
     toks = rewriteTrailingComma(toks)
@@ -450,7 +451,9 @@ object Translator {
     var i = 0
     while (i < toks.length) {
       toks(i) match {
-        case id: Ident if id.upper == "STRFTIME" =>
+        // formatDateTime is ClickHouse's spelling of the same (time, fmt)
+        // call with the same %-pattern family (chsql macro surface)
+        case id: Ident if id.upper == "STRFTIME" || id.upper == "FORMATDATETIME" =>
           val open = nextNonWs(toks, i)
           if (open < toks.length && toks(open) == Punct("(")) {
             val close = matchParen(toks, open)
@@ -460,6 +463,22 @@ object Translator {
               case (t, _) => t
             }
             toks = toks.patch(i, Seq(Ident("date_format")), 1)
+          }
+        // ClickHouse splitByChar(sep, s) → split(s, quoted-sep) (args swap)
+        case id: Ident if id.upper == "SPLITBYCHAR" =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            val args = splitTopLevel(toks.slice(open + 1, close))
+            if (args.length == 2) {
+              args(0).filterNot(isWs) match {
+                case Vector(sep: Str) =>
+                  val quoted = java.util.regex.Pattern.quote(sep.value).replace("'", "''")
+                  val sql = s"split(${render(args(1)).trim}, '$quoted')"
+                  toks = toks.patch(i, lex(sql), close - i + 1)
+                case _ =>
+              }
+            }
           }
         case _ =>
       }
@@ -709,6 +728,60 @@ object Translator {
       } else { out += toks(i); i += 1 }
     }
     out.toVector
+  }
+
+  /** DuckDB `UNION [ALL|DISTINCT] BY NAME` (SURVEY §2.8) — Spark's SQL has
+    * no BY NAME, so the right branch's select items are reordered into the
+    * left branch's name order and the BY NAME dropped. Applies when both
+    * branches' select items are nameable and the name sets match (DuckDB's
+    * own requirement); otherwise the tokens pass through untouched and fail
+    * analysis with Spark's error. Top-level unions only. */
+  private[dialect] def rewriteUnionByName(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var d = 0
+      var i = 0
+      var found = -1; var byIdx = -1; var nameIdx = -1
+      while (i < toks.length && found < 0) {
+        d += depthDelta(toks(i))
+        if (d == 0 && up(toks(i)) == "UNION") {
+          var j = nextNonWs(toks, i)
+          if (j < toks.length && (up(toks(j)) == "ALL" || up(toks(j)) == "DISTINCT"))
+            j = nextNonWs(toks, j)
+          if (j < toks.length && up(toks(j)) == "BY") {
+            val k = nextNonWs(toks, j)
+            if (k < toks.length && up(toks(k)) == "NAME") { found = i; byIdx = j; nameIdx = k }
+          }
+        }
+        i += 1
+      }
+      if (found >= 0) {
+        val leftToks = toks.take(found)
+        val rightToks = toks.drop(nameIdx + 1)
+        val (lcO, rcO) = (splitClauses(leftToks), splitClauses(rightToks))
+        if (lcO.isEmpty || rcO.isEmpty) return toks
+        val (lc, rc) = (lcO.get, rcO.get)
+        val lEnd = if (lc.fromIdx >= 0) lc.fromIdx else leftToks.length
+        val rEnd = if (rc.fromIdx >= 0) rc.fromIdx else rightToks.length
+        val lNames = splitTopLevel(leftToks.slice(lc.selectIdx + 1, lEnd)).map(itemName)
+        val rItems = splitTopLevel(rightToks.slice(rc.selectIdx + 1, rEnd))
+        val rNames = rItems.map(itemName)
+        if (lNames.exists(_.isEmpty) || rNames.exists(_.isEmpty)) return toks
+        val rByName = rNames.flatten.map(_.toLowerCase).zip(rItems).toMap
+        val lSeq = lNames.flatten.map(_.toLowerCase)
+        if (lSeq.toSet != rByName.keySet || lSeq.distinct != lSeq) return toks
+        val unionKw = render(toks.slice(found, byIdx)).trim // UNION [ALL|DISTINCT]
+        val rTail = rightToks.drop(rEnd)
+        val sql = render(leftToks).trim + " " + unionKw + " SELECT " +
+          lSeq.map(n => render(rByName(n)).trim).mkString(", ") +
+          " " + render(rTail).trim
+        toks = lex(sql.trim)
+        changed = true
+      }
+    }
+    toks
   }
 
   // ---- statement-level restructures -----------------------------------

@@ -158,6 +158,21 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t1.views.head.name == t1b.views.head.name) // same file is stable
   }
 
+  test("ClickHouse formatDateTime and splitByChar map to Spark forms") {
+    val f = t("SELECT formatDateTime(ts, '%Y-%m') AS m FROM t")
+    assert(f.contains("date_format(ts,"))
+    assert(!f.toLowerCase.contains("formatdatetime"))
+    val s = t("SELECT splitByChar(',', csv) AS parts FROM t")
+    assert(s.contains("split(csv,"))
+  }
+
+  test("UNION ALL BY NAME reorders the right branch to the left's name order") {
+    val s = t("SELECT a, b FROM t UNION ALL BY NAME SELECT 4 AS b, 3 AS a")
+    assert(s == "SELECT a, b FROM t UNION ALL SELECT 3 AS a, 4 AS b")
+    val d = t("SELECT a, b FROM t UNION BY NAME SELECT b, a FROM u ORDER BY a")
+    assert(d.startsWith("SELECT a, b FROM t UNION SELECT a, b FROM u ORDER BY a"))
+  }
+
   test("SEMI/ANTI JOIN become LEFT SEMI/ANTI") {
     assert(t("SELECT * FROM a SEMI JOIN b ON a.x = b.x").contains("LEFT SEMI JOIN"))
     assert(t("SELECT * FROM a ANTI JOIN b ON a.x = b.x").contains("LEFT ANTI JOIN"))
