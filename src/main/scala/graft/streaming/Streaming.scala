@@ -48,6 +48,29 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming NEAR-dup suppression — the streaming companion of
+    * [[graft.operators.Dedup.minhashPairs]]: a document whose full minhash
+    * signature matches one already seen inside the watermark horizon is
+    * dropped (identical signature across all hashes ≈ near-certain
+    * duplicate; ingest pipelines use this as the cheap first filter before
+    * batch LSH). Signature state is one long per doc, bounded by the
+    * watermark via `dropDuplicatesWithinWatermark`. */
+  def dedupNearStream(docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      watermark: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    docs
+      .withColumn("__graft_sig", xxhash64(
+        graft.functions.GraftFunctions.minhash_tokens_sig(toks, shingleSize, numHashes)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__graft_sig")
+      .drop("__graft_sig")
+  }
+
   // ---- sessionization ---------------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

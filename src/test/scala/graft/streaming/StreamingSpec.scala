@@ -46,6 +46,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup drops signature-identical docs, keeps distinct ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streaming.dedupNearStream(docs)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (ts(0), 1L, a),
+        (ts(0, 30), 2L, a), // exact dup → same signature → dropped
+        (ts(1), 3L, "completely different text with no shared shingles at all here"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.contains(3L))
+      assert((ids - 3L).size == 1, s"expected one survivor of the dup pair, got $ids")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
