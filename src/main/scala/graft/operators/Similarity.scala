@@ -71,6 +71,17 @@ object Similarity {
       .limit(k)
   }
 
+  /** Plane count that keeps expected bucket population near
+    * `targetBucketSize` for a corpus of `corpusSize` vectors — the knob that
+    * keeps the bucket self-join linear as data grows (2^planes buckets;
+    * within-bucket pair work is quadratic in bucket size). Demo entries pin
+    * small plane counts for recall on tiny fixtures; at 100 TB call this. */
+  def planesFor(corpusSize: Long, targetBucketSize: Int = 256): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val p = math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2)).toInt
+    math.min(64, math.max(1, p))
+  }
+
   // ---- persisted-index tier (the 100 TB path) ---------------------------
 
   /** One-time index build: materialize the signature column and bucket the

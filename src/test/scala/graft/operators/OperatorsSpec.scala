@@ -73,6 +73,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"ANN recall $recall below 0.8 on clustered data")
   }
 
+  test("planesFor keeps buckets near the target size") {
+    assert(Similarity.planesFor(1000, 256) == 2)
+    assert(Similarity.planesFor(1000000, 256) == 12)
+    assert(Similarity.planesFor(100, 256) == 1) // floor
+    assert(Similarity.planesFor(Long.MaxValue, 1) == 64) // cap
+  }
+
   test("indexed ANN: persisted signatures, bucket-pruned scan, recall holds") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
