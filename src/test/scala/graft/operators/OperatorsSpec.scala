@@ -77,7 +77,7 @@ class OperatorsSpec extends SparkTestBase {
     assert(Similarity.planesFor(1000, 256) == 2)
     assert(Similarity.planesFor(1000000, 256) == 12)
     assert(Similarity.planesFor(100, 256) == 1) // floor
-    assert(Similarity.planesFor(Long.MaxValue, 1) == 64) // cap
+    assert(Similarity.planesFor(Long.MaxValue, 1) == 63)
   }
 
   test("indexed ANN: persisted signatures, bucket-pruned scan, recall holds") {
