@@ -351,7 +351,13 @@ object Translator {
     "ARRAY_AGG" -> "collect_list",
     "LIST" -> "collect_list",
     "UNNEST" -> "explode",
-    "EDITDIST3" -> "levenshtein")
+    "EDITDIST3" -> "levenshtein",
+    // quantile family: quantile_cont interpolates like Spark's exact
+    // percentile; plain/discrete quantile approximated by percentile_approx
+    // (sketch outputs differ engine-to-engine → never oracle-declared)
+    "QUANTILE_CONT" -> "percentile",
+    "QUANTILE_DISC" -> "percentile_approx",
+    "QUANTILE" -> "percentile_approx")
 
   private[dialect] def rewriteFunctionNames(toks: Vector[Tok]): Vector[Tok] =
     toks.zipWithIndex.map { case (t, i) =>

@@ -158,6 +158,11 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t1.views.head.name == t1b.views.head.name) // same file is stable
   }
 
+  test("quantile family maps to percentile forms") {
+    assert(t("SELECT quantile_cont(x, 0.5) FROM t").contains("percentile(x, 0.5)"))
+    assert(t("SELECT quantile(x, 0.9) FROM t").contains("percentile_approx(x, 0.9)"))
+  }
+
   test("ClickHouse formatDateTime and splitByChar map to Spark forms") {
     val f = t("SELECT formatDateTime(ts, '%Y-%m') AS m FROM t")
     assert(f.contains("date_format(ts,"))
