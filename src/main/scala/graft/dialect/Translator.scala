@@ -775,9 +775,13 @@ object Translator {
         val rItems = splitTopLevel(rightToks.slice(rc.selectIdx + 1, rEnd))
         val rNames = rItems.map(itemName)
         if (lNames.exists(_.isEmpty) || rNames.exists(_.isEmpty)) return toks
-        val rByName = rNames.flatten.map(_.toLowerCase).zip(rItems).toMap
+        val rSeq = rNames.flatten.map(_.toLowerCase)
+        val rByName = rSeq.zip(rItems).toMap
         val lSeq = lNames.flatten.map(_.toLowerCase)
-        if (lSeq.toSet != rByName.keySet || lSeq.distinct != lSeq) return toks
+        // duplicate names on either side make BY NAME ambiguous (DuckDB
+        // errors); pass through rather than silently dropping an item
+        if (lSeq.toSet != rByName.keySet || lSeq.distinct != lSeq ||
+          rSeq.distinct != rSeq) return toks
         val unionKw = render(toks.slice(found, byIdx)).trim // UNION [ALL|DISTINCT]
         val rTail = rightToks.drop(rEnd)
         val sql = render(leftToks).trim + " " + unionKw + " SELECT " +
@@ -961,9 +965,10 @@ object Translator {
 
     val leftToks = toks.slice(c.fromIdx + 1, asofIdx)
     var j = nextNonWs(toks, asofIdx)
+    if (j >= toks.length) return None // trailing ASOF (e.g. a table aliased 'asof')
     val isLeftJoin = up(toks(j)) == "LEFT"
     if (isLeftJoin) j = nextNonWs(toks, j)
-    if (up(toks(j)) != "JOIN") return None
+    if (j >= toks.length || up(toks(j)) != "JOIN") return None
     val onIdx = {
       var k = j; var dd = 0; var found = -1
       while (k < toks.length && found < 0) {
@@ -1091,9 +1096,10 @@ object Translator {
     // parse:  FROM <left> <lalias> ASOF [LEFT] JOIN <right> <ralias> ON <cond>
     val leftToks = toks.slice(c.fromIdx + 1, asofIdx)
     var j = nextNonWs(toks, asofIdx)
+    if (j >= toks.length) return toks // trailing ASOF (table aliased 'asof')
     val isLeftJoin = up(toks(j)) == "LEFT"
     if (isLeftJoin) j = nextNonWs(toks, j)
-    if (up(toks(j)) != "JOIN") return toks
+    if (j >= toks.length || up(toks(j)) != "JOIN") return toks
     val onIdx = {
       var k = j; var dd = 0
       var found = -1

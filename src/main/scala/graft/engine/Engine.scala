@@ -138,7 +138,10 @@ object Engine {
           val joined = graft.operators.AsOfJoin.asof(left, right,
             sp.leftKey, sp.rightKey, sp.leftTime, sp.rightTime,
             rightPayload, sp.direction, inner = !sp.isLeftJoin)
-          val tv = "graft_asof_" + Integer.toHexString(duckSql.hashCode).replace('-', '_')
+          // md5 of the statement, not hashCode: 32-bit collisions between
+          // different SQLs on a shared session would cross-bind projections
+          val tv = "graft_asof_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(duckSql.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
           joined.createOrReplaceTempView(tv)
           val proj = sp.selects.map { case (_, c, o) =>
             if (c == o) c else s"$c AS $o"

@@ -142,12 +142,17 @@ object FlightActions {
     * reference emits (main.py:950-964). */
   def listFlights(spark: SparkSession, catalogFilter: Option[String],
       schemaFilter: Option[String]): Seq[FlightDesc] = {
-    // same cached snapshot as listSchemas — no per-call catalog re-collect
+    // same cached snapshot as listSchemas — no per-call catalog re-collect.
+    // Temp views carry an empty namespace: they are visible from every
+    // schema (so a schema filter keeps them) and their ticket must be
+    // unqualified — `SELECT * FROM .name` is not a query.
     graft.engine.Engine.infoSnapshot(spark).tables
-      .filter { case (_, schema, _, _) => schemaFilter.forall(_ == schema) }
+      .filter { case (_, schema, _, _) =>
+        schema.isEmpty || schemaFilter.forall(_ == schema) }
       .map { case (_, schema, name, _) =>
+        val ref = if (schema.isEmpty) name else s"$schema.$name"
         FlightDesc(catalogFilter.getOrElse("spark_catalog"), schema, name,
-          s"SELECT * FROM ${schema}.${name}")
+          s"SELECT * FROM $ref")
       }
   }
 

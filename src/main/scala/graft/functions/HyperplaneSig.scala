@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Random-hyperplane LSH signature of a float/double vector → up-to-64-bit
   * mask (bit j = sign(v · r_j)), the bucketing primitive behind ANN search
@@ -27,10 +28,22 @@ case class HyperplaneSig(child: Expression, planes: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
-  private val isFloat: Boolean = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case _ => true // resolved inputs are float arrays; unresolved default
+  // element accessor dispatched on the RESOLVED element type — reading an
+  // int array through getFloat would reinterpret bits and emit garbage
+  // signatures with no error
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig requires array<float|double|int|bigint>, got ${other.sql}")
+  }
+
+  private lazy val readElem: (ArrayData, Int) => Double = child.dataType match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    case _ => (a, i) => a.getFloat(i).toDouble // unreachable post-analysis
   }
 
   def compute(arr: ArrayData): Long = {
@@ -39,7 +52,7 @@ case class HyperplaneSig(child: Expression, planes: Int)
     var d = 0
     while (d < dims) {
       if (!arr.isNullAt(d)) {
-        val v = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        val v = readElem(arr, d)
         var j = 0
         while (j < planes) {
           dots(j) += v * HyperplaneSig.component(j, d)

@@ -38,22 +38,32 @@ object AsOfJoin {
       inner: Boolean = true): DataFrame = {
     require(direction == "backward" || direction == "forward", s"bad direction $direction")
 
-    val payloadStruct = struct(rightPayload.map(right(_)): _*)
+    // SQL join semantics: a NULL key or time never matches. Without these
+    // filters the window would group NULL keys into one partition and sort
+    // NULL times first, letting NULL-keyed right rows "match" — diverging
+    // from the equality-join form. Right-side NULLs can never match, so
+    // always drop them; left-side NULLs only survive an outer (left) asof,
+    // where they correctly pick up a NULL payload.
+    val right0 = right.filter(right(rightKey).isNotNull && right(rightTime).isNotNull)
+    val left0 = if (inner)
+      left.filter(left(leftKey).isNotNull && left(leftTime).isNotNull) else left
+
+    val payloadStruct = struct(rightPayload.map(right0(_)): _*)
     val payloadType = {
       import org.apache.spark.sql.types.StructType
-      StructType(rightPayload.map(c => right.schema(c)))
+      StructType(rightPayload.map(c => right0.schema(c)))
     }
-    val leftCols = left.columns
+    val leftCols = left0.columns
 
-    val lTagged = left.select(
-      left(leftKey).as("__graft_k"),
-      left(leftTime).as("__graft_t"),
+    val lTagged = left0.select(
+      left0(leftKey).as("__graft_k"),
+      left0(leftTime).as("__graft_t"),
       lit(1).as("__graft_side"),
-      struct(leftCols.map(left(_)): _*).as("__graft_l"),
+      struct(leftCols.map(left0(_)): _*).as("__graft_l"),
       lit(null).cast(payloadType).as("__graft_r"))
-    val rTagged = right.select(
-      right(rightKey).as("__graft_k"),
-      right(rightTime).as("__graft_t"),
+    val rTagged = right0.select(
+      right0(rightKey).as("__graft_k"),
+      right0(rightTime).as("__graft_t"),
       lit(0).as("__graft_side"),
       lit(null).cast(lTagged.schema("__graft_l").dataType).as("__graft_l"),
       payloadStruct.as("__graft_r"))

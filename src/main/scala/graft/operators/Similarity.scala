@@ -129,17 +129,27 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(spark)
-    // without this, DisableUnnecessaryBucketedScan demotes the scan (no
-    // join wants the distribution) and bucket PRUNING is forfeited with it —
-    // pruning is the entire point of the bucketed index
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val qsig = HyperplaneSig.signatureOf(queryVec, planes)
     val sigs = (qsig +: (0 until math.min(probes, planes)).map(j => qsig ^ (1L << j))).distinct
-    spark.table(indexTable)
+    val df = spark.table(indexTable)
       .filter(col("sig").isin(sigs: _*))
       .select(col(idCol),
         GraftFunctions.cosine_sim(col(vecCol), typedLit(queryVec.toSeq)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+    // DisableUnnecessaryBucketedScan would demote the scan (no join wants
+    // the distribution) and forfeit bucket PRUNING — the entire point of
+    // the bucketed index. Scope the override to THIS plan: force planning
+    // under the conf, then restore, so the session's other workloads keep
+    // the optimizer default.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try df.queryExecution.executedPlan
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    df
   }
 }

@@ -28,8 +28,17 @@ final class TenantManager(spark: SparkSession) {
     * caches per-tenant connections (`main.py:95-112`). A cached clone's
     * currentDatabase is set once at creation and never mutated afterward,
     * so concurrent requests can share it safely. */
-  private val sessions =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), SparkSession]()
+  private val maxSessions = 64
+  // access-ordered LRU, bounded: the database half of the key is
+  // client-controlled, so an unbounded map is an unauthenticated
+  // memory-growth vector. An evicted session is simply re-cloned on the
+  // next request (its database persists in the shared catalog).
+  private val sessions = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), SparkSession](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), SparkSession]): Boolean =
+        size() > maxSessions
+    })
 
   /** Session for a request. Anonymous requests share the base session (the
     * reference shares one `:memory:` connection for them, `main.py:77,93` —
@@ -48,7 +57,9 @@ final class TenantManager(spark: SparkSession) {
     val db = tenantDatabase(auth)
     if (db == "default" && database.isEmpty) return spark
     val clean = database.map(_.replaceAll("[^\\w]", "")).getOrElse("")
-    sessions.computeIfAbsent((db, clean), { _ =>
+    sessions.synchronized {
+      val cached = sessions.get((db, clean))
+      if (cached != null) return cached
       val s = spark.newSession()
       if (db == "default")
         spark.conf.getOption("graft.registered.dir")
@@ -61,8 +72,12 @@ final class TenantManager(spark: SparkSession) {
         s.sql(s"CREATE DATABASE IF NOT EXISTS `$clean`")
         s.catalog.setCurrentDatabase(clean)
       }
+      // the CREATEs above bypass Engine.sql — invalidate the cached
+      // information_schema snapshot or catalog listings stay stale forever
+      graft.engine.Engine.bumpCatalogVersion()
+      sessions.put((db, clean), s)
       s
-    })
+    }
   }
 
   /** Parse `Authorization: Basic ...` / `Bearer user:pass` headers

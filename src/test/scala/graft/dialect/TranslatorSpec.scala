@@ -171,6 +171,17 @@ class TranslatorSpec extends AnyFunSuite {
     assert(s.contains("split(csv,"))
   }
 
+  test("a table aliased 'asof' does not crash the asof machinery") {
+    assert(Translator.asofMergeSpec("SELECT x FROM trades asof").isEmpty)
+    assert(t("SELECT x FROM trades asof") == "SELECT x FROM trades asof")
+    assert(Translator.asofMergeSpec("SELECT x FROM trades ASOF LEFT").isEmpty)
+  }
+
+  test("UNION BY NAME with duplicate right-branch names passes through untouched") {
+    val s = t("SELECT a, b FROM t UNION ALL BY NAME SELECT 1 AS a, 2 AS a, 3 AS b")
+    assert(s.contains("BY NAME")) // left for the engine to reject, not silently altered
+  }
+
   test("UNION ALL BY NAME reorders the right branch to the left's name order") {
     val s = t("SELECT a, b FROM t UNION ALL BY NAME SELECT 4 AS b, 3 AS a")
     assert(s == "SELECT a, b FROM t UNION ALL SELECT 3 AS a, 4 AS b")

@@ -56,7 +56,8 @@ class ExpressionsSpec extends SparkTestBase {
       assert(rows(0).length == 2)
       assert(rows(0).toSet == rows(1).toSet)
       assert(rows(2).toSet.size == rows(2).length) // distinct
-      assert(rows(2).toSet.subsetOf(rows(2).toSet))
+      assert(rows(2).length == 3) // 4 windows, "abc" repeats → 3 distinct
+      assert(rows(2).toSet.intersect(rows(0).toSet).size == 1) // shares only "abc"
       assert(rows(3).length == 1)
       // jaccard of identical docs is 1 via these sets
       assert(rows(0).toSet.intersect(rows(1).toSet).size == rows(0).length)

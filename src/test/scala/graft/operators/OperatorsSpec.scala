@@ -139,6 +139,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(viaEngine.collect().toSeq == viaRange.collect().toSeq)
   }
 
+  test("merge-routed asof gives SQL join semantics for NULL keys and times") {
+    import spark.implicits._
+    Seq((Some(1L), Some(10L), "l1"), (None, Some(10L), "l2"), (Some(2L), None, "l3"))
+      .toDF("k", "t", "lv").createOrReplaceTempView("asof_nulls_l")
+    Seq((Some(1L), Some(5L), "r1"), (None, Some(1L), "r2"), (Some(2L), None, "r3"))
+      .toDF("k2", "t2", "rv").createOrReplaceTempView("asof_nulls_r")
+    val q = "SELECT l.lv, r.rv FROM asof_nulls_l l ASOF JOIN asof_nulls_r r " +
+      "ON r.k2 = l.k AND r.t2 <= l.t ORDER BY lv"
+    val merged = Engine.sql(spark, q)
+    assert(!merged.queryExecution.analyzed.toString.contains("__graft_asof_rn"))
+    val ranged = spark.sql(graft.dialect.Translator.sparkSql(q))
+    val m = merged.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(m == ranged.collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+    assert(m == Seq(("l1", "r1"))) // NULL key/time rows never match
+  }
+
   test("asof with a WHERE clause falls back to the range-join rewrite") {
     Engine.registerTables(spark, sfDir)
     val q = "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
