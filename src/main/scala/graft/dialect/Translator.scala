@@ -769,8 +769,15 @@ object Translator {
         val (lcO, rcO) = (splitClauses(leftToks), splitClauses(rightToks))
         if (lcO.isEmpty || rcO.isEmpty) return toks
         val (lc, rc) = (lcO.get, rcO.get)
-        val lEnd = if (lc.fromIdx >= 0) lc.fromIdx else leftToks.length
-        val rEnd = if (rc.fromIdx >= 0) rc.fromIdx else rightToks.length
+        // a FROM-less branch still ends its select list at the next clause
+        // (e.g. `… BY NAME SELECT 4 AS b, 3 AS a ORDER BY a`)
+        def selEnd(c: Clauses, len: Int): Int =
+          if (c.fromIdx >= 0) c.fromIdx
+          else Seq(c.whereIdx, c.groupIdx, c.havingIdx, c.windowIdx,
+            c.qualifyIdx, c.orderIdx, c.limitIdx, c.offsetIdx)
+            .filter(_ >= 0).minOption.getOrElse(len)
+        val lEnd = selEnd(lc, leftToks.length)
+        val rEnd = selEnd(rc, rightToks.length)
         val lNames = splitTopLevel(leftToks.slice(lc.selectIdx + 1, lEnd)).map(itemName)
         val rItems = splitTopLevel(rightToks.slice(rc.selectIdx + 1, rEnd))
         val rNames = rItems.map(itemName)

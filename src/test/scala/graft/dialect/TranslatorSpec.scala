@@ -187,6 +187,10 @@ class TranslatorSpec extends AnyFunSuite {
     assert(s == "SELECT a, b FROM t UNION ALL SELECT 3 AS a, 4 AS b")
     val d = t("SELECT a, b FROM t UNION BY NAME SELECT b, a FROM u ORDER BY a")
     assert(d.startsWith("SELECT a, b FROM t UNION SELECT a, b FROM u ORDER BY a"))
+    // FROM-less right branch with an ORDER BY tail (caught by live HTTP
+    // drive): the select list must stop at ORDER BY
+    val e = t("SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 40 AS b, 30 AS a ORDER BY a")
+    assert(e.startsWith("SELECT 1 AS a, 2 AS b UNION ALL SELECT 30 AS a, 40 AS b ORDER BY a"))
   }
 
   test("SEMI/ANTI JOIN become LEFT SEMI/ANTI") {
