@@ -78,6 +78,24 @@ object ArrowIO {
       }
     }.toSeq)
 
+  /** StructType → schema-only Arrow IPC stream (zero record batches) —
+    * the schema payload a FlightInfo carries (reference serves these from
+    * a full query execution, `main.py:822-828`; here the schema comes from
+    * the analyzed plan, no execution). */
+  def schemaIpc(schema: StructType): Array[Byte] = {
+    val allocator = new RootAllocator()
+    try {
+      val fields = schema.fields.map(toArrowField).toList
+      val root = VectorSchemaRoot.create(new ArrowSchema(fields.asJava), allocator)
+      val out = new ByteArrayOutputStream()
+      val writer = new ArrowStreamWriter(root, null, out)
+      writer.start()
+      writer.end()
+      root.close()
+      out.toByteArray
+    } finally allocator.close()
+  }
+
   /** DataFrame → Arrow IPC stream bytes, ≤1024-row batches, streamed from
     * `toLocalIterator` (bounded driver memory). */
   def toArrowStream(df: DataFrame): Array[Byte] = {

@@ -624,15 +624,31 @@ object Translator {
   /** Misc DuckDB-isms with 1:1 Spark spellings:
     *  - `USING SAMPLE 10%` / `USING SAMPLE 10 PERCENT` → `TABLESAMPLE (10 PERCENT)`
     *  - `SELECT * EXCLUDE (a, b)` → `* EXCEPT (a, b)`
-    *  - `SHOW ALL TABLES` → `SHOW TABLES`
+    *  - `SHOW DATABASES` / `SHOW [ALL] TABLES` → information_schema selects
     */
   private[dialect] def rewriteMisc(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
-    // SHOW ALL TABLES
-    val nw = sig(toks)
-    if (nw.length >= 3 && up(toks(nw(0))) == "SHOW" && up(toks(nw(1))) == "ALL" &&
-      up(toks(nw(2))) == "TABLES")
-      toks = toks.patch(nw(1), Nil, nw(2) - nw(1)) // drop "ALL "
+    // SHOW family → the catalog-flight shapes the reference declares for its
+    // canned list_flights entries (main.py:481-521): SHOW DATABASES →
+    // (catalog_name, schema_name, description), SHOW [ALL] TABLES →
+    // (table_name, schema_name, catalog_name, table_type). DuckDB's native
+    // SHOW output is narrower (one name column), but the reference's canned
+    // FlightInfo promises the wide shape for these very tickets — making the
+    // executed ticket actually return the declared schema is the
+    // self-consistent reading of that contract.
+    val nw0 = sig(toks)
+    if (nw0.nonEmpty && up(toks(nw0(0))) == "SHOW") {
+      nw0.drop(1).map(i => up(toks(i))).toList match {
+        case "DATABASES" :: scala.Nil =>
+          return lex("SELECT catalog_name, schema_name, 'Spark Schema' AS description " +
+            "FROM graft_infoschema_schemata ORDER BY schema_name")
+        case "TABLES" :: scala.Nil | "ALL" :: "TABLES" :: scala.Nil =>
+          return lex("SELECT table_name, table_schema AS schema_name, " +
+            "table_catalog AS catalog_name, table_type " +
+            "FROM graft_infoschema_tables ORDER BY table_name")
+        case _ =>
+      }
+    }
     // EXCLUDE after *
     toks = toks.zipWithIndex.map { case (t, i) =>
       t match {

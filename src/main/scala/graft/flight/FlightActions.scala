@@ -119,9 +119,11 @@ object FlightActions {
   // ---- S20: flight info for a command — schema WITHOUT execution ---------
 
   /** The reference executes the query twice to learn its schema
-    * (main.py:820-828); Spark's analyzed plan gives it for free. */
+    * (main.py:820-828); Spark's analyzed plan gives it for free. Routed
+    * through the engine so dialect rewrites that need registered helper
+    * views (SHOW → information_schema emulation) resolve too. */
   def commandSchema(spark: SparkSession, sql: String): org.apache.spark.sql.types.StructType =
-    spark.sql(graft.dialect.Translator.sparkSql(sql)).schema
+    graft.engine.Engine.sql(spark, sql).schema
 
   /** FlightInfo app_metadata envelope (msgpack, main.py:375-399). */
   def flightInfoMetadata(catalog: String, schema: String, name: String,
@@ -138,22 +140,68 @@ object FlightActions {
 
   final case class FlightDesc(catalog: String, schema: String, table: String, ticketSql: String)
 
-  /** Table listing with the same `SELECT * FROM cat.sch.tbl` tickets the
-    * reference emits (main.py:950-964). */
+  /** The four canned catalog flights the reference serves when list_flights
+    * carries no catalog/schema filter (main.py:496-521,970-982): a path
+    * descriptor named by command, a plain-SQL ticket, catalog/schema pinned
+    * to main/public in the metadata envelope. The tickets run through the
+    * dialect layer, whose SHOW rewrites return exactly the wide
+    * catalog/table shapes the reference declares for these flights. */
+  val cannedFlights: Seq[FlightDesc] = Seq(
+    FlightDesc("main", "public", "show_databases", "SHOW DATABASES"),
+    FlightDesc("main", "public", "show_tables", "SHOW TABLES"),
+    FlightDesc("main", "public", "show_version", "SELECT version()"),
+    FlightDesc("main", "public", "list_schemas", "SHOW ALL TABLES"))
+
+  /** list_flights. Both filters present → table listing with the same
+    * `SELECT * FROM cat.sch.tbl` tickets the reference emits
+    * (main.py:886-964); otherwise the reference's no-filter branch: the
+    * four canned catalog flights (main.py:970-982). */
   def listFlights(spark: SparkSession, catalogFilter: Option[String],
       schemaFilter: Option[String]): Seq[FlightDesc] = {
+    if (catalogFilter.isEmpty || schemaFilter.isEmpty) return cannedFlights
     // same cached snapshot as listSchemas — no per-call catalog re-collect.
     // Temp views carry an empty namespace: they are visible from every
     // schema (so a schema filter keeps them) and their ticket must be
     // unqualified — `SELECT * FROM .name` is not a query.
     graft.engine.Engine.infoSnapshot(spark).tables
       .filter { case (_, schema, _, _) =>
-        schema.isEmpty || schemaFilter.forall(_ == schema) }
+        schema.isEmpty || schemaFilter.contains(schema) }
       .map { case (_, schema, name, _) =>
         val ref = if (schema.isEmpty) name else s"$schema.$name"
         FlightDesc(catalogFilter.getOrElse("spark_catalog"), schema, name,
           s"SELECT * FROM $ref")
       }
+  }
+
+  /** Path-descriptor FlightInfo (main.py:834-851): the path's head names a
+    * canned flight; the reply carries that flight's ticket and the
+    * ticket-result schema (from the analyzed plan — the reference executes
+    * the whole query to learn it). None for unknown paths (the reference
+    * raises FlightUnavailableError). */
+  def pathFlightInfo(spark: SparkSession,
+      pathHead: String): Option[(org.apache.spark.sql.types.StructType, String)] =
+    cannedFlights.find(_.table == pathHead)
+      .map(cf => (commandSchema(spark, cf.ticketSql), cf.ticketSql))
+
+  /** The flight listing as one msgpack+zstd envelope — the HTTP shim's
+    * stand-in for the FlightInfo stream gRPC would carry. Per flight:
+    * path descriptor, ticket, schema-only Arrow IPC, and the Airport
+    * app_metadata envelope ([[flightInfoMetadata]], main.py:375-399), with
+    * the reference's unknown-count sentinels (total_records/bytes = -1). */
+  def listFlightsEnvelope(spark: SparkSession, catalogFilter: Option[String],
+      schemaFilter: Option[String]): Array[Byte] = {
+    val entries = listFlights(spark, catalogFilter, schemaFilter).map { fd =>
+      val ipc = ArrowIO.schemaIpc(commandSchema(spark, fd.ticketSql))
+      obj(
+        "descriptor" -> Arr(Seq(Str(fd.table))),
+        "ticket" -> Str(fd.ticketSql),
+        "schema" -> Bin(ipc),
+        "app_metadata" -> Bin(
+          flightInfoMetadata(fd.catalog, fd.schema, fd.table, "", ipc)),
+        "total_records" -> Num(-1L),
+        "total_bytes" -> Num(-1L))
+    }
+    compressEnvelope(pack(Arr(entries)))
   }
 
   // ---- S15/S16: Arrow ingest (do_put / do_exchange insert) ---------------

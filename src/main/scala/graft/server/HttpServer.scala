@@ -93,7 +93,13 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
     *  - `POST /flight/do_exchange?table=t` — per-batch insert loop, same
     *    response table
     *  - `GET /flight/info?query=…` — result schema WITHOUT execution, as
-    *    a schema-only Arrow IPC stream
+    *    a schema-only Arrow IPC stream; `?path=<command>` — path-mode
+    *    FlightInfo for the canned catalog flights (ticket echoed in the
+    *    `X-Flight-Ticket` header)
+    *  - `GET /flight/list_flights` — msgpack+zstd envelope of FlightInfo
+    *    entries; no filter → the 4 canned catalog flights, the reference's
+    *    `airport-list-flights-filter-catalog/-schema` headers (or
+    *    `catalog`/`schema` params) → table listing
     *  - `GET /flight/list_schemas?catalog=…` — msgpack+zstd Airport
     *    envelope
     */
@@ -125,12 +131,36 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
             respond(ex, 200, resp, arrowType)
         }
       case "/flight/info" =>
+        // path mode first (reference main.py:834-851): ?path=show_databases
+        // names a canned flight — reply is its schema-only IPC stream, the
+        // ticket SQL echoed in a header so the client can do_get it
+        params.get("path") match {
+          case Some(p) =>
+            FlightActions.pathFlightInfo(session, p) match {
+              case Some((schema, ticket)) =>
+                ex.getResponseHeaders.set("X-Flight-Ticket", ticket)
+                respond(ex, 200, ArrowIO.schemaIpc(schema), arrowType)
+              case None =>
+                respond(ex, 404, s"no flight for path $p\n".getBytes, "text/plain")
+            }
+            return
+          case None =>
+        }
         val sql = params.getOrElse("query", new String(body, StandardCharsets.UTF_8))
         if (sql.trim.isEmpty) { respond(ex, 400, "no query\n".getBytes, "text/plain"); return }
         // schema without execution (S20): an empty-limit plan carries the
         // analyzed schema through the IPC stream header
         val df = graft.engine.Engine.sql(session, sql).limit(0)
         respond(ex, 200, ArrowIO.toArrowStream(df), arrowType)
+      case "/flight/list_flights" =>
+        // filters arrive as the reference's airport-* headers or as query
+        // params; both filters present → table listing, else canned flights
+        def filter(header: String, param: String): Option[String] =
+          Option(ex.getRequestHeaders.getFirst(header)).orElse(params.get(param))
+        respond(ex, 200, FlightActions.listFlightsEnvelope(session,
+          filter("airport-list-flights-filter-catalog", "catalog"),
+          filter("airport-list-flights-filter-schema", "schema")),
+          "application/octet-stream")
       case "/flight/list_schemas" =>
         respond(ex, 200,
           FlightActions.listSchemas(session, params.getOrElse("catalog", "spark_catalog")),

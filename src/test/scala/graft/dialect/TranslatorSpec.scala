@@ -233,11 +233,18 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT regexp_replace(s, 'a+', 'x')") == "SELECT regexp_replace(s, 'a+', 'x')")
   }
 
-  test("USING SAMPLE, EXCLUDE, SHOW ALL TABLES rewrites") {
+  test("USING SAMPLE, EXCLUDE, SHOW rewrites") {
     assert(t("SELECT * FROM t USING SAMPLE 10%") == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
     assert(t("SELECT * FROM t USING SAMPLE 100 ROWS") == "SELECT * FROM t TABLESAMPLE (100 ROWS)")
     assert(t("SELECT * EXCLUDE (a, b) FROM t") == "SELECT * EXCEPT (a, b) FROM t")
-    assert(t("SHOW ALL TABLES") == "SHOW TABLES")
+    // SHOW family → the wide canned-flight shapes (see rewriteMisc)
+    val tbls = t("SHOW ALL TABLES")
+    assert(tbls.startsWith("SELECT table_name, table_schema AS schema_name"))
+    assert(tbls.contains("graft_infoschema_tables"))
+    assert(t("SHOW TABLES") == tbls)
+    val dbs = t("SHOW DATABASES")
+    assert(dbs.startsWith("SELECT catalog_name, schema_name"))
+    assert(dbs.contains("graft_infoschema_schemata"))
   }
 
   test("date_diff / date_part / epoch mappings") {

@@ -335,6 +335,102 @@ class ProtocolSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("list_flights: canned no-filter flights, path-mode flight info, executable tickets") {
+    graft.engine.Engine.registerTables(spark, sfDir)
+    // no filter → exactly the reference's 4 canned flights (main.py:496-521)
+    val canned = FlightActions.listFlights(spark, None, None)
+    assert(canned.map(_.table) ==
+      Seq("show_databases", "show_tables", "show_version", "list_schemas"))
+    assert(canned.map(_.ticketSql) ==
+      Seq("SHOW DATABASES", "SHOW TABLES", "SELECT version()", "SHOW ALL TABLES"))
+    assert(canned.forall(f => f.catalog == "main" && f.schema == "public"))
+    // one filter only → still canned (reference requires BOTH for tables)
+    assert(FlightActions.listFlights(spark, Some("spark_catalog"), None)
+      .map(_.table) == canned.map(_.table))
+
+    // every canned ticket executes through the engine, and its result shape
+    // equals the declared wide catalog/table schema (the reference's canned
+    // schemas, main.py:481-494)
+    val dbs = graft.engine.Engine.sqlScript(spark, "SHOW DATABASES")
+    assert(dbs.columns.toSeq == Seq("catalog_name", "schema_name", "description"))
+    assert(dbs.collect().map(_.getString(1)).contains("default"))
+    val tbls = graft.engine.Engine.sqlScript(spark, "SHOW TABLES")
+    assert(tbls.columns.toSeq ==
+      Seq("table_name", "schema_name", "catalog_name", "table_type"))
+    assert(tbls.collect().map(_.getString(0)).contains("region"))
+    assert(graft.engine.Engine.sqlScript(spark, "SHOW ALL TABLES")
+      .columns.toSeq == tbls.columns.toSeq)
+    assert(graft.engine.Engine.sqlScript(spark, "SELECT version()")
+      .head.getString(0).nonEmpty)
+
+    // path-mode flight info (main.py:834-851): known command → schema +
+    // ticket; unknown → None
+    val (schema, ticket) = FlightActions.pathFlightInfo(spark, "show_databases").get
+    assert(ticket == "SHOW DATABASES")
+    assert(schema.fieldNames.toSeq == Seq("catalog_name", "schema_name", "description"))
+    assert(FlightActions.pathFlightInfo(spark, "no_such_flight").isEmpty)
+
+    // both filters present → table listing with SELECT * tickets
+    val filtered = FlightActions.listFlights(spark, Some("spark_catalog"), Some("default"))
+    assert(filtered.exists(f => f.table == "region" && f.ticketSql == "SELECT * FROM region"))
+
+    // envelope: msgpack+zstd array of {descriptor, ticket, schema, app_metadata}
+    val env = FlightActions.listFlightsEnvelope(spark, None, None)
+    val arr = Msgpack.unpack(FlightActions.decompressEnvelope(env)).asInstanceOf[Msgpack.Arr]
+    assert(arr.v.length == 4)
+    val first = arr.v.head.asInstanceOf[Msgpack.MapV].v
+      .collect { case (Msgpack.Str(k), x) => k -> x }.toMap
+    assert(first("descriptor") == Msgpack.Arr(Seq(Msgpack.Str("show_databases"))))
+    assert(first("ticket") == Msgpack.Str("SHOW DATABASES"))
+    assert(first("total_records") == Msgpack.Num(-1L))
+    // schema bytes are a valid schema-only Arrow IPC stream
+    val ipc = first("schema").asInstanceOf[Msgpack.Bin].v
+    assert(ArrowIO.fromArrowStream(spark, ipc).columns.toSeq ==
+      Seq("catalog_name", "schema_name", "description"))
+    // app_metadata is the Airport envelope with input_schema = same IPC
+    val meta = Msgpack.unpack(first("app_metadata").asInstanceOf[Msgpack.Bin].v)
+      .asInstanceOf[Msgpack.MapV].v.collect { case (Msgpack.Str(k), x) => k -> x }.toMap
+    assert(meta("type") == Msgpack.Str("table"))
+    assert(meta("catalog") == Msgpack.Str("main"))
+    assert(meta("schema") == Msgpack.Str("public"))
+    assert(meta("name") == Msgpack.Str("show_databases"))
+  }
+
+  test("flight-over-HTTP shim: list_flights endpoint + path-mode info") {
+    graft.engine.Engine.registerTables(spark, sfDir)
+    val srv = new HttpServer(spark, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(p: String, headers: Seq[(String, String)] = Seq.empty): HttpResponse[Array[Byte]] = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$p"))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      }
+      // no filter → canned flights
+      val r = get("/flight/list_flights")
+      assert(r.statusCode() == 200)
+      val arr = Msgpack.unpack(FlightActions.decompressEnvelope(r.body()))
+        .asInstanceOf[Msgpack.Arr]
+      assert(arr.v.length == 4)
+      // reference's airport filter headers → table listing
+      val rf = get("/flight/list_flights", Seq(
+        "airport-list-flights-filter-catalog" -> "spark_catalog",
+        "airport-list-flights-filter-schema" -> "default"))
+      val tickets = Msgpack.unpack(FlightActions.decompressEnvelope(rf.body()))
+        .asInstanceOf[Msgpack.Arr].v.map(_.asInstanceOf[Msgpack.MapV].v
+          .collect { case (Msgpack.Str("ticket"), Msgpack.Str(t)) => t }).flatten
+      assert(tickets.contains("SELECT * FROM region"))
+      // path-mode info: schema IPC + ticket header; unknown path → 404
+      val info = get("/flight/info?path=show_tables")
+      assert(info.statusCode() == 200)
+      assert(info.headers().firstValue("X-Flight-Ticket").orElse("") == "SHOW TABLES")
+      assert(ArrowIO.fromArrowStream(spark, info.body()).columns.toSeq ==
+        Seq("table_name", "schema_name", "catalog_name", "table_type"))
+      assert(get("/flight/info?path=nope").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("GET /play serves the built-in console; unknown paths fall back to it") {
     val srv = new HttpServer(spark, 0)
     val port = srv.start()
