@@ -160,21 +160,65 @@ object Dedup {
         round(lit(10000.0) * inter / (col("n1") + col("n2") - inter)).cast("bigint").as("jac_bp"))
   }
 
-  /** Embedding near-dup pairs: LSH-bucketed cosine (see
-    * [[Similarity.hyperplaneSignature]]) + exact cosine verify. */
+  /** Embedding near-dup pairs: banded random-hyperplane LSH + exact cosine
+    * verify.
+    *
+    * One 64-bit signature of `bands × planesPerBand` hyperplane bits per
+    * vector, sliced into `bands` bucket keys (same banding trick as
+    * [[simhashPairs]]) — a pair is a candidate if it collides in ANY band.
+    * Banding is what reconciles recall with bounded work: per-band bucket
+    * population shrinks as 2^planesPerBand (candidate pairs stay
+    * ≈ bands × n × bucketSize/2 — linear in n for a fixed bucket target),
+    * while multi-band OR keeps recall high for true near-dups
+    * (1 − (1 − s^p)^bands with s the per-plane collision probability; for
+    * duplicate-grade pairs, cosine ≥ 0.99, s ≈ 0.95 and recall stays
+    * ≥ 0.95 — asserted on clustered fixtures in OperatorsSpec). A single
+    * wide signature (the previous shape) loses recall exponentially in
+    * `planes`, and a single narrow one goes quadratic — size
+    * `planesPerBand` with [[Similarity.planesFor]] against the per-band
+    * bucket target.
+    *
+    * Shuffle shape mirrors [[minhashPairs]]: the exploded ×bands join
+    * carries ids only; vectors join back onto deduped candidate pairs for
+    * the exact verify. */
   def embeddingPairs(
       emb: DataFrame,
       minCosine: Double = 0.95,
-      planes: Int = 12,
+      planesPerBand: Int = 12,
+      bands: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    require(planesPerBand >= 1 && bands >= 1 && planesPerBand * bands <= 64,
+      "need 1 <= planesPerBand * bands <= 64")
     GraftFunctions.register(emb.sparkSession)
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneSignature(col(vecCol), planes).as("bucket"))
-    sig.as("x").join(sig.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2"),
-        GraftFunctions.cosine_sim(col("x.v"), col("y.v")).as("cosine"))
+    val totalPlanes = planesPerBand * bands
+    val mask = if (planesPerBand == 64) -1L else (1L << planesPerBand) - 1
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneSignature(col(vecCol), totalPlanes).as("sig"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("sig"), b * planesPerBand).bitwiseAND(lit(mask)).as("bits"))
+    }
+    // ids-only banded frame; localCheckpoint so the self-join doesn't
+    // recompute the signature pass on both sides
+    val banded = base.select(col("id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("id"), col("band.b").as("band_id"), col("band.bits").as("band_bits"))
+      .localCheckpoint()
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"))
+      // dedup BEFORE the vector join: multi-band collisions (true dup
+      // clusters collide in every band) would otherwise multiply the
+      // expensive cosine work; the pair dedup shuffles ids only
+      .dropDuplicates("d1", "d2")
+    val vecs = base.select(col("id"), col("v"))
+    cand
+      .join(vecs.select(col("id").as("d1"), col("v").as("v1")), "d1")
+      .join(vecs.select(col("id").as("d2"), col("v").as("v2")), "d2")
+      .select(col("d1"), col("d2"),
+        GraftFunctions.cosine_sim(col("v1"), col("v2")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -38,10 +38,16 @@ object PipelineQueries {
         .orderBy("d1", "d2")),
     // fixture embeddings are near-random (max pairwise cosine ~0.5): the
     // 0.95 near-dup default correctly finds nothing, so the demo entry uses
-    // a low threshold + wide buckets to exercise the bucket-join path
-    "p05_dedup_embedding" -> q((s, _) =>
-      Dedup.embeddingPairs(s.table("embeddings"), minCosine = 0.3, planes = 4)
-        .orderBy("d1", "d2")),
+    // a low threshold to exercise the banded bucket-join path. Band width
+    // comes from planesFor against the corpus size — per-band buckets stay
+    // ~32 vectors as data grows, so candidate work is linear in n (the
+    // round-2 verdict's pinned planes=4 was quadratic-ish at sf1)
+    "p05_dedup_embedding" -> q((s, _) => {
+      val emb = s.table("embeddings")
+      val p = Similarity.planesFor(math.max(1, emb.count()), targetBucketSize = 32)
+      Dedup.embeddingPairs(emb, minCosine = 0.3,
+        planesPerBand = math.min(p, 16), bands = 4).orderBy("d1", "d2")
+    }),
     // ---- similarity search ----
     "p06_sim_dot_topk" -> q((s, _) => {
       val emb = s.table("embeddings")
@@ -169,9 +175,17 @@ object PipelineQueries {
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp FROM documents ORDER BY doc_id",
     "p14_multimodal_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS nbytes FROM documents ORDER BY doc_id",
+    // the projected p15 columns (nbytes + content hash) are deterministic —
+    // the codec STUB only feeds the dropped features column, so the
+    // multimodal plumbing's Spark-side output is fully oracle-checkable
+    "p15_multimodal_features" ->
+      "SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS content_hash FROM documents ORDER BY id",
     "p16_asof_merge" ->
       "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts ORDER BY e.event_id LIMIT 100",
-    // p03/p04/p05/p08/p09/p15: hash-seeded or engine-specific output — no
-    // cross-engine oracle exists; covered by ScalaTest + rows-only check.
+    // p03/p04/p05/p08/p09: hash-seeded or FP-order-sensitive output — no
+    // cross-engine oracle exists. Self-verified instead (OperatorsSpec):
+    // p03/p04 recall = 1.0 vs the exact near-dup ground truth, p05 recall
+    // vs brute-force pairs on clustered fixtures, p08 ids ≡ p07's
+    // oracle-checked ids, p09 indexed-ANN recall ≥ 0.9 vs brute force.
   )
 }

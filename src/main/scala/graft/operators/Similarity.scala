@@ -131,25 +131,38 @@ object Similarity {
     GraftFunctions.register(spark)
     val qsig = HyperplaneSig.signatureOf(queryVec, planes)
     val sigs = (qsig +: (0 until math.min(probes, planes)).map(j => qsig ^ (1L << j))).distinct
-    val df = spark.table(indexTable)
+    // DisableUnnecessaryBucketedScan would demote the scan (no join wants
+    // the distribution) and forfeit bucket PRUNING — the entire point of
+    // the bucketed index. The conf must differ from the session default,
+    // but flipping it on the shared session is a race: another thread
+    // planning during the set→restore window silently loses its
+    // auto-bucketed-scan demotion. Index scans therefore plan on a cached
+    // per-base-session CLONE (shared catalog and executor pools, its own
+    // SQLConf) that pins the conf off permanently.
+    val s2 = indexScanSession(spark)
+    GraftFunctions.register(s2)
+    s2.table(indexTable)
       .filter(col("sig").isin(sigs: _*))
       .select(col(idCol),
         GraftFunctions.cosine_sim(col(vecCol), typedLit(queryVec.toSeq)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
-    // DisableUnnecessaryBucketedScan would demote the scan (no join wants
-    // the distribution) and forfeit bucket PRUNING — the entire point of
-    // the bucketed index. Scope the override to THIS plan: force planning
-    // under the conf, then restore, so the session's other workloads keep
-    // the optimizer default.
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try df.queryExecution.executedPlan
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-    df
   }
+
+  // one scan-tuned clone per base session; WeakHashMap so a retired base
+  // session doesn't pin its clone
+  private val scanSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private def indexScanSession(spark: SparkSession): SparkSession =
+    scanSessions.synchronized {
+      val cached = scanSessions.get(spark)
+      if (cached != null) cached
+      else {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        scanSessions.put(spark, s)
+        s
+      }
+    }
 }

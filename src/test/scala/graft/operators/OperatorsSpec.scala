@@ -45,6 +45,79 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.nonEmpty, "no simhash near-dup pairs found in fixture")
   }
 
+  // ---- self-verification for the no-oracle rows (round-2 verdict #2):
+  // ground truth comes from exact, oracle-grade computations on the same
+  // fixture; the hash-seeded operators must reproduce it.
+
+  test("simhash banding is lossless vs brute-force hamming; near-dup recall holds") {
+    Engine.registerTables(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.table("documents")
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val base = docs.select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions.token_window_hashes(toks, 3)).as("sh"),
+        graft.functions.GraftFunctions.simhash64(toks).as("sim"))
+      .withColumn("n", size(col("sh")))
+    val a = base.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("n").as("n1"), col("sim").as("s1"))
+    val b = base.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("n").as("n2"), col("sim").as("s2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val pairs = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("jac", inter / (col("n1") + col("n2") - inter))
+      .withColumn("ham", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .select("d1", "d2", "jac", "ham").collect()
+    // structural proof: the banded equi-join candidate generation loses
+    // NOTHING against the operator's own contract — its output equals the
+    // brute-force all-pairs hamming <= 3 set exactly (pigeonhole: <= 3 flips
+    // cannot touch all 4 bands)
+    val exactHam = pairs.filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactHam.nonEmpty, "fixture has no hamming<=3 pairs to verify against")
+    assert(sh == exactHam, s"banding lost ${exactHam.diff(sh).size}, invented ${sh.diff(exactHam).size}")
+    // semantic floor: most duplicate-grade pairs (exact 3-gram jaccard
+    // >= 0.97) land within hamming 3 — simhash's probabilistic contract
+    // (not 1.0: a 0.976-jaccard pair can legitimately hash to hamming 7)
+    val dupGrade = pairs.filter(_.getDouble(2) >= 0.97).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupGrade.nonEmpty, "fixture has no duplicate-grade pairs")
+    val recall = dupGrade.intersect(sh).size.toDouble / dupGrade.size
+    assert(recall >= 0.8, s"simhash recall $recall below 0.8 on jaccard>=0.97 pairs")
+  }
+
+  test("banded embedding LSH: recall >= 0.95 and precision 1.0 on duplicate-grade vectors") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val bases = Array.fill(100)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    // 100 groups of 3 noisy copies — the exact near-dup pair set is known
+    val vecs = (0 until 300).map { i =>
+      val c = bases(i % 100)
+      (i.toLong, c.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val e1 = emb.select(col("vec_id").as("d1"), col("embedding").as("v1"))
+    val e2 = emb.select(col("vec_id").as("d2"), col("embedding").as("v2"))
+    val exact = e1.crossJoin(e2).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        graft.functions.GraftFunctions.cosine_sim(col("v1"), col("v2")).as("c"))
+      .filter(col("c") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 100, s"expected >= 100 true near-dup pairs, got ${exact.size}")
+    val got = Dedup.embeddingPairs(emb, minCosine = 0.99, planesPerBand = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.95, s"banded LSH recall $recall below 0.95")
+    // precision is 1.0 by construction: candidates are exact-verified
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact)}")
+  }
+
+  test("p08 brute-force cosine ids match p07's oracle-checked ids") {
+    val p7 = SparkEntry.queries("p07_sim_cos_micro_topk")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val p8 = SparkEntry.queries("p08_sim_cosine_brute")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(p8 == p7, s"p8-only=${p8.diff(p7)} p7-only=${p7.diff(p8)}")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     Engine.registerTables(spark, sfDir)
     val docs = spark.table("documents")
@@ -109,13 +182,53 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     val got = ann.collect().map(_.getLong(0)).toSet
     val recall = brute.intersect(got).size.toDouble / brute.size
-    assert(recall >= 0.8, s"indexed ANN recall $recall below 0.8 on clustered data")
+    assert(recall >= 0.9, s"indexed ANN recall $recall below 0.9 on clustered data")
     // scale posture: the query plan must not recompute signatures over the
     // corpus (they are a stored column) and must prune to candidate buckets
     val plan = ann.queryExecution.executedPlan.toString
     assert(!plan.contains("hyperplane_sig"), "per-query signature recompute in plan")
     assert(plan.contains("SelectedBucketsCount"), s"no bucket pruning in plan:\n$plan")
     spark.sql("DROP TABLE graft_ann_spec_idx")
+  }
+
+  test("indexed ANN plans on a pinned clone; base-session conf untouched under concurrency") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    spark.sql("DROP TABLE IF EXISTS graft_ann_race_idx")
+    val loc = new java.io.File("spark-warehouse/graft_ann_race_idx")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    Similarity.buildAnnIndex(emb, "graft_ann_race_idx", planes = 4, numBuckets = 4)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val default = spark.conf.get(key)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            val df = Similarity.annTopKIndexed(spark, "graft_ann_race_idx",
+              vecs(i)._2, 5, planes = 4, probes = 2)
+            df.collect()
+            // the round-2 shape flipped this on the shared session around
+            // planning — any concurrent observer could see "false" here
+            assert(spark.conf.get(key) == default, "base session conf mutated")
+            df.queryExecution.executedPlan.toString
+          }
+        })
+      }
+      futures.foreach { f =>
+        val plan = f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        assert(plan.contains("SelectedBucketsCount"), s"no bucket pruning:\n$plan")
+      }
+    } finally pool.shutdown()
+    assert(spark.conf.get(key) == default)
+    spark.sql("DROP TABLE graft_ann_race_idx")
   }
 
   test("ASOF JOIN SQL routes to the merge operator and matches the range-join rewrite") {
