@@ -142,22 +142,78 @@ object Dedup {
 
   /** Exact n-gram Jaccard over prefix-bucketed candidates (deterministic —
     * oracle-checkable; the LSH variants above are the scale path for when no
-    * cheap bucket key exists). */
-  def ngramJaccardPairs(docs: DataFrame, prefixLen: Int = 40): DataFrame = {
+    * cheap bucket key exists).
+    *
+    * Skew guard (round-2 verdict #3): a prefix bucket holds every doc
+    * sharing its first `prefixLen` chars — on real corpora (license
+    * headers, templated pages) one bucket can hold millions of docs, and
+    * the all-pairs equi-join inside it goes quadratic. Buckets over
+    * `bucketCap` therefore switch from exhaustive enumeration to minhash
+    * banding over the same token sets: candidates are band collisions
+    * (bounded per doc), exact-verified with the same token Jaccard, and
+    * only pairs at `overflowMinJaccard`+ survive. Semantics degrade
+    * explicitly — an oversized bucket reports near-dup pairs, not all
+    * pairs — because the all-pairs answer is itself quadratic in size
+    * there. (If the bucket is millions of IDENTICAL docs, the pair OUTPUT
+    * is inherently quadratic whatever the algorithm — that corpus wants
+    * [[exactGroups]], not pairwise output.) Buckets under the cap are
+    * byte-identical to the unguarded operator, so the fixture oracle
+    * (q57/p02) is unaffected. */
+  def ngramJaccardPairs(docs: DataFrame, prefixLen: Int = 40,
+      bucketCap: Int = 1000, overflowMinJaccard: Double = 0.5): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     // tokenize each doc ONCE (per-pair tokenization goes quadratic on
     // duplicate clusters — same fix as minhashPairs' verify step); union
-    // size via |A∪B| = |A|+|B|−|A∩B|, value-identical to the two-sided form
+    // size via |A∪B| = |A|+|B|−|A∩B|, value-identical to the two-sided form.
+    // The window count shuffles on pfx — the same partitioning the pair
+    // join needs anyway — and localCheckpoint materializes it once.
     val base = docs.select(col("doc_id"),
         substring(col("text"), 1, prefixLen).as("pfx"),
         array_distinct(split(col("text"), " ")).as("tk"))
       .withColumn("ntk", size(col("tk")))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("pfx")))
       .localCheckpoint()
-    val a = base.select(col("doc_id").as("d1"), col("pfx"), col("tk").as("tk1"), col("ntk").as("n1"))
-    val b = base.select(col("doc_id").as("d2"), col("pfx"), col("tk").as("tk2"), col("ntk").as("n2"))
     val inter = size(array_intersect(col("tk1"), col("tk2"))).cast("double")
-    a.join(b, Seq("pfx")).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        round(lit(10000.0) * inter / (col("n1") + col("n2") - inter)).cast("bigint").as("jac_bp"))
+    val jacBp = round(lit(10000.0) * inter / (col("n1") + col("n2") - inter))
+      .cast("bigint").as("jac_bp")
+
+    val small = base.filter(col("__bn") <= bucketCap)
+    val a = small.select(col("doc_id").as("d1"), col("pfx"), col("tk").as("tk1"), col("ntk").as("n1"))
+    val b = small.select(col("doc_id").as("d2"), col("pfx"), col("tk").as("tk2"), col("ntk").as("n2"))
+    val smallPairs = a.join(b, Seq("pfx")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), jacBp)
+
+    // overflow route: minhash banding over the SAME distinct-token sets the
+    // Jaccard uses (64 hashes, 16 bands of 4 → LSH threshold ≈ 0.5);
+    // candidate pairs stay within their prefix bucket. Ids-only band join,
+    // token arrays join back for the exact verify.
+    val big = base.filter(col("__bn") > bucketCap)
+    val numHashes = 64
+    val bands = 16
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("b"),
+        xxhash64(slice(col("sig"), lit(bi * rowsPerBand + 1), lit(rowsPerBand))).as("h"))
+    }
+    val banded = big.select(col("doc_id").as("id"), col("pfx"),
+        GraftFunctions.minhash_sig(col("tk"), numHashes).as("sig"))
+      .withColumn("band", explode(array(bandStructs: _*)))
+      .select(col("id"), col("pfx"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.pfx") === col("y.pfx") &&
+          col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val toks = base.select(col("doc_id"), col("tk"), col("ntk"))
+    val bigPairs = cand
+      .join(toks.select(col("doc_id").as("d1"), col("tk").as("tk1"), col("ntk").as("n1")), "d1")
+      .join(toks.select(col("doc_id").as("d2"), col("tk").as("tk2"), col("ntk").as("n2")), "d2")
+      .select(col("d1"), col("d2"), jacBp)
+      .filter(col("jac_bp") >= math.round(overflowMinJaccard * 10000))
+
+    smallPairs.unionByName(bigPairs)
   }
 
   /** Embedding near-dup pairs: banded random-hyperplane LSH + exact cosine

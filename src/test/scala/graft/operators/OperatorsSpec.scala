@@ -110,6 +110,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.subsetOf(exact), s"false positives: ${got.diff(exact)}")
   }
 
+  test("prefix-dedup skew guard: oversized buckets route through minhash banding") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pfx = "shared boilerplate license header text ok " // > 40 chars
+    def randWords(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
+    // 1200 docs share one 40-char prefix with random bodies (the skew
+    // bucket), + 5 true near-dup pairs inside it, + 60 docs in small
+    // distinct-prefix buckets (the exact path)
+    val skew = (0 until 1200).map(i => (i.toLong, pfx + randWords(30)))
+    val dups = (0 until 5).flatMap { g =>
+      val body = randWords(30)
+      Seq((2000L + 2 * g, pfx + body), (2001L + 2 * g, pfx + body + " tail" + g))
+    }
+    val small = (0 until 60).map(i => (3000L + i, s"unique prefix number $i padded to forty chars " + randWords(20)))
+    val docs = (skew ++ dups ++ small).toDF("doc_id", "text")
+
+    val guarded = Dedup.ngramJaccardPairs(docs, bucketCap = 100)
+    val got = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bounded: the unguarded equi-join would enumerate ~730k pairs inside
+    // the skew bucket; the guard reports only verified near-dups there
+    assert(got.size < 1000, s"skew bucket exploded: ${got.size} pairs")
+    // every planted near-dup pair survives the overflow route
+    val planted = (0 until 5).map(g => (2000L + 2 * g, 2001L + 2 * g)).toSet
+    assert(planted.subsetOf(got), s"guard lost planted dups: ${planted.diff(got)}")
+    // small buckets keep exhaustive all-pairs semantics (any jaccard)
+    val smallIds = small.map(_._1).toSet
+    val smallPairs = got.filter(p => smallIds.contains(p._1))
+    assert(smallPairs.isEmpty || smallPairs.forall(p => smallIds.contains(p._2)))
+    // and the guarded operator equals the unguarded one when no bucket
+    // exceeds the cap (the q57/p02 oracle fixture regime)
+    val smallDocs = (dups ++ small).toDF("doc_id", "text")
+    val unguarded = Dedup.ngramJaccardPairs(smallDocs, bucketCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(smallDocs, bucketCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == unguarded)
+  }
+
   test("p08 brute-force cosine ids match p07's oracle-checked ids") {
     val p7 = SparkEntry.queries("p07_sim_cos_micro_topk")(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
