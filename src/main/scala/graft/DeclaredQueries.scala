@@ -142,6 +142,41 @@ object DeclaredQueries {
       "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND substr(a.text, 1, 40) = substr(b.text, 1, 40) ORDER BY d1, d2",
     "q58_embeddings_scan" ->
       "SELECT vec_id, label FROM embeddings WHERE label = 3 ORDER BY vec_id LIMIT 50",
+    // ---- ASOF variants (round-2 verdict #7): strict, filtered, forward —
+    // all merge-routed (OperatorsSpec asserts no range-rewrite fallback)
+    "q59_asof_strict" ->
+      "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate < e.ts ORDER BY e.event_id LIMIT 100",
+    "q60_asof_where" ->
+      "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts WHERE e.event_id <= 500 AND o.o_orderdate >= DATE '1995-01-01' ORDER BY e.event_id LIMIT 100",
+    "q61_asof_forward" ->
+      "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts ORDER BY e.event_id LIMIT 100",
+    // ---- TPC-H-shape multi-join heavies (round-2 verdict #8): 3-6 table
+    // aggregate joins; money sums are integer cents (SURVEY §2.12 decimal
+    // discipline). Small dims broadcast; the lineitem-orders join is the
+    // only large shuffle. q64 follows TPC-H Q9's shape minus partsupp
+    // (fixture has no partsupp table, so no ps_supplycost term).
+    "q62_tpch_q3" ->
+      ("SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, o_orderdate, o_orderpriority " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < DATE '1997-03-15' AND l_shipdate > DATE '1997-03-15' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"),
+    "q63_tpch_q5" ->
+      ("SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM customer, orders, lineitem, supplier, nation, region " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+        "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue_cents DESC, n_name"),
+    "q64_tpch_q9" ->
+      ("SELECT nation, o_year, CAST(sum(amount_cents) AS BIGINT) AS profit_cents FROM (" +
+        "SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year, " +
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS amount_cents " +
+        "FROM part, supplier, lineitem, orders, nation " +
+        "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey " +
+        "AND s_nationkey = n_nationkey AND p_name LIKE '%red%'" +
+        ") profit GROUP BY nation, o_year ORDER BY nation, o_year DESC"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -955,18 +955,30 @@ object Translator {
   }
 
   /** Structured description of a merge-eligible ASOF statement — bare left
-    * and right tables, one equality + one non-strict inequality, simple
-    * qualified select items, tail of at most ORDER BY/LIMIT/OFFSET. The
-    * engine routes statements matching this shape onto the single-shuffle
-    * merge operator ([[graft.operators.AsOfJoin]]); everything else falls
-    * back to [[rewriteAsof]]'s range-join SQL. */
+    * and right tables, one equality + one inequality (strict or not, either
+    * direction), simple qualified select items, an optional WHERE whose
+    * conjuncts reference only qualified simple columns, tail of at most
+    * ORDER BY/LIMIT/OFFSET. The engine routes statements matching this
+    * shape onto the single-shuffle merge operator
+    * ([[graft.operators.AsOfJoin]]); everything else falls back to
+    * [[rewriteAsof]]'s range-join SQL.
+    *
+    * WHERE handling: conjuncts referencing only the LEFT alias are pushed
+    * onto the left input before the join (valid — an asof join keeps or
+    * drops left rows wholesale, so left-column filters commute); everything
+    * else (right/mixed/no-ref conjuncts) applies AFTER the join, exactly
+    * where SQL puts the WHERE. Right-side pre-filtering would be WRONG
+    * (dropping a right row changes which row is "latest"), which is why
+    * `postRightCols` ride along in the operator payload instead. */
   final case class AsofMergeSpec(
       leftTable: String, leftAlias: String,
       rightTable: String, rightAlias: String,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      direction: String, isLeftJoin: Boolean,
+      direction: String, strict: Boolean, isLeftJoin: Boolean,
       selects: Seq[(String, String, String)], // (alias, col, outName)
+      leftWhereSql: String, leftWhereCols: Seq[String],
+      postWhereSql: String, postLeftCols: Seq[String], postRightCols: Seq[String],
       tailSql: String)
 
   /** Parse a statement into [[AsofMergeSpec]] if it is merge-eligible. */
@@ -981,9 +993,9 @@ object Translator {
     }
     if (asofIdx < 0) return None
     val c = splitClauses(toks).getOrElse(return None)
-    // no CTE prefix, no WHERE/GROUP/HAVING/QUALIFY/WINDOW — tail only
+    // no CTE prefix, no GROUP/HAVING/QUALIFY/WINDOW (WHERE is handled)
     if (toks.take(c.selectIdx).exists(!isWs(_))) return None
-    if (c.whereIdx >= 0 || c.groupIdx >= 0 || c.havingIdx >= 0 ||
+    if (c.groupIdx >= 0 || c.havingIdx >= 0 ||
       c.qualifyIdx >= 0 || c.windowIdx >= 0) return None
 
     val leftToks = toks.slice(c.fromIdx + 1, asofIdx)
@@ -1005,7 +1017,12 @@ object Translator {
     val rightToks = toks.slice(j + 1, onIdx)
     val tailStart = Seq(c.orderIdx, c.limitIdx, c.offsetIdx).filter(_ > onIdx)
       .minOption.getOrElse(toks.length)
-    val condToks = toks.slice(onIdx + 1, tailStart)
+    val condEnd = if (c.whereIdx > onIdx) c.whereIdx else tailStart
+    val condToks = toks.slice(onIdx + 1, condEnd)
+    val whereToks = if (c.whereIdx > onIdx) {
+      val wIdx = nextNonWs(toks, c.whereIdx) // skip the WHERE keyword itself
+      toks.slice(wIdx, tailStart)
+    } else Vector.empty[Tok]
 
     // bare `table [AS] alias` refs only
     def tableAlias(ref: Vector[Tok]): Option[(String, String)] = {
@@ -1047,7 +1064,7 @@ object Translator {
     }
     if (conjs.length != 2) return None
     val eqOpt = conjs.flatMap(binary(_, Set("="))).headOption
-    val ineqOpt = conjs.flatMap(binary(_, Set("<=", ">="))).headOption
+    val ineqOpt = conjs.flatMap(binary(_, Set("<=", ">=", "<", ">"))).headOption
     val ((eqL, _, eqR), (inL, op0, inR)) = (eqOpt, ineqOpt) match {
       case (Some(e), Some(i)) => (e, i)
       case _ => return None
@@ -1059,13 +1076,15 @@ object Translator {
       case _ => return None
     }
     // normalize inequality to (right OP left)
+    val flip = Map("<=" -> ">=", ">=" -> "<=", "<" -> ">", ">" -> "<")
     val (rightTime, op, leftTime) = (inL, inR) match {
       case ((a1, c1), (a2, c2)) if a1.equalsIgnoreCase(ra) && a2.equalsIgnoreCase(la) => (c1, op0, c2)
       case ((a1, c1), (a2, c2)) if a1.equalsIgnoreCase(la) && a2.equalsIgnoreCase(ra) =>
-        (c2, if (op0 == "<=") ">=" else "<=", c1)
+        (c2, flip(op0), c1)
       case _ => return None
     }
-    val direction = if (op == "<=") "backward" else "forward"
+    val direction = if (op == "<=" || op == "<") "backward" else "forward"
+    val strict = op == "<" || op == ">"
 
     // select list: simple alias.col [AS out] items
     val selects = splitTopLevel(toks.slice(c.selectIdx + 1, c.fromIdx)).map { item =>
@@ -1080,9 +1099,8 @@ object Translator {
     if (!selects.forall { case (a, _, _) =>
       a.equalsIgnoreCase(la) || a.equalsIgnoreCase(ra) }) return None
 
-    // tail with alias qualifiers stripped (outer projection has no aliases)
-    val tailSql = {
-      val t = toks.slice(tailStart, toks.length)
+    // alias-qualifier stripper (operator output columns are unqualified)
+    def stripQuals(t: Vector[Tok]): String = {
       val out = ArrayBuffer[Tok]()
       var k = 0
       while (k < t.length) {
@@ -1095,8 +1113,79 @@ object Translator {
       }
       render(out.toVector).trim
     }
+
+    // WHERE analysis: conjuncts of qualified simple refs + literals only.
+    // Any bare identifier (unqualified column, function call) bails to the
+    // range rewrite — stripping quals there could silently re-bind names.
+    val whereKw = Set("AND", "OR", "NOT", "BETWEEN", "IN", "IS", "NULL", "LIKE",
+      "TRUE", "FALSE", "DATE", "TIMESTAMP", "INTERVAL")
+    def analyzeConj(conj: Vector[Tok]): Option[Seq[(String, String)]] = {
+      val refs = Seq.newBuilder[(String, String)]
+      var k = 0
+      while (k < conj.length) {
+        conj(k) match {
+          case id: Ident =>
+            val nn = nextNonWs(conj, k)
+            if (nn < conj.length && conj(nn) == Punct(".")) {
+              val cn = nextNonWs(conj, nn)
+              if (cn >= conj.length || !conj(cn).isInstanceOf[Ident]) return None
+              if (!id.text.equalsIgnoreCase(la) && !id.text.equalsIgnoreCase(ra)) return None
+              refs += ((id.text, conj(cn).text))
+              k = cn + 1
+            } else if (whereKw(id.upper)) k += 1
+            else return None
+          case _ => k += 1
+        }
+      }
+      Some(refs.result())
+    }
+    // a depth-0 OR makes AND-splitting precedence-unsafe — keep it whole
+    val hasTopOr = {
+      var dd = 0
+      whereToks.exists { t => dd += depthDelta(t); dd == 0 && up(t) == "OR" }
+    }
+    val whereConjs: Vector[Vector[Tok]] =
+      if (whereToks.isEmpty) Vector.empty
+      else if (hasTopOr) Vector(whereToks)
+      else {
+        val out = Vector.newBuilder[Vector[Tok]]
+        var cur = Vector.newBuilder[Tok]
+        var dd = 0
+        for (t <- whereToks) {
+          dd += depthDelta(t)
+          if (dd == 0 && up(t) == "AND") { out += cur.result(); cur = Vector.newBuilder[Tok] }
+          else cur += t
+        }
+        out += cur.result()
+        out.result()
+      }
+    val analyzed = whereConjs.map { cj =>
+      analyzeConj(cj) match {
+        case Some(r) => (cj, r)
+        case None => return None
+      }
+    }
+    // left-only conjuncts pre-filter the left input; the rest must run
+    // after the join (right-side pre-filtering would change which right
+    // row is "latest" — see the class doc)
+    val (leftConjs, postConjs) = analyzed.partition { case (_, refs) =>
+      refs.nonEmpty && refs.forall(_._1.equalsIgnoreCase(la)) }
+    def conjSql(cs: Vector[(Vector[Tok], Seq[(String, String)])]): String =
+      cs.map(c => "(" + stripQuals(c._1) + ")").mkString(" AND ")
+    val leftWhereSql = conjSql(leftConjs)
+    val postWhereSql = conjSql(postConjs)
+    val leftWhereCols = leftConjs.flatMap(_._2.map(_._2)).distinct
+    val postLeftCols = postConjs.flatMap(_._2.collect {
+      case (a, cc) if a.equalsIgnoreCase(la) => cc }).distinct
+    val postRightCols = postConjs.flatMap(_._2.collect {
+      case (a, cc) if a.equalsIgnoreCase(ra) => cc }).distinct
+
+    // tail with alias qualifiers stripped (outer projection has no aliases)
+    val tailSql = stripQuals(toks.slice(tailStart, toks.length))
     Some(AsofMergeSpec(lsrc, la, rsrc, ra, leftKey, rightKey, leftTime, rightTime,
-      direction, isLeftJoin, selects, tailSql))
+      direction, strict, isLeftJoin, selects,
+      leftWhereSql, leftWhereCols, postWhereSql, postLeftCols, postRightCols,
+      tailSql))
   }
 
   /** `L la ASOF [LEFT] JOIN R ra ON eq… AND ineq` → unique-left-row-id range

@@ -120,24 +120,33 @@ object Engine {
       try {
         val left = spark.table(sp.leftTable)
         val right = spark.table(sp.rightTable)
-        val rightPayload = sp.selects.collect {
+        val selectPayload = sp.selects.collect {
           case (a, c, _) if a.equalsIgnoreCase(sp.rightAlias) => c
         }.distinct
+        // right columns a post-join WHERE needs ride along in the payload;
+        // the outer projection drops them again
+        val rightPayload = (selectPayload ++ sp.postRightCols).distinct
         // operator output = all left cols + right payload: bail out on name
-        // collisions or key/time columns the tables don't actually have
-        val ok = rightPayload.nonEmpty &&
+        // collisions or key/time/filter columns the tables don't have
+        val ok = selectPayload.nonEmpty &&
           rightPayload.forall(right.columns.contains) &&
           rightPayload.forall(!left.columns.contains(_)) &&
           left.columns.contains(sp.leftKey) && left.columns.contains(sp.leftTime) &&
           right.columns.contains(sp.rightKey) && right.columns.contains(sp.rightTime) &&
           sp.selects.forall { case (a, c, _) =>
             !a.equalsIgnoreCase(sp.leftAlias) || left.columns.contains(c)
-          }
+          } &&
+          sp.leftWhereCols.forall(left.columns.contains) &&
+          sp.postLeftCols.forall(left.columns.contains)
         if (!ok) None
         else {
-          val joined = graft.operators.AsOfJoin.asof(left, right,
+          // left-only WHERE conjuncts push below the join: an asof join
+          // keeps/drops left rows wholesale, so the filter commutes — and
+          // here it reaches the scan instead of sitting above the window
+          val left0 = if (sp.leftWhereSql.nonEmpty) left.filter(sp.leftWhereSql) else left
+          val joined = graft.operators.AsOfJoin.asof(left0, right,
             sp.leftKey, sp.rightKey, sp.leftTime, sp.rightTime,
-            rightPayload, sp.direction, inner = !sp.isLeftJoin)
+            rightPayload, sp.direction, inner = !sp.isLeftJoin, strict = sp.strict)
           // md5 of the statement, not hashCode: 32-bit collisions between
           // different SQLs on a shared session would cross-bind projections
           val tv = "graft_asof_" + java.security.MessageDigest.getInstance("MD5")
@@ -146,9 +155,10 @@ object Engine {
           val proj = sp.selects.map { case (_, c, o) =>
             if (c == o) c else s"$c AS $o"
           }.mkString(", ")
+          val post = if (sp.postWhereSql.nonEmpty) s" WHERE ${sp.postWhereSql}" else ""
           // back through the dialect layer: null-order injection etc. apply
           // to the tail exactly as they would have on the original statement
-          Some(sql(spark, s"SELECT $proj FROM $tv ${sp.tailSql}".trim))
+          Some(sql(spark, s"SELECT $proj FROM $tv$post ${sp.tailSql}".trim))
         }
       } catch { case _: Throwable => None }
     }

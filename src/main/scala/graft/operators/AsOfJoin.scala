@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
   *
   * `direction`: "backward" matches the latest right time <= left time
   * (DuckDB default); "forward" matches the earliest right time >= left time.
+  * `strict` excludes equal times (the `<` / `>` ASOF forms).
   */
 object AsOfJoin {
 
@@ -35,7 +36,8 @@ object AsOfJoin {
       rightTime: String,
       rightPayload: Seq[String],
       direction: String = "backward",
-      inner: Boolean = true): DataFrame = {
+      inner: Boolean = true,
+      strict: Boolean = false): DataFrame = {
     require(direction == "backward" || direction == "forward", s"bad direction $direction")
 
     // SQL join semantics: a NULL key or time never matches. Without these
@@ -69,18 +71,15 @@ object AsOfJoin {
       payloadStruct.as("__graft_r"))
 
     // Equal timestamps must place the right row on the matchable side of the
-    // left row: before it for backward (<=), after it for forward (>=).
-    val (sorted, frame) = direction match {
-      case "backward" => (Seq(col("__graft_t").asc, col("__graft_side").asc),
-        Window.partitionBy("__graft_k")
-          .orderBy(col("__graft_t").asc, col("__graft_side").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      case _ => (Seq(col("__graft_t").desc, col("__graft_side").asc),
-        Window.partitionBy("__graft_k")
-          .orderBy(col("__graft_t").desc, col("__graft_side").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    }
-    val _ = sorted // ordering lives in the window spec
+    // left row: before it for non-strict (<= / >=, right rows at the same
+    // time ARE visible), after it for strict (< / >, they are not). side is
+    // 0 for right rows and 1 for left rows, so asc shows same-time right
+    // rows to the running last(); desc hides them.
+    val sideOrder = if (strict) col("__graft_side").desc else col("__graft_side").asc
+    val timeOrder = if (direction == "backward") col("__graft_t").asc else col("__graft_t").desc
+    val frame = Window.partitionBy("__graft_k")
+      .orderBy(timeOrder, sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lTagged.unionByName(rTagged)
       .withColumn("__graft_match", last("__graft_r", ignoreNulls = true).over(frame))

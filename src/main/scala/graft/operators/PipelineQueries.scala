@@ -117,6 +117,19 @@ object PipelineQueries {
         .select(col("id"), col("nBytes").as("n_bytes"), col("contentHash").as("content_hash"))
         .orderBy("id")
     }),
+    // ---- skew-aware aggregation (exercises Partitioning.saltedAgg) ----
+    // events.event_type is a hot low-cardinality key (a handful of values
+    // over the whole corpus) — exactly the shape where one reducer would
+    // take the entire hot group. The salted two-phase spreads each key over
+    // 32 reducers; sums/counts are algebraic, so the result is exact and
+    // oracle-checked.
+    "p17_salted_agg" -> q((s, _) =>
+      Partitioning.saltedAgg(s.table("events"), Seq("event_type"), saltBuckets = 32)(
+        partial = Seq(count(lit(1)).as("pn"),
+          sum(expr("CAST(round(value*100) AS BIGINT)")).as("pv")),
+        fin = Seq(sum("pn").cast("long").as("n"),
+          sum("pv").cast("long").as("val_cents")))
+        .orderBy("event_type")),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -175,6 +188,10 @@ object PipelineQueries {
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp FROM documents ORDER BY doc_id",
     "p14_multimodal_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS nbytes FROM documents ORDER BY doc_id",
+    "p17_salted_agg" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     // the projected p15 columns (nbytes + content hash) are deterministic —
     // the codec STUB only feeds the dropped features column, so the
     // multimodal plumbing's Spark-side output is fully oracle-checkable

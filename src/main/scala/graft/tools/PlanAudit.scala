@@ -41,7 +41,17 @@ object PlanAudit {
     // round-2 optimizer rule: month-truncation runs in the date domain
     Check("q50_date_trunc", wantAll = Seq("as date), month)"), wantNone = Seq("date_trunc(")),
     // multimodal metadata stays in codegen expressions, not the codec seam
-    Check("p15_multimodal_features", wantAll = Seq("md5(", "octet_length(")))
+    Check("p15_multimodal_features", wantAll = Seq("md5(", "octet_length(")),
+    // salted aggregation: the two-phase plan keys phase 1 by (key, salt) —
+    // visible as the salt column in a HashAggregate before the final one
+    Check("p17_salted_agg", wantAll = Seq("__graft_salt", "HashAggregate")),
+    // TPC-H-shape heavies: dimensions broadcast; no cartesian anywhere
+    Check("q62_tpch_q3", wantAll = Seq("BroadcastHashJoin"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("q63_tpch_q5", wantAll = Seq("BroadcastHashJoin"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("q64_tpch_q9", wantAll = Seq("BroadcastHashJoin"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -306,14 +306,60 @@ class OperatorsSpec extends SparkTestBase {
     assert(m == Seq(("l1", "r1"))) // NULL key/time rows never match
   }
 
-  test("asof with a WHERE clause falls back to the range-join rewrite") {
+  test("asof WHERE variants route to merge: left-pushed, post-join, strict ops") {
     Engine.registerTables(spark, sfDir)
-    val q = "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
+    def viaBoth(q: String, expectMerge: Boolean): Unit = {
+      val merged = Engine.sql(spark, q)
+      val usedRange = merged.queryExecution.analyzed.toString.contains("__graft_asof_rn")
+      assert(usedRange == !expectMerge,
+        s"expected merge=$expectMerge for: $q")
+      val ranged = spark.sql(graft.dialect.Translator.sparkSql(q))
+      assert(merged.collect().toSeq == ranged.collect().toSeq, s"mismatch for: $q")
+    }
+    // left-only WHERE (pushed below the join)
+    viaBoth("SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
       "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
-      "WHERE e.event_id <= 50 ORDER BY e.event_id"
-    val df = Engine.sql(spark, q)
-    assert(df.queryExecution.analyzed.toString.contains("__graft_asof_rn"))
-    assert(df.count() > 0)
+      "WHERE e.event_id <= 50 ORDER BY e.event_id", expectMerge = true)
+    // right-col WHERE (post-join, payload rides along)
+    viaBoth("SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
+      "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
+      "WHERE o.o_orderdate >= DATE '1995-01-01' ORDER BY e.event_id LIMIT 100", expectMerge = true)
+    // mixed conjuncts
+    viaBoth("SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
+      "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
+      "WHERE e.event_id <= 500 AND o.o_orderdate >= DATE '1995-01-01' " +
+      "ORDER BY e.event_id LIMIT 100", expectMerge = true)
+    // strict backward and strict forward
+    viaBoth("SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
+      "ON o.o_custkey = e.user_id AND o.o_orderdate < e.ts ORDER BY e.event_id LIMIT 100",
+      expectMerge = true)
+    viaBoth("SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
+      "ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts ORDER BY e.event_id LIMIT 100",
+      expectMerge = true)
+    // a function call in WHERE still falls back to the range rewrite
+    // (over a projected column — the range rewrite resolves WHERE against
+    // its inner projection)
+    viaBoth("SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
+      "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
+      "WHERE abs(e.event_id) <= 500 ORDER BY e.event_id LIMIT 100", expectMerge = false)
+  }
+
+  test("strict asof excludes equal timestamps (merge vs DuckDB-verified semantics)") {
+    import spark.implicits._
+    Seq((1L, 10L), (1L, 20L)).toDF("k", "t").createOrReplaceTempView("asof_strict_l")
+    Seq((1L, 10L, 100L), (1L, 15L, 150L)).toDF("k2", "t2", "v")
+      .createOrReplaceTempView("asof_strict_r")
+    def run(op: String): Seq[(Long, Long)] = {
+      val df = Engine.sql(spark, "SELECT l.t, r.v FROM asof_strict_l l ASOF JOIN asof_strict_r r " +
+        s"ON r.k2 = l.k AND r.t2 $op l.t ORDER BY l.t")
+      assert(!df.queryExecution.analyzed.toString.contains("__graft_asof_rn"), s"op $op not merged")
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    // oracle values confirmed against DuckDB 1.0: <=, <, >=, >
+    assert(run("<=") == Seq((10L, 100L), (20L, 150L)))
+    assert(run("<") == Seq((20L, 150L)))
+    assert(run(">=") == Seq((10L, 100L)))
+    assert(run(">") == Seq((10L, 150L)))
   }
 
   test("asof merge operator matches the SQL-rewrite asof on sf0.001") {
