@@ -95,49 +95,137 @@ object Encoders {
     case other => String.valueOf(other)
   }
 
-  def ndjson(df: DataFrame): Array[Byte] = {
-    val sb = new StringBuilder
+  // ---- streaming writers -------------------------------------------------
+  //
+  // Every row-oriented format writes to an OutputStream with a flush per
+  // `flushEvery` rows, so an HTTP response can use chunked transfer and the
+  // driver holds one batch of encoded text at a time — a 10M-row SELECT
+  // never materializes its body (round-2 verdict: the byte-array encoders
+  // were the one O(result) driver allocation left). The byte-array entry
+  // points below delegate here, so both paths emit identical bytes.
+
+  private val flushEvery = 1024
+
+  /** Encode to a stream; returns the row count. */
+  def encodeTo(df: DataFrame, format: String, t0: StartNanos,
+      out: java.io.OutputStream): Long =
+    format.toUpperCase match {
+      case "JSONEACHROW" | "NDJSON" => ndjsonTo(df, out)
+      case "JSONCOMPACT" => jsonEnvelopeTo(df, t0, out, compactRows = true)
+      case "JSON" => jsonEnvelopeTo(df, t0, out, compactRows = false)
+      case "JSONCOMPACTCOLUMNS" =>
+        // column-oriented: the transpose inherently buffers the full result
+        // (UI charting feed — interactive result sizes only)
+        val b = jsonCompactColumns(df); out.write(b); out.flush(); -1L
+      case "CSV" => csvTsvTo(df, ",", withNames = false, out)
+      case "CSVWITHNAMES" => csvTsvTo(df, ",", withNames = true, out)
+      case "TSV" | "TABSEPARATED" => csvTsvTo(df, "\t", withNames = false, out)
+      case "TSVWITHNAMES" | "TABSEPARATEDWITHNAMES" => csvTsvTo(df, "\t", withNames = true, out)
+      case _ => rawTo(df, out)
+    }
+
+  private def ndjsonTo(df: DataFrame, out: java.io.OutputStream): Long = {
+    val w = new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8)
+    var rows = 0L
     val it = df.toLocalIterator()
     while (it.hasNext) {
-      sb.append(mapper.writeValueAsString(toNode(it.next()))).append('\n')
+      w.write(mapper.writeValueAsString(toNode(it.next()))); w.write('\n')
+      rows += 1
+      if (rows % flushEvery == 0) w.flush()
     }
-    sb.toString.getBytes(StandardCharsets.UTF_8)
+    w.flush()
+    rows
   }
 
-  def jsonCompact(df: DataFrame, t0: StartNanos): Array[Byte] = {
-    val root = mapper.createObjectNode()
-    root.set[ObjectNode]("meta", metaNode(df.schema))
-    val data = mapper.createArrayNode()
+  /** JSONCompact / JSON envelope, streamed: meta, then data rows written
+    * incrementally through a JsonGenerator, then the trailing counters —
+    * the envelope's tail fields are why the whole thing is ONE generator
+    * pass, not a prebuilt tree. */
+  private def jsonEnvelopeTo(df: DataFrame, t0: StartNanos,
+      out: java.io.OutputStream, compactRows: Boolean): Long = {
+    val gen = mapper.getFactory.createGenerator(out)
+    gen.setPrettyPrinter(new com.fasterxml.jackson.core.util.DefaultPrettyPrinter())
+    gen.writeStartObject()
+    gen.writeFieldName("meta")
+    mapper.writeTree(gen, metaNode(df.schema))
+    gen.writeArrayFieldStart("data")
     var rows = 0L
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
-      val arr = mapper.createArrayNode()
-      (0 until r.length).foreach(i => arr.add(toNode(r.get(i))))
-      data.add(arr)
+      val node: com.fasterxml.jackson.databind.JsonNode =
+        if (compactRows) {
+          val arr = mapper.createArrayNode()
+          (0 until r.length).foreach(i => arr.add(toNode(r.get(i))))
+          arr
+        } else toNode(r)
+      // writeRawValue, not writeTree: writeTree's auto-flush would chunk
+      // per row; raw lets us flush on the batch boundary only
+      gen.writeRawValue(mapper.writeValueAsString(node))
       rows += 1
+      if (rows % flushEvery == 0) gen.flush()
     }
-    root.set[ObjectNode]("data", data)
-    root.put("rows", rows)
-    root.put("rows_before_limit_at_least", rows)
-    root.set[ObjectNode]("statistics", statsNode(t0, rows, df.schema.fields.length))
-    (mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root) + "\n")
-      .getBytes(StandardCharsets.UTF_8)
+    gen.writeEndArray()
+    gen.writeNumberField("rows", rows)
+    if (compactRows) gen.writeNumberField("rows_before_limit_at_least", rows)
+    gen.writeFieldName("statistics")
+    mapper.writeTree(gen, statsNode(t0, rows, df.schema.fields.length))
+    gen.writeEndObject()
+    gen.flush()
+    out.write('\n')
+    out.flush()
+    rows
   }
 
-  def json(df: DataFrame, t0: StartNanos): Array[Byte] = {
-    val root = mapper.createObjectNode()
-    root.set[ObjectNode]("meta", metaNode(df.schema))
-    val data = mapper.createArrayNode()
+  private def csvTsvTo(df: DataFrame, delimiter: String, withNames: Boolean,
+      out: java.io.OutputStream): Long = {
+    val w = new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8)
+    if (withNames) { w.write(df.schema.fieldNames.mkString(delimiter)); w.write('\n') }
     var rows = 0L
     val it = df.toLocalIterator()
-    while (it.hasNext) { data.add(toNode(it.next())); rows += 1 }
-    root.set[ObjectNode]("data", data)
-    root.put("rows", rows)
-    root.set[ObjectNode]("statistics", statsNode(t0, rows, df.schema.fields.length))
-    (mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root) + "\n")
-      .getBytes(StandardCharsets.UTF_8)
+    while (it.hasNext) {
+      val r = it.next()
+      w.write((0 until r.length).map(i => quote(plain(r.get(i)), delimiter))
+        .mkString(delimiter))
+      w.write('\n')
+      rows += 1
+      if (rows % flushEvery == 0) w.flush()
+    }
+    w.flush()
+    rows
   }
+
+  private def rawTo(df: DataFrame, out: java.io.OutputStream): Long = {
+    // list-of-tuples text like the reference (main.py:244-246)
+    val w = new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8)
+    var rows = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      w.write((0 until r.length).map(i => plain(r.get(i))).mkString("(", ", ", ")"))
+      w.write('\n')
+      rows += 1
+      if (rows % flushEvery == 0) w.flush()
+    }
+    w.flush()
+    rows
+  }
+
+  // ---- byte-array entry points (cache replay, tests, Flight shim) --------
+
+  private def toBytes(f: java.io.OutputStream => Unit): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    f(bos)
+    bos.toByteArray
+  }
+
+  def ndjson(df: DataFrame): Array[Byte] = toBytes(ndjsonTo(df, _))
+
+  def jsonCompact(df: DataFrame, t0: StartNanos): Array[Byte] =
+    toBytes(jsonEnvelopeTo(df, t0, _, compactRows = true))
+
+  def json(df: DataFrame, t0: StartNanos): Array[Byte] =
+    toBytes(jsonEnvelopeTo(df, t0, _, compactRows = false))
 
   def jsonCompactColumns(df: DataFrame): Array[Byte] = {
     val n = df.schema.fields.length
@@ -153,17 +241,8 @@ object Encoders {
     (mapper.writeValueAsString(root) + "\n").getBytes(StandardCharsets.UTF_8)
   }
 
-  def csvTsv(df: DataFrame, delimiter: String, withNames: Boolean): Array[Byte] = {
-    val sb = new StringBuilder
-    if (withNames) sb.append(df.schema.fieldNames.mkString(delimiter)).append('\n')
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      sb.append((0 until r.length).map(i => quote(plain(r.get(i)), delimiter))
-        .mkString(delimiter)).append('\n')
-    }
-    sb.toString.getBytes(StandardCharsets.UTF_8)
-  }
+  def csvTsv(df: DataFrame, delimiter: String, withNames: Boolean): Array[Byte] =
+    toBytes(csvTsvTo(df, delimiter, withNames, _))
 
   private def quote(s: String, delimiter: String): String =
     if (s.contains(delimiter) || s.contains("\"") || s.contains("\n"))
@@ -173,24 +252,5 @@ object Encoders {
   /** Format dispatch (reference `main.py:233-246`; names case-insensitive,
     * default JSONCompact like the play UI). */
   def encode(df: DataFrame, format: String, t0: StartNanos): Array[Byte] =
-    format.toUpperCase match {
-      case "JSONEACHROW" | "NDJSON" => ndjson(df)
-      case "JSONCOMPACT" => jsonCompact(df, t0)
-      case "JSONCOMPACTCOLUMNS" => jsonCompactColumns(df)
-      case "JSON" => json(df, t0)
-      case "CSV" => csvTsv(df, ",", withNames = false)
-      case "CSVWITHNAMES" => csvTsv(df, ",", withNames = true)
-      case "TSV" | "TABSEPARATED" => csvTsv(df, "\t", withNames = false)
-      case "TSVWITHNAMES" | "TABSEPARATEDWITHNAMES" => csvTsv(df, "\t", withNames = true)
-      case _ =>
-        // raw fallback: list-of-tuples text like the reference (main.py:244-246)
-        val sb = new StringBuilder
-        val it = df.toLocalIterator()
-        while (it.hasNext) {
-          val r = it.next()
-          sb.append((0 until r.length).map(i => plain(r.get(i))).mkString("(", ", ", ")"))
-            .append('\n')
-        }
-        sb.toString.getBytes(StandardCharsets.UTF_8)
-    }
+    toBytes(encodeTo(df, format, t0, _))
 }

@@ -59,8 +59,12 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
     try route(ex)
     catch {
       case e: Throwable =>
-        respond(ex, 500, Option(e.getMessage).getOrElse("internal error")
+        // if streaming already sent headers, this respond throws — the
+        // connection just closes with a truncated chunked body, which is
+        // the correct wire signal for a mid-stream failure
+        try respond(ex, 500, Option(e.getMessage).getOrElse("internal error")
           .getBytes(StandardCharsets.UTF_8), "text/plain")
+        catch { case _: Throwable => ex.close() }
     }
 
   private def route(ex: HttpExchange): Unit = {
@@ -200,22 +204,61 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
     val insertTarget = if (ex.getRequestMethod == "POST" && paramQuery.nonEmpty && body.nonEmpty)
       QueryExecutor.insertTarget(paramQuery) else None
 
-    val result = insertTarget match {
-      case Some(table) => QueryExecutor.runInsert(session, table, body)
+    insertTarget match {
+      case Some(table) =>
+        QueryExecutor.runInsert(session, table, body) match {
+          case Right(r) =>
+            queryId.foreach(id => cache.put(id, r.bytes))
+            respond(ex, 200, r.bytes)
+          case Left(err) =>
+            respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
+        }
       case None =>
         val sql = if (paramQuery.nonEmpty && body.nonEmpty) s"$paramQuery\n$body"
           else if (paramQuery.nonEmpty) paramQuery else body
         if (sql.trim.isEmpty) { respond(ex, 400, "no query\n".getBytes, "text/plain"); return }
-        QueryExecutor.run(session, sql, defaultFormat)
+        QueryExecutor.prepare(session, sql, defaultFormat) match {
+          case Left(err) =>
+            respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
+          case Right(p) =>
+            // chunked streaming (length 0): the encoder flushes per batch,
+            // so a huge SELECT never materializes its body on the driver.
+            // Analysis already happened in prepare — only runtime failures
+            // can strike mid-stream (client sees a truncated chunked body).
+            ex.getResponseHeaders.set("Content-Type", "application/json; charset=UTF-8")
+            ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+            ex.sendResponseHeaders(200, 0)
+            val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+            // query_id caching needs the bytes — tee them only when asked
+            val cacheBuf = queryId.map(_ => new java.io.ByteArrayOutputStream())
+            val sink: java.io.OutputStream = cacheBuf match {
+              case Some(b) => new TeeOutputStream(os, b)
+              case None => os
+            }
+            try {
+              graft.formats.Encoders.encodeTo(p.df, p.format, p.t0, sink)
+              sink.flush()
+              // cache only a COMPLETE result — a mid-stream failure must
+              // not leave a truncated body replayable under its query_id
+              cacheBuf.foreach(b => cache.put(queryId.get, b.toByteArray))
+            } finally {
+              try os.close() catch { case _: Throwable => }
+              ex.close()
+            }
+        }
     }
+  }
 
-    result match {
-      case Right(r) =>
-        queryId.foreach(id => cache.put(id, r.bytes))
-        respond(ex, 200, r.bytes)
-      case Left(err) =>
-        respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
+  /** Duplicates writes into the cache buffer; flush/close act on the
+    * response stream only. */
+  private final class TeeOutputStream(main: java.io.OutputStream,
+      copy: java.io.OutputStream) extends java.io.OutputStream {
+    override def write(b: Int): Unit = { main.write(b); copy.write(b) }
+    override def write(buf: Array[Byte], off: Int, len: Int): Unit = {
+      main.write(buf, off, len); copy.write(buf, off, len)
     }
+    override def flush(): Unit = main.flush()
+    override def close(): Unit = main.close()
   }
 }
 

@@ -12,19 +12,37 @@ object QueryExecutor {
 
   final case class Result(bytes: Array[Byte], rows: Long, elapsedSec: Double)
 
-  /** Execute a (possibly multi-statement, possibly FORMAT-suffixed) SQL
-    * script; encode the last statement's result. */
-  def run(spark: SparkSession, sql: String, defaultFormat: String): Either[String, Result] =
+  /** Analyzed-but-not-executed query, ready to stream. Analysis (and any
+    * eager DDL in a multi-statement script) happens inside [[prepare]], so
+    * bad SQL still surfaces on the error channel BEFORE response headers
+    * go out; only runtime execution happens during encoding. */
+  final case class Prepared(df: org.apache.spark.sql.DataFrame, format: String, t0: Long)
+
+  def prepare(spark: SparkSession, sql: String,
+      defaultFormat: String): Either[String, Prepared] =
     try {
       val t0 = System.nanoTime()
       val (noFmt, fmt) = Sanitizer.stripFormat(sql)
       val df = Engine.sqlScript(spark, noFmt)
-      val bytes = Encoders.encode(df, fmt.getOrElse(defaultFormat), t0)
-      Right(Result(bytes, -1L, (System.nanoTime() - t0) / 1e9))
+      Right(Prepared(df, fmt.getOrElse(defaultFormat), t0))
     } catch {
       case e: Throwable =>
         Left(Option(e.getMessage).map(_.trim).filter(_.nonEmpty)
           .getOrElse(e.getClass.getSimpleName))
+    }
+
+  /** Execute a (possibly multi-statement, possibly FORMAT-suffixed) SQL
+    * script; encode the last statement's result as one byte array. The
+    * HTTP path streams via [[prepare]] + `Encoders.encodeTo` instead. */
+  def run(spark: SparkSession, sql: String, defaultFormat: String): Either[String, Result] =
+    prepare(spark, sql, defaultFormat).flatMap { p =>
+      try Right(Result(Encoders.encode(p.df, p.format, p.t0), -1L,
+        (System.nanoTime() - p.t0) / 1e9))
+      catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).map(_.trim).filter(_.nonEmpty)
+            .getOrElse(e.getClass.getSimpleName))
+      }
     }
 
   /** HTTP POST `INSERT INTO <t>` with a JSONEachRow body (reference S3,

@@ -431,6 +431,42 @@ class ProtocolSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("chunked streaming: 1.2M-row SELECT streams without Content-Length") {
+    import spark.implicits._
+    spark.range(1200000L).toDF("id").createOrReplaceTempView("graft_big_stream")
+    val srv = new HttpServer(spark, 0)
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/?query=" + java.net.URLEncoder.encode(
+            "SELECT id FROM graft_big_stream FORMAT CSV", "UTF-8"))).build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      assert(resp.statusCode() == 200)
+      // chunked transfer: no Content-Length — the body was never a single
+      // driver-side array
+      assert(resp.headers().firstValue("Content-Length").isEmpty)
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body(), java.nio.charset.StandardCharsets.UTF_8))
+      var n = 0L
+      var first: String = null
+      var last: String = null
+      var line = br.readLine()
+      while (line != null) {
+        if (first == null) first = line
+        last = line; n += 1; line = br.readLine()
+      }
+      assert(n == 1200000L, s"streamed $n rows")
+      assert(first == "0" && last == "1199999")
+      // errors before headers still use the 400 channel
+      val bad = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/?query=" + java.net.URLEncoder.encode(
+            "SELECT nope FROM graft_big_stream", "UTF-8"))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("GET /play serves the built-in console; unknown paths fall back to it") {
     val srv = new HttpServer(spark, 0)
     val port = srv.start()
