@@ -6,7 +6,11 @@ package graft.server
   * Original, dependency-free markup — NOT the reference's bundled UI. It
   * drives the same HTTP surface a ClickHouse client would: `?query=` +
   * `default_format`, POST body for long statements, JSONCompact rendered
-  * as a table. `GRAFT_UI_DIR` still overrides it with a custom bundle.
+  * as a table. The Chart view consumes the JSONCompactColumns feed (the
+  * same column-oriented format the reference's console charts with uPlot,
+  * `public/index.html:421,1003`) rendered by an original canvas plotter —
+  * no vendored chart library. `GRAFT_UI_DIR` still overrides the whole
+  * console with a custom bundle.
   */
 object PlayUi {
 
@@ -56,6 +60,7 @@ object PlayUi {
   <textarea id="sql" spellcheck="false" placeholder="SELECT o_orderpriority, count() AS c FROM orders GROUP BY o_orderpriority ORDER BY c DESC LIMIT 10"></textarea>
   <div class="bar">
     <button id="run">Run</button>
+    <button id="chart" title="line chart of numeric columns (JSONCompactColumns feed)">Chart</button>
     <select id="fmt">
       <option>JSONCompact</option>
       <option>JSON</option>
@@ -75,7 +80,9 @@ function esc(s) {
   return String(s).replace(/[&<>"]/g,
     c => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;"}[c]));
 }
+let lastMeta = null; // column names from the last JSONCompact run (chart legend)
 function renderCompact(r) {
+  lastMeta = r.meta.map(m => m.name);
   let h = "<table><thead><tr>";
   for (const m of r.meta) h += "<th>" + esc(m.name) + "<br><small>" + esc(m.type) + "</small></th>";
   h += "</tr></thead><tbody>";
@@ -111,7 +118,81 @@ async function run() {
     $("stats").textContent = "error";
   }
 }
+// original canvas line chart over the JSONCompactColumns feed: first
+// column = x labels, every numeric column = one series
+const PALETTE = ["#4aa8ff","#ffb54a","#6aff8f","#ff6ad5","#b04aff","#4affd9"];
+function drawChart(cols) {
+  if (!cols.length || !cols[0].length) {
+    $("out").innerHTML = "<pre class='error'>no rows to chart</pre>"; return;
+  }
+  const xs = cols[0];
+  const series = [];
+  for (let i = 1; i < cols.length; i++)
+    if (cols[i].every(v => v === null || typeof v === "number"))
+      series.push({ idx: i, data: cols[i] });
+  if (!series.length) {
+    $("out").innerHTML = "<pre class='error'>no numeric columns to chart</pre>"; return;
+  }
+  const W = 1040, H = 420, L = 70, R = 16, T = 18, B = 46;
+  const c = document.createElement("canvas");
+  c.width = W; c.height = H;
+  $("out").innerHTML = ""; $("out").appendChild(c);
+  const g = c.getContext("2d");
+  g.fillStyle = "#1a2029"; g.fillRect(0, 0, W, H);
+  const vals = series.flatMap(s => s.data).filter(v => v !== null);
+  let lo = Math.min(...vals), hi = Math.max(...vals);
+  if (lo === hi) { lo -= 1; hi += 1; }
+  const px = i => L + (xs.length === 1 ? 0 : i * (W - L - R) / (xs.length - 1));
+  const py = v => T + (hi - v) * (H - T - B) / (hi - lo);
+  g.strokeStyle = "#2a3340"; g.fillStyle = "#7a8694"; g.font = "11px monospace";
+  for (let t = 0; t <= 4; t++) {
+    const v = lo + t * (hi - lo) / 4, y = py(v);
+    g.beginPath(); g.moveTo(L, y); g.lineTo(W - R, y); g.stroke();
+    g.fillText(Number(v.toPrecision(4)), 6, y + 4);
+  }
+  const step = Math.max(1, Math.ceil(xs.length / 12));
+  for (let i = 0; i < xs.length; i += step) {
+    const label = String(xs[i]).slice(0, 12);
+    g.fillText(label, Math.min(px(i), W - 80), H - B + 16);
+  }
+  series.forEach((s, k) => {
+    g.strokeStyle = PALETTE[k % PALETTE.length];
+    g.lineWidth = 1.6; g.beginPath();
+    let started = false;
+    s.data.forEach((v, i) => {
+      if (v === null) { started = false; return; }
+      if (!started) { g.moveTo(px(i), py(v)); started = true; }
+      else g.lineTo(px(i), py(v));
+    });
+    g.stroke();
+    const name = (lastMeta && lastMeta.length === cols.length) ?
+      lastMeta[s.idx] : "col" + s.idx;
+    g.fillStyle = PALETTE[k % PALETTE.length];
+    g.fillText(name, L + 8 + k * 140, T + 2);
+    g.fillStyle = "#7a8694";
+  });
+}
+async function runChart() {
+  const sql = $("sql").value.trim();
+  if (!sql) return;
+  $("stats").textContent = "charting…";
+  try {
+    const resp = await fetch("/?default_format=JSONCompactColumns", {
+      method: "POST", body: sql });
+    const text = await resp.text();
+    if (!resp.ok) {
+      $("out").innerHTML = "<pre class='error'>" + esc(text) + "</pre>";
+      $("stats").textContent = "error"; return;
+    }
+    drawChart(JSON.parse(text));
+    $("stats").textContent = "";
+  } catch (e) {
+    $("out").innerHTML = "<pre class='error'>" + esc(e) + "</pre>";
+    $("stats").textContent = "error";
+  }
+}
 $("run").addEventListener("click", run);
+$("chart").addEventListener("click", runChart);
 $("sql").addEventListener("keydown", e => {
   if (e.key === "Enter" && (e.ctrlKey || e.metaKey)) { e.preventDefault(); run(); }
 });

@@ -233,6 +233,13 @@ class ProtocolSpec extends SparkTestBase {
       val csv = get(s"/?query=$q2&default_format=CSV")
       assert(csv.body().trim == "1")
 
+      // JSONCompactColumns over HTTP (the play-UI chart feed)
+      val q3 = java.net.URLEncoder.encode(
+        "SELECT o_orderpriority, count() AS c FROM orders GROUP BY o_orderpriority ORDER BY c DESC LIMIT 2", "UTF-8")
+      val colsNode = mapper.readTree(get(s"/?query=$q3&default_format=JSONCompactColumns").body())
+      assert(colsNode.isArray && colsNode.size() == 2)
+      assert(colsNode.get(1).get(0).asLong() >= colsNode.get(1).get(1).asLong())
+
       // error channel: 400 + message
       val bad = get("/?query=" + java.net.URLEncoder.encode("SELECT * FROM nope_missing", "UTF-8"))
       assert(bad.statusCode() == 400)
@@ -480,6 +487,10 @@ class ProtocolSpec extends SparkTestBase {
       assert(play.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
       assert(play.body().contains("graft-spark play"))
       assert(play.body().contains("default_format")) // wired to the query API
+      // chart view consumes the column-oriented feed (reference charts the
+      // same format with uPlot; ours is an original canvas plotter)
+      assert(play.body().contains("JSONCompactColumns"))
+      assert(play.body().contains("drawChart"))
       // 404 → console fallback (reference main.py:340-352)
       assert(get("/some/unknown/path").body().contains("graft-spark play"))
       // a query on an unknown path still executes (POST / is the API)
