@@ -96,16 +96,19 @@ object ArrowIO {
     } finally allocator.close()
   }
 
-  /** DataFrame → Arrow IPC stream bytes, ≤1024-row batches, streamed from
-    * `toLocalIterator` (bounded driver memory). */
-  def toArrowStream(df: DataFrame): Array[Byte] = {
+  /** DataFrame → Arrow IPC stream written to `out`, ≤1024-row batches,
+    * streamed from `toLocalIterator` — the ArrowStreamWriter pushes each
+    * record batch to the sink as it seals, so pairing this with a chunked
+    * HTTP response bounds driver memory at one batch regardless of result
+    * size. Returns the row count. */
+  def toArrowStreamTo(df: DataFrame, out: java.io.OutputStream): Long = {
     val allocator = new RootAllocator()
     try {
       val fields = df.schema.fields.map(toArrowField).toList
       val root = VectorSchemaRoot.create(new ArrowSchema(fields.asJava), allocator)
-      val out = new ByteArrayOutputStream()
       val writer = new ArrowStreamWriter(root, null, out)
       writer.start()
+      var rows = 0L
       val it = df.toLocalIterator()
       val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
       def flush(): Unit = if (buf.nonEmpty) {
@@ -117,6 +120,7 @@ object ArrowIO {
         }
         root.setRowCount(buf.length)
         writer.writeBatch()
+        rows += buf.length
         buf.clear()
       }
       while (it.hasNext) {
@@ -126,8 +130,17 @@ object ArrowIO {
       flush()
       writer.end()
       root.close()
-      out.toByteArray
+      out.flush()
+      rows
     } finally allocator.close()
+  }
+
+  /** DataFrame → Arrow IPC stream bytes (one array; use [[toArrowStreamTo]]
+    * on response paths). */
+  def toArrowStream(df: DataFrame): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    toArrowStreamTo(df, out)
+    out.toByteArray
   }
 
   private def writeRow(root: VectorSchemaRoot, idx: Int, row: Row, schema: StructType): Unit = {

@@ -111,27 +111,39 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
     import graft.flight.FlightActions
     import graft.arrowio.ArrowIO
     val params = queryParams(ex)
-    val body = ex.getRequestBody.readAllBytes()
+    // read the request body lazily: the ingest endpoints decode it
+    // incrementally from the stream instead (bounded driver memory)
+    def body(): Array[Byte] = ex.getRequestBody.readAllBytes()
     val auth = tenants.parseAuthHeader(
       Option(ex.getRequestHeaders.getFirst("Authorization")))
     val session = tenants.sessionFor(auth, params.get("database"))
     val arrowType = "application/vnd.apache.arrow.stream"
     path match {
       case "/flight/do_get" =>
-        val ticket = if (body.nonEmpty) body
+        val bodyBytes = body()
+        val ticket = if (bodyBytes.nonEmpty) bodyBytes
           else params.getOrElse("ticket", "").getBytes(StandardCharsets.UTF_8)
         if (ticket.isEmpty) { respond(ex, 400, "no ticket\n".getBytes, "text/plain"); return }
         val sql = FlightActions.parseTicket(ticket)
         val df = graft.engine.Engine.sqlScript(session, sql)
-        respond(ex, 200, ArrowIO.toArrowStream(df), arrowType)
+        // chunked: each sealed record batch flushes to the client — a huge
+        // result never becomes one driver-side array (gRPC do_get likewise
+        // sends a stream of batches)
+        ex.getResponseHeaders.set("Content-Type", arrowType)
+        ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+        ex.sendResponseHeaders(200, 0)
+        val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+        try { ArrowIO.toArrowStreamTo(df, os); os.flush() }
+        finally { try os.close() catch { case _: Throwable => }; ex.close() }
       case "/flight/do_put" | "/flight/do_exchange" =>
         params.get("table") match {
           case None => respond(ex, 400, "missing table param\n".getBytes, "text/plain")
           case Some(table) =>
-            val resp =
-              if (path.endsWith("do_exchange")) FlightActions.doExchange(session, table, body)
-              else FlightActions.exchangeResponse(session,
-                FlightActions.doPut(session, table, body))
+            // both routes use the incremental per-batch append (the
+            // reference's do_exchange shape, main.py:1057-1075) reading
+            // straight from the request stream — the upload body is never
+            // materialized driver-side
+            val resp = FlightActions.doExchange(session, table, ex.getRequestBody)
             respond(ex, 200, resp, arrowType)
         }
       case "/flight/info" =>
@@ -150,7 +162,7 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
             return
           case None =>
         }
-        val sql = params.getOrElse("query", new String(body, StandardCharsets.UTF_8))
+        val sql = params.getOrElse("query", new String(body(), StandardCharsets.UTF_8))
         if (sql.trim.isEmpty) { respond(ex, 400, "no query\n".getBytes, "text/plain"); return }
         // schema without execution (S20): an empty-limit plan carries the
         // analyzed schema through the IPC stream header
