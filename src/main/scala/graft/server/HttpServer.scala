@@ -76,7 +76,10 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
     path match {
       case "/ping" => respond(ex, 200, "Ok\n".getBytes, "text/plain")
       case p if p.startsWith("/flight/") => serveFlight(ex, p)
-      case "/play" | "/" if ex.getRequestMethod == "GET" && noQuery => serveUi(ex)
+      // GET and HEAD both land on the console when no query is present
+      // (reference routes them identically, main.py:262,279-280)
+      case "/play" | "/" if (ex.getRequestMethod == "GET" ||
+        ex.getRequestMethod == "HEAD") && noQuery => serveUi(ex)
       // reference: unknown paths fall back to the UI (404→index.html,
       // main.py:340-352) so deep links into the console work
       case p if p != "/" && ex.getRequestMethod == "GET" && noQuery => serveUi(ex)
@@ -190,7 +193,13 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
     val html = uiDir.map(d => new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(d, "index.html")), StandardCharsets.UTF_8))
       .getOrElse(PlayUi.html)
-    respond(ex, 200, html.getBytes(StandardCharsets.UTF_8), "text/html; charset=UTF-8")
+    val bytes = html.getBytes(StandardCharsets.UTF_8)
+    if (ex.getRequestMethod == "HEAD") {
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=UTF-8")
+      ex.getResponseHeaders.set("Content-Length", bytes.length.toString)
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    } else respond(ex, 200, bytes, "text/html; charset=UTF-8")
   }
 
   private def serveQuery(ex: HttpExchange): Unit = {
@@ -229,6 +238,22 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
         val sql = if (paramQuery.nonEmpty && body.nonEmpty) s"$paramQuery\n$body"
           else if (paramQuery.nonEmpty) paramQuery else body
         if (sql.trim.isEmpty) { respond(ex, 400, "no query\n".getBytes, "text/plain"); return }
+        // HEAD: execute, report Content-Length + Accept-Ranges, no body
+        // (reference main.py:290-298 — it too must produce the bytes to
+        // know the length)
+        if (ex.getRequestMethod == "HEAD") {
+          QueryExecutor.run(session, sql, defaultFormat) match {
+            case Right(r) =>
+              ex.getResponseHeaders.set("Content-Type", "application/json; charset=UTF-8")
+              ex.getResponseHeaders.set("Accept-Ranges", "bytes")
+              ex.getResponseHeaders.set("Content-Length", r.bytes.length.toString)
+              ex.sendResponseHeaders(200, -1)
+              ex.close()
+            case Left(err) =>
+              respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
+          }
+          return
+        }
         QueryExecutor.prepare(session, sql, defaultFormat) match {
           case Left(err) =>
             respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")

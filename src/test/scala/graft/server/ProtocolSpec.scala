@@ -240,6 +240,17 @@ class ProtocolSpec extends SparkTestBase {
       assert(colsNode.isArray && colsNode.size() == 2)
       assert(colsNode.get(1).get(0).asLong() >= colsNode.get(1).get(1).asLong())
 
+      // HEAD with a query: Content-Length + Accept-Ranges, no body
+      // (reference main.py:290-298)
+      val head = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/?query=$q2&default_format=CSV"))
+        .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(head.statusCode() == 200)
+      assert(head.headers().firstValue("Content-Length").orElse("") == "2") // "1\n"
+      assert(head.headers().firstValue("Accept-Ranges").orElse("") == "bytes")
+      assert(head.body().isEmpty)
+
       // error channel: 400 + message
       val bad = get("/?query=" + java.net.URLEncoder.encode("SELECT * FROM nope_missing", "UTF-8"))
       assert(bad.statusCode() == 400)
