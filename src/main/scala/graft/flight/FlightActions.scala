@@ -218,10 +218,15 @@ object FlightActions {
   def doExchange(spark: SparkSession, table: String, arrowIpc: Array[Byte]): Array[Byte] =
     doExchange(spark, table, new java.io.ByteArrayInputStream(arrowIpc))
 
-  /** Streaming form: batches are decoded and appended as they arrive from
-    * the transport, so driver memory is bounded by one record batch — the
+  /** Streaming form: batches are decoded as they arrive from the
+    * transport, so driver memory is bounded by the commit buffer — the
     * ingest body is never materialized (round-2 verdict: the byte-array
-    * path held the whole upload as driver rows). */
+    * path held the whole upload as driver rows). Incoming ~1k-row record
+    * batches are coalesced to `commitRows`-sized appends: a commit per
+    * wire batch would write one small parquet file per 1024 rows — the
+    * small-files problem at ingest scale. */
+  private val commitRows = 65536
+
   def doExchange(spark: SparkSession, table: String, in: java.io.InputStream): Array[Byte] = {
     val allocator = new org.apache.arrow.memory.RootAllocator()
     val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, allocator)
@@ -229,16 +234,20 @@ object FlightActions {
     try {
       val root = reader.getVectorSchemaRoot
       val sparkSchema = ArrowIO.toSparkSchema(root.getSchema)
-      while (reader.loadNextBatch()) {
-        val rows = ArrowIO.currentBatchRows(root, sparkSchema)
-        if (rows.nonEmpty) {
-          graft.engine.Engine.tableWriteLock(table).synchronized {
-            spark.createDataFrame(rows.asJava, sparkSchema)
-              .write.mode("append").insertInto(table)
-          }
-          total += rows.length
+      val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      def commit(): Unit = if (buf.nonEmpty) {
+        graft.engine.Engine.tableWriteLock(table).synchronized {
+          spark.createDataFrame(buf.asJava, sparkSchema)
+            .write.mode("append").insertInto(table)
         }
+        total += buf.length
+        buf.clear()
       }
+      while (reader.loadNextBatch()) {
+        buf ++= ArrowIO.currentBatchRows(root, sparkSchema)
+        if (buf.length >= commitRows) commit()
+      }
+      commit()
     } finally { reader.close(); allocator.close() }
     exchangeResponse(spark, total)
   }
