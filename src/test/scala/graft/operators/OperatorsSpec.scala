@@ -336,6 +336,12 @@ class OperatorsSpec extends SparkTestBase {
     viaBoth("SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o " +
       "ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts ORDER BY e.event_id LIMIT 100",
       expectMerge = true)
+    // LEFT asof + right-col WHERE: unmatched rows carry NULL payload and
+    // the post-join filter drops them (SQL semantics, both routes agree)
+    viaBoth("SELECT e.event_id, o.o_orderdate FROM events e ASOF LEFT JOIN orders o " +
+      "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
+      "WHERE o.o_orderdate >= DATE '1995-01-01' ORDER BY e.event_id LIMIT 100",
+      expectMerge = true)
     // a function call in WHERE still falls back to the range rewrite
     // (over a projected column — the range rewrite resolves WHERE against
     // its inner projection)
