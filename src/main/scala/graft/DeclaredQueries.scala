@@ -177,6 +177,15 @@ object DeclaredQueries {
         "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey " +
         "AND s_nationkey = n_nationkey AND p_name LIKE '%red%'" +
         ") profit GROUP BY nation, o_year ORDER BY nation, o_year DESC"),
+    // ---- dialect-surface extras declared in round 3 ----
+    "q65_union_by_name" ->
+      ("SELECT r_regionkey AS k, r_name AS n FROM region " +
+        "UNION ALL BY NAME SELECT n_name AS n, n_nationkey AS k FROM nation WHERE n_nationkey < 3 " +
+        "ORDER BY k, n"),
+    "q66_exclude_star" ->
+      "SELECT * EXCLUDE (o_orderpriority, o_totalprice) FROM orders ORDER BY o_orderkey LIMIT 20",
+    "q67_array_length" ->
+      "SELECT vec_id, array_length(embedding) AS n FROM embeddings ORDER BY vec_id LIMIT 20",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

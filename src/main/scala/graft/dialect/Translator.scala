@@ -55,6 +55,7 @@ object Translator {
     toks = rewriteRegexpReplaceFlag(toks)
     toks = rewriteJsonArrows(toks)
     toks = rewriteFunctionNames(toks)
+    toks = rewriteListAggs(toks)
     toks = rewriteInfoSchema(toks)
     toks = rewriteTypeNames(toks)
     toks = injectNullOrder(toks)
@@ -358,6 +359,36 @@ object Translator {
     "QUANTILE_CONT" -> "percentile",
     "QUANTILE_DISC" -> "percentile_approx",
     "QUANTILE" -> "percentile_approx")
+
+  /** DuckDB `list_sum(x)` / `list_avg(x)` → Spark higher-order
+    * `aggregate(...)` forms (no Spark builtin exists). Accumulation is in
+    * DOUBLE — DuckDB widens integer list sums to HUGEINT, so integer
+    * outputs are not oracle-comparable; the surface is spec-tested. */
+  private[dialect] def rewriteListAggs(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case id: Ident if (id.upper == "LIST_SUM" || id.upper == "LIST_AVG") && {
+            val n = nextNonWs(toks, i); n < toks.length && toks(n) == Punct("(")
+          } =>
+            val open = nextNonWs(toks, i)
+            val close = matchParen(toks, open)
+            val arg = render(toks.slice(open + 1, close)).trim
+            val sum = s"aggregate($arg, CAST(0 AS DOUBLE), (__g_acc, __g_v) -> __g_acc + CAST(__g_v AS DOUBLE))"
+            val repl = if (id.upper == "LIST_SUM") sum else s"($sum / size($arg))"
+            toks = toks.patch(i, lex(repl), close - i + 1)
+            changed = true // restart: a nested list_sum in `arg` re-lexed above
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
 
   private[dialect] def rewriteFunctionNames(toks: Vector[Tok]): Vector[Tok] =
     toks.zipWithIndex.map { case (t, i) =>

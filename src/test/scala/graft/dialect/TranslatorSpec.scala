@@ -247,6 +247,17 @@ class TranslatorSpec extends AnyFunSuite {
     assert(dbs.contains("graft_infoschema_schemata"))
   }
 
+  test("list_sum / list_avg become aggregate() lambdas") {
+    val s = t("SELECT list_sum(xs) FROM t")
+    assert(s.contains("aggregate(xs, CAST(0 AS DOUBLE)"))
+    assert(s.contains("__g_acc + CAST(__g_v AS DOUBLE)"))
+    val a = t("SELECT list_avg(xs) FROM t")
+    assert(a.contains("/ size(xs)"))
+    // nested argument survives (inner rewritten too)
+    val n = t("SELECT list_sum(list_transform(xs, x -> x * 2)) FROM t")
+    assert(n.contains("aggregate(transform(xs, x -> x * 2)"))
+  }
+
   test("date_diff / date_part / epoch mappings") {
     assert(t("SELECT date_diff('day', a, b)") == "SELECT datediff(b, a)")
     assert(t("SELECT date_part('year', ts)") == "SELECT extract(year FROM ts)")

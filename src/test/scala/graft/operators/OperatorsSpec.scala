@@ -395,6 +395,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(f0.sameElements(feats.sortBy(_.id).map(_.contentHash)))
   }
 
+  test("list_sum / list_avg evaluate correctly end-to-end") {
+    val r = Engine.sql(spark,
+      "SELECT list_sum([1.0, 2.0, 3.5]) AS s, list_avg([2, 4, 6]) AS a").head
+    assert(math.abs(r.getDouble(0) - 6.5) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 4.0) < 1e-9)
+  }
+
+  test("SHOW family works on a cloned tenant session (fresh temp-view state)") {
+    val tm = new graft.server.TenantManager(spark)
+    val s = tm.sessionFor(Some(("carol", "pw")))
+    assert(s ne spark)
+    val dbs = Engine.sql(s, "SHOW DATABASES")
+    assert(dbs.columns.toSeq == Seq("catalog_name", "schema_name", "description"))
+    assert(dbs.count() > 0)
+    assert(Engine.sql(s, "SHOW TABLES").columns.toSeq ==
+      Seq("table_name", "schema_name", "catalog_name", "table_type"))
+  }
+
   test("USING SAMPLE, EXCLUDE star, SUMMARIZE run end-to-end") {
     Engine.registerTables(spark, sfDir)
     val sampled = Engine.sql(spark, "SELECT * FROM orders USING SAMPLE 50%").count()
