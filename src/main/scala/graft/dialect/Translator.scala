@@ -348,6 +348,14 @@ object Translator {
     "STARTS_WITH" -> "startswith",
     "ENDS_WITH" -> "endswith",
     "LIST_SORT" -> "array_sort",
+    "LIST_MIN" -> "array_min",
+    "LIST_MAX" -> "array_max",
+    "LIST_DISTINCT" -> "array_distinct",
+    "LIST_CONCAT" -> "concat",
+    "LIST_APPEND" -> "array_append",
+    // list_prepend is NOT mapped: DuckDB takes (element, list), Spark's
+    // array_prepend takes (array, element) — a name-only swap would
+    // silently reorder arguments
     "LIST_REVERSE_SORT" -> "reverse_sorted_graft_unsupported",
     "ARRAY_AGG" -> "collect_list",
     "LIST" -> "collect_list",

@@ -402,6 +402,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1) - 4.0) < 1e-9)
   }
 
+  test("list_min/max/distinct/concat/append map to Spark array functions") {
+    val r = Engine.sql(spark,
+      "SELECT list_min([3, 1, 2]) AS mn, list_max([3, 1, 2]) AS mx, " +
+        "array_length(list_distinct([1, 1, 2])) AS nd, " +
+        "list_concat([1], [2, 3]) AS cc, list_append([1, 2], 9) AS ap").head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 3 && r.getInt(2) == 2)
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](4) == Seq(1, 2, 9))
+  }
+
   test("SHOW family works on a cloned tenant session (fresh temp-view state)") {
     val tm = new graft.server.TenantManager(spark)
     val s = tm.sessionFor(Some(("carol", "pw")))
