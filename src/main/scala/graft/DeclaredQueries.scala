@@ -149,7 +149,15 @@ object DeclaredQueries {
     "q60_asof_where" ->
       "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts WHERE e.event_id <= 500 AND o.o_orderdate >= DATE '1995-01-01' ORDER BY e.event_id LIMIT 100",
     "q61_asof_forward" ->
-      "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts ORDER BY e.event_id LIMIT 100",
+      // amended round 4 (SURVEY §2.12 protocol): the round-3 form looked
+      // forward from 2024 events into 1995-2001 orders — provably empty on
+      // the fixture, so the oracle row was vacuous. Sides swapped: orders
+      // look forward to the earliest 2024 event of the same user, which
+      // matches for every order whose customer has events. Projecting e.ts
+      // is deterministic (the earliest matching ts is a unique value even
+      // when several events share it) and micro-aligned in the fixture, so
+      // ns-vs-us cannot shift the hash.
+      "SELECT o.o_orderkey, e.ts FROM orders o ASOF JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY o.o_orderkey LIMIT 100",
     // ---- TPC-H-shape multi-join heavies (round-2 verdict #8): 3-6 table
     // aggregate joins; money sums are integer cents (SURVEY §2.12 decimal
     // discipline). Small dims broadcast; the lineitem-orders join is the

@@ -290,6 +290,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(viaEngine.collect().toSeq == viaRange.collect().toSeq)
   }
 
+  test("declared q61 forward ASOF is non-vacuous and merge-routed") {
+    // round-3 verdict: the old q61 could never match on the fixture (events
+    // are 2024, orders 1995-2001), so its oracle row proved nothing. The
+    // amended form must produce rows and still take the merge route.
+    Engine.registerTables(spark, sfDir)
+    val q = graft.DeclaredQueries.all.toMap.apply("q61_asof_forward")
+    val viaEngine = Engine.sql(spark, q)
+    assert(!viaEngine.queryExecution.analyzed.toString.contains("__graft_asof_rn"),
+      "q61 fell back to the range rewrite")
+    val rows = viaEngine.collect().toSeq
+    assert(rows.nonEmpty, "amended q61 is still vacuous on the fixture")
+    assert(rows == spark.sql(graft.dialect.Translator.sparkSql(q)).collect().toSeq)
+  }
+
   test("merge-routed asof gives SQL join semantics for NULL keys and times") {
     import spark.implicits._
     Seq((Some(1L), Some(10L), "l1"), (None, Some(10L), "l2"), (Some(2L), None, "l3"))
