@@ -194,6 +194,19 @@ object DeclaredQueries {
       "SELECT * EXCLUDE (o_orderpriority, o_totalprice) FROM orders ORDER BY o_orderkey LIMIT 20",
     "q67_array_length" ->
       "SELECT vec_id, array_length(embedding) AS n FROM embeddings ORDER BY vec_id LIMIT 20",
+    // ---- round-4 additions: map function family + regexp_replace flag
+    // semantics (round-3 verdict #6/#7) ----
+    "q68_map_keys" ->
+      "SELECT u AS k FROM (SELECT unnest(map_keys(MAP {'a': 1, 'b': 2, 'c': 3})) AS u) t ORDER BY k",
+    "q69_map_values" ->
+      "SELECT u AS v FROM (SELECT unnest(map_values(MAP {'a': 1, 'b': 2, 'c': 3})) AS u) t ORDER BY v",
+    // DuckDB 3-arg regexp_replace is FIRST-match-only → graft's
+    // RegexpReplaceFirst expression; the 'g' flag form is global → Spark's
+    // builtin. Both declared so the divergence stays closed.
+    "q70_regexp_first" ->
+      "SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '*') AS r FROM part ORDER BY p_partkey LIMIT 100",
+    "q71_regexp_global" ->
+      "SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '*', 'g') AS r FROM part ORDER BY p_partkey LIMIT 100",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -533,9 +533,10 @@ object Translator {
   }
 
   /** DuckDB `regexp_replace(s, p, r, 'g')` == Spark's default (global)
-    * `regexp_replace(s, p, r)` → drop the flag. 3-arg DuckDB form is
-    * first-match-only, which Spark cannot express directly — left as-is
-    * (documented divergence, SURVEY §2.9). */
+    * `regexp_replace(s, p, r)` → drop the flag. The 3-arg DuckDB form is
+    * first-match-only — Spark's builtin cannot express that, so it maps to
+    * graft's codegen [[graft.functions.RegexpReplaceFirst]] expression
+    * (round 4; previously a documented divergence). */
   private[dialect] def rewriteRegexpReplaceFlag(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var i = 0
@@ -545,20 +546,25 @@ object Translator {
           val open = nextNonWs(toks, i)
           if (open < toks.length && toks(open) == Punct("(")) {
             val close = matchParen(toks, open)
-            // last top-level arg == 'g' → remove it (and its comma)
+            // count top-level args; remember the last comma for flag removal
             var d = 0
             var lastComma = -1
+            var nCommas = 0
             for (j <- open to close) {
               d += depthDelta(toks(j))
-              if (d == 1 && toks(j) == Punct(",")) lastComma = j
+              if (d == 1 && toks(j) == Punct(",")) { lastComma = j; nCommas += 1 }
             }
-            if (lastComma > 0) {
-              val lastArg = toks.slice(lastComma + 1, close).filterNot(isWs)
-              lastArg match {
-                case Vector(s: Str) if s.value == "g" =>
-                  toks = toks.patch(lastComma, Vector.empty, close - lastComma)
-                case _ =>
-              }
+            val lastArg =
+              if (lastComma > 0) toks.slice(lastComma + 1, close).filterNot(isWs)
+              else Vector.empty[Tok]
+            lastArg match {
+              case Vector(s: Str) if s.value == "g" =>
+                // global flag == Spark default → drop the flag arg
+                toks = toks.patch(lastComma, Vector.empty, close - lastComma)
+              case _ if nCommas == 2 =>
+                // bare 3-arg form: DuckDB replaces only the first match
+                toks = toks.updated(i, Ident("regexp_replace_first"))
+              case _ =>
             }
           }
         case _ =>

@@ -36,6 +36,8 @@ object GraftFunctions {
     ("token_window_hashes", "distinct 64-bit shingle-window hashes of a token array",
       args => TokenWindowHashes(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
+    ("regexp_replace_first", "first-match-only regexp_replace (DuckDB 3-arg semantics)",
+      args => RegexpReplaceFirst(args(0), args(1), args(2))),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

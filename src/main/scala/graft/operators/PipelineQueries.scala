@@ -199,10 +199,25 @@ object PipelineQueries {
       "SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS content_hash FROM documents ORDER BY id",
     "p16_asof_merge" ->
       "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts ORDER BY e.event_id LIMIT 100",
-    // p03/p04/p05/p08/p09: hash-seeded or FP-order-sensitive output — no
+    // p08 (round 4): the native CosineSim expression IS cross-engine
+    // deterministic — it accumulates float→double products sequentially,
+    // exactly what DuckDB's list_sum over list_transform does, so the
+    // doubles are bit-identical. The oracle must ORDER BY the exact double
+    // cosine (not the rounded micro value) to reproduce Spark's top-k
+    // boundary, then project micro-units.
+    "p08_sim_cosine_brute" ->
+      ("WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), " +
+        "s AS (SELECT e.vec_id, " +
+        "list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot, " +
+        "list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS nb, " +
+        "list_sum(list_transform(range(1, len(q.embedding)+1), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS na " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0) " +
+        "SELECT vec_id, CAST(round(1000000.0 * (dot / (sqrt(nb) * sqrt(na)))) AS BIGINT) AS cos_micro " +
+        "FROM s ORDER BY (dot / (sqrt(nb) * sqrt(na))) DESC, vec_id LIMIT 20"),
+    // p03/p04/p05/p09: hash-seeded or bucketing-dependent output — no
     // cross-engine oracle exists. Self-verified instead (OperatorsSpec):
     // p03/p04 recall = 1.0 vs the exact near-dup ground truth, p05 recall
-    // vs brute-force pairs on clustered fixtures, p08 ids ≡ p07's
-    // oracle-checked ids, p09 indexed-ANN recall ≥ 0.9 vs brute force.
+    // vs brute-force pairs on clustered fixtures, p09 indexed-ANN recall
+    // ≥ 0.9 vs brute force.
   )
 }

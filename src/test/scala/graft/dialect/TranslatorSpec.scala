@@ -230,7 +230,11 @@ class TranslatorSpec extends AnyFunSuite {
 
   test("regexp_replace 'g' flag dropped (Spark is global by default)") {
     assert(t("SELECT regexp_replace(s, 'a+', 'x', 'g')") == "SELECT regexp_replace(s, 'a+', 'x')")
-    assert(t("SELECT regexp_replace(s, 'a+', 'x')") == "SELECT regexp_replace(s, 'a+', 'x')")
+    // bare 3-arg DuckDB form is first-match-only → graft expression
+    assert(t("SELECT regexp_replace(s, 'a+', 'x')") == "SELECT regexp_replace_first(s, 'a+', 'x')")
+    // nested commas in args don't confuse the top-level arg count
+    assert(t("SELECT regexp_replace(concat(a, b), 'a+', 'x')") ==
+      "SELECT regexp_replace_first(concat(a, b), 'a+', 'x')")
   }
 
   test("USING SAMPLE, EXCLUDE, SHOW rewrites") {

@@ -117,4 +117,29 @@ class ExpressionsSpec extends SparkTestBase {
       assert(spark.sql("SELECT graft_version()").head.getString(0).startsWith("graft-spark"))
     }
   }
+
+  test("regexp_replace_first replaces only the first match") {
+    withFns {
+      val df = spark.createDataFrame(Seq(Tuple1("small ring"))).toDF("s")
+      assert(df.select(expr("regexp_replace_first(s, '[aeiou]', '*')"))
+        .head.getString(0) == "sm*ll ring")
+      // Spark's builtin stays global
+      assert(df.select(expr("regexp_replace(s, '[aeiou]', '*')"))
+        .head.getString(0) == "sm*ll r*ng")
+    }
+  }
+
+  test("regexp_replace_first DuckDB-style backrefs and literal dollars") {
+    withFns {
+      val df = spark.createDataFrame(Seq(Tuple1("abc def"))).toDF("s")
+      assert(df.select(expr("regexp_replace_first(s, '(\\\\w+) (\\\\w+)', '\\\\2 \\\\1')"))
+        .head.getString(0) == "def abc")
+      // '$' is literal in RE2/DuckDB replacements (Java would treat $1 as a group)
+      assert(df.select(expr("regexp_replace_first(s, 'abc', '$1x')"))
+        .head.getString(0) == "$1x def")
+      // no match → input unchanged
+      assert(df.select(expr("regexp_replace_first(s, 'zzz', 'y')"))
+        .head.getString(0) == "abc def")
+    }
+  }
 }
