@@ -67,6 +67,34 @@ object Engine {
     } catch { case _: Throwable => Nil }
   }
 
+  /** Exact row count from parquet footer metadata — driver-side, no Spark
+    * job (footers are O(files), a `count()` at 100 TB is a real scan). The
+    * idiomatic source for sizing parameters like LSH plane counts; catalog
+    * statistics take precedence when a table has them. */
+  def parquetRowCount(path: String): Option[Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    try {
+      val f = new java.io.File(path)
+      val files =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).toSeq
+        else if (f.exists()) Seq(f)
+        else return None
+      if (files.isEmpty) return None
+      Some(files.map { file =>
+        val in = HadoopInputFile.fromPath(new Path(file.getPath), new Configuration())
+        val reader = ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }.sum)
+    } catch { case _: Throwable => None }
+  }
+
   /** DuckDB `COPY <table | (query)> TO '<path>' (FORMAT X [, HEADER])` →
     * a distributed `df.write`. Returns the 1-row `Count` result DuckDB
     * produces. */

@@ -42,9 +42,15 @@ object PipelineQueries {
     // comes from planesFor against the corpus size — per-band buckets stay
     // ~32 vectors as data grows, so candidate work is linear in n (the
     // round-2 verdict's pinned planes=4 was quadratic-ish at sf1)
-    "p05_dedup_embedding" -> q((s, _) => {
+    "p05_dedup_embedding" -> q((s, dir) => {
       val emb = s.table("embeddings")
-      val p = Similarity.planesFor(math.max(1, emb.count()), targetBucketSize = 32)
+      // corpus size from metadata, never a count() job (round-3 verdict #4):
+      // catalog statistics first, parquet footers second; count() survives
+      // only as the last-resort fallback for stat-less non-parquet sources
+      val n = emb.queryExecution.analyzed.stats.rowCount.map(_.toLong)
+        .orElse(Engine.parquetRowCount(s"$dir/embeddings.parquet"))
+        .getOrElse(emb.count())
+      val p = Similarity.planesFor(math.max(1, n), targetBucketSize = 32)
       Dedup.embeddingPairs(emb, minCosine = 0.3,
         planesPerBand = math.min(p, 16), bands = 4).orderBy("d1", "d2")
     }),
@@ -130,6 +136,19 @@ object PipelineQueries {
         fin = Seq(sum("pn").cast("long").as("n"),
           sum("pv").cast("long").as("val_cents")))
         .orderBy("event_type")),
+    // ---- skew-aware join (exercises Partitioning.saltedJoin, round 4) ----
+    // events.user_id concentrates on few hot customers relative to the
+    // customer dim — the known-skew big⋈small shape. The salt rides in the
+    // join keys (PlanAudit asserts it), spreading each hot key over 8
+    // reducers; the post-join aggregate is algebraic, so the result is
+    // exact and oracle-checked against the unsalted join.
+    "p18_salted_join" -> q((s, _) =>
+      Partitioning.saltedJoin(s.table("events"), s.table("customer"),
+          bigKey = "user_id", smallKey = "c_custkey", saltBuckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(expr("CAST(round(value*100) AS BIGINT)")).cast("long").as("val_cents"))
+        .orderBy("c_mktsegment")),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -192,6 +211,11 @@ object PipelineQueries {
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "p18_salted_join" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // the projected p15 columns (nbytes + content hash) are deterministic —
     // the codec STUB only feeds the dropped features column, so the
     // multimodal plumbing's Spark-side output is fully oracle-checkable
