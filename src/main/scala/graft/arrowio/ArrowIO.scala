@@ -282,7 +282,10 @@ object ArrowIO {
   }
 
   /** Decode once, returning the row count known from the IPC batches — so
-    * ingest paths never re-execute the DataFrame just to count it. */
+    * callers never re-execute the DataFrame just to count it. NOT an ingest
+    * path: do_put / do_exchange / HTTP insert all stream chunk-by-chunk
+    * (FlightActions.streamingAppend, QueryExecutor.runInsertStream) — this
+    * whole-body decode is for small protocol payloads and tests only. */
   def fromArrowStreamWithCount(spark: SparkSession, bytes: Array[Byte]): (DataFrame, Long) = {
     val allocator = new RootAllocator()
     val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), allocator)

@@ -204,12 +204,31 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
 
   private def serveQuery(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
-    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val auth = tenants.parseAuthHeader(
       Option(ex.getRequestHeaders.getFirst("Authorization")))
     val defaultFormat = params.getOrElse("default_format", "JSONCompact")
     val queryId = params.get("query_id")
     val paramQuery = params.getOrElse("query", "")
+
+    // POST INSERT with NDJSON body (reference main.py:228-229,196-211):
+    // the body streams straight off the socket into chunked appends — it
+    // is never read into a String (a large bulk insert would OOM the
+    // server; the other branches below still need the full body as SQL)
+    val insertTarget = if (ex.getRequestMethod == "POST" && paramQuery.nonEmpty)
+      QueryExecutor.insertTarget(paramQuery) else None
+    if (insertTarget.isDefined) {
+      val session = tenants.sessionFor(auth, params.get("database"))
+      QueryExecutor.runInsertStream(session, insertTarget.get, ex.getRequestBody) match {
+        case Right(r) =>
+          queryId.foreach(id => cache.put(id, r.bytes))
+          respond(ex, 200, r.bytes)
+        case Left(err) =>
+          respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
+      }
+      return
+    }
+
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
     // cache replay: query_id with no query (reference main.py:276-278)
     if (paramQuery.isEmpty && body.isEmpty && queryId.nonEmpty) {
@@ -221,67 +240,52 @@ final class HttpServer(spark: SparkSession, port: Int = 8123, uiDir: Option[Stri
 
     val session = tenants.sessionFor(auth, params.get("database"))
 
-    // POST INSERT with NDJSON body (reference main.py:228-229,196-211)
-    val insertTarget = if (ex.getRequestMethod == "POST" && paramQuery.nonEmpty && body.nonEmpty)
-      QueryExecutor.insertTarget(paramQuery) else None
-
-    insertTarget match {
-      case Some(table) =>
-        QueryExecutor.runInsert(session, table, body) match {
-          case Right(r) =>
-            queryId.foreach(id => cache.put(id, r.bytes))
-            respond(ex, 200, r.bytes)
-          case Left(err) =>
-            respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
+    val sql = if (paramQuery.nonEmpty && body.nonEmpty) s"$paramQuery\n$body"
+      else if (paramQuery.nonEmpty) paramQuery else body
+    if (sql.trim.isEmpty) { respond(ex, 400, "no query\n".getBytes, "text/plain"); return }
+    // HEAD: execute, report Content-Length + Accept-Ranges, no body
+    // (reference main.py:290-298 — it too must produce the bytes to
+    // know the length)
+    if (ex.getRequestMethod == "HEAD") {
+      QueryExecutor.run(session, sql, defaultFormat) match {
+        case Right(r) =>
+          ex.getResponseHeaders.set("Content-Type", "application/json; charset=UTF-8")
+          ex.getResponseHeaders.set("Accept-Ranges", "bytes")
+          ex.getResponseHeaders.set("Content-Length", r.bytes.length.toString)
+          ex.sendResponseHeaders(200, -1)
+          ex.close()
+        case Left(err) =>
+          respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
+      }
+      return
+    }
+    QueryExecutor.prepare(session, sql, defaultFormat) match {
+      case Left(err) =>
+        respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
+      case Right(p) =>
+        // chunked streaming (length 0): the encoder flushes per batch,
+        // so a huge SELECT never materializes its body on the driver.
+        // Analysis already happened in prepare — only runtime failures
+        // can strike mid-stream (client sees a truncated chunked body).
+        ex.getResponseHeaders.set("Content-Type", "application/json; charset=UTF-8")
+        ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+        ex.sendResponseHeaders(200, 0)
+        val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+        // query_id caching needs the bytes — tee them only when asked
+        val cacheBuf = queryId.map(_ => new java.io.ByteArrayOutputStream())
+        val sink: java.io.OutputStream = cacheBuf match {
+          case Some(b) => new TeeOutputStream(os, b)
+          case None => os
         }
-      case None =>
-        val sql = if (paramQuery.nonEmpty && body.nonEmpty) s"$paramQuery\n$body"
-          else if (paramQuery.nonEmpty) paramQuery else body
-        if (sql.trim.isEmpty) { respond(ex, 400, "no query\n".getBytes, "text/plain"); return }
-        // HEAD: execute, report Content-Length + Accept-Ranges, no body
-        // (reference main.py:290-298 — it too must produce the bytes to
-        // know the length)
-        if (ex.getRequestMethod == "HEAD") {
-          QueryExecutor.run(session, sql, defaultFormat) match {
-            case Right(r) =>
-              ex.getResponseHeaders.set("Content-Type", "application/json; charset=UTF-8")
-              ex.getResponseHeaders.set("Accept-Ranges", "bytes")
-              ex.getResponseHeaders.set("Content-Length", r.bytes.length.toString)
-              ex.sendResponseHeaders(200, -1)
-              ex.close()
-            case Left(err) =>
-              respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
-          }
-          return
-        }
-        QueryExecutor.prepare(session, sql, defaultFormat) match {
-          case Left(err) =>
-            respond(ex, 400, (err + "\n").getBytes(StandardCharsets.UTF_8), "text/plain")
-          case Right(p) =>
-            // chunked streaming (length 0): the encoder flushes per batch,
-            // so a huge SELECT never materializes its body on the driver.
-            // Analysis already happened in prepare — only runtime failures
-            // can strike mid-stream (client sees a truncated chunked body).
-            ex.getResponseHeaders.set("Content-Type", "application/json; charset=UTF-8")
-            ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
-            ex.sendResponseHeaders(200, 0)
-            val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
-            // query_id caching needs the bytes — tee them only when asked
-            val cacheBuf = queryId.map(_ => new java.io.ByteArrayOutputStream())
-            val sink: java.io.OutputStream = cacheBuf match {
-              case Some(b) => new TeeOutputStream(os, b)
-              case None => os
-            }
-            try {
-              graft.formats.Encoders.encodeTo(p.df, p.format, p.t0, sink)
-              sink.flush()
-              // cache only a COMPLETE result — a mid-stream failure must
-              // not leave a truncated body replayable under its query_id
-              cacheBuf.foreach(b => cache.put(queryId.get, b.toByteArray))
-            } finally {
-              try os.close() catch { case _: Throwable => }
-              ex.close()
-            }
+        try {
+          graft.formats.Encoders.encodeTo(p.df, p.format, p.t0, sink)
+          sink.flush()
+          // cache only a COMPLETE result — a mid-stream failure must
+          // not leave a truncated body replayable under its query_id
+          cacheBuf.foreach(b => cache.put(queryId.get, b.toByteArray))
+        } finally {
+          try os.close() catch { case _: Throwable => }
+          ex.close()
         }
     }
   }

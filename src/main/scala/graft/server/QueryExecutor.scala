@@ -64,24 +64,56 @@ object QueryExecutor {
   private def lockFor(table: String): Object = Engine.tableWriteLock(table)
 
   def runInsert(spark: SparkSession, table: String, ndjsonBody: String): Either[String, Result] =
+    runInsertStream(spark, table, new java.io.ByteArrayInputStream(
+      ndjsonBody.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** NDJSON lines committed every `chunkLines` — the ingest body streams
+    * straight off the socket and is never materialized driver-side (round-4;
+    * the reference reads the whole body, main.py:196, which OOMs the server
+    * at pipeline ingest rates). Each chunk is schema-inferred independently;
+    * [[align]] casts it onto the target schema, so chunks with missing /
+    * all-null columns still land correctly. */
+  def runInsertStream(spark: SparkSession, table: String, in: java.io.InputStream,
+      chunkLines: Int = 65536): Either[String, Result] =
     try {
       val t0 = System.nanoTime()
-      import spark.implicits._
-      val lines = ndjsonBody.split('\n').toIndexedSeq.filter(_.trim.nonEmpty)
-      val df = spark.read.json(spark.createDataset(lines))
-      // align column order with the target before appending
       val target = spark.table(table)
-      val aligned = target.schema.fieldNames.foldLeft(df) { (d, c) =>
-        if (d.columns.contains(c)) d
-        else d.withColumn(c, org.apache.spark.sql.functions.lit(null)
-          .cast(target.schema(c).dataType))
-      }.select(target.schema.fieldNames.map(c =>
-        org.apache.spark.sql.functions.col(c).cast(target.schema(c).dataType)): _*)
-      lockFor(table).synchronized {
-        aligned.write.mode("append").insertInto(table)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+      var total = 0L
+      val buf = new scala.collection.mutable.ArrayBuffer[String](math.min(chunkLines, 1 << 16))
+      def commit(): Unit = if (buf.nonEmpty) {
+        import spark.implicits._
+        val df = spark.read.json(spark.createDataset(buf.toIndexedSeq))
+        val aligned = align(df, target)
+        lockFor(table).synchronized {
+          aligned.write.mode("append").insertInto(table)
+        }
+        total += buf.length
+        buf.clear()
       }
-      Right(Result(Array.emptyByteArray, lines.length.toLong, (System.nanoTime() - t0) / 1e9))
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) {
+          buf += line
+          if (buf.length >= chunkLines) commit()
+        }
+        line = reader.readLine()
+      }
+      commit()
+      if (total == 0) Left("empty insert body")
+      else Right(Result(Array.emptyByteArray, total, (System.nanoTime() - t0) / 1e9))
     } catch {
       case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName).trim)
     }
+
+  /** Align an inferred NDJSON chunk with the target table: add missing
+    * columns as typed NULLs, order and cast to the target schema. */
+  private def align(df: DataFrame, target: DataFrame): DataFrame =
+    target.schema.fieldNames.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+        .cast(target.schema(c).dataType))
+    }.select(target.schema.fieldNames.map(c =>
+      org.apache.spark.sql.functions.col(c).cast(target.schema(c).dataType)): _*)
 }
