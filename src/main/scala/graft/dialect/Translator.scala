@@ -559,8 +559,12 @@ object Translator {
               else Vector.empty[Tok]
             lastArg match {
               case Vector(s: Str) if s.value == "g" =>
-                // global flag == Spark default → drop the flag arg
-                toks = toks.patch(lastComma, Vector.empty, close - lastComma)
+                // global flag → Spark's 4-arg position form (global from
+                // position 1), NOT the 3-arg form: re-translating a 3-arg
+                // output would wrongly demote it to first-match (the
+                // idempotence property the dialect layer guarantees)
+                toks = toks.patch(lastComma + 1, Seq(Ws(" "), Num("1")),
+                  close - lastComma - 1)
               case _ if nCommas == 2 =>
                 // bare 3-arg form: DuckDB replaces only the first match
                 toks = toks.updated(i, Ident("regexp_replace_first"))

@@ -229,7 +229,9 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("regexp_replace 'g' flag dropped (Spark is global by default)") {
-    assert(t("SELECT regexp_replace(s, 'a+', 'x', 'g')") == "SELECT regexp_replace(s, 'a+', 'x')")
+    // 'g' → Spark's 4-arg position form (global from pos 1): a 3-arg output
+    // would be demoted to first-match if re-translated (idempotence)
+    assert(t("SELECT regexp_replace(s, 'a+', 'x', 'g')") == "SELECT regexp_replace(s, 'a+', 'x', 1)")
     // bare 3-arg DuckDB form is first-match-only → graft expression
     assert(t("SELECT regexp_replace(s, 'a+', 'x')") == "SELECT regexp_replace_first(s, 'a+', 'x')")
     // nested commas in args don't confuse the top-level arg count
