@@ -112,6 +112,14 @@ object PipelineQueries {
       TextAnalysis.langId(s.table("documents")).orderBy("doc_id")),
     "p13_text_fingerprint" -> q((s, _) =>
       TextAnalysis.fingerprints(s.table("documents")).orderBy("doc_id")),
+    "p19_text_tokens_bpe" -> q((s, _) =>
+      s.table("documents").select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe")).orderBy("doc_id")),
+    // end-to-end curation: quality gate -> language gate -> exact-dedup
+    // keep-first, one corpus scan + one shuffle (the 100 TB composition)
+    "p20_curation" -> q((s, _) =>
+      TextAnalysis.curate(s.table("documents"), minTokens = 40, lang = "en")
+        .orderBy("h")),
     // ---- multimodal plumbing ----
     "p14_multimodal_meta" -> q((s, _) =>
       s.table("documents")
@@ -216,6 +224,23 @@ object PipelineQueries {
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents " +
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "p19_text_tokens_bpe" ->
+      ("SELECT doc_id, len(regexp_extract_all(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe FROM documents ORDER BY doc_id"),
+    "p20_curation" ->
+      ("WITH t AS (SELECT doc_id, text, " +
+        "list_filter(string_split(lower(text),' '), x -> x <> '') AS ltoks, " +
+        "len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens FROM documents), " +
+        "h AS (SELECT doc_id, text, n_tokens, " +
+        "len(list_filter(ltoks, w -> list_contains(['the','and','of','to','a','in','is'], w))) AS en, " +
+        "len(list_filter(ltoks, w -> list_contains(['der','die','das','und','ist','nicht'], w))) AS de, " +
+        "len(list_filter(ltoks, w -> list_contains(['le','la','les','et','est','une'], w))) AS fr, " +
+        "len(list_filter(ltoks, w -> list_contains(['el','la','los','y','es','una'], w))) AS es FROM t), " +
+        "f AS (SELECT doc_id, text FROM h WHERE n_tokens >= 40 AND " +
+        "(CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en' " +
+        "WHEN de >= fr AND de >= es THEN 'de' WHEN fr >= es THEN 'fr' ELSE 'es' END) = 'en') " +
+        "SELECT md5(text) AS h, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dups " +
+        "FROM f GROUP BY h ORDER BY h"),
     // the projected p15 columns (nbytes + content hash) are deterministic —
     // the codec STUB only feeds the dropped features column, so the
     // multimodal plumbing's Spark-side output is fully oracle-checkable

@@ -67,4 +67,36 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** BPE-ish pre-tokenization (SURVEY §2.11: "whitespace + a BPE-ish
+    * regex"): letter runs, digit runs, and punctuation runs become separate
+    * tokens — the shape GPT-style pre-tokenizers produce ("don't!" → don,
+    * ', t, !). The pattern avoids RE2/Java divergences (no lookaround, no
+    * \p classes), so the count is oracle-checkable cross-engine. */
+  val bpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** End-to-end corpus curation — the composed 100 TB shape: quality gate
+    * (min whitespace-token count) → language gate → exact-dedup keep-first.
+    * ONE scan of the corpus (all gates are codegen column expressions over
+    * `text`) and ONE shuffle (the dedup groupBy); emits one row per kept
+    * unique document: (content hash, kept doc_id, duplicate count). */
+  def curate(docs: DataFrame, minTokens: Int = 40, lang: String = "en"): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val withHits = langStopwords.foldLeft(docs.withColumn("__toks", toks)) {
+      case (df, (l, words)) =>
+        val sw = array(words.map(lit): _*)
+        df.withColumn(s"__$l", size(filter(col("__toks"), t => array_contains(sw, t))))
+    }
+    withHits
+      .withColumn("__pred",
+        expr("""CASE WHEN __en >= __de AND __en >= __fr AND __en >= __es THEN 'en'
+               |WHEN __de >= __fr AND __de >= __es THEN 'de'
+               |WHEN __fr >= __es THEN 'fr' ELSE 'es' END""".stripMargin))
+      .filter(tokenCount(col("text")) >= minTokens && col("__pred") === lang)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
+  }
 }

@@ -49,6 +49,10 @@ object PlanAudit {
     // a hot key over reducers); no cartesian fallback
     Check("p18_salted_join", wantAll = Seq("__graft_salt"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // curation composes its gates as codegen filters over ONE scan — no
+    // join of separately-derived quality/lang frames (which would re-scan)
+    Check("p20_curation", wantAll = Seq("HashAggregate"),
+      wantNone = Seq("Join", "CartesianProduct")),
     // TPC-H-shape heavies: dimensions broadcast; no cartesian anywhere
     Check("q62_tpch_q3", wantAll = Seq("BroadcastHashJoin"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),

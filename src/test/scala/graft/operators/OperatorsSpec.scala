@@ -560,4 +560,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(q.forall(r => r.getInt(1) > 0))            // n_tokens
     assert(q.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 10000)) // stop_bp
   }
+
+  test("bpe token count splits letter/digit/punct runs") {
+    import spark.implicits._
+    val df = Seq((1L, "don't stop-me now, it's 42km!")).toDF("doc_id", "text")
+    // don ' t | stop - me | now , | it ' s | 42 km | ! -> 14 tokens
+    val n = df.select(TextAnalysis.bpeTokenCount(col("text"))).head.getInt(0)
+    assert(n == 14, s"expected 14 bpe tokens, got $n")
+  }
+
+  test("curate composes quality gate, language gate, and exact dedup keep-first") {
+    import spark.implicits._
+    val en = "the cat and the dog walk to the park in the morning and the evening is quiet"
+    val de = "der hund und die katze ist nicht im park und das wetter ist nicht gut heute"
+    val docs = Seq(
+      (1L, en), (2L, en),     // exact duplicates -> one row, keep_id 1, dups 2
+      (3L, "too short"),      // fails the quality gate
+      (4L, de))               // fails the language gate
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.curate(docs, minTokens = 10, lang = "en")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L)), s"unexpected curation output: ${out.toSeq}")
+  }
 }
