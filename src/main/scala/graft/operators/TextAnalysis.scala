@@ -76,7 +76,9 @@ object TextAnalysis {
   val bpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
 
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+    // regexp_count, not size(regexp_extract_all(...)): counting matches
+    // without materializing the token array halves the hot-path cost
+    regexp_count(text, lit(bpeTokenPattern)).cast("int")
 
   /** End-to-end corpus curation — the composed 100 TB shape: quality gate
     * (min whitespace-token count) → language gate → exact-dedup keep-first.
