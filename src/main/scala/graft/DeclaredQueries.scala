@@ -207,6 +207,19 @@ object DeclaredQueries {
       "SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '*') AS r FROM part ORDER BY p_partkey LIMIT 100",
     "q71_regexp_global" ->
       "SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '*', 'g') AS r FROM part ORDER BY p_partkey LIMIT 100",
+    // SQL-standard PIVOT/UNPIVOT — both engines parse the standard clause
+    // natively, so these pass the translator unchanged. Outer CASTs pin
+    // DuckDB's SUM→HUGEINT widening to BIGINT (§2.12 decimal discipline);
+    // bare F/O identifiers reference the pivoted columns in both dialects.
+    "q72_pivot" ->
+      ("SELECT l_returnflag, CAST(F AS BIGINT) AS f_cents, CAST(O AS BIGINT) AS o_cents " +
+        "FROM (SELECT l_returnflag, l_linestatus, CAST(round(l_quantity*100) AS BIGINT) AS q_cents FROM lineitem) " +
+        "PIVOT (SUM(q_cents) FOR l_linestatus IN ('F', 'O')) ORDER BY l_returnflag"),
+    "q73_unpivot" ->
+      ("SELECT l_returnflag, status, CAST(q AS BIGINT) AS q FROM " +
+        "(SELECT l_returnflag, count(*) FILTER (WHERE l_linestatus='F') AS f_cnt, " +
+        "count(*) FILTER (WHERE l_linestatus='O') AS o_cnt FROM lineitem GROUP BY l_returnflag) " +
+        "UNPIVOT (q FOR status IN (f_cnt, o_cnt)) ORDER BY l_returnflag, status"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */
