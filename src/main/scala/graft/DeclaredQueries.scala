@@ -220,6 +220,20 @@ object DeclaredQueries {
         "(SELECT l_returnflag, count(*) FILTER (WHERE l_linestatus='F') AS f_cnt, " +
         "count(*) FILTER (WHERE l_linestatus='O') AS o_cnt FROM lineitem GROUP BY l_returnflag) " +
         "UNPIVOT (q FOR status IN (f_cnt, o_cnt)) ORDER BY l_returnflag, status"),
+    // GROUP BY ALL / ORDER BY ALL (DuckDB-popularized, native in Spark too;
+    // ORDER BY ALL skips the NULLS LAST injection — keyword, not a column)
+    "q74_group_by_all" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS c FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority",
+    "q75_order_by_all" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY ALL",
+    "q76_ilike" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderpriority ILIKE '%urgent%' ORDER BY o_orderkey LIMIT 50",
+    "q77_try_cast" ->
+      "SELECT o_orderkey, TRY_CAST(o_orderpriority AS INTEGER) AS p, TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS lead_digit FROM orders ORDER BY o_orderkey LIMIT 100",
+    // date_diff maps to boundary-crossing forms (datediff / month-trunc
+    // months_between), matching DuckDB's boundary semantics exactly
+    "q78_date_diff" ->
+      "SELECT o_orderkey, date_diff('day', DATE '1995-01-01', o_orderdate) AS dd, date_diff('month', DATE '1995-01-01', o_orderdate) AS dm FROM orders ORDER BY o_orderkey LIMIT 100",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

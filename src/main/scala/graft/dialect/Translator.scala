@@ -768,7 +768,12 @@ object Translator {
         var done = false
         def flushItem(): Unit = {
           val nonWs = itemToks.filterNot(isWs)
-          if (nonWs.nonEmpty && !nonWs.exists(t => up(t) == "NULLS")) {
+          // `ORDER BY ALL [ASC|DESC]` is a keyword form in both dialects —
+          // `ALL NULLS LAST` would re-parse as a column named ALL
+          val isAllKeyword = nonWs.nonEmpty && up(nonWs.head) == "ALL" &&
+            (nonWs.length == 1 ||
+              (nonWs.length == 2 && Set("ASC", "DESC").contains(up(nonWs(1)))))
+          if (nonWs.nonEmpty && !isAllKeyword && !nonWs.exists(t => up(t) == "NULLS")) {
             // insert NULLS LAST before trailing ws
             var e = itemToks.length
             while (e > 0 && isWs(itemToks(e - 1))) e -= 1

@@ -239,6 +239,15 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT regexp_replace_first(concat(a, b), 'a+', 'x')")
   }
 
+  test("ORDER BY ALL keeps the keyword form (no NULLS LAST injection)") {
+    assert(t("SELECT a, b FROM t ORDER BY ALL") == "SELECT a, b FROM t ORDER BY ALL")
+    assert(t("SELECT a, b FROM t ORDER BY ALL DESC") == "SELECT a, b FROM t ORDER BY ALL DESC")
+    // a real column still gets the injection
+    assert(t("SELECT a FROM t ORDER BY a") == "SELECT a FROM t ORDER BY a NULLS LAST")
+    // and a column literally named all_x is not confused with the keyword
+    assert(t("SELECT all_x FROM t ORDER BY all_x") == "SELECT all_x FROM t ORDER BY all_x NULLS LAST")
+  }
+
   test("USING SAMPLE, EXCLUDE, SHOW rewrites") {
     assert(t("SELECT * FROM t USING SAMPLE 10%") == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
     assert(t("SELECT * FROM t USING SAMPLE 100 ROWS") == "SELECT * FROM t TABLESAMPLE (100 ROWS)")
