@@ -234,6 +234,15 @@ object DeclaredQueries {
     // months_between), matching DuckDB's boundary semantics exactly
     "q78_date_diff" ->
       "SELECT o_orderkey, date_diff('day', DATE '1995-01-01', o_orderdate) AS dd, date_diff('month', DATE '1995-01-01', o_orderdate) AS dm FROM orders ORDER BY o_orderkey LIMIT 100",
+    // arg_max/arg_min -> max_by/min_by (same arg order); fixture has no
+    // per-group ties on o_totalprice extremes, so the picked keys are
+    // deterministic (verified against the parquet before declaring)
+    "q79_arg_max" ->
+      "SELECT o_orderstatus, arg_max(o_orderkey, o_totalprice) AS k, arg_min(o_orderkey, o_totalprice) AS j FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    // string_split splits on a LITERAL '.' — proves the regex-quote in the
+    // dialect layer (a name-only rename would split on every character)
+    "q80_string_split" ->
+      "SELECT o_orderkey, list_element(string_split(concat(o_orderstatus, '.', o_orderpriority), '.'), 2) AS pri FROM orders ORDER BY o_orderkey LIMIT 50",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -54,6 +54,7 @@ object Translator {
     toks = rewriteDateFns(toks)
     toks = rewriteRegexpReplaceFlag(toks)
     toks = rewriteJsonArrows(toks)
+    toks = rewriteSplitLiteralSep(toks)
     toks = rewriteFunctionNames(toks)
     toks = rewriteListAggs(toks)
     toks = rewriteInfoSchema(toks)
@@ -328,8 +329,48 @@ object Translator {
     toks
   }
 
+  /** DuckDB `string_split(x, sep)` splits on a LITERAL separator; Spark's
+    * `split` treats it as a regex — `string_split(x, '.')` would split on
+    * every character after a name-only rename. Regex-quote literal
+    * separators (\Q…\E) before [[rewriteFunctionNames]] renames the call.
+    * Non-literal separators stay as-is (rare; documented divergence). */
+  private[dialect] def rewriteSplitLiteralSep(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case id: Ident if id.upper == "STRING_SPLIT" || id.upper == "STR_SPLIT" =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            val args = splitTopLevel(toks.slice(open + 1, close))
+            if (args.length == 2) {
+              val sepIdx = open + 1 + args(0).length + 1 +
+                args(1).indexWhere(!isWs(_))
+              toks(sepIdx) match {
+                case s: Str if s.value.exists(!_.isLetterOrDigit) =>
+                  // two backslashes in the SQL literal: Spark's (non-ANSI)
+                  // string parser consumes one, the regex engine the other
+                  val escaped = s.value.flatMap { c =>
+                    if ("\\.[]{}()*+?^$|".contains(c)) "\\\\" + c else c.toString
+                  }
+                  toks = toks.updated(sepIdx,
+                    Str("'" + escaped.replace("'", "''") + "'"))
+                case _ =>
+              }
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
+
   /** Safe 1:1 function renames (SURVEY.md §2.9 dialect-intersection table). */
   private val fnMap = Map(
+    "ARG_MAX" -> "max_by",
+    "ARG_MIN" -> "min_by",
     "RANDOM" -> "rand",
     "JSON_EXTRACT_STRING" -> "get_json_object",
     "TODAY" -> "current_date",

@@ -239,6 +239,15 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT regexp_replace_first(concat(a, b), 'a+', 'x')")
   }
 
+  test("string_split literal separators are regex-quoted; arg_max/min renamed") {
+    // '.' must not become match-any: double backslash survives Spark's
+    // string parser as a regex escape
+    assert(t("SELECT string_split(x, '.')") == "SELECT split(x, '\\\\.')")
+    // plain-word separators stay readable
+    assert(t("SELECT string_split(x, ' ')") == "SELECT split(x, ' ')")
+    assert(t("SELECT arg_max(a, b), arg_min(a, b)") == "SELECT max_by(a, b), min_by(a, b)")
+  }
+
   test("ORDER BY ALL keeps the keyword form (no NULLS LAST injection)") {
     assert(t("SELECT a, b FROM t ORDER BY ALL") == "SELECT a, b FROM t ORDER BY ALL")
     assert(t("SELECT a, b FROM t ORDER BY ALL DESC") == "SELECT a, b FROM t ORDER BY ALL DESC")
