@@ -243,6 +243,20 @@ object DeclaredQueries {
     // dialect layer (a name-only rename would split on every character)
     "q80_string_split" ->
       "SELECT o_orderkey, list_element(string_split(concat(o_orderstatus, '.', o_orderpriority), '.'), 2) AS pri FROM orders ORDER BY o_orderkey LIMIT 50",
+    // window extras: percent_rank/cume_dist in basis points (exact small-n
+    // doubles), nth_value over an explicit full frame
+    "q81_window_extras" ->
+      ("SELECT o_orderkey, CAST(round(10000*percent_rank() OVER w) AS BIGINT) AS pr, " +
+        "CAST(round(10000*cume_dist() OVER w) AS BIGINT) AS cd, " +
+        "nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey) ORDER BY o_orderkey LIMIT 100"),
+    // aggregate extras: bool_and/bool_or, bit_and/or/xor, exact interpolated
+    // median (integer cents; corr/covar stay undeclared — cross-engine FP
+    // summation order diverges)
+    "q82_agg_extras" ->
+      ("SELECT bool_and(p_size > 0) AS ba, bool_or(p_size > 40) AS bo, " +
+        "CAST(bit_and(p_size) AS BIGINT) AS band, CAST(bit_or(p_size) AS BIGINT) AS bor, CAST(bit_xor(p_size) AS BIGINT) AS bx, " +
+        "CAST(round(median(CAST(p_size AS DOUBLE))*100) AS BIGINT) AS med_c FROM part"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */
