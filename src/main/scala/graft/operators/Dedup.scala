@@ -123,8 +123,12 @@ object Dedup {
         shiftrightunsigned(col("sh"), b * width)
           .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1)).as("bits"))
     }
+    // localCheckpoint: the self-join would otherwise recompute
+    // tokenize+simhash on BOTH sides (same 2× minhashPairs measured);
+    // the frame is ids + three longs × bands rows — cheap to hold
     val banded = sh.withColumn("band", explode(array(bandStructs: _*)))
       .select(col("id"), col("sh"), col("band.b").as("band_id"), col("band.bits").as("band_bits"))
+      .localCheckpoint()
     banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_bits") === col("y.band_bits") &&
