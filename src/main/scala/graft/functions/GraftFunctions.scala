@@ -36,6 +36,9 @@ object GraftFunctions {
     ("token_window_hashes", "distinct 64-bit shingle-window hashes of a token array",
       args => TokenWindowHashes(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
+    ("minhash_from_hashes", "minhash signature from precomputed 64-bit window hashes",
+      args => MinHashFromHashes(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())),
     ("regexp_replace_first", "first-match-only regexp_replace (DuckDB 3-arg semantics)",
       args => RegexpReplaceFirst(args(0), args(1), args(2))),
     ("graft_version", "engine version string",
@@ -73,6 +76,9 @@ object GraftFunctions {
   def token_window_hashes(tokens: Column, width: Int): Column =
     org.apache.spark.sql.functions.call_function("token_window_hashes", tokens,
       org.apache.spark.sql.functions.lit(width))
+  def minhash_from_hashes(hashes: Column, numHashes: Int): Column =
+    org.apache.spark.sql.functions.call_function("minhash_from_hashes", hashes,
+      org.apache.spark.sql.functions.lit(numHashes))
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -134,6 +134,49 @@ case class MinHashTokensSig(child: Expression, width: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature over PRE-COMPUTED 64-bit window hashes
+  * (`array<bigint>` → `array<bigint>` of length `numHashes`). MIN is
+  * duplicate-insensitive, so applying this to [[TokenWindowHashes]]' distinct
+  * set yields exactly [[MinHashTokensSig]]'s signature — which lets a
+  * pipeline compute window hashes ONCE and feed both the LSH banding and the
+  * exact-Jaccard verify from the same checkpointed frame (round 4: one
+  * corpus tokenize+hash pass instead of two in minhashPairs). */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0 && numHashes <= MinHashSig.maxHashes)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = MinHashSig.coeffA(j) * h + MinHashSig.coeffB(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashFromHashes", this, classOf[MinHashFromHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+}
+
 /** DISTINCT 64-bit hashes of the `width`-token shingle windows of a token
   * array — the shingle SET as longs, for exact-Jaccard verification without
   * ever materializing shingle strings. Same windowing as

@@ -66,12 +66,20 @@ object Dedup {
       struct(lit(b).as("b"), xxhash64(slice(col("sig"), lit(b * r + 1), lit(r))).as("h"))
     }
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    // ONE corpus tokenize+hash pass (round 4): the distinct window-hash
+    // sets feed BOTH the banding signature (MIN is duplicate-insensitive,
+    // so minhash over the distinct set == minhash_tokens_sig) and the
+    // exact-Jaccard verify below — previously two full passes.
+    val base = docs.select(col(idCol).as("id"),
+        GraftFunctions.token_window_hashes(toks, shingleSize).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .localCheckpoint()
     // slim banded signature: ids only — candidate pairs join text back later,
     // so the exploded (×bands) shuffle never carries document bodies.
     // localCheckpoint materializes the signatures once: the self-join would
-    // otherwise recompute tokenize+minhash on BOTH sides (measured 2×).
-    val banded = docs.select(col(idCol).as("id"),
-        GraftFunctions.minhash_tokens_sig(toks, shingleSize, numHashes).as("sig"))
+    // otherwise recompute the 64-way rehash on BOTH sides.
+    val banded = base.select(col("id"),
+        GraftFunctions.minhash_from_hashes(col("sh"), numHashes).as("sig"))
       .withColumn("band", explode(array(bandStructs: _*)))
       .select(col("id"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
       .localCheckpoint()
@@ -81,19 +89,17 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("d1"), col("y.id").as("d2"))
       .dropDuplicates("d1", "d2")
-    // exact verify on candidates only. Shingle each DOC once and join the
-    // precomputed sets to the pairs — computing shingles per PAIR re-does
-    // each doc's set once per candidate it appears in, which goes quadratic
-    // the moment the corpus has duplicate clusters (measured 115 s → 12 s
-    // on 250k candidates over 50k docs with 10-way dup groups). The union
-    // size comes from |A∪B| = |A|+|B|−|A∩B| to save a second set op.
-    // Sets are DISTINCT 64-bit window hashes ([[TokenWindowHashes]]), not
-    // shingle strings: the pair join then shuffles long arrays and
-    // intersects integers — same Jaccard up to 2⁻⁶⁴ hash collisions.
-    val shingled = docs.select(col(idCol).as("id"),
-        GraftFunctions.token_window_hashes(toks, shingleSize).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-      .localCheckpoint()
+    // exact verify on candidates only. Each DOC's precomputed hash set
+    // (the same checkpointed `base` frame the banding read) joins to the
+    // pairs — computing shingles per PAIR re-does each doc's set once per
+    // candidate it appears in, which goes quadratic the moment the corpus
+    // has duplicate clusters (measured 115 s → 12 s on 250k candidates
+    // over 50k docs with 10-way dup groups). The union size comes from
+    // |A∪B| = |A|+|B|−|A∩B| to save a second set op. Sets are DISTINCT
+    // 64-bit window hashes ([[TokenWindowHashes]]), not shingle strings:
+    // the pair join shuffles long arrays and intersects integers — same
+    // Jaccard up to 2⁻⁶⁴ hash collisions.
+    val shingled = base
     val withSh = cand
       .join(shingled.select(col("id").as("d1"), col("sh").as("sh1"), col("nsh").as("n1")), "d1")
       .join(shingled.select(col("id").as("d2"), col("sh").as("sh2"), col("nsh").as("n2")), "d2")
