@@ -101,6 +101,19 @@ object PipelineQueries {
         .select(col("embedding")).head.getSeq[Float](0).toArray
       Similarity.annTopKIndexed(s, idx, qv, 20, planes = 4, probes = 4)
     }),
+    "p21_sim_ann_ivf" -> q((s, dir) => {
+      // IVF-flat twin of p09: centroid-bucketed index built once per data
+      // dir, probes chosen driver-side from the tiny centroids table
+      val emb = s.table("embeddings")
+      val idx = "graft_ivf_idx_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      if (!s.catalog.tableExists(idx))
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") =!= 0), idx,
+          nCentroids = 16, numBuckets = 8)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      Similarity.ivfTopKIndexed(s, idx, qv, 20, nprobe = 4)
+    }),
     // ---- text analysis ----
     "p10_text_tokens" -> q((s, _) =>
       s.table("documents").select(col("doc_id"),
@@ -263,10 +276,11 @@ object PipelineQueries {
         "FROM embeddings e, q WHERE e.vec_id <> 0) " +
         "SELECT vec_id, CAST(round(1000000.0 * (dot / (sqrt(nb) * sqrt(na)))) AS BIGINT) AS cos_micro " +
         "FROM s ORDER BY (dot / (sqrt(nb) * sqrt(na))) DESC, vec_id LIMIT 20"),
-    // p03/p04/p05/p09: hash-seeded or bucketing-dependent output — no
+    // p03/p04/p05/p09/p21: hash-seeded or bucketing-dependent output — no
     // cross-engine oracle exists. Self-verified instead (OperatorsSpec):
     // p03/p04 recall = 1.0 vs the exact near-dup ground truth, p05 recall
-    // vs brute-force pairs on clustered fixtures, p09 indexed-ANN recall
-    // ≥ 0.9 vs brute force.
+    // vs brute-force pairs on clustered fixtures, p09 indexed-ANN and p21
+    // IVF recall ≥ 0.9 vs brute force (p21 additionally asserts
+    // rebuild-determinism and bucket pruning).
   )
 }

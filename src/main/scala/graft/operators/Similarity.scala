@@ -95,20 +95,7 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
-    // a previous JVM may have left the warehouse dir without a catalog
-    // entry (fresh session, persistent cwd) — saveAsTable would then fail
-    // on LOCATION_ALREADY_EXISTS
-    if (!spark.catalog.tableExists(indexTable)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        .stripPrefix("file:")
-      val stale = new java.io.File(wh, indexTable.toLowerCase)
-      if (stale.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(stale)
-      }
-    }
+    dropStaleWarehouseDir(spark, indexTable)
     Partitioning.writeBucketed(
       emb.withColumn("sig", hyperplaneSignature(col(vecCol), planes)),
       indexTable, Seq("sig"), numBuckets)
@@ -148,6 +135,103 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- IVF-flat tier (the other 100 TB index family) --------------------
+  //
+  // LSH buckets by random hyperplanes; IVF buckets by nearest CENTROID —
+  // better recall/probe on clustered corpora because buckets follow the
+  // data's own density. Centroids here are a deterministic hash-sample of
+  // the corpus (the nCentroids vectors with the smallest xxhash64(id)):
+  // no k-means iterations, stable across runs/clusters, and good enough
+  // for coarse quantization (FAISS's IVF works with sampled training too).
+
+  /** One-time IVF index build: pick centroids, assign every vector to its
+    * nearest centroid (argmax cosine — one codegen pass, nCentroids
+    * similarities per row), persist bucketed-by-centroid plus a tiny
+    * `<table>_centroids` side table the query path scores driver-side. */
+  def buildIvfIndex(
+      emb: DataFrame,
+      indexTable: String,
+      nCentroids: Int = 16,
+      numBuckets: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val cents: Array[(Int, Array[Float])] = emb
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    val simCols = cents.map { case (_, v) =>
+      coalesce(GraftFunctions.cosine_sim(col(vecCol), typedLit(v.toSeq)), lit(-2.0d))
+    }
+    val sims = array(simCols.toIndexedSeq: _*)
+    // array_position of the max = 1-based centroid id; first-max ties are
+    // deterministic
+    val assigned = emb.withColumn("cid",
+      (array_position(sims, array_max(sims)) - 1).cast("int"))
+    dropStaleWarehouseDir(spark, indexTable)
+    dropStaleWarehouseDir(spark, indexTable + "_centroids")
+    Partitioning.writeBucketed(assigned, indexTable, Seq("cid"), numBuckets)
+    import spark.implicits._
+    cents.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("cid", "centroid")
+      .write.format("parquet").mode("overwrite")
+      .saveAsTable(indexTable + "_centroids")
+  }
+
+  /** IVF top-k: score the centroid table DRIVER-side (nCentroids rows — no
+    * job over the corpus), probe the `nprobe` nearest centroid buckets via
+    * `cid IN (...)` (bucket-pruned scan), exact cosine within. */
+  def ivfTopKIndexed(
+      spark: SparkSession,
+      indexTable: String,
+      queryVec: Array[Float],
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(spark)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) -2.0 else dot / den
+    }
+    val probes = spark.table(indexTable + "_centroids").collect()
+      .map(r => (r.getInt(0), cos(queryVec, r.getSeq[Float](1).toArray)))
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nprobe).map(_._1)
+    val s2 = indexScanSession(spark)
+    GraftFunctions.register(s2)
+    s2.table(indexTable)
+      .filter(col("cid").isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col(idCol),
+        GraftFunctions.cosine_sim(col(vecCol), typedLit(queryVec.toSeq)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** A previous JVM may have left the warehouse dir without a catalog entry
+    * (fresh session, persistent cwd) — saveAsTable would then fail on
+    * LOCATION_ALREADY_EXISTS. */
+  private def dropStaleWarehouseDir(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .stripPrefix("file:")
+      val stale = new java.io.File(wh, table.toLowerCase)
+      if (stale.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(stale)
+      }
+    }
 
   // one scan-tuned clone per base session; WeakHashMap so a retired base
   // session doesn't pin its clone

@@ -38,6 +38,10 @@ object PlanAudit {
     // recompute them over the corpus, and must prune to candidate buckets
     Check("p09_sim_ann_lsh",
       wantAll = Seq("SelectedBucketsCount"), wantNone = Seq("hyperplane_sig")),
+    // IVF twin: stored cid column, centroid probes resolved driver-side —
+    // the corpus scan must prune to probe buckets with no re-assignment
+    Check("p21_sim_ann_ivf",
+      wantAll = Seq("SelectedBucketsCount"), wantNone = Seq("array_max")),
     // round-2 optimizer rule: month-truncation runs in the date domain
     Check("q50_date_trunc", wantAll = Seq("as date), month)"), wantNone = Seq("date_trunc(")),
     // multimodal metadata stays in codegen expressions, not the codec seam

@@ -229,6 +229,48 @@ class OperatorsSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_ann_spec_idx")
   }
 
+  test("IVF index: centroid-bucketed scan, driver-side probes, recall holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 500).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    Seq("graft_ivf_spec_idx", "graft_ivf_spec_idx_centroids").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    Similarity.buildIvfIndex(emb.filter($"vec_id" =!= 0), "graft_ivf_spec_idx",
+      nCentroids = 16, numBuckets = 8)
+    val qvec = vecs.head._2
+    val ivf = Similarity.ivfTopKIndexed(spark, "graft_ivf_spec_idx", qvec, 10, nprobe = 6)
+    val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" =!= 0), qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = ivf.collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9 on clustered data")
+    // scale posture: no per-query assignment over the corpus (cid is a
+    // stored column), bucket pruning active
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("cosine_sim(embedding, [") || !plan.contains("array_max"),
+      "per-query centroid re-assignment in plan")
+    assert(plan.contains("SelectedBucketsCount"), s"no bucket pruning in plan:\n$plan")
+    // determinism: rebuilding the index yields identical assignments
+    val ivf2 = Similarity.ivfTopKIndexed(spark, "graft_ivf_spec_idx", qvec, 10, nprobe = 6)
+    assert(ivf2.collect().map(_.getLong(0)).toSet == got)
+    Seq("graft_ivf_spec_idx", "graft_ivf_spec_idx_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("indexed ANN plans on a pinned clone; base-session conf untouched under concurrency") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
