@@ -138,7 +138,9 @@ object Translator {
       var i = 0
       while (i < toks.length && !changed) {
         toks(i) match {
-          case id: Ident if id.upper == "READ_PARQUET" || id.upper == "READ_CSV_AUTO" || id.upper == "READ_CSV" =>
+          case id: Ident if id.upper == "READ_PARQUET" || id.upper == "READ_CSV_AUTO" ||
+              id.upper == "READ_CSV" || id.upper == "READ_JSON_AUTO" || id.upper == "READ_JSON" ||
+              id.upper == "READ_NDJSON_AUTO" || id.upper == "READ_NDJSON" =>
             val open = nextNonWs(toks, i)
             if (open < toks.length && toks(open) == Punct("(")) {
               val close = matchParen(toks, open)
@@ -154,11 +156,12 @@ object Translator {
                       // counter: two concurrent queries over different files
                       // must never share a temp-view name (the registration
                       // happens in the shared session)
-                      val vn = s"graft_csv_view_${
+                      val fmt = if (id.upper.startsWith("READ_CSV")) "csv" else "json"
+                      val vn = s"graft_${fmt}_view_${
                         java.security.MessageDigest.getInstance("MD5")
                           .digest(path.value.getBytes("UTF-8"))
                           .take(8).map("%02x".format(_)).mkString}"
-                      views += ViewReg(vn, "csv", path.value)
+                      views += ViewReg(vn, fmt, path.value)
                       s"$vn$alias"
                     }
                   toks = toks.patch(i, Seq(Ident(repl)), close - i + 1)

@@ -136,6 +136,40 @@ object Engine {
     Seq(n).toDF("Count")
   }
 
+  /** DuckDB `COPY <table> FROM '<path>' (FORMAT X [, HEADER])` — the ingest
+    * twin of COPY TO: a distributed read + schema-aligned append. */
+  private val copyFromRe =
+    "(?is)^\\s*COPY\\s+([\\w.`\"]+)\\s+FROM\\s+'([^']+)'\\s*(?:\\((.*)\\))?\\s*$".r
+
+  private def runCopyFrom(spark: SparkSession, table: String, path: String,
+      opts: String): DataFrame = {
+    val t = table.replaceAll("[`\"]", "")
+    val optU = opts.toUpperCase
+    val src =
+      if (optU.contains("PARQUET") || path.endsWith(".parquet")) spark.read.parquet(path)
+      else if (optU.contains("JSON") || path.endsWith(".json") || path.endsWith(".ndjson"))
+        spark.read.json(path)
+      else spark.read.option("header", (!optU.contains("HEADER FALSE")).toString)
+        .option("inferSchema", "true").csv(path)
+    val target = spark.table(t)
+    // order + cast onto the target schema; absent columns become typed NULLs
+    val aligned = target.schema.fieldNames.foldLeft(src) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+        .cast(target.schema(c).dataType))
+    }.select(target.schema.fieldNames.map(c =>
+      org.apache.spark.sql.functions.col(c).cast(target.schema(c).dataType)): _*)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = aligned.observe(obs,
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    tableWriteLock(t).synchronized {
+      observed.write.mode("append").insertInto(t)
+    }
+    val n = obs.get("n").asInstanceOf[Long]
+    import spark.implicits._
+    Seq(n).toDF("Count")
+  }
+
   private val summarizeRe = "(?is)^\\s*SUMMARIZE\\s+([\\w.`\"]+)\\s*$".r
   private val asofWordRe = "(?is).*\\bASOF\\b.*".r
 
@@ -194,6 +228,8 @@ object Engine {
   /** Translate one DuckDB-dialect statement and run it. */
   def sql(spark: SparkSession, duckSql: String): DataFrame = {
     duckSql match {
+      case copyFromRe(table, path, opts) =>
+        return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))
       case copyToRe(source, path, opts) =>
         return runCopyTo(spark, source, path, Option(opts).getOrElse(""))
       case summarizeRe(table) =>

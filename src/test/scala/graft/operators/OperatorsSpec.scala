@@ -596,6 +596,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(df.schema("elevation").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
+  test("read_json_auto end-to-end: NDJSON file as a table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "pets.json"),
+      """{"name":"rex","legs":4}
+        |{"name":"tweety","legs":2}
+        |""".stripMargin)
+    val df = Engine.sql(spark,
+      s"SELECT read_json_auto.name FROM read_json_auto('$dir/pets.json') WHERE legs = 4")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("rex"))
+  }
+
+  test("COPY FROM round-trips a COPY TO export back into a table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_copyfrom").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("copy_src")
+    Engine.sql(spark, s"COPY (SELECT k, v FROM copy_src) TO '$dir/out' (FORMAT CSV, HEADER)")
+    spark.sql("DROP TABLE IF EXISTS copy_dst")
+    spark.sql("CREATE TABLE copy_dst (k BIGINT, v STRING) USING parquet")
+    val res = Engine.sql(spark, s"COPY copy_dst FROM '$dir/out' (FORMAT CSV, HEADER)")
+    assert(res.collect().head.getLong(0) == 3L)
+    assert(spark.table("copy_dst").orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    spark.sql("DROP TABLE copy_dst")
+  }
+
   test("text quality columns are sane") {
     Engine.registerTables(spark, sfDir)
     val q = TextAnalysis.qualityScored(spark.table("documents")).collect()
