@@ -71,6 +71,37 @@ object Streaming {
       .drop("__graft_sig")
   }
 
+  /** Streaming corpus curation — the continuous form of
+    * [[graft.operators.TextAnalysis.curate]]: quality gate (min token
+    * count) → language gate → exact-dedup-within-watermark on the content
+    * hash. The gates are stateless codegen filters; the only state is one
+    * hash per kept doc, bounded by the watermark — so an ingest pipeline
+    * can run this forever in front of the batch dedup passes. */
+  def curateStream(docs: DataFrame,
+      minTokens: Int = 40,
+      lang: String = "en",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val withHits = TextAnalysis.langStopwords.foldLeft(docs.withColumn("__toks", toks)) {
+      case (df, (l, words)) =>
+        val sw = array(words.map(lit): _*)
+        df.withColumn(s"__$l", size(filter(col("__toks"), t => array_contains(sw, t))))
+    }
+    withHits
+      .withColumn("__pred",
+        expr("""CASE WHEN __en >= __de AND __en >= __fr AND __en >= __es THEN 'en'
+               |WHEN __de >= __fr AND __de >= __es THEN 'de'
+               |WHEN __fr >= __es THEN 'fr' ELSE 'es' END""".stripMargin))
+      .filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens && col("__pred") === lang)
+      .withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__toks", "__en", "__de", "__fr", "__es", "__pred", "__h")
+  }
+
   // ---- sessionization ---------------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

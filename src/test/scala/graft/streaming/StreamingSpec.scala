@@ -67,6 +67,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming curation gates quality and language, dedups within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streaming.curateStream(docs, minTokens = 10, lang = "en")
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val en = "the cat and the dog walk to the park in the morning and the evening"
+      val de = "der hund und die katze ist nicht im park und das wetter ist nicht gut"
+      input.addData(
+        (ts(0), 1L, en),
+        (ts(0, 30), 2L, en),   // exact dup inside the watermark → dropped
+        (ts(1), 3L, "too short"), // quality gate
+        (ts(1, 30), 4L, de))   // language gate
+      q.processAllAvailable()
+      val ids = spark.table("curate_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L), s"expected only doc 1 to survive curation, got $ids")
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
