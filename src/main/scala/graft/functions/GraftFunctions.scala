@@ -39,6 +39,8 @@ object GraftFunctions {
     ("minhash_from_hashes", "minhash signature from precomputed 64-bit window hashes",
       args => MinHashFromHashes(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
+    ("bpe_token_count", "count of BPE-ish pre-tokens (letter/digit/punct runs)",
+      args => BpeTokenCount(args(0))),
     ("regexp_replace_first", "first-match-only regexp_replace (DuckDB 3-arg semantics)",
       args => RegexpReplaceFirst(args(0), args(1), args(2))),
     ("graft_version", "engine version string",

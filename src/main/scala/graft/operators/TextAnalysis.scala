@@ -76,9 +76,10 @@ object TextAnalysis {
   val bpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
 
   def bpeTokenCount(text: Column): Column =
-    // regexp_count, not size(regexp_extract_all(...)): counting matches
-    // without materializing the token array halves the hot-path cost
-    regexp_count(text, lit(bpeTokenPattern)).cast("int")
+    // a native linear-scan run classifier, not the regex engine: one class
+    // lookup per byte vs NFA stepping per token. ExpressionsSpec
+    // property-checks it against regexp_count on random strings.
+    call_function("bpe_token_count", text)
 
   /** End-to-end corpus curation — the composed 100 TB shape: quality gate
     * (min whitespace-token count) → language gate → exact-dedup keep-first.

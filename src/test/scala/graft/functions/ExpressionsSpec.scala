@@ -118,6 +118,25 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("bpe_token_count matches regexp_count on random strings") {
+    withFns {
+      import spark.implicits._
+      val rnd = new scala.util.Random(3)
+      val alphabet = "ab1 .,!\tZ9-\né中 "
+      val strs = (0 until 300).map { _ =>
+        (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      } :+ "" :+ "don't stop-me now, it's 42km!" :+ " x "
+      val df = strs.toDF("s")
+      val rows = df.select(
+        expr("bpe_token_count(s)"),
+        expr(s"CAST(regexp_count(s, '${graft.operators.TextAnalysis.bpeTokenPattern.replace("\\", "\\\\")}') AS INT)"))
+        .collect()
+      rows.zip(strs).foreach { case (r, s) =>
+        assert(r.getInt(0) == r.getInt(1), s"mismatch on ${s.map(_.toInt)}: scan=${r.getInt(0)} regex=${r.getInt(1)}")
+      }
+    }
+  }
+
   test("regexp_replace_first replaces only the first match") {
     withFns {
       val df = spark.createDataFrame(Seq(Tuple1("small ring"))).toDF("s")
