@@ -17,9 +17,16 @@ object CodegenProbe {
       .withColumn("toks", split(col("text"), " "))
     val out = df.selectExpr("id", "simhash64(toks) AS sh",
       "minhash_sig(toks, 16) AS ms", "minhash_tokens_sig(toks, 3, 16) AS mts",
-      "cosine_sim(array(1.0f, 2.0f), array(2.0f, 4.0f)) AS cs").collect()
+      "cosine_sim(array(1.0f, 2.0f), array(2.0f, 4.0f)) AS cs",
+      // round-4 expressions
+      "bpe_token_count(text) AS bt",
+      "regexp_replace_first(text, '[a-e]', '*') AS rr",
+      "minhash_from_hashes(token_window_hashes(toks, 3), 16) AS mfh",
+      "hyperplane_sig(array(1.0f, 2.0f), 4) AS hs").collect()
     println("CODEGEN_ONLY_OK rows=" + out.length + " sh0=" + out(0).getLong(1) +
-      " ms_len=" + out(0).getSeq[Long](2).length + " cs=" + out(0).getDouble(4))
+      " ms_len=" + out(0).getSeq[Long](2).length + " cs=" + out(0).getDouble(4) +
+      " bt=" + out(0).getInt(5) + " rr=" + out(0).getString(6) +
+      " mfh_len=" + out(0).getSeq[Long](7).length)
     spark.stop()
   }
 }
