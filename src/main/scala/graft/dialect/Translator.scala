@@ -334,8 +334,9 @@ object Translator {
 
   /** DuckDB `string_split(x, sep)` splits on a LITERAL separator; Spark's
     * `split` treats it as a regex — `string_split(x, '.')` would split on
-    * every character after a name-only rename. Regex-quote literal
-    * separators (\Q…\E) before [[rewriteFunctionNames]] renames the call.
+    * every character after a name-only rename. Metachars in literal
+    * separators are backslash-escaped (doubled: Spark's string parser eats
+    * one level) before [[rewriteFunctionNames]] renames the call.
     * Non-literal separators stay as-is (rare; documented divergence). */
   private[dialect] def rewriteSplitLiteralSep(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
@@ -347,9 +348,9 @@ object Translator {
           if (open < toks.length && toks(open) == Punct("(")) {
             val close = matchParen(toks, open)
             val args = splitTopLevel(toks.slice(open + 1, close))
-            if (args.length == 2) {
-              val sepIdx = open + 1 + args(0).length + 1 +
-                args(1).indexWhere(!isWs(_))
+            val sepInArg = if (args.length == 2) args(1).indexWhere(!isWs(_)) else -1
+            if (sepInArg >= 0) {
+              val sepIdx = open + 1 + args(0).length + 1 + sepInArg
               toks(sepIdx) match {
                 case s: Str if s.value.exists(!_.isLetterOrDigit) =>
                   // two backslashes in the SQL literal: Spark's (non-ANSI)
