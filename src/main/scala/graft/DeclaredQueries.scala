@@ -257,6 +257,57 @@ object DeclaredQueries {
       ("SELECT bool_and(p_size > 0) AS ba, bool_or(p_size > 40) AS bo, " +
         "CAST(bit_and(p_size) AS BIGINT) AS band, CAST(bit_or(p_size) AS BIGINT) AS bor, CAST(bit_xor(p_size) AS BIGINT) AS bx, " +
         "CAST(round(median(CAST(p_size AS DOUBLE))*100) AS BIGINT) AS med_c FROM part"),
+    // ---- round-4 continuation: table expressions, lambdas, function
+    // families still undeclared after q82. All validated in DuckDB first
+    // (SURVEY §2.12 protocol), all run through the one-source-of-truth
+    // translator on the Spark side.
+    "q83_values_table" ->
+      // inline VALUES as a joinable table — native clause in both engines
+      "SELECT v.k, v.lbl, n.n_name FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS v(k, lbl) JOIN nation n ON n.n_nationkey = v.k ORDER BY v.k",
+    "q84_generate_series" ->
+      // DuckDB inclusive-end series TVF -> Spark range (exclusive end, +1
+      // adjusted in the dialect layer); column alias through t(gs)
+      "SELECT t.gs FROM generate_series(1, 9, 2) AS t(gs) ORDER BY gs",
+    "q85_list_lambda" ->
+      // higher-order list functions: list_transform/list_filter -> Spark
+      // transform/filter; same `x -> expr` lambda syntax in both dialects
+      "SELECT o_orderkey, list_transform([o_orderkey % 3, o_orderkey % 5], x -> x * 2) AS lt, list_filter([1, 2, 3, 4], x -> x > 2) AS lf FROM orders ORDER BY o_orderkey LIMIT 50",
+    "q86_string_extras" ->
+      // same-name same-semantics string functions: levenshtein, split_part
+      // (1-based, literal sep), translate, reverse, repeat, instr
+      "SELECT s_suppkey, levenshtein(s_name, 'Supplier#1') AS lev, split_part(s_name, '#', 2) AS sp, translate(s_name, '#0', '-o') AS tr, reverse(s_name) AS rev, repeat(s_name, 2) AS rep, instr(s_name, '#') AS pos FROM supplier ORDER BY s_suppkey LIMIT 50",
+    "q87_hash_sample" ->
+      // deterministic hash sampling — the cross-engine-reproducible form of
+      // ORDER BY random(): md5 hex is identical in both engines, so a
+      // 1/16th bucket sample hash-matches exactly (also the pipeline
+      // sampling primitive p23 builds on)
+      "SELECT o_orderkey FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0' ORDER BY o_orderkey",
+    "q88_date_extras" ->
+      // last_day/make_date (same names), strptime -> to_timestamp with the
+      // %-pattern translated to JDK (parse twin of q49's strftime path)
+      "SELECT o_orderkey, last_day(o_orderdate) AS ld, make_date(2024, 3, 1) AS md, CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS rt FROM orders ORDER BY o_orderkey LIMIT 50",
+    "q89_list_ops" ->
+      // list_slice (1-based inclusive -> slice start/length), list_sort,
+      // flatten, list_reverse, array_to_string -> array_join
+      "SELECT vec_id, array_to_string(list_transform(list_slice([3, 1, 2, 5, 4], 2, 4), x -> CAST(x AS VARCHAR)), ',') AS s, list_sort([3, 1, 2]) AS ls, flatten([[1, 2], [3]]) AS fl, list_reverse([1, 2, 3]) AS lr FROM embeddings ORDER BY vec_id LIMIT 10",
+    "q90_recursive_cte" ->
+      // WITH RECURSIVE — native in DuckDB and in Spark 4
+      "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10) SELECT n FROM t ORDER BY n",
+    "q91_bitwise" ->
+      // & | << >> parse identically; DuckDB's xor() function -> Spark's ^
+      // operator (DuckDB ^ is power, so the operator cannot pass through)
+      "SELECT p_partkey, p_size & 12 AS a, p_size | 3 AS o, xor(p_size, 5) AS x, p_size << 2 AS shl, p_size >> 1 AS shr FROM part ORDER BY p_partkey LIMIT 100",
+    "q92_count_if" ->
+      // count_if + FILTER'd sum (CASTs pin DuckDB's HUGEINT widening)
+      "SELECT CAST(count_if(p_size > 25) AS BIGINT) AS c, CAST(sum(p_size) FILTER (WHERE p_size > 25) AS BIGINT) AS s FROM part",
+    "q93_intersect_all" ->
+      // multiset set-ops — native in both engines
+      "SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 50 INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k",
+    "q94_except_all" ->
+      "SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 50 EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY k",
+    "q95_lateral" ->
+      // correlated LATERAL subquery in the FROM list — native in both
+      "SELECT n.n_nationkey, t.m FROM nation n, LATERAL (SELECT max(s_suppkey) AS m FROM supplier s WHERE s.s_nationkey = n.n_nationkey) t ORDER BY n.n_nationkey",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -55,6 +55,7 @@ object Translator {
     toks = rewriteRegexpReplaceFlag(toks)
     toks = rewriteJsonArrows(toks)
     toks = rewriteSplitLiteralSep(toks)
+    toks = rewriteArgShapeFns(toks)
     toks = rewriteFunctionNames(toks)
     toks = rewriteListAggs(toks)
     toks = rewriteInfoSchema(toks)
@@ -393,6 +394,9 @@ object Translator {
     "STARTS_WITH" -> "startswith",
     "ENDS_WITH" -> "endswith",
     "LIST_SORT" -> "array_sort",
+    "LIST_REVERSE" -> "reverse",
+    "ARRAY_TO_STRING" -> "array_join",
+    "COUNTIF" -> "count_if",
     "LIST_MIN" -> "array_min",
     "LIST_MAX" -> "array_max",
     "LIST_DISTINCT" -> "array_distinct",
@@ -435,6 +439,85 @@ object Translator {
             val repl = if (id.upper == "LIST_SUM") sum else s"($sum / size($arg))"
             toks = toks.patch(i, lex(repl), close - i + 1)
             changed = true // restart: a nested list_sum in `arg` re-lexed above
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** Arg-shape rewrites with no 1:1 Spark rename (round 4):
+    *   - `xor(a, b)` → `((a) ^ (b))` — DuckDB's `^` is power, so the
+    *     function spelling is the only portable xor; Spark's `^` is xor.
+    *   - `list_slice(l, a, b)` → `slice(l, (a), (b) - (a) + 1)` — DuckDB is
+    *     1-based inclusive [a, b]; Spark slice takes (start, length).
+    *   - `strptime(s, '%Y-%m-%d')` → `to_timestamp(s, 'yyyy-MM-dd')` —
+    *     parse twin of strftime, same %-pattern translation.
+    *   - `generate_series(a, b[, s])` after FROM/JOIN → `range(a, (b)±1[, s])`
+    *     (DuckDB inclusive end vs range's exclusive; sign from the literal
+    *     step). In scalar position it is DuckDB's inclusive list constructor
+    *     → Spark `sequence` (same inclusive semantics, including step).
+    *     DuckDB's `range()` needs no rewrite: exclusive-end in both engines.
+    */
+  private[dialect] def rewriteArgShapeFns(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        val callOpen = {
+          val n = nextNonWs(toks, i)
+          if (n < toks.length && toks(n) == Punct("(")) n else -1
+        }
+        toks(i) match {
+          case id: Ident if id.upper == "XOR" && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val repl = s"((${render(args(0)).trim}) ^ (${render(args(1)).trim}))"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "LIST_SLICE" && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 3) {
+              val (l, a, b) = (render(args(0)).trim, render(args(1)).trim, render(args(2)).trim)
+              toks = toks.patch(i, lex(s"slice($l, ($a), ($b) - ($a) + 1)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "STRPTIME" && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            toks = toks.zipWithIndex.map {
+              case (s: Str, j) if j > callOpen && j < close && s.value.contains("%") =>
+                Str("'" + strftimeToJava(s.value).replace("'", "''") + "'")
+              case (t, _) => t
+            }
+            toks = toks.patch(i, Seq(Ident("to_timestamp")), 1)
+            changed = true
+          case id: Ident if id.upper == "GENERATE_SERIES" && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val p = prevNonWs(toks, i)
+            val tableCtx = p >= 0 && (up(toks(p)) == "FROM" || up(toks(p)) == "JOIN")
+            if (!tableCtx) {
+              toks = toks.patch(i, Seq(Ident("sequence")), 1)
+              changed = true
+            } else if (args.length == 2 || args.length == 3) {
+              val stepLit = if (args.length == 3) render(args(2)).trim else "1"
+              // the end adjustment needs the step's sign at rewrite time
+              scala.util.Try(stepLit.toLong).toOption match {
+                case Some(step) if step != 0 =>
+                  val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+                  val end = if (step > 0) s"($b) + 1" else s"($b) - 1"
+                  val tail = if (args.length == 3) s", $stepLit" else ""
+                  toks = toks.patch(i, lex(s"range($a, $end$tail)"), close - i + 1)
+                  changed = true
+                case _ =>
+              }
+            }
           case _ =>
         }
         i += 1

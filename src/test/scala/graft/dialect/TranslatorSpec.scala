@@ -302,4 +302,34 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT e.props -> '$.k' FROM events e")
       == "SELECT get_json_object(e.props, '$.k') FROM events e")
   }
+
+  test("xor / list_slice / strptime arg-shape rewrites") {
+    assert(t("SELECT xor(a, 5)") == "SELECT ((a) ^ (5))")
+    // nested xor unwinds from the inside out
+    assert(t("SELECT xor(xor(a, b), c)") == "SELECT ((((a) ^ (b))) ^ (c))")
+    assert(t("SELECT list_slice(xs, 2, 4)") == "SELECT slice(xs, (2), (4) - (2) + 1)")
+    assert(t("SELECT strptime(s, '%Y-%m-%d %H:%M:%S')")
+      == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')")
+    // non-pattern args untouched
+    assert(t("SELECT strptime(s, fmt)") == "SELECT to_timestamp(s, fmt)")
+  }
+
+  test("generate_series: table context -> range(±1 end), scalar -> sequence") {
+    assert(t("SELECT * FROM generate_series(1, 9, 2)")
+      == "SELECT * FROM range(1, (9) + 1, 2)")
+    assert(t("SELECT * FROM generate_series(1, 10)")
+      == "SELECT * FROM range(1, (10) + 1)")
+    assert(t("SELECT * FROM generate_series(10, 1, -3)")
+      == "SELECT * FROM range(10, (1) - 1, -3)")
+    // scalar position is the inclusive list constructor
+    assert(t("SELECT generate_series(1, 5)") == "SELECT sequence(1, 5)")
+    // DuckDB range() is exclusive-end in both engines: passthrough
+    assert(t("SELECT * FROM range(1, 5)") == "SELECT * FROM range(1, 5)")
+  }
+
+  test("round-4 1:1 renames: array_to_string, list_reverse, countIf") {
+    assert(t("SELECT array_to_string(xs, ',')") == "SELECT array_join(xs, ',')")
+    assert(t("SELECT list_reverse(xs)") == "SELECT reverse(xs)")
+    assert(t("SELECT countIf(x > 2)") == "SELECT count_if(x > 2)")
+  }
 }
