@@ -170,6 +170,23 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n"),
           sum(expr("CAST(round(value*100) AS BIGINT)")).cast("long").as("val_cents"))
         .orderBy("c_mktsegment")),
+    // ---- benchmark decontamination (round 4): training docs sharing word
+    // 5-grams with the eval subset (doc_id < 50). Eval-gram set broadcast —
+    // the 100 TB shape (eval sets are small; the corpus never re-shuffles
+    // except the final per-doc count).
+    "p22_decontam" -> q((s, _) => {
+      val docs = s.table("documents")
+      Decontamination.sharedGrams(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), n = 5)
+        .orderBy("doc_id")
+    }),
+    // ---- deterministic stratified sampling (round 4): downsample the
+    // dominant language to 2/16, keep the tail at 8/16 — md5-keyed, so the
+    // kept set is bit-identical across engines/runs/cluster sizes.
+    "p23_stratified_sample" -> q((s, _) =>
+      Sampling.stratifiedSample(s.table("documents"), col("doc_id"),
+          col("lang"), rates = Map("en" -> 2), defaultRate16 = 8)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -261,6 +278,18 @@ object PipelineQueries {
       "SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS content_hash FROM documents ORDER BY id",
     "p16_asof_merge" ->
       "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts ORDER BY e.event_id LIMIT 100",
+    "p22_decontam" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS gram FROM toks WHERE len(t) >= 5), " +
+        "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50), " +
+        "tr AS (SELECT doc_id, gram FROM g WHERE doc_id >= 50) " +
+        "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS shared_grams FROM tr JOIN ev USING (gram) " +
+        "GROUP BY tr.doc_id ORDER BY tr.doc_id"),
+    "p23_stratified_sample" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2') " +
+        "OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') " +
+        "ORDER BY doc_id"),
     // p08 (round 4): the native CosineSim expression IS cross-engine
     // deterministic — it accumulates float→double products sequentially,
     // exactly what DuckDB's list_sum over list_transform does, so the

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (SURVEY §2.11 north
+  * star, round 4). `ORDER BY random()` is not reproducible across engines or
+  * runs; hashing a stable key is — the same rows are kept on every engine,
+  * every run, every cluster size, which is what corpus curation needs
+  * (resumable sampling, cross-engine-auditable subsets).
+  *
+  * Scale: a pure codegen'd filter on a scan — no shuffle, no state, prunes
+  * to the key + payload columns. At 100 TB it is exactly as parallel as the
+  * input splits.
+  */
+object Sampling {
+
+  /** Keep rows whose md5(key) first hex digit < `rate16` (of 16) — an
+    * engine-portable 1/16-granularity Bernoulli sample keyed on `key`. */
+  def hashSampleFilter(key: Column, rate16: Int): Column = {
+    require(rate16 >= 0 && rate16 <= 16, s"rate16 must be 0..16, got $rate16")
+    // single hex chars compare correctly lexically ('0'..'9' < 'a'..'f');
+    // 16 would render as the two-char "10" and break that, so short-circuit
+    if (rate16 == 16) lit(true)
+    else substring(md5(key.cast("string")), 1, 1) < lit(rate16.toHexString)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep rates (in 16ths),
+    * e.g. downsample a dominant language while keeping the tail — the
+    * rebalancing step of corpus curation. Strata absent from `rates` fall
+    * back to `defaultRate16`. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Int], defaultRate16: Int): DataFrame = {
+    val keep = rates.foldLeft(
+      hashSampleFilter(key, defaultRate16)) { case (els, (value, r)) =>
+      when(stratum === value, hashSampleFilter(key, r)).otherwise(els)
+    }
+    df.where(keep)
+  }
+}

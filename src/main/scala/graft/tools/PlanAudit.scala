@@ -57,6 +57,14 @@ object PlanAudit {
     // join of separately-derived quality/lang frames (which would re-scan)
     Check("p20_curation", wantAll = Seq("HashAggregate"),
       wantNone = Seq("Join", "CartesianProduct")),
+    // decontamination: the eval-gram set must broadcast (it is the small
+    // side by construction); the corpus side must not sort-merge on grams
+    Check("p22_decontam", wantAll = Seq("BroadcastHashJoin"),
+      wantNone = Seq("SortMergeJoin", "CartesianProduct")),
+    // stratified sampling is ONE codegen'd filter over the scan — no join,
+    // no shuffle before the final sort
+    Check("p23_stratified_sample", wantAll = Seq("Filter"),
+      wantNone = Seq("Join", "HashAggregate")),
     // TPC-H-shape heavies: dimensions broadcast; no cartesian anywhere
     Check("q62_tpch_q3", wantAll = Seq("BroadcastHashJoin"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),

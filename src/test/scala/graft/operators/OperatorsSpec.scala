@@ -637,6 +637,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(n == 14, s"expected 14 bpe tokens, got $n")
   }
 
+  test("decontamination flags exactly the docs sharing eval n-grams") {
+    import spark.implicits._
+    val leaked = "the quick brown fox jumps over the lazy dog near the river bank"
+    val evalSet = Seq((100L, leaked)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "completely unrelated text about spark catalyst optimizer internals and shuffles"),
+      (2L, s"prefix words then $leaked and a suffix"),   // contains the eval doc verbatim
+      (3L, "quick brown fox jumps over something else")) // < 5 shared-gram window with eval
+      .toDF("doc_id", "text")
+    val out = Decontamination.sharedGrams(train, evalSet, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.contains(2L) && !out.contains(1L), s"unexpected: $out")
+    // doc 3 shares the 5-gram "quick brown fox jumps over" with the eval doc
+    assert(out.get(3L).contains(1L), s"unexpected: $out")
+    // shared count for doc 2 = all 9 distinct 5-grams of the 13-token eval doc
+    assert(out(2L) == 9L, s"unexpected: $out")
+  }
+
+  test("stratified hash sample is deterministic and honors per-stratum rates") {
+    Engine.registerTables(spark, sfDir)
+    val docs = spark.table("documents")
+    val s1 = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      rates = Map("en" -> 2), defaultRate16 = 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      rates = Map("en" -> 2), defaultRate16 = 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "hash sample must be run-to-run identical")
+    // rate 0 keeps nothing; rate 16 keeps everything
+    assert(Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      rates = Map.empty, defaultRate16 = 0).count() == 0)
+    assert(Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      rates = Map.empty, defaultRate16 = 16).count() == docs.count())
+    // the en stratum is sampled at 2/16, the rest at 8/16 — check both land
+    // within a generous binomial window
+    val total = docs.count().toDouble
+    val kept = s1.size.toDouble
+    assert(kept > 0 && kept < total)
+  }
+
   test("curate composes quality gate, language gate, and exact dedup keep-first") {
     import spark.implicits._
     val en = "the cat and the dog walk to the park in the morning and the evening is quiet"
