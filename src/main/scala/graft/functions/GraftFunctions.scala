@@ -55,9 +55,11 @@ object GraftFunctions {
     all.foreach { case (name, usage, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.DateTruncToDateCast))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.DateTruncToDateCast
+    Seq(graft.plans.DateTruncToDateCast, graft.plans.ProjectAfterTopK).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 
   /** Column-API forms (require [[register]] on the session first). */
@@ -93,5 +95,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.DateTruncToDateCast)
+    ext.injectOptimizerRule(_ => graft.plans.ProjectAfterTopK)
   }
 }

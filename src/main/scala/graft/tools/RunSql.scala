@@ -23,8 +23,8 @@ object RunSql {
       println(s"==== [$i] $sql")
       try {
         val df = Engine.sql(spark, sql)
-        df.printSchema()
-        df.show(5, truncate = false)
+        if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
+        else { df.printSchema(); df.show(5, truncate = false) }
       } catch {
         case e: Exception =>
           println(s"FAIL [$i]: ${e.toString.linesIterator.take(3).mkString(" | ")}")

@@ -57,4 +57,44 @@ class PlansSpec extends SparkTestBase {
       assert(df.head.getDate(0).toString == "2024-03-17")
     }
   }
+
+  test("ProjectAfterTopK defers computed aliases past the top-k") {
+    withRule {
+      graft.engine.Engine.registerTables(spark, sfDir)
+      val df = spark.sql(
+        "SELECT o_orderkey, try_cast(substr(o_orderpriority, 1, 1) AS INT) AS d FROM orders ORDER BY o_orderkey LIMIT 5")
+      val opt = df.queryExecution.optimizedPlan
+      // outer Project above the GlobalLimit carries the computed alias
+      val outerIsProject = opt.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      assert(outerIsProject, s"expected outer Project:\n$opt")
+      assert(opt.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        .projectList.exists(_.toString.contains("try_cast")), s"alias not deferred:\n$opt")
+      // values identical to computing over the already-limited rows
+      val got = df.collect().map(r => (r.getLong(0), r.get(1))).toSeq
+      val want = spark.sql(
+        "SELECT o_orderkey, try_cast(substr(o_orderpriority, 1, 1) AS INT) AS d " +
+          "FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5)")
+        .collect().map(r => (r.getLong(0), r.get(1))).toSeq
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
+  test("ProjectAfterTopK leaves sorts on computed columns alone") {
+    withRule {
+      graft.engine.Engine.registerTables(spark, sfDir)
+      // the sort key IS the computed alias — must stay below the sort
+      val df = spark.sql(
+        "SELECT o_orderkey, length(o_orderpriority) AS l FROM orders ORDER BY l, o_orderkey LIMIT 5")
+      assert(df.collect().length == 5)
+      // nondeterministic aliases must not move either
+      val nd = spark.sql(
+        "SELECT o_orderkey, rand() AS r FROM orders ORDER BY o_orderkey LIMIT 5")
+      val opt = nd.queryExecution.optimizedPlan
+      val outer = opt match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList.mkString
+        case _ => ""
+      }
+      assert(!outer.contains("rand("), s"nondeterministic alias moved:\n$opt")
+    }
+  }
 }
