@@ -43,6 +43,20 @@ object GraftFunctions {
       args => BpeTokenCount(args(0))),
     ("regexp_replace_first", "first-match-only regexp_replace (DuckDB 3-arg semantics)",
       args => RegexpReplaceFirst(args(0), args(1), args(2))),
+    ("quant_dot", "integer dot product of array<float> against a pre-quantized array<bigint>",
+      args => QuantDot(args(0), args(1))),
+    ("quant_cos_micro", "integer-exact cosine (micro-units) of array<float> against a pre-quantized array<bigint>",
+      args => QuantCosMicro(args(0), args(1))),
+    ("strip_to_alnum_space", "trim(regexp_replace(s,'[^a-z0-9 ]','')) as one byte scan",
+      args => StripToAlnumSpace(args(0))),
+    ("token_set_hits", "array<int>: whitespace token count + per-wordset membership counts",
+      args => TokenSetHits(args(0), args.tail.map(a =>
+        a.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).toSeq.map(_.toString)))),
+    ("ascii_char_count", "count of characters from an ASCII class — length(s)-length(regexp_replace(s,class,''))",
+      args => AsciiCharCount(args(0),
+        args(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

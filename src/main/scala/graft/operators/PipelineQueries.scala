@@ -55,27 +55,27 @@ object PipelineQueries {
         planesPerBand = math.min(p, 16), bands = 4).orderBy("d1", "d2")
     }),
     // ---- similarity search ----
+    // the query vector is quantized ONCE on the 1-row broadcast side with
+    // Spark's own round (exact oracle semantics); the data side runs the
+    // native codegen kernel — the previous zip_with/aggregate lambda passes
+    // were interpreted per element (3.2 s for the p07 sf1 scan vs 0.2 s for
+    // the native-expression twin p08)
     "p06_sim_dot_topk" -> q((s, _) => {
       val emb = s.table("embeddings")
-      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))").as("qy"))
       emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
         .select(col("vec_id"),
-          expr("CAST(aggregate(zip_with(embedding, qv, (x, y) -> " +
-            "CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(y AS DOUBLE)*1000) AS BIGINT)), " +
-            "0L, (acc, v) -> acc + v) AS BIGINT)").as("dot"))
+          call_function("quant_dot", col("embedding"), col("qy")).as("dot"))
         .orderBy(col("dot").desc, col("vec_id")).limit(20)
     }),
     "p07_sim_cos_micro_topk" -> q((s, _) => {
       val emb = s.table("embeddings")
-      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val quant = "CAST(round(CAST(%s AS DOUBLE)*1000) AS BIGINT)"
-      def qdot(a: String, b: String) =
-        s"aggregate(zip_with($a, $b, (x, y) -> ${quant.format("x")} * ${quant.format("y")}), 0L, (acc, v) -> acc + v)"
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))").as("qy"))
       emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
         .select(col("vec_id"),
-          expr(s"CAST(round(1000000.0 * CAST(${qdot("embedding", "qv")} AS DOUBLE) / " +
-            s"(sqrt(CAST(${qdot("qv", "qv")} AS DOUBLE)) * sqrt(CAST(${qdot("embedding", "embedding")} AS DOUBLE)))) AS BIGINT)")
-            .as("cos_micro"))
+          call_function("quant_cos_micro", col("embedding"), col("qy")).as("cos_micro"))
         .orderBy(col("cos_micro").desc, col("vec_id")).limit(20)
     }),
     "p08_sim_cosine_brute" -> q((s, _) => {

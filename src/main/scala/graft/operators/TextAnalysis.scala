@@ -21,23 +21,31 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** `token_set_hits(text, sets…)`: array<int> of [n_tokens, hits per set]
+    * in ONE codegen byte scan — the lambda `size(filter(...))` chains it
+    * replaces are interpreted per element. */
+  def tokenSetHits(text: Column, sets: Seq[Seq[String]]): Column =
+    call_function("token_set_hits",
+      text +: sets.map(ws => array(ws.map(lit): _*)): _*)
+
+  def tokenCount(text: Column): Column =
+    element_at(tokenSetHits(text, Nil), 1)
 
   val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  def stopwordHits(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val sw = array(stopwords.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(sw, t)))
-  }
+  def stopwordHits(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    element_at(tokenSetHits(text, Seq(stopwords)), 2)
 
   /** doc_id, n_tokens, punct_cnt, stop_bp (stopword ratio in basis points). */
   def qualityScored(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("punct_cnt"),
-        stopwordHits(col("text")).as("stop_hits"))
+    docs.select(col("doc_id"),
+        tokenSetHits(col("text"), Seq(defaultStopwords)).as("__h"),
+        call_function("ascii_char_count", col("text"), lit(".,!?;:")).as("punct_cnt"))
+      .select(col("doc_id"), element_at(col("__h"), 1).as("n_tokens"),
+        col("punct_cnt"), element_at(col("__h"), 2).as("stop_hits"))
       .withColumn("stop_bp",
         expr("CAST(round(10000.0 * stop_hits / n_tokens) AS BIGINT)"))
-      .drop("stop_hits")
+      .select(col("doc_id"), col("n_tokens"), col("punct_cnt"), col("stop_bp"))
 
   /** n-gram-heuristic language ID: stopword hits per language, argmax with a
     * fixed tie order (en > de > fr > es). */
@@ -48,12 +56,12 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "una"))
 
   def langId(docs: DataFrame): DataFrame = {
-    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-    val withHits = langStopwords.foldLeft(docs.withColumn("__toks", toks)) {
-      case (df, (lang, words)) =>
-        val sw = array(words.map(lit): _*)
-        df.withColumn(s"__$lang", size(filter(col("__toks"), t => array_contains(sw, t))))
-    }
+    // all four language hit counts from ONE scan of the lowered text
+    val withHits = docs
+      .withColumn("__h", tokenSetHits(lower(col("text")), langStopwords.map(_._2)))
+      .select(col("doc_id") +: langStopwords.zipWithIndex.map { case ((lang, _), i) =>
+        element_at(col("__h"), i + 2).as(s"__$lang")
+      }: _*)
     withHits.select(col("doc_id"),
       expr("""CASE WHEN __en >= __de AND __en >= __fr AND __en >= __es THEN 'en'
              |WHEN __de >= __fr AND __de >= __es THEN 'de'
@@ -61,9 +69,10 @@ object TextAnalysis {
   }
 
   /** Normalization fingerprint: md5 of lowercased text with everything but
-    * [a-z0-9 ] stripped — stable under punctuation/case edits. */
+    * [a-z0-9 ] stripped — stable under punctuation/case edits. The strip+
+    * trim runs as one native byte scan instead of the regex engine. */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "[^a-z0-9 ]", "")))
+    md5(call_function("strip_to_alnum_space", lower(text)))
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -87,18 +96,22 @@ object TextAnalysis {
     * `text`) and ONE shuffle (the dedup groupBy); emits one row per kept
     * unique document: (content hash, kept doc_id, duplicate count). */
   def curate(docs: DataFrame, minTokens: Int = 40, lang: String = "en"): DataFrame = {
-    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-    val withHits = langStopwords.foldLeft(docs.withColumn("__toks", toks)) {
-      case (df, (l, words)) =>
-        val sw = array(words.map(lit): _*)
-        df.withColumn(s"__$l", size(filter(col("__toks"), t => array_contains(sw, t))))
-    }
+    // one token_set_hits scan yields the token count AND all four language
+    // hit counts (lower() preserves 0x20 spaces, so the count over lowered
+    // text equals the oracle's count over raw text)
+    val withHits = docs
+      .withColumn("__h", tokenSetHits(lower(col("text")), langStopwords.map(_._2)))
+      .select((Seq(col("doc_id"), col("text"),
+        element_at(col("__h"), 1).as("__ntok")) ++
+          langStopwords.zipWithIndex.map { case ((l, _), i) =>
+            element_at(col("__h"), i + 2).as(s"__$l")
+          }): _*)
     withHits
       .withColumn("__pred",
         expr("""CASE WHEN __en >= __de AND __en >= __fr AND __en >= __es THEN 'en'
                |WHEN __de >= __fr AND __de >= __es THEN 'de'
                |WHEN __fr >= __es THEN 'fr' ELSE 'es' END""".stripMargin))
-      .filter(tokenCount(col("text")) >= minTokens && col("__pred") === lang)
+      .filter(col("__ntok") >= minTokens && col("__pred") === lang)
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
   }

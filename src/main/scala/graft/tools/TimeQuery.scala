@@ -12,18 +12,20 @@ import graft.engine.Engine
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val iters = if (args.length > 2) args(2).toInt else 3
     val spark = Engine.localSession()
     Engine.registerTables(spark, sfDir)
-    val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warmup
-    val times = (1 to iters).map { _ =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warmup
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[time] $name: min ${times.min}%.3f s  median ${times.sorted.apply(times.length / 2)}%.3f s over $iters runs")
     }
-    println(f"[time] $name: min ${times.min}%.3f s  median ${times.sorted.apply(times.length / 2)}%.3f s over $iters runs")
     spark.stop()
   }
 }

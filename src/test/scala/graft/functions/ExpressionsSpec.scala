@@ -137,6 +137,108 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("quant_dot and quant_cos_micro match the zip_with SQL forms on random vectors") {
+    withFns {
+      val rnd = new scala.util.Random(11)
+      // include exactly-representable ties (0.0625*1000 = 62.5) and negatives
+      val specials = Seq(0.0625f, -0.0625f, 0.5f, -0.5f, 0.0005f, 1.0f, -1.0f, 0.0f)
+      val vecs = (0 until 200).map { i =>
+        (i.toLong,
+          Array.fill(16)(if (rnd.nextInt(8) == 0) specials(rnd.nextInt(specials.length))
+            else (rnd.nextFloat() * 2 - 1)),
+          Array.fill(16)(if (rnd.nextInt(8) == 0) specials(rnd.nextInt(specials.length))
+            else (rnd.nextFloat() * 2 - 1)))
+      }
+      val df = spark.createDataFrame(vecs).toDF("id", "x", "y")
+        .withColumn("qy", expr("transform(y, v -> CAST(round(CAST(v AS DOUBLE)*1000) AS BIGINT))"))
+      val quant = "CAST(round(CAST(%s AS DOUBLE)*1000) AS BIGINT)"
+      def qdot(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (p, q) -> ${quant.format("p")} * ${quant.format("q")}), 0L, (acc, v) -> acc + v)"
+      val rows = df.select(
+        expr("quant_dot(x, qy)"),
+        expr(s"CAST(${qdot("x", "y")} AS BIGINT)"),
+        expr("quant_cos_micro(x, qy)"),
+        expr(s"CAST(round(1000000.0 * CAST(${qdot("x", "y")} AS DOUBLE) / " +
+          s"(sqrt(CAST(${qdot("y", "y")} AS DOUBLE)) * sqrt(CAST(${qdot("x", "x")} AS DOUBLE)))) AS BIGINT)"))
+        .collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(0) == r.getLong(1), s"quant_dot mismatch on vec $i")
+        assert(r.getLong(2) == r.getLong(3), s"quant_cos_micro mismatch on vec $i")
+      }
+    }
+  }
+
+  test("quant kernels: length mismatch and zero norms yield null") {
+    withFns {
+      val df = spark.sql(
+        "SELECT quant_dot(array(CAST(1.0 AS FLOAT)), array(1L, 2L)) a, " +
+          "quant_cos_micro(array(CAST(0.0 AS FLOAT)), array(0L)) b, " +
+          "quant_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(1L, 2L)) c")
+      val r = df.head
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    }
+  }
+
+  test("token_set_hits matches size(filter(split)) chains on random strings") {
+    withFns {
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      val words = Seq("the", "la", "und", "x", "zz", "é中", "a1")
+      val strs = (0 until 300).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ =>
+          if (rnd.nextBoolean()) words(rnd.nextInt(words.length)) else "w" + rnd.nextInt(5))
+          .mkString(if (rnd.nextBoolean()) " " else "  ")
+      } :+ "" :+ " " :+ "  the  la " :+ "la"
+      // 'la' is in both sets — bitmask path must count it twice
+      val set1 = "array('the','la','und')"
+      val set2 = "array('la','x','é中')"
+      val rows = strs.toDF("s").select(
+        expr(s"token_set_hits(s, $set1, $set2)"),
+        expr("size(filter(split(s, ' '), t -> t <> ''))"),
+        expr(s"size(filter(filter(split(s, ' '), t -> t <> ''), t -> array_contains($set1, t)))"),
+        expr(s"size(filter(filter(split(s, ' '), t -> t <> ''), t -> array_contains($set2, t)))"))
+        .collect()
+      rows.zip(strs).foreach { case (r, s) =>
+        val h = r.getSeq[Int](0)
+        assert(h(0) == r.getInt(1), s"token count mismatch on '$s'")
+        assert(h(1) == r.getInt(2), s"set1 hits mismatch on '$s'")
+        assert(h(2) == r.getInt(3), s"set2 hits mismatch on '$s'")
+      }
+    }
+  }
+
+  test("ascii_char_count matches the length-difference regexp form") {
+    withFns {
+      import spark.implicits._
+      val strs = Seq("", "a.b,c!", "no punct here", "é中.,!?;:中", "...", ";:!? .,")
+      val rows = strs.toDF("s").select(
+        expr("ascii_char_count(s, '.,!?;:')"),
+        expr("CAST(length(s) - length(regexp_replace(s, '[.,!?;:]', '')) AS INT)"))
+        .collect()
+      rows.zip(strs).foreach { case (r, s) =>
+        assert(r.getInt(0) == r.getInt(1), s"punct count mismatch on '$s'")
+      }
+    }
+  }
+
+  test("strip_to_alnum_space matches trim(regexp_replace) on random strings") {
+    withFns {
+      import spark.implicits._
+      val rnd = new scala.util.Random(13)
+      val alphabet = "abz019 .,!é中ß\t\nA"
+      val strs = (0 until 300).map { _ =>
+        (0 until rnd.nextInt(50)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      } :+ "" :+ "   " :+ " hello, World! 42 "
+      val rows = strs.toDF("s").select(
+        expr("strip_to_alnum_space(lower(s))"),
+        expr("trim(regexp_replace(lower(s), '[^a-z0-9 ]', ''))"))
+        .collect()
+      rows.zip(strs).foreach { case (r, s) =>
+        assert(r.getString(0) == r.getString(1), s"strip mismatch on ${s.map(_.toInt)}")
+      }
+    }
+  }
+
   test("regexp_replace_first replaces only the first match") {
     withFns {
       val df = spark.createDataFrame(Seq(Tuple1("small ring"))).toDF("s")
