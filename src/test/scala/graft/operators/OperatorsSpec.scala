@@ -45,6 +45,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.nonEmpty, "no simhash near-dup pairs found in fixture")
   }
 
+  test("exact-dup collapse path matches the legacy all-docs path for minhash and simhash") {
+    import spark.implicits._
+    // clustered fixture: exact-dup clusters of varying size + near-dup edits
+    val rnd = new scala.util.Random(5)
+    val bases = (0 until 30).map(i =>
+      (0 until 60).map(_ => s"w${rnd.nextInt(400)}").mkString(" "))
+    val docs = bases.zipWithIndex.flatMap { case (t, i) =>
+      val copies = 1 + (i % 4) // clusters of 1..4 exact copies
+      val edited = t.split(" ").updated(5, "EDIT").mkString(" ") // near-dup of cluster 0's text
+      (0 until copies).map(c => (i * 100L + c, t)) ++
+        (if (i % 7 == 0) Seq((i * 100L + 50, edited)) else Nil)
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhNew = pairSet(Dedup.minhashPairs(docs, threshold = 0.5))
+    val mhOld = pairSet(Dedup.minhashPairs(docs, threshold = 0.5, collapseExact = false))
+    assert(mhNew == mhOld,
+      s"minhash collapse diverged: +${mhNew.diff(mhOld).size} -${mhOld.diff(mhNew).size}")
+    val shNew = pairSet(Dedup.simhashPairs(docs, maxHamming = 3))
+    val shOld = pairSet(Dedup.simhashPairs(docs, maxHamming = 3, collapseExact = false))
+    assert(shNew == shOld,
+      s"simhash collapse diverged: +${shNew.diff(shOld).size} -${shOld.diff(shNew).size}")
+    // metric values must match too, not just the id pairs
+    val mhJacNew = Dedup.minhashPairs(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val mhJacOld = Dedup.minhashPairs(docs, threshold = 0.5, collapseExact = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    mhJacNew.foreach { case (k, v) =>
+      assert(math.abs(v - mhJacOld(k)) < 1e-12, s"jaccard diverged on $k")
+    }
+  }
+
   // ---- self-verification for the no-oracle rows (round-2 verdict #2):
   // ground truth comes from exact, oracle-grade computations on the same
   // fixture; the hash-seeded operators must reproduce it.
