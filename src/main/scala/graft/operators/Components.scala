@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-dup pair graph — the step that turns
+  * pairwise dedup output (p02/p03/p04/p05) into dedup CLUSTERS: every doc
+  * gets the min doc-id of its transitive near-dup group, so "keep one per
+  * cluster" is a filter, not another join. Near-dup relations are not
+  * transitive (A≈B, B≈C does not imply A≈C), so clusters are genuinely the
+  * transitive closure, not groupBy output.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond") — each round is two
+  * groupBy+join passes over the edge list, converges in O(log² n) rounds on
+  * any graph, and never materializes a component as one row: the 100 TB-safe
+  * shape (label-propagation-until-fixpoint is O(diameter) rounds and a
+  * chain kills it; a collect_set of members blows the row budget on a
+  * million-doc dup cluster).
+  *
+  * Each iteration localCheckpoints the edge frame: iterative DataFrame
+  * algorithms otherwise build exponentially deep lineage and re-execute
+  * the whole history every round.
+  */
+object Components {
+
+  /** (node, component-min-id) for every node in `nodes`; `pairs` rows are
+    * undirected near-dup edges (d1, d2). Singletons map to themselves. */
+  def connectedComponents(
+      nodes: DataFrame, // single id column
+      pairs: DataFrame, // (d1, d2)
+      maxRounds: Int = 25): DataFrame = {
+    val idCol = nodes.columns.head
+    val spark = nodes.sparkSession
+    import spark.implicits._
+
+    // canonical undirected edge list u < v
+    var edges = pairs.toDF("a", "b")
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
+
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: for each u over BOTH orientations, link every strictly
+      // larger neighbor to the neighborhood min (incl. u). The min is
+      // computed by a groupBy and JOINED back per edge — a giant component
+      // never materializes as one collected row.
+      val both = edges.select($"u", $"v")
+        .unionByName(edges.select($"v".as("u"), $"u".as("v")))
+      val mins = both.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val largeStar = both.join(mins, "u").filter($"v" > $"u")
+        .select(least($"v", $"m").as("u"), greatest($"v", $"m").as("v"))
+        .filter($"u" =!= $"v").distinct()
+      // small-star: link every neighbor <= u (and u itself) to the min
+      val smallBoth = largeStar.select($"u", $"v")
+        .unionByName(largeStar.select($"v".as("u"), $"u".as("v")))
+        .filter($"v" <= $"u")
+      val mins2 = smallBoth.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val smallStar = smallBoth.join(mins2, "u")
+        .select(least($"v", $"m").as("u"), greatest($"v", $"m").as("v"))
+        .unionByName(mins2.select(least($"u", $"m").as("u"), greatest($"u", $"m").as("v")))
+        .filter($"u" =!= $"v").distinct().localCheckpoint()
+      converged = smallStar.exceptAll(edges).isEmpty && edges.exceptAll(smallStar).isEmpty
+      edges = smallStar
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+
+    // at fixpoint every edge is (component-min, member)
+    val labels = edges.select($"v".as("n"), $"u".as("lbl"))
+      .groupBy($"n").agg(min($"lbl").as("lbl"))
+    nodes.select(col(idCol).as("n"))
+      .join(labels, Seq("n"), "left")
+      .select($"n".as(idCol), coalesce($"lbl", $"n").as("component"))
+  }
+
+  /** Dedup-cluster view over the documents table: components of the exact
+    * n-gram Jaccard near-dup graph at a similarity threshold (deterministic
+    * — oracle-checkable with a recursive-CTE closure), one row per doc with
+    * its cluster id and whether it is the kept representative. Thresholding
+    * makes the closure non-trivial: A≈B and B≈C above threshold do not put
+    * A≈C above it, so clusters really are transitive chains. */
+  def dedupClusters(spark: SparkSession, docs: DataFrame,
+      minJacBp: Long = 5000): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs)
+      .filter($"jac_bp" >= minJacBp).select($"d1", $"d2")
+    connectedComponents(docs.select($"doc_id"), pairs)
+      .select($"doc_id", $"component",
+        ($"doc_id" === $"component").as("is_kept"))
+  }
+}

@@ -187,6 +187,29 @@ object PipelineQueries {
       Sampling.stratifiedSample(s.table("documents"), col("doc_id"),
           col("lang"), rates = Map("en" -> 2), defaultRate16 = 8)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // ---- dedup clusters (round 4): connected components over the exact
+    // n-gram-Jaccard near-dup graph at >= 0.5 — the step that turns pair
+    // output into "keep one per cluster". Large-star/small-star, O(log² n)
+    // rounds; the oracle closes the same edge set with a recursive CTE.
+    "p24_dedup_components" -> q((s, _) =>
+      Components.dedupClusters(s, s.table("documents")).orderBy("doc_id")),
+    // ---- sequence packing (round 4): concatenate docs per source shard in
+    // doc_id order and split every 256 whitespace tokens (sized so the sf fixtures actually cross sequence boundaries) — each doc
+    // reports the training-sequence span it lands in. Window cumsum is
+    // per-shard (PARTITION BY source), never a global single-partition sort.
+    "p25_seq_pack" -> q((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      s.table("documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("(cum - n_tokens) div 256").as("seq_first"),
+          greatest(expr("(cum - 1) div 256"),
+            expr("(cum - n_tokens) div 256")).as("seq_last"))
+        .orderBy("doc_id")
+    }),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -278,6 +301,28 @@ object PipelineQueries {
       "SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS content_hash FROM documents ORDER BY id",
     "p16_asof_merge" ->
       "SELECT e.event_id, o.o_orderdate FROM events e ASOF JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts ORDER BY e.event_id LIMIT 100",
+    // p24: the same thresholded near-dup edge set, transitively closed with
+    // a recursive CTE — DuckDB computes the fixpoint the declarative way,
+    // Spark the iterative star-contraction way; same components.
+    "p24_dedup_components" ->
+      ("WITH RECURSIVE p AS (SELECT * FROM (" +
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(round(10000.0 * len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) " +
+        "/ len(list_distinct(string_split(a.text,' ') || string_split(b.text,' ')))) AS BIGINT) AS jac_bp " +
+        "FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND substr(a.text,1,40) = substr(b.text,1,40)" +
+        ") WHERE jac_bp >= 5000), " +
+        "e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p), " +
+        "reach(n, m) AS (SELECT u, v FROM e UNION SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u), " +
+        "comp AS (SELECT n, min(m) AS mn FROM reach GROUP BY n) " +
+        "SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component, " +
+        "least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id AS is_kept " +
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.n ORDER BY d.doc_id"),
+    "p25_seq_pack" ->
+      ("WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum FROM t) " +
+        "SELECT doc_id, source, n_tokens, (cum - n_tokens) // 256 AS seq_first, " +
+        "greatest((cum - 1) // 256, (cum - n_tokens) // 256) AS seq_last " +
+        "FROM c ORDER BY doc_id"),
     "p22_decontam" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS gram FROM toks WHERE len(t) >= 5), " +

@@ -77,6 +77,36 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents matches driver-side union-find on random graphs, chains, singletons") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // random sparse graph + a 40-node chain (diameter stress) + singletons
+    val n = 120
+    val randomEdges = (0 until 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val chain = (200L until 240L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val edges = randomEdges ++ chain
+    val nodeIds = (0L until n.toLong) ++ (200L until 240L) ++ Seq(500L, 501L)
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map(nodeIds.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) if a != b =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      case _ => ()
+    }
+    val expected = nodeIds.map { i =>
+      // component label = min member id
+      val root = find(i)
+      i -> nodeIds.filter(j => find(j) == root).min
+    }.toMap
+    val got = Components.connectedComponents(
+        nodeIds.toDF("id"), edges.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"components diverged on ${expected.count { case (k, v) => got(k) != v }} of ${expected.size} nodes")
+    assert(got(500L) == 500L && got(501L) == 501L, "singletons must self-label")
+    assert(got(239L) == 200L, "chain end must reach the chain min")
+  }
+
   // ---- self-verification for the no-oracle rows (round-2 verdict #2):
   // ground truth comes from exact, oracle-grade computations on the same
   // fixture; the hash-seeded operators must reproduce it.
