@@ -63,6 +63,41 @@ object Partitioning {
       .drop("__graft_salt")
   }
 
+  /** Small-file compaction for append-heavy tables — the maintenance half
+    * of the concurrent-ingest story: streamed/NDJSON/do_put appends land as
+    * one parquet file per commit, and a long-lived table degrades into
+    * thousands of KB-sized files whose per-file open/footer cost dominates
+    * scans (and whose count explodes driver-side listing at 100 TB).
+    * Rewrites the table into `ceil(bytes / targetBytesPerFile)` files via a
+    * tmp table + catalog rename, so readers never observe a half-compacted
+    * table and the operation is safe to re-run after a crash (the tmp is
+    * overwritten).
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compactTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def tableFiles(t: String): Seq[java.io.File] = {
+      val loc = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .location
+      val d = new java.io.File(loc.getPath)
+      Option(d.listFiles()).toSeq.flatten.filter(f => f.getName.endsWith(".parquet"))
+    }
+    val before = tableFiles(table)
+    val bytes = before.map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
+    val tmp = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(table).repartition(nFiles)
+      .write.format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    (before.size, tableFiles(table).size)
+  }
+
   /** Bucketed table layout: co-locates both sides of a recurring join so
     * Catalyst plans a zero-shuffle SortMergeJoin. The 100 TB pattern for
     * fact-fact joins (e.g. orders ⋈ lineitem on orderkey): pay one shuffle

@@ -47,6 +47,31 @@ class PartitioningSpec extends SparkTestBase {
     assert(s1 == s2)
   }
 
+  test("compactTable collapses many tiny append files, preserves content, survives re-run") {
+    spark.sql("DROP TABLE IF EXISTS graft_compact_t")
+    spark.sql("DROP TABLE IF EXISTS graft_compact_t__compacting")
+    // simulate append-per-commit ingest: 20 tiny single-partition appends
+    (1 to 20).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "s").coalesce(1)
+        .write.format("parquet").mode("append").saveAsTable("graft_compact_t")
+    }
+    val expected = spark.table("graft_compact_t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (before, after) = Partitioning.compactTable(spark, "graft_compact_t",
+      targetBytesPerFile = 1L << 30)
+    assert(before >= 20, s"expected >=20 ingest files, saw $before")
+    assert(after == 1, s"expected 1 compacted file, saw $after")
+    val got = spark.table("graft_compact_t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected, "compaction changed table content")
+    // idempotent re-run (crash-safety posture: tmp table is overwritten)
+    val (_, after2) = Partitioning.compactTable(spark, "graft_compact_t",
+      targetBytesPerFile = 1L << 30)
+    assert(after2 == 1)
+    assert(spark.table("graft_compact_t").count() == 20)
+    spark.sql("DROP TABLE graft_compact_t")
+  }
+
   test("bucketed tables join without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
