@@ -308,6 +308,10 @@ object DeclaredQueries {
     "q95_lateral" ->
       // correlated LATERAL subquery in the FROM list — native in both
       "SELECT n.n_nationkey, t.m FROM nation n, LATERAL (SELECT max(s_suppkey) AS m FROM supplier s WHERE s.s_nationkey = n.n_nationkey) t ORDER BY n.n_nationkey",
+    "q96_star_replace" ->
+      // * REPLACE -> * EXCEPT + appended aliases (column order moves; the
+      // compare is order-insensitive by name)
+      "SELECT * REPLACE (upper(p_name) AS p_name, p_size * 10 AS p_size) FROM part ORDER BY p_partkey LIMIT 20",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

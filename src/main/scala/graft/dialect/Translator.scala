@@ -39,6 +39,7 @@ object Translator {
     val views = ArrayBuffer[ViewReg]()
     toks = rewriteAttach(toks)
     toks = rewriteMisc(toks)
+    toks = rewriteStarReplace(toks)
     toks = rewriteSemiAnti(toks)
     toks = rewriteUnionByName(toks)
     toks = rewriteStatementLevel(toks)
@@ -851,6 +852,40 @@ object Translator {
               else if (after < toks.length && up(toks(after)) == "ROWS") (after, "ROWS")
               else (numIdx, "ROWS")
             toks = toks.patch(i, Seq(Ident(s"TABLESAMPLE ($n $unit)")), endIdx - i + 1)
+          }
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** DuckDB `SELECT * REPLACE (e AS c, …)` → `* EXCEPT (c, …), e AS c, …`.
+    * Spark has no star-REPLACE; EXCEPT-plus-append is value- and
+    * name-identical, with the replaced columns moved to the end of the
+    * select list (the engine's one documented divergence for this surface —
+    * the driver compare is column-order-insensitive). Items without an
+    * explicit alias are left untouched (DuckDB's REPLACE grammar requires
+    * `AS`). */
+  private[dialect] def rewriteStarReplace(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      if (up(toks(i)) == "REPLACE" && {
+          val p = prevNonWs(toks, i); p >= 0 && toks(p) == Punct("*")
+        } && {
+          val n = nextNonWs(toks, i); n < toks.length && toks(n) == Punct("(")
+        }) {
+        val open = nextNonWs(toks, i)
+        val close = matchParen(toks, open)
+        if (close > open) {
+          val inner = toks.slice(open + 1, close)
+          val items = splitTopLevel(inner)
+          val names = items.flatMap(itemName)
+          if (names.nonEmpty && names.length == items.length) {
+            val replacement = lex(s"EXCEPT (${names.mkString(", ")}), ") ++ inner
+            toks = toks.patch(i, replacement, close - i + 1)
+            i += replacement.length - 1
           }
         }
       }

@@ -271,6 +271,16 @@ class TranslatorSpec extends AnyFunSuite {
     assert(dbs.contains("graft_infoschema_schemata"))
   }
 
+  test("star REPLACE becomes EXCEPT plus appended aliases") {
+    assert(t("SELECT * REPLACE (upper(a) AS a) FROM t") ==
+      "SELECT * EXCEPT (a), upper(a) AS a FROM t")
+    assert(t("SELECT * REPLACE (a + 1 AS a, lower(b) AS b) FROM t WHERE c > 0") ==
+      "SELECT * EXCEPT (a, b), a + 1 AS a, lower(b) AS b FROM t WHERE c > 0")
+    // the scalar function replace(s, x, y) is untouched
+    assert(t("SELECT replace(s, 'a', 'b') FROM t") ==
+      "SELECT replace(s, 'a', 'b') FROM t")
+  }
+
   test("list_sum / list_avg become aggregate() lambdas") {
     val s = t("SELECT list_sum(xs) FROM t")
     assert(s.contains("aggregate(xs, CAST(0 AS DOUBLE)"))
