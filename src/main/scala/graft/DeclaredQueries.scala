@@ -312,6 +312,27 @@ object DeclaredQueries {
       // * REPLACE -> * EXCEPT + appended aliases (column order moves; the
       // compare is order-insensitive by name)
       "SELECT * REPLACE (upper(p_name) AS p_name, p_size * 10 AS p_size) FROM part ORDER BY p_partkey LIMIT 20",
+    "q97_glob_scan" ->
+      // glob pattern in a read_parquet path — multi-file reads are the
+      // normal DuckDB lakehouse shape; Spark's reader globs natively
+      "SELECT count(*) AS n FROM read_parquet('/root/testdata/sf0.01/regio*.parquet')",
+    "q98_date_part" ->
+      "SELECT o_orderkey, date_part('year', o_orderdate) AS y, date_part('quarter', o_orderdate) AS q, date_part('dow', o_orderdate) AS dw FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q99_epoch" ->
+      // epoch_ms is an exact integer in both engines; epoch() is fractional
+      // seconds, floored to dodge the cast divergence (DuckDB double->BIGINT
+      // rounds, Spark truncates — identical only on integral values)
+      "SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ems, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events ORDER BY event_id LIMIT 100",
+    "q100_any_value_mode" ->
+      // any_value made deterministic by aggregating a group-constant
+      // expression; mode is deterministic because the fixture mode is unique
+      "SELECT o_orderstatus, any_value(lower(o_orderstatus)) AS av, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q101_printf" ->
+      // printf -> format_string: %s / zero-padded %0Nd are C-style in both
+      "SELECT printf('%s-%03d', o_orderstatus, o_orderkey % 500) AS s FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q102_ordered_string_agg" ->
+      // in-aggregate ORDER BY (DuckDB) -> sorted collect in the dialect layer
+      "SELECT o_orderstatus, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey DESC) AS sa FROM orders WHERE o_orderkey < 100 GROUP BY o_orderstatus ORDER BY o_orderstatus",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -601,16 +601,34 @@ object Translator {
               args.head.filterNot(isWs) match {
                 case Vector(part: Str) =>
                   val e = render(args(1)).trim
-                  toks = toks.patch(i,
-                    Seq(Ident(s"extract(${part.value} FROM $e)")), close - i + 1)
+                  // DuckDB dow is 0=Sunday..6 (Postgres); Spark's DOW
+                  // extract is 1=Sunday..7 — shift. isodow agrees (Mon=1).
+                  val repl = part.value.toLowerCase match {
+                    case "dow" => s"(extract(DOW FROM $e) - 1)"
+                    case p => s"extract($p FROM $e)"
+                  }
+                  toks = toks.patch(i, Seq(Ident(repl)), close - i + 1)
                 case _ =>
               }
             }
           }
-        case id: Ident if id.upper == "EPOCH" =>
+        case id: Ident if id.upper == "EPOCH" || id.upper == "EPOCH_MS" ||
+            id.upper == "EPOCH_US" =>
+          // DuckDB epoch() is FRACTIONAL seconds (a DOUBLE); Spark's
+          // unix_timestamp truncates. micros/1e6 reproduces the exact
+          // double both engines derive from the same microsecond value.
+          // epoch_ms/epoch_us are exact integers either way.
           val open = nextNonWs(toks, i)
-          if (open < toks.length && toks(open) == Punct("("))
-            toks = toks.patch(i, Seq(Ident("unix_timestamp")), 1)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            val e = render(toks.slice(open + 1, close)).trim
+            val repl = id.upper match {
+              case "EPOCH" => s"(unix_micros($e) / 1000000.0)"
+              case "EPOCH_MS" => s"unix_millis($e)"
+              case "EPOCH_US" => s"unix_micros($e)"
+            }
+            toks = toks.patch(i, Seq(Ident(repl)), close - i + 1)
+          }
         case _ =>
       }
       i += 1

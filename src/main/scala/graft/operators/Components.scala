@@ -63,7 +63,11 @@ object Components {
         .select(least($"v", $"m").as("u"), greatest($"v", $"m").as("v"))
         .unionByName(mins2.select(least($"u", $"m").as("u"), greatest($"u", $"m").as("v")))
         .filter($"u" =!= $"v").distinct().localCheckpoint()
-      converged = smallStar.exceptAll(edges).isEmpty && edges.exceptAll(smallStar).isEmpty
+      // cheap count guard first: an un-converged round almost always changes
+      // the edge count, and the exact exceptAll fixpoint test costs two
+      // shuffles — only pay it when the counts agree
+      converged = smallStar.count() == edges.count() &&
+        smallStar.exceptAll(edges).isEmpty && edges.exceptAll(smallStar).isEmpty
       edges = smallStar
       round += 1
     }

@@ -65,6 +65,20 @@ object PlanAudit {
     // no shuffle before the final sort
     Check("p23_stratified_sample", wantAll = Seq("Filter"),
       wantNone = Seq("Join", "HashAggregate")),
+    // quantized-kernel similarity (round 4): the native expression must be
+    // in the plan (not zip_with/aggregate lambda chains, which are
+    // interpreted per element) with the broadcast single-row query vector
+    Check("p07_sim_cos_micro_topk",
+      wantAll = Seq("quant_cos_micro", "TakeOrderedAndProject"),
+      wantNone = Seq("zip_with", "aggregate(")),
+    // text kernels (round 4): one token_set_hits scan, no lambda chains
+    Check("p12_text_langid", wantAll = Seq("token_set_hits"),
+      wantNone = Seq("filter(", "array_contains")),
+    Check("p13_text_fingerprint", wantAll = Seq("strip_to_alnum_space"),
+      wantNone = Seq("regexp_replace")),
+    // sequence packing: per-shard window, no cartesian/global-sort surprises
+    Check("p25_seq_pack", wantAll = Seq("Window"),
+      wantNone = Seq("CartesianProduct", "Join")),
     // TPC-H-shape heavies: dimensions broadcast; no cartesian anywhere
     Check("q62_tpch_q3", wantAll = Seq("BroadcastHashJoin"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),

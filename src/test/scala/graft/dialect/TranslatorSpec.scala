@@ -271,6 +271,18 @@ class TranslatorSpec extends AnyFunSuite {
     assert(dbs.contains("graft_infoschema_schemata"))
   }
 
+  test("date_part dow shifts to DuckDB's 0=Sunday; epoch family maps exactly") {
+    assert(t("SELECT date_part('dow', d) FROM t") ==
+      "SELECT (extract(DOW FROM d) - 1) FROM t")
+    assert(t("SELECT date_part('year', d) FROM t") ==
+      "SELECT extract(year FROM d) FROM t")
+    // epoch() is FRACTIONAL seconds in DuckDB — unix_timestamp truncates
+    assert(t("SELECT epoch(ts) FROM t") ==
+      "SELECT (unix_micros(ts) / 1000000.0) FROM t")
+    assert(t("SELECT epoch_ms(ts) FROM t") == "SELECT unix_millis(ts) FROM t")
+    assert(t("SELECT epoch_us(ts) FROM t") == "SELECT unix_micros(ts) FROM t")
+  }
+
   test("star REPLACE becomes EXCEPT plus appended aliases") {
     assert(t("SELECT * REPLACE (upper(a) AS a) FROM t") ==
       "SELECT * EXCEPT (a), upper(a) AS a FROM t")
@@ -295,7 +307,7 @@ class TranslatorSpec extends AnyFunSuite {
   test("date_diff / date_part / epoch mappings") {
     assert(t("SELECT date_diff('day', a, b)") == "SELECT datediff(b, a)")
     assert(t("SELECT date_part('year', ts)") == "SELECT extract(year FROM ts)")
-    assert(t("SELECT epoch(ts)") == "SELECT unix_timestamp(ts)")
+    assert(t("SELECT epoch(ts)") == "SELECT (unix_micros(ts) / 1000000.0)")
     // 2-arg Spark-native datediff untouched
     assert(t("SELECT datediff(b, a)") == "SELECT datediff(b, a)")
   }
