@@ -160,12 +160,14 @@ object Dedup {
       repPairs: DataFrame,
       selfMetric: Column,
       metricCol: String): DataFrame = {
+    // selfMetric is evaluated once per GROUP (it may reference group
+    // columns, e.g. the representative vector), then rides the explosion
     val intra = groups.filter(size(col("members")) > 1)
-      .select(col("members"))
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
+      .select(col("members"), selfMetric.as(metricCol))
+      .select(explode(col("members")).as("a"), col("members"), col(metricCol))
+      .select(col("a"), explode(col("members")).as("b"), col(metricCol))
       .filter(col("a") < col("b"))
-      .select(col("a").as("d1"), col("b").as("d2"), selfMetric)
+      .select(col("a").as("d1"), col("b").as("d2"), col(metricCol))
     val inter = repPairs
       .join(groups.select(col("id").as("d1"), col("members").as("m1")), "d1")
       .join(groups.select(col("id").as("d2"), col("members").as("m2")), "d2")
@@ -343,14 +345,47 @@ object Dedup {
       planesPerBand: Int = 12,
       bands: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      collapseExact: Boolean = true): DataFrame = {
     require(planesPerBand >= 1 && bands >= 1 && planesPerBand * bands <= 64,
       "need 1 <= planesPerBand * bands <= 64")
     GraftFunctions.register(emb.sparkSession)
     val totalPlanes = planesPerBand * bands
     val mask = if (planesPerBand == 64) -1L else (1L << planesPerBand) - 1
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneSignature(col(vecCol), totalPlanes).as("sig"))
+    if (collapseExact) {
+      // same exact-dup collapse as minhash/simhash, keyed on the vector
+      // itself: identical vectors have identical signatures and collide in
+      // every band, so k exact copies cost the band join k² rows. Real
+      // embedding corpora are full of exact dups (re-crawled documents
+      // embed identically); the ×30 sf3 fixture made the uncollapsed path
+      // 7.6× super-linear (2.8 s at sf1 → 21 s at sf3; collapsed: linear).
+      // Intra-cluster metric = cosine_sim(v, v) — the SAME FP expression
+      // the uncollapsed path evaluates for identical arrays (not lit(1.0),
+      // which differs in the last ulp).
+      val groups = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .groupBy(col("v"))
+        .agg(min("id").as("id"), collect_list("id").as("members"))
+        .localCheckpoint()
+      val repPairs = embeddingPairsOnBase(
+        groups.select(col("id"), col("v")), minCosine, planesPerBand, bands)
+      return expandClusterPairs(groups, repPairs,
+        GraftFunctions.cosine_sim(col("v"), col("v")).as("cosine"), "cosine")
+        .filter(col("cosine") >= minCosine)
+    }
+    embeddingPairsOnBase(emb.select(col(idCol).as("id"), col(vecCol).as("v")),
+      minCosine, planesPerBand, bands)
+  }
+
+  /** The banding+verify core of [[embeddingPairs]] over (id, v). */
+  private def embeddingPairsOnBase(
+      ids: DataFrame,
+      minCosine: Double,
+      planesPerBand: Int,
+      bands: Int): DataFrame = {
+    val totalPlanes = planesPerBand * bands
+    val mask = if (planesPerBand == 64) -1L else (1L << planesPerBand) - 1
+    val base = ids.select(col("id"), col("v"),
+      Similarity.hyperplaneSignature(col("v"), totalPlanes).as("sig"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("b"),
         shiftrightunsigned(col("sig"), b * planesPerBand).bitwiseAND(lit(mask)).as("bits"))

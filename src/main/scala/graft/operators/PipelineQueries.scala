@@ -210,6 +210,20 @@ object PipelineQueries {
             expr("(cum - n_tokens) div 256")).as("seq_last"))
         .orderBy("doc_id")
     }),
+    // ---- PII scrubbing (round 4): the fixture has no natural PII, so the
+    // entry injects a deterministic email+phone per doc and proves the
+    // redaction fires on every row (n_email/n_phone >= 1 by construction —
+    // never a vacuously-green oracle)
+    "p26_pii_scrub" -> q((s, _) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1 555-01"),
+        (col("doc_id") % 100).cast("string"), lit(" now"))
+      s.table("documents").select(col("doc_id"),
+          md5(TextAnalysis.scrubPii(aug)).as("scrubbed_h"),
+          size(regexp_extract_all(aug, lit(TextAnalysis.emailPattern), lit(0))).as("n_email"),
+          size(regexp_extract_all(aug, lit(TextAnalysis.phonePattern), lit(0))).as("n_phone"))
+        .orderBy("doc_id")
+    }),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -317,6 +331,12 @@ object PipelineQueries {
         "SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component, " +
         "least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id AS is_kept " +
         "FROM documents d LEFT JOIN comp c ON d.doc_id = c.n ORDER BY d.doc_id"),
+    "p26_pii_scrub" ->
+      ("WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-01' || CAST(doc_id % 100 AS VARCHAR) || ' now' AS t FROM documents) " +
+        "SELECT doc_id, md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\+?[0-9][0-9 ()-]{5,}[0-9]', '<PHONE>', 'g')) AS scrubbed_h, " +
+        "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email, " +
+        "CAST(len(regexp_extract_all(t, '\\+?[0-9][0-9 ()-]{5,}[0-9]')) AS INTEGER) AS n_phone " +
+        "FROM aug ORDER BY doc_id"),
     "p25_seq_pack" ->
       ("WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
         "c AS (SELECT doc_id, source, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum FROM t) " +

@@ -77,6 +77,17 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** PII scrubbing — the redaction step of a corpus pipeline. Patterns are
+    * deliberately lookaround-free character-class regexes so RE2 (DuckDB)
+    * and the JDK engine produce identical matches; both engines use
+    * leftmost-first semantics. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+?[0-9][0-9 ()-]{5,}[0-9]"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** BPE-ish pre-tokenization (SURVEY §2.11: "whitespace + a BPE-ish
     * regex"): letter runs, digit runs, and punctuation runs become separate
     * tokens — the shape GPT-style pre-tokenizers produce ("don't!" → don,

@@ -77,6 +77,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("embedding collapse path matches the legacy path, bit-exact cosines") {
+    import spark.implicits._
+    // clusters of exact-identical vectors + near-identical edits
+    val rnd = new scala.util.Random(23)
+    val bases = Array.fill(40)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = bases.zipWithIndex.flatMap { case (v, i) =>
+      val copies = 1 + (i % 3)
+      val near = v.map(x => x + 0.0005f)
+      (0 until copies).map(c => (i * 100L + c, v)) ++
+        (if (i % 5 == 0) Seq((i * 100L + 50, near)) else Nil)
+    }.toSeq.toDF("vec_id", "embedding")
+    def pairMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val nw = pairMap(Dedup.embeddingPairs(vecs, minCosine = 0.9, planesPerBand = 8, bands = 4))
+    val old = pairMap(Dedup.embeddingPairs(vecs, minCosine = 0.9, planesPerBand = 8, bands = 4,
+      collapseExact = false))
+    assert(nw.keySet == old.keySet,
+      s"embedding collapse diverged: +${nw.keySet.diff(old.keySet).size} -${old.keySet.diff(nw.keySet).size}")
+    nw.foreach { case (k, v) =>
+      assert(v == old(k), s"cosine diverged on $k: $v vs ${old(k)}") // bit-exact
+    }
+  }
+
   test("connectedComponents matches driver-side union-find on random graphs, chains, singletons") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
