@@ -170,6 +170,123 @@ object Engine {
     Seq(n).toDF("Count")
   }
 
+  // ---- DML rewrite ------------------------------------------------------
+  //
+  // The reference passes DELETE/UPDATE straight to DuckDB; Spark parquet
+  // tables have no in-place DML, so both are implemented as an atomic
+  // rewrite: the surviving/updated rows land in a tmp table that is swapped
+  // in via catalog rename (readers never observe a half-written table; a
+  // crashed run leaves the original untouched). Managed catalog tables
+  // only — the fixture parquet views are read-only inputs. Returns the
+  // 1-row `Count` result DuckDB produces.
+
+  private val deleteRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.`\"]+)(?:\\s+WHERE\\s+(.+?))?\\s*$".r
+  private val updateRe =
+    "(?is)^\\s*UPDATE\\s+([\\w.`\"]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*$".r
+
+  /** Rewrite `table` to df's rows atomically; returns the new row count. */
+  private def swapInto(spark: SparkSession, table: String,
+      df: DataFrame): Long = {
+    val tmp = table + "__rewriting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    tableWriteLock(table).synchronized {
+      observed.write.format("parquet").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
+    bumpCatalogVersion()
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** DML requires a real (managed/external) catalog table — tableExists is
+    * true for temp views too, and a DELETE against a fixture view would
+    * otherwise drop the view and swap a managed table in over it. */
+  private def requireDmlTarget(spark: SparkSession, table: String): Unit = {
+    val ok = try {
+      val t = spark.catalog.getTable(table)
+      t.tableType == "MANAGED" || t.tableType == "EXTERNAL"
+    } catch { case _: Exception => false }
+    require(ok, s"DML target '$table' is not a managed catalog table")
+  }
+
+  private def runDelete(spark: SparkSession, table0: String,
+      where: String): DataFrame = {
+    val table = table0.replaceAll("[`\"]", "")
+    requireDmlTarget(spark, table)
+    val total = spark.table(table).count()
+    // SQL DELETE removes rows where the predicate is TRUE; FALSE and NULL
+    // survive — hence NOT coalesce(pred, false)
+    val keepSql =
+      if (where == null || where.trim.isEmpty) s"SELECT * FROM $table WHERE false"
+      else s"SELECT * FROM $table WHERE NOT coalesce(($where), false)"
+    val keptN = swapInto(spark, table, sql(spark, keepSql))
+    import spark.implicits._
+    Seq(total - keptN).toDF("Count")
+  }
+
+  /** Top-level comma split honoring parens/brackets and string literals. */
+  private def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var inStr = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case c if inStr =>
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += s.substring(start)
+    parts.toSeq.map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"malformed SET assignment: $a")
+      (a.substring(0, eq).trim.replaceAll("[`\"]", ""), a.substring(eq + 1).trim)
+    }
+  }
+
+  private def runUpdate(spark: SparkSession, table0: String, setClause: String,
+      where: Option[String]): DataFrame = {
+    val table = table0.replaceAll("[`\"]", "")
+    requireDmlTarget(spark, table)
+    val sets = splitAssignments(setClause)
+    val fields = spark.table(table).schema.fields
+    sets.foreach { case (c, _) =>
+      require(fields.exists(_.name.equalsIgnoreCase(c)), s"unknown column in SET: $c")
+    }
+    // count the matched rows against the OLD table (the rewrite below
+    // changes them); one extra scan, paid only on the DML path
+    val matched = where match {
+      case Some(w) => sql(spark,
+        s"SELECT CAST(count(*) AS BIGINT) AS n FROM $table WHERE coalesce(($w), false)")
+        .head.getLong(0)
+      case None => spark.table(table).count()
+    }
+    val selectList = fields.map { f =>
+      sets.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, e)) =>
+          // cast to the column's type (DuckDB UPDATE coerces the same way)
+          val guarded = where match {
+            case Some(w) => s"CASE WHEN coalesce(($w), false) THEN ($e) ELSE ${f.name} END"
+            case None => s"($e)"
+          }
+          s"CAST($guarded AS ${f.dataType.sql}) AS ${f.name}"
+        case None => f.name
+      }
+    }
+    swapInto(spark, table,
+      sql(spark, s"SELECT ${selectList.mkString(", ")} FROM $table"))
+    import spark.implicits._
+    Seq(matched).toDF("Count")
+  }
+
   private val summarizeRe = "(?is)^\\s*SUMMARIZE\\s+([\\w.`\"]+)\\s*$".r
   private val asofWordRe = "(?is).*\\bASOF\\b.*".r
 
@@ -235,6 +352,10 @@ object Engine {
       case summarizeRe(table) =>
         // DuckDB SUMMARIZE → per-column stats (Spark's summary())
         return spark.table(table.replaceAll("[`\"]", "")).summary()
+      case deleteRe(table, where) =>
+        return runDelete(spark, table, where)
+      case updateRe(table, sets, where) =>
+        return runUpdate(spark, table, sets, Option(where))
       case s if asofWordRe.pattern.matcher(s).matches() =>
         tryAsofMerge(spark, s).foreach(df => return df)
       case _ =>

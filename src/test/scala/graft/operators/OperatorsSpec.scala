@@ -623,6 +623,40 @@ class OperatorsSpec extends SparkTestBase {
     Engine.sql(spark, "DROP TABLE graft_sct_probe")
   }
 
+  test("DELETE and UPDATE rewrite managed tables atomically with DuckDB Count results") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_dml_t")
+    spark.sql("DROP TABLE IF EXISTS graft_dml_t__rewriting")
+    (1 to 10).map(i => (i.toLong, s"v$i", i * 10)).toDF("id", "s", "n")
+      .write.format("parquet").saveAsTable("graft_dml_t")
+    // DELETE with a dialect predicate; NULL/FALSE rows survive
+    val d = Engine.sql(spark, "DELETE FROM graft_dml_t WHERE n > 70")
+    assert(d.head.getLong(0) == 3) // 80, 90, 100
+    assert(spark.table("graft_dml_t").count() == 7)
+    // UPDATE with WHERE: only matched rows change, types preserved
+    val u = Engine.sql(spark,
+      "UPDATE graft_dml_t SET s = upper(s), n = n + 1 WHERE id <= 2")
+    assert(u.head.getLong(0) == 2)
+    val rows = spark.table("graft_dml_t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.take(2).toSeq == Seq((1L, "V1", 11), (2L, "V2", 21)))
+    assert(rows(2) == ((3L, "v3", 30))) // unmatched row untouched
+    // UPDATE without WHERE touches every row
+    val u2 = Engine.sql(spark, "UPDATE graft_dml_t SET n = 0")
+    assert(u2.head.getLong(0) == 7)
+    assert(spark.table("graft_dml_t").agg(sum("n")).head.getLong(0) == 0)
+    // DELETE without WHERE empties the table; schema survives
+    val d2 = Engine.sql(spark, "DELETE FROM graft_dml_t")
+    assert(d2.head.getLong(0) == 7)
+    assert(spark.table("graft_dml_t").count() == 0)
+    assert(spark.table("graft_dml_t").columns.toSeq == Seq("id", "s", "n"))
+    // fixture views are refused
+    intercept[IllegalArgumentException] {
+      Engine.sql(spark, "DELETE FROM documents WHERE doc_id = 1")
+    }
+    spark.sql("DROP TABLE graft_dml_t")
+  }
+
   test("COPY TO exports a query result and returns the count") {
     Engine.registerTables(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
