@@ -333,6 +333,33 @@ object DeclaredQueries {
     "q102_ordered_string_agg" ->
       // in-aggregate ORDER BY (DuckDB) -> sorted collect in the dialect layer
       "SELECT o_orderstatus, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey DESC) AS sa FROM orders WHERE o_orderkey < 100 GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q103_asof_left" ->
+      // outer ASOF: events with user_id > 75 find no order in the filtered
+      // right side and keep NULLs (83 of the first 200 rows) — the LEFT
+      // semantics are non-vacuously exercised. Subquery right side routes
+      // through the range rewrite, not the merge operator.
+      "SELECT e.event_id, o.o_orderdate FROM events e ASOF LEFT JOIN (SELECT * FROM orders WHERE o_custkey <= 75) o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts ORDER BY e.event_id LIMIT 200",
+    "q104_positional_refs" ->
+      // ordinal GROUP BY / ORDER BY — native in both engines (Spark
+      // groupByOrdinal/orderByOrdinal default true)
+      "SELECT o_orderpriority, o_orderstatus, count(*) AS c FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+    "q105_interval_arith" ->
+      // INTERVAL literal arithmetic parses identically; both engines clamp
+      // month arithmetic to end-of-month
+      "SELECT o_orderkey, CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS d3, CAST(o_orderdate - INTERVAL 2 MONTH AS DATE) AS m2 FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q106_scalar_subquery" ->
+      // correlated scalar subquery in the select list (Catalyst
+      // RewriteCorrelatedScalarSubquery -> left outer agg join); two orders
+      // have no lineitems -> NULL path exercised
+      "SELECT o_orderkey, (SELECT max(l.l_linenumber) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS maxline FROM orders o ORDER BY o_orderkey LIMIT 100",
+    "q107_in_subquery" ->
+      // uncorrelated IN (subquery) -> left semi join (the IN twin of q17's
+      // EXISTS shape)
+      "SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 3) ORDER BY o_orderkey LIMIT 100",
+    "q108_string_extras2" ->
+      // SQL-standard POSITION(x IN y) and TRIM(BOTH x FROM y), chr/ascii/
+      // bit_length (same names), to_hex -> hex (both uppercase)
+      "SELECT s_suppkey, position('#' IN s_name) AS pos, trim(BOTH 'S' FROM s_name) AS tb, chr(65 + CAST(s_suppkey % 26 AS INTEGER)) AS ch, ascii(s_name) AS ac, bit_length(s_name) AS bl, to_hex(s_suppkey) AS hx FROM supplier ORDER BY s_suppkey LIMIT 50",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

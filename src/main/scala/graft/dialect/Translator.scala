@@ -411,6 +411,8 @@ object Translator {
     "LIST" -> "collect_list",
     "UNNEST" -> "explode",
     "EDITDIST3" -> "levenshtein",
+    // DuckDB to_hex and Spark hex both emit uppercase, no leading zeros
+    "TO_HEX" -> "hex",
     // quantile family: quantile_cont interpolates like Spark's exact
     // percentile; plain/discrete quantile approximated by percentile_approx
     // (sketch outputs differ engine-to-engine → never oracle-declared)

@@ -224,6 +224,19 @@ object PipelineQueries {
           size(regexp_extract_all(aug, lit(TextAnalysis.phonePattern), lit(0))).as("n_phone"))
         .orderBy("doc_id")
     }),
+    // ---- within-doc repetition signal (round 4): Gopher-style repetitive-
+    // document gate — duplicate word-2-gram fraction in basis points. Zero
+    // shuffles; scales as a pure scan.
+    "p27_doc_repetition" -> q((s, _) =>
+      TextAnalysis.repetitionSignals(s.table("documents")).orderBy("doc_id")),
+    // ---- corpus vocabulary (round 4): token frequency top-k — the vocab/
+    // BPE-training precursor. explode -> partial-agg groupBy (map-side
+    // combine) -> TakeOrderedAndProject; one shuffle keyed by token.
+    "p28_vocab_topk" -> q((s, _) =>
+      s.table("documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(100)),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -355,6 +368,15 @@ object PipelineQueries {
         "WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2') " +
         "OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') " +
         "ORDER BY doc_id"),
+    "p27_doc_repetition" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams FROM t) " +
+        "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, " +
+        "CAST(round(10000.0 * (len(grams) - len(list_distinct(grams))) / len(grams)) AS BIGINT) AS dup_bp " +
+        "FROM g WHERE len(grams) > 0 ORDER BY doc_id"),
+    "p28_vocab_topk" ->
+      ("SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 100"),
     // p08 (round 4): the native CosineSim expression IS cross-engine
     // deterministic — it accumulates float→double products sequentially,
     // exactly what DuckDB's list_sum over list_transform does, so the

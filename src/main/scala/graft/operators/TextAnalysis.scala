@@ -101,6 +101,21 @@ object TextAnalysis {
     // property-checks it against regexp_count on random strings.
     call_function("bpe_token_count", text)
 
+  /** Within-document repetition signal (the Gopher-style "repetitive doc"
+    * quality gate): fraction of word 2-grams that are duplicates, in basis
+    * points. Pure per-row column expressions — zero shuffles; docs under 2
+    * tokens have no 2-grams and are dropped (mirrors the oracle's
+    * `len(grams) > 0` guard). sequence() is guarded by the >= 2 filter:
+    * Spark's sequence(1, 0) counts DOWN, it is not empty. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(lower(col("text"))).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .withColumn("__g", expr(
+        "transform(sequence(1, size(__t) - 1), i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"))
+      .select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"),
+        expr("CAST(round(10000.0 * (size(__g) - size(array_distinct(__g))) / size(__g)) AS BIGINT)")
+          .as("dup_bp"))
+
   /** End-to-end corpus curation — the composed 100 TB shape: quality gate
     * (min whitespace-token count) → language gate → exact-dedup keep-first.
     * ONE scan of the corpus (all gates are codegen column expressions over

@@ -353,5 +353,6 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT array_to_string(xs, ',')") == "SELECT array_join(xs, ',')")
     assert(t("SELECT list_reverse(xs)") == "SELECT reverse(xs)")
     assert(t("SELECT countIf(x > 2)") == "SELECT count_if(x > 2)")
+    assert(t("SELECT to_hex(x)") == "SELECT hex(x)")
   }
 }

@@ -807,4 +807,17 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 2L)), s"unexpected curation output: ${out.toSeq}")
   }
+
+  test("repetition signal: duplicate 2-gram fraction in basis points") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // grams: ab,ba,ab,ba,ab -> 5 grams, 2 distinct -> 6000 bp
+      (2L, "all words here differ now"), // 4 grams, all distinct -> 0 bp
+      (3L, "single"))        // < 2 tokens -> dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 5L, 6000L), (2L, 4L, 0L)),
+      s"unexpected repetition output: ${out.toSeq}")
+  }
 }
