@@ -360,6 +360,64 @@ object DeclaredQueries {
       // SQL-standard POSITION(x IN y) and TRIM(BOTH x FROM y), chr/ascii/
       // bit_length (same names), to_hex -> hex (both uppercase)
       "SELECT s_suppkey, position('#' IN s_name) AS pos, trim(BOTH 'S' FROM s_name) AS tb, chr(65 + CAST(s_suppkey % 26 AS INTEGER)) AS ch, ascii(s_name) AS ac, bit_length(s_name) AS bl, to_hex(s_suppkey) AS hx FROM supplier ORDER BY s_suppkey LIMIT 50",
+    // ---- round-4 third batch: operator sugar + schema-expansion surfaces.
+    // All validated in DuckDB first (SURVEY §2.12 protocol).
+    "q109_int_div_pow" ->
+      // `//` -> DIV (both truncate toward zero: -7//2 = -3 in both); `**` ->
+      // power() (left-assoc in DuckDB, matched by the rewrite). CASTs pin
+      // DuckDB's INTEGER vs Spark's BIGINT division result
+      "SELECT p_partkey, CAST(p_size // 7 AS BIGINT) AS idiv, CAST(p_size ** 2 AS BIGINT) AS sq FROM part ORDER BY p_partkey LIMIT 100",
+    "q110_is_distinct" ->
+      // null-safe comparison — native clause in both engines
+      "SELECT event_id, props IS DISTINCT FROM NULL AS d, event_type IS NOT DISTINCT FROM 'click' AS nd FROM events ORDER BY event_id LIMIT 100",
+    "q111_glob_similar" ->
+      // GLOB -> LIKE (*->%, ?->_); SIMILAR TO -> whole-string-anchored RLIKE
+      "SELECT s_suppkey FROM supplier WHERE s_name GLOB 'Supplier#0*1' OR s_name SIMILAR TO 'Supplier#0+1[0-9]' ORDER BY s_suppkey",
+    "q112_dot_call" ->
+      // DuckDB function-chaining sugar: recv.fn(args) -> fn(recv, args),
+      // applied before the fn-name map so chained renames compose
+      "SELECT s_suppkey, s_name.lower().upper() AS u, CAST(trim(s_name).length() AS BIGINT) AS l FROM supplier ORDER BY s_suppkey LIMIT 50",
+    "q113_struct_pack" ->
+      // struct_pack(name := expr) -> named_struct('name', expr)
+      "SELECT n_nationkey AS k, struct_pack(k := n_nationkey, nm := n_name).nm AS nm FROM nation ORDER BY k",
+    "q114_ignore_nulls" ->
+      // DuckDB spells IGNORE NULLS inside the call parens, Spark after the
+      // call — moved by the dialect layer. props is NULL on ~1/3 of events,
+      // so the carry-forward is non-vacuous
+      "SELECT event_id, last_value(props IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id) AS lv FROM events ORDER BY event_id LIMIT 100",
+    "q115_mode" ->
+      // mode() is native in both; fixture has no per-group frequency ties
+      // (verified before declaring), so the result is deterministic
+      "SELECT l_returnflag, mode(l_linestatus) AS m FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q116_grouping_id" ->
+      // grouping_id bit order agrees across engines (first grouping expr =
+      // most significant bit)
+      "SELECT l_returnflag, l_linestatus, CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS g, count(*) AS c FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY g, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q117_list_extras" ->
+      // list_position/list_indexof (0 when absent in BOTH engines —
+      // verified), list_unique -> size(array_distinct), list_intersect
+      // (sorted for determinism), list_has_any -> arrays_overlap,
+      // list_has_all -> array_except emptiness
+      "SELECT vec_id, CAST(list_position([10, 20, 30], CAST(label AS INTEGER) * 10) AS BIGINT) AS p, CAST(list_unique([label, label, 3]) AS BIGINT) AS u, list_sort(list_intersect([0, 1, 2, 3, 4], [label, 2])) AS li, list_has_any([label], [3, 4]) AS ha, list_has_all([0, 1, 2, 3, 4, 5, 6, 7, 8, 9], [label]) AS hall FROM embeddings ORDER BY vec_id LIMIT 100",
+    "q118_math_extras" ->
+      // trig/log family in integer micro-units: JVM StrictMath-adjacent and
+      // libm agree bit-for-bit on this fixture (verified row-for-row before
+      // declaring; the gate re-proves it every round)
+      "SELECT p_partkey, CAST(round(sin(CAST(p_size AS DOUBLE)) * 1000000) AS BIGINT) AS s, CAST(round(atan2(CAST(p_size AS DOUBLE), 7.0) * 1000000) AS BIGINT) AS a2, CAST(round(degrees(1.0) * 1000) AS BIGINT) AS dg, CAST(round(cbrt(CAST(p_size AS DOUBLE)) * 1000000) AS BIGINT) AS cb, CAST(round(log2(CAST(p_size AS DOUBLE)) * 1000000) AS BIGINT) AS l2 FROM part ORDER BY p_partkey LIMIT 100",
+    "q119_pipe_concat" ->
+      // || string concatenation — native in both engines
+      "SELECT s_suppkey, 'x' || s_name || '!' AS t FROM supplier ORDER BY s_suppkey LIMIT 50",
+    "q120_columns_regex" ->
+      // COLUMNS('regex') star-expansion against the FROM table's schema
+      // (partial-match semantics in both engines). All three projected
+      // columns are sort keys — (l_orderkey, l_linenumber) alone is not
+      // total on this fixture
+      "SELECT COLUMNS('l_(orderkey|linenumber|quantity)') FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 50",
+    "q121_source_quantiles" ->
+      // corpus length-distribution stats per source: quantile_cont ->
+      // percentile (exact interpolation in both; 0.25-step fractions over
+      // integers are exactly representable)
+      "SELECT source, CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25) * 100) AS BIGINT) AS q25, CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) * 100) AS BIGINT) AS q50, CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75) * 100) AS BIGINT) AS q75, count(*) AS n FROM documents GROUP BY source ORDER BY source",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

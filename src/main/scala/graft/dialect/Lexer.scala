@@ -24,7 +24,7 @@ object Lexer {
   /** Whitespace or comment run. */
   final case class Ws(text: String) extends Tok
 
-  private val multiChar = Seq("<=", ">=", "<>", "!=", "==", "||", "::", "->>", "->")
+  private val multiChar = Seq("<=", ">=", "<>", "!=", "==", "||", "::", "->>", "->", "**", "//", ":=")
 
   def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

@@ -33,12 +33,20 @@ object Translator {
   private val clauseStarters = Set("WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
     "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "FORMAT")
 
-  def translate(sql: String): Translation = {
+  def translate(sql: String): Translation = translate(sql, _ => None)
+
+  /** `schemaOf` resolves a table name to its column list — used only by the
+    * `COLUMNS('regex')` star-expansion, which needs schema knowledge at
+    * translate time. The engine passes a catalog lookup; the default no-op
+    * leaves `COLUMNS` untouched (an analysis error, as in DuckDB when the
+    * pattern matches nothing). */
+  def translate(sql: String, schemaOf: String => Option[Seq[String]]): Translation = {
     val (noFmt, fmt) = Sanitizer.stripFormat(sql)
     var toks = lex(noFmt)
     val views = ArrayBuffer[ViewReg]()
     toks = rewriteAttach(toks)
     toks = rewriteMisc(toks)
+    toks = rewriteColumnsExpand(toks, schemaOf)
     toks = rewriteStarReplace(toks)
     toks = rewriteSemiAnti(toks)
     toks = rewriteUnionByName(toks)
@@ -49,6 +57,7 @@ object Translator {
     toks = rewriteBareFileTables(toks)
     toks = rewriteArrayLiterals(toks)
     toks = rewriteStructMapLiterals(toks)
+    toks = rewriteOpsSugar(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
     toks = rewriteStrftime(toks)
@@ -273,6 +282,257 @@ object Translator {
     toks
   }
 
+  /** Index of the matching open paren for the close paren at `close`. */
+  private def openOf(toks: Vector[Tok], close: Int): Int = {
+    var d = 0; var i = close
+    while (i >= 0) {
+      toks(i) match {
+        case Punct(")") => d += 1
+        case Punct("(") => d -= 1; if (d == 0) return i
+        case _ =>
+      }
+      i -= 1
+    }
+    0
+  }
+
+  /** Start of the primary expression whose last token sits at `end`: an
+    * ident/number/string, an `a.b.c` chain, or a balanced paren group with
+    * an optional call-name prefix (`fn(..)`). */
+  private def primaryStart(toks: Vector[Tok], end: Int): Int = toks(end) match {
+    case Punct(")") =>
+      val open = openOf(toks, end)
+      val p = prevNonWs(toks, open)
+      if (p >= 0 && toks(p).isInstanceOf[Ident] && !keywordLike(up(toks(p)))) p else open
+    case _: Ident | _: Num | _: Str =>
+      var s = end
+      var ok = true
+      while (ok) {
+        val p = prevNonWs(toks, s)
+        val pp = if (p >= 0) prevNonWs(toks, p) else -1
+        if (p >= 0 && toks(p) == Punct(".") && pp >= 0 && toks(pp).isInstanceOf[Ident]) s = pp
+        else ok = false
+      }
+      s
+    case _ => end
+  }
+
+  /** End of the primary expression starting at `start0` (skips a unary +/-;
+    * follows `a.b` chains into a trailing call's parens). */
+  private def primaryEnd(toks: Vector[Tok], start0: Int): Int = {
+    var i = start0
+    if (toks(i) == Punct("-") || toks(i) == Punct("+")) i = nextNonWs(toks, i)
+    toks(i) match {
+      case Punct("(") => matchParen(toks, i)
+      case _: Ident =>
+        var e = i
+        var ok = true
+        while (ok) {
+          val n = nextNonWs(toks, e)
+          if (n < toks.length && toks(n) == Punct("(")) { e = matchParen(toks, n); ok = false }
+          else if (n < toks.length && toks(n) == Punct(".") && {
+            val nn = nextNonWs(toks, n); nn < toks.length && toks(nn).isInstanceOf[Ident]
+          }) e = nextNonWs(toks, n)
+          else ok = false
+        }
+        e
+      case _ => i
+    }
+  }
+
+  /** Render `v` as a Spark SQL string literal (Spark's default parser treats
+    * backslash as an escape inside literals, unlike DuckDB). */
+  private def sparkStrLit(v: String): String =
+    "'" + v.flatMap { case '\'' => "''"; case '\\' => "\\\\"; case c => c.toString } + "'"
+
+  /** `struct_pack(a := 1, b := 'x')` args as named_struct pairs, or None if
+    * any arg is not `name := expr`. */
+  private def structPackParts(args: Vector[Vector[Tok]]): Option[Seq[String]] = {
+    val parts = args.flatMap { a =>
+      val nws = a.indices.filterNot(j => isWs(a(j)))
+      if (nws.length >= 2 && a(nws(0)).isInstanceOf[Ident] && a(nws(1)) == Punct(":=")) {
+        val expr = render(a.drop(nws(1) + 1)).trim
+        if (expr.nonEmpty) Some(s"'${a(nws(0)).text}', $expr") else None
+      } else None
+    }
+    if (parts.length == args.length && parts.nonEmpty) Some(parts) else None
+  }
+
+  /** Round-4 dialect sugar with no 1:1 Spark spelling (SURVEY §2.9/§7.3):
+    *   - `a // b` → `a DIV b` — DuckDB `//` truncates toward zero
+    *     (`-7 // 2 = -3`, verified), exactly Spark's DIV.
+    *   - `a ** b` → `power(a, b)` — left-assoc like DuckDB (`2**2**3 = 64`),
+    *     and a directly-preceding *unary* minus belongs to the left operand
+    *     (`-2 ** 2 = 4` in DuckDB).
+    *   - `x GLOB 'pat'` → `x LIKE '…'` with `*`→`%`, `?`→`_`, literal
+    *     `%`/`_` backslash-escaped.
+    *   - `x SIMILAR TO 'p'` → `x RLIKE '^(?:p)$'` (whole-string regex match
+    *     in both engines; `NOT` composes unchanged).
+    *   - `recv.fn(args)` → `fn(recv, args)` — DuckDB function-chaining
+    *     sugar; runs before the function-name map, so `x.list_element(2)`
+    *     lands on `element_at(x, 2)`.
+    *   - `struct_pack(a := 1)` → `named_struct('a', 1)`.
+    *   - `fn(x IGNORE NULLS)` / `RESPECT NULLS` → `fn(x) IGNORE NULLS` —
+    *     Spark spells the null treatment after the call, before OVER.
+    */
+  private[dialect] def rewriteOpsSugar(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        val callOpen = {
+          val n = nextNonWs(toks, i)
+          if (n < toks.length && toks(n) == Punct("(")) n else -1
+        }
+        toks(i) match {
+          case Punct("//") =>
+            val pad = Seq(
+              if (i > 0 && isWs(toks(i - 1))) None else Some(Ws(" ")),
+              Some(Ident("DIV")),
+              if (i + 1 < toks.length && isWs(toks(i + 1))) None else Some(Ws(" "))).flatten
+            toks = toks.patch(i, pad, 1)
+            changed = true
+          case Punct("**") =>
+            val lEnd = prevNonWs(toks, i)
+            val rStart = nextNonWs(toks, i)
+            if (lEnd >= 0 && rStart < toks.length) {
+              var lStart = primaryStart(toks, lEnd)
+              val pm = prevNonWs(toks, lStart)
+              val unaryMinus = pm >= 0 && (toks(pm) == Punct("-") || toks(pm) == Punct("+")) && {
+                val before = prevNonWs(toks, pm)
+                before < 0 || !(toks(before).isInstanceOf[Num] || toks(before).isInstanceOf[Str] ||
+                  toks(before) == Punct(")") ||
+                  (toks(before).isInstanceOf[Ident] && !keywordLike(up(toks(before)))))
+              }
+              if (unaryMinus) lStart = pm
+              val rEnd = primaryEnd(toks, rStart)
+              val l = render(toks.slice(lStart, lEnd + 1)).trim
+              val r = render(toks.slice(rStart, rEnd + 1)).trim
+              toks = toks.patch(lStart, lex(s"power($l, $r)"), rEnd - lStart + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "GLOB" && {
+            val n = nextNonWs(toks, i); n < toks.length && toks(n).isInstanceOf[Str]
+          } =>
+            val n = nextNonWs(toks, i)
+            val pat = toks(n).asInstanceOf[Str].value.flatMap {
+              case '*' => "%"
+              case '?' => "_"
+              case '%' => "\\%"
+              case '_' => "\\_"
+              case c => c.toString
+            }
+            toks = toks.patch(i, Seq(Ident("LIKE"), Ws(" "), Str(sparkStrLit(pat))), n - i + 1)
+            changed = true
+          case id: Ident if id.upper == "SIMILAR" && {
+            val n = nextNonWs(toks, i)
+            n < toks.length && up(toks(n)) == "TO" && {
+              val s = nextNonWs(toks, n); s < toks.length && toks(s).isInstanceOf[Str]
+            }
+          } =>
+            val n = nextNonWs(toks, i)
+            val s = nextNonWs(toks, n)
+            val pat = toks(s).asInstanceOf[Str].value
+            toks = toks.patch(i,
+              Seq(Ident("RLIKE"), Ws(" "), Str(sparkStrLit("^(?:" + pat + ")$"))), s - i + 1)
+            changed = true
+          case id: Ident if id.upper == "STRUCT_PACK" && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            structPackParts(splitTopLevel(toks.slice(callOpen + 1, close))) match {
+              case Some(parts) =>
+                toks = toks.patch(i, lex(s"named_struct(${parts.mkString(", ")})"), close - i + 1)
+                changed = true
+              case None =>
+            }
+          case id: Ident if (id.upper == "IGNORE" || id.upper == "RESPECT") && {
+            val n = nextNonWs(toks, i)
+            n < toks.length && up(toks(n)) == "NULLS" && {
+              val c = nextNonWs(toks, n); c < toks.length && toks(c) == Punct(")")
+            } && { val p = prevNonWs(toks, i); p >= 0 && toks(p) != Punct("(") }
+          } =>
+            val n = nextNonWs(toks, i)
+            val c = nextNonWs(toks, n)
+            val head = toks.slice(0, i).reverse.dropWhile(isWs).reverse
+            toks = head ++ toks.slice(n + 1, c + 1).filterNot(isWs) ++
+              Vector(Ws(" "), Ident(id.text), Ws(" "), Ident("NULLS")) ++
+              toks.slice(c + 1, toks.length)
+            changed = true
+          case Punct(".") if {
+            val f = nextNonWs(toks, i)
+            val o = if (f < toks.length) nextNonWs(toks, f) else toks.length
+            val p = prevNonWs(toks, i)
+            f < toks.length && toks(f).isInstanceOf[Ident] && !keywordLike(up(toks(f))) &&
+              o < toks.length && toks(o) == Punct("(") && p >= 0 &&
+              (toks(p).isInstanceOf[Num] || toks(p).isInstanceOf[Str] || toks(p) == Punct(")") ||
+                (toks(p).isInstanceOf[Ident] && !keywordLike(up(toks(p)))))
+          } =>
+            val f = nextNonWs(toks, i)
+            val o = nextNonWs(toks, f)
+            val close = matchParen(toks, o)
+            val p = prevNonWs(toks, i)
+            val rStart = primaryStart(toks, p)
+            val recv = render(toks.slice(rStart, p + 1)).trim
+            val args = render(toks.slice(o + 1, close)).trim
+            val call =
+              if (args.isEmpty) s"${toks(f).text}($recv)"
+              else s"${toks(f).text}($recv, $args)"
+            toks = toks.patch(rStart, lex(call), close - rStart + 1)
+            changed = true
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** DuckDB `COLUMNS('regex')` star-expansion (partial-match semantics, like
+    * regexp_matches) against the schema of the statement's FROM table,
+    * resolved through the engine-provided catalog lookup. Left untouched
+    * when the table or pattern cannot be resolved — an analysis error
+    * downstream, as in DuckDB when nothing matches. */
+  private[dialect] def rewriteColumnsExpand(
+      toks0: Vector[Tok], schemaOf: String => Option[Seq[String]]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      if (up(toks(i)) == "COLUMNS") {
+        val open = nextNonWs(toks, i)
+        if (open < toks.length && toks(open) == Punct("(")) {
+          val close = matchParen(toks, open)
+          val innerToks = toks.slice(open + 1, close).filterNot(isWs)
+          if (innerToks.length == 1 && innerToks(0).isInstanceOf[Str]) {
+            val re = innerToks(0).asInstanceOf[Str].value
+            // the statement's FROM table: first plain ident after FROM at
+            // paren-depth 0 relative to the COLUMNS call
+            var j = close + 1; var depth = 0; var table: Option[String] = None
+            while (j < toks.length && table.isEmpty && depth >= 0) {
+              depth += depthDelta(toks(j))
+              if (depth == 0 && up(toks(j)) == "FROM") {
+                val t = nextNonWs(toks, j)
+                if (t < toks.length) toks(t) match {
+                  case tid: Ident => table = Some(tid.text.replaceAll("[`\"]", ""))
+                  case _ => j = toks.length
+                }
+              }
+              j += 1
+            }
+            for (t <- table; cols <- schemaOf(t)) {
+              val p = java.util.regex.Pattern.compile(re)
+              val hit = cols.filter(c => p.matcher(c).find())
+              if (hit.nonEmpty)
+                toks = toks.patch(i, lex(hit.mkString(", ")), close - i + 1)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
   /** ClickHouse-style `toString(x)`/`toInt32(x)`… (chsql macro surface,
     * `/root/reference/main.py:83-86`) → `CAST(x AS T)`. */
   private val castFuncs = Map(
@@ -403,6 +663,15 @@ object Translator {
     "LIST_DISTINCT" -> "array_distinct",
     "LIST_CONCAT" -> "concat",
     "LIST_APPEND" -> "array_append",
+    // list_position / list_indexof: this DuckDB returns 0 for a missing
+    // element (verified), exactly Spark's array_position contract
+    "LIST_POSITION" -> "array_position",
+    "LIST_INDEXOF" -> "array_position",
+    "LIST_HAS_ANY" -> "arrays_overlap",
+    "ARRAY_HAS_ANY" -> "arrays_overlap",
+    // result order may differ between engines — declared queries wrap in
+    // list_sort for determinism
+    "LIST_INTERSECT" -> "array_intersect",
     // list_prepend is NOT mapped: DuckDB takes (element, list), Spark's
     // array_prepend takes (array, element) — a name-only swap would
     // silently reorder arguments
@@ -481,6 +750,21 @@ object Translator {
             if (args.length == 2) {
               val repl = s"((${render(args(0)).trim}) ^ (${render(args(1)).trim}))"
               toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "LIST_UNIQUE" && callOpen >= 0 =>
+            // count of distinct elements (DuckDB returns UBIGINT; Spark's
+            // size is INT — declared queries CAST)
+            val close = matchParen(toks, callOpen)
+            val arg = render(toks.slice(callOpen + 1, close)).trim
+            toks = toks.patch(i, lex(s"size(array_distinct($arg))"), close - i + 1)
+            changed = true
+          case id: Ident if (id.upper == "LIST_HAS_ALL" || id.upper == "ARRAY_HAS_ALL") && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (l, sub) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(s"(size(array_except(($sub), ($l))) = 0)"), close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "LIST_SLICE" && callOpen >= 0 =>

@@ -361,7 +361,10 @@ object Engine {
       case _ =>
     }
     graft.functions.GraftFunctions.register(spark) // idempotent; version() etc.
-    val t = Translator.translate(duckSql)
+    // catalog lookup for COLUMNS('regex') expansion — only invoked when the
+    // statement actually contains a COLUMNS call
+    val t = Translator.translate(duckSql,
+      name => scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption)
     t.views.foreach { v =>
       v.format match {
         case "csv" => spark.read.option("header", "true")

@@ -412,4 +412,32 @@ object Dedup {
         GraftFunctions.cosine_sim(col("v1"), col("v2")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** C4-style line-level dedup: every later occurrence of a line that
+    * appears anywhere earlier in the corpus (order = (doc_id, position)) is
+    * dropped; each doc is reassembled from its surviving lines in original
+    * order. Docs whose every line was seen before disappear entirely —
+    * C4's own semantics for fully-duplicated documents.
+    *
+    * Two hash shuffles, both skew-tolerant at 100 TB: the keep-first rank
+    * partitions BY LINE CONTENT (a line duplicated across millions of docs
+    * is one partition whose row_number costs one local sort — candidate
+    * state never multiplies), and the reassembly partitions by doc_id.
+    * Nothing is driver-side; no join at all.
+    *
+    * Returns (doc_id, kept_lines, text). */
+  def lineDedup(docs: DataFrame, sep: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val keepFirst = Window.partitionBy("line").orderBy("doc_id", "pos")
+    lines.withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_lines"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line"))).as("text"))
+  }
 }

@@ -237,6 +237,17 @@ object PipelineQueries {
         .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("n").desc, col("tok")).limit(100)),
+    // ---- line-level dedup (round 4): C4-style "remove duplicate lines
+    // across the corpus, keep first occurrence". The fixture has no
+    // newlines, so the entry materializes line boundaries deterministically
+    // (every ' table ' becomes one) — same construction on the oracle side,
+    // so the dedup itself is what's checked, never vacuously.
+    "p29_line_dedup" -> q((s, _) =>
+      Dedup.lineDedup(
+          s.table("documents").withColumn("text",
+            expr("replace(text, ' table ', '\n')")))
+        .select(col("doc_id"), col("kept_lines"), md5(col("text")).as("h"))
+        .orderBy("doc_id")),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -377,6 +388,15 @@ object PipelineQueries {
     "p28_vocab_topk" ->
       ("SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok FROM documents) " +
         "GROUP BY tok ORDER BY n DESC, tok LIMIT 100"),
+    // p29 (round 4): C4-style corpus-wide line dedup. Same deterministic
+    // line-boundary construction (' table ' -> newline) on both sides;
+    // generate_subscripts+unnest zip positionally in DuckDB.
+    "p29_line_dedup" ->
+      ("WITH d AS (SELECT doc_id, string_split(replace(text, ' table ', chr(10)), chr(10)) AS ls FROM documents), " +
+        "x AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line FROM d), " +
+        "k AS (SELECT doc_id, pos, line, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM x) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines, md5(string_agg(line, chr(10) ORDER BY pos)) AS h " +
+        "FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
     // p08 (round 4): the native CosineSim expression IS cross-engine
     // deterministic — it accumulates float→double products sequentially,
     // exactly what DuckDB's list_sum over list_transform does, so the

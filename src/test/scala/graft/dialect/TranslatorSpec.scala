@@ -355,4 +355,76 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT countIf(x > 2)") == "SELECT count_if(x > 2)")
     assert(t("SELECT to_hex(x)") == "SELECT hex(x)")
   }
+
+  test("// becomes DIV, ** becomes left-assoc power") {
+    assert(t("SELECT a // b FROM t") == "SELECT a DIV b FROM t")
+    assert(t("SELECT a ** 2 FROM t") == "SELECT power(a, 2) FROM t")
+    // left-assoc (DuckDB: 2**2**3 = 64) and call/paren operands
+    assert(t("SELECT 2 ** 2 ** 3") == "SELECT power(power(2, 2), 3)")
+    assert(t("SELECT (a + 1) ** abs(b)") == "SELECT power((a + 1), abs(b))")
+    // a directly-preceding unary minus is part of the base (-2**2 = 4);
+    // a binary minus is not (a - 2**2)
+    assert(t("SELECT -2 ** 2") == "SELECT power(-2, 2)")
+    assert(t("SELECT a - 2 ** 2 FROM t") == "SELECT a - power(2, 2) FROM t")
+  }
+
+  test("GLOB becomes LIKE with translated pattern; SIMILAR TO becomes anchored RLIKE") {
+    assert(t("SELECT * FROM t WHERE x GLOB 'ab*c?'")
+      == "SELECT * FROM t WHERE x LIKE 'ab%c_'")
+    // literal % / _ in a glob are escaped for LIKE (doubled backslash
+    // survives Spark's string-literal parser)
+    assert(t("SELECT * FROM t WHERE x GLOB 'a%b_c*'")
+      == "SELECT * FROM t WHERE x LIKE 'a\\\\%b\\\\_c%'")
+    assert(t("SELECT * FROM t WHERE x SIMILAR TO 'S[0-9]+'")
+      == "SELECT * FROM t WHERE x RLIKE '^(?:S[0-9]+)$'")
+    assert(t("SELECT * FROM t WHERE x NOT SIMILAR TO 'a.b'")
+      == "SELECT * FROM t WHERE x NOT RLIKE '^(?:a.b)$'")
+  }
+
+  test("dot-call chaining becomes nested calls, before the fn-name map") {
+    assert(t("SELECT s.lower() FROM t") == "SELECT lower(s) FROM t")
+    assert(t("SELECT s.lower().upper() FROM t") == "SELECT upper(lower(s)) FROM t")
+    assert(t("SELECT trim(s).length() FROM t") == "SELECT length(trim(s)) FROM t")
+    // args append after the receiver; fn-name map still applies
+    assert(t("SELECT xs.list_element(2) FROM t") == "SELECT element_at(xs, 2) FROM t")
+    // struct-field access without parens is untouched
+    assert(t("SELECT t.s.a FROM t") == "SELECT t.s.a FROM t")
+  }
+
+  test("struct_pack becomes named_struct") {
+    assert(t("SELECT struct_pack(a := 1, b := 'x')")
+      == "SELECT named_struct('a', 1, 'b', 'x')")
+    assert(t("SELECT struct_pack(k := f(1, 2)).k")
+      == "SELECT named_struct('k', f(1, 2)).k")
+  }
+
+  test("IGNORE/RESPECT NULLS move from inside the call to after it") {
+    // (the window ORDER BY also gets the usual NULLS LAST injection —
+    // DuckDB defaults NULLS LAST on ASC, Spark NULLS FIRST)
+    assert(t("SELECT last_value(x IGNORE NULLS) OVER (ORDER BY i) FROM t")
+      == "SELECT last_value(x) IGNORE NULLS OVER (ORDER BY i NULLS LAST) FROM t")
+    assert(t("SELECT lag(x, 1 RESPECT NULLS) OVER (ORDER BY i) FROM t")
+      == "SELECT lag(x, 1) RESPECT NULLS OVER (ORDER BY i NULLS LAST) FROM t")
+    // NULLS in ORDER BY item position is untouched
+    assert(t("SELECT x FROM t ORDER BY x DESC NULLS LAST")
+      == "SELECT x FROM t ORDER BY x DESC NULLS LAST")
+  }
+
+  test("list_unique / list_has_all arg shapes; list extras renames") {
+    assert(t("SELECT list_unique(xs)") == "SELECT size(array_distinct(xs))")
+    assert(t("SELECT list_has_all(xs, ys)") == "SELECT (size(array_except((ys), (xs))) = 0)")
+    assert(t("SELECT list_has_any(xs, ys)") == "SELECT arrays_overlap(xs, ys)")
+    assert(t("SELECT list_position(xs, 3)") == "SELECT array_position(xs, 3)")
+    assert(t("SELECT list_intersect(xs, ys)") == "SELECT array_intersect(xs, ys)")
+  }
+
+  test("COLUMNS('regex') expands against the FROM table's schema") {
+    val lookup: String => Option[Seq[String]] =
+      { case "t" => Some(Seq("l_orderkey", "l_linenumber", "l_quantity", "x")); case _ => None }
+    assert(Translator.translate("SELECT COLUMNS('l_(orderkey|quantity)') FROM t", lookup).sql
+      == "SELECT l_orderkey, l_quantity FROM t")
+    // unknown table: left untouched (analysis error downstream, like DuckDB)
+    assert(Translator.translate("SELECT COLUMNS('a') FROM unknown", lookup).sql
+      == "SELECT COLUMNS('a') FROM unknown")
+  }
 }

@@ -241,6 +241,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(p8 == p7, s"p8-only=${p8.diff(p7)} p7-only=${p7.diff(p8)}")
   }
 
+  test("line dedup keeps first corpus-wide occurrence, reassembles in order, drops emptied docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),        // beta already seen in doc 1
+      (3L, "alpha\ngamma"),       // both seen -> doc vanishes
+      (4L, "epsilon\nepsilon")    // self-dup within one doc: keep first only
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, "alpha\nbeta\ngamma"),
+      (2L, 1L, "delta"),
+      (4L, 1L, "epsilon")))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     Engine.registerTables(spark, sfDir)
     val docs = spark.table("documents")
