@@ -248,6 +248,20 @@ object PipelineQueries {
             expr("replace(text, ' table ', '\n')")))
         .select(col("doc_id"), col("kept_lines"), md5(col("text")).as("h"))
         .orderBy("doc_id")),
+    // ---- context-window chunking (round 4): sliding token windows with
+    // overlap, the long-doc training prep; window 32 / stride 24 so the
+    // fixture's ~50-token docs produce real multi-chunk output.
+    "p30_chunk_windows" -> q((s, _) =>
+      TextAnalysis.chunkWindows(s.table("documents"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+          md5(col("chunk")).as("h"))
+        .orderBy("doc_id", "chunk_idx")),
+    // ---- per-source quality gate (round 4): keep the top 25% of each
+    // source by deterministic stopword-ratio score — domain-stratified
+    // curation, one source-keyed shuffle.
+    "p31_quality_gate" -> q((s, _) =>
+      TextAnalysis.topQualityPerSource(s.table("documents"))
+        .orderBy("doc_id")),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -397,6 +411,26 @@ object PipelineQueries {
         "k AS (SELECT doc_id, pos, line, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM x) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines, md5(string_agg(line, chr(10) ORDER BY pos)) AS h " +
         "FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
+    // p30 (round 4): sliding-window chunking. DuckDB's range(0, nc) is the
+    // scalar list constructor (generate_series cannot take a lateral column
+    // here); list_slice's 1-based inclusive [a, b] clamps at the list end,
+    // exactly Spark's slice(start, len).
+    "p30_chunk_windows" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents), " +
+        "c AS (SELECT doc_id, tk, CASE WHEN len(tk) <= 32 THEN 1 ELSE (len(tk) - 32 + 23) // 24 + 1 END AS nc FROM t), " +
+        "x AS (SELECT doc_id, tk, unnest(range(0, nc)) AS ci FROM c) " +
+        "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(len(list_slice(tk, ci*24 + 1, ci*24 + 32)) AS BIGINT) AS n_toks, " +
+        "md5(array_to_string(list_slice(tk, ci*24 + 1, ci*24 + 32), ' ')) AS h " +
+        "FROM x ORDER BY doc_id, chunk_idx"),
+    // p31 (round 4): top-25%-per-source quality gate over the p11 stopword
+    // score; ceil(n * 0.25) is exact in both engines.
+    "p31_quality_gate" ->
+      ("WITH s AS (SELECT doc_id, source, " +
+        "CAST(round(10000.0 * len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), t -> list_contains(['the','a','of','and','to','in','is'], t))) " +
+        "/ len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) AS score FROM documents), " +
+        "r AS (SELECT doc_id, source, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM s) " +
+        "SELECT doc_id, source, score FROM r WHERE rn <= ceil(n * 0.25) ORDER BY doc_id"),
     // p08 (round 4): the native CosineSim expression IS cross-engine
     // deterministic — it accumulates float→double products sequentially,
     // exactly what DuckDB's list_sum over list_transform does, so the

@@ -77,6 +77,45 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Sliding context-window chunking — the long-document training prep
+    * step: each doc's whitespace tokens are cut into windows of `window`
+    * tokens advancing by `stride` (overlap = window − stride). Chunk count
+    * is 1 for docs within one window, else ceil((n−window)/stride)+1, so
+    * every token is covered and the last window may run short. Pure
+    * per-row explode — zero shuffles, scales as a scan.
+    * Returns (doc_id, chunk_idx, n_toks, chunk). */
+  def chunkWindows(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("nc", when(col("n") <= window, lit(1L))
+        .otherwise(expr(s"(n - $window + $stride - 1) DIV $stride + 1")))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .withColumn("ck",
+        slice(col("tk"), (col("chunk_idx") * stride + 1).cast("int"), lit(window)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ck")).cast("long").as("n_toks"),
+        concat_ws(" ", col("ck")).as("chunk"))
+
+  /** Per-source quality-percentile gate — domain-stratified curation: keep
+    * the top `frac` of docs within each source by stopword-ratio score
+    * (integer basis points, deterministic; ties broken by doc_id). One
+    * shuffle keyed by source; rank and per-source count share the same
+    * window partitioning, so it is one exchange + one sort at any scale. */
+  def topQualityPerSource(docs: DataFrame, frac: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scored = docs.select(col("doc_id"), col("source"),
+        tokenSetHits(col("text"), Seq(defaultStopwords)).as("__h"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(round(10000.0 * element_at(__h, 2) / element_at(__h, 1)) AS BIGINT)").as("score"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("__rn") <= ceil(col("__n") * frac))
+      .select("doc_id", "source", "score")
+  }
+
   /** PII scrubbing — the redaction step of a corpus pipeline. Patterns are
     * deliberately lookaround-free character-class regexes so RE2 (DuckDB)
     * and the JDK engine produce identical matches; both engines use

@@ -257,6 +257,40 @@ class OperatorsSpec extends SparkTestBase {
       (4L, 1L, "epsilon")))
   }
 
+  test("chunk windows cover every token with the declared overlap") {
+    import spark.implicits._
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunkWindows(Seq((1L, doc)).toDF("doc_id", "text"),
+        window = 32, stride = 24)
+      .orderBy("chunk_idx").collect()
+    // 100 tokens -> ceil((100-32)/24)+1 = 4 chunks
+    assert(out.length == 4)
+    val chunks = out.map(_.getAs[String]("chunk").split(" ").toSeq)
+    assert(chunks.map(_.length).toSeq == Seq(32, 32, 32, 28))
+    // stride 24: chunk i starts at token 24*i; last token of doc is covered
+    assert(chunks(1).head == "w25" && chunks(3).last == "w100")
+    // overlap: last 8 tokens of chunk 0 = first 8 of chunk 1
+    assert(chunks(0).takeRight(8) == chunks(1).take(8))
+    // a short doc yields exactly one chunk
+    val one = TextAnalysis.chunkWindows(Seq((2L, "a b c")).toDF("doc_id", "text"),
+      window = 32, stride = 24).collect()
+    assert(one.length == 1 && one(0).getAs[Long]("n_toks") == 3)
+  }
+
+  test("quality gate keeps ceil(frac*n) per source, highest scores first") {
+    import spark.implicits._
+    // 10 docs in one source, stopword share rises with doc_id
+    val docs = (1 to 10).map { i =>
+      val stop = Seq.fill(i)("the")
+      val rest = Seq.fill(10 - i)("zzz")
+      (i.toLong, "s1", (stop ++ rest).mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.topQualityPerSource(docs, frac = 0.25)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // ceil(0.25*10)=3 -> the three highest-stopword docs
+    assert(kept == Seq(8L, 9L, 10L))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     Engine.registerTables(spark, sfDir)
     val docs = spark.table("documents")
