@@ -15,6 +15,19 @@ object Bench {
     val spark = Engine.localSession(cpus)
     Engine.registerTables(spark, sfDir)
 
+    // Checkpoint-heavy operators (minhash/simhash/embedding dedup, prefix
+    // bucketing, components) persist localCheckpoint blocks into the shared
+    // session and never release them — left alone, a full sweep accumulates
+    // gigabytes of dead blocks and the 8g driver heap thrashes, inflating
+    // UNRELATED queries late in the run 10-20× (measured at sf≈1). Dropping
+    // persisted RDDs between entries keeps each timing honest: a query
+    // still pays for its own checkpoints inside its own interval.
+    def dropLeftoverBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+
     // Warmup pass: whole-stage codegen compilation, JIT, parquet footer
     // caches. First execution of each distinct query shape costs 2-4× its
     // steady-state time in compilation alone (measured); the steady state is
@@ -24,6 +37,7 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      dropLeftoverBlocks()
     }
 
     val results = ordered.map { case (name, fn) =>
@@ -33,7 +47,9 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropLeftoverBlocks()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")

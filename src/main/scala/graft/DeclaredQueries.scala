@@ -413,6 +413,30 @@ object DeclaredQueries {
       // columns are sort keys — (l_orderkey, l_linenumber) alone is not
       // total on this fixture
       "SELECT COLUMNS('l_(orderkey|linenumber|quantity)') FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 50",
+    "q122_trim_family" ->
+      // DuckDB 2-arg char-set trims -> TRIM(side set FROM s); left/right/
+      // SQL-standard substring(s FROM a FOR b) are native in both
+      "SELECT s_suppkey, ltrim(s_name, 'Supplier#') AS lt, rtrim(s_name, '0123456789') AS rt, trim(s_name, 'Sr#0123456789') AS tb, left(s_name, 8) AS l8, right(s_name, 3) AS r3, substring(s_name FROM 2 FOR 5) AS sub FROM supplier ORDER BY s_suppkey LIMIT 50",
+    "q123_format" ->
+      // fmt-style format('{}', ...) -> format_string('%s', ...); {N} is
+      // 0-based positional in DuckDB, %N$s 1-based in Java — shifted by the
+      // rewrite
+      "SELECT o_orderkey, format('{}-{}', o_orderstatus, o_orderpriority) AS f, format('{1}/{0}', o_orderstatus, o_orderkey % 10) AS g FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q124_array_agg_distinct" ->
+      // array_agg(DISTINCT) -> collect_list(DISTINCT); list_sort pins the
+      // engine-dependent collection order
+      "SELECT o_orderstatus, list_sort(array_agg(DISTINCT o_orderpriority)) AS ps FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q125_list_aggregate" ->
+      // list_aggregate(l, 'name') dispatches to the matching array form
+      "SELECT vec_id, CAST(list_aggregate([label, 2, 7], 'max') AS BIGINT) AS mx, CAST(list_aggregate([label, 2, 7], 'min') AS BIGINT) AS mn, CAST(list_aggregate([label, 2, 7], 'count') AS BIGINT) AS c FROM embeddings ORDER BY vec_id LIMIT 100",
+    "q126_regexp_split" ->
+      // regexp_split_to_array -> split (regex semantics in both); the [2]
+      // subscript exercises the 1-based bracket rewrite on a call result
+      "SELECT o_orderkey, regexp_split_to_array(o_orderpriority, '[-]')[2] AS w FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q127_subscript_slice" ->
+      // 1-based/negative/out-of-bounds-NULL subscripts -> try_element_at;
+      // inclusive-end slices -> slice(start, len)
+      "SELECT vec_id, [10, 20, 30, 40][CAST(label AS INTEGER) % 4 + 1] AS el, [1, 2, 3, 4, 5][2:4] AS sl, [1, 2, 3][-1] AS lst, [1, 2, 3][99] AS oob FROM embeddings ORDER BY vec_id LIMIT 100",
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over

@@ -57,6 +57,7 @@ object Translator {
     toks = rewriteBareFileTables(toks)
     toks = rewriteArrayLiterals(toks)
     toks = rewriteStructMapLiterals(toks)
+    toks = rewriteSubscripts(toks)
     toks = rewriteOpsSugar(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
@@ -303,7 +304,10 @@ object Translator {
     case Punct(")") =>
       val open = openOf(toks, end)
       val p = prevNonWs(toks, open)
-      if (p >= 0 && toks(p).isInstanceOf[Ident] && !keywordLike(up(toks(p)))) p else open
+      // ARRAY is in keywordLike (array-literal disambiguation) but is a
+      // call name here: `array(1, 2)[1]` must keep its name with the parens
+      if (p >= 0 && toks(p).isInstanceOf[Ident] &&
+        (!keywordLike(up(toks(p))) || up(toks(p)) == "ARRAY")) p else open
     case _: Ident | _: Num | _: Str =>
       var s = end
       var ok = true
@@ -356,6 +360,81 @@ object Translator {
       } else None
     }
     if (parts.length == args.length && parts.nonEmpty) Some(parts) else None
+  }
+
+  /** DuckDB 1-based (negative-from-end) subscripts and inclusive slices →
+    * Spark forms: `l[i]` → `try_element_at(l, i)` (same 1-based/negative
+    * indexing, NULL out of bounds — exactly DuckDB, where Spark's ANSI
+    * `element_at` would throw), `l[a:b]` → `slice(l, a, b-a+1)` (DuckDB
+    * slices are 1-based inclusive-end), `l[:b]` → `slice(l, 1, b)`,
+    * `l[a:]` → slice to the end. Map subscripts share the syntax; DuckDB
+    * wraps a map lookup in a 1-element list while try_element_at returns
+    * the bare value — the one documented divergence. Empty brackets
+    * (`VARCHAR[]` type suffixes) are untouched. */
+  private[dialect] def rewriteSubscripts(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case Punct("[") if {
+            val p = prevNonWs(toks, i)
+            p >= 0 && (toks(p) match {
+              case id: Ident => !keywordLike(id.upper)
+              case Punct(")") | Punct("]") => true
+              case _ => false
+            })
+          } =>
+            var d = 0; var j = i; var close = -1
+            while (j < toks.length && close < 0) {
+              toks(j) match {
+                case Punct("[") => d += 1
+                case Punct("]") => d -= 1; if (d == 0) close = j
+                case _ =>
+              }
+              j += 1
+            }
+            if (close > i) {
+              val inner = toks.slice(i + 1, close)
+              var dd = 0; var colonAt = -1
+              for ((t, k) <- inner.zipWithIndex) t match {
+                case Punct("(") | Punct("[") => dd += 1
+                case Punct(")") | Punct("]") => dd -= 1
+                case Punct(":") if dd == 0 && colonAt < 0 => colonAt = k
+                case _ =>
+              }
+              val p = prevNonWs(toks, i)
+              val rStart = primaryStart(toks, p)
+              val recv = render(toks.slice(rStart, p + 1)).trim
+              if (inner.exists(!isWs(_))) {
+                if (colonAt < 0) {
+                  val idx = render(inner).trim
+                  toks = toks.patch(rStart,
+                    lex(s"try_element_at($recv, $idx)"), close - rStart + 1)
+                  changed = true
+                } else {
+                  val a = render(inner.slice(0, colonAt)).trim
+                  val b = render(inner.slice(colonAt + 1, inner.length)).trim
+                  val repl =
+                    if (a.isEmpty && b.isEmpty) ""
+                    else if (a.isEmpty) s"slice($recv, 1, $b)"
+                    else if (b.isEmpty) s"slice($recv, $a, size($recv) - ($a) + 1)"
+                    else s"slice($recv, $a, ($b) - ($a) + 1)"
+                  if (repl.nonEmpty) {
+                    toks = toks.patch(rStart, lex(repl), close - rStart + 1)
+                    changed = true
+                  }
+                }
+              }
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
   }
 
   /** Round-4 dialect sugar with no 1:1 Spark spelling (SURVEY §2.9/§7.3):
@@ -641,8 +720,13 @@ object Translator {
     "JSON_EXTRACT_STRING" -> "get_json_object",
     "TODAY" -> "current_date",
     "IFF" -> "if",
-    "LIST_ELEMENT" -> "element_at",
-    "LIST_EXTRACT" -> "element_at",
+    // try_element_at, not element_at: DuckDB returns NULL out of bounds,
+    // Spark's ANSI element_at throws; try_element_at matches DuckDB
+    "LIST_ELEMENT" -> "try_element_at",
+    "LIST_EXTRACT" -> "try_element_at",
+    "REGEXP_SPLIT_TO_ARRAY" -> "split",
+    "STRING_SPLIT_REGEX" -> "split",
+    "STR_SPLIT_REGEX" -> "split",
     "LIST_CONTAINS" -> "array_contains",
     "ARRAY_LENGTH" -> "size",
     "LIST_TRANSFORM" -> "transform",
@@ -752,6 +836,67 @@ object Translator {
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
+          case id: Ident if Set("LTRIM", "RTRIM", "TRIM").contains(id.upper) && callOpen >= 0 =>
+            // DuckDB 2-arg char-set trims -> SQL-standard TRIM(side set FROM s)
+            // (same any-of-set semantics in both engines); 1-arg forms pass
+            // through untouched
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2 && !args(0).exists(t =>
+                Set("LEADING", "TRAILING", "BOTH", "FROM").contains(up(t)))) {
+              val side = id.upper match {
+                case "LTRIM" => "LEADING"; case "RTRIM" => "TRAILING"; case _ => "BOTH"
+              }
+              val (s0, cs) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(s"TRIM($side $cs FROM $s0)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "TO_BASE" && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (n, b) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(s"conv($n, 10, $b)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "LIST_AGGREGATE" && callOpen >= 0 =>
+            // list_aggregate(l, 'name') -> the matching array form
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val fnLit = if (args.length == 2) args(1).collectFirst { case s: Str => s.value } else None
+            val l = if (args.nonEmpty) render(args(0)).trim else ""
+            val repl = fnLit.map(_.toLowerCase) match {
+              case Some("min") => Some(s"array_min($l)")
+              case Some("max") => Some(s"array_max($l)")
+              case Some("count") => Some(s"size($l)")
+              case Some("sum") => Some(s"aggregate($l, CAST(0 AS DOUBLE), (__g_acc, __g_v) -> __g_acc + CAST(__g_v AS DOUBLE))")
+              case Some("avg") => Some(s"(aggregate($l, CAST(0 AS DOUBLE), (__g_acc, __g_v) -> __g_acc + CAST(__g_v AS DOUBLE)) / size($l))")
+              case _ => None
+            }
+            repl.foreach { r =>
+              toks = toks.patch(i, lex(r), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "FORMAT" && callOpen >= 0 && {
+            // fmt-style format('{} x {}', ...) -> format_string('%s x %s', ...)
+            // only when the first arg is a literal of plain {} / {N} holes
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            args.length >= 2 && (args(0).filterNot(isWs) match {
+              case Vector(s: Str) => !s.value.contains("{:") && !s.value.contains("%")
+              case _ => false
+            })
+          } =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val fmt = args(0).filterNot(isWs).head.asInstanceOf[Str].value
+            val jfmt = "\\{(\\d*)\\}".r.replaceAllIn(fmt,
+              m => if (m.group(1).isEmpty) "%s" else s"%${m.group(1).toInt + 1}\\$$s")
+            val rest = args.drop(1).map(a => render(a).trim)
+            toks = toks.patch(i,
+              lex(s"format_string(${sparkStrLit(jfmt)}, ${rest.mkString(", ")})"),
+              close - i + 1)
+            changed = true
           case id: Ident if id.upper == "LIST_UNIQUE" && callOpen >= 0 =>
             // count of distinct elements (DuckDB returns UBIGINT; Spark's
             // size is INT — declared queries CAST)

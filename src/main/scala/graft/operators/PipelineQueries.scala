@@ -262,6 +262,22 @@ object PipelineQueries {
     "p31_quality_gate" -> q((s, _) =>
       TextAnalysis.topQualityPerSource(s.table("documents"))
         .orderBy("doc_id")),
+    // ---- mixture rebalancing (round 4): uniform source mixture with
+    // rates derived from the corpus itself (vs p23's caller-given rates);
+    // deterministic hash-rank selection inside each source.
+    "p33_balance_sources" -> q((s, _) =>
+      Sampling.balanceSources(s.table("documents"))
+        .select("doc_id", "source").orderBy("doc_id")),
+    // ---- unigram-LM surprisal (round 4): the model-free perplexity
+    // filter — per-doc mean -ln p(token) in micro-nats against the
+    // corpus's own unigram distribution; integer-quantized per token so
+    // the distributed sum is order-free.
+    "p34_unigram_surprisal" -> q((s, _) =>
+      TextAnalysis.unigramSurprisal(s.table("documents")).orderBy("doc_id")),
+    // ---- int8 embedding quantization (round 4): 4x vector compression
+    // for the ANN scale path; pure codegen transform.
+    "p35_quantize_int8" -> q((s, _) =>
+      Similarity.quantizeInt8(s.table("embeddings")).orderBy("vec_id")),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -431,6 +447,24 @@ object PipelineQueries {
         "r AS (SELECT doc_id, source, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn, " +
         "count(*) OVER (PARTITION BY source) AS n FROM s) " +
         "SELECT doc_id, source, score FROM r WHERE rn <= ceil(n * 0.25) ORDER BY doc_id"),
+    "p33_balance_sources" ->
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+        "m AS (SELECT min(n) AS m FROM c), " +
+        "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "SELECT r.doc_id, r.source FROM r, m WHERE r.rk <= m.m ORDER BY r.doc_id"),
+    "p34_unigram_surprisal" ->
+      ("WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok FROM documents), " +
+        "v AS (SELECT tok, count(*) AS tok_n FROM tk GROUP BY tok), " +
+        "tot AS (SELECT sum(tok_n) AS tot_n FROM v), " +
+        "c AS (SELECT tok, CAST(round(1000000.0 * ln(CAST(tot_n AS DOUBLE) / CAST(tok_n AS DOUBLE))) AS BIGINT) AS cost FROM v, tot) " +
+        "SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(round(CAST(sum(cost) AS DOUBLE) / count(*)) AS BIGINT) AS surprisal_micro " +
+        "FROM tk JOIN c USING (tok) GROUP BY tk.doc_id ORDER BY tk.doc_id"),
+    "p35_quantize_int8" ->
+      ("WITH m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx FROM embeddings) " +
+        "SELECT vec_id, CAST(round(1000000.0 * 127 / mx) AS BIGINT) AS scale_micro, " +
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS INTEGER)) AS q " +
+        "FROM m ORDER BY vec_id"),
     // p08 (round 4): the native CosineSim expression IS cross-engine
     // deterministic — it accumulates float→double products sequentially,
     // exactly what DuckDB's list_sum over list_transform does, so the

@@ -37,4 +37,23 @@ object Sampling {
     }
     df.where(keep)
   }
+
+  /** Rebalance a multi-source corpus to a uniform mixture: every source is
+    * downsampled to the smallest source's count, with rates derived from
+    * the corpus itself (vs [[stratifiedSample]]'s caller-given rates).
+    * Selection inside a source ranks by (md5(id), id) — a stable hash
+    * shuffle, so the subset is reproducible on any engine or cluster size.
+    * Cost: one tiny per-source count agg broadcast back, plus one
+    * source-keyed rank window. */
+  def balanceSources(docs: DataFrame, idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minN = docs.groupBy(srcCol).count().agg(min("count").as("__m"))
+    val w = Window.partitionBy(srcCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter(col("__rk") <= col("__m"))
+      .drop("__rk", "__m")
+  }
 }

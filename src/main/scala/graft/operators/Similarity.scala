@@ -249,4 +249,19 @@ object Similarity {
         s
       }
     }
+
+  /** Symmetric int8 quantization of an embedding column — the vector
+    * compression step before large-scale ANN (4× smaller than float32;
+    * integer dot kernels consume it directly). Per-vector scale =
+    * 127 / max|x|; elements round half-away-from-zero in both engines.
+    * Pure codegen transform, zero shuffles.
+    * Returns (vec_id, scale_micro, q: array<int>). */
+  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    emb.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__mx",
+        expr("array_max(transform(__v, x -> abs(CAST(x AS DOUBLE))))"))
+      .select(col(idCol),
+        expr("CAST(round(1000000.0 * 127 / __mx) AS BIGINT)").as("scale_micro"),
+        expr("transform(__v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / __mx) AS INT))").as("q"))
 }

@@ -116,6 +116,32 @@ object TextAnalysis {
       .select("doc_id", "source", "score")
   }
 
+  /** Unigram-LM surprisal score — the model-free stand-in for perplexity
+    * filtering: token surprisal from the corpus's OWN unigram counts,
+    * per-doc mean −ln p(token) in micro-nats. Per-token costs are quantized
+    * to integer micro-nats BEFORE the per-doc sum, so the aggregate is an
+    * integer sum — order-free under distributed aggregation and
+    * cross-engine exact (FP enters only in the per-token ln, pinned by the
+    * gate like the q118 libm family). The cost table is a broadcast join:
+    * a unigram vocab stays broadcastable even for a very large corpus
+    * (prune by min count upstream if it ever would not).
+    * Returns (doc_id, n_tokens, surprisal_micro). */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("tok"))
+    // distinct names: `N`/`n` would collide under case-insensitive
+    // resolution (both engines resolve identifiers case-insensitively)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tok_n"))
+    val total = vocab.agg(sum("tok_n").as("tot_n"))
+    val costs = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        expr("CAST(round(1000000.0 * ln(CAST(tot_n AS DOUBLE) / CAST(tok_n AS DOUBLE))) AS BIGINT)").as("cost"))
+    toks.join(broadcast(costs), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("CAST(round(CAST(sum(cost) AS DOUBLE) / count(1)) AS BIGINT)").as("surprisal_micro"))
+  }
+
   /** PII scrubbing — the redaction step of a corpus pipeline. Patterns are
     * deliberately lookaround-free character-class regexes so RE2 (DuckDB)
     * and the JDK engine produce identical matches; both engines use

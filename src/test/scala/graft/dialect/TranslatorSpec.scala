@@ -52,9 +52,9 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("""SELECT 1 FROM "/d/f.csv"""").contains("csv.`/d/f.csv`"))
   }
 
-  test("array literal becomes array(); subscript untouched") {
+  test("array literal becomes array(); subscript becomes try_element_at (round 4)") {
     assert(t("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)")
-    assert(t("SELECT x[1] FROM t") == "SELECT x[1] FROM t")
+    assert(t("SELECT x[1] FROM t") == "SELECT try_element_at(x, 1) FROM t")
   }
 
   test("struct literal becomes named_struct") {
@@ -386,7 +386,8 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT s.lower().upper() FROM t") == "SELECT upper(lower(s)) FROM t")
     assert(t("SELECT trim(s).length() FROM t") == "SELECT length(trim(s)) FROM t")
     // args append after the receiver; fn-name map still applies
-    assert(t("SELECT xs.list_element(2) FROM t") == "SELECT element_at(xs, 2) FROM t")
+    // (list_element -> try_element_at: NULL out of bounds, like DuckDB)
+    assert(t("SELECT xs.list_element(2) FROM t") == "SELECT try_element_at(xs, 2) FROM t")
     // struct-field access without parens is untouched
     assert(t("SELECT t.s.a FROM t") == "SELECT t.s.a FROM t")
   }
@@ -416,6 +417,39 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT list_has_any(xs, ys)") == "SELECT arrays_overlap(xs, ys)")
     assert(t("SELECT list_position(xs, 3)") == "SELECT array_position(xs, 3)")
     assert(t("SELECT list_intersect(xs, ys)") == "SELECT array_intersect(xs, ys)")
+  }
+
+  test("subscripts become try_element_at; slices become slice(start, len)") {
+    assert(t("SELECT xs[1] FROM t") == "SELECT try_element_at(xs, 1) FROM t")
+    assert(t("SELECT xs[-1] FROM t") == "SELECT try_element_at(xs, -1) FROM t")
+    assert(t("SELECT f(x)[2] FROM t") == "SELECT try_element_at(f(x), 2) FROM t")
+    assert(t("SELECT [10, 20][1]") == "SELECT try_element_at(array(10, 20), 1)")
+    assert(t("SELECT xs[2:4] FROM t") == "SELECT slice(xs, 2, (4) - (2) + 1) FROM t")
+    assert(t("SELECT xs[:3] FROM t") == "SELECT slice(xs, 1, 3) FROM t")
+    assert(t("SELECT xs[2:] FROM t") == "SELECT slice(xs, 2, size(xs) - (2) + 1) FROM t")
+    // type suffix untouched
+    assert(t("CREATE TABLE x (tags VARCHAR[])").contains("[]"))
+  }
+
+  test("2-arg trims become TRIM(side set FROM s); to_base becomes conv") {
+    assert(t("SELECT ltrim(s, 'ab')") == "SELECT TRIM(LEADING 'ab' FROM s)")
+    assert(t("SELECT rtrim(s, '0123')") == "SELECT TRIM(TRAILING '0123' FROM s)")
+    assert(t("SELECT trim(s, 'xy')") == "SELECT TRIM(BOTH 'xy' FROM s)")
+    // 1-arg and SQL-standard forms untouched
+    assert(t("SELECT trim(s)") == "SELECT trim(s)")
+    assert(t("SELECT trim(BOTH 'S' FROM s)") == "SELECT trim(BOTH 'S' FROM s)")
+    assert(t("SELECT to_base(n, 16)") == "SELECT conv(n, 10, 16)")
+  }
+
+  test("fmt-style format becomes format_string; list_aggregate dispatches") {
+    assert(t("SELECT format('{} x {}', a, b)") == "SELECT format_string('%s x %s', a, b)")
+    // {N} is 0-based in DuckDB, %N$s 1-based in Java
+    assert(t("SELECT format('{1}/{0}', a, b)") == "SELECT format_string('%2$s/%1$s', a, b)")
+    // printf-style first args are left for the printf mapping
+    assert(t("SELECT format('%s', a)") == "SELECT format('%s', a)")
+    assert(t("SELECT list_aggregate(xs, 'max')") == "SELECT array_max(xs)")
+    assert(t("SELECT list_aggregate(xs, 'min')") == "SELECT array_min(xs)")
+    assert(t("SELECT list_aggregate(xs, 'count')") == "SELECT size(xs)")
   }
 
   test("COLUMNS('regex') expands against the FROM table's schema") {

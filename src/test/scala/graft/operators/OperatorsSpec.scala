@@ -291,6 +291,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept == Seq(8L, 9L, 10L))
   }
 
+  test("balanceSources downsamples every source to the smallest source's count, deterministically") {
+    import spark.implicits._
+    val docs = ((1 to 5).map(i => (i.toLong, "a")) ++
+      (6 to 8).map(i => (i.toLong, "b")) ++
+      (9 to 15).map(i => (i.toLong, "c")))
+      .map { case (id, s) => (id, s, s"text $id") }.toDF("doc_id", "source", "text")
+    val out = Sampling.balanceSources(docs)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
+    // reproducible: same subset on a second run
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.balanceSources(docs).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("unigramSurprisal: hand-computed micro-nats on a tiny corpus") {
+    import spark.implicits._
+    // vocab: a:2 b:1, N=3 -> cost(a)=round(1e6*ln(3/2))=405465,
+    // cost(b)=round(1e6*ln(3))=1098612; doc1 "a a b" mean=(2*405465+1098612)/3
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramSurprisal(docs).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("surprisal_micro") == math.round((2 * 405465L + 1098612L) / 3.0))
+  }
+
+  test("quantizeInt8: scale from max |x|, half-away rounding") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0f, -0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(emb).collect()(0)
+    assert(r.getAs[Long]("scale_micro") == 127000000L)
+    assert(r.getSeq[Int](r.fieldIndex("q")).toSeq == Seq(127, -64, 32))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     Engine.registerTables(spark, sfDir)
     val docs = spark.table("documents")
