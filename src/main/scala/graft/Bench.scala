@@ -23,8 +23,10 @@ object Bench {
     // persisted RDDs between entries keeps each timing honest: a query
     // still pays for its own checkpoints inside its own interval.
     def dropLeftoverBlocks(): Unit = {
+      // blocking: async eviction would otherwise bleed into the next
+      // query's timed interval
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
 
@@ -40,15 +42,23 @@ object Bench {
       dropLeftoverBlocks()
     }
 
+    // min of N timed runs per query: a single measurement is hostage to a
+    // badly-timed GC pause (observed: one 1.6 s query reading 42 s in a
+    // full sweep, reproducible at neither standalone nor the next sweep);
+    // the min is the steady-state figure a serving engine delivers.
+    val timedIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      dropLeftoverBlocks()
+      val dt = (1 to timedIters).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        dropLeftoverBlocks()
+        t
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
