@@ -57,6 +57,8 @@ object GraftFunctions {
     ("ascii_char_count", "count of characters from an ASCII class — length(s)-length(regexp_replace(s,class,''))",
       args => AsciiCharCount(args(0),
         args(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)),
+    ("pii_scrub", "array(scrubbed, n_email, n_phone) — linear-scan email/phone redaction",
+      args => PiiScrub(args(0))),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

@@ -137,6 +137,35 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("pii_scrub matches the regex path on random and adversarial strings") {
+    withFns {
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      // alphabet weighted toward pattern-relevant chars so emails/phones
+      // and NEAR-misses form often
+      val alphabet = "ab.z@ 019+-()%_cde@.. 5"
+      val strs = (0 until 400).map { _ =>
+        (0 until rnd.nextInt(50)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      } ++ Seq("", "a@b.co", "a@.com", "a@b.c", "x@y.z@a.com", "call +1 555-0123 or 5551234567 now",
+        "12345678", "123456", "+', digits 99 88 77 66 5", "u.-x%@a-b.c-d.org tail",
+        "a@b.co.uk x", "nested u@v.ww@x.yy here", "+12345678", "()+55555555()")
+      val df = strs.toDF("s")
+      val e = graft.operators.TextAnalysis.emailPattern.replace("\\", "\\\\")
+      val p = graft.operators.TextAnalysis.phonePattern.replace("\\", "\\\\")
+      val rows = df.select(
+        expr("pii_scrub(s)").as("k"),
+        expr(s"regexp_replace(regexp_replace(s, '$e', '<EMAIL>'), '$p', '<PHONE>')"),
+        expr(s"size(regexp_extract_all(s, '$e', 0))"),
+        expr(s"size(regexp_extract_all(s, '$p', 0))")).collect()
+      rows.zip(strs).foreach { case (r, s) =>
+        val k = r.getSeq[String](0)
+        assert(k(0) == r.getString(1), s"scrub mismatch on '$s': scan='${k(0)}' regex='${r.getString(1)}'")
+        assert(k(1).toInt == r.getInt(2), s"email count mismatch on '$s'")
+        assert(k(2).toInt == r.getInt(3), s"phone count mismatch on '$s'")
+      }
+    }
+  }
+
   test("quant_dot and quant_cos_micro match the zip_with SQL forms on random vectors") {
     withFns {
       val rnd = new scala.util.Random(11)
