@@ -59,6 +59,8 @@ object GraftFunctions {
         args(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)),
     ("pii_scrub", "array(scrubbed, n_email, n_phone) — linear-scan email/phone redaction",
       args => PiiScrub(args(0))),
+    ("dup_gram_stats", "array(n_grams, n_distinct) of word 2-grams in one byte scan",
+      args => DupGramStats(args(0))),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

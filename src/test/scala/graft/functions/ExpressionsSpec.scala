@@ -166,6 +166,35 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("dup_gram_stats matches the transform/array_distinct pipeline on random strings") {
+    withFns {
+      import spark.implicits._
+      val rnd = new scala.util.Random(13)
+      val words = Seq("a", "b", "cat", "dog", "xy", "a") // dup-heavy vocab
+      val strs = (0 until 300).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" ") + (if (rnd.nextBoolean()) "  " else "")
+      } ++ Seq("", "solo", "a a a a a", "  leading  gaps  ", "tab\tinside stays one-token")
+      val rows = strs.toDF("s").select(
+        expr("dup_gram_stats(s)").as("k"),
+        expr("filter(split(s, ' '), t -> t != '')").as("t"))
+        .selectExpr("k",
+          "size(t) - 1 AS ng",
+          "CASE WHEN size(t) < 2 THEN 0 ELSE size(array_distinct(transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))) END AS nd",
+          "size(t) AS nt")
+        .collect()
+      rows.foreach { r =>
+        val k = r.getSeq[Long](0)
+        val nt = r.getInt(3)
+        if (nt < 2) assert(k == Seq(0L, 0L))
+        else {
+          assert(k(0) == r.getInt(1).toLong, s"n_grams mismatch: $k vs ${r.getInt(1)}")
+          assert(k(1) == r.getInt(2).toLong, s"distinct mismatch: $k vs ${r.getInt(2)}")
+        }
+      }
+    }
+  }
+
   test("quant_dot and quant_cos_micro match the zip_with SQL forms on random vectors") {
     withFns {
       val rnd = new scala.util.Random(11)
