@@ -85,7 +85,34 @@ object PlanAudit {
     Check("q63_tpch_q5", wantAll = Seq("BroadcastHashJoin"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Check("q64_tpch_q9", wantAll = Seq("BroadcastHashJoin"),
-      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // ---- round-4 second-session ops ----
+    // line dedup: keep-first rank partitions by line CONTENT (window), the
+    // reassembly by doc_id (agg) — window + agg, never any join
+    Check("p29_line_dedup", wantAll = Seq("Window", "HashAggregate"),
+      wantNone = Seq("Join", "CartesianProduct")),
+    // chunking is a pure per-row explode — no shuffle beyond the final sort
+    Check("p30_chunk_windows", wantAll = Seq("Generate"),
+      wantNone = Seq("Join", "HashAggregate")),
+    // quality gate: rank and per-source count share ONE window partitioning
+    Check("p31_quality_gate", wantAll = Seq("token_set_hits", "Window"),
+      wantNone = Seq("Join")),
+    // mixture rebalance: the per-source min-count frame must broadcast back
+    Check("p33_balance_sources", wantAll = Seq("BroadcastNestedLoopJoin", "Window"),
+      wantNone = Seq("SortMergeJoin")),
+    // unigram surprisal: the cost table joins as a broadcast, never a
+    // sort-merge on the token column
+    Check("p34_unigram_surprisal", wantAll = Seq("BroadcastHashJoin"),
+      wantNone = Seq("SortMergeJoin", "CartesianProduct")),
+    // int8 quantization is a codegen transform over the scan — no shuffle,
+    // no join, nothing but project above the scan before the sort
+    Check("p35_quantize_int8", wantNone = Seq("Join", "HashAggregate", "Window")),
+    // repetition + scrub kernels must be IN the plan (not lambda chains /
+    // regexp passes)
+    Check("p27_doc_repetition", wantAll = Seq("dup_gram_stats"),
+      wantNone = Seq("array_distinct", "transform(")),
+    Check("p26_pii_scrub", wantAll = Seq("pii_scrub"),
+      wantNone = Seq("regexp_replace", "regexp_extract_all")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
