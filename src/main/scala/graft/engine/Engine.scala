@@ -343,7 +343,12 @@ object Engine {
     }
 
   /** Translate one DuckDB-dialect statement and run it. */
-  def sql(spark: SparkSession, duckSql: String): DataFrame = {
+  def sql(spark: SparkSession, duckSql0: String): DataFrame = {
+    // CREATE/DROP MACRO registers in the session-scoped registry and, like
+    // DuckDB, returns an empty result; macro calls expand textually before
+    // any other routing (so ASOF/COPY/DML shapes see the expanded SQL)
+    if (graft.dialect.Macros.tryDdl(spark, duckSql0)) return spark.emptyDataFrame
+    val duckSql = graft.dialect.Macros.expand(spark, duckSql0)
     duckSql match {
       case copyFromRe(table, path, opts) =>
         return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))

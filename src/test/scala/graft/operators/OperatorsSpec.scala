@@ -690,6 +690,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(!Engine.infoSnapshot(spark).tables.exists(_._3 == "graft_snap_probe"))
   }
 
+  test("CREATE MACRO: scalar macros expand with defaults, nesting, and redefinition") {
+    Engine.registerTables(spark, sfDir)
+    Engine.sql(spark, "CREATE MACRO add1(x) AS x + 1")
+    assert(Engine.sql(spark, "SELECT add1(41) AS v").head.get(0).toString == "42")
+    // precedence survives textual expansion
+    assert(Engine.sql(spark, "SELECT 2 * add1(1) AS v").head.get(0).toString == "4")
+    // default parameter
+    Engine.sql(spark, "CREATE MACRO add_tax(p, rate := 0.25) AS p * (1 + rate)")
+    assert(Engine.sql(spark, "SELECT CAST(add_tax(100) AS INT) AS v").head.getInt(0) == 125)
+    assert(Engine.sql(spark, "SELECT CAST(add_tax(100, 0.5) AS INT) AS v").head.getInt(0) == 150)
+    // macros calling macros
+    Engine.sql(spark, "CREATE MACRO add2(x) AS add1(add1(x))")
+    assert(Engine.sql(spark, "SELECT add2(40) AS v").head.get(0).toString == "42")
+    // works over tables + with the dialect (count() rewrite) around it
+    val n = Engine.sql(spark,
+      "SELECT count() AS c FROM nation WHERE add1(n_nationkey) >= 25").head.getLong(0)
+    assert(n == 1L) // nations are 0..24; only 24 + 1 >= 25
+    // redefinition replaces
+    Engine.sql(spark, "CREATE OR REPLACE MACRO add1(x) AS x + 100")
+    assert(Engine.sql(spark, "SELECT add1(1) AS v").head.get(0).toString == "101")
+    // drop: the name falls back to unresolved-function analysis error
+    Engine.sql(spark, "DROP MACRO add1")
+    intercept[Exception] { Engine.sql(spark, "SELECT add1(1)").collect() }
+  }
+
   test("EXPLAIN passes through the dialect layer") {
     Engine.registerTables(spark, sfDir)
     val out = Engine.sql(spark,
