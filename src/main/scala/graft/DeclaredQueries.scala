@@ -437,6 +437,16 @@ object DeclaredQueries {
       // 1-based/negative/out-of-bounds-NULL subscripts -> try_element_at;
       // inclusive-end slices -> slice(start, len)
       "SELECT vec_id, [10, 20, 30, 40][CAST(label AS INTEGER) % 4 + 1] AS el, [1, 2, 3, 4, 5][2:4] AS sl, [1, 2, 3][-1] AS lst, [1, 2, 3][99] AS oob FROM embeddings ORDER BY vec_id LIMIT 100",
+    "q128_macro_scalar" ->
+      // scalar CREATE MACRO + use, one declaration (multi-statement: both
+      // engines run the DDL then return the last SELECT). OR REPLACE keeps
+      // it idempotent across runs in a shared session.
+      ("CREATE OR REPLACE MACRO graft_cents(x) AS CAST(round(x * 100) AS BIGINT); " +
+        "SELECT o_orderkey, graft_cents(o_totalprice) AS c FROM orders ORDER BY o_orderkey LIMIT 100"),
+    "q129_macro_table" ->
+      // table macro: AS TABLE SELECT … used in FROM position
+      ("CREATE OR REPLACE MACRO graft_heavy() AS TABLE SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 49; " +
+        "SELECT l_orderkey, CAST(round(l_quantity) AS BIGINT) AS q FROM graft_heavy() ORDER BY l_orderkey, q LIMIT 100"),
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over

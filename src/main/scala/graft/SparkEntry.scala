@@ -25,7 +25,10 @@ object SparkEntry {
   private def declared(duckSql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       Engine.registerTables(spark, dir)
-      Engine.sql(spark, DeclaredQueries.forDir(duckSql, dir))
+      // sqlScript: multi-statement declarations (e.g. CREATE MACRO; SELECT)
+      // run each statement and return the last result — DuckDB's con.sql
+      // does the same on the oracle side
+      Engine.sqlScript(spark, DeclaredQueries.forDir(duckSql, dir))
     }
 
   /** One entry per implemented operator from SURVEY.md §2. */

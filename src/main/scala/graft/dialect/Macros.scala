@@ -69,7 +69,10 @@ object Macros {
         }
       }
       val after = render(toks.slice(close + 1, toks.length)).trim
-      val body = after.replaceFirst("(?is)^AS\\s+", "").stripSuffix(";").trim
+      // table macros: `AS TABLE SELECT …` — the stored body is the bare
+      // SELECT; expansion parenthesizes it, which is a valid FROM-position
+      // subquery in both engines
+      val body = after.replaceFirst("(?is)^AS\\s+(TABLE\\s+)?", "").stripSuffix(";").trim
       require(body.nonEmpty, s"CREATE MACRO has no body: $sql")
       registry.synchronized {
         val cur = Option(registry.get(spark)).getOrElse(Map.empty)

@@ -713,6 +713,9 @@ class OperatorsSpec extends SparkTestBase {
     // drop: the name falls back to unresolved-function analysis error
     Engine.sql(spark, "DROP MACRO add1")
     intercept[Exception] { Engine.sql(spark, "SELECT add1(1)").collect() }
+    // table macro in FROM position
+    Engine.sql(spark, "CREATE MACRO top_nations() AS TABLE SELECT n_nationkey FROM nation WHERE n_nationkey > 20")
+    assert(Engine.sql(spark, "SELECT count(*) AS c FROM top_nations()").head.getLong(0) == 4L)
   }
 
   test("EXPLAIN passes through the dialect layer") {
