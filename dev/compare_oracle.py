@@ -3,7 +3,12 @@
 
 Runs each oracle SQL in DuckDB over the sf parquet tables and compares with
 the Spark result parquet that graft.Verify wrote. Comparison mirrors the
-driver: columns sorted by name, values hashed in row order.
+driver: columns sorted by name, rows pandas-style sorted by all columns
+before hashing (r5 — the driver sorts rows with pandas sort_values, which
+additionally means it CANNOT hash top-level array/map columns: numpy arrays
+are unhashable. We therefore hard-fail any entry whose result schema has a
+top-level ARRAY/MAP/STRUCT column — serialize it in the declaration). The
+stricter in-row-order hash is kept as an extra determinism check.
 
 Usage: python3 dev/compare_oracle.py /root/testdata/sf0.01 /tmp/graft_verify
 """
@@ -28,14 +33,32 @@ def norm_val(v):
         return "{" + ",".join(f"{k}:{norm_val(x)}" for k, x in sorted(v.items())) + "}"
     return str(v)
 
-def table_digest(cols, rows):
-    """cols: list of names; rows: list of tuples (in result order)."""
+def table_digest(cols, rows, sort_rows=False):
+    """cols: list of names; rows: list of tuples (in result order).
+
+    sort_rows=True mirrors the driver's comparator, which pandas-sorts the
+    whole frame by all columns before hashing (row order irrelevant). Equal
+    multisets of rows produce equal digests under any deterministic sort,
+    so sorting by the normalized tuple is an exact equality proxy."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = ["\x1f".join(norm_val(r[i]) for i in order) for r in rows]
+    if sort_rows:
+        normed = sorted(normed)
     h = hashlib.sha256()
-    for r in rows:
-        h.update("\x1f".join(norm_val(r[i]) for i in order).encode())
+    for line in normed:
+        h.update(line.encode())
         h.update(b"\x1e")
     return h.hexdigest()
+
+def unhashable_cols(cols, types):
+    """Columns the driver's pandas sorter cannot handle (numpy arrays /
+    dicts are unhashable/unsortable): DuckDB LIST (T[]), MAP, STRUCT."""
+    bad = []
+    for c, t in zip(cols, types):
+        tu = str(t).upper()
+        if tu.endswith("[]") or tu.startswith("MAP(") or tu.startswith("STRUCT("):
+            bad.append((c, str(t)))
+    return bad
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -70,6 +93,11 @@ def main(sfdir, outdir):
             print(f"SPARKERR {name}: {e}")
             fail += 1
             continue
+        bad = unhashable_cols(o_cols, o_types) + unhashable_cols(s_cols, s_types)
+        if bad:
+            print(f"ARRAYCOL {name}: driver comparator cannot hash {sorted(set(bad))} — serialize (array_to_string/to_json) in the declaration")
+            fail += 1
+            continue
         if sorted(o_cols) != sorted(s_cols):
             print(f"SCHEMA   {name}: oracle={sorted(o_cols)} spark={sorted(s_cols)}")
             fail += 1
@@ -100,6 +128,16 @@ def main(sfdir, outdir):
             print(f"ROWS     {name}: oracle={len(o_rows)} spark={len(s_rows)}")
             fail += 1
             continue
+        # Driver-parity gate: rows sorted before hashing.
+        ohs = table_digest(o_cols, o_rows, sort_rows=True)
+        shs = table_digest(s_cols, s_rows, sort_rows=True)
+        if ohs != shs:
+            print(f"SORTHASH {name}: oracle={ohs[:12]} spark={shs[:12]}")
+            fail += 1
+            continue
+        # Stricter dev-only check: in-result-order hash (catches
+        # nondeterministic ORDER BY in a declaration even when the driver
+        # gate would pass).
         oh = table_digest(o_cols, o_rows)
         sh = table_digest(s_cols, s_rows)
         if oh != sh:

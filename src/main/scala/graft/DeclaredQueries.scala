@@ -270,8 +270,11 @@ object DeclaredQueries {
       "SELECT t.gs FROM generate_series(1, 9, 2) AS t(gs) ORDER BY gs",
     "q85_list_lambda" ->
       // higher-order list functions: list_transform/list_filter -> Spark
-      // transform/filter; same `x -> expr` lambda syntax in both dialects
-      "SELECT o_orderkey, list_transform([o_orderkey % 3, o_orderkey % 5], x -> x * 2) AS lt, list_filter([1, 2, 3, 4], x -> x > 2) AS lf FROM orders ORDER BY o_orderkey LIMIT 50",
+      // transform/filter; same `x -> expr` lambda syntax in both dialects.
+      // List results are serialized via array_to_string so the driver's
+      // comparator (which sorts columns before hashing) never sees a
+      // top-level array column (r5).
+      "SELECT o_orderkey, array_to_string(list_transform(list_transform([o_orderkey % 3, o_orderkey % 5], x -> x * 2), x -> CAST(x AS VARCHAR)), ',') AS lt, array_to_string(list_transform(list_filter([1, 2, 3, 4], x -> x > 2), x -> CAST(x AS VARCHAR)), ',') AS lf FROM orders ORDER BY o_orderkey LIMIT 50",
     "q86_string_extras" ->
       // same-name same-semantics string functions: levenshtein, split_part
       // (1-based, literal sep), translate, reverse, repeat, instr
@@ -288,8 +291,9 @@ object DeclaredQueries {
       "SELECT o_orderkey, last_day(o_orderdate) AS ld, make_date(2024, 3, 1) AS md, CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS rt FROM orders ORDER BY o_orderkey LIMIT 50",
     "q89_list_ops" ->
       // list_slice (1-based inclusive -> slice start/length), list_sort,
-      // flatten, list_reverse, array_to_string -> array_join
-      "SELECT vec_id, array_to_string(list_transform(list_slice([3, 1, 2, 5, 4], 2, 4), x -> CAST(x AS VARCHAR)), ',') AS s, list_sort([3, 1, 2]) AS ls, flatten([[1, 2], [3]]) AS fl, list_reverse([1, 2, 3]) AS lr FROM embeddings ORDER BY vec_id LIMIT 10",
+      // flatten, list_reverse, array_to_string -> array_join. All list
+      // results serialized for the driver comparator (r5).
+      "SELECT vec_id, array_to_string(list_transform(list_slice([3, 1, 2, 5, 4], 2, 4), x -> CAST(x AS VARCHAR)), ',') AS s, array_to_string(list_transform(list_sort([3, 1, 2]), x -> CAST(x AS VARCHAR)), ',') AS ls, array_to_string(list_transform(flatten([[1, 2], [3]]), x -> CAST(x AS VARCHAR)), ',') AS fl, array_to_string(list_transform(list_reverse([1, 2, 3]), x -> CAST(x AS VARCHAR)), ',') AS lr FROM embeddings ORDER BY vec_id LIMIT 10",
     "q90_recursive_cte" ->
       // WITH RECURSIVE — native in DuckDB and in Spark 4
       "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10) SELECT n FROM t ORDER BY n",
@@ -398,7 +402,7 @@ object DeclaredQueries {
       // verified), list_unique -> size(array_distinct), list_intersect
       // (sorted for determinism), list_has_any -> arrays_overlap,
       // list_has_all -> array_except emptiness
-      "SELECT vec_id, CAST(list_position([10, 20, 30], CAST(label AS INTEGER) * 10) AS BIGINT) AS p, CAST(list_unique([label, label, 3]) AS BIGINT) AS u, list_sort(list_intersect([0, 1, 2, 3, 4], [label, 2])) AS li, list_has_any([label], [3, 4]) AS ha, list_has_all([0, 1, 2, 3, 4, 5, 6, 7, 8, 9], [label]) AS hall FROM embeddings ORDER BY vec_id LIMIT 100",
+      "SELECT vec_id, CAST(list_position([10, 20, 30], CAST(label AS INTEGER) * 10) AS BIGINT) AS p, CAST(list_unique([label, label, 3]) AS BIGINT) AS u, array_to_string(list_transform(list_sort(list_intersect([0, 1, 2, 3, 4], [label, 2])), x -> CAST(x AS VARCHAR)), ',') AS li, list_has_any([label], [3, 4]) AS ha, list_has_all([0, 1, 2, 3, 4, 5, 6, 7, 8, 9], [label]) AS hall FROM embeddings ORDER BY vec_id LIMIT 100",
     "q118_math_extras" ->
       // trig/log family in integer micro-units: JVM StrictMath-adjacent and
       // libm agree bit-for-bit on this fixture (verified row-for-row before
@@ -424,8 +428,9 @@ object DeclaredQueries {
       "SELECT o_orderkey, format('{}-{}', o_orderstatus, o_orderpriority) AS f, format('{1}/{0}', o_orderstatus, o_orderkey % 10) AS g FROM orders ORDER BY o_orderkey LIMIT 100",
     "q124_array_agg_distinct" ->
       // array_agg(DISTINCT) -> collect_list(DISTINCT); list_sort pins the
-      // engine-dependent collection order
-      "SELECT o_orderstatus, list_sort(array_agg(DISTINCT o_orderpriority)) AS ps FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+      // engine-dependent collection order; array_to_string serializes the
+      // list for the driver comparator (r5)
+      "SELECT o_orderstatus, array_to_string(list_sort(array_agg(DISTINCT o_orderpriority)), ',') AS ps FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q125_list_aggregate" ->
       // list_aggregate(l, 'name') dispatches to the matching array form
       "SELECT vec_id, CAST(list_aggregate([label, 2, 7], 'max') AS BIGINT) AS mx, CAST(list_aggregate([label, 2, 7], 'min') AS BIGINT) AS mn, CAST(list_aggregate([label, 2, 7], 'count') AS BIGINT) AS c FROM embeddings ORDER BY vec_id LIMIT 100",
@@ -435,8 +440,9 @@ object DeclaredQueries {
       "SELECT o_orderkey, regexp_split_to_array(o_orderpriority, '[-]')[2] AS w FROM orders ORDER BY o_orderkey LIMIT 100",
     "q127_subscript_slice" ->
       // 1-based/negative/out-of-bounds-NULL subscripts -> try_element_at;
-      // inclusive-end slices -> slice(start, len)
-      "SELECT vec_id, [10, 20, 30, 40][CAST(label AS INTEGER) % 4 + 1] AS el, [1, 2, 3, 4, 5][2:4] AS sl, [1, 2, 3][-1] AS lst, [1, 2, 3][99] AS oob FROM embeddings ORDER BY vec_id LIMIT 100",
+      // inclusive-end slices -> slice(start, len); the slice result is
+      // serialized for the driver comparator (r5)
+      "SELECT vec_id, [10, 20, 30, 40][CAST(label AS INTEGER) % 4 + 1] AS el, array_to_string(list_transform([1, 2, 3, 4, 5][2:4], x -> CAST(x AS VARCHAR)), ',') AS sl, [1, 2, 3][-1] AS lst, [1, 2, 3][99] AS oob FROM embeddings ORDER BY vec_id LIMIT 100",
     "q128_macro_scalar" ->
       // scalar CREATE MACRO + use, one declaration (multi-statement: both
       // engines run the DDL then return the last SELECT). OR REPLACE keeps

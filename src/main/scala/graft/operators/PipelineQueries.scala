@@ -281,9 +281,14 @@ object PipelineQueries {
     "p34_unigram_surprisal" -> q((s, _) =>
       TextAnalysis.unigramSurprisal(s.table("documents")).orderBy("doc_id")),
     // ---- int8 embedding quantization (round 4): 4x vector compression
-    // for the ANN scale path; pure codegen transform.
+    // for the ANN scale path; pure codegen transform. The declared entry
+    // serializes the int8 vector to CSV (r5) because the driver's
+    // comparator sorts columns before hashing and cannot hash arrays;
+    // the operator itself still returns the typed array.
     "p35_quantize_int8" -> q((s, _) =>
-      Similarity.quantizeInt8(s.table("embeddings")).orderBy("vec_id")),
+      Similarity.quantizeInt8(s.table("embeddings"))
+        .withColumn("q", expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')"))
+        .orderBy("vec_id")),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -469,7 +474,7 @@ object PipelineQueries {
     "p35_quantize_int8" ->
       ("WITH m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx FROM embeddings) " +
         "SELECT vec_id, CAST(round(1000000.0 * 127 / mx) AS BIGINT) AS scale_micro, " +
-        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS INTEGER)) AS q " +
+        "array_to_string(list_transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127 / mx) AS INTEGER) AS VARCHAR)), ',') AS q " +
         "FROM m ORDER BY vec_id"),
     // p08 (round 4): the native CosineSim expression IS cross-engine
     // deterministic — it accumulates float→double products sequentially,
