@@ -4,7 +4,9 @@ oracle_sql.json) in DuckDB over a given sf dir — the baseline side of the
 BASELINE.md ratio table.
 
 Results are fully materialized (fetchall) to match the Spark bench's
-noop-sink materialization. One warmup pass, then the timed pass.
+noop-sink materialization. One warmup pass, then min of 2 timed passes —
+the same protocol as graft.Bench, so the BASELINE.md ratios are symmetric
+(r5; previously a single timed pass, which slightly favored Spark).
 
 Usage: python3 dev/duckdb_bench.py <sfDir> <oracle_sql.json> [out.json]
 """
@@ -28,9 +30,12 @@ def main(sfdir, oracle_path, out_path=None):
     for name in sorted(oracle):
         try:
             con.execute(oracle[name]).fetchall()  # warmup
-            t0 = time.time()
-            con.execute(oracle[name]).fetchall()
-            results[name] = round(time.time() - t0, 4)
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(oracle[name]).fetchall()
+                times.append(time.time() - t0)
+            results[name] = round(min(times), 4)
         except Exception as e:
             results[name] = None
             print(f"ERR {name}: {e}", file=sys.stderr)

@@ -116,6 +116,13 @@ object Macros {
       steps += 1
       rewritten = expandOnce(lex(out), macros)
     }
+    // A non-null rewrite at the cap means the fixpoint was never reached
+    // (self/mutually-recursive macros). Surface the error rather than
+    // passing half-expanded SQL to the translator (DuckDB errors on
+    // recursive macros at CREATE time; we detect at expansion).
+    if (rewritten != null)
+      throw new IllegalArgumentException(
+        s"macro expansion exceeded $steps steps — recursive macro? SQL: ${sql.take(200)}")
     out
   }
 
@@ -147,10 +154,22 @@ object Macros {
                 val bound = m.params.zipWithIndex.map { case (p, k) =>
                   p -> (if (k < args.length) args(k) else m.defaults(p))
                 }.toMap
-                val bodyToks = lex(m.body).map {
-                  case pid: Ident if bound.contains(pid.text.toLowerCase) =>
+                // Substitute param identifiers, but never one that is
+                // dot-qualified (t.x where x is a param is a column of t,
+                // not the macro argument — substituting would corrupt it).
+                // A param BEFORE a dot (x.field) stays substitutable:
+                // struct-field access on the argument is legitimate.
+                val bts = lex(m.body)
+                def afterDot(k: Int): Boolean = {
+                  var p = k - 1
+                  while (p >= 0 && bts(p).isInstanceOf[Ws]) p -= 1
+                  p >= 0 && bts(p) == Punct(".")
+                }
+                val bodyToks = bts.zipWithIndex.map {
+                  case (pid: Ident, k)
+                      if bound.contains(pid.text.toLowerCase) && !afterDot(k) =>
                     Ident("(" + bound(pid.text.toLowerCase) + ")")
-                  case t => t
+                  case (t, _) => t
                 }
                 val repl = "(" + render(bodyToks) + ")"
                 return render(toks.slice(0, i)) + repl +

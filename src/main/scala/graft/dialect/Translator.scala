@@ -367,9 +367,23 @@ object Translator {
     * indexing, NULL out of bounds — exactly DuckDB, where Spark's ANSI
     * `element_at` would throw), `l[a:b]` → `slice(l, a, b-a+1)` (DuckDB
     * slices are 1-based inclusive-end), `l[:b]` → `slice(l, 1, b)`,
-    * `l[a:]` → slice to the end. Map subscripts share the syntax; DuckDB
-    * wraps a map lookup in a 1-element list while try_element_at returns
-    * the bare value — the one documented divergence. Empty brackets
+    * `l[a:]` → slice to the end.
+    *
+    * Runtime-divergence guards (r5, DuckDB behavior pinned by probe):
+    * a zero index returns NULL in DuckDB where Spark's try_element_at
+    * throws ELEMENT_AT_BY_INDEX_ZERO — a literal 0 becomes a NULL index
+    * and a dynamic numeric index gets a CASE→NULL guard (string-literal
+    * map keys stay unguarded: `nullif(idx, 0)` would ANSI-cast-fail).
+    * Slice bounds are normalized: negative k → `size(l)+k+1` (DuckDB's
+    * inclusive from-end, so `l[:-1]` is the FULL list), start clamped to
+    * ≥1 (`l[0:2]` = `l[1:2]`), crossed bounds → empty list via
+    * `greatest(0, len)` where Spark's negative-length slice throws.
+    * Literal non-negative bounds skip the guards (constant-folded form).
+    *
+    * Documented divergences that remain: DuckDB wraps a map lookup in a
+    * 1-element list while try_element_at returns the bare value; an
+    * integer-keyed map lookup with key 0 (or a dynamic key equal to 0)
+    * hits the zero-index guard and returns NULL. Empty brackets
     * (`VARCHAR[]` type suffixes) are untouched. */
   private[dialect] def rewriteSubscripts(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
@@ -409,19 +423,43 @@ object Translator {
               val rStart = primaryStart(toks, p)
               val recv = render(toks.slice(rStart, p + 1)).trim
               if (inner.exists(!isWs(_))) {
+                def intLit(e: String): Option[Long] =
+                  if (e.matches("-?\\d+")) Some(e.toLong) else None
+                // negative bound k → size+k+1 (DuckDB inclusive from-end);
+                // literal non-negative bounds pass through untouched
+                def norm(e: String): String = intLit(e) match {
+                  case Some(v) if v >= 0 => e
+                  case _ => s"(CASE WHEN ($e) < 0 THEN size($recv) + ($e) + 1 ELSE ($e) END)"
+                }
+                // start clamped to >= 1 (DuckDB treats 0/off-front starts as 1)
+                def startOf(e: String): String = intLit(e) match {
+                  case Some(v) if v >= 1 => e
+                  case _ => s"greatest(1, ${norm(e)})"
+                }
                 if (colonAt < 0) {
                   val idx = render(inner).trim
-                  toks = toks.patch(rStart,
-                    lex(s"try_element_at($recv, $idx)"), close - rStart + 1)
+                  val guarded = intLit(idx) match {
+                    case Some(0L) => s"try_element_at($recv, CAST(NULL AS INT))"
+                    case Some(_) => s"try_element_at($recv, $idx)"
+                    case None if idx.startsWith("'") => s"try_element_at($recv, $idx)"
+                    case None =>
+                      s"try_element_at($recv, (CASE WHEN CAST(($idx) AS STRING) = '0' THEN NULL ELSE ($idx) END))"
+                  }
+                  toks = toks.patch(rStart, lex(guarded), close - rStart + 1)
                   changed = true
                 } else {
                   val a = render(inner.slice(0, colonAt)).trim
                   val b = render(inner.slice(colonAt + 1, inner.length)).trim
                   val repl =
                     if (a.isEmpty && b.isEmpty) ""
-                    else if (a.isEmpty) s"slice($recv, 1, $b)"
-                    else if (b.isEmpty) s"slice($recv, $a, size($recv) - ($a) + 1)"
-                    else s"slice($recv, $a, ($b) - ($a) + 1)"
+                    else if (a.isEmpty) s"slice($recv, 1, greatest(0, ${norm(b)}))"
+                    else if (b.isEmpty) {
+                      val sa = startOf(a)
+                      s"slice($recv, $sa, greatest(0, size($recv) - ($sa) + 1))"
+                    } else {
+                      val sa = startOf(a)
+                      s"slice($recv, $sa, greatest(0, (${norm(b)}) - ($sa) + 1))"
+                    }
                   if (repl.nonEmpty) {
                     toks = toks.patch(rStart, lex(repl), close - rStart + 1)
                     changed = true

@@ -424,9 +424,21 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT xs[-1] FROM t") == "SELECT try_element_at(xs, -1) FROM t")
     assert(t("SELECT f(x)[2] FROM t") == "SELECT try_element_at(f(x), 2) FROM t")
     assert(t("SELECT [10, 20][1]") == "SELECT try_element_at(array(10, 20), 1)")
-    assert(t("SELECT xs[2:4] FROM t") == "SELECT slice(xs, 2, (4) - (2) + 1) FROM t")
-    assert(t("SELECT xs[:3] FROM t") == "SELECT slice(xs, 1, 3) FROM t")
-    assert(t("SELECT xs[2:] FROM t") == "SELECT slice(xs, 2, size(xs) - (2) + 1) FROM t")
+    assert(t("SELECT xs[2:4] FROM t") == "SELECT slice(xs, 2, greatest(0, (4) - (2) + 1)) FROM t")
+    assert(t("SELECT xs[:3] FROM t") == "SELECT slice(xs, 1, greatest(0, 3)) FROM t")
+    assert(t("SELECT xs[2:] FROM t") == "SELECT slice(xs, 2, greatest(0, size(xs) - (2) + 1)) FROM t")
+    // r5 runtime-divergence guards: literal 0 index → NULL index (DuckDB
+    // returns NULL, Spark try_element_at throws); dynamic index gets the
+    // CASE zero-guard; string map keys stay unguarded; negative slice
+    // bounds normalize to size+k+1; crossed/negative lengths clamp to 0.
+    assert(t("SELECT xs[0] FROM t") == "SELECT try_element_at(xs, CAST(NULL AS INT)) FROM t")
+    assert(t("SELECT xs[i] FROM t") ==
+      "SELECT try_element_at(xs, (CASE WHEN CAST((i) AS STRING) = '0' THEN NULL ELSE (i) END)) FROM t")
+    assert(t("SELECT m['k'] FROM t") == "SELECT try_element_at(m, 'k') FROM t")
+    assert(t("SELECT xs[:-1] FROM t") ==
+      "SELECT slice(xs, 1, greatest(0, (CASE WHEN (-1) < 0 THEN size(xs) + (-1) + 1 ELSE (-1) END))) FROM t")
+    assert(t("SELECT xs[0:2] FROM t") ==
+      "SELECT slice(xs, greatest(1, 0), greatest(0, (2) - (greatest(1, 0)) + 1)) FROM t")
     // type suffix untouched
     assert(t("CREATE TABLE x (tags VARCHAR[])").contains("[]"))
   }

@@ -718,6 +718,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(Engine.sql(spark, "SELECT count(*) AS c FROM top_nations()").head.getLong(0) == 4L)
   }
 
+  test("macro substitution skips dot-qualified identifiers; recursion errors at the cap") {
+    Engine.registerTables(spark, sfDir)
+    // body references BOTH the bare param (substituted) and a dot-qualified
+    // column of the same name (reg.r_name — a column of reg, NOT the macro
+    // argument; substituting it would corrupt the body to reg.('ASIA'))
+    Engine.sql(spark,
+      "CREATE OR REPLACE MACRO cnt_named(r_name) AS (SELECT count(*) FROM region reg WHERE reg.r_name = r_name)")
+    assert(Engine.sql(spark, "SELECT CAST(cnt_named('ASIA') AS INT) AS c").head.getInt(0) == 1)
+    // a self-recursive macro must surface an error, not half-expanded SQL
+    Engine.sql(spark, "CREATE OR REPLACE MACRO loopy(x) AS loopy(x) + 1")
+    val e = intercept[IllegalArgumentException] { Engine.sql(spark, "SELECT loopy(1) AS v") }
+    assert(e.getMessage.contains("recursive"))
+    Engine.sql(spark, "DROP MACRO cnt_named")
+    Engine.sql(spark, "DROP MACRO loopy")
+  }
+
   test("EXPLAIN passes through the dialect layer") {
     Engine.registerTables(spark, sfDir)
     val out = Engine.sql(spark,

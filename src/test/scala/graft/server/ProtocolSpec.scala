@@ -132,6 +132,27 @@ class ProtocolSpec extends SparkTestBase {
     assert(tm.sessionFor(Some(("bob", "pw"))) ne t1)
   }
 
+  test("macros are session-scoped: two tenants' same-name macros don't cross-contaminate") {
+    // the reference gets this isolation free from per-connection DuckDB
+    // catalogs; here the macro registry is keyed by SparkSession, and each
+    // (tenant, database) gets its own cloned session
+    val tm = new TenantManager(spark)
+    val alice = tm.sessionFor(Some(("macro_alice", "pw")))
+    val bob = tm.sessionFor(Some(("macro_bob", "pw")))
+    graft.engine.Engine.sql(alice, "CREATE MACRO m_iso(x) AS x + 1")
+    // bob doesn't see alice's macro at all — the call fails to resolve
+    intercept[Exception] {
+      graft.engine.Engine.sql(bob, "SELECT m_iso(5) AS v").collect()
+    }
+    graft.engine.Engine.sql(bob, "CREATE MACRO m_iso(x) AS x * 10")
+    assert(graft.engine.Engine.sql(alice, "SELECT m_iso(5) AS v").head.get(0).toString == "6")
+    assert(graft.engine.Engine.sql(bob, "SELECT m_iso(5) AS v").head.get(0).toString == "50")
+    // dropping bob's leaves alice's intact
+    graft.engine.Engine.sql(bob, "DROP MACRO m_iso")
+    assert(graft.engine.Engine.sql(alice, "SELECT m_iso(5) AS v").head.get(0).toString == "6")
+    graft.engine.Engine.sql(alice, "DROP MACRO m_iso")
+  }
+
   test("zstd envelope round-trip with 4-byte LE length prefix") {
     val payload = "payload-bytes".getBytes
     val env = FlightActions.compressEnvelope(payload)
