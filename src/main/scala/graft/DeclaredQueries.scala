@@ -453,6 +453,20 @@ object DeclaredQueries {
       // table macro: AS TABLE SELECT … used in FROM position
       ("CREATE OR REPLACE MACRO graft_heavy() AS TABLE SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 49; " +
         "SELECT l_orderkey, CAST(round(l_quantity) AS BIGINT) AS q FROM graft_heavy() ORDER BY l_orderkey, q LIMIT 100"),
+    "q130_tpch_q18_shape" ->
+      // TPC-H Q18 shape (r5): group-by-having over the fact table feeding
+      // an IN-subquery, joined back to orders/customer — the heaviest
+      // declared "big OLAP plan" after Q9. Threshold 180 yields rows at
+      // sf0.01 on this synthetic data (official 300 yields none).
+      "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM customer, orders, lineitem WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180) AND c_custkey = o_custkey AND o_orderkey = l_orderkey GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100",
+    "q131_tpch_q21_shape" ->
+      // TPC-H Q21 shape (r5): fact self-join with correlated EXISTS +
+      // NOT EXISTS on other suppliers of the same order (the double
+      // semi/anti blind spot). Lateness adapted to this schema's columns
+      // (no l_receiptdate/l_commitdate): shipped >80 days after the order
+      // date, with the NOT EXISTS correlating on the OUTER o_orderdate —
+      // the same cross-block correlation Q21 exercises.
+      "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM supplier, lineitem l1, orders, nation WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 80 DAY) AND s_nationkey = n_nationkey AND n_name = 'NATION_7' GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over

@@ -86,6 +86,15 @@ object PlanAudit {
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Check("q64_tpch_q9", wantAll = Seq("BroadcastHashJoin"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // Q18 shape (r5): customer dim broadcasts; the HAVING subquery joins
+    // the fact to itself on l_orderkey — an equi-join, never a cartesian
+    Check("q130_tpch_q18_shape", wantAll = Seq("BroadcastHashJoin"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // Q21 shape (r5): EXISTS/NOT EXISTS decorrelate to semi/anti joins;
+    // supplier + nation dims broadcast
+    Check("q131_tpch_q21_shape",
+      wantAll = Seq("BroadcastHashJoin", "LeftSemi", "LeftAnti"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // ---- round-4 second-session ops ----
     // line dedup: keep-first rank partitions by line CONTENT (window), the
     // reassembly by doc_id (agg) — window + agg, never any join
