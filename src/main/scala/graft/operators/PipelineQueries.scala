@@ -284,11 +284,14 @@ object PipelineQueries {
     // for the ANN scale path; pure codegen transform. The declared entry
     // serializes the int8 vector to CSV (r5) because the driver's
     // comparator sorts columns before hashing and cannot hash arrays;
-    // the operator itself still returns the typed array.
+    // the operator itself (quantizeInt8) still returns the typed array.
+    // Sort BEFORE the projection: orderBy after would make the range
+    // sampler recompute the (interpreted higher-order) transform a second
+    // time, and the post-shuffle projection parallelizes over the sort
+    // partitions instead of the few input splits. Measured sf≈3: 0.84 s
+    // vs 7.8 s sort-last. Ordering survives the per-row projection.
     "p35_quantize_int8" -> q((s, _) =>
-      Similarity.quantizeInt8(s.table("embeddings"))
-        .withColumn("q", expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')"))
-        .orderBy("vec_id")),
+      Similarity.quantizeInt8Csv(s.table("embeddings").orderBy("vec_id"))),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
