@@ -28,6 +28,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // Broadcast blocks have no direct drop API — ContextCleaner reaps
+      // them only after their driver-side references are GC'd. Queries
+      // that broadcast big hashed relations (the r5 Q18/Q21 heavies: a
+      // ~1.5M-key IN-subquery side at sf≈1) otherwise pin hundreds of MB
+      // in the shared 8g heap and inflate every LATER entry's timing
+      // (measured: entries after q130 ran at a median 1.71× of their
+      // standalone time; entries before it 1.09×). Runs outside the
+      // timed interval.
+      System.gc()
     }
 
     // Warmup pass: whole-stage codegen compilation, JIT, parquet footer

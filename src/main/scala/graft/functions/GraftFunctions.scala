@@ -61,6 +61,8 @@ object GraftFunctions {
       args => PiiScrub(args(0))),
     ("dup_gram_stats", "array(n_grams, n_distinct) of word 2-grams in one byte scan",
       args => DupGramStats(args(0))),
+    ("token_hashes", "array<bigint>: 64-bit hash per whitespace token, in order, one byte scan",
+      args => TokenHashes(args(0))),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

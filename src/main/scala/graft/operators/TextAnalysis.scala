@@ -127,26 +127,34 @@ object TextAnalysis {
     * (prune by min count upstream if it ever would not).
     * Returns (doc_id, n_tokens, surprisal_micro). */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
-    // One tokenize/explode pass (r5): cache the token stream (columnar
-    // in-memory, disk spill at scale) so the vocab build and the cost
-    // re-join share a single explode instead of re-running it. Measured at
-    // sf≈1 (min-of-3): persist 1.40 s vs double-pass 2.59 s; the two
-    // rejected shapes — localCheckpoint of the stream (2.88 s, block
-    // serialization costs more than the saved tokenize) and pre-aggregating
-    // to (doc_id, tok) counts (3.28 s, adds a token-stream shuffle) — are
-    // both slower. The cache is released by the caller's
-    // clearCache/unpersist sweep (Bench does this between entries).
+    // The token stream is consumed twice (vocab aggregate + cost re-join).
+    // r5 shapes measured at sf≈1 under Bench's honest protocol (cached
+    // blocks + broadcasts dropped between iterations — earlier persist
+    // numbers were flattered by cross-iteration cache reuse):
+    // materializing the stream to share one tokenize pass LOSES — persist
+    // (MEMORY_AND_DISK) 3.5 s, localCheckpoint ~2.9 s, pre-agg to
+    // (doc, tok) counts ~3.3 s — because columnar/block serialization of
+    // the full stream costs more than the second codegen tokenize
+    // (double-pass: ~2.6 s). Kept the double pass, and made each pass
+    // cheap: the `token_hashes` kernel emits 64-bit token hashes in one
+    // byte scan — no per-token string ever allocates (split+explode+
+    // xxhash64 of the string tokens measured 2.24 s) — so both
+    // aggregates, the shuffle, and the broadcast hash map carry longs.
+    // lower() stays OUTSIDE the kernel so Unicode case-folding matches
+    // the oracle on any corpus. Hash-key concession as dup_gram_stats: a
+    // 64-bit collision would merge two tokens' counts — ~distinct²/2⁶⁴
+    // odds, deterministic, and the oracle row would flag it on the
+    // fixture.
     val toks = docs.select(col("doc_id"),
-      explode(tokens(lower(col("text")))).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      explode(call_function("token_hashes", lower(col("text")))).as("th"))
     // distinct names: `N`/`n` would collide under case-insensitive
     // resolution (both engines resolve identifiers case-insensitively)
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tok_n"))
+    val vocab = toks.groupBy("th").agg(count(lit(1)).as("tok_n"))
     val total = vocab.agg(sum("tok_n").as("tot_n"))
     val costs = vocab.crossJoin(broadcast(total))
-      .select(col("tok"),
+      .select(col("th"),
         expr("CAST(round(1000000.0 * ln(CAST(tot_n AS DOUBLE) / CAST(tok_n AS DOUBLE))) AS BIGINT)").as("cost"))
-    toks.join(broadcast(costs), "tok")
+    toks.join(broadcast(costs), "th")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         expr("CAST(round(CAST(sum(cost) AS DOUBLE) / count(1)) AS BIGINT)").as("surprisal_micro"))

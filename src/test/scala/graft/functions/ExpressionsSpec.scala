@@ -195,6 +195,40 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("token_hashes mirrors the token stream: count, order, equality structure") {
+    withFns {
+      import spark.implicits._
+      val rnd = new scala.util.Random(29)
+      val words = Seq("a", "b", "cat", "dog", "xy", "a", "Zebra", "zebra")
+      val strs = (0 until 300).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" ") + (if (rnd.nextBoolean()) "  " else "")
+      } ++ Seq("", "solo", "a a a a a", "  leading  gaps  ", "tab\tinside stays one-token")
+      val rows = strs.toDF("s").select(
+        expr("token_hashes(s)").as("h"),
+        expr("filter(split(s, ' '), t -> t != '')").as("t"))
+        .collect()
+      rows.foreach { r =>
+        val h = r.getSeq[Long](0)
+        val t = r.getSeq[String](1)
+        // one hash per token, in order
+        assert(h.length == t.length, s"count mismatch: $h vs $t")
+        // the hash preserves the tokens' equality structure exactly
+        // (same token -> same hash; here also distinct -> distinct, which
+        // doubles as a smoke test that short tokens don't collide)
+        val byTok = t.zip(h).groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+        byTok.foreach { case (tok, hs) =>
+          assert(hs.length == 1, s"token '$tok' got ${hs.length} hashes")
+        }
+        assert(byTok.values.map(_.head).toSeq.distinct.length == byTok.size,
+          s"distinct tokens collided in $t")
+      }
+      // pinned: deterministic across runs/JVMs (cluster determinism)
+      val pinned = spark.sql("SELECT token_hashes('a b a') AS h").head.getSeq[Long](0)
+      assert(pinned(0) == pinned(2) && pinned(0) != pinned(1))
+    }
+  }
+
   test("quant_dot and quant_cos_micro match the zip_with SQL forms on random vectors") {
     withFns {
       val rnd = new scala.util.Random(11)
