@@ -291,9 +291,10 @@ object DeclaredQueries {
       "SELECT o_orderkey, last_day(o_orderdate) AS ld, make_date(2024, 3, 1) AS md, CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS rt FROM orders ORDER BY o_orderkey LIMIT 50",
     "q89_list_ops" ->
       // list_slice (1-based inclusive -> slice start/length), list_sort,
-      // flatten, list_reverse, array_to_string -> array_join. All list
+      // flatten, list_reverse, array_to_string -> array_join,
+      // list_prepend/list_append (prepend arg-swapped, r5). All list
       // results serialized for the driver comparator (r5).
-      "SELECT vec_id, array_to_string(list_transform(list_slice([3, 1, 2, 5, 4], 2, 4), x -> CAST(x AS VARCHAR)), ',') AS s, array_to_string(list_transform(list_sort([3, 1, 2]), x -> CAST(x AS VARCHAR)), ',') AS ls, array_to_string(list_transform(flatten([[1, 2], [3]]), x -> CAST(x AS VARCHAR)), ',') AS fl, array_to_string(list_transform(list_reverse([1, 2, 3]), x -> CAST(x AS VARCHAR)), ',') AS lr FROM embeddings ORDER BY vec_id LIMIT 10",
+      "SELECT vec_id, array_to_string(list_transform(list_slice([3, 1, 2, 5, 4], 2, 4), x -> CAST(x AS VARCHAR)), ',') AS s, array_to_string(list_transform(list_sort([3, 1, 2]), x -> CAST(x AS VARCHAR)), ',') AS ls, array_to_string(list_transform(flatten([[1, 2], [3]]), x -> CAST(x AS VARCHAR)), ',') AS fl, array_to_string(list_transform(list_reverse([1, 2, 3]), x -> CAST(x AS VARCHAR)), ',') AS lr, array_to_string(list_transform(list_prepend(0, list_append([1, 2], 9)), x -> CAST(x AS VARCHAR)), ',') AS lp FROM embeddings ORDER BY vec_id LIMIT 10",
     "q90_recursive_cte" ->
       // WITH RECURSIVE — native in DuckDB and in Spark 4
       "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10) SELECT n FROM t ORDER BY n",

@@ -794,9 +794,9 @@ object Translator {
     // result order may differ between engines — declared queries wrap in
     // list_sort for determinism
     "LIST_INTERSECT" -> "array_intersect",
-    // list_prepend is NOT mapped: DuckDB takes (element, list), Spark's
-    // array_prepend takes (array, element) — a name-only swap would
-    // silently reorder arguments
+    // list_prepend is NOT name-mapped: DuckDB takes (element, list),
+    // Spark's array_prepend takes (array, element) — handled with an
+    // argument swap in rewriteArgShapeFns (r5)
     "LIST_REVERSE_SORT" -> "reverse_sorted_graft_unsupported",
     "ARRAY_AGG" -> "collect_list",
     "LIST" -> "collect_list",
@@ -935,6 +935,17 @@ object Translator {
               lex(s"format_string(${sparkStrLit(jfmt)}, ${rest.mkString(", ")})"),
               close - i + 1)
             changed = true
+          case id: Ident if id.upper == "LIST_PREPEND" && callOpen >= 0 =>
+            // DuckDB list_prepend(element, list) vs Spark
+            // array_prepend(list, element): swap the arguments (the reason
+            // a name-only fnMap entry was deliberately never added)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (e, l) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(s"array_prepend(($l), ($e))"), close - i + 1)
+              changed = true
+            }
           case id: Ident if id.upper == "LIST_UNIQUE" && callOpen >= 0 =>
             // count of distinct elements (DuckDB returns UBIGINT; Spark's
             // size is INT — declared queries CAST)

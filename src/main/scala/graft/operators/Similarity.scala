@@ -270,7 +270,9 @@ object Similarity {
     * cannot hash array columns). One fused transform instead of
     * quantize-then-stringify: higher-order functions evaluate outside
     * whole-stage codegen, so a second per-element pass is real cost
-    * (measured sf≈3: fused 5.9 s vs chained 8.1 s). */
+    * (measured sf≈3 declared entry: fused 7.4 s vs chained 8.1 s
+    * sort-last; 0.74 s once the entry sorts the scan BEFORE this
+    * projection — see the p35 declaration note). */
   def quantizeInt8Csv(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame =
     emb.select(col(idCol), col(vecCol).as("__v"))

@@ -417,6 +417,8 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT list_has_any(xs, ys)") == "SELECT arrays_overlap(xs, ys)")
     assert(t("SELECT list_position(xs, 3)") == "SELECT array_position(xs, 3)")
     assert(t("SELECT list_intersect(xs, ys)") == "SELECT array_intersect(xs, ys)")
+    // list_prepend swaps args: DuckDB (element, list) -> Spark (list, element)
+    assert(t("SELECT list_prepend(0, xs)") == "SELECT array_prepend((xs), (0))")
   }
 
   test("subscripts become try_element_at; slices become slice(start, len)") {
