@@ -292,6 +292,34 @@ object PipelineQueries {
     // vs 7.8 s sort-last. Ordering survives the per-row projection.
     "p35_quantize_int8" -> q((s, _) =>
       Similarity.quantizeInt8Csv(s.table("embeddings").orderBy("vec_id"))),
+    // ---- end-to-end curation composite (r5): the whole training-data
+    // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
+    // language gate (one token_set_hits scan) → corpus-wide exact dedup
+    // keeping the first occurrence (content-hash window, retains text) →
+    // benchmark decontamination (broadcast eval-gram anti join) → stable
+    // ids + content hashes. Scale shape: two codegen scans of the corpus
+    // (the gated frame feeds both the gram branch and the anti-join left;
+    // materializing it measured slower than recomputing the scan at this
+    // data shape — see the p34 note), one content-hash shuffle, one
+    // broadcast join, one broadcast anti join. No fact-fact shuffle join
+    // anywhere.
+    "p36_curation_e2e" -> q((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val scrubbed = s.table("documents")
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("text"))
+      val evalSet = scrubbed.filter(col("doc_id") < 50)
+      val gated = TextAnalysis.gate(scrubbed.filter(col("doc_id") >= 50),
+        minTokens = 40, lang = "en")
+      val w = Window.partitionBy(col("__ch")).orderBy(col("doc_id"))
+      val kept = gated.withColumn("__ch", md5(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("text"), col("__ch"))
+      val bad = Decontamination.sharedGrams(kept, evalSet, n = 5).select("doc_id")
+      kept.join(broadcast(bad), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("__ch").as("h"))
+        .orderBy("doc_id")
+    }),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
     "p16_asof_merge" -> q((s, _) => {
       val events = s.table("events")
@@ -474,6 +502,28 @@ object PipelineQueries {
         "SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
         "CAST(round(CAST(sum(cost) AS DOUBLE) / count(*)) AS BIGINT) AS surprisal_micro " +
         "FROM tk JOIN c USING (tok) GROUP BY tk.doc_id ORDER BY tk.doc_id"),
+    // p36 (r5): the end-to-end curation composite. Each CTE mirrors an
+    // already-oracle'd stage: s = p26's scrub twin, t/h/f = p20's gate
+    // CTEs over the scrubbed text, k/kept = keep-first exact dedup,
+    // ev/tg/bad = p22's 5-gram construction, final = anti join.
+    "p36_curation_e2e" ->
+      ("WITH s AS (SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\+?[0-9][0-9 ()-]{5,}[0-9]', '<PHONE>', 'g') AS text FROM documents), " +
+        "t AS (SELECT doc_id, text, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens, list_filter(string_split(lower(text),' '), x -> x <> '') AS ltoks FROM s WHERE doc_id >= 50), " +
+        "h AS (SELECT doc_id, text, ltoks, n_tokens, " +
+        "len(list_filter(ltoks, w -> list_contains(['the','and','of','to','a','in','is'], w))) AS en, " +
+        "len(list_filter(ltoks, w -> list_contains(['der','die','das','und','ist','nicht'], w))) AS de, " +
+        "len(list_filter(ltoks, w -> list_contains(['le','la','les','et','est','une'], w))) AS fr, " +
+        "len(list_filter(ltoks, w -> list_contains(['el','la','los','y','es','una'], w))) AS es FROM t), " +
+        "f AS (SELECT doc_id, text, ltoks FROM h WHERE n_tokens >= 40 AND " +
+        "(CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en' " +
+        "WHEN de >= fr AND de >= es THEN 'de' WHEN fr >= es THEN 'fr' ELSE 'es' END) = 'en'), " +
+        "k AS (SELECT doc_id, ltoks, md5(text) AS ch, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f), " +
+        "kept AS (SELECT doc_id, ltoks, ch FROM k WHERE rn = 1), " +
+        "ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(ltoks) - 3), i -> array_to_string(list_slice(ltoks, i, i + 4), ' ')))) AS gram " +
+        "FROM (SELECT list_filter(string_split(lower(text),' '), x -> x <> '') AS ltoks FROM s WHERE doc_id < 50) WHERE len(ltoks) >= 5), " +
+        "tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ltoks) - 3), i -> array_to_string(list_slice(ltoks, i, i + 4), ' ')))) AS gram FROM kept WHERE len(ltoks) >= 5), " +
+        "bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (gram)) " +
+        "SELECT doc_id, ch AS h FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
     "p35_quantize_int8" ->
       ("WITH m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx FROM embeddings) " +
         "SELECT vec_id, CAST(round(1000000.0 * 127 / mx) AS BIGINT) AS scale_micro, " +

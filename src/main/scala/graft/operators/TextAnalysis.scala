@@ -212,10 +212,18 @@ object TextAnalysis {
     * ONE scan of the corpus (all gates are codegen column expressions over
     * `text`) and ONE shuffle (the dedup groupBy); emits one row per kept
     * unique document: (content hash, kept doc_id, duplicate count). */
-  def curate(docs: DataFrame, minTokens: Int = 40, lang: String = "en"): DataFrame = {
-    // one token_set_hits scan yields the token count AND all four language
-    // hit counts (lower() preserves 0x20 spaces, so the count over lowered
-    // text equals the oracle's count over raw text)
+  def curate(docs: DataFrame, minTokens: Int = 40, lang: String = "en"): DataFrame =
+    gate(docs, minTokens, lang)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
+
+  /** The quality/language gates of [[curate]] without the dedup collapse
+    * (r5, for pipeline composition): rows with ≥ `minTokens` whitespace
+    * tokens whose argmax stopword language is `lang`. Returns
+    * (doc_id, text). One token_set_hits scan yields the token count AND
+    * all four language hit counts (lower() preserves 0x20 spaces, so the
+    * count over lowered text equals the oracle's count over raw text). */
+  def gate(docs: DataFrame, minTokens: Int = 40, lang: String = "en"): DataFrame = {
     val withHits = docs
       .withColumn("__h", tokenSetHits(lower(col("text")), langStopwords.map(_._2)))
       .select((Seq(col("doc_id"), col("text"),
@@ -229,7 +237,6 @@ object TextAnalysis {
                |WHEN __de >= __fr AND __de >= __es THEN 'de'
                |WHEN __fr >= __es THEN 'fr' ELSE 'es' END""".stripMargin))
       .filter(col("__ntok") >= minTokens && col("__pred") === lang)
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
+      .select("doc_id", "text")
   }
 }

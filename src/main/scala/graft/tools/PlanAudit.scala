@@ -116,6 +116,12 @@ object PlanAudit {
     // int8 quantization is a codegen transform over the scan — no shuffle,
     // no join, nothing but project above the scan before the sort
     Check("p35_quantize_int8", wantNone = Seq("Join", "HashAggregate", "Window")),
+    // e2e curation composite (r5): both kernels in the plan, dedup via
+    // window, decontam via broadcast joins — never a fact-fact shuffle
+    // join or a cartesian
+    Check("p36_curation_e2e",
+      wantAll = Seq("pii_scrub", "token_set_hits", "Window", "BroadcastHashJoin"),
+      wantNone = Seq("SortMergeJoin", "CartesianProduct")),
     // repetition + scrub kernels must be IN the plan (not lambda chains /
     // regexp passes)
     Check("p27_doc_repetition", wantAll = Seq("dup_gram_stats"),
