@@ -52,11 +52,13 @@ def table_digest(cols, rows, sort_rows=False):
 
 def unhashable_cols(cols, types):
     """Columns the driver's pandas sorter cannot handle (numpy arrays /
-    dicts are unhashable/unsortable): DuckDB LIST (T[]), MAP, STRUCT."""
+    dicts are unhashable/unsortable): DuckDB LIST (T[]), fixed-size ARRAY
+    (T[N]), MAP, STRUCT."""
+    import re
     bad = []
     for c, t in zip(cols, types):
         tu = str(t).upper()
-        if tu.endswith("[]") or tu.startswith("MAP(") or tu.startswith("STRUCT("):
+        if re.search(r"\[\d*\]$", tu) or tu.startswith("MAP(") or tu.startswith("STRUCT("):
             bad.append((c, str(t)))
     return bad
 

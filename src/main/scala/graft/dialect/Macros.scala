@@ -111,18 +111,23 @@ object Macros {
     var out = sql
     var steps = 0
     var rewritten = expandOnce(lex(out), macros)
-    while (rewritten != null && steps < 100) {
+    // expandOnce rewrites ONE leftmost call per step, so the step cap must
+    // comfortably exceed any legitimate call-site count (a wide projection
+    // can invoke a macro hundreds of times); the length cap catches
+    // recursive macros early — their expansion grows without bound.
+    while (rewritten != null && steps < 2000 && out.length <= 500000) {
       out = rewritten
       steps += 1
       rewritten = expandOnce(lex(out), macros)
     }
-    // A non-null rewrite at the cap means the fixpoint was never reached
-    // (self/mutually-recursive macros). Surface the error rather than
-    // passing half-expanded SQL to the translator (DuckDB errors on
+    // A non-null rewrite at either cap means the fixpoint was never
+    // reached (self/mutually-recursive macros). Surface the error rather
+    // than passing half-expanded SQL to the translator (DuckDB errors on
     // recursive macros at CREATE time; we detect at expansion).
     if (rewritten != null)
       throw new IllegalArgumentException(
-        s"macro expansion exceeded $steps steps — recursive macro? SQL: ${sql.take(200)}")
+        s"macro expansion did not reach a fixpoint after $steps steps " +
+          s"(${out.length} chars) — recursive macro? SQL: ${sql.take(200)}")
     out
   }
 

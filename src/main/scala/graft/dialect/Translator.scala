@@ -362,6 +362,46 @@ object Translator {
     if (parts.length == args.length && parts.nonEmpty) Some(parts) else None
   }
 
+  private def intLit(e: String): Option[Long] =
+    if (e.matches("-?\\d+")) Some(e.toLong) else None
+
+  /** Negative bound k → `size+k+1` (DuckDB inclusive from-end); literal
+    * non-negative bounds pass through untouched. NULL propagates (the CASE
+    * predicate is NULL → ELSE → the NULL bound itself), matching DuckDB's
+    * NULL-bound → NULL-result slices. */
+  private def normBound(recv: String, e: String): String = intLit(e) match {
+    case Some(v) if v >= 0 => e
+    case _ => s"(CASE WHEN ($e) < 0 THEN size($recv) + ($e) + 1 ELSE ($e) END)"
+  }
+
+  /** Start clamped to ≥ 1 (DuckDB treats 0/off-front starts as 1),
+    * NULL-propagating — `greatest(1, x)` would swallow a NULL start where
+    * DuckDB returns NULL. */
+  private def startBound(recv: String, e: String): String = intLit(e) match {
+    case Some(v) if v >= 1 => e
+    case _ =>
+      val n = normBound(recv, e)
+      s"(CASE WHEN ($n) < 1 THEN 1 ELSE ($n) END)"
+  }
+
+  /** Length clamped to ≥ 0 (DuckDB crossed bounds → empty list; Spark's
+    * negative-length slice throws), NULL-propagating for the same reason
+    * as [[startBound]]. */
+  private def clamp0(x: String): String =
+    s"(CASE WHEN ($x) < 0 THEN 0 ELSE ($x) END)"
+
+  /** Full two-bound inclusive slice `l[a:b]` / `list_slice(l, a, b)` →
+    * guarded Spark `slice`. The receiver is re-rendered inside the bound
+    * guards (`size(recv)`), so a non-trivial receiver expression is
+    * re-evaluated up to twice more when bounds are dynamic — acceptable:
+    * bounds are almost always literals (guard-free fast path), and dynamic
+    * bounds over computed receivers are rare enough that hoisting via a
+    * subquery isn't worth the rewrite complexity. */
+  private def sliceForm(recv: String, a: String, b: String): String = {
+    val sa = startBound(recv, a)
+    s"slice($recv, $sa, ${clamp0(s"(${normBound(recv, b)}) - ($sa) + 1")})"
+  }
+
   /** DuckDB 1-based (negative-from-end) subscripts and inclusive slices →
     * Spark forms: `l[i]` → `try_element_at(l, i)` (same 1-based/negative
     * indexing, NULL out of bounds — exactly DuckDB, where Spark's ANSI
@@ -423,19 +463,6 @@ object Translator {
               val rStart = primaryStart(toks, p)
               val recv = render(toks.slice(rStart, p + 1)).trim
               if (inner.exists(!isWs(_))) {
-                def intLit(e: String): Option[Long] =
-                  if (e.matches("-?\\d+")) Some(e.toLong) else None
-                // negative bound k → size+k+1 (DuckDB inclusive from-end);
-                // literal non-negative bounds pass through untouched
-                def norm(e: String): String = intLit(e) match {
-                  case Some(v) if v >= 0 => e
-                  case _ => s"(CASE WHEN ($e) < 0 THEN size($recv) + ($e) + 1 ELSE ($e) END)"
-                }
-                // start clamped to >= 1 (DuckDB treats 0/off-front starts as 1)
-                def startOf(e: String): String = intLit(e) match {
-                  case Some(v) if v >= 1 => e
-                  case _ => s"greatest(1, ${norm(e)})"
-                }
                 if (colonAt < 0) {
                   val idx = render(inner).trim
                   val guarded = intLit(idx) match {
@@ -443,7 +470,12 @@ object Translator {
                     case Some(_) => s"try_element_at($recv, $idx)"
                     case None if idx.startsWith("'") => s"try_element_at($recv, $idx)"
                     case None =>
-                      s"try_element_at($recv, (CASE WHEN CAST(($idx) AS STRING) = '0' THEN NULL ELSE ($idx) END))"
+                      // string compare covers every integer width's zero;
+                      // non-integer index types are a DuckDB binder error,
+                      // so they can't reach this rewrite from valid input
+                      // typed NULL: an untyped THEN NULL with a NULL idx
+                      // makes the whole CASE VOID-typed (analysis error)
+                      s"try_element_at($recv, (CASE WHEN CAST(($idx) AS STRING) = '0' THEN CAST(NULL AS INT) ELSE ($idx) END))"
                   }
                   toks = toks.patch(rStart, lex(guarded), close - rStart + 1)
                   changed = true
@@ -452,14 +484,11 @@ object Translator {
                   val b = render(inner.slice(colonAt + 1, inner.length)).trim
                   val repl =
                     if (a.isEmpty && b.isEmpty) ""
-                    else if (a.isEmpty) s"slice($recv, 1, greatest(0, ${norm(b)}))"
+                    else if (a.isEmpty) s"slice($recv, 1, ${clamp0(normBound(recv, b))})"
                     else if (b.isEmpty) {
-                      val sa = startOf(a)
-                      s"slice($recv, $sa, greatest(0, size($recv) - ($sa) + 1))"
-                    } else {
-                      val sa = startOf(a)
-                      s"slice($recv, $sa, greatest(0, (${norm(b)}) - ($sa) + 1))"
-                    }
+                      val sa = startBound(recv, a)
+                      s"slice($recv, $sa, ${clamp0(s"size($recv) - ($sa) + 1")})"
+                    } else sliceForm(recv, a, b)
                   if (repl.nonEmpty) {
                     toks = toks.patch(rStart, lex(repl), close - rStart + 1)
                     changed = true
@@ -962,11 +991,15 @@ object Translator {
               changed = true
             }
           case id: Ident if id.upper == "LIST_SLICE" && callOpen >= 0 =>
+            // same 1-based inclusive semantics as the `l[a:b]` bracket
+            // syntax → the same guarded form (r5: previously emitted the
+            // unguarded slice, so list_slice(l, 4, 2) threw where the
+            // bracket spelling returned [])
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 3) {
               val (l, a, b) = (render(args(0)).trim, render(args(1)).trim, render(args(2)).trim)
-              toks = toks.patch(i, lex(s"slice($l, ($a), ($b) - ($a) + 1)"), close - i + 1)
+              toks = toks.patch(i, lex(sliceForm(s"($l)", a, b)), close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "STRPTIME" && callOpen >= 0 =>

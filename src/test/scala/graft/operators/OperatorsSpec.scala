@@ -718,6 +718,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(Engine.sql(spark, "SELECT count(*) AS c FROM top_nations()").head.getLong(0) == 4L)
   }
 
+  test("subscript edge semantics match DuckDB (pinned by probe)") {
+    Engine.registerTables(spark, sfDir)
+    // every expected value here was verified against DuckDB directly:
+    // zero index → NULL; negative-from-end inclusive bounds ([:-1] is the
+    // FULL list, -1 = last element); crossed bounds → []; 0/off-front
+    // start clamps to 1; NULL index or bound → NULL (CASE guards, not
+    // greatest — greatest would swallow the NULL)
+    val r = Engine.sql(spark,
+      "SELECT ([1,2,3])[0] AS z, ([1,2,3,4,5])[:-1] AS ne, ([1,2,3,4,5])[2:-2] AS mid, " +
+        "([1,2,3,4,5])[-2:] AS tl, ([1,2,3,4,5])[4:2] AS xe, ([1,2,3,4,5])[0:2] AS cl, " +
+        "([1,2,3])[-1] AS lst, ([1,2,3])[2:NULL] AS nb, ([1,2,3])[NULL:] AS ns, ([1,2,3])[NULL] AS ni, " +
+        "list_slice([1,2,3], 4, 2) AS fx, list_slice([1,2,3], 0, 2) AS fc, " +
+        "list_slice([1,2,3,4,5], -2, -1) AS fn, list_slice([1,2,3], 2, NULL) AS fnl").head
+    assert(r.isNullAt(r.fieldIndex("z")))
+    assert(r.getSeq[Int](r.fieldIndex("ne")) == Seq(1, 2, 3, 4, 5))
+    assert(r.getSeq[Int](r.fieldIndex("mid")) == Seq(2, 3, 4))
+    assert(r.getSeq[Int](r.fieldIndex("tl")) == Seq(4, 5))
+    assert(r.getSeq[Int](r.fieldIndex("xe")) == Seq())
+    assert(r.getSeq[Int](r.fieldIndex("cl")) == Seq(1, 2))
+    assert(r.getInt(r.fieldIndex("lst")) == 3)
+    assert(r.isNullAt(r.fieldIndex("nb")))
+    assert(r.isNullAt(r.fieldIndex("ns")))
+    assert(r.isNullAt(r.fieldIndex("ni")))
+    assert(r.getSeq[Int](r.fieldIndex("fx")) == Seq())
+    assert(r.getSeq[Int](r.fieldIndex("fc")) == Seq(1, 2))
+    assert(r.getSeq[Int](r.fieldIndex("fn")) == Seq(4, 5))
+    assert(r.isNullAt(r.fieldIndex("fnl")))
+  }
+
   test("macro substitution skips dot-qualified identifiers; recursion errors at the cap") {
     Engine.registerTables(spark, sfDir)
     // body references BOTH the bare param (substituted) and a dot-qualified
