@@ -468,6 +468,15 @@ object DeclaredQueries {
       // date, with the NOT EXISTS correlating on the OUTER o_orderdate —
       // the same cross-block correlation Q21 exercises.
       "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM supplier, lineitem l1, orders, nation WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 80 DAY) AND s_nationkey = n_nationkey AND n_name = 'NATION_7' GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
+    "q132_subscript_guards" ->
+      // r5 runtime-divergence guards exercised against the live oracle:
+      // dynamic zero index (label%5=0 → NULL in both engines), dynamic
+      // 0/off-front slice start (clamps to 1), crossed dynamic list_slice
+      // bounds (empty list). Serialization note: array_to_string of an
+      // EMPTY list is NULL in DuckDB but '' via Spark's array_join —
+      // coalesce(...,'') collapses both (the §2.12 rule for any
+      // declaration that can produce empty lists).
+      "SELECT vec_id, ([10, 20, 30])[CAST(label AS INTEGER) % 5] AS mz, coalesce(array_to_string(list_transform(([1, 2, 3, 4, 5])[CAST(label AS INTEGER) % 3:4], x -> CAST(x AS VARCHAR)), ','), '') AS ds, coalesce(array_to_string(list_transform(list_slice([1, 2, 3, 4, 5], 4, CAST(label AS INTEGER)), x -> CAST(x AS VARCHAR)), ','), '') AS xs2 FROM embeddings ORDER BY vec_id LIMIT 100",
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over
