@@ -136,6 +136,42 @@ object Engine {
     Seq(n).toDF("Count")
   }
 
+  /** DuckDB `PRAGMA` statements (r5): the reference passes them straight
+    * to DuckDB. Informational pragmas map to catalog queries with
+    * DuckDB's column shapes (pinned by probe: version →
+    * (library_version, source_id); database_list → (seq, name, file);
+    * show_tables → (name); table_info → (cid, name, type, notnull,
+    * dflt_value, pk)); setting pragmas — bare, call-form or `=` form —
+    * are accepted as no-ops with an empty result, exactly the shape
+    * DuckDB returns for them (engine settings don't transfer — the
+    * documented divergence). */
+  private val pragmaRe =
+    "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(\\s*(.*?)\\s*\\)\\s*|=\\s*(\\S.*?)\\s*)?;?\\s*$".r
+
+  private def runPragma(spark: SparkSession, name: String, arg: Option[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    name.toLowerCase match {
+      case "version" =>
+        graft.functions.GraftFunctions.register(spark)
+        spark.sql("SELECT graft_version() AS library_version, 'spark' AS source_id")
+      case "show_tables" =>
+        spark.sql("SHOW TABLES").select(col("tableName").as("name")).orderBy("name")
+      case "database_list" =>
+        // bounded: catalog listing, never data-sized
+        spark.sql("SHOW DATABASES").collect().map(_.getString(0)).sorted.toSeq
+          .zipWithIndex.map { case (d, i) => (i.toLong, d, Option.empty[String]) }
+          .toDF("seq", "name", "file")
+      case "table_info" =>
+        val t = arg.getOrElse("").trim.replaceAll("^['\"`]|['\"`]$", "")
+        require(t.nonEmpty, "PRAGMA table_info requires a table name")
+        spark.table(t).schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          (i.toLong, f.name, f.dataType.sql, !f.nullable, Option.empty[String], false)
+        }.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
+      case _ => spark.emptyDataFrame // setting pragma: applied-as-no-op
+    }
+  }
+
   /** DuckDB `COPY <table> FROM '<path>' (FORMAT X [, HEADER])` — the ingest
     * twin of COPY TO: a distributed read + schema-aligned append. */
   private val copyFromRe =
@@ -350,6 +386,8 @@ object Engine {
     if (graft.dialect.Macros.tryDdl(spark, duckSql0)) return spark.emptyDataFrame
     val duckSql = graft.dialect.Macros.expand(spark, duckSql0)
     duckSql match {
+      case pragmaRe(name, callArg, _) =>
+        return runPragma(spark, name, Option(callArg))
       case copyFromRe(table, path, opts) =>
         return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))
       case copyToRe(source, path, opts) =>

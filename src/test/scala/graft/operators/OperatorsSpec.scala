@@ -718,6 +718,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(Engine.sql(spark, "SELECT count(*) AS c FROM top_nations()").head.getLong(0) == 4L)
   }
 
+  test("PRAGMA statements: informational map to catalog queries, settings are no-ops") {
+    Engine.registerTables(spark, sfDir)
+    val v = Engine.sql(spark, "PRAGMA version")
+    assert(v.columns.toSeq == Seq("library_version", "source_id") && v.count() == 1)
+    val st = Engine.sql(spark, "PRAGMA show_tables")
+    assert(st.columns.toSeq == Seq("name"))
+    assert(st.collect().map(_.getString(0)).contains("region"))
+    val ti = Engine.sql(spark, "PRAGMA table_info('region')")
+    assert(ti.columns.toSeq == Seq("cid", "name", "type", "notnull", "dflt_value", "pk"))
+    assert(ti.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((0L, "r_regionkey"), (1L, "r_name")))
+    val dl = Engine.sql(spark, "PRAGMA database_list")
+    assert(dl.columns.toSeq == Seq("seq", "name", "file") && dl.count() >= 1)
+    // setting pragmas in every DuckDB spelling: accepted, empty result
+    assert(Engine.sql(spark, "PRAGMA enable_progress_bar").isEmpty)
+    assert(Engine.sql(spark, "PRAGMA memory_limit='2GB'").isEmpty)
+    assert(Engine.sql(spark, "PRAGMA threads(4)").isEmpty)
+  }
+
   test("subscript edge semantics match DuckDB (pinned by probe)") {
     Engine.registerTables(spark, sfDir)
     // every expected value here was verified against DuckDB directly:
