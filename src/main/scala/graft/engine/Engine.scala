@@ -148,6 +148,25 @@ object Engine {
   private val pragmaRe =
     "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(\\s*(.*?)\\s*\\)\\s*|=\\s*(\\S.*?)\\s*)?;?\\s*$".r
 
+  /** DuckDB session statements accepted as empty-result no-ops (r5):
+    * extension management (the reference INSTALLs/LOADs chsql per
+    * connection — extensions don't transfer), storage maintenance
+    * (CHECKPOINT/VACUUM/bare ANALYZE — storage is parquet + Spark
+    * catalog), and BEGIN/COMMIT (execution is auto-commit; accepting them
+    * keeps transactional client scripts running). Guards: `LOAD DATA` and
+    * `ANALYZE TABLE` are real Spark statements and pass through.
+    * ROLLBACK is NOT a no-op — auto-commit cannot undo, so it errors
+    * loudly rather than silently acknowledging an undo that didn't
+    * happen. */
+  private val noopStmtRe = ("(?is)^\\s*(?:" +
+    "(?:FORCE\\s+)?INSTALL\\s+\\S+|" +
+    "LOAD\\s+(?!DATA\\b)[A-Za-z_][\\w.]*|" +
+    "CHECKPOINT|" +
+    "ANALYZE(?!\\s+TABLE\\b)(?:\\s+[\\w.`\"]+)?|" +
+    "BEGIN(?:\\s+TRANSACTION)?|COMMIT|VACUUM(?:\\s+[\\w.`\"]+)?" +
+    ")\\s*;?\\s*$").r
+  private val rollbackRe = "(?is)^\\s*ROLLBACK\\b.*".r
+
   private def runPragma(spark: SparkSession, name: String, arg: Option[String]): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -388,6 +407,10 @@ object Engine {
     duckSql match {
       case pragmaRe(name, callArg, _) =>
         return runPragma(spark, name, Option(callArg))
+      case noopStmtRe() => return spark.emptyDataFrame
+      case rollbackRe() =>
+        throw new UnsupportedOperationException(
+          "ROLLBACK is not supported: graft executes auto-commit (BEGIN/COMMIT are accepted as no-ops)")
       case copyFromRe(table, path, opts) =>
         return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))
       case copyToRe(source, path, opts) =>

@@ -737,6 +737,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(Engine.sql(spark, "PRAGMA threads(4)").isEmpty)
   }
 
+  test("DuckDB session statements: INSTALL/LOAD/BEGIN/COMMIT no-op, ROLLBACK errors") {
+    Engine.registerTables(spark, sfDir)
+    Seq("INSTALL httpfs", "FORCE INSTALL chsql", "LOAD httpfs", "CHECKPOINT",
+        "ANALYZE", "ANALYZE region", "BEGIN TRANSACTION", "BEGIN", "COMMIT",
+        "VACUUM").foreach { s =>
+      assert(Engine.sql(spark, s).isEmpty, s"expected empty no-op for: $s")
+    }
+    val e = intercept[UnsupportedOperationException] { Engine.sql(spark, "ROLLBACK") }
+    assert(e.getMessage.contains("auto-commit"))
+    // the real Spark statement with the shared keyword still passes
+    // through to Spark (which rejects temp views — proof it was NOT
+    // swallowed by the no-op matcher)
+    val pass = intercept[Exception] {
+      Engine.sql(spark, "ANALYZE TABLE region COMPUTE STATISTICS")
+    }
+    assert(pass.getMessage.contains("ANALYZE TABLE"))
+  }
+
   test("subscript edge semantics match DuckDB (pinned by probe)") {
     Engine.registerTables(spark, sfDir)
     // every expected value here was verified against DuckDB directly:
