@@ -167,6 +167,56 @@ object Engine {
     ")\\s*;?\\s*$").r
   private val rollbackRe = "(?is)^\\s*ROLLBACK\\b.*".r
 
+  /** DuckDB `DESCRIBE <query>` (r5): Spark's DESCRIBE only takes table
+    * names, but analyzing the translated query's schema without executing
+    * it gives the same answer. Output mirrors DuckDB's six columns
+    * (column_name, column_type, null, key, default, extra) with Spark's
+    * type names (documented divergence — e.g. BIGINT prints the same,
+    * DOUBLE too, but STRING vs VARCHAR differs). Plain `DESCRIBE t`
+    * still passes through to Spark's native statement. */
+  private val describeSelectRe =
+    "(?is)^\\s*DESCRIBE\\s+((?:SELECT|WITH|FROM|VALUES)\\b.*)$".r
+
+  /** DuckDB `EXPORT DATABASE 'dir' [(FORMAT ...)]` / `IMPORT DATABASE
+    * 'dir'` (r5): the backup/restore pair. Export writes every visible
+    * table as parquet (the only format that round-trips types losslessly
+    * here) plus DuckDB-style `schema.sql` + `load.sql` companions; import
+    * re-registers every `<name>.parquet` in the directory. Both return
+    * empty results, as DuckDB does. The catalog listing is bounded —
+    * never data-sized driver state. */
+  private val exportDbRe =
+    "(?is)^\\s*EXPORT\\s+DATABASE\\s+'([^']+)'\\s*(?:\\((.*)\\))?\\s*;?\\s*$".r
+  private val importDbRe =
+    "(?is)^\\s*IMPORT\\s+DATABASE\\s+'([^']+)'\\s*;?\\s*$".r
+
+  private def runExportDb(spark: SparkSession, dir: String): DataFrame = {
+    val tables = spark.catalog.listTables().collect().map(_.name).sorted
+    val schemaSql = new StringBuilder
+    val loadSql = new StringBuilder
+    tables.foreach { t =>
+      spark.table(t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      val cols = spark.table(t).schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      schemaSql.append(s"CREATE TABLE $t ($cols);\n")
+      loadSql.append(s"COPY $t FROM '$dir/$t.parquet' (FORMAT PARQUET);\n")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "schema.sql"),
+      schemaSql.toString.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "load.sql"),
+      loadSql.toString.getBytes("UTF-8"))
+    spark.emptyDataFrame
+  }
+
+  private def runImportDb(spark: SparkSession, dir: String): DataFrame = {
+    val entries = new java.io.File(dir).listFiles()
+    require(entries != null, s"IMPORT DATABASE: no such directory $dir")
+    entries.filter(_.getName.endsWith(".parquet")).sortBy(_.getName).foreach { f =>
+      spark.read.parquet(f.getAbsolutePath)
+        .createOrReplaceTempView(f.getName.stripSuffix(".parquet"))
+    }
+    spark.emptyDataFrame
+  }
+
   private def runPragma(spark: SparkSession, name: String, arg: Option[String]): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -411,6 +461,15 @@ object Engine {
       case rollbackRe() =>
         throw new UnsupportedOperationException(
           "ROLLBACK is not supported: graft executes auto-commit (BEGIN/COMMIT are accepted as no-ops)")
+      case describeSelectRe(inner) => {
+        import spark.implicits._
+        return sql(spark, inner).schema.fields.toSeq.map { f =>
+          (f.name, f.dataType.sql, if (f.nullable) "YES" else "NO",
+            Option.empty[String], Option.empty[String], Option.empty[String])
+        }.toDF("column_name", "column_type", "null", "key", "default", "extra")
+      }
+      case exportDbRe(dir, _) => return runExportDb(spark, dir)
+      case importDbRe(dir) => return runImportDb(spark, dir)
       case copyFromRe(table, path, opts) =>
         return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))
       case copyToRe(source, path, opts) =>

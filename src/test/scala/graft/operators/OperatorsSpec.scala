@@ -755,6 +755,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(pass.getMessage.contains("ANALYZE TABLE"))
   }
 
+  test("DESCRIBE <query> returns DuckDB's six-column shape; EXPORT/IMPORT DATABASE round-trips") {
+    Engine.registerTables(spark, sfDir)
+    val d = Engine.sql(spark, "DESCRIBE SELECT r_regionkey, r_name FROM region")
+    assert(d.columns.toSeq ==
+      Seq("column_name", "column_type", "null", "key", "default", "extra"))
+    assert(d.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("r_regionkey", "INT"), ("r_name", "STRING")))
+    // plain DESCRIBE table still reaches Spark's native statement
+    assert(Engine.sql(spark, "DESCRIBE region").columns.contains("col_name"))
+    // export -> drop a view -> import restores it with the same rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp").toString
+    val nRegion = spark.table("region").count()
+    assert(Engine.sql(spark, s"EXPORT DATABASE '$dir'").isEmpty)
+    assert(new java.io.File(s"$dir/region.parquet").exists())
+    assert(new java.io.File(s"$dir/schema.sql").exists())
+    val load = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "load.sql")), "UTF-8")
+    assert(load.contains("COPY region FROM") && load.contains("FORMAT PARQUET"))
+    spark.catalog.dropTempView("region")
+    assert(Engine.sql(spark, s"IMPORT DATABASE '$dir'").isEmpty)
+    assert(spark.table("region").count() == nRegion)
+  }
+
   test("subscript edge semantics match DuckDB (pinned by probe)") {
     Engine.registerTables(spark, sfDir)
     // every expected value here was verified against DuckDB directly:
