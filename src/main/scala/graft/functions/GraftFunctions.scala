@@ -23,6 +23,8 @@ object GraftFunctions {
       args => CosineSim(args(0), args(1))),
     ("simhash64", "64-bit simhash of a token array",
       args => SimHash64(args(0))),
+    ("simhash_md5", "portable 60-bit simhash (md5 token hashes, SQL-reproducible)",
+      args => SimHashMd5(args(0))),
     ("minhash_sig", "minhash signature (array<bigint>) of a shingle array",
       args => MinHashSig(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
@@ -87,6 +89,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
   def simhash64(tokens: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash64", tokens)
+  def simhash_md5(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash_md5", tokens)
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     org.apache.spark.sql.functions.call_function("minhash_sig", shingles,
       org.apache.spark.sql.functions.lit(numHashes))

@@ -187,18 +187,29 @@ object Dedup {
     * [[minhashPairs]] — identical texts have identical simhash (hamming 0,
     * collides in every band), so clusters of exact copies go through the
     * banding join once per cluster instead of k² times. sf1: 9.0 s → 1.5 s,
-    * output identical. */
+    * output identical.
+    *
+    * `portable` (default off): hash tokens with [[graft.functions.SimHashMd5]]
+    * instead of xxhash64 — every signature (hence the whole hamming-threshold
+    * pair set) becomes reproducible in external SQL, which is what the
+    * driver-checked oracle entry needs. Banding is pigeonhole-EXACT either
+    * way: recall over the hamming threshold is 1.0 by construction, so the
+    * output is the full deterministic pair set, not an approximation. */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
       bands: Int = 4,
       textCol: String = "text",
       idCol: String = "doc_id",
-      collapseExact: Boolean = true): DataFrame = {
+      collapseExact: Boolean = true,
+      portable: Boolean = false): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     GraftFunctions.register(docs.sparkSession)
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val sig = if (portable) GraftFunctions.simhash_md5(toks)
+      else GraftFunctions.simhash64(toks)
     val scanned = docs.select(col(idCol).as("id"), md5(col(textCol)).as("__h"),
-      GraftFunctions.simhash64(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("sh"))
+      sig.as("sh"))
     if (collapseExact) {
       val groups = scanned.groupBy(col("__h"))
         .agg(min("id").as("id"), collect_list("id").as("members"),

@@ -24,35 +24,116 @@ object PipelineQueries {
       f(spark, dir)
     }
 
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** ANN-audit corpus (p09/p21): base vectors with vec_id >= 10 plus 30
+    * graded near-copies of each probe vector (vec_id < 5) — copy j scales
+    * the odd 1-based coordinates by (1 + 0.0005*j) and casts back to
+    * float, so cosine(probe, copy_j) is strictly decreasing in j and every
+    * copy sits at cosine > 0.9999 while all cross pairs stay < 0.52. The
+    * whole construction is reproducible bit-for-bit in the DuckDB oracle
+    * (double factor arithmetic + IEEE float cast are engine-independent). */
+  private def annAuditCorpus(s: SparkSession): DataFrame = {
+    val emb = s.table("embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), explode(sequence(lit(1), lit(30))).as("j"),
+        col("embedding"))
+      .select((lit(1000000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) + lit(0.0005) * col("j") * ((i + 1) % 2)))
+            .cast("float")).as("embedding"))
+    emb.filter(col("vec_id") >= 10).unionByName(planted)
+  }
+
+  /** Recall@k audit over the planted corpus: one exact brute-force job for
+    * all probes (cross join against the broadcast 5-row probe frame,
+    * windowed top-k — the same cosine kernel the oracle mirrors), then the
+    * index path per probe. Driver-side data is O(probes * k) rows — the
+    * same bounded-collect class as the IVF centroid probe. Output per
+    * probe: (query_id, exact_topk CSV in rank order, recall_ok). */
+  private def annRecallAudit(s: SparkSession, corpus: DataFrame, k: Int,
+      minHits: Int, ann: Array[Float] => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val probes = s.table("embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probesDf = broadcast(
+      probes.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val exact = corpus.crossJoin(probesDf)
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosine_sim(col("embedding"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("rn"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.sortBy(_.getInt(2)).map(_.getLong(1)) }
+    val out = probes.map { case (qid, qv) =>
+      val exactIds = exact.getOrElse(qid, Array.empty[Long])
+      val found = ann(qv).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val hits = exactIds.count(found.contains)
+      (qid, exactIds.mkString(","), hits >= minHits)
+    }.toSeq
+    out.toDF("query_id", s"exact_top$k", "recall_ok").orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "p01_dedup_exact" -> q((s, _) =>
       Dedup.exactGroups(s.table("documents")).orderBy("h")),
     "p02_dedup_ngram_jaccard" -> q((s, _) =>
       Dedup.ngramJaccardPairs(s.table("documents")).orderBy("d1", "d2")),
+    // r6: driver-checkable — the sf0.01 fixture's exact 3-gram-Jaccard
+    // pair set at >= 0.5 has NO borderline pairs (all 25 sit at j >= 0.9,
+    // where the 16x4 banding's miss probability is (1-0.9^4)^16 ≈ 5e-8),
+    // so the LSH + exact-verify output IS the brute-force pair set and the
+    // oracle computes that set directly. jac_bp quantization: the Jaccard
+    // is an exact small-integer ratio, identical in double on both sides.
     "p03_dedup_minhash" -> q((s, _) =>
       Dedup.minhashPairs(s.table("documents"), threshold = 0.5)
+        .select(col("d1"), col("d2"),
+          round(col("jaccard") * 10000).cast("bigint").as("jac_bp"))
         .orderBy("d1", "d2")),
+    // r6: driver-checkable — the portable (md5-token-hash) simhash makes
+    // every signature reproducible in DuckDB SQL, and banding is
+    // pigeonhole-EXACT (any pair within hamming <= 3 shares one of 4 exact
+    // bands), so the engine's banded pair set equals the oracle's
+    // brute-force hamming scan deterministically. The xxhash64 fast path
+    // stays the production default (OperatorsSpec covers it).
     "p04_dedup_simhash" -> q((s, _) =>
-      Dedup.simhashPairs(s.table("documents"), maxHamming = 3)
+      Dedup.simhashPairs(s.table("documents"), maxHamming = 3, portable = true)
+        .select(col("d1"), col("d2"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("d1", "d2")),
-    // fixture embeddings are near-random (max pairwise cosine ~0.5): the
-    // 0.95 near-dup default correctly finds nothing, so the demo entry uses
-    // a low threshold to exercise the banded bucket-join path. Band width
-    // comes from planesFor against the corpus size — per-band buckets stay
-    // ~32 vectors as data grows, so candidate work is linear in n (the
-    // round-2 verdict's pinned planes=4 was quadratic-ish at sf1)
+    // r6: driver-checkable — the base fixture is near-random (max pairwise
+    // cosine ~0.51), so the entry PLANTS one deterministic near-duplicate
+    // per vector (odd 1-based coords scaled 1.01, cast back to float —
+    // bit-identical construction in DuckDB) and declares the full pair set
+    // at cosine >= 0.99: exactly the n planted (original, copy) pairs,
+    // cleanly separated from every cross pair. Banded hyperplane LSH finds
+    // a cosine-0.99997 pair with miss probability (1-s^p)^bands < 1e-9, so
+    // recall is deterministically 1.0 here; the low-threshold demo on raw
+    // near-random data stays spec-covered (OperatorsSpec).
     "p05_dedup_embedding" -> q((s, dir) => {
-      val emb = s.table("embeddings")
-      // corpus size from metadata, never a count() job (round-3 verdict #4):
-      // catalog statistics first, parquet footers second; count() survives
-      // only as the last-resort fallback for stat-less non-parquet sources
-      val n = emb.queryExecution.analyzed.stats.rowCount.map(_.toLong)
+      val emb = s.table("embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) + lit(0.01) * ((i + 1) % 2))).cast("float"))
+          .as("embedding"))
+      // corpus size from metadata, never a count() job (round-3 verdict #4)
+      val n = 2 * s.table("embeddings").queryExecution.analyzed.stats.rowCount
+        .map(_.toLong)
         .orElse(Engine.parquetRowCount(s"$dir/embeddings.parquet"))
         .getOrElse(emb.count())
-      val p = Similarity.planesFor(math.max(1, n), targetBucketSize = 32)
-      Dedup.embeddingPairs(emb, minCosine = 0.3,
-        planesPerBand = math.min(p, 16), bands = 4).orderBy("d1", "d2")
+      val p = math.max(4, math.min(Similarity.planesFor(math.max(1, n),
+        targetBucketSize = 32), 12))
+      Dedup.embeddingPairs(emb.unionByName(planted), minCosine = 0.99,
+          planesPerBand = p, bands = 5)
+        .select(col("d1"), col("d2"),
+          round(col("cosine") * 1000000).cast("bigint").as("cos_micro"))
+        .orderBy("d1", "d2")
     }),
     // ---- similarity search ----
     // the query vector is quantized ONCE on the 1-row broadcast side with
@@ -84,35 +165,36 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), qv, 20)
         .select(col("vec_id"), (round(col("cosine") * 1e6)).cast("long").as("cos_micro"))
     }),
+    // r6: driver-checkable recall@k audit. The base fixture is near-random
+    // (no meaningful neighbors), so the audit PLANTS 30 graded near-copies
+    // of each of 5 probe vectors (scale 1 + 0.0005*j on odd coords —
+    // bit-identical construction in DuckDB); the exact top-20 per probe is
+    // then the 20 closest planted copies, cleanly separated and strictly
+    // ordered. The entry emits per probe the engine's brute-force exact
+    // top-20 (checked value-for-value against DuckDB's brute force — the
+    // cosine kernel parity) plus recall_ok = |ANN ∩ exact| >= 18, so a
+    // silent ANN recall drop below 0.9 turns the row red. The ANN side is
+    // the REAL index path: signatures persisted once into a
+    // bucketed-by-signature table, probe buckets computed driver-side and
+    // pushed down as an IN filter (bucket-pruned scan — the 100 TB shape).
     "p09_sim_ann_lsh" -> q((s, dir) => {
-      // the 100 TB shape: signatures are persisted ONCE into a
-      // bucketed-by-signature index table; each query computes its probe
-      // buckets driver-side and scans only those buckets. The index is
-      // keyed by the data dir so verify/bench runs over different sf dirs
-      // never reuse a stale index; within one session (e.g. bench warmup +
-      // measure) it builds once and is only queried after.
-      val emb = s.table("embeddings")
-      val idx = "graft_ann_idx_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val corpus = annAuditCorpus(s)
+      val idx = "graft_ann_a6_" + dirKey(dir)
       if (!s.catalog.tableExists(idx))
-        Similarity.buildAnnIndex(emb.filter(col("vec_id") =!= 0), idx,
-          planes = 4, numBuckets = 8)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).toArray
-      Similarity.annTopKIndexed(s, idx, qv, 20, planes = 4, probes = 4)
+        Similarity.buildAnnIndex(corpus, idx, planes = 4, numBuckets = 8)
+      annRecallAudit(s, corpus, k = 20, minHits = 18,
+        qv => Similarity.annTopKIndexed(s, idx, qv, 20, planes = 4, probes = 4))
     }),
+    // IVF-flat twin of p09's audit: centroid-bucketed index built once per
+    // data dir, probes chosen driver-side from the tiny centroids table.
+    // Same planted corpus, same exact side, same recall floor.
     "p21_sim_ann_ivf" -> q((s, dir) => {
-      // IVF-flat twin of p09: centroid-bucketed index built once per data
-      // dir, probes chosen driver-side from the tiny centroids table
-      val emb = s.table("embeddings")
-      val idx = "graft_ivf_idx_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val corpus = annAuditCorpus(s)
+      val idx = "graft_ivf_a6_" + dirKey(dir)
       if (!s.catalog.tableExists(idx))
-        Similarity.buildIvfIndex(emb.filter(col("vec_id") =!= 0), idx,
-          nCentroids = 16, numBuckets = 8)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).toArray
-      Similarity.ivfTopKIndexed(s, idx, qv, 20, nprobe = 4)
+        Similarity.buildIvfIndex(corpus, idx, nCentroids = 16, numBuckets = 8)
+      annRecallAudit(s, corpus, k = 20, minHits = 18,
+        qv => Similarity.ivfTopKIndexed(s, idx, qv, 20, nprobe = 4))
     }),
     // ---- text analysis ----
     "p10_text_tokens" -> q((s, _) =>
@@ -544,11 +626,66 @@ object PipelineQueries {
         "FROM embeddings e, q WHERE e.vec_id <> 0) " +
         "SELECT vec_id, CAST(round(1000000.0 * (dot / (sqrt(nb) * sqrt(na)))) AS BIGINT) AS cos_micro " +
         "FROM s ORDER BY (dot / (sqrt(nb) * sqrt(na))) DESC, vec_id LIMIT 20"),
-    // p03/p04/p05/p09/p21: hash-seeded or bucketing-dependent output — no
-    // cross-engine oracle exists. Self-verified instead (OperatorsSpec):
-    // p03/p04 recall = 1.0 vs the exact near-dup ground truth, p05 recall
-    // vs brute-force pairs on clustered fixtures, p09 indexed-ANN and p21
-    // IVF recall ≥ 0.9 vs brute force (p21 additionally asserts
-    // rebuild-determinism and bucket pruning).
+    // p03 (r6): brute-force exact 3-gram-window Jaccard pair set at
+    // >= 0.5 over all 125k doc pairs — the engine's LSH + exact-verify
+    // output equals it deterministically (see the entry comment). Shingle
+    // semantics mirror Dedup.shingles/TokenWindowHashes: lowercase
+    // whitespace tokens, DISTINCT 3-token windows, a doc shorter than 3
+    // tokens is one whole-doc shingle.
+    "p03_dedup_minhash" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct(list_transform(range(0, len(tk)-2), i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) END AS sh FROM t), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS j " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+        "SELECT d1, d2, CAST(round(j * 10000) AS BIGINT) AS jac_bp FROM p WHERE j >= 0.5 ORDER BY d1, d2"),
+    // p04 (r6): brute-force portable-simhash hamming scan. The 60-bit
+    // token hash is hex chars 18..32 of md5(token) — exactly
+    // SimHashMd5.tokenHash — and the simhash is the classic Charikar
+    // vote; pairs within hamming <= 3 over all doc pairs.
+    "p04_dedup_simhash" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents), " +
+        "s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,60), j -> " +
+        "CASE WHEN list_sum(list_transform(list_transform(tk, t -> CAST('0x' || substr(md5(t),18,15) AS BIGINT)), " +
+        "h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sh FROM t) " +
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY d1, d2"),
+    // p05 (r6): brute-force exact cosine pair set at >= 0.99 over the
+    // planted corpus (base vectors + one odd-coords-scaled-1.01 copy per
+    // vector). Sequential double accumulation + sqrt-product denominator
+    // mirror the CosineSim kernel bit-for-bit (the p08 precedent).
+    "p05_dedup_embedding" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+        "pl AS (SELECT vec_id + 1000000 AS vec_id, " +
+        "list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] * (1 + 0.01*(i%2)) AS FLOAT)) AS embedding FROM base), " +
+        "c AS (SELECT * FROM base UNION ALL SELECT * FROM pl), " +
+        "v AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nsq FROM c), " +
+        "p AS (SELECT a.vec_id AS d1, b.vec_id AS d2, " +
+        "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) " +
+        "/ (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine FROM v a JOIN v b ON a.vec_id < b.vec_id) " +
+        "SELECT d1, d2, CAST(round(cosine * 1000000) AS BIGINT) AS cos_micro FROM p WHERE cosine >= 0.99 ORDER BY d1, d2"),
+    // p09/p21 (r6): the exact side of the recall@k audit — brute-force
+    // top-20 per probe over the planted corpus, in (cosine DESC, vec_id)
+    // rank order; recall_ok is TRUE by contract (the engine recomputes it
+    // from |ANN ∩ exact| and a drop below 18/20 reddens the row).
+    "p09_sim_ann_lsh" -> annAuditOracleSql,
+    "p21_sim_ann_ivf" -> annAuditOracleSql,
   )
+
+  /** Shared oracle for the p09/p21 recall audits (the exact side is
+    * identical; the engine sides exercise different index structures). */
+  private val annAuditOracleSql: String =
+    "WITH pl AS (SELECT CAST(1000000 + e.vec_id*100 + j AS BIGINT) AS vec_id, " +
+      "list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] * (1 + 0.0005*j*(i%2)) AS FLOAT)) AS embedding " +
+      "FROM embeddings e, (SELECT unnest(range(1,31)) AS j) t WHERE e.vec_id < 5), " +
+      "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10 UNION ALL SELECT vec_id, embedding FROM pl), " +
+      "qp AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+      "sc AS (SELECT qp.query_id, c.vec_id, " +
+      "list_sum(list_transform(range(1, len(c.embedding)+1), i -> CAST(c.embedding[i] AS DOUBLE)*CAST(qp.qv[i] AS DOUBLE))) " +
+      "/ (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) " +
+      "* sqrt(list_sum(list_transform(qp.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine FROM c, qp), " +
+      "r AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM sc) " +
+      "SELECT query_id, string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rn) AS exact_top20, TRUE AS recall_ok " +
+      "FROM r WHERE rn <= 20 GROUP BY query_id ORDER BY query_id"
 }

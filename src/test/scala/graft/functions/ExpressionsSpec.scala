@@ -112,6 +112,47 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash_md5 token hash equals the SQL-expressible md5 hex parse") {
+    withFns {
+      // the portable kernel's 60-bit token hash must equal parsing hex
+      // chars 18..32 of md5(token) — the exact construction the DuckDB
+      // oracle uses (CAST('0x'||substr(md5(t),18,15) AS BIGINT))
+      val toks = Seq("hello", "the", "Ümläut", "", "a b", "0", "zzz9")
+      val df = spark.createDataFrame(toks.map(Tuple1(_))).toDF("t")
+      val viaSql = df.select(
+        expr("CAST(conv(substring(md5(t), 18, 15), 16, 10) AS BIGINT)"))
+        .collect().map(_.getLong(0))
+      val viaKernel = toks.map(t => SimHashMd5.tokenHash(t.getBytes("UTF-8")))
+      assert(viaKernel == viaSql.toSeq)
+    }
+  }
+
+  test("simhash_md5 matches a per-bit vote reference and stays within 60 bits") {
+    withFns {
+      val toks = Seq("the", "quick", "brown", "fox", "the", "dog")
+      val df = spark.createDataFrame(Seq(Tuple1(toks))).toDF("toks")
+      val got = df.select(expr("simhash_md5(toks)")).head.getLong(0)
+      val votes = new Array[Int](60)
+      toks.foreach { t =>
+        val h = SimHashMd5.tokenHash(t.getBytes("UTF-8"))
+        (0 until 60).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      val want = (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+      assert(got == want)
+      assert((got >>> 60) == 0L, "portable simhash must fit in 60 bits")
+    }
+  }
+
+  test("simhash_md5 near-identical docs land within the banding hamming radius") {
+    withFns {
+      val base = (1 to 50).map(i => s"tok$i")
+      val edited = base.updated(10, "CHANGED")
+      val df = spark.createDataFrame(Seq((base, edited))).toDF("a", "b")
+      val d = df.select(expr("bit_count(simhash_md5(a) ^ simhash_md5(b))")).head.getInt(0)
+      assert(d <= 16, s"hamming distance $d too large for near-identical docs")
+    }
+  }
+
   test("graft_version registered") {
     withFns {
       assert(spark.sql("SELECT graft_version()").head.getString(0).startsWith("graft-spark"))

@@ -45,6 +45,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.nonEmpty, "no simhash near-dup pairs found in fixture")
   }
 
+  test("portable simhash banded pairs equal the brute-force hamming pair set") {
+    // pigeonhole exactness: with maxHamming < bands, the banded equi-join
+    // must produce EXACTLY the pairs within the hamming bound — this is
+    // what makes the p04 oracle entry deterministic, so prove it on a
+    // corpus with real near-dup structure
+    Engine.registerTables(spark, sfDir)
+    val docs = spark.table("documents")
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3, portable = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = docs.select(col("doc_id"),
+        expr("simhash_md5(filter(split(lower(text), ' '), t -> t != ''))").as("sh"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(banded == brute,
+      s"banded +${banded.keySet.diff(brute.keySet).size} -${brute.keySet.diff(banded.keySet).size}")
+    assert(brute.nonEmpty, "vacuous: no portable-simhash pairs in fixture")
+  }
+
   test("exact-dup collapse path matches the legacy all-docs path for minhash and simhash") {
     import spark.implicits._
     // clustered fixture: exact-dup clusters of varying size + near-dup edits
