@@ -477,6 +477,23 @@ object DeclaredQueries {
       // coalesce(...,'') collapses both (the §2.12 rule for any
       // declaration that can produce empty lists).
       "SELECT vec_id, ([10, 20, 30])[CAST(label AS INTEGER) % 5] AS mz, coalesce(array_to_string(list_transform(([1, 2, 3, 4, 5])[CAST(label AS INTEGER) % 3:4], x -> CAST(x AS VARCHAR)), ','), '') AS ds, coalesce(array_to_string(list_transform(list_slice([1, 2, 3, 4, 5], 4, CAST(label AS INTEGER)), x -> CAST(x AS VARCHAR)), ','), '') AS xs2 FROM embeddings ORDER BY vec_id LIMIT 100",
+    "q133_from_first_bare" ->
+      // r6 FROM-first surface (DuckDB modern idiom; reference passthrough
+      // contract README.md:41): bare FROM with trailing clauses — rewritten
+      // to SELECT * by Translator.rewriteFromFirst; DuckDB runs it natively.
+      "FROM nation WHERE n_regionkey < 3 ORDER BY n_nationkey LIMIT 50",
+    "q134_from_first_select" ->
+      // FROM t SELECT … with aggregation: the hoisted-select branch of the
+      // rewrite, plus GROUP BY/HAVING/ORDER in post-FROM position.
+      "FROM orders SELECT o_orderpriority, count(*) AS n GROUP BY o_orderpriority HAVING count(*) > 1 ORDER BY n DESC, o_orderpriority",
+    "q135_from_first_cte_union" ->
+      // FROM-first inside a CTE body and per set-op branch, consumed by a
+      // FROM-first outer statement.
+      // note DuckDB's grammar only allows the SELECT clause DIRECTLY after
+      // the FROM clause (`FROM t WHERE … SELECT …` is a parse error there);
+      // the rewrite accepts the superset but declarations stick to valid
+      // DuckDB so the oracle can run them verbatim.
+      "WITH hot AS (FROM lineitem SELECT l_orderkey WHERE l_quantity > 48), cold AS (FROM lineitem SELECT l_orderkey WHERE l_quantity < 2) FROM (SELECT l_orderkey FROM hot UNION ALL FROM cold SELECT l_orderkey) u SELECT l_orderkey, count(*) AS n GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100",
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over

@@ -46,6 +46,7 @@ object Translator {
     val views = ArrayBuffer[ViewReg]()
     toks = rewriteAttach(toks)
     toks = rewriteMisc(toks)
+    toks = rewriteFromFirst(toks)
     toks = rewriteColumnsExpand(toks, schemaOf)
     toks = rewriteStarReplace(toks)
     toks = rewriteSemiAnti(toks)
@@ -1570,6 +1571,110 @@ object Translator {
   /** Apply the SELECT-statement restructures (ASOF, DISTINCT ON, QUALIFY)
     * at this level AND inside every parenthesized subquery, innermost
     * first. */
+  /** DuckDB FROM-first syntax (`/root/reference/README.md:41` passthrough
+    * contract): `FROM t …` → `SELECT * FROM t …`, and `FROM t SELECT list …`
+    * → `SELECT list FROM t …`. Applied at statement level, inside every
+    * parenthesized region (subqueries, CTE bodies), after a WITH prefix, and
+    * per set-operation branch (`FROM a UNION FROM b`). */
+  private[dialect] def rewriteFromFirst(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    // recurse into parenthesized regions first
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i) == Punct("(")) {
+        val close = matchParen(toks, i)
+        val inner = toks.slice(i + 1, close)
+        val rewritten = rewriteFromFirst(inner)
+        if (rewritten != inner) {
+          toks = toks.patch(i + 1, rewritten, close - i - 1)
+          i = i + 1 + rewritten.length
+        } else i = close
+      }
+      i += 1
+    }
+    // body start: statement head, or past a WITH-CTE prefix
+    val first = nextNonWs(toks, -1)
+    if (first >= toks.length) return toks
+    val bodyStart =
+      if (up(toks(first)) != "WITH") first
+      else {
+        var j = nextNonWs(toks, first) // first cte name
+        if (j < toks.length && up(toks(j)) == "RECURSIVE") j = nextNonWs(toks, j)
+        var done = false
+        while (!done && j < toks.length) {
+          var k = nextNonWs(toks, j) // past the cte name
+          if (k < toks.length && toks(k) == Punct("(")) // (col list)
+            k = nextNonWs(toks, matchParen(toks, k))
+          if (k < toks.length && up(toks(k)) == "AS") k = nextNonWs(toks, k)
+          if (k < toks.length && up(toks(k)) == "NOT") k = nextNonWs(toks, k)
+          if (k < toks.length && up(toks(k)) == "MATERIALIZED") k = nextNonWs(toks, k)
+          if (k < toks.length && toks(k) == Punct("(")) {
+            val n = nextNonWs(toks, matchParen(toks, k))
+            if (n < toks.length && toks(n) == Punct(",")) j = nextNonWs(toks, n)
+            else { j = n; done = true }
+          } else { j = k; done = true }
+        }
+        j
+      }
+    if (bodyStart >= toks.length) return toks
+    // set-operation branch starts within the body (depth 0 relative to it)
+    val branchStarts = ArrayBuffer(bodyStart)
+    var d = 0
+    var b = bodyStart
+    while (b < toks.length) {
+      d += depthDelta(toks(b))
+      if (d == 0 && Set("UNION", "INTERSECT", "EXCEPT").contains(up(toks(b)))) {
+        var n = nextNonWs(toks, b)
+        while (n < toks.length && Set("ALL", "DISTINCT", "BY", "NAME").contains(up(toks(n))))
+          n = nextNonWs(toks, n)
+        branchStarts += n
+      }
+      b += 1
+    }
+    // rewrite branches right-to-left so earlier indices stay valid; a branch
+    // ends at the next branch's set-op keyword (scan back over modifiers)
+    var endIdx = toks.length
+    for (bi <- branchStarts.indices.reverse) {
+      val bs = branchStarts(bi)
+      if (bs < endIdx && up(toks(bs)) == "FROM")
+        toks = toks.patch(bs, transposeFromFirst(toks.slice(bs, endIdx)), endIdx - bs)
+      if (bi > 0) {
+        // previous branch ends where this branch's set-op keyword begins
+        var e = prevNonWs(toks, bs)
+        while (e >= 0 && Set("ALL", "DISTINCT", "BY", "NAME").contains(up(toks(e))))
+          e = prevNonWs(toks, e)
+        endIdx = e // index of UNION/INTERSECT/EXCEPT itself
+      }
+    }
+    toks
+  }
+
+  /** One FROM-first branch (first non-ws token is FROM) → standard order:
+    * hoist the top-level SELECT clause to the front, or synthesize
+    * `SELECT *` when the branch has none. */
+  private def transposeFromFirst(branch: Vector[Tok]): Vector[Tok] = {
+    var d = 0; var selIdx = -1
+    for (i <- branch.indices) {
+      d += depthDelta(branch(i))
+      if (d == 0 && selIdx < 0 && up(branch(i)) == "SELECT") selIdx = i
+    }
+    if (selIdx < 0) lex("SELECT * ") ++ branch
+    else {
+      val enders = Set("FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
+        "ORDER", "LIMIT", "OFFSET")
+      var d2 = 0; var end = -1
+      for (i <- branch.indices) {
+        d2 += depthDelta(branch(i))
+        if (end < 0 && i > selIdx && d2 == 0 && enders.contains(up(branch(i)))) end = i
+      }
+      if (end < 0) end = branch.length
+      val selClause = branch.slice(selIdx, end)
+      val sel = if (selClause.nonEmpty && isWs(selClause.last)) selClause
+        else selClause :+ Ws(" ")
+      sel ++ branch.take(selIdx) ++ branch.drop(end)
+    }
+  }
+
   private[dialect] def rewriteStatementLevel(toks0: Vector[Tok]): Vector[Tok] = {
     // recurse into ( SELECT ... ) regions first
     var toks = toks0

@@ -478,6 +478,35 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT list_aggregate(xs, 'count')") == "SELECT size(xs)")
   }
 
+  test("FROM-first: bare FROM becomes SELECT *") {
+    assert(t("FROM lineitem") == "SELECT * FROM lineitem")
+    assert(t("FROM lineitem WHERE l_quantity > 40")
+      == "SELECT * FROM lineitem WHERE l_quantity > 40")
+  }
+
+  test("FROM-first: trailing SELECT clause is hoisted to the front") {
+    assert(t("FROM lineitem SELECT l_orderkey, l_quantity WHERE l_quantity > 40 LIMIT 5")
+      == "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 40 LIMIT 5")
+    assert(t("FROM orders SELECT o_custkey, count(*) AS n GROUP BY o_custkey")
+      == "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey")
+    assert(t("FROM region SELECT DISTINCT r_name ORDER BY r_name NULLS LAST")
+      == "SELECT DISTINCT r_name FROM region ORDER BY r_name NULLS LAST")
+  }
+
+  test("FROM-first: WITH prefix, subqueries, and set-op branches") {
+    assert(t("WITH big AS (FROM lineitem WHERE l_quantity > 45) FROM big SELECT count(*) AS n")
+      == "WITH big AS (SELECT * FROM lineitem WHERE l_quantity > 45) SELECT count(*) AS n FROM big")
+    assert(t("SELECT * FROM (FROM nation) t")
+      == "SELECT * FROM (SELECT * FROM nation) t")
+    assert(t("FROM nation UNION ALL FROM nation")
+      == "SELECT * FROM nation UNION ALL SELECT * FROM nation")
+  }
+
+  test("FROM-first: standard statements are untouched") {
+    assert(t("SELECT 1 AS x") == "SELECT 1 AS x")
+    assert(t("SELECT * FROM t WHERE a = 1") == "SELECT * FROM t WHERE a = 1")
+  }
+
   test("COLUMNS('regex') expands against the FROM table's schema") {
     val lookup: String => Option[Seq[String]] =
       { case "t" => Some(Seq("l_orderkey", "l_linenumber", "l_quantity", "x")); case _ => None }
