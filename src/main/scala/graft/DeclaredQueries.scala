@@ -467,7 +467,15 @@ object DeclaredQueries {
       // (no l_receiptdate/l_commitdate): shipped >80 days after the order
       // date, with the NOT EXISTS correlating on the OUTER o_orderdate —
       // the same cross-block correlation Q21 exercises.
-      "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM supplier, lineitem l1, orders, nation WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 80 DAY) AND s_nationkey = n_nationkey AND n_name = 'NATION_7' GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
+      // r6 (VERDICT r5 #3): /*+ MERGE(orders) */ pins the orders–l1 join to
+      // sort-merge. Size-based planning broadcast the filtered orders side
+      // (~500k rows at sf≈1) — borderline on an 8g driver and pure
+      // driver-heap churn; l1 is already hash-partitioned by l_orderkey for
+      // the semi-join SMJ, so demoting costs only the small orders shuffle
+      // (exchange reuse) and is the honest fact–fact posture at 100 TB.
+      // DuckDB reads the hint as a comment; supplier/nation dims still
+      // broadcast (PlanAudit asserts both directions).
+      "SELECT /*+ MERGE(orders) */ s_name, CAST(count(*) AS BIGINT) AS numwait FROM supplier, lineitem l1, orders, nation WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 80 DAY) AND s_nationkey = n_nationkey AND n_name = 'NATION_7' GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
     "q132_subscript_guards" ->
       // r5 runtime-divergence guards exercised against the live oracle:
       // dynamic zero index (label%5=0 → NULL in both engines), dynamic

@@ -34,14 +34,9 @@ object PlanAudit {
     // minhash candidate join: shuffle join on band key is expected (both
     // sides same cardinality); the point is it is an equi-join, not NLJ
     Check("p03_dedup_minhash", wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
-    // indexed ANN: signatures are a STORED column — the query plan must not
-    // recompute them over the corpus, and must prune to candidate buckets
-    Check("p09_sim_ann_lsh",
-      wantAll = Seq("SelectedBucketsCount"), wantNone = Seq("hyperplane_sig")),
-    // IVF twin: stored cid column, centroid probes resolved driver-side —
-    // the corpus scan must prune to probe buckets with no re-assignment
-    Check("p21_sim_ann_ivf",
-      wantAll = Seq("SelectedBucketsCount"), wantNone = Seq("array_max")),
+    // p09/p21 ANN index paths are audited directly in main() (r6: the
+    // declared entries became recall audits whose returned frame is
+    // driver-composed, so their plan no longer shows the index scan)
     // round-2 optimizer rule: month-truncation runs in the date domain
     Check("q50_date_trunc", wantAll = Seq("as date), month)"), wantNone = Seq("date_trunc(")),
     // multimodal metadata stays in codegen expressions, not the codec seam
@@ -177,6 +172,54 @@ object PlanAudit {
     }
     // codegen coverage: how much of a representative plan is inside
     // WholeStageCodegen spans
+    // p09/p21 production index paths (r6): stored signatures — the query
+    // plan must not recompute them over the corpus — and the probe must
+    // reach the scan as a bucket-pruned IN filter (SelectedBucketsCount).
+    locally {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.table("embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).toArray
+      val annIdx = "graft_audit_ann"
+      if (!spark.catalog.tableExists(annIdx))
+        graft.operators.Similarity.buildAnnIndex(
+          emb.filter(col("vec_id") =!= 0), annIdx, planes = 4, numBuckets = 8)
+      val ivfIdx = "graft_audit_ivf"
+      if (!spark.catalog.tableExists(ivfIdx))
+        graft.operators.Similarity.buildIvfIndex(
+          emb.filter(col("vec_id") =!= 0), ivfIdx, nCentroids = 16, numBuckets = 8)
+      val fmt = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+      val indexPaths = Seq(
+        ("p09 ann index path", Seq("SelectedBucketsCount"), Seq("hyperplane_sig"),
+          graft.operators.Similarity.annTopKIndexed(spark, annIdx, qv, 20, planes = 4, probes = 4)),
+        ("p21 ivf index path", Seq("SelectedBucketsCount"), Seq("array_max"),
+          graft.operators.Similarity.ivfTopKIndexed(spark, ivfIdx, qv, 20, nprobe = 4)))
+      indexPaths.foreach { case (name, wantAll, wantNone, df) =>
+        val plan = df.queryExecution.explainString(fmt)
+        val missing = wantAll.filterNot(plan.contains)
+        val present = wantNone.filter(plan.contains)
+        if (missing.isEmpty && present.isEmpty) println(s"PLAN OK   $name")
+        else {
+          failures += 1
+          println(s"PLAN BAD  $name  missing=$missing unexpected=$present")
+        }
+      }
+    }
+    // r6 (VERDICT r5 #3): q131's STATIC plan must never broadcast a fact
+    // side — the /*+ MERGE(orders) */ hint pins the borderline ~500k-row
+    // filtered-orders broadcast to sort-merge. The check is structural on
+    // the pre-AQE plan (only dims may feed a BroadcastExchange): AQE's own
+    // runtime SMJ→BHJ conversions are actual-size-verified and so exempt,
+    // while a lost hint trips this at every sf, including sf0.01 where the
+    // estimate-based broadcast would be harmless.
+    val q131 = SparkEntry.queries("q131_tpch_q21_shape")(spark, sfDir)
+    val bcFacts = broadcastFactScans(q131.queryExecution.sparkPlan)
+    if (bcFacts.isEmpty)
+      println("PLAN OK   q131 static plan broadcasts no fact-table scan")
+    else {
+      failures += 1
+      println(s"PLAN BAD  q131 static plan broadcasts fact scans: $bcFacts")
+    }
     val q = SparkEntry.queries("q24_group_having")(spark, sfDir)
     val formatted = q.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -184,5 +227,25 @@ object PlanAudit {
     println(formatted.linesIterator.takeWhile(!_.startsWith("(1) ")).mkString("\n"))
     spark.stop()
     if (failures > 0) sys.exit(1)
+  }
+
+  /** Fact-table (orders/lineitem) scan locations appearing underneath any
+    * BroadcastExchange in a static (pre-AQE) physical plan. */
+  private def broadcastFactScans(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    plan.foreach {
+      case b: BroadcastExchangeExec =>
+        b.collectLeaves().foreach {
+          case f: FileSourceScanExec =>
+            val loc = f.relation.location.rootPaths.mkString(",")
+            if (Seq("orders", "lineitem").exists(loc.contains)) out += loc
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.toSeq
   }
 }
