@@ -9,6 +9,20 @@ import graft.engine.Engine
   * metadata scan), and prints ONE JSON line.
   */
 object Bench {
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line — field 8
+    * is time stolen by the hypervisor. Sampled before and after the sweep so
+    * the artifact records how noisy the measurement window actually was:
+    * this VM shows minute-to-minute CPU steal that inflated a full r5 sweep
+    * a uniform 1.38× with zero code changes. None on non-Linux. */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,6 +70,7 @@ object Bench {
     // full sweep, reproducible at neither standalone nor the next sweep);
     // the min is the steady-state figure a serving engine delivers.
     val timedIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val jiffies0 = cpuJiffies()
     val results = ordered.map { case (name, fn) =>
       val dt = (1 to timedIters).map { _ =>
         val t0 = System.nanoTime()
@@ -73,7 +88,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // steal% over the timed window: jiffy deltas machine-flag a noisy run
+    // (cross-round comparisons on this box are only valid as ratios)
+    val stealPct = (jiffies0, cpuJiffies()) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+        f""","steal_pct":${100.0 * (s1 - s0) / (t1 - t0)}%.2f"""
+      case _ => ""
+    }
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct}""")
     spark.stop()
   }
 }
