@@ -374,6 +374,93 @@ class ProtocolSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("concurrency soak: writer inserts while reader polls — monotone counts, zero failed reads") {
+    // wire-level mirror of the reference's only performance claim
+    // ("concurrent inserts and querying", README.md:14): the writer loop is
+    // examples/flight_insert.py:73-95 (CREATE TABLE + INSERT VALUES tickets
+    // via do_get, plus do_put arrow batches — both ingest paths), the
+    // reader loop is examples/flight_watch.py:43-66 (COUNT(*) + sample via
+    // do_get), run truly concurrently with no sleeps.
+    graft.engine.Engine.registerTables(spark, sfDir)
+    val srv = new HttpServer(spark, 0)
+    val port = srv.start()
+    try {
+      def post(p: String, body: Array[Byte]): HttpResponse[Array[Byte]] =
+        HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$p"))
+            .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      def ticket(sql: String): HttpResponse[Array[Byte]] =
+        post("/flight/do_get", sql.getBytes("UTF-8"))
+
+      spark.sql("DROP TABLE IF EXISTS graft_soak_tbl")
+      assert(ticket("CREATE TABLE graft_soak_tbl (batch_id BIGINT, ts STRING, " +
+        "value DOUBLE, category STRING) USING parquet").statusCode() == 200)
+
+      val cycles = 6
+      val rowsPerBatch = 100
+      val writerErr = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val readerErr = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val readsDone = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+      val writer = new Thread(() => {
+        try {
+          (0 until cycles).foreach { b =>
+            if (b % 2 == 0) {
+              // INSERT VALUES ticket (the flight_insert.py path)
+              val values = (0 until rowsPerBatch)
+                .map(i => s"($b, 't$b', ${i / 10.0}, 'cat${i % 3}')").mkString(",")
+              val r = ticket(s"INSERT INTO graft_soak_tbl VALUES $values")
+              if (r.statusCode() != 200)
+                throw new IllegalStateException(s"insert batch $b -> ${r.statusCode()}")
+            } else {
+              // do_put arrow batch (the byte-level ingest path)
+              val df = spark.range(rowsPerBatch).selectExpr(s"$b AS batch_id",
+                s"'t$b' AS ts", "id / 10.0 AS value", "concat('cat', id % 3) AS category")
+              val r = post("/flight/do_put?table=graft_soak_tbl", ArrowIO.toArrowStream(df))
+              if (r.statusCode() != 200)
+                throw new IllegalStateException(s"do_put batch $b -> ${r.statusCode()}")
+              val n = ArrowIO.fromArrowStream(spark, r.body()).head.getLong(0)
+              if (n != rowsPerBatch)
+                throw new IllegalStateException(s"do_put batch $b inserted $n")
+            }
+          }
+        } catch { case e: Throwable => writerErr.set(e.toString) }
+        finally writerDone.set(true)
+      })
+      val reader = new Thread(() => {
+        try {
+          var last = 0L
+          while (!writerDone.get() || readsDone.get() == 0) {
+            val r = ticket("SELECT COUNT(*) AS total FROM graft_soak_tbl")
+            if (r.statusCode() != 200)
+              throw new IllegalStateException(s"count read -> ${r.statusCode()}")
+            val n = ArrowIO.fromArrowStream(spark, r.body()).head.getLong(0)
+            if (n < last) throw new IllegalStateException(s"count went backwards: $last -> $n")
+            last = n
+            val s = ticket("SELECT * FROM graft_soak_tbl ORDER BY RANDOM() LIMIT 1")
+            if (s.statusCode() != 200)
+              throw new IllegalStateException(s"sample read -> ${s.statusCode()}")
+            val sampleDf = ArrowIO.fromArrowStream(spark, s.body())
+            if (last > 0 && sampleDf.columns.length != 4)
+              throw new IllegalStateException(s"sample shape: ${sampleDf.columns.toSeq}")
+            readsDone.incrementAndGet()
+          }
+        } catch { case e: Throwable => readerErr.set(e.toString) }
+      })
+      writer.start(); reader.start()
+      writer.join(120000); reader.join(120000)
+      assert(writerErr.get() == null, s"writer failed: ${writerErr.get()}")
+      assert(readerErr.get() == null, s"reader failed: ${readerErr.get()}")
+      assert(readsDone.get() > 0, "reader never completed a poll cycle")
+      val fin = ArrowIO.fromArrowStream(spark,
+        ticket("SELECT COUNT(*) AS total FROM graft_soak_tbl").body()).head.getLong(0)
+      assert(fin == cycles.toLong * rowsPerBatch)
+      spark.sql("DROP TABLE graft_soak_tbl")
+    } finally srv.stop()
+  }
+
   test("list_flights: canned no-filter flights, path-mode flight info, executable tickets") {
     graft.engine.Engine.registerTables(spark, sfDir)
     // no filter → exactly the reference's 4 canned flights (main.py:496-521)
