@@ -502,6 +502,17 @@ object DeclaredQueries {
       // the rewrite accepts the superset but declarations stick to valid
       // DuckDB so the oracle can run them verbatim.
       "WITH hot AS (FROM lineitem SELECT l_orderkey WHERE l_quantity > 48), cold AS (FROM lineitem SELECT l_orderkey WHERE l_quantity < 2) FROM (SELECT l_orderkey FROM hot UNION ALL FROM cold SELECT l_orderkey) u SELECT l_orderkey, count(*) AS n GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100",
+    "q136_macro_named_defaults" ->
+      // r6 macro depth (VERDICT r5 #8): named := call-site override of a
+      // defaulted scalar-macro parameter (the ONLY override form DuckDB
+      // accepts — positional is a Binder Error there) plus a table macro
+      // with a parameter default called bare in FROM position. Overloads by
+      // arity (DuckDB >= 1.1 syntax) are implemented and spec-covered
+      // (MacrosSpec) but not declarable: the driver oracle runs DuckDB 1.0,
+      // whose parser predates them.
+      ("CREATE OR REPLACE MACRO graft_tax(p, rate := 0.07) AS p * (1 + rate); " +
+        "CREATE OR REPLACE MACRO graft_topq(q := 49) AS TABLE SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > q; " +
+        "SELECT l_orderkey, CAST(round(graft_tax(l_quantity, rate := 0.5)) AS BIGINT) AS taxed FROM graft_topq() ORDER BY l_orderkey, taxed LIMIT 100"),
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over
