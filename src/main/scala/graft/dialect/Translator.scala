@@ -472,8 +472,15 @@ object Translator {
                     case None if idx.startsWith("'") => s"try_element_at($recv, $idx)"
                     case None =>
                       // string compare covers every integer width's zero;
-                      // non-integer index types are a DuckDB binder error,
-                      // so they can't reach this rewrite from valid input
+                      // non-integer index types on ARRAYS are a DuckDB
+                      // binder error, so they can't reach this rewrite from
+                      // valid input. Documented divergence: a VARCHAR-keyed
+                      // MAP subscripted with a DYNAMIC key expression whose
+                      // value is the string '0' also trips this guard and
+                      // yields NULL where DuckDB returns the mapped value —
+                      // token-level rewriting has no schema to tell a map
+                      // receiver from an array (string-LITERAL keys take
+                      // the branch above and are unaffected).
                       // typed NULL: an untyped THEN NULL with a NULL idx
                       // makes the whole CASE VOID-typed (analysis error)
                       s"try_element_at($recv, (CASE WHEN CAST(($idx) AS STRING) = '0' THEN CAST(NULL AS INT) ELSE ($idx) END))"

@@ -189,28 +189,71 @@ object Engine {
   private val importDbRe =
     "(?is)^\\s*IMPORT\\s+DATABASE\\s+'([^']+)'\\s*;?\\s*$".r
 
+  /** Spark type → DuckDB type name, so the exported schema.sql parses in
+    * DuckDB (Spark's `ARRAY<BIGINT>`/`STRING` spellings don't). */
+  private def duckTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "VARCHAR"
+      case BinaryType => "BLOB"
+      case IntegerType => "INTEGER"
+      case ByteType => "TINYINT"
+      case FloatType => "FLOAT"
+      // DuckDB's naive TIMESTAMP matches how parquet round-trips both
+      // Spark timestamp flavors (no TIMESTAMP_NTZ type there)
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case ArrayType(e, _) => s"${duckTypeName(e)}[]"
+      case MapType(k, v, _) => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
+      case StructType(fields) =>
+        fields.map(f => s"\"${f.name}\" ${duckTypeName(f.dataType)}")
+          .mkString("STRUCT(", ", ", ")")
+      // BIGINT/SMALLINT/BOOLEAN/DOUBLE/DATE/TIMESTAMP/DECIMAL(p,s) spell
+      // the same in both engines
+      case other => other.sql
+    }
+  }
+
   private def runExportDb(spark: SparkSession, dir: String): DataFrame = {
+    // the schema.sql/load.sql companions are written with java.nio, so the
+    // target must be a local path (table data goes through Spark's Hadoop
+    // writer and lands wherever the URI points — keep the two in one place)
+    require(!dir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*") || dir.startsWith("file:"),
+      s"EXPORT DATABASE requires a local filesystem path, got: $dir")
+    val localDir = dir.stripPrefix("file:")
+    // up-front so an empty catalog still exports (empty companions)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(localDir))
     val tables = spark.catalog.listTables().collect().map(_.name).sorted
     val schemaSql = new StringBuilder
     val loadSql = new StringBuilder
     tables.foreach { t =>
       spark.table(t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
       val cols = spark.table(t).schema.fields
-        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        .map(f => s"\"${f.name}\" ${duckTypeName(f.dataType)}").mkString(", ")
       schemaSql.append(s"CREATE TABLE $t ($cols);\n")
-      loadSql.append(s"COPY $t FROM '$dir/$t.parquet' (FORMAT PARQUET);\n")
+      // Spark wrote a parquet DIRECTORY — DuckDB's COPY needs the glob
+      loadSql.append(s"COPY $t FROM '$dir/$t.parquet/*.parquet' (FORMAT PARQUET);\n")
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "schema.sql"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(localDir, "schema.sql"),
       schemaSql.toString.getBytes("UTF-8"))
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "load.sql"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(localDir, "load.sql"),
       loadSql.toString.getBytes("UTF-8"))
     spark.emptyDataFrame
   }
 
+  private val importNameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
   private def runImportDb(spark: SparkSession, dir: String): DataFrame = {
     val entries = new java.io.File(dir).listFiles()
     require(entries != null, s"IMPORT DATABASE: no such directory $dir")
-    entries.filter(_.getName.endsWith(".parquet")).sortBy(_.getName).foreach { f =>
+    val parquets = entries.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    // validate every derived view name BEFORE registering any, so the
+    // import completes atomically or not at all (a mid-loop failure would
+    // leave a partially-registered catalog)
+    val bad = parquets.map(_.getName.stripSuffix(".parquet"))
+      .filterNot(importNameRe.matches(_))
+    require(bad.isEmpty,
+      s"IMPORT DATABASE: file names not valid table identifiers: ${bad.mkString(", ")}")
+    parquets.foreach { f =>
       spark.read.parquet(f.getAbsolutePath)
         .createOrReplaceTempView(f.getName.stripSuffix(".parquet"))
     }
@@ -237,7 +280,17 @@ object Engine {
         spark.table(t).schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
           (i.toLong, f.name, f.dataType.sql, !f.nullable, Option.empty[String], false)
         }.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
-      case _ => spark.emptyDataFrame // setting pragma: applied-as-no-op
+      // setting pragmas no-op ONLY in recognizable setting shapes: a call
+      // or `=` argument (threads(4), memory_limit='2GB'), or a bare toggle
+      // with DuckDB's enable_/disable_/force_/verify_ prefix. Anything
+      // else errors, as DuckDB does — silently returning empty for
+      // `PRAGMA vresion` (typo) or an unimplemented informational pragma
+      // (table_list, storage_info, functions) would mask client bugs.
+      case _ if arg.isDefined => spark.emptyDataFrame
+      case n if Seq("enable_", "disable_", "force_", "verify_")
+          .exists(n.startsWith) => spark.emptyDataFrame
+      case n => throw new IllegalArgumentException(
+        s"Catalog Error: Pragma Function with name $n does not exist!")
     }
   }
 
@@ -455,8 +508,8 @@ object Engine {
     if (graft.dialect.Macros.tryDdl(spark, duckSql0)) return spark.emptyDataFrame
     val duckSql = graft.dialect.Macros.expand(spark, duckSql0)
     duckSql match {
-      case pragmaRe(name, callArg, _) =>
-        return runPragma(spark, name, Option(callArg))
+      case pragmaRe(name, callArg, eqArg) =>
+        return runPragma(spark, name, Option(callArg).orElse(Option(eqArg)))
       case noopStmtRe() => return spark.emptyDataFrame
       case rollbackRe() =>
         throw new UnsupportedOperationException(

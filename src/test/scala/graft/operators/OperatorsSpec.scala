@@ -757,6 +757,12 @@ class OperatorsSpec extends SparkTestBase {
     assert(Engine.sql(spark, "PRAGMA enable_progress_bar").isEmpty)
     assert(Engine.sql(spark, "PRAGMA memory_limit='2GB'").isEmpty)
     assert(Engine.sql(spark, "PRAGMA threads(4)").isEmpty)
+    // unknown BARE pragma errors, as DuckDB does (r6): silently returning
+    // empty for a typo'd or unimplemented informational pragma masks bugs
+    val bad = intercept[IllegalArgumentException] {
+      Engine.sql(spark, "PRAGMA vresion")
+    }
+    assert(bad.getMessage.contains("vresion"))
   }
 
   test("DuckDB session statements: INSTALL/LOAD/BEGIN/COMMIT no-op, ROLLBACK errors") {
@@ -795,9 +801,25 @@ class OperatorsSpec extends SparkTestBase {
     val load = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "load.sql")), "UTF-8")
     assert(load.contains("COPY region FROM") && load.contains("FORMAT PARQUET"))
+    // the companions must be DuckDB-loadable (r6): COPY globs the parquet
+    // DIRECTORY Spark wrote, and schema.sql uses DuckDB type spellings
+    assert(load.contains("region.parquet/*.parquet'"))
+    val schema = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "schema.sql")), "UTF-8")
+    assert(schema.contains("VARCHAR") && !schema.contains("STRING"))
     spark.catalog.dropTempView("region")
     assert(Engine.sql(spark, s"IMPORT DATABASE '$dir'").isEmpty)
     assert(spark.table("region").count() == nRegion)
+    // import is atomic on bad names (r6): an entry that is not a valid
+    // identifier fails the whole import BEFORE any view registration
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_imp").toString
+    spark.range(1).toDF("id").write.parquet(s"$dir2/good_tbl.parquet")
+    spark.range(1).toDF("id").write.parquet(s"$dir2/bad tbl.parquet")
+    val atomicErr = intercept[IllegalArgumentException] {
+      Engine.sql(spark, s"IMPORT DATABASE '$dir2'")
+    }
+    assert(atomicErr.getMessage.contains("bad tbl"))
+    assert(!spark.catalog.tableExists("good_tbl"))
   }
 
   test("subscript edge semantics match DuckDB (pinned by probe)") {
