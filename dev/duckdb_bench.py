@@ -8,7 +8,13 @@ noop-sink materialization. One warmup pass, then min of 2 timed passes —
 the same protocol as graft.Bench, so the BASELINE.md ratios are symmetric
 (r5; previously a single timed pass, which slightly favored Spark).
 
-Usage: python3 dev/duckdb_bench.py <sfDir> <oracle_sql.json> [out.json]
+Usage: python3 dev/duckdb_bench.py <sfDir> <oracle_sql.json> [out.json] [skip.csv]
+
+skip.csv: comma-separated entry names to leave out (recorded as null).
+The r6 dedup-family oracles (p03/p04/p05) brute-force ALL doc pairs —
+feasible at the correctness sf (sf0.01: 500 docs), O(n^2)-impossible at
+bench scale (sf>=1: 500k docs), so the sf1 baseline skips them; the
+Spark side runs its LSH entries at every sf.
 """
 import sys, os, json, time
 import duckdb
@@ -16,7 +22,8 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sfdir, oracle_path, out_path=None):
+def main(sfdir, oracle_path, out_path=None, skip_csv=""):
+    skip = set(s for s in skip_csv.split(",") if s)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -28,6 +35,10 @@ def main(sfdir, oracle_path, out_path=None):
     oracle = {k: v.replace("/root/testdata/sf0.01", sfdir) for k, v in oracle.items()}
     results = {}
     for name in sorted(oracle):
+        if name in skip:
+            results[name] = None
+            print(f"SKIP {name}", file=sys.stderr)
+            continue
         try:
             con.execute(oracle[name]).fetchall()  # warmup
             times = []
