@@ -513,6 +513,42 @@ object DeclaredQueries {
       ("CREATE OR REPLACE MACRO graft_tax(p, rate := 0.07) AS p * (1 + rate); " +
         "CREATE OR REPLACE MACRO graft_topq(q := 49) AS TABLE SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > q; " +
         "SELECT l_orderkey, CAST(round(graft_tax(l_quantity, rate := 0.5)) AS BIGINT) AS taxed FROM graft_topq() ORDER BY l_orderkey, taxed LIMIT 100"),
+    "q137_list_comprehension" ->
+      // r6: DuckDB list comprehensions ([expr FOR v IN l IF cond] →
+      // transform/filter) and list_reduce (first-element seed → Spark
+      // reduce with try_element_at init). Both sides fold bigints so the
+      // result type is engine-stable; the comprehension output is
+      // serialized per the §2.12 array rule (never empty here: split of a
+      // priority string always yields a non-empty piece).
+      "SELECT o_orderkey, array_to_string([upper(p) FOR p IN string_split(o_orderpriority, '-') IF p <> ''], '|') AS parts, CAST(list_reduce([CAST(o_orderkey AS BIGINT), 7, 11], (a, b) -> a * 2 + b) AS BIGINT) AS folded FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q138_map_functions" ->
+      // r6: MAP literal + map_keys/map_values/cardinality (same names both
+      // engines; both preserve literal insertion order — probe-verified).
+      // Keys/values serialized (the driver comparator cannot hash
+      // ARRAY/MAP columns); cardinality CAST pins UBIGINT-vs-INT widths.
+      // Map SUBSCRIPT is deliberately not declared: DuckDB 1.0 m['k']
+      // returns a one-element LIST where Spark returns the bare value
+      // (the documented subscript divergence).
+      "SELECT o_orderkey, array_to_string(map_keys(MAP {'pri': o_orderpriority, 'stat': o_orderstatus}), ',') AS ks, array_to_string(map_values(MAP {'pri': o_orderpriority, 'stat': o_orderstatus}), ',') AS vs, CAST(cardinality(MAP {'pri': o_orderpriority, 'stat': o_orderstatus}) AS BIGINT) AS n FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q139_regexp_extract_all" ->
+      // r6: regexp_extract_all with the 2-arg default-group divergence
+      // pinned (DuckDB group 0, Spark group 1 → translator appends the
+      // explicit 0). TRY_CAST columns ride along (q77's surface) to pin
+      // the never-parses and always-parses edges on the same rows.
+      "SELECT o_orderkey, TRY_CAST(o_orderpriority AS INTEGER) AS bad, TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS num, array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+'), '|') AS caps FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q140_positional_join" ->
+      // r6: POSITIONAL JOIN over ordered subqueries — the deterministic
+      // form (distributed scans have no reproducible row order; unordered
+      // sides throw). Translated to row_number-in-subquery + FULL OUTER
+      // equi-join on position; right side shorter → NULL-padded exactly
+      // like DuckDB's pairing. Explicit projection (SELECT * would also
+      // surface the synthetic position columns — documented divergence).
+      "SELECT a.ck, b.sk FROM (SELECT c_custkey AS ck FROM customer ORDER BY c_custkey LIMIT 30) a POSITIONAL JOIN (SELECT s_suppkey AS sk FROM supplier ORDER BY s_suppkey DESC LIMIT 20) b ORDER BY a.ck",
+    "q141_columns_lambda" ->
+      // r6: COLUMNS(c -> c LIKE 'pat') star-expansion — the lambda twin of
+      // the COLUMNS('regex') form, evaluated against the FROM table's
+      // schema with SQL LIKE semantics (anchored full match).
+      "SELECT COLUMNS(c -> c LIKE 'n_n%') FROM nation ORDER BY n_nationkey LIMIT 25",
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over

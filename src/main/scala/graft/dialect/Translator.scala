@@ -47,6 +47,7 @@ object Translator {
     toks = rewriteAttach(toks)
     toks = rewriteMisc(toks)
     toks = rewriteFromFirst(toks)
+    toks = rewritePositionalJoin(toks)
     toks = rewriteColumnsExpand(toks, schemaOf)
     toks = rewriteStarReplace(toks)
     toks = rewriteSemiAnti(toks)
@@ -56,6 +57,7 @@ object Translator {
     toks = rewriteTrailingComma(toks)
     toks = rewriteTableFunctions(toks, views)
     toks = rewriteBareFileTables(toks)
+    toks = rewriteListComprehensions(toks)
     toks = rewriteArrayLiterals(toks)
     toks = rewriteStructMapLiterals(toks)
     toks = rewriteSubscripts(toks)
@@ -217,19 +219,103 @@ object Translator {
 
   /** `[a, b, c]` literal → `array(a, b, c)`. A `[` is a literal (not a
     * subscript) when the previous non-ws token cannot end an expression. */
+  /** Is the `[` at `i` a subscript bracket (vs a list-literal /
+    * comprehension position)? Shared by the array-literal and the
+    * list-comprehension rewrites so the two classify identically. */
+  private def isSubscriptOpen(toks: Vector[Tok], i: Int): Boolean = {
+    val p = prevNonWs(toks, i)
+    p >= 0 && (toks(p) match {
+      case _: Ident => up(toks(p)) == "" || !keywordLike(up(toks(p)))
+      case Punct(")") | Punct("]") => true
+      case _: Str | _: Num => true
+      case _ => false
+    })
+  }
+
+  /** Index of the matching `]` for the `[` at `open` (paren-blind: only
+    * bracket nesting counts, mirroring how the lexer emits them). */
+  private def matchBracket(toks: Vector[Tok], open: Int): Int = {
+    var d = 0; var i = open
+    while (i < toks.length) {
+      toks(i) match {
+        case Punct("[") => d += 1
+        case Punct("]") => d -= 1; if (d == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    toks.length - 1
+  }
+
+  /** DuckDB list comprehensions (probe-verified against the 1.0 oracle):
+    * `[expr FOR v IN list]` → `transform(list, v -> expr)` and
+    * `[expr FOR v IN list IF cond]` →
+    * `transform(filter(list, v -> cond), v -> expr)` — both Spark
+    * higher-order builtins, so the result stays inside codegen'd
+    * expression evaluation. Runs before the array-literal/subscript
+    * rewrites (a comprehension's `[` sits in list-literal position);
+    * nested comprehensions converge through the restart loop. An `IF`
+    * immediately followed by `(` is treated as the conditional function,
+    * not a comprehension filter — parenthesize differently if both are
+    * wanted (same ambiguity exists in DuckDB's grammar). */
+  private[dialect] def rewriteListComprehensions(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case Punct("[") if !isSubscriptOpen(toks, i) =>
+            val close = matchBracket(toks, i)
+            val inner = toks.slice(i + 1, close)
+            var d = 0; var forIdx = -1; var inIdx = -1; var ifIdx = -1
+            for ((t, j) <- inner.zipWithIndex) {
+              t match {
+                case Punct("(") | Punct("[") => d += 1
+                case Punct(")") | Punct("]") => d -= 1
+                case id: Ident if d == 0 && id.upper == "FOR" && forIdx < 0 =>
+                  forIdx = j
+                case id: Ident if d == 0 && id.upper == "IN" &&
+                    forIdx >= 0 && inIdx < 0 =>
+                  inIdx = j
+                case id: Ident if d == 0 && id.upper == "IF" && inIdx >= 0 &&
+                    ifIdx < 0 && {
+                      var n = j + 1
+                      while (n < inner.length && isWs(inner(n))) n += 1
+                      !(n < inner.length && inner(n) == Punct("("))
+                    } =>
+                  ifIdx = j
+                case _ =>
+              }
+            }
+            if (forIdx > 0 && inIdx > forIdx) {
+              val expr = render(inner.slice(0, forIdx)).trim
+              val v = render(inner.slice(forIdx + 1, inIdx)).trim
+              val listEnd = if (ifIdx > inIdx) ifIdx else inner.length
+              val list = render(inner.slice(inIdx + 1, listEnd)).trim
+              val repl =
+                if (ifIdx > inIdx) {
+                  val cond = render(inner.slice(ifIdx + 1, inner.length)).trim
+                  s"transform(filter($list, $v -> $cond), $v -> $expr)"
+                } else s"transform($list, $v -> $expr)"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
   private[dialect] def rewriteArrayLiterals(toks: Vector[Tok]): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
     val stack = ArrayBuffer[Boolean]() // true = this bracket became array(
     for ((t, i) <- toks.zipWithIndex) t match {
       case Punct("[") =>
-        val p = prevNonWs(toks, i)
-        val isSubscript = p >= 0 && (toks(p) match {
-          case _: Ident => up(toks(p)) == "" || !keywordLike(up(toks(p)))
-          case Punct(")") | Punct("]") => true
-          case _: Str | _: Num => true
-          case _ => false
-        })
-        if (isSubscript) { out += t; stack += false }
+        if (isSubscriptOpen(toks, i)) { out += t; stack += false }
         else { out += Ident("array"); out += Punct("("); stack += true }
       case Punct("]") =>
         if (stack.nonEmpty && stack.remove(stack.length - 1)) out += Punct(")") else out += t
@@ -657,7 +743,45 @@ object Translator {
         if (open < toks.length && toks(open) == Punct("(")) {
           val close = matchParen(toks, open)
           val innerToks = toks.slice(open + 1, close).filterNot(isWs)
-          if (innerToks.length == 1 && innerToks(0).isInstanceOf[Str]) {
+          // lambda form (DuckDB 1.0, probe-verified):
+          // COLUMNS(c -> c [NOT] LIKE 'pat') — the predicate is evaluated
+          // against the FROM table's schema with SQL LIKE semantics
+          // (% any-run, _ any-one, anchored full match, case-sensitive)
+          val likeRe: Option[(Boolean, String)] = innerToks match {
+            case Vector(v1: Ident, Punct("->"), v2: Ident, l: Ident, s: Str)
+                if v1.text == v2.text && l.upper == "LIKE" =>
+              Some((false, s.value))
+            case Vector(v1: Ident, Punct("->"), v2: Ident, n: Ident, l: Ident, s: Str)
+                if v1.text == v2.text && n.upper == "NOT" && l.upper == "LIKE" =>
+              Some((true, s.value))
+            case _ => None
+          }
+          if (likeRe.isDefined) {
+            val (neg, pat) = likeRe.get
+            val rx = java.util.regex.Pattern.compile(
+              pat.flatMap {
+                case '%' => ".*"
+                case '_' => "."
+                case c => java.util.regex.Pattern.quote(c.toString)
+              })
+            var j = close + 1; var depth = 0; var table: Option[String] = None
+            while (j < toks.length && table.isEmpty && depth >= 0) {
+              depth += depthDelta(toks(j))
+              if (depth == 0 && up(toks(j)) == "FROM") {
+                val t = nextNonWs(toks, j)
+                if (t < toks.length) toks(t) match {
+                  case tid: Ident => table = Some(tid.text.replaceAll("[`\"]", ""))
+                  case _ => j = toks.length
+                }
+              }
+              j += 1
+            }
+            for (t <- table; cols <- schemaOf(t)) {
+              val hit = cols.filter(c => rx.matcher(c).matches() != neg)
+              if (hit.nonEmpty)
+                toks = toks.patch(i, lex(hit.mkString(", ")), close - i + 1)
+            }
+          } else if (innerToks.length == 1 && innerToks(0).isInstanceOf[Str]) {
             val re = innerToks(0).asInstanceOf[Str].value
             // the statement's FROM table: first plain ident after FROM at
             // paren-depth 0 relative to the COLUMNS call
@@ -981,6 +1105,30 @@ object Translator {
             if (args.length == 2) {
               val (e, l) = (render(args(0)).trim, render(args(1)).trim)
               toks = toks.patch(i, lex(s"array_prepend(($l), ($e))"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "REGEXP_EXTRACT_ALL" && callOpen >= 0 && {
+            val close = matchParen(toks, callOpen)
+            splitTopLevel(toks.slice(callOpen + 1, close)).length == 2
+          } =>
+            // same name, different 2-arg default: DuckDB extracts group 0
+            // (the whole match), Spark group 1 — pin the 0 explicitly
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+            toks = toks.patch(i, lex(s"regexp_extract_all($a, $b, 0)"), close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "LIST_REDUCE" && callOpen >= 0 =>
+            // DuckDB folds left with the FIRST element as the seed (an
+            // empty list errors there; NULL seed here — documented
+            // divergence, declared queries keep lists non-empty)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (l, lam) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i,
+                lex(s"reduce(slice(($l), 2, size($l) - 1), try_element_at(($l), 1), $lam)"),
+                close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "LIST_UNIQUE" && callOpen >= 0 =>
@@ -1654,6 +1802,136 @@ object Translator {
       }
     }
     toks
+  }
+
+  /** DuckDB `POSITIONAL JOIN` — pair row N with row N, shorter side
+    * NULL-padded (probe-verified against the 1.0 oracle). A distributed
+    * scan has no reproducible row order, so the supported form is the
+    * deterministic one: both sides parenthesized subqueries carrying a
+    * top-level ORDER BY. Each side is wrapped with
+    * `row_number() OVER (ORDER BY …)` and the pairing becomes a FULL
+    * OUTER equi-join on that position — the only shuffle-safe reading.
+    * A side without an ORDER BY (or a bare table) throws: silently
+    * nondeterministic pairs would be worse than an error. Scale note:
+    * the unpartitioned row_number window is a single-task total-order
+    * pass by construction (positional pairing IS a total order); at
+    * 100 TB express the pairing as an explicit key join instead.
+    * Divergence: `SELECT *` over the join also surfaces the synthetic
+    * position columns — declared queries project explicitly. */
+  private[dialect] def rewritePositionalJoin(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        if (up(toks(i)) == "POSITIONAL" && {
+              val n = nextNonWs(toks, i); n < toks.length && up(toks(n)) == "JOIN"
+            }) {
+          val jn = nextNonWs(toks, i)
+          def fail(why: String): Nothing = throw new UnsupportedOperationException(
+            s"POSITIONAL JOIN: $why — supported form is " +
+              "(subquery with ORDER BY) [alias] POSITIONAL JOIN (subquery with ORDER BY) [alias] " +
+              "(a distributed scan has no reproducible row order)")
+          // right side: ( subquery ) [AS] alias?
+          val rOpen = nextNonWs(toks, jn)
+          if (rOpen >= toks.length || toks(rOpen) != Punct("(")) fail("right side is not a parenthesized subquery")
+          val rClose = matchParen(toks, rOpen)
+          var rEnd = rClose
+          var rAlias: Option[String] = None
+          locally {
+            val n = nextNonWs(toks, rClose)
+            if (n < toks.length && up(toks(n)) == "AS") {
+              val a = nextNonWs(toks, n)
+              if (a < toks.length && toks(a).isInstanceOf[Ident]) { rAlias = Some(toks(a).text); rEnd = a }
+            } else if (n < toks.length && toks(n).isInstanceOf[Ident] &&
+                !(clauseStarters ++ Set("ON", "JOIN", "INNER", "LEFT", "RIGHT",
+                  "FULL", "CROSS", "USING", "NATURAL", "POSITIONAL")).contains(up(toks(n)))) {
+              rAlias = Some(toks(n).text); rEnd = n
+            }
+          }
+          // left side: ( subquery ) [AS] alias?  scanning backward
+          var p = prevNonWs(toks, i)
+          var lAlias: Option[String] = None
+          if (p >= 0 && toks(p).isInstanceOf[Ident]) {
+            lAlias = Some(toks(p).text)
+            val p2 = prevNonWs(toks, p)
+            p = if (p2 >= 0 && up(toks(p2)) == "AS") prevNonWs(toks, p2) else p2
+          }
+          if (p < 0 || toks(p) != Punct(")")) fail("left side is not a parenthesized subquery")
+          val lClose = p
+          var lOpen = -1
+          locally {
+            var d = 0; var j = lClose
+            while (j >= 0 && lOpen < 0) {
+              toks(j) match {
+                case Punct(")") => d += 1
+                case Punct("(") => d -= 1; if (d == 0) lOpen = j
+                case _ =>
+              }
+              j -= 1
+            }
+          }
+          if (lOpen < 0) fail("left side is not a parenthesized subquery")
+          val sqL = toks.slice(lOpen + 1, lClose)
+          val sqR = toks.slice(rOpen + 1, rClose)
+          // inject the position column INTO the subquery's select list —
+          // its ORDER BY names base-scope columns (e.g. `ORDER BY
+          // c_custkey` under `SELECT c_custkey AS ck`), so a wrapper
+          // around the subquery could not evaluate them
+          def inject(sq: Vector[Tok], posName: String, side: String): String = {
+            val ord = topOrderByExprs(sq).getOrElse(fail(s"$side subquery has no top-level ORDER BY"))
+            val selIdx = nextNonWs(sq, -1)
+            if (selIdx >= sq.length || up(sq(selIdx)) != "SELECT") fail(s"$side side is not a plain SELECT subquery")
+            if ({ val n = nextNonWs(sq, selIdx); n < sq.length && up(sq(n)) == "DISTINCT" })
+              fail(s"$side side uses DISTINCT (a position column would defeat it)")
+            var d = 0; var fromIdx = -1; var j = selIdx
+            while (j < sq.length && fromIdx < 0) {
+              d += depthDelta(sq(j))
+              if (d == 0 && up(sq(j)) == "FROM") fromIdx = j
+              j += 1
+            }
+            if (fromIdx < 0) fail(s"$side side has no FROM clause")
+            render(sq.slice(0, fromIdx)).trim +
+              s", row_number() OVER (ORDER BY $ord) AS $posName " +
+              render(sq.slice(fromIdx, sq.length)).trim
+          }
+          val la = lAlias.getOrElse("__g_pl")
+          val ra = rAlias.getOrElse("__g_pr")
+          val repl =
+            s"(${inject(sqL, "__g_pos", "left")}) $la " +
+              s"FULL JOIN (${inject(sqR, "__g_pos2", "right")}) $ra " +
+              s"ON $la.__g_pos = $ra.__g_pos2"
+          toks = toks.patch(lOpen, lex(repl), rEnd - lOpen + 1)
+          changed = true
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** The rendered expression list of a top-level ORDER BY inside a
+    * subquery's tokens (up to a top-level LIMIT/OFFSET or the end);
+    * None when the subquery has no top-level ORDER BY. */
+  private def topOrderByExprs(sq: Vector[Tok]): Option[String] = {
+    var d = 0; var ord = -1
+    for ((t, j) <- sq.zipWithIndex) {
+      d += depthDelta(t)
+      if (d == 0 && up(t) == "ORDER" && {
+            val n = nextNonWs(sq, j); n < sq.length && up(sq(n)) == "BY"
+          }) ord = j
+    }
+    if (ord < 0) return None
+    val by = nextNonWs(sq, ord)
+    var end = sq.length
+    var d2 = 0
+    for ((t, j) <- sq.zipWithIndex) {
+      d2 += depthDelta(t)
+      if (j > by && d2 == 0 && (up(t) == "LIMIT" || up(t) == "OFFSET") && j < end)
+        end = math.min(end, j)
+    }
+    Some(render(sq.slice(by + 1, end)).trim)
   }
 
   /** One FROM-first branch (first non-ws token is FROM) → standard order:

@@ -516,4 +516,61 @@ class TranslatorSpec extends AnyFunSuite {
     assert(Translator.translate("SELECT COLUMNS('a') FROM unknown", lookup).sql
       == "SELECT COLUMNS('a') FROM unknown")
   }
+
+  test("COLUMNS(lambda) LIKE filter expands with anchored LIKE semantics") {
+    val lookup: String => Option[Seq[String]] =
+      { case "t" => Some(Seq("l_orderkey", "l_quantity", "other")); case _ => None }
+    assert(Translator.translate("SELECT COLUMNS(c -> c LIKE 'l_%') FROM t", lookup).sql
+      == "SELECT l_orderkey, l_quantity FROM t")
+    // NOT LIKE inverts; LIKE is a full anchored match ('l_' alone matches
+    // nothing here even though every l-column merely CONTAINS it)
+    assert(Translator.translate("SELECT COLUMNS(c -> c NOT LIKE 'l%') FROM t", lookup).sql
+      == "SELECT other FROM t")
+    assert(Translator.translate("SELECT COLUMNS(c -> c LIKE 'l_') FROM t", lookup).sql
+      == "SELECT COLUMNS(c -> c LIKE 'l_') FROM t")
+  }
+
+  test("list comprehensions become transform/filter") {
+    assert(t("SELECT [x * 2 FOR x IN xs] AS r FROM t")
+      == "SELECT transform(xs, x -> x * 2) AS r FROM t")
+    assert(t("SELECT [upper(s) FOR s IN split(v, '-') IF s <> ''] FROM t")
+      == "SELECT transform(filter(split(v, '-'), s -> s <> ''), s -> upper(s)) FROM t")
+    // literal source list still becomes array(...); subscripts untouched
+    assert(t("SELECT [x + 1 FOR x IN [1, 2]] FROM t")
+      == "SELECT transform(array(1, 2), x -> x + 1) FROM t")
+    assert(t("SELECT xs[2] FROM t") == "SELECT try_element_at(xs, 2) FROM t")
+    // IF followed by ( is the conditional function, not a filter
+    assert(t("SELECT [IF(x > 0, x, 0) FOR x IN xs] FROM t")
+      == "SELECT transform(xs, x -> IF(x > 0, x, 0)) FROM t")
+  }
+
+  test("list_reduce seeds with the first element; regexp_extract_all pins group 0") {
+    assert(t("SELECT list_reduce(xs, (a, b) -> a + b) FROM t")
+      == "SELECT reduce(slice((xs), 2, size(xs) - 1), try_element_at((xs), 1), (a, b) -> a + b) FROM t")
+    assert(t("SELECT regexp_extract_all(s, '[0-9]+') FROM t")
+      == "SELECT regexp_extract_all(s, '[0-9]+', 0) FROM t")
+    // explicit group untouched
+    assert(t("SELECT regexp_extract_all(s, '(a)(b)', 2) FROM t")
+      == "SELECT regexp_extract_all(s, '(a)(b)', 2) FROM t")
+  }
+
+  test("POSITIONAL JOIN: ordered subqueries become a position equi-join") {
+    val out = t("SELECT a.x, b.y FROM (SELECT c AS x FROM t1 ORDER BY c) a " +
+      "POSITIONAL JOIN (SELECT d AS y FROM t2 ORDER BY d DESC) b")
+    // NULLS LAST comes from the downstream null-order injection (DuckDB's
+    // ASC/DESC default), applied inside the window too — as it must be
+    assert(out.contains("row_number() OVER (ORDER BY c NULLS LAST) AS __g_pos"))
+    assert(out.contains("row_number() OVER (ORDER BY d DESC NULLS LAST) AS __g_pos2"))
+    assert(out.contains("FULL JOIN"))
+    assert(out.contains("ON a.__g_pos = b.__g_pos2"))
+    // unordered side: loud error, not silent nondeterministic pairing
+    val e = intercept[UnsupportedOperationException] {
+      t("SELECT * FROM (SELECT c FROM t1) a POSITIONAL JOIN (SELECT d FROM t2 ORDER BY d) b")
+    }
+    assert(e.getMessage.contains("ORDER BY"))
+    val e2 = intercept[UnsupportedOperationException] {
+      t("SELECT * FROM t1 a POSITIONAL JOIN (SELECT d FROM t2 ORDER BY d) b")
+    }
+    assert(e2.getMessage.contains("parenthesized"))
+  }
 }
