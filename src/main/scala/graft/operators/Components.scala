@@ -96,4 +96,31 @@ object Components {
       .select($"doc_id", $"component",
         ($"doc_id" === $"component").as("is_kept"))
   }
+
+  /** Cluster-representative selection by QUALITY instead of min-id: one
+    * row per near-dup cluster — the member with the highest stopword-ratio
+    * score, ties broken by lowest doc_id. [[dedupClusters]]'s min-id keep
+    * is arbitrary; real curation keeps the best-written copy of each
+    * near-dup group. Cost beyond the component labels: one codegen score
+    * scan plus one component-keyed window — no extra corpus shuffle (the
+    * window key is the component id the labels already carry). */
+  def dedupClustersBestQuality(spark: SparkSession, docs: DataFrame,
+      minJacBp: Long = 5000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val labels = dedupClusters(spark, docs, minJacBp)
+      .select(col("doc_id"), col("component"))
+    val scored = docs.select(col("doc_id"),
+        TextAnalysis.tokenSetHits(col("text"),
+          Seq(TextAnalysis.defaultStopwords)).as("__h"))
+      .select(col("doc_id"),
+        expr("CAST(round(10000.0 * element_at(__h, 2) / element_at(__h, 1)) AS BIGINT)")
+          .as("score"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("score").desc, col("doc_id"))
+    labels.join(scored, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("doc_id", "component", "score")
+  }
 }

@@ -28,6 +28,23 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(idCol).as("keep_id"), count("*").as("dups"))
 
+  /** Incremental (cross-corpus) exact dedup: keep the rows of `newDocs`
+    * whose content hash does not appear anywhere in `oldDocs` — the
+    * batch-refresh shape (dedup tonight's crawl against the corpus already
+    * trained on), where re-deduplicating the full union would rescan
+    * 100 TB for a 100 GB increment. The old side collapses to DISTINCT
+    * 16-byte hashes before the left-anti join (ids and text dropped at the
+    * scan), so the shuffle moves hashes, not documents, and AQE broadcasts
+    * the hash set whenever it fits. Within-batch duplicates are
+    * deliberately retained — that is [[exact]]'s job. */
+  def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val oldH = oldDocs.select(md5(col(textCol)).as("__h")).distinct()
+    newDocs.withColumn("__h", md5(col(textCol)))
+      .join(oldH, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Word shingles (n-grams of whitespace tokens) as strings. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = filter(split(lower(text), " "), t => t =!= "")

@@ -374,6 +374,42 @@ object PipelineQueries {
     // vs 7.8 s sort-last. Ordering survives the per-row projection.
     "p35_quantize_int8" -> q((s, _) =>
       Similarity.quantizeInt8Csv(s.table("embeddings").orderBy("vec_id"))),
+    // ---- incremental (cross-corpus) exact dedup (r6): dedup a new batch
+    // against the already-trained corpus without rescanning it — the old
+    // side collapses to distinct 16-byte hashes before a left-anti join.
+    // The fixture has no organic dups, so the entry constructs them: the
+    // new batch is docs 200+, the old corpus docs < 250 (a 50-doc
+    // overlap), and every new doc with doc_id % 10 = 3 additionally takes
+    // the text of doc_id - 200 — cross-id content matches only a
+    // content-hash anti join can drop. 70 of 300 dropped at sf0.01;
+    // never vacuous.
+    "p32_dedup_incremental" -> q((s, _) => {
+      val d = s.table("documents")
+      val donor = d.select(col("doc_id").as("__did"), col("text").as("__dtext"))
+      val newb = d.filter(col("doc_id") >= 200)
+        .join(donor, col("__did") === col("doc_id") - 200, "left")
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 10 === 3 && col("doc_id") >= 250, col("__dtext"))
+            .otherwise(col("text")).as("text"))
+      Dedup.incrementalDedup(newb, d.filter(col("doc_id") < 250))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    // ---- quality-aware cluster dedup (r6): p24 turns near-dup pairs into
+    // clusters and keeps the MIN id; real curation keeps the best-written
+    // member. One row per cluster: arg-max stopword-quality score, ties by
+    // doc_id. 11 of 476 representatives differ from the min-id choice at
+    // sf0.01 — the selection policy is really exercised, never vacuous.
+    "p37_cluster_best_dedup" -> q((s, _) =>
+      Components.dedupClustersBestQuality(s, s.table("documents"))
+        .orderBy("doc_id")),
+    // ---- token-budget mixture sampling (r6): cap each source at a TOKEN
+    // budget (700) in deterministic hash order — training-mixture weights
+    // are token weights, not doc counts (p33's equalized counts skew
+    // toward long-doc sources). start_tok is the doc's offset in the
+    // stratum's packed stream. Keeps 263/500 at sf0.01.
+    "p38_token_budget_sample" -> q((s, _) =>
+      Sampling.tokenBudgetSample(s.table("documents"), budgetTokens = 700)
+        .orderBy("doc_id")),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -606,6 +642,40 @@ object PipelineQueries {
         "tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ltoks) - 3), i -> array_to_string(list_slice(ltoks, i, i + 4), ' ')))) AS gram FROM kept WHERE len(ltoks) >= 5), " +
         "bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (gram)) " +
         "SELECT doc_id, ch AS h FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
+    // p32 (r6): incremental dedup — same dup-injection construction as the
+    // engine side (donor join), then a NOT IN against the old corpus's
+    // hash set.
+    "p32_dedup_incremental" ->
+      ("WITH newb AS (SELECT n.doc_id, n.source, " +
+        "CASE WHEN n.doc_id % 10 = 3 AND n.doc_id >= 250 THEN d.text ELSE n.text END AS text " +
+        "FROM documents n LEFT JOIN documents d ON d.doc_id = n.doc_id - 200 WHERE n.doc_id >= 200) " +
+        "SELECT doc_id, source FROM newb " +
+        "WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250) ORDER BY doc_id"),
+    // p37 (r6): p24's recursive-CTE component closure + p31's stopword
+    // score, arg-max per component.
+    "p37_cluster_best_dedup" ->
+      ("WITH RECURSIVE p AS (SELECT * FROM (" +
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(round(10000.0 * len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) " +
+        "/ len(list_distinct(string_split(a.text,' ') || string_split(b.text,' ')))) AS BIGINT) AS jac_bp " +
+        "FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND substr(a.text,1,40) = substr(b.text,1,40)" +
+        ") WHERE jac_bp >= 5000), " +
+        "e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p), " +
+        "reach(n, m) AS (SELECT u, v FROM e UNION SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u), " +
+        "comp AS (SELECT n, min(m) AS mn FROM reach GROUP BY n), " +
+        "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component FROM documents d LEFT JOIN comp c ON d.doc_id = c.n), " +
+        "sc AS (SELECT doc_id, CAST(round(10000.0 * len(list_filter(list_filter(string_split(text,' '), x -> x <> ''), t -> list_contains(['the','a','of','and','to','in','is'], t))) " +
+        "/ len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) AS score FROM documents), " +
+        "r AS (SELECT l.doc_id, l.component, s.score, " +
+        "row_number() OVER (PARTITION BY l.component ORDER BY s.score DESC, l.doc_id) AS rn " +
+        "FROM lab l JOIN sc s USING (doc_id)) " +
+        "SELECT doc_id, component, score FROM r WHERE rn = 1 ORDER BY doc_id"),
+    // p38 (r6): per-source token-budget admission in md5-hash order;
+    // kept iff the doc STARTS inside the budget.
+    "p38_token_budget_sample" ->
+      ("WITH t AS (SELECT doc_id, source, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum FROM t) " +
+        "SELECT doc_id, source, n_tokens, cum - n_tokens AS start_tok FROM c WHERE cum - n_tokens < 700 ORDER BY doc_id"),
     "p35_quantize_int8" ->
       ("WITH m AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx FROM embeddings) " +
         "SELECT vec_id, CAST(round(1000000.0 * 127 / mx) AS BIGINT) AS scale_micro, " +

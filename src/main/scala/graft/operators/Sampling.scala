@@ -56,4 +56,28 @@ object Sampling {
       .filter(col("__rk") <= col("__m"))
       .drop("__rk", "__m")
   }
+
+  /** Token-budget mixture sampling: cap each stratum (source) at a TOKEN
+    * budget rather than a document count — training-mixture weights are
+    * token weights ([[balanceSources]]'s equalized doc counts skew toward
+    * long-doc sources). Docs are admitted in (md5(id), id) hash order
+    * until the stratum's cumulative token count reaches the budget; a doc
+    * is kept iff it STARTS inside the budget, so the first doc of a
+    * stratum always survives and the subset is deterministic on any
+    * engine or cluster size. One source-keyed window — never a global
+    * sort; `start_tok` doubles as the doc's offset in the stratum's
+    * packed token stream. */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
+      idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = Window.partitionBy(srcCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(srcCol),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum("n_tokens").over(w))
+      .filter(col("__cum") - col("n_tokens") < budgetTokens)
+      .withColumn("start_tok", (col("__cum") - col("n_tokens")).cast("long"))
+      .drop("__cum")
+  }
 }

@@ -355,6 +355,63 @@ class OperatorsSpec extends SparkTestBase {
     assert(deduped.count() == distinctTexts)
   }
 
+  test("incremental dedup drops cross-id content matches vs the old corpus, keeps within-batch dups") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta"),   // same text as old doc 1 (different id) -> dropped
+      (11L, "epsilon zeta"), // new content -> kept
+      (12L, "epsilon zeta")  // within-batch dup -> BOTH kept (not this op's job)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(fresh, old).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(11L, 12L))
+  }
+
+  test("token-budget sample: first doc per stratum survives, every kept doc starts inside the budget") {
+    Engine.registerTables(spark, sfDir)
+    val docs = spark.table("documents")
+    val kept = Sampling.tokenBudgetSample(docs, budgetTokens = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty && kept.forall(_._4 < 100),
+      "a kept doc starts at or beyond the budget")
+    // the hash-first doc of every source present in the corpus is kept
+    // (start_tok 0), and offsets within a source are cumulative
+    val bySrc = kept.groupBy(_._2)
+    val sources = docs.select("source").distinct().count()
+    assert(bySrc.size == sources.toInt, "a stratum lost its first doc")
+    bySrc.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3, "offsets not contiguous")
+        case _ =>
+      }
+    }
+  }
+
+  test("quality-aware cluster dedup keeps the arg-max-score member of every cluster") {
+    Engine.registerTables(spark, sfDir)
+    val docs = spark.table("documents")
+    val labels = Components.dedupClusters(spark, docs)
+      .select("doc_id", "component")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scores = TextAnalysis.qualityScored(docs)
+      .select("doc_id", "stop_bp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val reps = Components.dedupClustersBestQuality(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one rep per component, and it is the (score DESC, doc_id) argmax
+    val comps = labels.values.toSet
+    assert(reps.map(_._2).toSet == comps && reps.length == comps.size)
+    reps.foreach { case (id, comp, score) =>
+      val members = labels.collect { case (d, c) if c == comp => d }
+      val best = members.minBy(d => (-scores(d), d))
+      assert(id == best && score == scores(id),
+        s"component $comp kept $id, expected $best")
+    }
+  }
+
   test("ANN recall is high on clustered vectors") {
     import spark.implicits._
     // 20 clusters of 25 near-identical vectors: ANN must find same-cluster
