@@ -122,7 +122,17 @@ object PlanAudit {
     Check("p27_doc_repetition", wantAll = Seq("dup_gram_stats"),
       wantNone = Seq("array_distinct", "transform(")),
     Check("p26_pii_scrub", wantAll = Seq("pii_scrub"),
-      wantNone = Seq("regexp_replace", "regexp_extract_all")))
+      wantNone = Seq("regexp_replace", "regexp_extract_all")),
+    // ---- round-6 ops ----
+    // incremental dedup: the old-corpus hash set anti-joins as an
+    // equi-join (hash or broadcast — AQE's call at runtime), NEVER a
+    // nested-loop/cartesian; LeftAnti must be present
+    Check("p32_dedup_incremental", wantAll = Seq("LeftAnti"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // token-budget sampling: one source-keyed window over a token_set_hits
+    // scan — no join, no aggregate, no global sort before the final one
+    Check("p38_token_budget_sample", wantAll = Seq("token_set_hits", "Window"),
+      wantNone = Seq("Join", "HashAggregate")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
