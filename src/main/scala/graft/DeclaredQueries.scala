@@ -549,6 +549,14 @@ object DeclaredQueries {
       // the COLUMNS('regex') form, evaluated against the FROM table's
       // schema with SQL LIKE semantics (anchored full match).
       "SELECT COLUMNS(c -> c LIKE 'n_n%') FROM nation ORDER BY n_nationkey LIMIT 25",
+    "q142_array_agg_ordered" ->
+      // r6: ordered array_agg/list — Spark's collect_list has no ordered
+      // form (and accumulates nondeterministically), so the translator
+      // sorts after collecting with the key inside a struct. Sort keys are
+      // unique (o_orderkey) because BOTH engines leave equal-key order
+      // unspecified under parallel aggregation. Arrays serialized per the
+      // §2.12 rule (groups are never empty here).
+      "SELECT o_orderstatus, array_to_string(array_agg(o_orderpriority ORDER BY o_orderkey DESC), '|') AS pris_desc, array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS keys_asc FROM orders WHERE o_orderkey <= 200 GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over

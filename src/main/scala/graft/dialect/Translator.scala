@@ -64,6 +64,7 @@ object Translator {
     toks = rewriteOpsSugar(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
+    toks = rewriteOrderedArrayAgg(toks)
     toks = rewriteStrftime(toks)
     toks = rewriteDateFns(toks)
     toks = rewriteRegexpReplaceFlag(toks)
@@ -863,6 +864,65 @@ object Translator {
               toks = toks.patch(i, rebuilt, close - i + 1)
             } else if (id.upper != "LISTAGG") {
               toks = toks.patch(i, Seq(Ident("listagg")), 1)
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** `array_agg(x ORDER BY k [ASC|DESC])` / `list(x ORDER BY k [ASC|DESC])`
+    * → sort-after-collect: the sort key rides inside a struct, the group's
+    * array is sorted once after aggregation, then the key is dropped —
+    * `transform(array_sort(collect_list(named_struct('k', k, 'v', x))),
+    * s -> s.v)`, wrapped in `reverse(...)` for DESC. Spark's collect_list
+    * has no ordered form and its accumulation order is nondeterministic
+    * under parallel aggregation, so an unsorted rename would be silently
+    * flaky. Ties: DuckDB leaves equal-key order unspecified (parallel
+    * accumulation there too), so declared queries use a unique sort key;
+    * DESC reverses the full (k, x) order. Calls with multiple sort keys
+    * or NULLS FIRST/LAST are left untouched (Spark then rejects them
+    * loudly rather than silently reordering). */
+  private[dialect] def rewriteOrderedArrayAgg(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case id: Ident if id.upper == "ARRAY_AGG" || id.upper == "LIST" =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            var d = 0; var ob = -1
+            for (j <- open to close) {
+              d += depthDelta(toks(j))
+              if (d == 1 && ob < 0 && up(toks(j)) == "ORDER") ob = j
+            }
+            if (ob > 0) {
+              val by = nextNonWs(toks, ob)
+              val ordToks = toks.slice(nextNonWs(toks, by) max (by + 1), close)
+              val ordParts = splitTopLevel(ordToks)
+              val valueExpr = render(toks.slice(open + 1, ob)).trim
+                .stripSuffix(",").trim
+              if (up(toks(by)) == "BY" && ordParts.length == 1 &&
+                  valueExpr.nonEmpty) {
+                val ord = render(ordParts(0)).trim
+                val (key, desc) =
+                  if (ord.toUpperCase.endsWith(" DESC"))
+                    (ord.dropRight(5).trim, true)
+                  else if (ord.toUpperCase.endsWith(" ASC"))
+                    (ord.dropRight(4).trim, false)
+                  else (ord, false)
+                if (!key.toUpperCase.contains("NULLS")) {
+                  val sorted =
+                    s"array_sort(collect_list(named_struct('k', ($key), 'v', ($valueExpr))))"
+                  val body = if (desc) s"reverse($sorted)" else sorted
+                  toks = toks.patch(i,
+                    lex(s"transform($body, __g_s -> __g_s.v)"),
+                    close - i + 1)
+                }
+              }
             }
           }
         case _ =>

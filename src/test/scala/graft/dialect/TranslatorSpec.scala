@@ -554,6 +554,19 @@ class TranslatorSpec extends AnyFunSuite {
       == "SELECT regexp_extract_all(s, '(a)(b)', 2) FROM t")
   }
 
+  test("ordered array_agg/list sorts after collecting, key in a struct") {
+    assert(t("SELECT array_agg(x ORDER BY k) FROM t GROUP BY g")
+      == "SELECT transform(array_sort(collect_list(named_struct('k', (k), 'v', (x)))), __g_s -> __g_s.v) FROM t GROUP BY g")
+    assert(t("SELECT list(x ORDER BY k DESC) FROM t GROUP BY g")
+      == "SELECT transform(reverse(array_sort(collect_list(named_struct('k', (k), 'v', (x))))), __g_s -> __g_s.v) FROM t GROUP BY g")
+    // unordered forms keep the plain rename; multi-key / NULLS forms are
+    // left untouched for Spark to reject loudly
+    assert(t("SELECT array_agg(x) FROM t GROUP BY g")
+      == "SELECT collect_list(x) FROM t GROUP BY g")
+    assert(t("SELECT array_agg(x ORDER BY a, b) FROM t GROUP BY g")
+      .contains("ORDER BY"))
+  }
+
   test("POSITIONAL JOIN: ordered subqueries become a position equi-join") {
     val out = t("SELECT a.x, b.y FROM (SELECT c AS x FROM t1 ORDER BY c) a " +
       "POSITIONAL JOIN (SELECT d AS y FROM t2 ORDER BY d DESC) b")
