@@ -557,6 +557,11 @@ object DeclaredQueries {
       // unspecified under parallel aggregation. Arrays serialized per the
       // §2.12 rule (groups are never empty here).
       "SELECT o_orderstatus, array_to_string(array_agg(o_orderpriority ORDER BY o_orderkey DESC), '|') AS pris_desc, array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS keys_asc FROM orders WHERE o_orderkey <= 200 GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q143_date_names" ->
+      // r6: dayname/monthname → date_format('EEEE'/'MMMM') (full English
+      // names both engines, probe-verified), unicode/ord → ascii (first
+      // codepoint in both).
+      "SELECT o_orderkey, dayname(o_orderdate) AS dn, monthname(o_orderdate) AS mn, unicode(o_orderpriority) AS cp, ord(o_orderstatus) AS sp FROM orders ORDER BY o_orderkey LIMIT 100",
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over

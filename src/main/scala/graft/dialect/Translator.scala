@@ -1023,6 +1023,11 @@ object Translator {
     "LIST" -> "collect_list",
     "UNNEST" -> "explode",
     "EDITDIST3" -> "levenshtein",
+    // both pad the shorter list with NULL to the longest (probe-verified)
+    "LIST_ZIP" -> "arrays_zip",
+    // codepoint of the first character in both engines
+    "UNICODE" -> "ascii",
+    "ORD" -> "ascii",
     // DuckDB to_hex and Spark hex both emit uppercase, no leading zeros
     "TO_HEX" -> "hex",
     // quantile family: quantile_cont interpolates like Spark's exact
@@ -1177,6 +1182,14 @@ object Translator {
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             val (a, b) = (render(args(0)).trim, render(args(1)).trim)
             toks = toks.patch(i, lex(s"regexp_extract_all($a, $b, 0)"), close - i + 1)
+            changed = true
+          case id: Ident if (id.upper == "DAYNAME" || id.upper == "MONTHNAME") && callOpen >= 0 =>
+            // full English names in both engines; Spark spells them via
+            // date_format patterns (EEEE / MMMM) — probe-verified equal
+            val close = matchParen(toks, callOpen)
+            val arg = render(toks.slice(callOpen + 1, close)).trim
+            val fmt = if (id.upper == "DAYNAME") "EEEE" else "MMMM"
+            toks = toks.patch(i, lex(s"date_format($arg, '$fmt')"), close - i + 1)
             changed = true
           case id: Ident if id.upper == "LIST_REDUCE" && callOpen >= 0 =>
             // DuckDB folds left with the FIRST element as the seed (an

@@ -567,6 +567,15 @@ class TranslatorSpec extends AnyFunSuite {
       .contains("ORDER BY"))
   }
 
+  test("dayname/monthname/unicode/ord/list_zip map to Spark equivalents") {
+    assert(t("SELECT dayname(d), monthname(d) FROM t")
+      == "SELECT date_format(d, 'EEEE'), date_format(d, 'MMMM') FROM t")
+    assert(t("SELECT unicode(s), ord(s) FROM t")
+      == "SELECT ascii(s), ascii(s) FROM t")
+    assert(t("SELECT list_zip(a, b) FROM t")
+      == "SELECT arrays_zip(a, b) FROM t")
+  }
+
   test("POSITIONAL JOIN: ordered subqueries become a position equi-join") {
     val out = t("SELECT a.x, b.y FROM (SELECT c AS x FROM t1 ORDER BY c) a " +
       "POSITIONAL JOIN (SELECT d AS y FROM t2 ORDER BY d DESC) b")
