@@ -29,6 +29,12 @@ object Engine {
       // truncation that cannot affect the declared queries, which never
       // project a ns timestamp).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fixture timestamps are naive (isAdjustedToUTC=false). Spark 4 would
+      // infer TIMESTAMP_NTZ, which half the timestamp surface (unix_millis,
+      // window ranges, …) rejects; DuckDB likewise treats them as plain
+      // TIMESTAMP. Read them as TimestampType under the UTC session — the
+      // exact semantics every declared query was oracle-validated with.
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       tableNames.foreach { t =>
         val path = s"$dir/$t.parquet"
         if (new java.io.File(path).exists()) {
