@@ -562,6 +562,72 @@ object DeclaredQueries {
       // names both engines, probe-verified), unicode/ord → ascii (first
       // codepoint in both).
       "SELECT o_orderkey, dayname(o_orderdate) AS dn, monthname(o_orderdate) AS mn, unicode(o_orderpriority) AS cp, ord(o_orderstatus) AS sp FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q144_tpch_q7_shape" ->
+      // r6: TPC-H Q7 shape — nation-pair volume shipping. Two broadcast
+      // copies of the nation dim with the symmetric OR pair predicate, one
+      // fact SMJ chain; revenue summed as exact integer cents (per-row
+      // double arithmetic is IEEE-identical in both engines, BIGINT sums
+      // are order-free).
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents " +
+        "FROM supplier, lineitem, orders, customer, nation n1, nation n2 " +
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey " +
+        "AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey " +
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+        "GROUP BY supp_nation, cust_nation, l_year ORDER BY supp_nation, cust_nation, l_year"),
+    "q145_tpch_q10_shape" ->
+      // r6: TPC-H Q10 shape — returned-item top customers. Date-window
+      // filter pushes to the orders scan; top-20 by exact cents revenue.
+      ("SELECT c_custkey, c_name, n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents " +
+        "FROM customer, orders, lineitem, nation " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01' " +
+        "AND l_returnflag = 'R' AND c_nationkey = n_nationkey " +
+        "GROUP BY c_custkey, c_name, n_name ORDER BY rev_cents DESC, c_custkey LIMIT 20"),
+    "q146_tpch_q12_shape" ->
+      // r6: TPC-H Q12 shape — CASE-bucketed counts over an orders⋈lineitem
+      // join with a date-arithmetic predicate (late shipment, adapted to
+      // this schema: shipped >60 days after the order date; no
+      // l_shipmode/l_receiptdate here).
+      ("SELECT l_linestatus, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt " +
+        "FROM orders, lineitem WHERE o_orderkey = l_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+        "GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "q147_tpch_q13_shape" ->
+      // r6: TPC-H Q13 shape — customer order-count distribution: LEFT JOIN
+      // with a non-join predicate in the ON clause (kept pre-join, NULL
+      // padding preserved), then a second aggregation over the first.
+      ("SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM " +
+        "(SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) t " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "q148_tpch_q14_shape" ->
+      // r6: TPC-H Q14 shape — promo revenue share in basis points. Both
+      // sums are exact integer cents; the single final double division +
+      // round of identical integers is deterministic across engines.
+      ("SELECT CAST(round(10000.0 * sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) " +
+        "/ sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))) AS BIGINT) AS promo_bp " +
+        "FROM lineitem, part WHERE l_partkey = p_partkey"),
+    "q149_tpch_q17_shape" ->
+      // r6: TPC-H Q17 shape — correlated scalar AVG subquery against the
+      // same fact (small-quantity parts), the scalar-decorrelation blind
+      // spot. The threshold compare is exact: lq_cents*5 < sum_cents/count
+      // ⟺ l_quantity < 0.2*avg, with both sides derived from exact BIGINTs
+      // and one IEEE division — no float-accumulation nondeterminism.
+      ("SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents, CAST(count(*) AS BIGINT) AS n " +
+        "FROM lineitem l, part p WHERE p_partkey = l_partkey AND p_brand = 'Brand#13' AND p_size <= 10 " +
+        "AND CAST(round(l_quantity * 100) AS BIGINT) * 5.0 < " +
+        "(SELECT CAST(sum(CAST(round(l2.l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"),
+    "q150_tpch_q22_shape" ->
+      // r6: TPC-H Q22 shape — anti join (no urgent order; every customer
+      // has SOME order in this fixture) against customers above the
+      // average positive balance from an uncorrelated scalar subquery.
+      // Threshold exact: sum-of-cents/count/100 in one double chain.
+      ("SELECT code, CAST(count(*) AS BIGINT) AS numcust, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents " +
+        "FROM (SELECT CAST(c_nationkey % 5 AS INTEGER) AS code, c_acctbal, c_custkey FROM customer " +
+        "WHERE c_acctbal > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 FROM customer c2 WHERE c2.c_acctbal > 0.0)) t " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = t.c_custkey AND o.o_orderpriority = '1-URGENT') " +
+        "GROUP BY code ORDER BY code"),
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over

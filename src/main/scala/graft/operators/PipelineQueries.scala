@@ -410,6 +410,52 @@ object PipelineQueries {
     "p38_token_budget_sample" -> q((s, _) =>
       Sampling.tokenBudgetSample(s.table("documents"), budgetTokens = 700)
         .orderBy("doc_id")),
+    // ---- semantic dedup clusters (r6): the embedding-space twin of p24 —
+    // near-dup PAIRS (p05's planted corpus + LSH + exact verify) closed
+    // into transitive clusters with the same large-star/small-star CC, one
+    // row per vector with its cluster label and keep flag. This is the op
+    // a real pipeline runs ("semantic dedup"): pairs alone over-count,
+    // clusters dedup. Scale shape: banded LSH candidate gen (never
+    // all-pairs) + O(log² n) keyed CC rounds.
+    "p39_semantic_clusters" -> q((s, dir) => {
+      val emb = s.table("embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) + lit(0.01) * ((i + 1) % 2))).cast("float"))
+          .as("embedding"))
+      val corpus = emb.unionByName(planted)
+      val n = 2 * s.table("embeddings").queryExecution.analyzed.stats.rowCount
+        .map(_.toLong)
+        .orElse(Engine.parquetRowCount(s"$dir/embeddings.parquet"))
+        .getOrElse(emb.count())
+      val p = math.max(4, math.min(Similarity.planesFor(math.max(1, n),
+        targetBucketSize = 32), 12))
+      val pairs = Dedup.embeddingPairs(corpus, minCosine = 0.99,
+        planesPerBand = p, bands = 5).select(col("d1"), col("d2"))
+      Components.connectedComponents(corpus.select(col("vec_id")), pairs)
+        .select(col("vec_id"), col("component"),
+          (col("vec_id") === col("component")).as("is_kept"))
+        .orderBy("vec_id")
+    }),
+    // ---- deterministic shard stats (r6): the training-shard writer step —
+    // md5-hash shard assignment independent of input partitioning, per-
+    // shard doc/token stats. The write path is repartition(n, shard) +
+    // write with the same key.
+    "p40_shard_stats" -> q((s, _) =>
+      Sampling.shardStats(s.table("documents"), nShards = 16)),
+    // ---- temperature mixture sampling (r6): per-domain quotas ∝ n^0.5
+    // (alpha-flattened mixture). source is uniform in the fixture, so the
+    // entry derives skewed domains first (head 25 / mid 100 / tail 375
+    // docs) — quotas 22/44/85 of 150: every domain is a PROPER subset, the
+    // flattening is really exercised (proportional would be 7/30/113).
+    "p41_temperature_mix" -> q((s, _) => {
+      val d = s.table("documents").withColumn("domain",
+        when(col("source") === "src0", lit("head"))
+          .when(col("source").isin("src1", "src2", "src3", "src4"), lit("mid"))
+          .otherwise(lit("tail")))
+      Sampling.temperatureMix(d, totalKeep = 150, srcCol = "domain")
+        .orderBy("doc_id")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -735,6 +781,42 @@ object PipelineQueries {
         "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) " +
         "/ (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine FROM v a JOIN v b ON a.vec_id < b.vec_id) " +
         "SELECT d1, d2, CAST(round(cosine * 1000000) AS BIGINT) AS cos_micro FROM p WHERE cosine >= 0.99 ORDER BY d1, d2"),
+    // p39 (r6): p05's brute-force exact pair set closed with p24's
+    // recursive-CTE pattern over the planted vector corpus.
+    "p39_semantic_clusters" ->
+      ("WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings), " +
+        "pl AS (SELECT vec_id + 1000000 AS vec_id, " +
+        "list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] * (1 + 0.01*(i%2)) AS FLOAT)) AS embedding FROM base), " +
+        "c AS (SELECT * FROM base UNION ALL SELECT * FROM pl), " +
+        "vv AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nsq FROM c), " +
+        "p AS (SELECT a.vec_id AS d1, b.vec_id AS d2 FROM vv a JOIN vv b ON a.vec_id < b.vec_id " +
+        "WHERE list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) " +
+        "/ (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.99), " +
+        "e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p), " +
+        "reach(n, m) AS (SELECT u, v FROM e UNION SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u), " +
+        "comp AS (SELECT n, min(m) AS mn FROM reach GROUP BY n) " +
+        "SELECT cc.vec_id, least(cc.vec_id, coalesce(comp.mn, cc.vec_id)) AS component, " +
+        "least(cc.vec_id, coalesce(comp.mn, cc.vec_id)) = cc.vec_id AS is_kept " +
+        "FROM c cc LEFT JOIN comp ON cc.vec_id = comp.n ORDER BY cc.vec_id"),
+    // p40 (r6): same md5-prefix shard hash ('0x'||hex cast == Spark's
+    // conv(,16,10)), p10's token-count semantics.
+    "p40_shard_stats" ->
+      ("WITH t AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 16 AS shard, " +
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt FROM documents) " +
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, min(doc_id) AS first_id " +
+        "FROM t GROUP BY shard ORDER BY shard"),
+    // p41 (r6): micro-quantized sqrt weights (IEEE sqrt is correctly
+    // rounded → identical BIGINTs), exact integer weight total, one double
+    // division per quota — the engine-side determinism contract.
+    "p41_temperature_mix" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 'head' " +
+        "WHEN source IN ('src1','src2','src3','src4') THEN 'mid' ELSE 'tail' END AS domain FROM documents), " +
+        "c AS (SELECT domain, count(*) AS n FROM d GROUP BY domain), " +
+        "w AS (SELECT domain, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM c), " +
+        "t AS (SELECT sum(w) AS tw FROM w), " +
+        "qt AS (SELECT domain, CAST(round(150 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) AS BIGINT) AS src_quota FROM w, t), " +
+        "r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d) " +
+        "SELECT r.doc_id, r.domain, qt.src_quota FROM r JOIN qt USING (domain) WHERE r.rk <= qt.src_quota ORDER BY r.doc_id"),
     // p09/p21 (r6): the exact side of the recall@k audit — brute-force
     // top-20 per probe over the planted corpus, in (cosine DESC, vec_id)
     // rank order; recall_ok is TRUE by contract (the engine recomputes it

@@ -57,6 +57,61 @@ object Sampling {
       .drop("__rk", "__m")
   }
 
+  /** Temperature-weighted mixture sampling: keep ~`totalKeep` docs with
+    * per-stratum quotas ∝ n_s^0.5 — the standard temperature flattening
+    * (alpha = 1/2) that up-weights tail domains relative to proportional
+    * sampling. Determinism across engines: per-stratum weights are
+    * sqrt(n) quantized to exact micro-integers (IEEE sqrt is correctly
+    * rounded, so both engines produce the same BIGINT), the weight total
+    * is an exact integer sum, and each quota is one double division of
+    * exact integers — no float accumulation anywhere. Selection inside a
+    * stratum is (md5(id), id) hash-rank, so the kept subset is stable on
+    * any engine or cluster size. A quota larger than the stratum keeps the
+    * whole stratum (budget unmet, like a short token stream).
+    * Cost: one tiny per-stratum count agg (broadcast back) + one
+    * stratum-keyed rank window — the [[balanceSources]] shape. */
+  def temperatureMix(docs: DataFrame, totalKeep: Long,
+      idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wts = docs.groupBy(srcCol).count()
+      .select(col(srcCol),
+        expr("CAST(round(sqrt(CAST(count AS DOUBLE)) * 1000000) AS BIGINT)").as("__w"))
+    val tot = wts.agg(sum("__w").as("__tw"))
+    val quota = wts.crossJoin(broadcast(tot))
+      .select(col(srcCol),
+        expr(s"CAST(round($totalKeep * CAST(__w AS DOUBLE) / CAST(__tw AS DOUBLE)) AS BIGINT)")
+          .as("src_quota"))
+    val w = Window.partitionBy(srcCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .join(broadcast(quota), Seq(srcCol))
+      .filter(col("__rk") <= col("src_quota"))
+      .select(col(idCol), col(srcCol), col("src_quota"))
+  }
+
+  /** Deterministic output sharding — the training-shard writer step: every
+    * doc lands in shard md5(id)-hash % nShards, so shard membership is
+    * reproducible across engines, runs, and cluster sizes (resumable
+    * writes, cross-engine-auditable shards) and independent of input
+    * partitioning. Returns per-shard stats (doc count + token sum); the
+    * write path itself is `repartition(nShards, col("shard"))` + write,
+    * which this same hash key makes co-located. Cost: one codegen scan +
+    * one nShards-group agg — map-side combined, no wide shuffle. */
+  def shardStats(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("long") % nShards).as("shard")
+    docs.select(shard,
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__t"),
+        col(idCol))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("__t").cast("long").as("n_tokens"),
+        min(idCol).as("first_id"))
+      .orderBy("shard")
+  }
+
   /** Token-budget mixture sampling: cap each stratum (source) at a TOKEN
     * budget rather than a document count — training-mixture weights are
     * token weights ([[balanceSources]]'s equalized doc counts skew toward

@@ -132,7 +132,39 @@ object PlanAudit {
     // token-budget sampling: one source-keyed window over a token_set_hits
     // scan — no join, no aggregate, no global sort before the final one
     Check("p38_token_budget_sample", wantAll = Seq("token_set_hits", "Window"),
-      wantNone = Seq("Join", "HashAggregate")))
+      wantNone = Seq("Join", "HashAggregate")),
+    // ---- r6 second wave ----
+    // Q7 shape: both nation copies + supplier broadcast; the fact chain
+    // joins as equi-joins only
+    Check("q144_tpch_q7_shape", wantAll = Seq("BroadcastHashJoin"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // Q10 shape: date-window filter must reach the orders parquet scan
+    Check("q145_tpch_q10_shape",
+      wantAll = Seq("BroadcastHashJoin", "PushedFilters: [IsNotNull(o_orderdate)"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // Q13 shape: the ON-clause priority filter stays pre-join (left outer
+    // preserved), two aggregation levels
+    Check("q147_tpch_q13_shape", wantAll = Seq("HashAggregate"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // Q17 shape: the correlated scalar AVG decorrelates to an aggregate +
+    // join, never a per-row subquery loop or cartesian
+    Check("q149_tpch_q17_shape", wantAll = Seq("HashAggregate"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // Q22 shape: NOT EXISTS → anti join; the scalar threshold is a
+    // one-row subquery (broadcast to the filter), never a cartesian
+    Check("q150_tpch_q22_shape", wantAll = Seq("LeftAnti"),
+      wantNone = Seq("CartesianProduct")),
+    // semantic clusters: candidate gen stays banded (equi-join on band
+    // sig), CC rounds are keyed aggs — no cartesian anywhere
+    Check("p39_semantic_clusters",
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // shard stats: one kernel scan + one 16-group agg — no join, no window
+    Check("p40_shard_stats", wantAll = Seq("token_set_hits", "HashAggregate"),
+      wantNone = Seq("Join", "Window")),
+    // temperature mix: tiny quota frame broadcasts back; selection is one
+    // domain-keyed rank window — no sort-merge join of the corpus
+    Check("p41_temperature_mix", wantAll = Seq("Window", "BroadcastHashJoin"),
+      wantNone = Seq("SortMergeJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1138,4 +1138,64 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 5L, 6000L), (2L, 4L, 0L)),
       s"unexpected repetition output: ${out.toSeq}")
   }
+
+  test("temperatureMix: sqrt-flattened quotas, hash-rank selection, quota > stratum keeps all") {
+    import spark.implicits._
+    // head 4 / mid 16 / tail 64 docs; sqrt weights 2:4:8 of 14
+    val docs = (0 until 84).map { i =>
+      val d = if (i < 4) "head" else if (i < 20) "mid" else "tail"
+      (i.toLong, d, s"doc $i")
+    }.toDF("doc_id", "source", "text")
+    val kept = Sampling.temperatureMix(docs, totalKeep = 28)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // quotas: round(28*2/14)=4 (whole head), round(28*4/14)=8, round(28*8/14)=16
+    assert(bySrc == Map("head" -> 4, "mid" -> 8, "tail" -> 16), s"got $bySrc")
+    assert(kept.filter(_._2 == "head").map(_._1).sorted.sameElements(Array(0L, 1L, 2L, 3L)),
+      "an over-budget quota must keep the whole stratum")
+    // deterministic: selection is the (md5(id), id)-first k of each stratum
+    val expectMid = (4 until 20).map(_.toLong)
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString, id))
+      .take(8).toSet
+    assert(kept.filter(_._2 == "mid").map(_._1).toSet == expectMid)
+  }
+
+  test("shardStats: md5-prefix shard assignment is total, deterministic, and conv-consistent") {
+    Engine.registerTables(spark, sfDir)
+    val docs = spark.table("documents")
+    val stats = Sampling.shardStats(docs, nShards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.map(_._2).sum == docs.count(), "shards must partition the corpus")
+    assert(stats.map(_._1).forall(s => s >= 0 && s < 16))
+    // spot-check one doc's shard against a driver-side md5 computation
+    val id0 = docs.select("doc_id").orderBy("doc_id").head.getLong(0)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id0.toString.getBytes).map("%02x".format(_)).mkString.take(6)
+    val expected = java.lang.Long.parseLong(hex, 16) % 16
+    val shardOf = Sampling.shardStats(docs.filter(col("doc_id") === id0), 16)
+      .head.getLong(0)
+    assert(shardOf == expected, s"doc $id0: shard $shardOf != md5-derived $expected")
+  }
+
+  test("semantic clusters: planted near-dup pairs close into (base, copy) components") {
+    import spark.implicits._
+    Engine.registerTables(spark, sfDir)
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 50)
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + lit(0.01) * ((i + 1) % 2))).cast("float")).as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val pairs = Dedup.embeddingPairs(corpus, minCosine = 0.99,
+      planesPerBand = 6, bands = 5).select($"d1", $"d2")
+    val labels = Components.connectedComponents(corpus.select($"vec_id"), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every planted copy must land in its base vector's component
+    (0L until 50L).foreach { v =>
+      assert(labels(v + 1000000L) == labels(v),
+        s"copy of $v not in its base component")
+      assert(labels(v) == v, s"base $v should label its own cluster")
+    }
+  }
 }
