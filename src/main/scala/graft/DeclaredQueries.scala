@@ -628,6 +628,31 @@ object DeclaredQueries {
         "WHERE c_acctbal > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 FROM customer c2 WHERE c2.c_acctbal > 0.0)) t " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = t.c_custkey AND o.o_orderpriority = '1-URGENT') " +
         "GROUP BY code ORDER BY code"),
+    "q151_datetime_fns" ->
+      // r6: same-name date/string parity — last_day (DATE out, TIMESTAMP
+      // arg coerces in both), make_date (int args widen), repeat,
+      // translate. No translator work: names and semantics already agree
+      // (probe-verified on the 1.0 oracle).
+      ("SELECT event_id, last_day(ts) AS ld, " +
+        "make_date(2000 + CAST(event_id % 20 AS INTEGER), CAST(event_id % 12 AS INTEGER) + 1, 15) AS md, " +
+        "repeat(substr(event_type, 1, 2), 3) AS rp, translate(event_type, 'aeiou', '.....') AS tr " +
+        "FROM events ORDER BY event_id LIMIT 100"),
+    "q152_bucket_list_fns" ->
+      // r6: time_bucket for sub-month widths (DuckDB origin 2000-01-03 —
+      // the 7-day bucket starts Mondays; rewritten to origin-anchored
+      // unix-seconds floor arithmetic), list_unique/list_distinct NULL
+      // semantics (both DROP NULLs in DuckDB — the 1:1 array_distinct
+      // mapping was a divergence, now filter-wrapped; list_distinct order
+      // is unspecified, hence list_sort before serializing), to_base →
+      // conv (uppercase, no padding in both), flatten (one level, same
+      // name both).
+      ("SELECT event_id, time_bucket(INTERVAL 15 MINUTE, ts) AS b15, " +
+        "time_bucket(INTERVAL 1 DAY, ts) AS bd, time_bucket(INTERVAL 7 DAY, ts) AS bw, " +
+        "CAST(list_unique([event_id % 3, event_id % 3, NULL, event_id % 5]) AS BIGINT) AS lu, " +
+        "array_to_string(list_sort(list_distinct([event_id % 3, NULL, event_id % 3, 7])), ',') AS ld, " +
+        "to_base(CAST(event_id AS INTEGER), 16) AS hx, " +
+        "array_to_string(flatten([[event_id % 2], [event_id % 3]]), ',') AS fl " +
+        "FROM events ORDER BY event_id LIMIT 100"),
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over

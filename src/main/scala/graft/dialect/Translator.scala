@@ -1003,7 +1003,9 @@ object Translator {
     "COUNTIF" -> "count_if",
     "LIST_MIN" -> "array_min",
     "LIST_MAX" -> "array_max",
-    "LIST_DISTINCT" -> "array_distinct",
+    // LIST_DISTINCT is NOT name-mapped: DuckDB drops NULLs where Spark's
+    // array_distinct keeps one — handled with a filter wrap in
+    // rewriteArgShapeFns (r6)
     "LIST_CONCAT" -> "concat",
     "LIST_APPEND" -> "array_append",
     // list_position / list_indexof: this DuckDB returns 0 for a missing
@@ -1080,6 +1082,25 @@ object Translator {
     *     → Spark `sequence` (same inclusive semantics, including step).
     *     DuckDB's `range()` needs no rewrite: exclusive-end in both engines.
     */
+  /** Seconds width of a `INTERVAL <n> <sub-month unit>` token run, for the
+    * time_bucket rewrite; None for month/year units or any other shape. */
+  private def timeBucketSeconds(arg: Vector[Tok]): Option[Long] = {
+    val sig = arg.filterNot(isWs)
+    sig match {
+      case Vector(iv: Ident, n: Num, u: Ident) if iv.upper == "INTERVAL" =>
+        val mult = u.upper.stripSuffix("S") match {
+          case "SECOND" => Some(1L)
+          case "MINUTE" => Some(60L)
+          case "HOUR" => Some(3600L)
+          case "DAY" => Some(86400L)
+          case "WEEK" => Some(604800L)
+          case _ => None
+        }
+        mult.flatMap(m => scala.util.Try(n.text.toLong).toOption.map(_ * m))
+      case _ => None
+    }
+  }
+
   private[dialect] def rewriteArgShapeFns(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var changed = true
@@ -1204,12 +1225,49 @@ object Translator {
                 close - i + 1)
               changed = true
             }
-          case id: Ident if id.upper == "LIST_UNIQUE" && callOpen >= 0 =>
-            // count of distinct elements (DuckDB returns UBIGINT; Spark's
-            // size is INT — declared queries CAST)
+          case id: Ident if (id.upper == "LIST_UNIQUE" || id.upper == "ARRAY_UNIQUE") && callOpen >= 0 =>
+            // count of distinct NON-NULL elements (probe: list_unique(
+            // [1,2,2,NULL]) = 2 — DuckDB excludes NULL; Spark's
+            // array_distinct keeps it, so filter first). DuckDB returns
+            // UBIGINT; Spark's size is INT — declared queries CAST.
             val close = matchParen(toks, callOpen)
             val arg = render(toks.slice(callOpen + 1, close)).trim
-            toks = toks.patch(i, lex(s"size(array_distinct($arg))"), close - i + 1)
+            toks = toks.patch(i,
+              lex(s"size(filter(array_distinct($arg), __gu -> __gu IS NOT NULL))"),
+              close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "LIST_DISTINCT" && callOpen >= 0 =>
+            // DuckDB's list_distinct DROPS NULLs (probe: [1,2,2,NULL,NULL]
+            // → [2,1]); Spark's array_distinct keeps one NULL — filter it.
+            // Result ORDER is unspecified in DuckDB: declared queries wrap
+            // in list_sort before serializing.
+            val close = matchParen(toks, callOpen)
+            val arg = render(toks.slice(callOpen + 1, close)).trim
+            toks = toks.patch(i,
+              lex(s"filter(array_distinct($arg), __gd -> __gd IS NOT NULL)"),
+              close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "TIME_BUCKET" && callOpen >= 0 && {
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            args.length == 2 && timeBucketSeconds(args(0)).isDefined
+          } =>
+            // time_bucket(INTERVAL n UNIT, ts) for sub-month units: DuckDB
+            // aligns buckets to origin 2000-01-03 00:00:00 (probe: 7-day
+            // buckets start Mondays; sub-day units agree with epoch
+            // alignment because 2000-01-03 is a midnight multiple of every
+            // sub-day width). Spark spelling: origin + floor((ts - origin)
+            // / width) * width in unix seconds — floor handles pre-origin
+            // timestamps. Month/year widths are left unrewritten (different
+            // origin + calendar arithmetic; date_trunc covers them).
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val w = timeBucketSeconds(args(0)).get
+            val ts = render(args(1)).trim
+            val org = 946857600L // 2000-01-03 00:00:00 UTC
+            toks = toks.patch(i,
+              lex(s"timestamp_seconds($org + CAST(floor((unix_seconds($ts) - $org) / $w.0) AS BIGINT) * $w)"),
+              close - i + 1)
             changed = true
           case id: Ident if (id.upper == "LIST_HAS_ALL" || id.upper == "ARRAY_HAS_ALL") && callOpen >= 0 =>
             val close = matchParen(toks, callOpen)

@@ -415,7 +415,19 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("list_unique / list_has_all arg shapes; list extras renames") {
-    assert(t("SELECT list_unique(xs)") == "SELECT size(array_distinct(xs))")
+    // r6: DuckDB's list_unique/list_distinct drop NULLs (probe-verified);
+    // Spark's array_distinct keeps one — both now filter
+    assert(t("SELECT list_unique(xs)") ==
+      "SELECT size(filter(array_distinct(xs), __gu -> __gu IS NOT NULL))")
+    assert(t("SELECT array_unique(xs)") ==
+      "SELECT size(filter(array_distinct(xs), __gu -> __gu IS NOT NULL))")
+    assert(t("SELECT list_distinct(xs)") ==
+      "SELECT filter(array_distinct(xs), __gd -> __gd IS NOT NULL)")
+    assert(t("SELECT time_bucket(INTERVAL 15 MINUTE, ts) FROM events") ==
+      "SELECT timestamp_seconds(946857600 + CAST(floor((unix_seconds(ts) - 946857600) / 900.0) AS BIGINT) * 900) FROM events")
+    // month/year widths stay unrewritten (different origin + calendar math)
+    assert(t("SELECT time_bucket(INTERVAL 1 MONTH, ts) FROM events")
+      .contains("time_bucket"))
     assert(t("SELECT list_has_all(xs, ys)") == "SELECT (size(array_except((ys), (xs))) = 0)")
     assert(t("SELECT list_has_any(xs, ys)") == "SELECT arrays_overlap(xs, ys)")
     assert(t("SELECT list_position(xs, 3)") == "SELECT array_position(xs, 3)")
