@@ -818,7 +818,12 @@ object Translator {
     "TOSTRING" -> "STRING", "TOINT8" -> "TINYINT", "TOINT16" -> "SMALLINT",
     "TOINT32" -> "INT", "TOINT64" -> "BIGINT", "TOFLOAT32" -> "FLOAT",
     "TOFLOAT64" -> "DOUBLE", "TODATE" -> "DATE", "TODATETIME" -> "TIMESTAMP",
-    "TOBOOL" -> "BOOLEAN", "TODECIMAL" -> "DECIMAL(38,9)")
+    "TOBOOL" -> "BOOLEAN", "TODECIMAL" -> "DECIMAL(38,9)",
+    // unsigned family: Spark has no unsigned types — widen to the next signed
+    // type that holds the full range (toUInt64 → DECIMAL(20,0), the only
+    // Spark type covering 2^64-1)
+    "TOUINT8" -> "SMALLINT", "TOUINT16" -> "INT", "TOUINT32" -> "BIGINT",
+    "TOUINT64" -> "DECIMAL(20,0)")
   private[dialect] def rewriteCastFuncs(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var i = 0
@@ -1037,7 +1042,14 @@ object Translator {
     // (sketch outputs differ engine-to-engine → never oracle-declared)
     "QUANTILE_CONT" -> "percentile",
     "QUANTILE_DISC" -> "percentile_approx",
-    "QUANTILE" -> "percentile_approx")
+    "QUANTILE" -> "percentile_approx",
+    // ClickHouse string-function aliases (chsql surface, reference
+    // main.py:83-86): Spark's length/lower/upper/substr are already
+    // codepoint-based, which is exactly the *UTF8 contract
+    "LENGTHUTF8" -> "length",
+    "LOWERUTF8" -> "lower",
+    "UPPERUTF8" -> "upper",
+    "SUBSTRINGUTF8" -> "substr")
 
   /** DuckDB `list_sum(x)` / `list_avg(x)` → Spark higher-order
     * `aggregate(...)` forms (no Spark builtin exists). Accumulation is in
@@ -1134,6 +1146,29 @@ object Translator {
               }
               val (s0, cs) = (render(args(0)).trim, render(args(1)).trim)
               toks = toks.patch(i, lex(s"TRIM($side $cs FROM $s0)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "INTDIV" || id.upper == "MODULO") && callOpen >= 0 =>
+            // ClickHouse intDiv/modulo (chsql surface) → the operators
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val op = if (id.upper == "INTDIV") "DIV" else "%"
+              val repl = s"((${render(args(0)).trim}) $op (${render(args(1)).trim}))"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "EMPTY" || id.upper == "NOTEMPTY") && callOpen >= 0 =>
+            // ClickHouse empty/notEmpty: zero-length test on strings and
+            // arrays (Spark's length/size disagree on types, but length
+            // covers the string case chsql serves; arrays via size would
+            // need type info — strings are the wire-protocol use)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val cmp = if (id.upper == "EMPTY") "=" else "<>"
+              val repl = s"(length(${render(args(0)).trim}) $cmp 0)"
+              toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "TO_BASE" && callOpen >= 0 =>

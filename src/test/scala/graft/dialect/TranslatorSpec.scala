@@ -68,6 +68,21 @@ class TranslatorSpec extends AnyFunSuite {
   test("ClickHouse toX() functions become casts") {
     assert(t("SELECT toString(x)") == "SELECT CAST(x AS STRING)")
     assert(t("SELECT toInt32(x + 1)") == "SELECT CAST(x + 1 AS INT)")
+    // r6: unsigned family widens to the next signed type that holds the
+    // full range; toUInt64 needs DECIMAL(20,0)
+    assert(t("SELECT toUInt8(x)") == "SELECT CAST(x AS SMALLINT)")
+    assert(t("SELECT toUInt32(x)") == "SELECT CAST(x AS BIGINT)")
+    assert(t("SELECT toUInt64(x)") == "SELECT CAST(x AS DECIMAL(20,0))")
+  }
+
+  test("ClickHouse intDiv/modulo/empty/notEmpty and *UTF8 aliases") {
+    assert(t("SELECT intDiv(a, b + 1)") == "SELECT ((a) DIV (b + 1))")
+    assert(t("SELECT modulo(a, 3)") == "SELECT ((a) % (3))")
+    assert(t("SELECT empty(s)") == "SELECT (length(s) = 0)")
+    assert(t("SELECT notEmpty(s)") == "SELECT (length(s) <> 0)")
+    assert(t("SELECT lengthUTF8(s), lowerUTF8(s), upperUTF8(s)") ==
+      "SELECT length(s), lower(s), upper(s)")
+    assert(t("SELECT substringUTF8(s, 1, 4)") == "SELECT substr(s, 1, 4)")
   }
 
   test("function renames: random, json_extract_string, 1-arg log") {
