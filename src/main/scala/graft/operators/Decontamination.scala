@@ -36,4 +36,34 @@ object Decontamination {
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("shared_grams"))
   }
+
+  /** Semantic (embedding-space) decontamination — the n-gram check's twin
+    * for paraphrased leakage: flag corpus vectors whose cosine against ANY
+    * eval vector reaches `minCosine`. Same 100 TB shape as [[sharedGrams]]:
+    * the eval side is tiny (benchmark suites, not corpora) and broadcasts,
+    * the corpus side is one codegen kernel scan over the broadcast pairs +
+    * one per-vector partial-aggregated max — no corpus shuffle beyond the
+    * final group, no cartesian between big sides.
+    *
+    * Output per contaminated vector: eval-hit count and the max cosine in
+    * exact micro-units (per-pair doubles are engine-deterministic — the
+    * sequential-accumulation CosineSim contract; max is order-free).
+    *
+    * @param corpus (idCol, embedding)
+    * @param evals  (evalIdCol, embedding); assumed small → broadcast
+    */
+  def semanticContaminated(corpus: DataFrame, evals: DataFrame,
+      minCosine: Double, idCol: String = "vec_id",
+      evalIdCol: String = "eval_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val ev = broadcast(evals.select(col(evalIdCol),
+      col("embedding").as("__ev")))
+    corpus.crossJoin(ev)
+      .select(col(idCol),
+        call_function("cosine_sim", col("embedding"), col("__ev")).as("__cos"))
+      .filter(col("__cos") >= minCosine)
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("eval_hits"),
+        max(expr("CAST(round(__cos * 1000000) AS BIGINT)")).as("max_cos_micro"))
+  }
 }

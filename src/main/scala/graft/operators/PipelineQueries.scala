@@ -456,6 +456,20 @@ object PipelineQueries {
       Sampling.temperatureMix(d, totalKeep = 150, srcCol = "domain")
         .orderBy("doc_id")
     }),
+    // ---- semantic decontamination (r6): p22's embedding-space twin for
+    // paraphrased leakage — corpus vectors within cosine 0.99 of ANY eval
+    // vector. Reuses the p09/p21 planted-audit corpus (30 graded
+    // near-copies per probe at cosine > 0.9999, cross pairs < 0.52), the
+    // 5 raw probes as the eval set: exactly the 150 planted copies flag,
+    // non-vacuously thresholded. Broadcast eval side, kernel scan, one
+    // per-vector max — the eval-is-tiny 100 TB shape.
+    "p42_semantic_decontam" -> q((s, _) =>
+      Decontamination.semanticContaminated(
+          annAuditCorpus(s),
+          s.table("embeddings").filter(col("vec_id") < 5)
+            .select(col("vec_id").as("eval_id"), col("embedding")),
+          minCosine = 0.99)
+        .orderBy("vec_id")),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -817,6 +831,22 @@ object PipelineQueries {
         "qt AS (SELECT domain, CAST(round(150 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) AS BIGINT) AS src_quota FROM w, t), " +
         "r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d) " +
         "SELECT r.doc_id, r.domain, qt.src_quota FROM r JOIN qt USING (domain) WHERE r.rk <= qt.src_quota ORDER BY r.doc_id"),
+    // p42 (r6): brute-force cosine of every corpus vector against the 5
+    // eval probes over the planted audit corpus — the annAudit CTE
+    // construction with a threshold + per-vector max instead of top-k.
+    "p42_semantic_decontam" ->
+      ("WITH pl AS (SELECT CAST(1000000 + e.vec_id*100 + j AS BIGINT) AS vec_id, " +
+        "list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] * (1 + 0.0005*j*(i%2)) AS FLOAT)) AS embedding " +
+        "FROM embeddings e, (SELECT unnest(range(1,31)) AS j) t WHERE e.vec_id < 5), " +
+        "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10 UNION ALL SELECT vec_id, embedding FROM pl), " +
+        "qp AS (SELECT vec_id AS eval_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        "sc AS (SELECT c.vec_id, " +
+        "list_sum(list_transform(range(1, len(c.embedding)+1), i -> CAST(c.embedding[i] AS DOUBLE)*CAST(qp.qv[i] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(qp.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine FROM c, qp) " +
+        "SELECT vec_id, CAST(count(*) AS BIGINT) AS eval_hits, " +
+        "CAST(max(CAST(round(cosine * 1000000) AS BIGINT)) AS BIGINT) AS max_cos_micro " +
+        "FROM sc WHERE cosine >= 0.99 GROUP BY vec_id ORDER BY vec_id"),
     // p09/p21 (r6): the exact side of the recall@k audit — brute-force
     // top-20 per probe over the planted corpus, in (cosine DESC, vec_id)
     // rank order; recall_ok is TRUE by contract (the engine recomputes it

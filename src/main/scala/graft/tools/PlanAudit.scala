@@ -164,6 +164,12 @@ object PlanAudit {
     // temperature mix: tiny quota frame broadcasts back; selection is one
     // domain-keyed rank window — no sort-merge join of the corpus
     Check("p41_temperature_mix", wantAll = Seq("Window", "BroadcastHashJoin"),
+      wantNone = Seq("SortMergeJoin", "CartesianProduct")),
+    // semantic decontam: eval side broadcasts (NLJ over the tiny frame is
+    // the intended shape), cosine kernel in the plan, per-vector partial
+    // agg — never a corpus-corpus sort-merge join
+    Check("p42_semantic_decontam",
+      wantAll = Seq("BroadcastNestedLoopJoin", "cosine_sim", "HashAggregate"),
       wantNone = Seq("SortMergeJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
