@@ -821,7 +821,13 @@ object Translator {
     "TOBOOL" -> "BOOLEAN", "TODECIMAL" -> "DECIMAL(38,9)",
     // unsigned family: Spark has no unsigned types — widen to the next signed
     // type that holds the full range (toUInt64 → DECIMAL(20,0), the only
-    // Spark type covering 2^64-1)
+    // Spark type covering 2^64-1). IN-RANGE-ONLY contract (documented,
+    // SURVEY §2.12): ClickHouse wraps out-of-range inputs modularly
+    // (toUInt8(300) = 44); the widening cast preserves the value instead.
+    // Consistent with the signed toX family's existing convention — no
+    // pmod wrapping is emitted because the chsql surface feeds in-range
+    // values and a silent mod-256 of a genuine overflow is worse than the
+    // widened value.
     "TOUINT8" -> "SMALLINT", "TOUINT16" -> "INT", "TOUINT32" -> "BIGINT",
     "TOUINT64" -> "DECIMAL(20,0)")
   private[dialect] def rewriteCastFuncs(toks0: Vector[Tok]): Vector[Tok] = {
@@ -1149,7 +1155,12 @@ object Translator {
               changed = true
             }
           case id: Ident if (id.upper == "INTDIV" || id.upper == "MODULO") && callOpen >= 0 =>
-            // ClickHouse intDiv/modulo (chsql surface) → the operators
+            // ClickHouse intDiv/modulo (chsql surface) → the operators.
+            // Rounding for negatives agrees: chsql's intDiv expands to
+            // DuckDB's `//`, and DuckDB 1.0 integer `//` TRUNCATES toward
+            // zero (probe: -7 // 2 = -3, 7 // -2 = -3), exactly Spark's
+            // DIV — no floor-division divergence (TranslatorSpec pins it
+            // with negative operands).
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 2) {
@@ -1159,15 +1170,28 @@ object Translator {
               changed = true
             }
           case id: Ident if (id.upper == "EMPTY" || id.upper == "NOTEMPTY") && callOpen >= 0 =>
-            // ClickHouse empty/notEmpty: zero-length test on strings and
-            // arrays (Spark's length/size disagree on types, but length
-            // covers the string case chsql serves; arrays via size would
-            // need type info — strings are the wire-protocol use)
+            // ClickHouse empty/notEmpty: zero-length test. A CASE-dispatch
+            // on typeof() cannot work — Spark type-checks BOTH branches at
+            // analysis time, so size(stringcol) fails even in a dead
+            // branch. Dispatch is therefore SYNTACTIC: a bracket literal
+            // `[...]` or an array(...)/map(...)/list_value(...) call gets
+            // size(); everything else gets length() (the string case the
+            // chsql wire surface serves). Array-typed COLUMNS remain a
+            // declared gap (SURVEY §2.12 divergences) — they raise a loud
+            // DATATYPE_MISMATCH, never a silent wrong answer.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 1) {
               val cmp = if (id.upper == "EMPTY") "=" else "<>"
-              val repl = s"(length(${render(args(0)).trim}) $cmp 0)"
+              val a = render(args(0)).trim
+              val isCollectionExpr = args(0).find(!_.isInstanceOf[Ws]).exists {
+                case Punct("[") => true
+                case id2: Ident =>
+                  Set("MAP", "ARRAY", "LIST_VALUE").contains(id2.upper)
+                case _ => false
+              }
+              val fn = if (isCollectionExpr) "size" else "length"
+              val repl = s"($fn($a) $cmp 0)"
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
@@ -1268,18 +1292,24 @@ object Translator {
             val close = matchParen(toks, callOpen)
             val arg = render(toks.slice(callOpen + 1, close)).trim
             toks = toks.patch(i,
-              lex(s"size(filter(array_distinct($arg), __gu -> __gu IS NOT NULL))"),
+              lex(s"size(graft_list_distinct($arg))"),
               close - i + 1)
             changed = true
-          case id: Ident if id.upper == "LIST_DISTINCT" && callOpen >= 0 =>
-            // DuckDB's list_distinct DROPS NULLs (probe: [1,2,2,NULL,NULL]
-            // → [2,1]); Spark's array_distinct keeps one NULL — filter it.
-            // Result ORDER is unspecified in DuckDB: declared queries wrap
-            // in list_sort before serializing.
+          case id: Ident if (id.upper == "LIST_DISTINCT" || id.upper == "ARRAY_DISTINCT") && callOpen >= 0 =>
+            // DuckDB's list_distinct AND its array_distinct alias DROP
+            // NULLs (probe on both: [1,2,2,NULL,NULL] → [2,1]); Spark's
+            // array_distinct keeps one NULL. graft_list_distinct is the
+            // registered native ArrayDistinct∘ArrayCompact — the alias
+            // spelling matters because this loop runs to FIXPOINT: a
+            // replacement containing `array_distinct` would re-match this
+            // very case forever. (r7: the ARRAY_DISTINCT alias previously
+            // passed through to Spark's native fn, silently diverging on
+            // NULL-bearing lists.) Result ORDER is unspecified in DuckDB:
+            // declared queries wrap in list_sort before serializing.
             val close = matchParen(toks, callOpen)
             val arg = render(toks.slice(callOpen + 1, close)).trim
             toks = toks.patch(i,
-              lex(s"filter(array_distinct($arg), __gd -> __gd IS NOT NULL)"),
+              lex(s"graft_list_distinct($arg)"),
               close - i + 1)
             changed = true
           case id: Ident if id.upper == "TIME_BUCKET" && callOpen >= 0 && {

@@ -65,6 +65,9 @@ object GraftFunctions {
       args => DupGramStats(args(0))),
     ("token_hashes", "array<bigint>: 64-bit hash per whitespace token, in order, one byte scan",
       args => TokenHashes(args(0))),
+    ("graft_list_distinct", "DuckDB list_distinct/array_distinct: distinct NON-NULL elements, first-occurrence order",
+      args => org.apache.spark.sql.catalyst.expressions.ArrayDistinct(
+        new org.apache.spark.sql.catalyst.expressions.ArrayCompact(args(0)))),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

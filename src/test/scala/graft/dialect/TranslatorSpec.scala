@@ -80,6 +80,11 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT modulo(a, 3)") == "SELECT ((a) % (3))")
     assert(t("SELECT empty(s)") == "SELECT (length(s) = 0)")
     assert(t("SELECT notEmpty(s)") == "SELECT (length(s) <> 0)")
+    // r7 (ADVICE): empty/notEmpty on a syntactic collection expression
+    // dispatches to size() (Spark's length() rejects arrays/maps)
+    assert(t("SELECT empty([1, 2])") == "SELECT (size(array(1, 2)) = 0)")
+    assert(t("SELECT notEmpty(map('k', 'v'))") ==
+      "SELECT (size(map('k', 'v')) <> 0)")
     assert(t("SELECT lengthUTF8(s), lowerUTF8(s), upperUTF8(s)") ==
       "SELECT length(s), lower(s), upper(s)")
     assert(t("SELECT substringUTF8(s, 1, 4)") == "SELECT substr(s, 1, 4)")
@@ -433,11 +438,15 @@ class TranslatorSpec extends AnyFunSuite {
     // r6: DuckDB's list_unique/list_distinct drop NULLs (probe-verified);
     // Spark's array_distinct keeps one — both now filter
     assert(t("SELECT list_unique(xs)") ==
-      "SELECT size(filter(array_distinct(xs), __gu -> __gu IS NOT NULL))")
+      "SELECT size(graft_list_distinct(xs))")
     assert(t("SELECT array_unique(xs)") ==
-      "SELECT size(filter(array_distinct(xs), __gu -> __gu IS NOT NULL))")
+      "SELECT size(graft_list_distinct(xs))")
     assert(t("SELECT list_distinct(xs)") ==
-      "SELECT filter(array_distinct(xs), __gd -> __gd IS NOT NULL)")
+      "SELECT graft_list_distinct(xs)")
+    // r7 (ADVICE): the array_distinct ALIAS gets the same NULL-dropping
+    // rewrite — it previously passed through to Spark's native fn
+    assert(t("SELECT array_distinct(xs)") ==
+      "SELECT graft_list_distinct(xs)")
     assert(t("SELECT time_bucket(INTERVAL 15 MINUTE, ts) FROM events") ==
       "SELECT timestamp_seconds(946857600 + CAST(floor((unix_seconds(ts) - 946857600) / 900.0) AS BIGINT) * 900) FROM events")
     // month/year widths stay unrewritten (different origin + calendar math)

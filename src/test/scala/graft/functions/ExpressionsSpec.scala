@@ -153,6 +153,34 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_list_distinct drops NULLs and keeps first-occurrence order") {
+    withFns {
+      // DuckDB probe (v1.0.0): list_distinct([1,2,2,NULL,NULL]) = [2,1]
+      // and array_distinct is the same alias — the CONTENT contract is
+      // "distinct non-NULL elements"; order is engine-unspecified so the
+      // assert sorts. Translator emits graft_list_distinct for both names.
+      val got = spark.sql(
+        "SELECT graft_list_distinct(array(1, 2, 2, NULL, NULL)) AS xs")
+        .head.getSeq[Any](0)
+      assert(got.sortBy(_.toString) == Seq(1, 2))
+      assert(spark.sql("SELECT graft_list_distinct(array(CAST(NULL AS INT)))")
+        .head.getSeq[Any](0).isEmpty)
+    }
+  }
+
+  test("intDiv negative operands: Spark DIV matches DuckDB // truncation") {
+    withFns {
+      // ADVICE r6 hypothesized a floor-division divergence; the probe
+      // shows DuckDB 1.0's integer // TRUNCATES toward zero (-7//2 = -3),
+      // exactly Spark's DIV — pin both engines' agreement here.
+      val r = spark.sql(
+        graft.dialect.Translator.sparkSql(
+          "SELECT intDiv(-7, 2) AS a, intDiv(7, -2) AS b, intDiv(-7, -2) AS c"))
+        .head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((-3L, -3L, 3L)))
+    }
+  }
+
   test("graft_version registered") {
     withFns {
       assert(spark.sql("SELECT graft_version()").head.getString(0).startsWith("graft-spark"))
