@@ -95,7 +95,13 @@ object Bench {
         f""","steal_pct":${100.0 * (s1 - s0) / (t1 - t0)}%.2f"""
       case _ => ""
     }
+    // Detail line first, compact summary line LAST: the driver keeps a
+    // 2000-char tail of stdout, which used to truncate the per-query dict
+    // mid-stream (BENCH_r*.json `parsed: null` every round). With the
+    // summary printed after the dict, the tail always ENDS with one short
+    // machine-parseable JSON line (r6 verdict task #5).
     println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":${results.length},"sf":"$sfDir"$stealPct}""")
     spark.stop()
   }
 }

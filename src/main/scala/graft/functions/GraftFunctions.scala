@@ -65,6 +65,10 @@ object GraftFunctions {
       args => DupGramStats(args(0))),
     ("token_hashes", "array<bigint>: 64-bit hash per whitespace token, in order, one byte scan",
       args => TokenHashes(args(0))),
+    ("chunk_windows", "array<string>: sliding token windows (window, stride) rebuilt as single-space strings, one byte scan",
+      args => ChunkWindows(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())),
     ("graft_list_distinct", "DuckDB list_distinct/array_distinct: distinct NON-NULL elements, first-occurrence order",
       args => org.apache.spark.sql.catalyst.expressions.ArrayDistinct(
         new org.apache.spark.sql.catalyst.expressions.ArrayCompact(args(0)))),

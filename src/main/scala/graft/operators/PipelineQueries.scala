@@ -339,11 +339,17 @@ object PipelineQueries {
     // ---- context-window chunking (round 4): sliding token windows with
     // overlap, the long-doc training prep; window 32 / stride 24 so the
     // fixture's ~50-token docs produce real multi-chunk output.
+    // Sort the INPUT docs, not the chunk rows (r7, the p35 precedent): a
+    // trailing orderBy makes the range sampler re-execute the whole
+    // chunk+md5 upstream (measured 2.3 s vs 1.1 s unsorted at sf≈1);
+    // sorting docs first only re-samples the parquet scan, and the
+    // (doc_id, chunk_idx) order then holds by construction — posexplode
+    // emits chunk_idx ascending within each doc row, and no exchange
+    // follows the sort.
     "p30_chunk_windows" -> q((s, _) =>
-      TextAnalysis.chunkWindows(s.table("documents"))
+      TextAnalysis.chunkWindows(s.table("documents").orderBy("doc_id"))
         .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
-          md5(col("chunk")).as("h"))
-        .orderBy("doc_id", "chunk_idx")),
+          md5(col("chunk")).as("h"))),
     // ---- per-source quality gate (round 4): keep the top 25% of each
     // source by deterministic stopword-ratio score — domain-stratified
     // curation, one source-keyed shuffle.

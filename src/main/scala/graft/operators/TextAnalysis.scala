@@ -84,18 +84,26 @@ object TextAnalysis {
     * every token is covered and the last window may run short. Pure
     * per-row explode — zero shuffles, scales as a scan.
     * Returns (doc_id, chunk_idx, n_toks, chunk). */
-  def chunkWindows(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      .withColumn("n", size(col("tk")).cast("long"))
-      .withColumn("nc", when(col("n") <= window, lit(1L))
-        .otherwise(expr(s"(n - $window + $stride - 1) DIV $stride + 1")))
-      .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
-      .withColumn("ck",
-        slice(col("tk"), (col("chunk_idx") * stride + 1).cast("int"), lit(window)))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("ck")).cast("long").as("n_toks"),
-        concat_ws(" ", col("ck")).as("chunk"))
+  def chunkWindows(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
+    // chunk-inside-the-row, then explode (r7): the chunk_windows kernel
+    // emits every window as its own string in ONE byte scan, so each
+    // generated row carries only its own ≤`window` tokens. The previous
+    // explode-then-slice shape copied the FULL token array into every
+    // chunk row — O(n·n/stride) bytes per doc, quadratic in doc length
+    // (invisible in corpus-growth audits, ruinous on one 100k-token doc;
+    // r6 verdict task #2) — and the transform/slice HOF alternative runs
+    // interpreted per element. Total kernel output is ~window/stride ≈
+    // 1.33× the input — linear. n_toks of a clean single-space chunk is
+    // spaces+1; the tokenless doc's single empty chunk is 0.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        posexplode(call_function("chunk_windows",
+          col("text"), lit(window), lit(stride))).as(Seq("chunk_idx", "ck")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        when(col("ck") === "", 0L)
+          .otherwise(size(split(col("ck"), " ")).cast("long")).as("n_toks"),
+        col("ck").as("chunk"))
+  }
 
   /** Per-source quality-percentile gate — domain-stratified curation: keep
     * the top `frac` of docs within each source by stopword-ratio score

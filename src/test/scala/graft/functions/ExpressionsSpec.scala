@@ -153,6 +153,32 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("chunk_windows kernel matches the slice/concat_ws reference on random strings") {
+    withFns {
+      val rnd = new scala.util.Random(7)
+      val alphabet = "ab c  d\tx" // multi-space runs; tab is a non-space byte
+      val docs = (0 until 60).map { i =>
+        val len = rnd.nextInt(200)
+        (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      } :+ (60L, "") :+ (61L, "   ") :+ (62L, "one")
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      df.createOrReplaceTempView("__cw")
+      // reference: tokenize → nc → slice every window → concat_ws
+      val ref = spark.sql(
+        """SELECT doc_id, ci, concat_ws(' ', slice(tk, CAST(ci * 3 + 1 AS INT), 5)) AS ck
+          |FROM (SELECT doc_id, tk,
+          |        posexplode(sequence(0, CASE WHEN size(tk) <= 5 THEN 0
+          |          ELSE CAST((size(tk) - 5 + 2) DIV 3 AS INT) END)) AS (p, ci)
+          |      FROM (SELECT doc_id, filter(split(text, ' '), t -> t <> '') AS tk FROM __cw))
+          |""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val got = spark.sql(
+        "SELECT doc_id, posexplode(chunk_windows(text, 5, 3)) AS (ci, ck) FROM __cw")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == ref)
+    }
+  }
+
   test("graft_list_distinct drops NULLs and keeps first-occurrence order") {
     withFns {
       // DuckDB probe (v1.0.0): list_distinct([1,2,2,NULL,NULL]) = [2,1]
