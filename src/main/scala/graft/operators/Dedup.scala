@@ -454,6 +454,63 @@ object Dedup {
     * Nothing is driver-side; no join at all.
     *
     * Returns (doc_id, kept_lines, text). */
+  /** Span-level substring dedup (r7 — the missing dedup modality between
+    * doc-level [[exact]]/[[minhashPairs]] and line-level [[lineDedup]]):
+    * remove every token covered by a DUPLICATED k-token window, keeping
+    * the globally first occurrence — the "dedup repeated ~50-token spans
+    * across documents" step of a training pipeline (boilerplate, quoted
+    * passages, licence blocks), at exact-content granularity.
+    *
+    * Policy (exact, deterministic): a window occurrence (doc, pos) is
+    * duplicate iff some occurrence of the same k-token content has a
+    * smaller (doc_id, pos); a token is removed iff ANY of the ≤k windows
+    * covering it is duplicate; kept tokens reassemble in order (so the
+    * first copy of a span survives intact, later copies are cut —
+    * overlapping within-doc repeats collapse to their first window, the
+    * suffix-array substring-dedup semantics restated windowed).
+    *
+    * Scale shape: the [[graft.functions.WindowMd5s]] kernel emits one
+    * 16-byte digest per position in one byte scan, so window CONTENT
+    * (k× the corpus) never materializes or shuffles. Three keyed
+    * shuffles, all linear: digest-keyed keep-first window (the same shape
+    * as [[lineDedup]]'s, with 32-char keys instead of whole lines),
+    * (doc, pos)-keyed anti join of tokens against covered positions, and
+    * the doc-keyed reassembly. Never a cross join; skew is bounded by the
+    * digest space. Returns (doc_id, n_tokens, kept_tokens, text) — one
+    * row per input doc, fully-removed docs with kept_tokens=0, text ''.
+    */
+  def spanDedup(docs: DataFrame, k: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val occ = d.select(col("doc_id"),
+      posexplode(call_function("window_md5s", col("text"), lit(k)))
+        .as(Seq("pos", "wh")))
+    val keepFirst = Window.partitionBy("wh").orderBy("doc_id", "pos")
+    val rem = occ.withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id").as("rdoc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("rpos"))
+      .distinct()
+    val toksP = d.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("tpos", "tok")))
+    val kept = toksP.join(rem,
+      toksP("doc_id") === col("rdoc") && col("tpos") === col("rpos"),
+      "left_anti")
+    val reassembled = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s("tok"))).as("text"))
+    val stats = d.select(col("doc_id"),
+      element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
+        .cast("long").as("n_tokens"))
+    stats.join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   def lineDedup(docs: DataFrame, sep: String = "\n",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val lines = docs.select(col(idCol).as("doc_id"),

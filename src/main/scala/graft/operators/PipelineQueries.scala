@@ -476,6 +476,31 @@ object PipelineQueries {
             .select(col("vec_id").as("eval_id"), col("embedding")),
           minCosine = 0.99)
         .orderBy("vec_id")),
+    // ---- span-level substring dedup (r7): the missing dedup modality —
+    // cross-doc repeated 16-token spans removed, keep-first (doc-level
+    // p01–p05 and line-level p29 exist; this is the boilerplate /
+    // quoted-passage cutter). The fixture has no organic 16-token span
+    // dups, so the entry constructs them deterministically, mirrored in
+    // the oracle: docs ≡2 (mod 5) get a shared 16-token boilerplate
+    // prefix (cross-doc dup — every copy but the first loses it), other
+    // docs ≡3 (mod 7) get their own first 16 tokens appended (within-doc
+    // dup — the appended copy is cut). 167 of 500 docs lose tokens at
+    // sf0.01 (the constructed 156 plus organic span repeats); never
+    // vacuous.
+    "p43_span_dedup" -> q((s, _) => {
+      val boiler = "copyright terms of service all rights reserved " +
+        "privacy policy cookie consent subscribe newsletter follow us on"
+      val first16 = concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), 1, 16))
+      val aug = s.table("documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 2, concat(lit(boiler), lit(" "), col("text")))
+          .when(col("doc_id") % 7 === 3, concat(col("text"), lit(" "), first16))
+          .otherwise(col("text")).as("text"))
+      Dedup.spanDedup(aug, k = 16)
+        .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+          md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -837,6 +862,29 @@ object PipelineQueries {
         "qt AS (SELECT domain, CAST(round(150 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) AS BIGINT) AS src_quota FROM w, t), " +
         "r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d) " +
         "SELECT r.doc_id, r.domain, qt.src_quota FROM r JOIN qt USING (domain) WHERE r.rk <= qt.src_quota ORDER BY r.doc_id"),
+    // p43 (r7): brute-force span dedup — every 16-token window per
+    // position, keep-first by (doc_id, pos) over the window CONTENT
+    // (the engine keys by md5 digest; grouping by content here proves the
+    // digest keying loses nothing), coverage positions exploded, tokens
+    // anti-joined, text reassembled in order. Same deterministic dup
+    // construction as the engine side.
+    "p43_span_dedup" ->
+      ("WITH aug AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 5 = 2 THEN 'copyright terms of service all rights reserved privacy policy cookie consent subscribe newsletter follow us on' || ' ' || text " +
+        "WHEN doc_id % 7 = 3 THEN text || ' ' || array_to_string(list_slice(list_filter(string_split(text,' '), x -> x <> ''), 1, 16), ' ') " +
+        "ELSE text END AS text FROM documents), " +
+        "tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t FROM aug), " +
+        "ws AS (SELECT doc_id, list_transform(range(1, len(t) - 14), i -> array_to_string(list_slice(t, i, i + 15), ' ')) AS w FROM tk), " +
+        "occ AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS win FROM ws), " +
+        "r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM occ), " +
+        "rem AS (SELECT DISTINCT doc_id, rpos FROM (SELECT doc_id, unnest(range(pos, pos + 16)) AS rpos FROM r WHERE rn > 1)), " +
+        "tp AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS tpos, unnest(t) AS tok FROM tk), " +
+        "kept AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp LEFT JOIN rem ON tp.doc_id = rem.doc_id AND tp.tpos = rem.rpos WHERE rem.rpos IS NULL), " +
+        "g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens, string_agg(tok, ' ' ORDER BY tpos) AS text FROM kept GROUP BY doc_id) " +
+        "SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(g.kept_tokens, 0) AS BIGINT) AS kept_tokens, " +
+        "md5(coalesce(g.text, '')) AS h " +
+        "FROM tk LEFT JOIN g USING (doc_id) ORDER BY tk.doc_id"),
     // p42 (r6): brute-force cosine of every corpus vector against the 5
     // eval probes over the planted audit corpus — the annAudit CTE
     // construction with a threshold + per-vector max instead of top-k.

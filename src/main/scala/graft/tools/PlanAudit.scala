@@ -98,6 +98,13 @@ object PlanAudit {
     // chunking is a pure per-row explode — no shuffle beyond the final sort
     Check("p30_chunk_windows", wantAll = Seq("Generate"),
       wantNone = Seq("Join", "HashAggregate")),
+    // span dedup (r7): duplicate detection is a digest-keyed keep-first
+    // Window (16-byte keys shuffle, never window content), removal an
+    // equi anti join on (doc, pos), reassembly a doc-keyed agg — never a
+    // cross join / all-pairs shape
+    Check("p43_span_dedup",
+      wantAll = Seq("Window", "LeftAnti", "HashAggregate", "window_md5s"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // quality gate: rank and per-source count share ONE window partitioning
     Check("p31_quality_gate", wantAll = Seq("token_set_hits", "Window"),
       wantNone = Seq("Join")),

@@ -279,6 +279,28 @@ class OperatorsSpec extends SparkTestBase {
       (4L, 1L, "epsilon")))
   }
 
+  test("span dedup cuts duplicated k-token windows, keep-first, restores emptied docs") {
+    import spark.implicits._
+    // k=3: doc 1 owns every span; doc 2 repeats doc 1's "b c d" span
+    // mid-text; doc 3 is entirely doc 1's opening; doc 4 repeats its own
+    // opening span in-doc; doc 5 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x b c d y"),   // window (b c d) dup -> positions 1..3 cut
+      (3L, "a b c"),       // whole doc = dup window -> emptied
+      (4L, "p q r p q r"), // in-doc dup of (p q r) -> second copy cut
+      (5L, "u v w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, k = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 5L, "a b c d e"),
+      (2L, 5L, 2L, "x y"),
+      (3L, 3L, 0L, ""),
+      (4L, 6L, 3L, "p q r"),
+      (5L, 3L, 3L, "u v w")))
+  }
+
   test("chunk windows cover every token with the declared overlap") {
     import spark.implicits._
     val doc = (1 to 100).map(i => s"w$i").mkString(" ")
