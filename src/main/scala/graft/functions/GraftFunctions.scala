@@ -65,7 +65,9 @@ object GraftFunctions {
       args => DupGramStats(args(0))),
     ("token_hashes", "array<bigint>: 64-bit hash per whitespace token, in order, one byte scan",
       args => TokenHashes(args(0))),
-    ("window_md5s", "array<string>: hex md5 of every k-token sliding window, one byte scan",
+    ("remove_token_positions", "drop the listed 0-based token positions and re-join with single spaces, one byte scan",
+      args => RemoveTokenPositions(args(0), args(1))),
+    ("window_md5s", "array<binary>: raw md5 of every k-token sliding window, one byte scan",
       args => WindowMd5s(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
     ("chunk_windows", "array<string>: sliding token windows (window, stride) rebuilt as single-space strings, one byte scan",

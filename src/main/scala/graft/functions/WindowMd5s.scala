@@ -3,11 +3,12 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Hex md5 of EVERY k-token sliding window (stride 1) → `array<string>`,
-  * element `i` = `md5(concat_ws(' ', tokens[i..i+k)))`, for positions
+/** Raw 16-byte md5 of EVERY k-token sliding window (stride 1) →
+  * `array<binary>`, element `i` = the digest of
+  * `concat_ws(' ', tokens[i..i+k))`, for positions
   * `0..n−k` (empty array when the doc has fewer than `k` whitespace
   * tokens). Tokens are maximal non-space runs, the
   * [[TokenHashes]]/[[ChunkWindows]] twin.
@@ -17,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * k× the corpus) never materializes or shuffles; only digests and
   * positions move. md5 (128-bit) rather than a 64-bit hash because the
   * dedup must match an exact-content oracle — the established portable-
-  * digest concession (p01/p04): a collision needs ~2⁶⁴ windows.
+  * digest concession (p01/p04): a collision needs ~2⁶⁴ windows. Raw
+  * bytes, not hex: the digests are pure shuffle keys, and 16-byte binary
+  * halves the keep-first window's shuffle/sort bytes.
   *
   * Work is inherently k× the byte scan (overlapping windows re-hash every
   * token k times; md5 has no rolling form) — the same cost the brute-force
@@ -25,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WindowMd5s(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, "window_md5s: k must be positive")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def prettyName: String = "window_md5s"
 
   override def nullSafeEval(input: Any): Any =
@@ -41,7 +44,6 @@ case class WindowMd5s(child: Expression, k: Int) extends UnaryExpression {
 
 object WindowMd5s {
   private val SpaceByte = Array[Byte](' ')
-  private val HexDigits = "0123456789abcdef".getBytes
 
   /** Static forwarder for generated code. */
   def digests(s: UTF8String, k: Int): GenericArrayData = {
@@ -78,15 +80,7 @@ object WindowMd5s {
         md.update(b, starts(t), ends(t) - starts(t))
         t += 1
       }
-      val dig = md.digest()
-      val hex = new Array[Byte](32)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = HexDigits((dig(j) >> 4) & 0xf)
-        hex(2 * j + 1) = HexDigits(dig(j) & 0xf)
-        j += 1
-      }
-      out(p) = UTF8String.fromBytes(hex)
+      out(p) = md.digest()
       p += 1
     }
     new GenericArrayData(out)

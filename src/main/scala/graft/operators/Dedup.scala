@@ -471,13 +471,18 @@ object Dedup {
     *
     * Scale shape: the [[graft.functions.WindowMd5s]] kernel emits one
     * 16-byte digest per position in one byte scan, so window CONTENT
-    * (k× the corpus) never materializes or shuffles. Three keyed
-    * shuffles, all linear: digest-keyed keep-first window (the same shape
-    * as [[lineDedup]]'s, with 32-char keys instead of whole lines),
-    * (doc, pos)-keyed anti join of tokens against covered positions, and
-    * the doc-keyed reassembly. Never a cross join; skew is bounded by the
-    * digest space. Returns (doc_id, n_tokens, kept_tokens, text) — one
-    * row per input doc, fully-removed docs with kept_tokens=0, text ''.
+    * (k× the corpus) never materializes or shuffles; the
+    * [[graft.functions.RemoveTokenPositions]] kernel rewrites each doc in
+    * one O(n + r) byte scan, so the corpus itself is never exploded to
+    * token rows. Two keyed shuffles over small rows — the digest-keyed
+    * keep-first window (32-char keys + ids, the [[lineDedup]] shape) and
+    * the doc-keyed collapse of removed positions — plus one doc-keyed
+    * join of the (typically tiny) removal arrays back onto the corpus
+    * scan, which AQE broadcasts when it fits. Never a cross join; skew is
+    * bounded by the digest space. Returns (doc_id, n_tokens, kept_tokens,
+    * text) — one row per input doc, fully-removed docs with kept_tokens=0
+    * and text ''; text is always the single-space token re-join (the
+    * whitespace normalization the reassembly defines).
     */
   def spanDedup(docs: DataFrame, k: Int = 16,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -491,24 +496,18 @@ object Dedup {
       .filter(col("__rn") > 1)
       .select(col("doc_id").as("rdoc"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("rpos"))
-      .distinct()
-    val toksP = d.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("tpos", "tok")))
-    val kept = toksP.join(rem,
-      toksP("doc_id") === col("rdoc") && col("tpos") === col("rpos"),
-      "left_anti")
-    val reassembled = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("kept_tokens"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("tpos"), col("tok")))),
-          s => s("tok"))).as("text"))
-    val stats = d.select(col("doc_id"),
-      element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
-        .cast("long").as("n_tokens"))
-    stats.join(reassembled, Seq("doc_id"), "left")
+      .groupBy("rdoc")
+      .agg(array_sort(collect_set(col("rpos"))).as("rem"))
+    d.join(rem, d("doc_id") === col("rdoc"), "left")
+      .select(col("doc_id"),
+        element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
+          .cast("long").as("n_tokens"),
+        coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")).as("rem"),
+        col("text"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        coalesce(col("text"), lit("")).as("text"))
+        (col("n_tokens") - size(col("rem"))).as("kept_tokens"),
+        call_function("remove_token_positions", col("text"), col("rem"))
+          .as("text"))
   }
 
   def lineDedup(docs: DataFrame, sep: String = "\n",

@@ -99,11 +99,14 @@ object PlanAudit {
     Check("p30_chunk_windows", wantAll = Seq("Generate"),
       wantNone = Seq("Join", "HashAggregate")),
     // span dedup (r7): duplicate detection is a digest-keyed keep-first
-    // Window (16-byte keys shuffle, never window content), removal an
-    // equi anti join on (doc, pos), reassembly a doc-keyed agg — never a
-    // cross join / all-pairs shape
+    // Window (16-byte keys shuffle, never window content), removed
+    // positions collapse to per-doc sorted arrays (doc-keyed agg), and
+    // the corpus is rewritten by the remove_token_positions kernel after
+    // one doc-keyed equi join — never a cross join / all-pairs shape,
+    // never a token-level explode of the corpus
     Check("p43_span_dedup",
-      wantAll = Seq("Window", "LeftAnti", "HashAggregate", "window_md5s"),
+      wantAll = Seq("Window", "HashAggregate", "window_md5s",
+        "remove_token_positions"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // quality gate: rank and per-source count share ONE window partitioning
     Check("p31_quality_gate", wantAll = Seq("token_set_hits", "Window"),
