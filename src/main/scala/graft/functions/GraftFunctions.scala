@@ -65,6 +65,9 @@ object GraftFunctions {
       args => DupGramStats(args(0))),
     ("token_hashes", "array<bigint>: 64-bit hash per whitespace token, in order, one byte scan",
       args => TokenHashes(args(0))),
+    ("byte_shingle_simhash", "portable 60-bit simhash over sliding byte n-gram shingles of a binary payload",
+      args => ByteShingleSimhash(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())),
     ("remove_token_positions", "drop the listed 0-based token positions and re-join with single spaces, one byte scan",
       args => RemoveTokenPositions(args(0), args(1))),
     ("window_md5s", "array<binary>: raw md5 of every k-token sliding window, one byte scan",

@@ -227,6 +227,15 @@ object Dedup {
       else GraftFunctions.simhash64(toks)
     val scanned = docs.select(col(idCol).as("id"), md5(col(textCol)).as("__h"),
       sig.as("sh"))
+    simhashPairsFromSigs(scanned, maxHamming, bands, collapseExact)
+  }
+
+  /** Banded pair generation over precomputed signatures (id, __h, sh) —
+    * shared by [[simhashPairs]] and [[Multimodal.binarySimhashPairs]]
+    * (r7). With `collapseExact`, identical contents (same `__h`) ride the
+    * banding once per cluster and expand afterwards. */
+  private[operators] def simhashPairsFromSigs(scanned: DataFrame,
+      maxHamming: Int, bands: Int, collapseExact: Boolean): DataFrame =
     if (collapseExact) {
       val groups = scanned.groupBy(col("__h"))
         .agg(min("id").as("id"), collect_list("id").as("members"),
@@ -238,10 +247,10 @@ object Dedup {
     } else {
       simhashPairsOnBase(scanned.select(col("id"), col("sh")), maxHamming, bands)
     }
-  }
 
-  /** The banding+hamming core of [[simhashPairs]] over (id, sh). */
-  private def simhashPairsOnBase(
+  /** The banding+hamming core of [[simhashPairs]] over (id, sh); also the
+    * pair engine for [[Multimodal.binarySimhashPairs]] (r7). */
+  private[operators] def simhashPairsOnBase(
       sh: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
     val width = 64 / bands
     val bandStructs = (0 until bands).map { b =>

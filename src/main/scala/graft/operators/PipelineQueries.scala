@@ -501,6 +501,24 @@ object PipelineQueries {
           md5(col("text")).as("h"))
         .orderBy("doc_id")
     }),
+    // ---- multimodal perceptual near-dup (r7): p04's simhash dedup over
+    // the opaque BINARY payload column — byte-shingle signatures, banded
+    // pigeonhole-exact pairs at hamming <= 3. The corpus plants one
+    // one-byte-edited copy per payload (first byte -> 'Z', id+1000000 —
+    // the re-encoded/metadata-patched image stand-in): 482 of 500 planted
+    // pairs land within hamming 3 (18 drift past the threshold — the
+    // threshold really cuts) plus 91 organic near-dup pairs at sf0.01.
+    "p44_multimodal_neardup" -> q((s, _) => {
+      val base = s.table("documents").select(col("doc_id").as("id"),
+        col("text"))
+      val planted = base.select((col("id") + 1000000L).as("id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+      val items = base.unionByName(planted)
+        .select(col("id"), col("text").cast("binary").as("payload"))
+      Multimodal.binarySimhashPairs(items, shingle = 4, maxHamming = 3)
+        .select(col("d1"), col("d2"), col("hamming").cast("bigint").as("hamming"))
+        .orderBy("d1", "d2")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -885,6 +903,22 @@ object PipelineQueries {
         "CAST(coalesce(g.kept_tokens, 0) AS BIGINT) AS kept_tokens, " +
         "md5(coalesce(g.text, '')) AS h " +
         "FROM tk LEFT JOIN g USING (doc_id) ORDER BY tk.doc_id"),
+    // p44 (r7): brute-force byte-shingle simhash hamming scan over the
+    // planted payload corpus — the p04 oracle pattern with 4-byte
+    // substring shingles instead of tokens (fixture text is pure ASCII,
+    // probe-verified octet_length = length, so char substrings ARE the
+    // kernel's byte shingles). MATERIALIZED pins the hash lists so the
+    // 60-bit vote loop does not recompute 60 md5 passes per doc.
+    "p44_multimodal_neardup" ->
+      ("WITH c AS (SELECT doc_id AS id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000 AS id, 'Z' || substr(text, 2) AS text FROM documents), " +
+        "hs AS MATERIALIZED (SELECT id, list_transform(range(1, length(text) - 2), " +
+        "i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 4)), 18, 15) AS BIGINT)) AS hl FROM c), " +
+        "s AS MATERIALIZED (SELECT id, CAST(list_sum(list_transform(range(0, 60), j -> " +
+        "CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sh FROM hs) " +
+        "SELECT a.id AS d1, b.id AS d2, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming " +
+        "FROM s a JOIN s b ON a.id < b.id WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY d1, d2"),
     // p42 (r6): brute-force cosine of every corpus vector against the 5
     // eval probes over the planted audit corpus — the annAudit CTE
     // construction with a threshold + per-vector max instead of top-k.

@@ -108,6 +108,13 @@ object PlanAudit {
       wantAll = Seq("Window", "HashAggregate", "window_md5s",
         "remove_token_positions"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // multimodal near-dup (r7): pairs from the pigeonhole band equi-join
+    // (the hamming filter's bit_count is the post-checkpoint marker; the
+    // kernel scan sits behind the collapse/banding localCheckpoints) —
+    // never an all-pairs shape
+    Check("p44_multimodal_neardup",
+      wantAll = Seq("bit_count"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // quality gate: rank and per-source count share ONE window partitioning
     Check("p31_quality_gate", wantAll = Seq("token_set_hits", "Window"),
       wantNone = Seq("Join")),

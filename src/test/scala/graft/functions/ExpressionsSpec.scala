@@ -179,6 +179,34 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("byte_shingle_simhash matches the SQL md5-parse vote on random strings") {
+    withFns {
+      val rnd = new scala.util.Random(11)
+      val docs = (0 until 30).map { i =>
+        val len = rnd.nextInt(120)
+        (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+          .replace('\'', 'q')) // keep the SQL literal-free reference simple
+      } :+ (30L, "") :+ (31L, "abc") // shorter than the 4-byte shingle -> 0
+      val df = spark.createDataFrame(docs).toDF("id", "text")
+      df.createOrReplaceTempView("__bs")
+      val ref = spark.sql(
+        """SELECT id, CASE WHEN length(text) < 4 THEN 0L ELSE
+          |  aggregate(sequence(0, 59), 0L, (acc, j) ->
+          |    acc + IF(aggregate(
+          |      transform(sequence(1, length(text) - 3),
+          |        i -> conv(substr(md5(substr(text, i, 4)), 18, 15), 16, 10)),
+          |      0, (v, h) -> v + IF((CAST(h AS BIGINT) >> j) & 1 = 1, 1, -1)) > 0,
+          |      shiftleft(1L, j), 0L)) END AS sh
+          |FROM __bs""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val got = spark.sql(
+        "SELECT id, byte_shingle_simhash(CAST(text AS BINARY), 4) AS sh FROM __bs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == ref)
+      assert(got(30L) == 0L && got(31L) == 0L)
+    }
+  }
+
   test("graft_list_distinct drops NULLs and keeps first-occurrence order") {
     withFns {
       // DuckDB probe (v1.0.0): list_distinct([1,2,2,NULL,NULL]) = [2,1]
