@@ -40,7 +40,18 @@ object Translator {
     * translate time. The engine passes a catalog lookup; the default no-op
     * leaves `COLUMNS` untouched (an analysis error, as in DuckDB when the
     * pattern matches nothing). */
-  def translate(sql: String, schemaOf: String => Option[Seq[String]]): Translation = {
+  def translate(sql: String, schemaOf: String => Option[Seq[String]]): Translation =
+    translate(sql, schemaOf, _ => false)
+
+  /** `isMapCol` (r7) resolves a lower-cased column name to "MAP-typed in
+    * the visible catalog" — the schema-aware subscript pass: a subscript
+    * whose receiver is a plain (possibly qualified) identifier naming a
+    * known MAP column emits DuckDB's 1-element-list wrap instead of the
+    * array zero-index guards, closing both documented map-subscript
+    * divergences for the named-column case. The default no-op keeps the
+    * schema-free behavior (bare `Translator.sparkSql`, tests). */
+  def translate(sql: String, schemaOf: String => Option[Seq[String]],
+      isMapCol: String => Boolean): Translation = {
     val (noFmt, fmt) = Sanitizer.stripFormat(sql)
     var toks = lex(noFmt)
     val views = ArrayBuffer[ViewReg]()
@@ -60,7 +71,7 @@ object Translator {
     toks = rewriteListComprehensions(toks)
     toks = rewriteArrayLiterals(toks)
     toks = rewriteStructMapLiterals(toks)
-    toks = rewriteSubscripts(toks)
+    toks = rewriteSubscripts(toks, isMapCol)
     toks = rewriteOpsSugar(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
@@ -508,12 +519,20 @@ object Translator {
     * `greatest(0, len)` where Spark's negative-length slice throws.
     * Literal non-negative bounds skip the guards (constant-folded form).
     *
-    * Documented divergences that remain: DuckDB wraps a map lookup in a
-    * 1-element list while try_element_at returns the bare value; an
-    * integer-keyed map lookup with key 0 (or a dynamic key equal to 0)
-    * hits the zero-index guard and returns NULL. Empty brackets
-    * (`VARCHAR[]` type suffixes) are untouched. */
-  private[dialect] def rewriteSubscripts(toks0: Vector[Tok]): Vector[Tok] = {
+    * Map receivers (r7): a subscript whose receiver is a plain
+    * (dot-qualified) identifier naming a catalog-known MAP column emits
+    * DuckDB's exact semantics — `[value]` when the key is present (key 0
+    * included), `[]` when missing or NULL — via `isMapCol`, closing the
+    * former named-column divergences. Still divergent (schema truly
+    * unreachable at token level): a map subscript whose RECEIVER is a
+    * computed expression (map literal, function result, parenthesized
+    * subquery output) takes the array guards — bare value, zero-guarded —
+    * and empty brackets (`VARCHAR[]` type suffixes) are untouched. */
+  private[dialect] def rewriteSubscripts(toks0: Vector[Tok]): Vector[Tok] =
+    rewriteSubscripts(toks0, _ => false)
+
+  private[dialect] def rewriteSubscripts(toks0: Vector[Tok],
+      isMapCol: String => Boolean): Vector[Tok] = {
     var toks = toks0
     var changed = true
     while (changed) {
@@ -550,8 +569,25 @@ object Translator {
               val p = prevNonWs(toks, i)
               val rStart = primaryStart(toks, p)
               val recv = render(toks.slice(rStart, p + 1)).trim
+              // schema-aware map dispatch (r7): receiver is a plain
+              // (dot-qualified) identifier naming a known MAP column →
+              // DuckDB 1.0 semantics, probe-pinned: m[k] = [v] when the
+              // key is present (key 0 included — maps have no zero-index
+              // guard), [] when missing or k IS NULL.
+              val mapRecv = colonAt < 0 && {
+                val seg = toks.slice(rStart, p + 1).filter(!isWs(_))
+                seg.nonEmpty && seg.zipWithIndex.forall {
+                  case (t, k) =>
+                    if (k % 2 == 0) t.isInstanceOf[Ident] else t == Punct(".")
+                } && isMapCol(seg.last.text.toLowerCase)
+              }
               if (inner.exists(!isWs(_))) {
-                if (colonAt < 0) {
+                if (mapRecv) {
+                  val idx = render(inner).trim
+                  val repl = s"IF(map_contains_key($recv, $idx), array(try_element_at($recv, $idx)), array())"
+                  toks = toks.patch(rStart, lex(repl), close - rStart + 1)
+                  changed = true
+                } else if (colonAt < 0) {
                   val idx = render(inner).trim
                   val guarded = intLit(idx) match {
                     case Some(0L) => s"try_element_at($recv, CAST(NULL AS INT))"

@@ -547,8 +547,12 @@ object Engine {
     graft.functions.GraftFunctions.register(spark) // idempotent; version() etc.
     // catalog lookup for COLUMNS('regex') expansion — only invoked when the
     // statement actually contains a COLUMNS call
+    val isMapCol: String => Boolean =
+      if (duckSql.contains("[")) mapColumnNames(spark).contains(_)
+      else _ => false
     val t = Translator.translate(duckSql,
-      name => scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption)
+      name => scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption,
+      isMapCol)
     t.views.foreach { v =>
       v.format match {
         case "csv" => spark.read.option("header", "true")
@@ -556,6 +560,7 @@ object Engine {
         case f => spark.read.format(f).load(v.path).createOrReplaceTempView(v.name)
       }
     }
+    if (t.views.nonEmpty) bumpCatalogVersion() // new views may carry MAP columns
     if (t.sql.contains("graft_infoschema_")) registerInfoSchema(spark)
     val out = spark.sql(t.sql)
     // DDL invalidates the cached information_schema snapshot (spark.sql
@@ -586,6 +591,35 @@ object Engine {
 
   /** Call after any DDL that changes the catalog (CREATE/DROP/ALTER). */
   def bumpCatalogVersion(): Unit = { ddlVersion.incrementAndGet(); () }
+
+  // lower-cased names of MAP-typed columns across the visible catalog —
+  // feeds the translator's schema-aware subscript pass (r7). Cached per
+  // (session, DDL version) like the information_schema snapshot: catalog
+  // listing + schema walks are too slow to pay per statement, and the set
+  // is only consulted for statements containing '['.
+  private val mapColsCache: java.util.Map[SparkSession, (Long, Set[String])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (Long, Set[String])]())
+
+  private def mapColumnNames(spark: SparkSession): Set[String] = {
+    val v = ddlVersion.get()
+    val cached = mapColsCache.get(spark)
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val names = scala.util.Try {
+        spark.catalog.listTables().collect().toSeq.flatMap { t =>
+          scala.util.Try(spark.table(t.name).schema.fields.toSeq)
+            .getOrElse(Seq.empty)
+            .collect {
+              case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+                f.name.toLowerCase
+            }
+        }.toSet
+      }.getOrElse(Set.empty[String])
+      mapColsCache.put(spark, (v, names))
+      names
+    }
+  }
 
   /** Concurrent appends to one parquet table race on the Hadoop
     * FileOutputCommitter's shared `_temporary` directory (found by the

@@ -28,6 +28,31 @@ class ProtocolSpec extends SparkTestBase {
     assert(node.get("statistics").has("bytes_read"))
   }
 
+  test("schema-aware map subscript: known MAP columns get DuckDB's list wrap") {
+    import graft.engine.Engine
+    // DuckDB 1.0 probe, pinned: m['a']=[1], m['z']=[], m[NULL]=[],
+    // int-keyed m[0]=[v] (maps have no zero-index guard), VARCHAR-keyed
+    // map with a DYNAMIC key evaluating to '0' returns the wrapped value
+    // (formerly the documented zero-guard divergence).
+    Engine.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW __mv AS SELECT MAP {'a': 1, '0': 7} AS m, MAP {0: 'y'} AS im, 'a' AS k")
+    def one(q: String): Any = Engine.sql(spark, q).head.get(0)
+    assert(one("SELECT m['a'] FROM __mv") == Seq(1))
+    assert(one("SELECT m['z'] FROM __mv") == Seq())
+    assert(one("SELECT m[k] FROM __mv") == Seq(1))
+    assert(one("SELECT m[CAST(NULL AS VARCHAR)] FROM __mv") == Seq())
+    assert(one("SELECT im[0] FROM __mv") == Seq("y"))
+    assert(one("SELECT m[substr('0z', 1, 1)] FROM __mv") == Seq(7))
+    // arrays keep the zero-guard path (q132's declared semantics)
+    Engine.sql(spark,
+      "CREATE OR REPLACE TEMP VIEW __av AS SELECT [10, 20] AS xs")
+    assert(one("SELECT xs[1] FROM __av") == 10)
+    assert(one("SELECT xs[0] FROM __av") == null)
+    spark.catalog.dropTempView("__mv")
+    spark.catalog.dropTempView("__av")
+    Engine.bumpCatalogVersion()
+  }
+
   test("JSON envelope uses row objects") {
     val df = Seq((1L, "a")).toDF("k", "v")
     val node = mapper.readTree(new String(Encoders.json(df, System.nanoTime()), "UTF-8"))
