@@ -285,6 +285,42 @@ object PlanAudit {
       failures += 1
       println(s"PLAN BAD  q131 static plan broadcasts fact scans: $bcFacts")
     }
+    // r7 (VERDICT r6 #4): q131 exchange-reuse audit. ReuseExchange CANNOT
+    // fire across the l1/l2/l3 lineitem subtrees — each branch pushes its
+    // own filters and prunes its own columns into the scan, so the three
+    // subtrees are structurally distinct by design (each reads FEWER bytes
+    // than a shared superset exchange would). Probe-measured at sf≈1: a
+    // /*+ REPARTITION(l_orderkey) */ CTE form ALSO yields zero
+    // ReusedExchange (Catalyst pushes the per-branch predicates through
+    // the repartition, re-diverging the subtrees) and times identical
+    // within noise (min 1.78 s both forms, 5 iters). The structural check
+    // below pins the reason: all lineitem scans carry pairwise-distinct
+    // column sets; if two ever unify, reuse becomes available and this
+    // flags for revisit.
+    {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      // distinctness is over (pruned columns, pushed filter SHAPE): l1/l3
+      // read the same three columns but l1 carries join-side isnotnull
+      // pushdowns l3 must not (anti-join semantics keep its nulls), so
+      // their exchange subtrees can never canonicalize equal
+      val liScans = scala.collection.mutable.ArrayBuffer[String]()
+      q131.queryExecution.sparkPlan.foreach {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.mkString(",").contains("lineitem") =>
+          liScans += f.requiredSchema.fieldNames.sorted.mkString(",") +
+            " / filters:" + f.dataFilters.map(_.sql).sorted.mkString("&")
+        case _ => ()
+      }
+      if (liScans.distinct.length == liScans.length)
+        println(s"PLAN OK   q131 exchange reuse structurally excluded: " +
+          s"${liScans.length} lineitem scans, pairwise-distinct " +
+          s"(columns, pushed filters): ${liScans.mkString(" | ")}")
+      else {
+        failures += 1
+        println(s"PLAN BAD  q131 lineitem scans identical in (columns, " +
+          s"filters) — ReuseExchange is now reachable, revisit: $liScans")
+      }
+    }
     val q = SparkEntry.queries("q24_group_having")(spark, sfDir)
     val formatted = q.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
