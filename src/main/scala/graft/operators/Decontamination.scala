@@ -37,6 +37,52 @@ object Decontamination {
       .agg(count(lit(1)).cast("long").as("shared_grams"))
   }
 
+  /** Span-level eval-leakage SCRUB (r7) — [[sharedGrams]] flags whole
+    * documents; this removes the leaked spans themselves and keeps the
+    * rest: every training token covered by a k-token window whose content
+    * appears anywhere in the eval set is cut, and the doc is reassembled —
+    * the surgical decontamination a pipeline wants when a doc is fine
+    * except for a quoted benchmark item. Exact-content semantics, the
+    * [[Dedup.spanDedup]] policy with "duplicate" replaced by "present in
+    * the eval digest set".
+    *
+    * Scale shape: eval is small by nature → its distinct
+    * [[graft.functions.WindowMd5s]] digests BROADCAST; the corpus is ONE
+    * kernel scan joined against that broadcast (no corpus-side shuffle for
+    * detection), covered positions collapse per matched doc (small), and
+    * the [[graft.functions.RemoveTokenPositions]] kernel rewrites matched
+    * docs in O(n+r). Returns (doc_id, n_tokens, kept_tokens, text), one
+    * row per train doc, text single-space re-joined.
+    */
+  def scrubEvalSpans(train: DataFrame, evalDocs: DataFrame, k: Int = 16,
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val t = train.select(col(idCol).as("doc_id"), col("text"))
+    val evalW = broadcast(evalDocs
+      .select(explode(call_function("window_md5s", col("text"), lit(k)))
+        .as("wh"))
+      .distinct())
+    val rem = t
+      .select(col("doc_id"),
+        posexplode(call_function("window_md5s", col("text"), lit(k)))
+          .as(Seq("pos", "wh")))
+      .join(evalW, "wh")
+      .select(col("doc_id").as("rdoc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("rpos"))
+      .groupBy("rdoc")
+      .agg(array_sort(collect_set(col("rpos"))).as("rem"))
+    t.join(rem, t("doc_id") === col("rdoc"), "left")
+      .select(col("doc_id"),
+        element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
+          .cast("long").as("n_tokens"),
+        coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")).as("rem"),
+        col("text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("rem"))).as("kept_tokens"),
+        call_function("remove_token_positions", col("text"), col("rem"))
+          .as("text"))
+  }
+
   /** Semantic (embedding-space) decontamination — the n-gram check's twin
     * for paraphrased leakage: flag corpus vectors whose cosine against ANY
     * eval vector reaches `minCosine`. Same 100 TB shape as [[sharedGrams]]:

@@ -519,6 +519,30 @@ object PipelineQueries {
         .select(col("d1"), col("d2"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("d1", "d2")
     }),
+    // ---- span-level eval-leakage scrub (r7): p22 flags whole docs by
+    // n-gram overlap; this CUTS the leaked 16-token spans and keeps the
+    // rest (p43's policy with "duplicate" = "present in the eval window
+    // set"). Construction mirrored in the oracle: eval = docs < 50; train
+    // docs ≡5 (mod 9) get eval doc (doc_id % 50)'s first 16 tokens
+    // appended — the quoted-benchmark-item stand-in. Non-vacuous at
+    // sf0.01: 50 of 450 train docs lose exactly their appended span.
+    "p45_decontam_spans" -> q((s, _) => {
+      val d = s.table("documents")
+      val ev = d.filter(col("doc_id") < 50)
+      val donor = ev.select(col("doc_id").as("__eid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 16))
+          .as("__espan"))
+      val train = d.filter(col("doc_id") >= 50)
+        .join(donor, col("__eid") === col("doc_id") % 50, "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 5,
+            concat(col("text"), lit(" "), col("__espan")))
+            .otherwise(col("text")).as("text"))
+      Decontamination.scrubEvalSpans(train, ev, k = 16)
+        .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+          md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -903,6 +927,28 @@ object PipelineQueries {
         "CAST(coalesce(g.kept_tokens, 0) AS BIGINT) AS kept_tokens, " +
         "md5(coalesce(g.text, '')) AS h " +
         "FROM tk LEFT JOIN g USING (doc_id) ORDER BY tk.doc_id"),
+    // p45 (r7): brute-force span decontamination — p43's oracle structure
+    // with the duplicate test replaced by membership in the eval set's
+    // distinct 16-token windows; same construction as the engine side.
+    "p45_decontam_spans" ->
+      ("WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), " +
+        "don AS (SELECT doc_id AS eid, array_to_string(list_slice(list_filter(string_split(text,' '), x -> x <> ''), 1, 16), ' ') AS espan FROM ev), " +
+        "tr AS (SELECT d.doc_id, CASE WHEN d.doc_id % 9 = 5 THEN d.text || ' ' || don.espan ELSE d.text END AS text " +
+        "FROM documents d JOIN don ON don.eid = d.doc_id % 50 WHERE d.doc_id >= 50), " +
+        "evtk AS (SELECT list_filter(string_split(text,' '), x -> x <> '') AS t FROM ev), " +
+        "evw AS (SELECT DISTINCT unnest(list_transform(range(1, len(t) - 14), i -> array_to_string(list_slice(t, i, i + 15), ' '))) AS w FROM evtk), " +
+        "ttk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t FROM tr), " +
+        "tw AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w FROM " +
+        "(SELECT doc_id, list_transform(range(1, len(t) - 14), i -> array_to_string(list_slice(t, i, i + 15), ' ')) AS ws FROM ttk)), " +
+        "hit AS (SELECT tw.doc_id, tw.pos FROM tw JOIN evw USING (w)), " +
+        "rem AS (SELECT DISTINCT doc_id, rpos FROM (SELECT doc_id, unnest(range(pos, pos + 16)) AS rpos FROM hit)), " +
+        "tp AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS tpos, unnest(t) AS tok FROM ttk), " +
+        "kept AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp LEFT JOIN rem ON tp.doc_id = rem.doc_id AND tp.tpos = rem.rpos WHERE rem.rpos IS NULL), " +
+        "g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens, string_agg(tok, ' ' ORDER BY tpos) AS text FROM kept GROUP BY doc_id) " +
+        "SELECT ttk.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(g.kept_tokens, 0) AS BIGINT) AS kept_tokens, " +
+        "md5(coalesce(g.text, '')) AS h " +
+        "FROM ttk LEFT JOIN g USING (doc_id) ORDER BY ttk.doc_id"),
     // p44 (r7): brute-force byte-shingle simhash hamming scan over the
     // planted payload corpus — the p04 oracle pattern with 4-byte
     // substring shingles instead of tokens (fixture text is pure ASCII,

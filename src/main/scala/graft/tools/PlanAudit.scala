@@ -108,6 +108,13 @@ object PlanAudit {
       wantAll = Seq("Window", "HashAggregate", "window_md5s",
         "remove_token_positions"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // span decontamination (r7): eval window digests broadcast, corpus
+    // detection is one kernel scan against the broadcast (no corpus-side
+    // detection shuffle), rewrite via remove_token_positions
+    Check("p45_decontam_spans",
+      wantAll = Seq("BroadcastHashJoin", "window_md5s",
+        "remove_token_positions"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // multimodal near-dup (r7): pairs from the pigeonhole band equi-join
     // (the hamming filter's bit_count is the post-checkpoint marker; the
     // kernel scan sits behind the collapse/banding localCheckpoints) —

@@ -301,6 +301,24 @@ class OperatorsSpec extends SparkTestBase {
       (5L, 3L, 3L, "u v w")))
   }
 
+  test("span scrub cuts eval-set windows from train docs, keeps the rest") {
+    import spark.implicits._
+    val ev = Seq((1L, "secret bench item alpha")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "intro words secret bench item tail words"), // k=3 windows of the eval doc appear
+      (11L, "clean document nothing shared here"),
+      (12L, "secret bench item alpha")                   // the whole doc is leaked
+    ).toDF("doc_id", "text")
+    val out = Decontamination.scrubEvalSpans(train, ev, k = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 10: eval windows (secret bench item), (bench item alpha) — only
+    // the first occurs; positions 2..4 cut
+    assert(out.toSeq == Seq(
+      (10L, 7L, 4L, "intro words tail words"),
+      (11L, 5L, 5L, "clean document nothing shared here"),
+      (12L, 4L, 0L, "")))
+  }
+
   test("chunk windows cover every token with the declared overlap") {
     import spark.implicits._
     val doc = (1 to 100).map(i => s"w$i").mkString(" ")
