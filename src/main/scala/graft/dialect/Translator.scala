@@ -1079,6 +1079,12 @@ object Translator {
     "ORD" -> "ascii",
     // DuckDB to_hex and Spark hex both emit uppercase, no leading zeros
     "TO_HEX" -> "hex",
+    // r7 widening, each probe-verified on DuckDB 1.0:
+    // from_hex('ff') and unhex('ff') both yield the raw byte
+    "FROM_HEX" -> "unhex",
+    // both are C-style (java.util.Formatter / DuckDB fmt printf): %s %d
+    // %03d %f %% agree; exotic verbs (%b binary) are a declared gap
+    "PRINTF" -> "format_string",
     // quantile family: quantile_cont interpolates like Spark's exact
     // percentile; plain/discrete quantile approximated by percentile_approx
     // (sketch outputs differ engine-to-engine → never oracle-declared)
@@ -1378,7 +1384,37 @@ object Translator {
               toks = toks.patch(i, lex(s"(size(array_except(($sub), ($l))) = 0)"), close - i + 1)
               changed = true
             }
-          case id: Ident if id.upper == "LIST_SLICE" && callOpen >= 0 =>
+          case id: Ident if id.upper == "GENERATE_SUBSCRIPTS" && callOpen >= 0 =>
+            // generate_subscripts(l, 1) — the set-returning 1-based index
+            // generator (lists are 1-D in DuckDB; dim != 1 errors there and
+            // stays untouched → loud unknown-function on Spark).
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2 && render(args(1)).trim == "1") {
+              val l = render(args(0)).trim
+              toks = toks.patch(i,
+                lex(s"explode(sequence(1, size($l)))"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "STRUCT_EXTRACT" && callOpen >= 0 =>
+            // struct_extract(s, 'name') → ($s).`name` for a literal field
+            // name (both engines resolve fields case-insensitively); a
+            // dynamic name has no Spark spelling and stays untouched.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val nameTok = args(1).find(!isWs(_))
+              nameTok match {
+                case Some(s0: Str)
+                    if s0.value.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+                  val s = render(args(0)).trim
+                  toks = toks.patch(i,
+                    lex(s"(($s).${s0.value})"), close - i + 1)
+                  changed = true
+                case _ => () // exotic field names stay untouched (loud)
+              }
+            }
+          case id: Ident if (id.upper == "LIST_SLICE" || id.upper == "ARRAY_SLICE") && callOpen >= 0 =>
             // same 1-based inclusive semantics as the `l[a:b]` bracket
             // syntax → the same guarded form (r5: previously emitted the
             // unguarded slice, so list_slice(l, 4, 2) threw where the

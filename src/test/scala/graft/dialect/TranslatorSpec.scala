@@ -90,6 +90,19 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT substringUTF8(s, 1, 4)") == "SELECT substr(s, 1, 4)")
   }
 
+  test("r7 widening: generate_subscripts, struct_extract, array_slice, printf, from_hex") {
+    assert(t("SELECT generate_subscripts(xs, 1) AS i FROM t") ==
+      "SELECT explode(sequence(1, size(xs))) AS i FROM t")
+    // dim != 1 errors in DuckDB (1-D lists only) — stays untouched, loud
+    assert(t("SELECT generate_subscripts(xs, 2) FROM t").contains("generate_subscripts"))
+    assert(t("SELECT struct_extract(s, 'a') FROM t") == "SELECT ((s).a) FROM t")
+    // dynamic / exotic field names stay untouched (no Spark spelling)
+    assert(t("SELECT struct_extract(s, f) FROM t").contains("struct_extract"))
+    assert(t("SELECT array_slice(xs, 2, 3)") == t("SELECT list_slice(xs, 2, 3)"))
+    assert(t("SELECT printf('%s-%03d', a, b)") == "SELECT format_string('%s-%03d', a, b)")
+    assert(t("SELECT from_hex('ff')") == "SELECT unhex('ff')")
+  }
+
   test("function renames: random, json_extract_string, 1-arg log") {
     assert(t("SELECT random()").contains("rand()"))
     assert(t("SELECT json_extract_string(j, '$.k')").contains("get_json_object"))
