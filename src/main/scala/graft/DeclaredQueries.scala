@@ -653,6 +653,39 @@ object DeclaredQueries {
         "to_base(CAST(event_id AS INTEGER), 16) AS hx, " +
         "array_to_string(flatten([[event_id % 2], [event_id % 3]]), ',') AS fl " +
         "FROM events ORDER BY event_id LIMIT 100"),
+    "q153_fn_widening" ->
+      // r7 widening, probe-verified value-identical: printf → format_string
+      // (both C-style), to_hex/from_hex → hex/unhex (uppercase, no pad;
+      // blob round-trip via octet_length), greatest/least (both engines
+      // SKIP NULL arguments), struct_extract('lit') → field access (both
+      // case-insensitive), array_slice = list_slice (1-based inclusive),
+      // map_entries (same {key,value} struct shape, serialized for the
+      // comparator).
+      ("SELECT doc_id, printf('%s-%03d', lang, doc_id % 100) AS tag, " +
+        "to_hex(doc_id * 255 + 1) AS hx, " +
+        "CAST(octet_length(from_hex(to_hex(doc_id + 256))) AS BIGINT) AS nb, " +
+        "CAST(greatest(n_chars, doc_id, NULL) AS BIGINT) AS g, " +
+        "CAST(least(n_chars, NULL, 150) AS BIGINT) AS l, " +
+        "struct_extract({'a': doc_id, 'b': lang}, 'b') AS sx, " +
+        "array_to_string(array_slice(string_split(text, ' '), 2, 4), ' ') AS sl, " +
+        "array_to_string(list_transform(map_entries(MAP {'k1': doc_id % 7, 'k2': doc_id % 3}), e -> e.key || '=' || CAST(e.value AS VARCHAR)), ',') AS me " +
+        "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
+    "q154_generate_subscripts" ->
+      // the set-returning 1-based index generator → explode(sequence);
+      // row expansion + count checked against the oracle
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 10) " +
+        "SELECT doc_id, generate_subscripts(toks, 1) AS i FROM s ORDER BY doc_id, i"),
+    "q155_within_group" ->
+      // SQL-standard ordered-set aggregates pass through natively in BOTH
+      // engines (Spark 4 parses WITHIN GROUP): percentile_cont
+      // (interpolated — integer-cents rounding per the q121 protocol),
+      // percentile_disc (first value at cume_dist >= fraction in both),
+      // mode() (tie-free by construction: 'y' dominates 3:1 per source).
+      ("SELECT source, " +
+        "CAST(round(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) * 100) AS BIGINT) AS pc25, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS pd50, " +
+        "mode() WITHIN GROUP (ORDER BY CASE WHEN doc_id % 4 = 0 THEN 'x' ELSE 'y' END) AS md, " +
+        "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source ORDER BY source"),
     "q121_source_quantiles" ->
       // corpus length-distribution stats per source: quantile_cont ->
       // percentile (exact interpolation in both; 0.25-step fractions over
