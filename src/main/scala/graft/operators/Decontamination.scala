@@ -112,4 +112,30 @@ object Decontamination {
       .agg(count(lit(1)).cast("long").as("eval_hits"),
         max(expr("CAST(round(__cos * 1000000) AS BIGINT)")).as("max_cos_micro"))
   }
+
+  /** Cross-corpus leakage matrix (r7): for every pair of groups (sources /
+    * corpus slices / train-vs-benchmark splits), the number of DISTINCT
+    * k-token windows both contain — the audit a pipeline runs to find
+    * which slices quietly duplicate each other (mirrored crawls, vendored
+    * subsets, eval sets leaked into a crawl) before deciding dedup order.
+    *
+    * Scale shape: one [[graft.functions.WindowMd5s]] kernel scan →
+    * distinct (group, digest) — window content never materializes, the
+    * digest-keyed distinct is the only corpus-scale shuffle. The self-join
+    * on digest fans out at most (groups per digest)² ≤ |groups|² rows per
+    * digest — bounded by the group count, never by corpus size — and the
+    * result is one row per overlapping group pair. Spark reuses the
+    * distinct's exchange for both join sides (same subtree). */
+  def crossCorpusOverlap(docs: DataFrame, k: Int = 8,
+      textCol: String = "text", groupCol: String = "source"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val d = docs.select(col(groupCol).as("__grp"),
+      explode(call_function("window_md5s", col(textCol), lit(k))).as("wh"))
+      .distinct()
+    d.select(col("__grp").as("s1"), col("wh"))
+      .join(d.select(col("__grp").as("s2"), col("wh")), "wh")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("shared_windows"))
+  }
 }

@@ -519,6 +519,55 @@ object Dedup {
           .as("text"))
   }
 
+  /** Per-group boilerplate span removal (r7 — the frequency-threshold twin
+    * of [[spanDedup]]): a k-token window whose content occurs in at least
+    * `minDocs` DISTINCT documents of the same group (source / domain /
+    * site) is boilerplate — nav text, licence footers, cookie banners —
+    * and EVERY occurrence is cut, first copy included (unlike
+    * [[spanDedup]]'s keep-first policy, which is the right call for
+    * quoted prose but keeps one copy of the banner). This is the
+    * CCNet/RefinedWeb-style per-site boilerplate pass, exact-content.
+    *
+    * Scale shape: one [[graft.functions.WindowMd5s]] kernel scan (window
+    * content never materializes), one (group, digest)-keyed partial-agg
+    * shuffle for the distinct-doc counts — high-frequency digests are by
+    * definition few, so the surviving boilerplate key set is small and is
+    * broadcast back against the same kernel scan (no second corpus-wide
+    * shuffle on the detection side) — then the [[spanDedup]] doc-keyed
+    * removal collapse + O(n + r) [[graft.functions.RemoveTokenPositions]]
+    * rewrite. Never a cross join; the corpus is never token-exploded.
+    * Returns (doc_id, source, n_tokens, kept_tokens, text).
+    */
+  def boilerplateSpans(docs: DataFrame, k: Int = 16, minDocs: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val d = docs.select(col(idCol).as("doc_id"), col(groupCol).as("__grp"),
+      col(textCol).as("text"))
+    val occ = d.select(col("doc_id"), col("__grp"),
+      posexplode(call_function("window_md5s", col("text"), lit(k)))
+        .as(Seq("pos", "wh")))
+    val boiler = occ.groupBy("__grp", "wh")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__grp"), col("wh"))
+    val rem = occ.join(broadcast(boiler), Seq("__grp", "wh"))
+      .select(col("doc_id").as("rdoc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("rpos"))
+      .groupBy("rdoc")
+      .agg(array_sort(collect_set(col("rpos"))).as("rem"))
+    d.join(rem, d("doc_id") === col("rdoc"), "left")
+      .select(col("doc_id"), col("__grp"),
+        element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
+          .cast("long").as("n_tokens"),
+        coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")).as("rem"),
+        col("text"))
+      .select(col("doc_id"), col("__grp").as("source"), col("n_tokens"),
+        (col("n_tokens") - size(col("rem"))).as("kept_tokens"),
+        call_function("remove_token_positions", col("text"), col("rem"))
+          .as("text"))
+  }
+
   def lineDedup(docs: DataFrame, sep: String = "\n",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val lines = docs.select(col(idCol).as("doc_id"),
@@ -532,5 +581,34 @@ object Dedup {
         concat_ws(sep, transform(
           array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s("line"))).as("text"))
+  }
+
+  /** Per-group novelty curve (r7): process groups (sources) in their
+    * natural order and report, per group, how much of its window content
+    * is NEW — total k-token window occurrences, distinct windows, and
+    * novel windows (those whose lexicographically-first containing group
+    * is this one). The "marginal value of each source" report that decides
+    * whether adding a crawl slice to the mix buys new data or re-buys
+    * what's already there.
+    *
+    * Scale shape: one [[graft.functions.WindowMd5s]] kernel scan, a
+    * (digest, group)-keyed partial agg (map-side combine collapses in-doc
+    * repeats), then first-owner via min-over-digest WINDOW on the already
+    * small (digest, group) frame — no join — and a final tiny per-group
+    * agg. Window content never materializes or shuffles. */
+  def sourceNovelty(docs: DataFrame, k: Int = 8,
+      textCol: String = "text", groupCol: String = "source"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sw = docs.select(col(groupCol).as("source"),
+        explode(call_function("window_md5s", col(textCol), lit(k))).as("wh"))
+      .groupBy("wh", "source")
+      .agg(count(lit(1)).as("occ"))
+    val perDigest = Window.partitionBy("wh")
+    sw.withColumn("__owner", min(col("source")).over(perDigest))
+      .groupBy("source")
+      .agg(sum(col("occ")).as("total_occurrences"),
+        count(lit(1)).as("distinct_windows"),
+        sum(when(col("source") === col("__owner"), 1L).otherwise(0L))
+          .as("novel_windows"))
   }
 }

@@ -543,6 +543,50 @@ object PipelineQueries {
           md5(col("text")).as("h"))
         .orderBy("doc_id")
     }),
+    // ---- per-source boilerplate removal (r7): frequency-threshold span
+    // cut — a 16-token window present in >= 4 distinct docs of one source
+    // is boilerplate and EVERY occurrence is removed (vs p43's keep-first
+    // for duplicated prose). Construction: half the docs (md5 coin on
+    // doc_id — source assignment correlates with doc_id % k in the
+    // fixture, so modular selection would skew per-source counts) gain a
+    // 16-token per-source footer; every source crosses the threshold and
+    // exactly the 250 footered docs lose exactly their footer at sf0.01.
+    "p46_boilerplate_spans" -> q((s, _) => {
+      val footer = concat(lit("all content copyright "), col("source"),
+        lit(" all rights reserved subscribe to "), col("source"),
+        lit(" newsletter for daily updates and news"))
+      val aug = s.table("documents").select(col("doc_id"), col("source"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "7",
+          concat(col("text"), lit(" "), footer))
+          .otherwise(col("text")).as("text"))
+      Dedup.boilerplateSpans(aug, k = 16, minDocs = 4)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("kept_tokens"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
+    // ---- cross-source leakage matrix (r7): distinct shared 8-token
+    // windows per source pair — organic overlap in the fixture (22 pairs,
+    // top pair 137 shared windows), no planting needed.
+    "p47_cross_source_overlap" -> q((s, _) =>
+      Decontamination.crossCorpusOverlap(s.table("documents"), k = 8)
+        .select(col("s1"), col("s2"),
+          col("shared_windows").cast("bigint").as("shared_windows"))
+        .orderBy("s1", "s2")),
+    // ---- per-source length-tail trim (r7): rank-exact 10% tail cut per
+    // source (the deterministic restatement of percentile length
+    // filtering); 420 of 500 docs survive at sf0.01.
+    "p48_length_trim" -> q((s, _) =>
+      TextAnalysis.trimLengthTails(s.table("documents"), frac = 0.1)
+        .orderBy("doc_id")),
+    // ---- per-source novelty curve (r7): marginal new-window share per
+    // source under lexicographic processing order; 12 of 20 sources have
+    // novel < distinct at sf0.01 (cross-source dup clusters).
+    "p49_source_novelty" -> q((s, _) =>
+      Dedup.sourceNovelty(s.table("documents"), k = 8)
+        .select(col("source"), col("total_occurrences").cast("bigint").as("total_occurrences"),
+          col("distinct_windows").cast("bigint").as("distinct_windows"),
+          col("novel_windows").cast("bigint").as("novel_windows"))
+        .orderBy("source")),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -949,6 +993,56 @@ object PipelineQueries {
         "CAST(coalesce(g.kept_tokens, 0) AS BIGINT) AS kept_tokens, " +
         "md5(coalesce(g.text, '')) AS h " +
         "FROM ttk LEFT JOIN g USING (doc_id) ORDER BY ttk.doc_id"),
+    // p46 (r7): brute-force per-source boilerplate spans — p43's oracle
+    // structure with the keep-first window replaced by a (source, window)
+    // HAVING count(DISTINCT doc_id) >= 4 boilerplate set joined back to
+    // ALL occurrences; same md5-coin footer construction as the engine.
+    "p46_boilerplate_spans" ->
+      ("WITH aug AS (SELECT doc_id, source, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= '7' " +
+        "THEN text || ' all content copyright ' || source || ' all rights reserved subscribe to ' || source || ' newsletter for daily updates and news' " +
+        "ELSE text END AS text FROM documents), " +
+        "tk AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS t FROM aug), " +
+        "ws AS (SELECT doc_id, source, list_transform(range(1, len(t) - 14), i -> array_to_string(list_slice(t, i, i + 15), ' ')) AS w FROM tk), " +
+        "occ AS (SELECT doc_id, source, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS win FROM ws), " +
+        "boiler AS (SELECT source, win FROM occ GROUP BY source, win HAVING count(DISTINCT doc_id) >= 4), " +
+        "hit AS (SELECT o.doc_id, o.pos FROM occ o JOIN boiler b ON o.source = b.source AND o.win = b.win), " +
+        "rem AS (SELECT DISTINCT doc_id, rpos FROM (SELECT doc_id, unnest(range(pos, pos + 16)) AS rpos FROM hit)), " +
+        "tp AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS tpos, unnest(t) AS tok FROM tk), " +
+        "kept AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp LEFT JOIN rem ON tp.doc_id = rem.doc_id AND tp.tpos = rem.rpos WHERE rem.rpos IS NULL), " +
+        "g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens, string_agg(tok, ' ' ORDER BY tpos) AS text FROM kept GROUP BY doc_id) " +
+        "SELECT tk.doc_id, tk.source, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(g.kept_tokens, 0) AS BIGINT) AS kept_tokens, " +
+        "md5(coalesce(g.text, '')) AS h " +
+        "FROM tk LEFT JOIN g USING (doc_id) ORDER BY tk.doc_id"),
+    // p47 (r7): brute-force cross-source overlap — distinct (source,
+    // window CONTENT) self-joined on the window (the engine keys by md5
+    // digest; content grouping here proves digest keying loses nothing).
+    "p47_cross_source_overlap" ->
+      ("WITH tk AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents), " +
+        "ws AS (SELECT doc_id, source, unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS w FROM tk), " +
+        "d AS (SELECT DISTINCT source, w FROM ws) " +
+        "SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS shared_windows " +
+        "FROM d a JOIN d b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2 ORDER BY s1, s2"),
+    // p48 (r7): rank-exact per-source tail trim — same row_number/count
+    // windows; floor(n * 0.1) is exact IEEE on both engines.
+    "p48_length_trim" ->
+      ("WITH d AS (SELECT doc_id, source, len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tok FROM documents), " +
+        "r AS (SELECT doc_id, source, n_tok, row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rk, " +
+        "count(*) OVER (PARTITION BY source) AS n FROM d) " +
+        "SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok FROM r " +
+        "WHERE rk > floor(n * 0.1) AND rk <= n - floor(n * 0.1) ORDER BY doc_id"),
+    // p49 (r7): brute-force novelty curve — per-(source, window CONTENT)
+    // occurrence counts, first owner via min-over-window, per-source
+    // totals; all integer.
+    "p49_source_novelty" ->
+      ("WITH tk AS (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents), " +
+        "ws AS (SELECT doc_id, source, unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS w FROM tk), " +
+        "sw AS (SELECT source, w, count(*) AS occ FROM ws GROUP BY 1, 2), " +
+        "o AS (SELECT source, w, occ, min(source) OVER (PARTITION BY w) AS owner FROM sw) " +
+        "SELECT source, CAST(sum(occ) AS BIGINT) AS total_occurrences, " +
+        "CAST(count(*) AS BIGINT) AS distinct_windows, " +
+        "CAST(sum(CASE WHEN source = owner THEN 1 ELSE 0 END) AS BIGINT) AS novel_windows " +
+        "FROM o GROUP BY source ORDER BY source"),
     // p44 (r7): brute-force byte-shingle simhash hamming scan over the
     // planted payload corpus — the p04 oracle pattern with 4-byte
     // substring shingles instead of tokens (fixture text is pure ASCII,

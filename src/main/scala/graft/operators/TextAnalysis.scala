@@ -247,4 +247,31 @@ object TextAnalysis {
       .filter(col("__ntok") >= minTokens && col("__pred") === lang)
       .select("doc_id", "text")
   }
+
+  /** Per-group length-tail trim (r7): drop the shortest and longest
+    * `frac` of documents of each group by RANK, keeping the middle — the
+    * outlier-length filter (truncated pages, concatenation blobs) that a
+    * percentile threshold approximates, restated rank-exact so it is
+    * deterministic and engine-independent (no FP percentile
+    * interpolation; ties broken by doc_id).
+    *
+    * Scale shape: one [[graft.functions.TokenSetHits]] kernel scan for
+    * token counts, then ONE group-keyed window partitioning shared by the
+    * rank and the group count (the p31 quality-gate shape) — a single
+    * shuffle, no join, no driver-side percentile pass. */
+  def trimLengthTails(docs: DataFrame, frac: Double = 0.1,
+      textCol: String = "text", idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val d = docs.select(col(idCol).as("doc_id"), col(groupCol).as("source"),
+      element_at(tokenSetHits(col(textCol), Nil), 1).cast("long").as("n_tok"))
+    val byLen = Window.partitionBy("source").orderBy(col("n_tok"), col("doc_id"))
+    val whole = Window.partitionBy("source")
+    d.withColumn("__rk", row_number().over(byLen))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__rk") > floor(col("__n") * frac) &&
+        col("__rk") <= col("__n") - floor(col("__n") * frac))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
 }

@@ -115,6 +115,29 @@ object PlanAudit {
       wantAll = Seq("BroadcastHashJoin", "window_md5s",
         "remove_token_positions"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // boilerplate spans (r7): detection is a (group, digest)-keyed partial
+    // agg over ONE kernel scan; the small surviving boilerplate set
+    // broadcasts back against the scan — no second corpus-wide shuffle on
+    // the detection side, never a cross join or token-level explode
+    Check("p46_boilerplate_spans",
+      wantAll = Seq("BroadcastHashJoin", "HashAggregate", "window_md5s",
+        "remove_token_positions"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // cross-corpus overlap (r7): digest-keyed distinct + digest equi-join
+    // (fanout bounded by |groups|² per digest) — never an all-pairs shape
+    Check("p47_cross_source_overlap",
+      wantAll = Seq("window_md5s", "HashAggregate"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // length trim (r7): rank + count share ONE source-keyed window
+    // partitioning over a kernel scan — no join anywhere
+    Check("p48_length_trim",
+      wantAll = Seq("token_set_hits", "Window"),
+      wantNone = Seq("Join")),
+    // source novelty (r7): kernel scan → (digest, group) partial agg →
+    // min-over-digest window → per-group agg — no join anywhere
+    Check("p49_source_novelty",
+      wantAll = Seq("window_md5s", "Window", "HashAggregate"),
+      wantNone = Seq("Join")),
     // multimodal near-dup (r7): pairs from the pigeonhole band equi-join
     // (the hamming filter's bit_count is the post-checkpoint marker; the
     // kernel scan sits behind the collapse/banding localCheckpoints) —

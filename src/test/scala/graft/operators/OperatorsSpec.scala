@@ -301,6 +301,75 @@ class OperatorsSpec extends SparkTestBase {
       (5L, 3L, 3L, "u v w")))
   }
 
+  test("boilerplate spans cut every occurrence above the per-group doc threshold") {
+    import spark.implicits._
+    // k=3, minDocs=2: "end of page" appears in 2 distinct docs of srcA
+    // (both copies cut — including the first, unlike spanDedup); the same
+    // span in srcB appears in only 1 doc there and survives; a doc that is
+    // ONLY boilerplate empties; in-doc repeats count as one distinct doc.
+    val docs = Seq(
+      (1L, "srcA", "alpha beta end of page"),
+      (2L, "srcA", "gamma end of page delta"),
+      (3L, "srcA", "end of page end of page"), // one distinct doc only, but
+                                               // windows shared with 1,2 -> cut
+      (4L, "srcB", "end of page unique tail"),
+      (5L, "srcB", "nothing shared here")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateSpans(docs, k = 3, minDocs = 2).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, "srcA", 5L, 2L, "alpha beta"),
+      (2L, "srcA", 5L, 2L, "gamma delta"),
+      (3L, "srcA", 6L, 0L, ""),
+      (4L, "srcB", 5L, 5L, "end of page unique tail"),
+      (5L, "srcB", 3L, 3L, "nothing shared here")))
+  }
+
+  test("cross-corpus overlap counts distinct shared windows per group pair") {
+    import spark.implicits._
+    // k=2: srcA and srcB share windows "a b" and "b c"; srcC shares
+    // nothing; in-doc repeats of a window count once (distinct).
+    val docs = Seq(
+      (1L, "srcA", "a b c"),
+      (2L, "srcA", "a b a b"),   // repeats "a b" -> still one distinct
+      (3L, "srcB", "a b c x"),
+      (4L, "srcC", "q r s")
+    ).toDF("doc_id", "source", "text")
+    val out = Decontamination.crossCorpusOverlap(docs, k = 2).orderBy("s1", "s2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // srcA windows: {a b, b c, b a}; srcB: {a b, b c, c x} -> shared 2
+    assert(out.toSeq == Seq(("srcA", "srcB", 2L)))
+  }
+
+  test("length-tail trim drops the rank-exact fraction per group") {
+    import spark.implicits._
+    // srcA: 10 docs with 1..10 tokens -> floor(10*0.1)=1 cut each end;
+    // srcB: 3 docs -> floor(0.3)=0 cut, all survive.
+    val docs = (1 to 10).map(i => (i.toLong, "srcA", (1 to i).map(_ => "w").mkString(" "))) ++
+      Seq((21L, "srcB", "a"), (22L, "srcB", "a b"), (23L, "srcB", "a b c"))
+    val out = TextAnalysis.trimLengthTails(docs.toDF("doc_id", "source", "text"), frac = 0.1)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq == (2L to 9L) ++ Seq(21L, 22L, 23L))
+  }
+
+  test("source novelty attributes windows to the first group in order") {
+    import spark.implicits._
+    // k=2. srcA owns {a b, b c} (3 occurrences: doc 1 has both, doc 2
+    // repeats "a b"); srcB has {a b (dup of srcA's), x y (novel)}.
+    val docs = Seq(
+      (1L, "srcA", "a b c"),
+      (2L, "srcA", "a b"),
+      (3L, "srcB", "a b"),
+      (4L, "srcB", "x y")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceNovelty(docs, k = 2).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("srcA", 3L, 2L, 2L),
+      ("srcB", 2L, 2L, 1L)))
+  }
+
   test("span scrub cuts eval-set windows from train docs, keeps the rest") {
     import spark.implicits._
     val ev = Seq((1L, "secret bench item alpha")).toDF("doc_id", "text")
