@@ -691,6 +691,56 @@ object DeclaredQueries {
       // percentile (exact interpolation in both; 0.25-step fractions over
       // integers are exactly representable)
       "SELECT source, CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25) * 100) AS BIGINT) AS q25, CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) * 100) AS BIGINT) AS q50, CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75) * 100) AS BIGINT) AS q75, count(*) AS n FROM documents GROUP BY source ORDER BY source",
+    "q156_string_fns2" ->
+      // r7 second widening, each probe-verified on DuckDB 1.0: strpos →
+      // instr (1-based, 0 absent), SQL-standard position(x IN y) (native
+      // in both), repeat / translate / levenshtein passthrough, editdist3
+      // → levenshtein, fmt-style format('{} …') → format_string('%s …'),
+      // and left/right with NEGATIVE n ("all but last/first |n|" in
+      // DuckDB, '' in Spark) → substring CASE forms agreeing on every n.
+      ("SELECT doc_id, CAST(strpos(text, 'the') AS BIGINT) AS sp, " +
+        "CAST(position('a' IN lang) AS BIGINT) AS ps, " +
+        "repeat(lang, CAST(doc_id % 3 AS INTEGER)) AS rp, " +
+        "translate(lang, 'aeiou', 'AEIOU') AS tr, " +
+        "CAST(levenshtein(lang, 'en') AS BIGINT) AS lv, " +
+        "CAST(editdist3(source, 'src1') AS BIGINT) AS e3, " +
+        "format('{}:{} [{}]', source, lang, doc_id % 10) AS fm, " +
+        "left(text, CAST(doc_id % 7 AS INTEGER) - 3) AS lf, " +
+        "right(text, CAST(doc_id % 5 AS INTEGER) - 2) AS rt " +
+        "FROM documents WHERE doc_id < 60 ORDER BY doc_id"),
+    "q157_try_cast" ->
+      // try_cast parses natively in BOTH engines; NULL on failure, value
+      // on success — exercised over mixed parseable / unparseable strings
+      ("SELECT doc_id, try_cast(lang AS INTEGER) AS bad_int, " +
+        "CAST(try_cast(CAST(n_chars AS VARCHAR) AS INTEGER) AS BIGINT) AS good_int, " +
+        "try_cast(substr(text, 1, 2) AS DOUBLE) AS maybe_dbl, " +
+        "try_cast(CAST(doc_id AS VARCHAR) || '-x' AS BIGINT) AS bad_big " +
+        "FROM documents WHERE doc_id < 40 ORDER BY doc_id"),
+    "q158_date_fns2" ->
+      // last_day / make_date are same-name same-semantics (probe: Feb
+      // leap-year pinned); month arithmetic composed from order dates
+      ("SELECT o_orderkey, last_day(o_orderdate) AS eom, " +
+        "make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS som, " +
+        "CAST(date_diff('day', o_orderdate, last_day(o_orderdate)) AS BIGINT) AS days_left " +
+        "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"),
+    "q159_list_fns2" ->
+      // list_reverse_sort → sort_array(l, false) (NULLs LAST in both,
+      // probe-verified), list_contains/list_has → array_contains, flatten
+      // passthrough (one level in both), list_position 0-when-absent
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 30) " +
+        "SELECT doc_id, array_to_string(list_reverse_sort(array_slice(toks, 1, 5)), ',') AS rs, " +
+        "list_contains(toks, 'the') AS hs, " +
+        "CAST(list_position(toks, 'data') AS BIGINT) AS lp, " +
+        "array_to_string(flatten([array_slice(toks, 1, 2), array_slice(toks, 3, 4)]), ' ') AS fl " +
+        "FROM s ORDER BY doc_id"),
+    "q160_vector_fns" ->
+      // list_cosine_similarity / list_inner_product → double higher-order
+      // forms (sequential accumulation in both engines; micro-quantized)
+      ("SELECT vec_id, " +
+        "CAST(round(list_cosine_similarity(embedding, embedding) * 1000000) AS BIGINT) AS self_cos, " +
+        "CAST(round(list_inner_product(array_slice(embedding, 1, 8), array_slice(embedding, 9, 16)) * 1000000) AS BIGINT) AS dot_micro, " +
+        "sha256(CAST(vec_id AS VARCHAR)) AS h " +
+        "FROM embeddings WHERE vec_id < 40 ORDER BY vec_id"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

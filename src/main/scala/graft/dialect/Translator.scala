@@ -1067,8 +1067,16 @@ object Translator {
     // list_prepend is NOT name-mapped: DuckDB takes (element, list),
     // Spark's array_prepend takes (array, element) — handled with an
     // argument swap in rewriteArgShapeFns (r5)
-    "LIST_REVERSE_SORT" -> "reverse_sorted_graft_unsupported",
+    // LIST_REVERSE_SORT is NOT name-mapped: rewritten to
+    // sort_array(l, false) in rewriteArgShapeFns (r7) — both engines put
+    // NULLs LAST in the descending order (probe-verified)
     "ARRAY_AGG" -> "collect_list",
+    // r7 widening, probe-verified on DuckDB 1.0:
+    // strpos: 1-based, 0 when absent — exactly Spark instr
+    "STRPOS" -> "instr",
+    // list_contains/list_has: same (list, element) order as array_contains
+    "LIST_CONTAINS" -> "array_contains",
+    "LIST_HAS" -> "array_contains",
     "LIST" -> "collect_list",
     "UNNEST" -> "explode",
     "EDITDIST3" -> "levenshtein",
@@ -1234,6 +1242,62 @@ object Translator {
               }
               val fn = if (isCollectionExpr) "size" else "length"
               val repl = s"($fn($a) $cmp 0)"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "SHA256" && callOpen >= 0 =>
+            // DuckDB sha256(s) and Spark sha2(s, 256) both emit lowercase
+            // hex (probe-verified incl. empty string)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              toks = toks.patch(i, lex(s"sha2(${render(args(0)).trim}, 256)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "LIST_REVERSE_SORT" && callOpen >= 0 =>
+            // DuckDB list_reverse_sort: descending, NULLs last — exactly
+            // Spark sort_array(l, false) (probe: [3,NULL,1] -> [3,1,NULL])
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              toks = toks.patch(i, lex(s"sort_array(${render(args(0)).trim}, false)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if Set("LIST_COSINE_SIMILARITY", "LIST_INNER_PRODUCT",
+              "LIST_DOT_PRODUCT").contains(id.upper) && callOpen >= 0 =>
+            // vector kernels over generic numeric lists → double-math
+            // higher-order forms (the codegen cosine_sim kernel is the
+            // ARRAY<FLOAT> hot path; these translate the DuckDB spellings
+            // at full double precision). Sequential accumulation in both
+            // engines; declared queries quantize to micro units.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+              def dot(x: String, y: String) =
+                s"aggregate(zip_with($x, $y, (__gv_x, __gv_y) -> CAST(__gv_x AS DOUBLE) * CAST(__gv_y AS DOUBLE)), " +
+                  s"CAST(0 AS DOUBLE), (__gv_a, __gv_v) -> __gv_a + __gv_v)"
+              val repl =
+                if (id.upper == "LIST_COSINE_SIMILARITY")
+                  s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+                else dot(a, b)
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "LEFT" || id.upper == "RIGHT") && callOpen >= 0 =>
+            // DuckDB left/right accept NEGATIVE n ("all but the last/first
+            // |n|"); Spark's return '' there. Rewritten to substring CASE
+            // forms that agree on every n (probe-verified on: n<-len, -2,
+            // 0, 2, >len); substring spelling keeps the rewrite fixpoint.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (s0, n) = (render(args(0)).trim, render(args(1)).trim)
+              val repl =
+                if (id.upper == "LEFT")
+                  s"substring($s0, 1, CASE WHEN ($n) >= 0 THEN ($n) ELSE greatest(0, length($s0) + ($n)) END)"
+                else
+                  s"substring($s0, CASE WHEN ($n) >= 0 THEN greatest(1, length($s0) - ($n) + 1) ELSE 1 - ($n) END)"
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }

@@ -644,4 +644,28 @@ class TranslatorSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("parenthesized"))
   }
+
+  test("r7 widening: sha256, list_reverse_sort, vector fns, format, strpos") {
+    assert(t("SELECT sha256(s)") == "SELECT sha2(s, 256)")
+    assert(t("SELECT list_reverse_sort(l)") == "SELECT sort_array(l, false)")
+    assert(t("SELECT strpos(s, 'x')") == "SELECT instr(s, 'x')")
+    assert(t("SELECT list_contains(l, 2), list_has(l, 3)") ==
+      "SELECT array_contains(l, 2), array_contains(l, 3)")
+    // vector kernels expand to double higher-order math
+    val cos = t("SELECT list_cosine_similarity(a, b)")
+    assert(cos.contains("zip_with(a, b") && cos.contains("sqrt"))
+    assert(t("SELECT list_inner_product(a, b)").contains("zip_with(a, b"))
+  }
+
+  test("r7 widening: left/right accept DuckDB negative lengths") {
+    // probe-pinned: left('ab',-5)='', right('ab',-5)='', left('hello',-2)
+    // ='hel', right('hello',-2)='llo', 0 -> '', n>len -> whole string
+    val lf = t("SELECT left(s, n)")
+    assert(lf == "SELECT substring(s, 1, CASE WHEN (n) >= 0 THEN (n) ELSE greatest(0, length(s) + (n)) END)")
+    val rt = t("SELECT right(s, n)")
+    assert(rt == "SELECT substring(s, CASE WHEN (n) >= 0 THEN greatest(1, length(s) - (n) + 1) ELSE 1 - (n) END)")
+    // join keywords are untouched
+    assert(t("SELECT * FROM a LEFT JOIN b USING (k)") ==
+      "SELECT * FROM a LEFT JOIN b USING (k)")
+  }
 }
