@@ -741,6 +741,42 @@ object DeclaredQueries {
         "CAST(round(list_inner_product(array_slice(embedding, 1, 8), array_slice(embedding, 9, 16)) * 1000000) AS BIGINT) AS dot_micro, " +
         "sha256(CAST(vec_id AS VARCHAR)) AS h " +
         "FROM embeddings WHERE vec_id < 40 ORDER BY vec_id"),
+    "q161_fuzzy_strings" ->
+      // fuzzy-matching surface as native codegen kernels
+      // (graft.functions.StringSim), each probe-pinned on DuckDB 1.0: TRUE
+      // Damerau ('ca'→'abc' = 2), Jaro (0.0 on empty either side),
+      // Jaro-Winkler (prefix cap 4, no boost at jaro ≤ 0.7), char-set
+      // jaccard (multiset collapses), hamming (equal lengths; DuckDB
+      // errors on unequal → NULL here, error-path-only divergence)
+      ("SELECT doc_id, " +
+        "CAST(damerau_levenshtein(lang, source) AS BIGINT) AS dl, " +
+        "CAST(round(jaro_similarity(source, 'src10') * 1000000) AS BIGINT) AS js, " +
+        "CAST(round(jaro_winkler_similarity(source, 'src10') * 1000000) AS BIGINT) AS jw, " +
+        "CAST(round(jaccard(lang, 'english') * 1000000) AS BIGINT) AS jc, " +
+        "CAST(hamming(left(source, 4), 'srcX') AS BIGINT) AS hm " +
+        "FROM documents WHERE doc_id < 60 ORDER BY doc_id"),
+    "q162_math_fns2" ->
+      // math widening, probe-verified: cbrt/atan2/degrees/radians/cot/
+      // factorial/log2/two-arg log passthrough (JVM Math vs libm agree at
+      // micro quantization on this data — verified row-exact), 1-arg
+      // numeric trunc → floor/ceil CASE, even (away-from-zero to even),
+      // gcd/lcm as graft codegen kernels (abs semantics, 0-edges pinned),
+      // bit_count passthrough
+      ("SELECT o_orderkey, " +
+        "CAST(round(cbrt(CAST(o_totalprice AS DOUBLE)) * 1000) AS BIGINT) AS cb, " +
+        "CAST(round(atan2(CAST(o_orderkey % 7 AS DOUBLE), 3.0) * 1000000) AS BIGINT) AS at2, " +
+        "CAST(round(degrees(CAST(o_orderkey % 10 AS DOUBLE) / 10) * 1000) AS BIGINT) AS dg, " +
+        "CAST(round(radians(CAST(o_orderkey % 360 AS DOUBLE)) * 1000000) AS BIGINT) AS rd, " +
+        "CAST(round(cot(1.0 + CAST(o_orderkey % 5 AS DOUBLE)) * 1000000) AS BIGINT) AS ct, " +
+        "CAST(factorial(CAST(o_orderkey % 10 AS INTEGER)) AS BIGINT) AS fc, " +
+        "CAST(round(log2(CAST(o_orderkey + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS l2, " +
+        "CAST(round(log(2.0, CAST(o_orderkey + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS lb, " +
+        "CAST(trunc(CAST(o_totalprice AS DOUBLE) / 100) AS BIGINT) AS tr, " +
+        "CAST(even(CAST(o_orderkey % 9 AS DOUBLE) - 4.5) AS BIGINT) AS ev, " +
+        "CAST(gcd(o_orderkey, 36) AS BIGINT) AS g, " +
+        "CAST(lcm(o_orderkey % 12, 8) AS BIGINT) AS lc, " +
+        "CAST(bit_count(o_orderkey) AS BIGINT) AS bc " +
+        "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -1284,6 +1284,73 @@ object Translator {
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
+          case id: Ident if id.upper == "JACCARD" && callOpen >= 0 =>
+            // DuckDB jaccard: case-sensitive CHARACTER-SET Jaccard
+            // (multiset collapses: jaccard('aab','ab') = 1.0, probed) →
+            // intersect/union over split(s, ''). DuckDB errors on empty
+            // inputs ("argument too short"); this form returns a value —
+            // error-path-only divergence.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+              val repl = s"(CAST(size(array_intersect(split($a, ''), split($b, ''))) AS DOUBLE)" +
+                s" / size(array_union(split($a, ''), split($b, ''))))"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "HAMMING" || id.upper == "MISMATCHES") && callOpen >= 0 =>
+            // DuckDB hamming/mismatches: positionwise differing-char count,
+            // ERROR on unequal lengths → NULL here (error-path divergence
+            // only; equal-length inputs agree)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+              val repl = s"(CASE WHEN length($a) <> length($b) THEN CAST(NULL AS BIGINT) " +
+                s"ELSE CAST(size(filter(zip_with(split($a, ''), split($b, ''), " +
+                s"(__gh_x, __gh_y) -> __gh_x <> __gh_y), __gh_v -> __gh_v)) AS BIGINT) END)"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "TRUNC" && callOpen >= 0 =>
+            // 1-arg numeric trunc (toward zero) — Spark's trunc is
+            // date-only; emit the floor/ceil CASE at DOUBLE. DuckDB's
+            // DECIMAL-in → DECIMAL-out stays a declared-cast concern.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val x = render(args(0)).trim
+              val repl = s"CAST(CASE WHEN ($x) >= 0 THEN floor($x) ELSE ceil($x) END AS DOUBLE)"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "EVEN" && callOpen >= 0 =>
+            // round away from zero to the next even (even(2.5)=4,
+            // even(-2.5)=-4, even(3)=4, probed)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val x = render(args(0)).trim
+              val repl = s"CAST(CASE WHEN ($x) >= 0 THEN ceil(($x) / 2) * 2 " +
+                s"ELSE -(ceil(abs($x) / 2) * 2) END AS DOUBLE)"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "ISINF" || id.upper == "ISFINITE") && callOpen >= 0 =>
+            // Spark has isnan but no isinf/isfinite. NULL-input note:
+            // DuckDB's isnan(NULL) is NULL while Spark's is false — these
+            // two forms propagate NULL via the arithmetic, matching DuckDB.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val x = render(args(0)).trim
+              val repl =
+                if (id.upper == "ISINF") s"(abs($x) = CAST('Infinity' AS DOUBLE))"
+                else s"(NOT isnan($x + CAST(0 AS DOUBLE)) AND abs($x) <> CAST('Infinity' AS DOUBLE))"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
           case id: Ident if (id.upper == "LEFT" || id.upper == "RIGHT") && callOpen >= 0 =>
             // DuckDB left/right accept NEGATIVE n ("all but the last/first
             // |n|"); Spark's return '' there. Rewritten to substring CASE

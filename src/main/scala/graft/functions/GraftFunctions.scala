@@ -80,6 +80,16 @@ object GraftFunctions {
     ("graft_list_distinct", "DuckDB list_distinct/array_distinct: distinct NON-NULL elements, first-occurrence order",
       args => org.apache.spark.sql.catalyst.expressions.ArrayDistinct(
         new org.apache.spark.sql.catalyst.expressions.ArrayCompact(args(0)))),
+    ("damerau_levenshtein", "true (unrestricted) Damerau-Levenshtein distance",
+      args => DamerauLevenshtein(args(0), args(1))),
+    ("jaro_similarity", "Jaro similarity (0.0 when either side empty)",
+      args => JaroSimilarity(args(0), args(1))),
+    ("jaro_winkler_similarity", "Jaro-Winkler (prefix cap 4, boost above 0.7)",
+      args => JaroWinklerSimilarity(args(0), args(1))),
+    ("gcd", "integer gcd, absolute-value semantics",
+      args => GcdExpr(args(0), args(1))),
+    ("lcm", "integer lcm, absolute-value semantics, 0 when either arg is 0",
+      args => LcmExpr(args(0), args(1))),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

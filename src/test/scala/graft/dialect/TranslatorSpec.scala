@@ -657,6 +657,25 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT list_inner_product(a, b)").contains("zip_with(a, b"))
   }
 
+  test("r7 widening: jaccard/hamming/trunc/even/isinf/isfinite rewrites") {
+    assert(t("SELECT jaccard(a, b)") ==
+      "SELECT (CAST(size(array_intersect(split(a, ''), split(b, ''))) AS DOUBLE) / size(array_union(split(a, ''), split(b, ''))))")
+    val hm = t("SELECT hamming(a, b)")
+    assert(hm.contains("length(a) <> length(b)") && hm.contains("zip_with"))
+    assert(t("SELECT mismatches(a, b)") == hm)
+    assert(t("SELECT trunc(x)") ==
+      "SELECT CAST(CASE WHEN (x) >= 0 THEN floor(x) ELSE ceil(x) END AS DOUBLE)")
+    // 2-arg trunc (Spark's date form) passes through
+    assert(t("SELECT trunc(d, 'MM')") == "SELECT trunc(d, 'MM')")
+    assert(t("SELECT even(x)") ==
+      "SELECT CAST(CASE WHEN (x) >= 0 THEN ceil((x) / 2) * 2 ELSE -(ceil(abs(x) / 2) * 2) END AS DOUBLE)")
+    assert(t("SELECT isinf(x)") == "SELECT (abs(x) = CAST('Infinity' AS DOUBLE))")
+    assert(t("SELECT isfinite(x)").contains("NOT isnan"))
+    // fuzzy kernels + gcd/lcm are registered natives — passthrough
+    assert(t("SELECT damerau_levenshtein(a, b), gcd(a, b), lcm(a, b)") ==
+      "SELECT damerau_levenshtein(a, b), gcd(a, b), lcm(a, b)")
+  }
+
   test("r7 widening: left/right accept DuckDB negative lengths") {
     // probe-pinned: left('ab',-5)='', right('ab',-5)='', left('hello',-2)
     // ='hel', right('hello',-2)='llo', 0 -> '', n>len -> whole string

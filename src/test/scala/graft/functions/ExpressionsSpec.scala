@@ -478,4 +478,40 @@ class ExpressionsSpec extends SparkTestBase {
         .head.getString(0) == "abc def")
     }
   }
+
+  test("string-sim kernels pin the DuckDB 1.0 probe values") {
+    withFns {
+      val df = spark.range(1).toDF("i")
+      def d(e: String): Double = df.select(expr(e)).head.getDouble(0)
+      def l(e: String): Long = df.select(expr(e)).head.getLong(0)
+      // TRUE Damerau: 'ca'->'abc' is 2 (OSA would say 3)
+      assert(l("damerau_levenshtein('ca', 'abc')") == 2L)
+      assert(l("damerau_levenshtein('abcd', 'acbd')") == 1L)
+      assert(l("damerau_levenshtein('', 'abc')") == 3L)
+      assert(l("damerau_levenshtein('', '')") == 0L)
+      assert(l("damerau_levenshtein('ABC', 'abc')") == 3L) // case-sensitive
+      assert(math.abs(d("jaro_similarity('martha', 'marhta')") - 0.9444444444444445) < 1e-15)
+      assert(d("jaro_similarity('', 'abc')") == 0.0)
+      assert(d("jaro_similarity('', '')") == 0.0) // DuckDB-pinned, not 1.0
+      assert(d("jaro_similarity('abc', 'abc')") == 1.0)
+      assert(math.abs(d("jaro_winkler_similarity('DWAYNE', 'DUANE')") - 0.8400000000000001) < 1e-15)
+      // no boost at jaro <= 0.7
+      assert(math.abs(d("jaro_winkler_similarity('aXXXXX', 'aYYYYY')") - 0.4444444444444444) < 1e-15)
+      // prefix cap 4 (5-char common prefix counts as 4)
+      assert(math.abs(d("jaro_winkler_similarity('abcdexxxx', 'abcdeyyyy')") - 0.8222222222222222) < 1e-15)
+    }
+  }
+
+  test("gcd/lcm kernels: absolute-value semantics, zero edges") {
+    withFns {
+      val df = spark.range(1).toDF("i")
+      def l(e: String): Long = df.select(expr(e)).head.getLong(0)
+      assert(l("gcd(-12L, 18L)") == 6L)
+      assert(l("gcd(0L, 5L)") == 5L)
+      assert(l("gcd(0L, 0L)") == 0L)
+      assert(l("lcm(-4L, 6L)") == 12L)
+      assert(l("lcm(0L, 5L)") == 0L)
+      assert(l("lcm(123456789L, 987654321L)") == 13548070123626141L)
+    }
+  }
 }
