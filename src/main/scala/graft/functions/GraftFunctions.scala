@@ -70,6 +70,8 @@ object GraftFunctions {
         args(1).eval().asInstanceOf[Number].intValue())),
     ("remove_token_positions", "drop the listed 0-based token positions and re-join with single spaces, one byte scan",
       args => RemoveTokenPositions(args(0), args(1))),
+    ("remove_token_spans", "drop every token covered by a k-window at the listed sorted starts, one byte scan",
+      args => RemoveTokenSpans(args(0), args(1), args(2))),
     ("window_md5s", "array<binary>: raw md5 of every k-token sliding window, one byte scan",
       args => WindowMd5s(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),

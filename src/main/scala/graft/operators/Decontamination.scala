@@ -62,25 +62,27 @@ object Decontamination {
       .select(explode(call_function("window_md5s", col("text"), lit(k)))
         .as("wh"))
       .distinct())
+    // spans aggregate as one start per matched window (the r7 second-pass
+    // shape); remove_token_spans merges overlapping coverage in-kernel
     val rem = t
       .select(col("doc_id"),
         posexplode(call_function("window_md5s", col("text"), lit(k)))
           .as(Seq("pos", "wh")))
       .join(evalW, "wh")
-      .select(col("doc_id").as("rdoc"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("rpos"))
+      .select(col("doc_id").as("rdoc"), col("pos"))
       .groupBy("rdoc")
-      .agg(array_sort(collect_set(col("rpos"))).as("rem"))
+      .agg(array_sort(collect_set(col("pos"))).as("rem"))
     t.join(rem, t("doc_id") === col("rdoc"), "left")
       .select(col("doc_id"),
         element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
           .cast("long").as("n_tokens"),
-        coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")).as("rem"),
-        col("text"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - size(col("rem"))).as("kept_tokens"),
-        call_function("remove_token_positions", col("text"), col("rem"))
+        call_function("remove_token_spans", col("text"),
+          coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")), lit(k))
           .as("text"))
+      .select(col("doc_id"), col("n_tokens"),
+        element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
+          .cast("long").as("kept_tokens"),
+        col("text"))
   }
 
   /** Semantic (embedding-space) decontamination — the n-gram check's twin

@@ -501,22 +501,26 @@ object Dedup {
       posexplode(call_function("window_md5s", col("text"), lit(k)))
         .as(Seq("pos", "wh")))
     val keepFirst = Window.partitionBy("wh").orderBy("doc_id", "pos")
+    // r7 second pass: aggregate one int per DUPLICATE WINDOW (its start),
+    // not k ints per window — the 16× coverage expansion moved out of the
+    // shuffle into the remove_token_spans kernel, which merges overlapping
+    // spans in its linear walk (no distinct needed)
     val rem = occ.withColumn("__rn", row_number().over(keepFirst))
       .filter(col("__rn") > 1)
-      .select(col("doc_id").as("rdoc"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("rpos"))
+      .select(col("doc_id").as("rdoc"), col("pos"))
       .groupBy("rdoc")
-      .agg(array_sort(collect_set(col("rpos"))).as("rem"))
+      .agg(array_sort(collect_set(col("pos"))).as("rem"))
     d.join(rem, d("doc_id") === col("rdoc"), "left")
       .select(col("doc_id"),
         element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
           .cast("long").as("n_tokens"),
-        coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")).as("rem"),
-        col("text"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - size(col("rem"))).as("kept_tokens"),
-        call_function("remove_token_positions", col("text"), col("rem"))
+        call_function("remove_token_spans", col("text"),
+          coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")), lit(k))
           .as("text"))
+      .select(col("doc_id"), col("n_tokens"),
+        element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
+          .cast("long").as("kept_tokens"),
+        col("text"))
   }
 
   /** Per-group boilerplate span removal (r7 — the frequency-threshold twin
@@ -551,21 +555,28 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__grp"), col("wh"))
-    val rem = occ.join(broadcast(boiler), Seq("__grp", "wh"))
-      .select(col("doc_id").as("rdoc"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("rpos"))
+    // NO broadcast hint on the boiler side: a healthy corpus has a small
+    // boilerplate set (AQE broadcasts it at runtime), but under heavy
+    // whole-corpus duplication EVERY window crosses the threshold and the
+    // set is corpus-sized — the hint would force a corpus-scale broadcast
+    // build (measured degenerate at the ×10-copy sf≈1 bench corpus); the
+    // unhinted join lets AQE pick SMJ there. Spans aggregate as one start
+    // per matched window; remove_token_spans merges overlaps in-kernel.
+    val rem = occ.join(boiler, Seq("__grp", "wh"))
+      .select(col("doc_id").as("rdoc"), col("pos"))
       .groupBy("rdoc")
-      .agg(array_sort(collect_set(col("rpos"))).as("rem"))
+      .agg(array_sort(collect_set(col("pos"))).as("rem"))
     d.join(rem, d("doc_id") === col("rdoc"), "left")
       .select(col("doc_id"), col("__grp"),
         element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
           .cast("long").as("n_tokens"),
-        coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")).as("rem"),
-        col("text"))
-      .select(col("doc_id"), col("__grp").as("source"), col("n_tokens"),
-        (col("n_tokens") - size(col("rem"))).as("kept_tokens"),
-        call_function("remove_token_positions", col("text"), col("rem"))
+        call_function("remove_token_spans", col("text"),
+          coalesce(col("rem"), expr("CAST(array() AS ARRAY<INT>)")), lit(k))
           .as("text"))
+      .select(col("doc_id"), col("__grp").as("source"), col("n_tokens"),
+        element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
+          .cast("long").as("kept_tokens"),
+        col("text"))
   }
 
   def lineDedup(docs: DataFrame, sep: String = "\n",

@@ -106,22 +106,23 @@ object PlanAudit {
     // never a token-level explode of the corpus
     Check("p43_span_dedup",
       wantAll = Seq("Window", "HashAggregate", "window_md5s",
-        "remove_token_positions"),
+        "remove_token_spans"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // span decontamination (r7): eval window digests broadcast, corpus
     // detection is one kernel scan against the broadcast (no corpus-side
     // detection shuffle), rewrite via remove_token_positions
     Check("p45_decontam_spans",
       wantAll = Seq("BroadcastHashJoin", "window_md5s",
-        "remove_token_positions"),
+        "remove_token_spans"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // boilerplate spans (r7): detection is a (group, digest)-keyed partial
-    // agg over ONE kernel scan; the small surviving boilerplate set
-    // broadcasts back against the scan — no second corpus-wide shuffle on
-    // the detection side, never a cross join or token-level explode
+    // agg over ONE kernel scan; the boiler join is deliberately UNHINTED —
+    // AQE broadcasts the (normally small) boilerplate set at runtime but
+    // falls back to SMJ when whole-corpus duplication makes it huge, so
+    // the static plan is not asserted broadcast. Never a cross join or
+    // token-level explode.
     Check("p46_boilerplate_spans",
-      wantAll = Seq("BroadcastHashJoin", "HashAggregate", "window_md5s",
-        "remove_token_positions"),
+      wantAll = Seq("HashAggregate", "window_md5s", "remove_token_spans"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // cross-corpus overlap (r7): digest-keyed distinct + digest equi-join
     // (fanout bounded by |groups|² per digest) — never an all-pairs shape

@@ -479,6 +479,26 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("remove_token_spans merges overlapping coverage in one pass") {
+    withFns {
+      val df = spark.createDataFrame(Seq(
+        Tuple1("a b c d e f g h"))).toDF("s")
+      def run(starts: String, k: Int): String =
+        df.select(expr(s"remove_token_spans(s, array($starts), $k)"))
+          .head.getString(0)
+      assert(run("1", 3) == "a e f g h")           // [1,4) cut
+      assert(run("1, 2", 3) == "a f g h")          // overlap merges to [1,5)
+      assert(run("0, 5", 2) == "c d e h")          // disjoint spans
+      assert(run("6", 5) == "a b c d e f")         // span past the end clips
+      assert(run("", 3) == "a b c d e f g h")      // no spans → normalized
+      assert(run("0", 99) == "")                   // full coverage → empty
+      // equals the exploded-positions form on the same spans
+      val viaPositions = df.select(
+        expr("remove_token_positions(s, array(1, 2, 3, 2, 4))")).head.getString(0)
+      assert(run("1, 2", 3) == viaPositions)
+    }
+  }
+
   test("string-sim kernels pin the DuckDB 1.0 probe values") {
     withFns {
       val df = spark.range(1).toDF("i")
