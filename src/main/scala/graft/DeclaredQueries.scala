@@ -777,6 +777,46 @@ object DeclaredQueries {
         "CAST(lcm(o_orderkey % 12, 8) AS BIGINT) AS lc, " +
         "CAST(bit_count(o_orderkey) AS BIGINT) AS bc " +
         "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"),
+    "q163_regression" ->
+      // SQL-standard linear-regression aggregates parse natively in BOTH
+      // engines with identical definitions (probe: slope/intercept/sxx/
+      // sxy/avgx exact, r2/syy/corr agree to the last ulp — micro/cents
+      // quantization absorbs it); regr_avgy is DECIMAL-typed in Spark →
+      // explicit DOUBLE cast
+      ("SELECT l_returnflag, " +
+        "CAST(round(regr_slope(l_extendedprice, l_quantity) * 100) AS BIGINT) AS slope_c, " +
+        "CAST(round(regr_intercept(l_extendedprice, l_quantity) * 100) AS BIGINT) AS icept_c, " +
+        "CAST(round(regr_r2(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS r2_micro, " +
+        "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n, " +
+        "CAST(round(CAST(regr_avgx(l_extendedprice, l_quantity) AS DOUBLE) * 100) AS BIGINT) AS avgx_c, " +
+        "CAST(round(CAST(regr_avgy(l_extendedprice, l_quantity) AS DOUBLE) * 100) AS BIGINT) AS avgy_c, " +
+        "CAST(round(corr(l_extendedprice, l_quantity) * 1000000) AS BIGINT) AS corr_micro, " +
+        "CAST(round(covar_pop(l_extendedprice, l_quantity) * 100) AS BIGINT) AS cvp_c, " +
+        "CAST(round(covar_samp(l_extendedprice, l_quantity) * 100) AS BIGINT) AS cvs_c " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q164_sample_moments" ->
+      // skewness/kurtosis are SAMPLE statistics in DuckDB (G1, excess G2)
+      // but POPULATION in Spark (g1, g2) — the same-name silent divergence
+      // closed by the translator's exact conversion formulas (NULL below
+      // n=3 / n=4, matching DuckDB's small-n edges)
+      ("SELECT l_returnflag, " +
+        "CAST(round(skewness(l_quantity) * 1000000) AS BIGINT) AS skew_micro, " +
+        "CAST(round(kurtosis(l_quantity) * 1000000) AS BIGINT) AS kurt_micro, " +
+        "CAST(round(skewness(l_extendedprice) * 1000000) AS BIGINT) AS skew_px_micro, " +
+        "CAST(round(kurtosis(l_extendedprice) * 1000000) AS BIGINT) AS kurt_px_micro, " +
+        "count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q165_ordered_firstlast" ->
+      // DuckDB's ordered aggregate modifiers first/last (ORDER BY k) →
+      // min_by/max_by (probe-equivalent; DESC swaps); keys unique per
+      // group (o_orderkey), so ties cannot differ
+      ("SELECT o_orderpriority, " +
+        "CAST(first(o_orderkey ORDER BY o_orderkey) AS BIGINT) AS first_k, " +
+        "CAST(last(o_orderkey ORDER BY o_orderkey) AS BIGINT) AS last_k, " +
+        "CAST(first(o_custkey ORDER BY o_orderkey DESC) AS BIGINT) AS newest_cust, " +
+        "CAST(min_by(o_custkey, o_orderkey) AS BIGINT) AS mb, " +
+        "CAST(max_by(o_custkey, o_orderkey) AS BIGINT) AS xb " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -1284,6 +1284,63 @@ object Translator {
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
+          case id: Ident if (id.upper == "FIRST" || id.upper == "LAST") && callOpen >= 0 &&
+              splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen))).length == 1 && {
+                val arg = splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen))).head
+                arg.exists { case i2: Ident => i2.upper == "ORDER"; case _ => false }
+              } =>
+            // DuckDB `first(e ORDER BY k [DESC])` → min_by/max_by (probe:
+            // first ORDER BY ≡ min_by, last ≡ max_by; DESC swaps). Ties are
+            // arbitrary in both engines — declared queries use unique keys.
+            val close = matchParen(toks, callOpen)
+            val arg = splitTopLevel(toks.slice(callOpen + 1, close)).head
+            val obIdx = arg.indices.find(j => arg(j) match {
+              case i2: Ident => i2.upper == "ORDER"; case _ => false
+            }).get
+            val byIdx = arg.indices.find(j => j > obIdx && (arg(j) match {
+              case i2: Ident => i2.upper == "BY"; case _ => false
+            })).getOrElse(-1)
+            if (byIdx > 0) {
+              val e = render(arg.take(obIdx)).trim
+              var key = arg.drop(byIdx + 1)
+              val isDesc = key.reverse.find(!isWs(_)).exists {
+                case i2: Ident => i2.upper == "DESC"; case _ => false
+              }
+              if (isDesc || key.reverse.find(!isWs(_)).exists {
+                  case i2: Ident => i2.upper == "ASC"; case _ => false }) {
+                val cut = key.lastIndexWhere(!isWs(_))
+                key = key.take(cut)
+              }
+              val k = render(key).trim
+              val fn = (id.upper, isDesc) match {
+                case ("FIRST", false) | ("LAST", true) => "min_by"
+                case _ => "max_by"
+              }
+              toks = toks.patch(i, lex(s"$fn($e, $k)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "SKEWNESS" || id.upper == "KURTOSIS") && callOpen >= 0 =>
+            // SILENT same-name divergence closed (r7): DuckDB's skewness/
+            // kurtosis are SAMPLE statistics (G1 / excess G2), Spark's are
+            // population (g1 / excess g2). Exact conversion:
+            //   G1 = g1 · √(n(n−1)) / (n−2)          [NULL below n=3]
+            //   G2 = ((n+1)·g2 + 6) · (n−1) / ((n−2)(n−3))   [NULL below n=4]
+            // (both probe-verified value-exact on DuckDB 1.0; DuckDB
+            // returns NULL at the small-n edges, which the CASE mirrors)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val e = render(args(0)).trim
+              val repl =
+                if (id.upper == "SKEWNESS")
+                  s"(CASE WHEN count($e) < 3 THEN CAST(NULL AS DOUBLE) " +
+                    s"ELSE graft_skewness_g1($e) * sqrt(count($e) * (count($e) - 1)) / (count($e) - 2) END)"
+                else
+                  s"(CASE WHEN count($e) < 4 THEN CAST(NULL AS DOUBLE) " +
+                    s"ELSE ((count($e) + 1) * graft_kurtosis_g2($e) + 6) * (count($e) - 1) / ((count($e) - 2) * (count($e) - 3)) END)"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
           case id: Ident if id.upper == "JACCARD" && callOpen >= 0 =>
             // DuckDB jaccard: case-sensitive CHARACTER-SET Jaccard
             // (multiset collapses: jaccard('aab','ab') = 1.0, probed) →

@@ -92,6 +92,14 @@ object GraftFunctions {
       args => GcdExpr(args(0), args(1))),
     ("lcm", "integer lcm, absolute-value semantics, 0 when either arg is 0",
       args => LcmExpr(args(0), args(1))),
+    // population-moment aggregates under graft names so the translator's
+    // sample-statistics conversion (SKEWNESS/KURTOSIS → G1/G2 formulas)
+    // cannot re-match its own output in the fixpoint loop (the
+    // graft_list_distinct precedent)
+    ("graft_skewness_g1", "Spark population skewness g1 under a non-colliding name",
+      args => org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(args(0))),
+    ("graft_kurtosis_g2", "Spark population excess kurtosis g2 under a non-colliding name",
+      args => org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(args(0))),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

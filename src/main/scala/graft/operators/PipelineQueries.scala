@@ -275,6 +275,28 @@ object PipelineQueries {
     // rounds; the oracle closes the same edge set with a recursive CTE.
     "p24_dedup_components" -> q((s, _) =>
       Components.dedupClusters(s, s.table("documents")).orderBy("doc_id")),
+    // ---- leakage-free split + cluster-size downweighting (r7): the two
+    // standard consumers of the near-dup clustering. A train/test split
+    // hashed on the CLUSTER id (not the doc id) — near-duplicates can
+    // never straddle the split, the property a naive per-doc hash split
+    // silently violates; plus the SemDeDup-style sampling weight
+    // 1e6/cluster_size that downweights heavily-duplicated content
+    // instead of dropping it. One window over the cluster labels (no
+    // join); md5 split coin is cluster-size-independent and deterministic.
+    "p50_leakfree_split" -> q((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = Components.dedupClusters(s, s.table("documents"))
+        .select(col("doc_id"), col("component"))
+      labels
+        .withColumn("__csize",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .select(col("doc_id"), col("component"),
+          when(substring(md5(col("component").cast("string")), 1, 1) < "c",
+            "train").otherwise("test").as("split"),
+          round(lit(1000000.0) / col("__csize")).cast("bigint")
+            .as("weight_micro"))
+        .orderBy("doc_id")
+    }),
     // ---- sequence packing (round 4): concatenate docs per source shard in
     // doc_id order and split every 256 whitespace tokens (sized so the sf fixtures actually cross sequence boundaries) — each doc
     // reports the training-sequence span it lands in. Window cumsum is
@@ -722,6 +744,25 @@ object PipelineQueries {
         "SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component, " +
         "least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id AS is_kept " +
         "FROM documents d LEFT JOIN comp c ON d.doc_id = c.n ORDER BY d.doc_id"),
+    // p50 (r7): p24's recursive-CTE clustering oracle with the split coin
+    // and 1e6/cluster_size weight computed on the component label.
+    "p50_leakfree_split" ->
+      ("WITH RECURSIVE p AS (SELECT * FROM (" +
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(round(10000.0 * len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) " +
+        "/ len(list_distinct(string_split(a.text,' ') || string_split(b.text,' ')))) AS BIGINT) AS jac_bp " +
+        "FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND substr(a.text,1,40) = substr(b.text,1,40)" +
+        ") WHERE jac_bp >= 5000), " +
+        "e AS (SELECT d1 AS u, d2 AS v FROM p UNION SELECT d2, d1 FROM p), " +
+        "reach(n, m) AS (SELECT u, v FROM e UNION SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u), " +
+        "comp AS (SELECT n, min(m) AS mn FROM reach GROUP BY n), " +
+        "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component " +
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.n), " +
+        "sz AS (SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS csize FROM lab) " +
+        "SELECT doc_id, component, " +
+        "CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1) < 'c' THEN 'train' ELSE 'test' END AS split, " +
+        "CAST(round(1000000.0 / csize) AS BIGINT) AS weight_micro " +
+        "FROM sz ORDER BY doc_id"),
     "p26_pii_scrub" ->
       ("WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-01' || CAST(doc_id % 100 AS VARCHAR) || ' now' AS t FROM documents) " +
         "SELECT doc_id, md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\+?[0-9][0-9 ()-]{5,}[0-9]', '<PHONE>', 'g')) AS scrubbed_h, " +

@@ -676,6 +676,21 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT damerau_levenshtein(a, b), gcd(a, b), lcm(a, b)")
   }
 
+  test("r7 widening: sample-moment conversion and ordered first/last") {
+    // DuckDB skewness/kurtosis are SAMPLE stats; Spark's are population —
+    // converted via the exact G1/G2 formulas under non-colliding names
+    val sk = t("SELECT skewness(x) FROM t1")
+    assert(sk.contains("graft_skewness_g1(x)") && sk.contains("count(x) < 3"))
+    val ku = t("SELECT kurtosis(x) FROM t1")
+    assert(ku.contains("graft_kurtosis_g2(x)") && ku.contains("count(x) < 4"))
+    // first/last with ORDER BY → min_by/max_by; DESC swaps; bare passes
+    assert(t("SELECT first(x ORDER BY y) FROM t1") == "SELECT min_by(x, y) FROM t1")
+    assert(t("SELECT last(x ORDER BY y) FROM t1") == "SELECT max_by(x, y) FROM t1")
+    assert(t("SELECT first(x ORDER BY y DESC) FROM t1") == "SELECT max_by(x, y) FROM t1")
+    assert(t("SELECT last(x ORDER BY y DESC) FROM t1") == "SELECT min_by(x, y) FROM t1")
+    assert(t("SELECT first(x) FROM t1") == "SELECT first(x) FROM t1")
+  }
+
   test("r7 widening: left/right accept DuckDB negative lengths") {
     // probe-pinned: left('ab',-5)='', right('ab',-5)='', left('hello',-2)
     // ='hel', right('hello',-2)='llo', 0 -> '', n>len -> whole string
