@@ -817,6 +817,28 @@ object DeclaredQueries {
         "CAST(min_by(o_custkey, o_orderkey) AS BIGINT) AS mb, " +
         "CAST(max_by(o_custkey, o_orderkey) AS BIGINT) AS xb " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q166_split_json_series" ->
+      // split_part passthrough (1-based, negative = from end, '' when out
+      // of range — all probe-identical), regex splitters → split (same
+      // empty-segment behavior), json_keys → json_object_keys (document
+      // order both), date-stepped generate_series (DuckDB yields
+      // timestamps, Spark dates → cast to DATE on both sides)
+      ("SELECT doc_id, " +
+        "split_part(source, 'c', 2) AS sp2, " +
+        "split_part(source, 'r', -1) AS spneg, " +
+        "split_part(lang, 'q', 5) AS spoob, " +
+        "array_to_string(str_split_regex(text, '[0-9]+'), '|') AS rsplit, " +
+        "array_to_string(json_keys('{\"id\":' || CAST(doc_id AS VARCHAR) || ',\"lang\":\"' || lang || '\"}'), ',') AS jk, " +
+        "array_to_string(list_transform(generate_series(DATE '2024-01-01', DATE '2024-01-13', INTERVAL 3 DAY), x -> CAST(CAST(x AS DATE) AS VARCHAR)), ',') AS ds " +
+        "FROM documents WHERE doc_id < 40 ORDER BY doc_id"),
+    "q167_range_interval_frame" ->
+      // calendar-interval RANGE frames parse and evaluate identically
+      // (probe: 1-day sliding sum over sparse dates agrees) — the
+      // time-windowed running aggregate a telemetry pipeline uses
+      ("SELECT o_orderkey, o_orderdate, " +
+        "CAST(count(*) OVER (ORDER BY o_orderdate RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS week_n, " +
+        "CAST(round(sum(o_totalprice) OVER (ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) * 100) AS BIGINT) AS month_rev_c " +
+        "FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

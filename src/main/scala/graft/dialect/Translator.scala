@@ -1077,6 +1077,13 @@ object Translator {
     // list_contains/list_has: same (list, element) order as array_contains
     "LIST_CONTAINS" -> "array_contains",
     "LIST_HAS" -> "array_contains",
+    // json_keys: document-order key array in both engines
+    "JSON_KEYS" -> "json_object_keys",
+    // regex splitters: identical leading/trailing-empty behavior (probed
+    // 'a1'/'1a' → ['a','']/['','a'] in both)
+    "STR_SPLIT_REGEX" -> "split",
+    "STRING_SPLIT_REGEX" -> "split",
+    "REGEXP_SPLIT_TO_ARRAY" -> "split",
     "LIST" -> "collect_list",
     "UNNEST" -> "explode",
     "EDITDIST3" -> "levenshtein",
@@ -1099,6 +1106,22 @@ object Translator {
     "QUANTILE_CONT" -> "percentile",
     "QUANTILE_DISC" -> "percentile_approx",
     "QUANTILE" -> "percentile_approx",
+    // ClickHouse alias widening (r7, chsql wire surface): renames with
+    // identical arg order and semantics
+    "ARRAYJOIN" -> "explode",
+    "HAS" -> "array_contains",
+    "INDEXOF" -> "array_position",          // 1-based, 0 when absent — same
+    "ARRAYELEMENT" -> "element_at",         // 1-based, negative from end — same
+    "ARRAYSTRINGCONCAT" -> "array_join",
+    "TOUNIXTIMESTAMP" -> "unix_timestamp",
+    "FROMUNIXTIMESTAMP" -> "from_unixtime",
+    "LEFTPAD" -> "lpad",
+    "RIGHTPAD" -> "rpad",
+    "TODAYOFMONTH" -> "day",
+    "TODAYOFYEAR" -> "dayofyear",
+    "TOHOUR" -> "hour",
+    "TOMINUTE" -> "minute",
+    "TOSECOND" -> "second",
     // ClickHouse string-function aliases (chsql surface, reference
     // main.py:83-86): Spark's length/lower/upper/substr are already
     // codepoint-based, which is exactly the *UTF8 contract
@@ -1284,6 +1307,85 @@ object Translator {
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
+          case id: Ident if Set("SUMIF", "AVGIF", "MINIF", "MAXIF", "COUNTIF")
+              .contains(id.upper) && callOpen >= 0 && {
+                // DuckDB's own countif(cond) is 1-arg and name-mapped; the
+                // ClickHouse xIf family here is the 2-arg (expr, cond) form
+                splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen))).length == 2
+              } =>
+            // ClickHouse conditional aggregates xIf(expr, cond) →
+            // agg(expr) FILTER (WHERE cond) — Spark's native filtered
+            // aggregation (codegen'd, partial-agg friendly)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val agg = id.upper.stripSuffix("IF").toLowerCase
+            val (e, c) = (render(args(0)).trim, render(args(1)).trim)
+            toks = toks.patch(i, lex(s"$agg($e) FILTER (WHERE $c)"), close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "MULTIIF" && callOpen >= 0 =>
+            // ClickHouse multiIf(c1, v1, ..., else) → CASE chain
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length >= 3 && args.length % 2 == 1) {
+              val pairs = args.dropRight(1).grouped(2).map { p =>
+                s"WHEN ${render(p(0)).trim} THEN ${render(p(1)).trim}"
+              }.mkString(" ")
+              val els = render(args.last).trim
+              toks = toks.patch(i, lex(s"(CASE $pairs ELSE $els END)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper.startsWith("TOSTARTOF") && callOpen >= 0 &&
+              Set("DAY", "MONTH", "YEAR", "HOUR", "MINUTE", "QUARTER", "WEEK")
+                .contains(id.upper.stripPrefix("TOSTARTOF")) =>
+            // ClickHouse toStartOfX(d) → date_trunc('X', d); toStartOfWeek
+            // default mode 0 starts SUNDAY (Spark/DuckDB week = Monday) →
+            // shifted trunc
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val d = render(args(0)).trim
+              val unit = id.upper.stripPrefix("TOSTARTOF")
+              val repl =
+                if (unit == "WEEK")
+                  s"date_sub(CAST(date_trunc('WEEK', date_add($d, 1)) AS DATE), 1)"
+                else s"date_trunc('$unit', $d)"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "TOYYYYMM" || id.upper == "TOYYYYMMDD") && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val d = render(args(0)).trim
+              val repl =
+                if (id.upper == "TOYYYYMM") s"(year($d) * 100 + month($d))"
+                else s"(year($d) * 10000 + month($d) * 100 + day($d))"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "TODAYOFWEEK" && callOpen >= 0 =>
+            // ClickHouse: Monday=1..Sunday=7; Spark dayofweek: Sunday=1
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val d = render(args(0)).trim
+              toks = toks.patch(i,
+                lex(s"(((dayofweek($d) + 5) % 7) + 1)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "POSITION" && callOpen >= 0 && {
+                val args = splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen)))
+                args.length == 2 && !args.exists(_.exists {
+                  case i2: Ident => i2.upper == "IN"; case _ => false })
+              } =>
+            // ClickHouse position(haystack, needle) — Spark's 2-arg
+            // position() takes (substr, str), REVERSED; instr has the CH
+            // order. SQL-standard position(x IN y) passes through untouched.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            toks = toks.patch(i,
+              lex(s"instr(${render(args(0)).trim}, ${render(args(1)).trim})"), close - i + 1)
+            changed = true
           case id: Ident if (id.upper == "FIRST" || id.upper == "LAST") && callOpen >= 0 &&
               splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen))).length == 1 && {
                 val arg = splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen))).head

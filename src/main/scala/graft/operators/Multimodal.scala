@@ -106,4 +106,49 @@ object Multimodal {
         map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
       .as[MediaItem]
   }
+
+  /** Frame-level dedup across media items (r7): chunk each payload into
+    * fixed-size aligned frames, keep the globally FIRST occurrence of each
+    * frame's content, report per item how much survives — the video/audio
+    * analog of [[graft.operators.Dedup.spanDedup]] for the repeated-intro/
+    * watermark/shared-stock-frame case, at exact-content granularity.
+    * Operates on a STRING payload column here (the fixture's payloads are
+    * ASCII, probe-verified octet_length = length in p44 — char chunks ARE
+    * byte frames; a production binary column plugs in via the
+    * [[extractFeatures]] decode seam with `encode`/`substr`-on-binary).
+    *
+    * Scale shape: frames are non-overlapping (corpus size / frameBytes
+    * rows, ~64× smaller than a sliding-window explode), the keep-first
+    * rank partitions by frame-content hash (the [[graft.operators.Dedup
+    * .lineDedup]] shape — a frame duplicated across millions of items is
+    * ONE partition), and the reassembly partitions by item id. Two keyed
+    * shuffles plus one id-keyed join to restore fully-deduped items.
+    * Returns (id, n_frames, kept_frames, payload). */
+  def frameDedup(items: DataFrame, frameBytes: Int = 64,
+      payloadCol: String = "payload", idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = items.select(col(idCol).as("id"), col(payloadCol).as("p"))
+    val frames = d
+      .where(length(col("p")) > 0)
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(length(col("p")) / lit(frameBytes)).cast("int") - 1),
+          i => substring(col("p"), (i * frameBytes + 1).cast("int"),
+            lit(frameBytes)))).as(Seq("idx", "frame")))
+    val keepFirst = Window.partitionBy(md5(col("frame"))).orderBy("id", "idx")
+    frames.withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_frames"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("idx"), col("frame")))),
+          s => s("frame"))).as("payload"))
+      .join(d.select(col("id"),
+        ceil(length(col("p")) / lit(frameBytes)).cast("long").as("n_frames")),
+        Seq("id"), "right")
+      .select(col("id"), col("n_frames"),
+        coalesce(col("kept_frames"), lit(0L)).as("kept_frames"),
+        coalesce(col("payload"), lit("")).as("payload"))
+  }
 }

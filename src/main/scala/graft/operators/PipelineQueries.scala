@@ -541,6 +541,22 @@ object PipelineQueries {
         .select(col("d1"), col("d2"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("d1", "d2")
     }),
+    // ---- frame-level multimodal dedup (r7): the video/audio analog of
+    // span dedup — fixed 64-byte ALIGNED frames per payload, global
+    // keep-first by frame content (repeated intro/watermark/stock frames).
+    // Construction: a 64-char banner frame prepended to items ≡0 mod 4
+    // (occupying frame 0 exactly) + the fixture's organic exact-dup docs;
+    // 148 of 500 items lose frames, 2 dedup to empty at sf0.01.
+    "p51_frame_dedup" -> q((s, _) => {
+      val items = s.table("documents").select(col("doc_id").as("id"),
+        when(col("doc_id") % 4 === 0,
+          concat(rpad(lit("INTROFRAME-watermark-banner"), 64, "x"), col("text")))
+          .otherwise(col("text")).as("payload"))
+      Multimodal.frameDedup(items, frameBytes = 64)
+        .select(col("id"), col("n_frames"), col("kept_frames"),
+          md5(col("payload")).as("h"))
+        .orderBy("id")
+    }),
     // ---- span-level eval-leakage scrub (r7): p22 flags whole docs by
     // n-gram overlap; this CUTS the leaked 16-token spans and keeps the
     // rest (p43's policy with "duplicate" = "present in the eval window
@@ -744,6 +760,22 @@ object PipelineQueries {
         "SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component, " +
         "least(d.doc_id, coalesce(c.mn, d.doc_id)) = d.doc_id AS is_kept " +
         "FROM documents d LEFT JOIN comp c ON d.doc_id = c.n ORDER BY d.doc_id"),
+    // p51 (r7): brute-force frame dedup — aligned 64-char chunks, global
+    // keep-first by frame CONTENT (engine keys by md5 — content grouping
+    // proves digest keying loses nothing), ordered string_agg reassembly.
+    "p51_frame_dedup" ->
+      ("WITH it AS (SELECT doc_id AS id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN rpad('INTROFRAME-watermark-banner', 64, 'x') || text ELSE text END AS p " +
+        "FROM documents), " +
+        "fr AS (SELECT id, i AS idx, substr(p, CAST(i * 64 + 1 AS INTEGER), 64) AS frame " +
+        "FROM it, LATERAL (SELECT unnest(range(0, CAST(ceil(length(p) / 64.0) AS BIGINT))) AS i)), " +
+        "r AS (SELECT id, idx, frame, row_number() OVER (PARTITION BY frame ORDER BY id, idx) AS rn FROM fr), " +
+        "k AS (SELECT id, CAST(count(*) AS BIGINT) AS kept_frames, " +
+        "string_agg(frame, '' ORDER BY idx) AS payload FROM r WHERE rn = 1 GROUP BY id) " +
+        "SELECT it.id, CAST(ceil(length(it.p) / 64.0) AS BIGINT) AS n_frames, " +
+        "CAST(coalesce(k.kept_frames, 0) AS BIGINT) AS kept_frames, " +
+        "md5(coalesce(k.payload, '')) AS h " +
+        "FROM it LEFT JOIN k ON it.id = k.id ORDER BY it.id"),
     // p50 (r7): p24's recursive-CTE clustering oracle with the split coin
     // and 1e6/cluster_size weight computed on the component label.
     "p50_leakfree_split" ->

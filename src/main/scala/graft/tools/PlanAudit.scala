@@ -139,6 +139,12 @@ object PlanAudit {
     Check("p49_source_novelty",
       wantAll = Seq("window_md5s", "Window", "HashAggregate"),
       wantNone = Seq("Join")),
+    // frame dedup (r7): aligned-frame explode → content-hash keep-first
+    // window → id-keyed reassembly + one id equi-join — the lineDedup
+    // shape at frame granularity, never a cross join
+    Check("p51_frame_dedup",
+      wantAll = Seq("Window", "HashAggregate"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // multimodal near-dup (r7): pairs from the pigeonhole band equi-join
     // (the hamming filter's bit_count is the post-checkpoint marker; the
     // kernel scan sits behind the collapse/banding localCheckpoints) —

@@ -691,6 +691,31 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT first(x) FROM t1") == "SELECT first(x) FROM t1")
   }
 
+  test("r7 ClickHouse alias widening: conditional aggs, multiIf, date helpers") {
+    assert(t("SELECT sumIf(x, x > 2), avgIf(y, c), countIf(v, c) FROM t1") ==
+      "SELECT sum(x) FILTER (WHERE x > 2), avg(y) FILTER (WHERE c), count(v) FILTER (WHERE c) FROM t1")
+    // DuckDB's own 1-arg countif stays the count_if rename
+    assert(t("SELECT countif(c) FROM t1") == "SELECT count_if(c) FROM t1")
+    assert(t("SELECT multiIf(a, 1, b, 2, 3)") ==
+      "SELECT (CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END)")
+    assert(t("SELECT toStartOfMonth(d), toStartOfDay(d)") ==
+      "SELECT date_trunc('MONTH', d), date_trunc('DAY', d)")
+    // CH toStartOfWeek mode 0 = SUNDAY start; Spark week truncs to Monday
+    assert(t("SELECT toStartOfWeek(d)") ==
+      "SELECT date_sub(CAST(date_trunc('WEEK', date_add(d, 1)) AS DATE), 1)")
+    assert(t("SELECT toYYYYMM(d)") == "SELECT (year(d) * 100 + month(d))")
+    assert(t("SELECT toDayOfWeek(d)") == "SELECT (((dayofweek(d) + 5) % 7) + 1)")
+    // CH position(haystack, needle) → instr (same order); standard IN form untouched
+    assert(t("SELECT position(h, n)") == "SELECT instr(h, n)")
+    assert(t("SELECT position('or' IN s)") == "SELECT position('or' IN s)")
+    assert(t("SELECT arrayJoin(a), has(a, 1), indexOf(a, 2), arrayElement(a, -1)") ==
+      "SELECT explode(a), array_contains(a, 1), array_position(a, 2), element_at(a, -1)")
+    assert(t("SELECT arrayStringConcat(a, ','), leftPad(s, 3, '0'), toUnixTimestamp(ts)") ==
+      "SELECT array_join(a, ','), lpad(s, 3, '0'), unix_timestamp(ts)")
+    assert(t("SELECT toHour(ts), toDayOfYear(d), toDayOfMonth(d)") ==
+      "SELECT hour(ts), dayofyear(d), day(d)")
+  }
+
   test("r7 widening: left/right accept DuckDB negative lengths") {
     // probe-pinned: left('ab',-5)='', right('ab',-5)='', left('hello',-2)
     // ='hel', right('hello',-2)='llo', 0 -> '', n>len -> whole string

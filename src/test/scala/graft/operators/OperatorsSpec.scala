@@ -326,6 +326,24 @@ class OperatorsSpec extends SparkTestBase {
       (5L, "srcB", 3L, 3L, "nothing shared here")))
   }
 
+  test("frame dedup keeps the first copy of each aligned frame") {
+    import spark.implicits._
+    // frameBytes=4: item 1 owns frames "aaaa","bbbb"; item 2 repeats
+    // "aaaa" at frame 0 (cut) and owns "cccc"; item 3 is entirely item
+    // 1's first frame -> empties; a short tail frame is its own content.
+    val items = Seq(
+      (1L, "aaaabbbbcc"),   // frames: aaaa, bbbb, cc
+      (2L, "aaaacccc"),     // aaaa dup -> cut; cccc kept
+      (3L, "aaaa")          // all dup -> empty
+    ).toDF("id", "payload")
+    val out = Multimodal.frameDedup(items, frameBytes = 4).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, "aaaabbbbcc"),
+      (2L, 2L, 1L, "cccc"),
+      (3L, 1L, 0L, "")))
+  }
+
   test("cross-corpus overlap counts distinct shared windows per group pair") {
     import spark.implicits._
     // k=2: srcA and srcB share windows "a b" and "b c"; srcC shares
