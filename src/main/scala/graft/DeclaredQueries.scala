@@ -839,6 +839,16 @@ object DeclaredQueries {
         "CAST(count(*) OVER (ORDER BY o_orderdate RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS week_n, " +
         "CAST(round(sum(o_totalprice) OVER (ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) * 100) AS BIGINT) AS month_rev_c " +
         "FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey"),
+    "q168_insert_returning" ->
+      // INSERT … RETURNING (write path with a result set): both engines
+      // return the inserted rows projected through the RETURNING list;
+      // multi-statement declaration (the q128 macro precedent) — DROP +
+      // CTAS + INSERT RETURNING, last result compared. Row order is
+      // insert order on both sides; the comparator sorts.
+      ("DROP TABLE IF EXISTS g168_tgt; " +
+        "CREATE TABLE g168_tgt AS SELECT o_orderkey AS id, o_orderpriority AS pri, o_totalprice AS price FROM orders WHERE o_orderkey < 10; " +
+        "INSERT INTO g168_tgt SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey >= 10 AND o_orderkey < 40 " +
+        "RETURNING id, pri, CAST(round(price * 100) AS BIGINT) AS price_c"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

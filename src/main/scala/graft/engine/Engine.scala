@@ -182,6 +182,10 @@ object Engine {
     * still passes through to Spark's native statement. */
   private val describeSelectRe =
     "(?is)^\\s*DESCRIBE\\s+((?:SELECT|WITH|FROM|VALUES)\\b.*)$".r
+  private val explainRe =
+    "(?is)^\\s*EXPLAIN\\s+(ANALYZE\\s+)?((?:SELECT|WITH|FROM|VALUES)\\b.*)$".r
+  private val dropTableIfExistsRe =
+    "(?is)^\\s*DROP\\s+TABLE\\s+IF\\s+EXISTS\\s+([\\w`\"]+)\\s*$".r
 
   /** DuckDB `EXPORT DATABASE 'dir' [(FORMAT ...)]` / `IMPORT DATABASE
     * 'dir'` (r5): the backup/restore pair. Export writes every visible
@@ -345,9 +349,48 @@ object Engine {
   // 1-row `Count` result DuckDB produces.
 
   private val deleteRe =
-    "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.`\"]+)(?:\\s+WHERE\\s+(.+?))?\\s*$".r
+    "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.`\"]+)(?:\\s+WHERE\\s+(.+?))?(?:\\s+RETURNING\\s+(.+?))?\\s*$".r
+  // INSERT … RETURNING (r7): DuckDB returns the inserted rows (after
+  // defaults/column-list completion) projected through the RETURNING list.
+  private val insertReturningRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+([\\w.`\"]+)\\s*(\\([^)]*\\))?\\s*(VALUES\\s*.+?|SELECT\\s+.+?|FROM\\s+.+?)\\s+RETURNING\\s+(.+?)\\s*$".r
+
+  /** DuckDB `INSERT INTO t [(cols)] <source> RETURNING <proj>`: evaluate
+    * the source ONCE (localCheckpoint — correct for self-referencing
+    * inserts and nondeterministic sources), complete missing columns with
+    * typed NULLs in table order, append, and return the inserted rows
+    * through the (dialect-translated) RETURNING projection. */
+  private def runInsertReturning(spark: SparkSession, table0: String,
+      colList: Option[String], body: String, proj: String): DataFrame = {
+    val table = table0.replaceAll("[`\"]", "")
+    val src = sql(spark,
+      if (body.trim.toUpperCase.startsWith("VALUES")) s"SELECT * FROM $body"
+      else body)
+    val schema = spark.table(table).schema
+    val given = colList
+      .map(_.stripPrefix("(").stripSuffix(")").split(",")
+        .map(_.trim.replaceAll("[`\"]", "")).toSeq)
+      .getOrElse(schema.fieldNames.toSeq)
+    require(src.columns.length == given.length,
+      s"INSERT column count ${given.length} does not match source width ${src.columns.length}")
+    val named = src.toDF(given: _*)
+    val lowerGiven = given.map(_.toLowerCase)
+    import org.apache.spark.sql.functions.{col, lit}
+    val full = named.select(schema.fields.toSeq.map { f =>
+      if (lowerGiven.contains(f.name.toLowerCase))
+        col(given(lowerGiven.indexOf(f.name.toLowerCase))).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val rows = full.localCheckpoint(true)
+    rows.createOrReplaceTempView("graft_returning_src")
+    tableWriteLock(table).synchronized {
+      rows.write.mode("append").insertInto(table)
+    }
+    bumpCatalogVersion()
+    sql(spark, s"SELECT $proj FROM graft_returning_src")
+  }
   private val updateRe =
-    "(?is)^\\s*UPDATE\\s+([\\w.`\"]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*$".r
+    "(?is)^\\s*UPDATE\\s+([\\w.`\"]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?(?:\\s+RETURNING\\s+(.+?))?\\s*$".r
 
   /** Rewrite `table` to df's rows atomically; returns the new row count. */
   private def swapInto(spark: SparkSession, table: String,
@@ -378,18 +421,32 @@ object Engine {
   }
 
   private def runDelete(spark: SparkSession, table0: String,
-      where: String): DataFrame = {
+      where: String, returning: Option[String] = None): DataFrame = {
     val table = table0.replaceAll("[`\"]", "")
     requireDmlTarget(spark, table)
     val total = spark.table(table).count()
+    // DELETE … RETURNING (r7): the deleted rows, captured (and pinned via
+    // localCheckpoint) BEFORE the swap rewrites the table
+    val deleted = returning.map { _ =>
+      val delSql =
+        if (where == null || where.trim.isEmpty) s"SELECT * FROM $table"
+        else s"SELECT * FROM $table WHERE coalesce(($where), false)"
+      sql(spark, delSql).localCheckpoint(true)
+    }
     // SQL DELETE removes rows where the predicate is TRUE; FALSE and NULL
     // survive — hence NOT coalesce(pred, false)
     val keepSql =
       if (where == null || where.trim.isEmpty) s"SELECT * FROM $table WHERE false"
       else s"SELECT * FROM $table WHERE NOT coalesce(($where), false)"
     val keptN = swapInto(spark, table, sql(spark, keepSql))
-    import spark.implicits._
-    Seq(total - keptN).toDF("Count")
+    returning match {
+      case Some(proj) =>
+        deleted.get.createOrReplaceTempView("graft_returning_src")
+        sql(spark, s"SELECT $proj FROM graft_returning_src")
+      case None =>
+        import spark.implicits._
+        Seq(total - keptN).toDF("Count")
+    }
   }
 
   /** Top-level comma split honoring parens/brackets and string literals. */
@@ -417,7 +474,7 @@ object Engine {
   }
 
   private def runUpdate(spark: SparkSession, table0: String, setClause: String,
-      where: Option[String]): DataFrame = {
+      where: Option[String], returning: Option[String] = None): DataFrame = {
     val table = table0.replaceAll("[`\"]", "")
     requireDmlTarget(spark, table)
     val sets = splitAssignments(setClause)
@@ -445,10 +502,30 @@ object Engine {
         case None => f.name
       }
     }
+    // UPDATE … RETURNING (r7): DuckDB returns the NEW (post-SET) rows of
+    // the matched set — built unconditionally over the matched rows and
+    // pinned BEFORE the swap
+    val updatedRows = returning.map { _ =>
+      val newList = fields.map { f =>
+        sets.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, e)) => s"CAST(($e) AS ${f.dataType.sql}) AS ${f.name}"
+          case None => f.name
+        }
+      }
+      val w = where.map(w0 => s" WHERE coalesce(($w0), false)").getOrElse("")
+      sql(spark, s"SELECT ${newList.mkString(", ")} FROM $table$w")
+        .localCheckpoint(true)
+    }
     swapInto(spark, table,
       sql(spark, s"SELECT ${selectList.mkString(", ")} FROM $table"))
-    import spark.implicits._
-    Seq(matched).toDF("Count")
+    returning match {
+      case Some(proj) =>
+        updatedRows.get.createOrReplaceTempView("graft_returning_src")
+        sql(spark, s"SELECT $proj FROM graft_returning_src")
+      case None =>
+        import spark.implicits._
+        Seq(matched).toDF("Count")
+    }
   }
 
   private val summarizeRe = "(?is)^\\s*SUMMARIZE\\s+([\\w.`\"]+)\\s*$".r
@@ -520,6 +597,18 @@ object Engine {
       case rollbackRe() =>
         throw new UnsupportedOperationException(
           "ROLLBACK is not supported: graft executes auto-commit (BEGIN/COMMIT are accepted as no-ops)")
+      case explainRe(analyze, inner) => {
+        // DuckDB EXPLAIN [ANALYZE] <query> → (plan_type, plan) rows; here
+        // the translated query's Spark plan (formatted; ANALYZE executes
+        // first so the plan carries AQE's final shape)
+        import spark.implicits._
+        val df = sql(spark, inner)
+        if (analyze != null)
+          df.write.format("noop").mode("overwrite").save()
+        val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        val plan = df.queryExecution.explainString(mode)
+        return Seq(("physical_plan", plan)).toDF("explain_key", "explain_value")
+      }
       case describeSelectRe(inner) => {
         import spark.implicits._
         return sql(spark, inner).schema.fields.toSeq.map { f =>
@@ -536,10 +625,29 @@ object Engine {
       case summarizeRe(table) =>
         // DuckDB SUMMARIZE → per-column stats (Spark's summary())
         return spark.table(table.replaceAll("[`\"]", "")).summary()
-      case deleteRe(table, where) =>
-        return runDelete(spark, table, where)
-      case updateRe(table, sets, where) =>
-        return runUpdate(spark, table, sets, Option(where))
+      case dropTableIfExistsRe(t) => {
+        // DuckDB DROP removes storage; Spark's only drops what the (per-
+        // session, in-memory) metastore knows. A table directory orphaned
+        // by a PREVIOUS session would make the next CTAS fail with
+        // "location already exists" — so clear the orphan too.
+        val name = t.replaceAll("[`\"]", "")
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        bumpCatalogVersion()
+        if (!spark.catalog.tableExists(name)) {
+          val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+          val dir = new java.io.File(
+            new java.net.URI(wh).getPath + "/" + name.toLowerCase)
+          if (dir.isDirectory)
+            new scala.reflect.io.Directory(dir).deleteRecursively()
+        }
+        return spark.emptyDataFrame
+      }
+      case insertReturningRe(table, colList, body, proj) =>
+        return runInsertReturning(spark, table, Option(colList), body, proj)
+      case deleteRe(table, where, returning) =>
+        return runDelete(spark, table, where, Option(returning))
+      case updateRe(table, sets, where, returning) =>
+        return runUpdate(spark, table, sets, Option(where), Option(returning))
       case s if asofWordRe.pattern.matcher(s).matches() =>
         tryAsofMerge(spark, s).foreach(df => return df)
       case _ =>

@@ -113,6 +113,35 @@ object Streaming {
       key: String = "source"): DataFrame =
     stream.join(broadcast(dim), key)
 
+  /** Streaming span-level decontamination (r7): the continuous form of
+    * [[graft.operators.Decontamination.scrubEvalSpans]] — every incoming
+    * doc loses tokens covered by a k-token window present in the (static,
+    * small-by-nature) eval set. STATELESS: the eval window digests are
+    * collected once at plan time into a literal array, so the whole scrub
+    * is per-row column expressions (kernel scan + array_position probes +
+    * remove_token_spans) — no shuffle, no state store, no watermark
+    * needed; each micro-batch pays one codegen pass. The batch twin's
+    * broadcast JOIN is the shape for eval sets too big for an expression
+    * literal; benchmarks are thousands of items, which fits. */
+  def scrubStream(docs: DataFrame, evalDocs: DataFrame, k: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val evalW = evalDocs
+      .select(explode(call_function("window_md5s", col(textCol), lit(k))).as("wh"))
+      .distinct().collect().map(_.getAs[Array[Byte]]("wh"))
+    if (evalW.isEmpty) return docs
+    val evalArr = array(evalW.map(lit(_)): _*)
+    val starts = filter(
+      transform(call_function("window_md5s", col(textCol), lit(k)),
+        (wh, i) => when(array_position(evalArr, wh) > 0, i).otherwise(lit(-1))),
+      p => p >= 0)
+    docs
+      .withColumn("__starts", starts)
+      .withColumn(textCol,
+        call_function("remove_token_spans", col(textCol), col("__starts"), lit(k)))
+      .drop("__starts")
+  }
+
   // ---- sessionization ---------------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

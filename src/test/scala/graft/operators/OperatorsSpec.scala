@@ -1052,10 +1052,25 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("EXPLAIN passes through the dialect layer") {
+    // r7: output reshaped to DuckDB's (explain_key, explain_value) pair
     Engine.registerTables(spark, sfDir)
     val out = Engine.sql(spark,
       "EXPLAIN SELECT c_custkey FROM customer WHERE c_nationkey = 7").collect()
-    assert(out.nonEmpty && out.head.getString(0).contains("Physical Plan"))
+    assert(out.nonEmpty && out.head.getString(0) == "physical_plan")
+    assert(out.head.getString(1).contains("Scan parquet"))
+  }
+
+  test("EXPLAIN returns the translated query's formatted Spark plan") {
+    Engine.registerTables(spark, sfDir)
+    val rows = Engine.sql(spark,
+      "EXPLAIN SELECT count() AS n FROM lineitem WHERE l_quantity > 40").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "physical_plan")
+    val plan = rows(0).getString(1)
+    assert(plan.contains("HashAggregate") && plan.contains("Scan parquet"))
+    // EXPLAIN ANALYZE executes and still yields a plan
+    val ran = Engine.sql(spark,
+      "EXPLAIN ANALYZE SELECT count() AS n FROM region").collect()
+    assert(ran.length == 1 && ran(0).getString(1).contains("Scan"))
   }
 
   test("DESCRIBE and SHOW CREATE TABLE pass through the dialect layer") {
@@ -1066,6 +1081,52 @@ class OperatorsSpec extends SparkTestBase {
     val ddl = Engine.sql(spark, "SHOW CREATE TABLE graft_sct_probe").head.getString(0)
     assert(ddl.contains("graft_sct_probe") && ddl.toUpperCase.contains("CREATE TABLE"))
     Engine.sql(spark, "DROP TABLE graft_sct_probe")
+  }
+
+  test("INSERT RETURNING appends and returns the inserted rows") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_ins_t")
+    Seq((1L, "a", 10)).toDF("id", "s", "n")
+      .write.format("parquet").saveAsTable("graft_ins_t")
+    // VALUES form, full width, RETURNING *
+    val r1 = Engine.sql(spark,
+      "INSERT INTO graft_ins_t VALUES (2, 'b', 20), (3, 'c', 30) RETURNING *")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(r1.toSeq == Seq((2L, "b", 20), (3L, "c", 30)))
+    assert(spark.table("graft_ins_t").count() == 3)
+    // column-list form: missing column becomes typed NULL; RETURNING
+    // projects dialect expressions over the completed rows
+    val r2 = Engine.sql(spark,
+      "INSERT INTO graft_ins_t (id, n) VALUES (4, 40) RETURNING id, s, n + 1 AS n1")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getInt(2)))
+    assert(r2.toSeq == Seq((4L, true, 41)))
+    assert(spark.table("graft_ins_t").where("id = 4").head.isNullAt(1))
+    // SELECT-source form evaluates once and appends
+    val r3 = Engine.sql(spark,
+      "INSERT INTO graft_ins_t SELECT id + 10, upper(s), n FROM graft_ins_t WHERE id <= 2 RETURNING id")
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(r3.toSeq == Seq(11L, 12L))
+    assert(spark.table("graft_ins_t").count() == 6)
+    spark.sql("DROP TABLE graft_ins_t")
+  }
+
+  test("DELETE and UPDATE RETURNING yield the removed / post-SET rows") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_ret_t")
+    (1 to 6).map(i => (i.toLong, i * 10)).toDF("id", "n")
+      .write.format("parquet").saveAsTable("graft_ret_t")
+    val d = Engine.sql(spark,
+      "DELETE FROM graft_ret_t WHERE n > 40 RETURNING id, n")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(d.toSeq == Seq((5L, 50), (6L, 60)))
+    assert(spark.table("graft_ret_t").count() == 4)
+    // UPDATE RETURNING returns NEW values of matched rows only
+    val u = Engine.sql(spark,
+      "UPDATE graft_ret_t SET n = n + 1 WHERE id <= 2 RETURNING id, n")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(u.toSeq == Seq((1L, 11), (2L, 21)))
+    assert(spark.table("graft_ret_t").where("id = 3").head.getInt(1) == 30)
+    spark.sql("DROP TABLE graft_ret_t")
   }
 
   test("DELETE and UPDATE rewrite managed tables atomically with DuckDB Count results") {

@@ -90,6 +90,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming span scrub cuts eval windows statelessly per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val ev = Seq(Tuple1("secret bench item alpha")).toDF("text")
+
+    val q = Streaming.scrubStream(stream, ev, k = 3)
+      .writeStream.format("memory").queryName("scrubbed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (10L, "intro words secret bench item tail words"),
+        (11L, "clean document nothing shared here"))
+      q.processAllAvailable()
+      // a second batch exercises statelessness (same scrub, no state)
+      input.addData((12L, "secret bench item alpha"))
+      q.processAllAvailable()
+      val rows = spark.table("scrubbed").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+      assert(rows(10L) == "intro words tail words")
+      assert(rows(11L) == "clean document nothing shared here")
+      assert(rows(12L) == "")
+    } finally q.stop()
+  }
+
   test("streaming curation gates quality and language, dedups within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
