@@ -849,6 +849,52 @@ object DeclaredQueries {
         "CREATE TABLE g168_tgt AS SELECT o_orderkey AS id, o_orderpriority AS pri, o_totalprice AS price FROM orders WHERE o_orderkey < 10; " +
         "INSERT INTO g168_tgt SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey >= 10 AND o_orderkey < 40 " +
         "RETURNING id, pri, CAST(round(price * 100) AS BIGINT) AS price_c"),
+    "q169_json_wide" ->
+      // to_json over lists/maps/structs (r7 session 3): DuckDB keeps NULL
+      // fields/elements, so the translator injects ignoreNullFields=false
+      // and rides list elements inside never-NULL structs; JSON object
+      // entry order = map insertion order (the ordered list) in BOTH
+      // engines
+      ("SELECT o_orderpriority, " +
+        "CAST(to_json(list(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey END ORDER BY o_orderkey)) AS VARCHAR) AS ks, " +
+        "CAST(to_json(map_from_entries(list(struct_pack(key := CAST(o_orderkey AS VARCHAR), value := o_custkey) ORDER BY o_orderkey))) AS VARCHAR) AS kv, " +
+        "CAST(to_json(struct_pack(pri := o_orderpriority, n := count(*))) AS VARCHAR) AS meta " +
+        "FROM orders WHERE o_orderkey < 60 GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q170_agg_extras" ->
+      // entropy (Shannon bits over value frequencies, empty→0.0), histogram
+      // (MAP value→count, keys ascending — JSON-rendered so map hashing is
+      // representation-proof), product (double multiply, NULLs skipped) —
+      // all probe-pinned custom aggregates (CountingAggs.scala); float
+      // accumulation-order noise absorbed by micro quantization
+      ("SELECT l_returnflag, " +
+        "CAST(round(entropy(l_linenumber) * 1000000) AS BIGINT) AS ent_micro, " +
+        "CAST(round(entropy(l_linestatus) * 1000000) AS BIGINT) AS ent_ls_micro, " +
+        "CAST(to_json(histogram(l_linenumber)) AS VARCHAR) AS hist_ln, " +
+        "CAST(to_json(histogram(l_linestatus)) AS VARCHAR) AS hist_ls, " +
+        "CAST(round(product(CASE WHEN l_orderkey < 300 THEN 1 + l_discount ELSE 1 END) * 1000000) AS BIGINT) AS prod_micro " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q171_format_fns" ->
+      // bar: unicode block bar INCLUDING DuckDB's byte-length space pad
+      // quirk; format_bytes: binary units, truncated 1 decimal, singular
+      // '1 byte'/'-1 byte' — both kernel twins (BarFormat.scala)
+      ("SELECT o_orderkey, " +
+        "bar(o_totalprice, 0, 200000, 20) AS b20, " +
+        "bar(o_orderkey % 11, 0, 10, 10) AS b10, " +
+        "format_bytes(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS fb_big, " +
+        "format_bytes(o_orderkey - 30) AS fb_small " +
+        "FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey"),
+    "q172_named_window" ->
+      // SQL-standard named WINDOW clause, shared + multiply-referenced
+      // (both engines support it natively; the translator must only keep
+      // its hands off the clause)
+      ("SELECT o_orderkey, o_orderpriority, " +
+        "CAST(round(sum(o_totalprice) OVER w * 100) AS BIGINT) AS run_c, " +
+        "CAST(rank() OVER w AS BIGINT) AS rk, " +
+        "CAST(count(*) OVER w2 AS BIGINT) AS n_pri " +
+        "FROM orders WHERE o_orderkey < 300 " +
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey), " +
+        "w2 AS (PARTITION BY o_orderpriority) " +
+        "ORDER BY o_orderkey"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -1086,6 +1086,13 @@ object Translator {
     "REGEXP_SPLIT_TO_ARRAY" -> "split",
     "LIST" -> "collect_list",
     "UNNEST" -> "explode",
+    // r7 session-3 widening, probe-pinned on DuckDB 1.0 (CountingAggs /
+    // BarFormat kernels carry the exact semantics):
+    "ENTROPY" -> "graft_entropy",
+    "HISTOGRAM" -> "graft_histogram",
+    "PRODUCT" -> "graft_product",
+    "BAR" -> "graft_bar",
+    "FORMAT_BYTES" -> "graft_format_bytes",
     "EDITDIST3" -> "levenshtein",
     // both pad the shorter list with NULL to the longest (probe-verified)
     "LIST_ZIP" -> "arrays_zip",
@@ -1266,6 +1273,48 @@ object Translator {
               val fn = if (isCollectionExpr) "size" else "length"
               val repl = s"($fn($a) $cmp 0)"
               toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "TO_JSON" && callOpen >= 0 =>
+            // DuckDB to_json keeps NULL struct fields ({"a":null}); Spark's
+            // to_json DROPS them by default — inject
+            // ignoreNullFields=false. One-arg calls only: the re-lexed
+            // 2-arg result no longer matches, so the fixpoint loop can't
+            // re-fire. (DuckDB scalar to_json('s') → '"s"' stays a
+            // declared gap: Spark's to_json takes only struct/map/array.)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              toks = toks.patch(i, lex(
+                s"to_json(${render(args(0)).trim}, map('ignoreNullFields', 'false'))"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "JSON_GROUP_ARRAY" && callOpen >= 0 =>
+            // DuckDB macro: json_group_array(e) = to_json(list(e)). NULL
+            // elements survive in DuckDB's list but Spark's collect_list
+            // drops them — ride each value inside a never-NULL struct
+            // (the rewriteOrderedArrayAgg trick), then unwrap.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val e = render(args(0)).trim
+              toks = toks.patch(i, lex(
+                s"to_json(transform(collect_list(named_struct('v', ($e))), __g_j -> __g_j.v), map('ignoreNullFields', 'false'))"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "JSON_GROUP_OBJECT" && callOpen >= 0 =>
+            // DuckDB macro: json_group_object(k, v) = to_json(map built in
+            // input order). Spark twin: entries collected as structs (never
+            // NULL, so NULL values survive), then map_from_entries.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (k, v) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(
+                s"to_json(map_from_entries(collect_list(named_struct('key', ($k), 'value', ($v)))), map('ignoreNullFields', 'false'))"),
+                close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "SHA256" && callOpen >= 0 =>

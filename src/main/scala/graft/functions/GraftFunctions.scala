@@ -100,6 +100,24 @@ object GraftFunctions {
       args => org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(args(0))),
     ("graft_kurtosis_g2", "Spark population excess kurtosis g2 under a non-colliding name",
       args => org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(args(0))),
+    ("graft_product", "DuckDB product aggregate: double multiply, NULLs skipped, empty group NULL",
+      args => GraftProduct(org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), org.apache.spark.sql.types.DoubleType))),
+    ("graft_entropy", "DuckDB entropy aggregate: Shannon bits over value frequencies, empty group 0.0",
+      args => GraftEntropy(args(0))),
+    ("graft_histogram", "DuckDB histogram aggregate: MAP(value -> count), keys ascending, empty group NULL",
+      args => GraftHistogram(args(0))),
+    ("graft_bar", "DuckDB bar(x, min, max[, width=80]): unicode block bar, byte-length space pad",
+      args => {
+        def d(e: Expression) = org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.DoubleType)
+        val w = if (args.length >= 4) d(args(3))
+          else org.apache.spark.sql.catalyst.expressions.Literal(80.0)
+        GraftBar(d(args(0)), d(args(1)), d(args(2)), w)
+      }),
+    ("graft_format_bytes", "DuckDB format_bytes: binary units, 1 truncated decimal, caps at PiB",
+      args => GraftFormatBytes(org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), org.apache.spark.sql.types.LongType))),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

@@ -727,4 +727,34 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT * FROM a LEFT JOIN b USING (k)") ==
       "SELECT * FROM a LEFT JOIN b USING (k)")
   }
+
+  test("r7 session 3: to_json keeps NULL fields; json_group_* macros expand") {
+    // DuckDB to_json renders NULL struct fields; Spark drops them unless
+    // ignoreNullFields=false is injected
+    assert(t("SELECT to_json(s)") ==
+      "SELECT to_json(s, map('ignoreNullFields', 'false'))")
+    // already-2-arg calls are left alone (no fixpoint re-fire)
+    assert(t("SELECT to_json(s, map('a', 'b'))") ==
+      "SELECT to_json(s, map('a', 'b'))")
+    // json_group_array keeps NULL elements via the never-NULL struct ride
+    assert(t("SELECT json_group_array(x) FROM t1") ==
+      "SELECT to_json(transform(collect_list(named_struct('v', (x))), __g_j -> __g_j.v), map('ignoreNullFields', 'false')) FROM t1")
+    assert(t("SELECT json_group_object(k, v) FROM t1") ==
+      "SELECT to_json(map_from_entries(collect_list(named_struct('key', (k), 'value', (v)))), map('ignoreNullFields', 'false')) FROM t1")
+  }
+
+  test("r7 session 3: entropy/histogram/product/bar/format_bytes renames") {
+    assert(t("SELECT entropy(x), histogram(x), product(x) FROM t1") ==
+      "SELECT graft_entropy(x), graft_histogram(x), graft_product(x) FROM t1")
+    assert(t("SELECT bar(x, 0, 100, 20), format_bytes(n) FROM t1") ==
+      "SELECT graft_bar(x, 0, 100, 20), graft_format_bytes(n) FROM t1")
+  }
+
+  test("r7 session 3: named WINDOW clause passes through untouched") {
+    val sql = "SELECT sum(x) OVER w, rank() OVER w FROM t1 " +
+      "WINDOW w AS (PARTITION BY g ORDER BY k) ORDER BY k"
+    val out = t(sql)
+    assert(out.contains("WINDOW w AS (PARTITION BY g ORDER BY k"))
+    assert(out.contains("OVER w"))
+  }
 }

@@ -534,4 +534,83 @@ class ExpressionsSpec extends SparkTestBase {
       assert(l("lcm(123456789L, 987654321L)") == 13548070123626141L)
     }
   }
+
+  test("graft_bar pins the DuckDB 1.0 probe values incl. byte-length padding") {
+    withFns {
+      val df = spark.range(1).toDF("i")
+      def s(e: String): String = df.select(expr(e)).head.getString(0)
+      // probe table from DuckDB 1.0: bar(v, 0, 10, 10)
+      assert(s("graft_bar(0, 0, 10, 10)") == " " * 10)
+      assert(s("graft_bar(-1, 0, 10, 10)") == " " * 10)      // clamp low
+      assert(s("graft_bar(0.2, 0, 10, 10)") == "▏" + " " * 7)
+      assert(s("graft_bar(0.9, 0, 10, 10)") == "▉" + " " * 7)
+      assert(s("graft_bar(1.0, 0, 10, 10)") == "█" + " " * 7)
+      assert(s("graft_bar(1.4, 0, 10, 10)") == "█▍" + " " * 4)
+      assert(s("graft_bar(2.5, 0, 10, 10)") == "██▌ ")
+      assert(s("graft_bar(9.0, 0, 10, 10)") == "█" * 9)
+      assert(s("graft_bar(9.93, 0, 10, 10)") == "█" * 9 + "▉")
+      assert(s("graft_bar(10, 0, 10, 10)") == "█" * 10)
+      assert(s("graft_bar(11, 0, 10, 10)") == "█" * 10)      // clamp high
+      assert(s("graft_bar(5.55, 0, 10, 9)") == "████▉")
+      // default width 80: bar(7, 0, 10) = 56 full blocks (probe)
+      assert(s("graft_bar(7, 0, 10, 80)") == "█" * 56)
+    }
+  }
+
+  test("graft_format_bytes pins the DuckDB 1.0 probe values") {
+    withFns {
+      val df = spark.range(1).toDF("i")
+      def s(e: String): String = df.select(expr(e)).head.getString(0)
+      assert(s("graft_format_bytes(0)") == "0 bytes")
+      assert(s("graft_format_bytes(1)") == "1 byte")
+      assert(s("graft_format_bytes(-1)") == "-1 byte")
+      assert(s("graft_format_bytes(999)") == "999 bytes")
+      assert(s("graft_format_bytes(1023)") == "1023 bytes")
+      assert(s("graft_format_bytes(1024)") == "1.0 KiB")
+      assert(s("graft_format_bytes(1536)") == "1.5 KiB")
+      assert(s("graft_format_bytes(2047)") == "1.9 KiB")      // truncation
+      assert(s("graft_format_bytes(1048570)") == "1023.9 KiB") // not 1024.0
+      assert(s("graft_format_bytes(-1500)") == "-1.4 KiB")    // trunc toward 0
+      assert(s("graft_format_bytes(123456789)") == "117.7 MiB")
+      assert(s("graft_format_bytes(1073741824)") == "1.0 GiB")
+      assert(s("graft_format_bytes(1099511627776)") == "1.0 TiB")
+      assert(s("graft_format_bytes(1152921504606846976)") == "1024.0 PiB")
+      assert(s("graft_format_bytes(9223372036854775807)") == "8191.9 PiB")
+      assert(s("graft_format_bytes(1125899906842623)") == "1023.9 TiB")
+      assert(s("graft_format_bytes(-9223372036854775808)") == "-8192.0 PiB")
+    }
+  }
+
+  test("product/entropy/histogram aggregates pin DuckDB 1.0 semantics") {
+    withFns {
+      import spark.implicits._
+      // product: NULLs skipped, empty/all-NULL group NULL, -0.0 via plain
+      // double multiply (2 * 0 * -3)
+      val p = Seq(Some(2.0), None, Some(0.0), Some(-3.0)).toDF("x")
+      val prow = p.select(expr("graft_product(x)")).head
+      assert(prow.getDouble(0) == 0.0 &&
+        (1.0 / prow.getDouble(0)).isNegInfinity) // -0.0
+      assert(Seq.empty[Double].toDF("x")
+        .select(expr("graft_product(x)")).head.isNullAt(0))
+      assert(Seq[Option[Double]](None).toDF("x")
+        .select(expr("graft_product(x)")).head.isNullAt(0))
+      // entropy: log2 frequencies, NULLs skipped, empty 0.0 (not NULL)
+      val e = Seq(Some("a"), Some("b"), Some("b"), None).toDF("x")
+      assert(math.abs(e.select(expr("graft_entropy(x)")).head.getDouble(0)
+        - 0.9182958340544893) < 1e-12)
+      assert(Seq.empty[String].toDF("x")
+        .select(expr("graft_entropy(x)")).head.getDouble(0) == 0.0)
+      // histogram: keys ascending, NULLs skipped, empty NULL; JSON form is
+      // what declared queries compare
+      val h = Seq(Some(3), Some(1), Some(2), Some(2), None).toDF("x")
+      assert(h.select(expr("to_json(graft_histogram(x))")).head.getString(0)
+        == """{"1":1,"2":2,"3":1}""")
+      assert(Seq.empty[Int].toDF("x")
+        .select(expr("graft_histogram(x)")).head.isNullAt(0))
+      // string keys sort as strings
+      val hs = Seq("b", "a", "a").toDF("x")
+      assert(hs.select(expr("to_json(graft_histogram(x))")).head.getString(0)
+        == """{"a":2,"b":1}""")
+    }
+  }
 }
