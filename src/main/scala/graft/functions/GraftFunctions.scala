@@ -100,6 +100,8 @@ object GraftFunctions {
       args => org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(args(0))),
     ("graft_kurtosis_g2", "Spark population excess kurtosis g2 under a non-colliding name",
       args => org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(args(0))),
+    ("char_entropy", "per-string Shannon entropy (bits) over UTF-8 bytes, one byte scan",
+      args => CharEntropy(args(0))),
     ("graft_product", "DuckDB product aggregate: double multiply, NULLs skipped, empty group NULL",
       args => GraftProduct(org.apache.spark.sql.catalyst.expressions.Cast(
         args(0), org.apache.spark.sql.types.DoubleType))),

@@ -625,6 +625,75 @@ object PipelineQueries {
           col("distinct_windows").cast("bigint").as("distinct_windows"),
           col("novel_windows").cast("bigint").as("novel_windows"))
         .orderBy("source")),
+    // ---- within-cluster exact kNN graph (r7 session 3): the neighbor-list
+    // step a semantic-dedup / curriculum pipeline runs AFTER cluster
+    // assignment — per cluster (the fixture's label column stands in for
+    // the upstream assignment), each vector's exact top-3 by cosine.
+    // Scale shape: ONE co-partitioned join on the cluster key (both sides
+    // shuffle-partitioned by label, no broadcast of the fact side), per-
+    // cluster quadratic bounded by the assignment step's cluster-size cap,
+    // then one row_number window keyed by src. Never all-pairs across
+    // clusters.
+    "p52_cluster_knn" -> q((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = s.table("embeddings")
+      val a = emb.select(col("label"), col("vec_id").as("src"),
+        col("embedding").as("ea"))
+      val b = emb.select(col("label"), col("vec_id").as("dst"),
+        col("embedding").as("eb"))
+      val pairs = a.join(b, Seq("label")).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          GraftFunctions.cosine_sim(col("ea"), col("eb")).as("cos"))
+      val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("src"), col("rk").cast("bigint").as("rk"), col("dst"),
+          round(col("cos") * 1000000).cast("bigint").as("cos_micro"))
+        .orderBy("src", "rk")
+    }),
+    // ---- char-entropy spam gate (r7 session 3): per-doc Shannon entropy
+    // over characters in ONE codegen byte scan (no explode — the kernel
+    // sibling of p10's token counts); low-diversity spam (planted
+    // deterministically on doc_id % 9 == 4) gates out far below the 4.0
+    // bits threshold, and every clean doc sits >= 1.6e-3 away from the
+    // boundary (probe), so the double gate is tie-free.
+    "p53_entropy_gate" -> q((s, _) => {
+      val aug = s.table("documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 4, concat(lit("x "),
+          expr("repeat('aaa bbb ', 24)"))).otherwise(col("text")).as("text"))
+      aug.select(col("doc_id"),
+          round(expr("char_entropy(text)") * 1000000).cast("bigint")
+            .as("ent_micro"),
+          (expr("char_entropy(text)") >= 4.0).as("kept"))
+        .orderBy("doc_id")
+    }),
+    // ---- per-source tf-idf top terms (r7 session 3): the corpus-
+    // characterization step of a mixture report — tf per (source, term),
+    // df per term over distinct docs, score tf * ln((N+1)/(df+1)), exact
+    // top-5 per source. Scale shape: one explode scan feeding two keyed
+    // partial aggregations, then an UNHINTED join (AQE broadcasts the
+    // df table while vocab ≪ corpus, falls back to SMJ on a degenerate
+    // vocab — the p46 boiler-join posture) and one per-source window.
+    // Doc count from metadata, never a count() job.
+    "p54_tfidf_terms" -> q((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.table("documents")
+      val n = docs.queryExecution.analyzed.stats.rowCount.map(_.toLong)
+        .orElse(Engine.parquetRowCount(s"$dir/documents.parquet"))
+        .getOrElse(docs.count())
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(filter(split(col("text"), " "), t => t =!= lit(""))).as("term"))
+      val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val dfT = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfT, Seq("term"))
+        .withColumn("tfidf",
+          col("tf") * log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))))
+      val w = Window.partitionBy("source").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("source"), col("rk").cast("bigint").as("rk"), col("term"),
+          round(col("tfidf") * 1000000).cast("bigint").as("tfidf_micro"))
+        .orderBy("source", "rk")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -1116,6 +1185,45 @@ object PipelineQueries {
         "CAST(count(*) AS BIGINT) AS distinct_windows, " +
         "CAST(sum(CASE WHEN source = owner THEN 1 ELSE 0 END) AS BIGINT) AS novel_windows " +
         "FROM o GROUP BY source ORDER BY source"),
+    // p52 (r7 session 3): brute-force within-label kNN — the engine's
+    // co-partitioned label join restated as a self-join; cosine via the
+    // p39 list_sum double pattern (identical term order to the kernel's
+    // sequential walk); rank ties broken by dst, and the top-5-vicinity
+    // score gaps all sit >= 3e-4 (probe) so double ordering is tie-free.
+    "p52_cluster_knn" ->
+      ("WITH v AS (SELECT vec_id, label, embedding, " +
+        "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nsq FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+        "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) " +
+        "/ (sqrt(a.nsq) * sqrt(b.nsq)) AS cos FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM p) " +
+        "SELECT src, CAST(rk AS BIGINT) AS rk, dst, CAST(round(cos * 1000000) AS BIGINT) AS cos_micro " +
+        "FROM r WHERE rk <= 3 ORDER BY src, rk"),
+    // p53 (r7 session 3): per-char explode + GROUP BY restatement of the
+    // one-scan kernel (ASCII corpus: chars == bytes, probe-verified);
+    // log2 frequencies, 4.0-bit gate (clean docs >= 1.6e-3 from the
+    // boundary, planted spam ~1.5 bits).
+    "p53_entropy_gate" ->
+      ("WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 9 = 4 " +
+        "THEN 'x ' || repeat('aaa bbb ', 24) ELSE text END AS text FROM documents), " +
+        "ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM aug), " +
+        "cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2), " +
+        "n AS (SELECT doc_id, sum(k) AS nn FROM cc GROUP BY 1), " +
+        "e AS (SELECT cc.doc_id, -sum((CAST(k AS DOUBLE)/nn) * log2(CAST(k AS DOUBLE)/nn)) AS ent " +
+        "FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id) " +
+        "SELECT doc_id, CAST(round(ent * 1000000) AS BIGINT) AS ent_micro, " +
+        "ent >= 4.0 AS kept FROM e ORDER BY doc_id"),
+    // p54 (r7 session 3): tf/df/score restated in SQL; N from a count
+    // subquery (sf-independent), ln natural log in both engines, rank
+    // ties broken by term.
+    "p54_tfidf_terms" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term FROM documents), " +
+        "tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), " +
+        "sc AS (SELECT source, term, tf * ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0) / (df + 1.0)) AS s FROM tf JOIN df USING (term)), " +
+        "r AS (SELECT source, term, s, row_number() OVER (PARTITION BY source ORDER BY s DESC, term) AS rk FROM sc) " +
+        "SELECT source, CAST(rk AS BIGINT) AS rk, term, CAST(round(s * 1000000) AS BIGINT) AS tfidf_micro " +
+        "FROM r WHERE rk <= 5 ORDER BY source, rk"),
     // p44 (r7): brute-force byte-shingle simhash hamming scan over the
     // planted payload corpus — the p04 oracle pattern with 4-byte
     // substring shingles instead of tokens (fixture text is pure ASCII,

@@ -152,6 +152,23 @@ object PlanAudit {
     Check("p44_multimodal_neardup",
       wantAll = Seq("bit_count"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // within-cluster kNN (r7 session 3): ONE equi-join on the cluster key
+    // (co-partitioned; the quadratic is bounded per cluster) + one
+    // src-keyed window — never an unkeyed all-pairs shape
+    Check("p52_cluster_knn",
+      wantAll = Seq("Window", "cosine_sim"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // entropy gate (r7 session 3): ONE kernel scan, no explode/join/agg —
+    // the whole gate is a projection
+    Check("p53_entropy_gate",
+      wantAll = Seq("char_entropy"),
+      wantNone = Seq("Join", "Generate", "Window")),
+    // tf-idf terms (r7 session 3): explode scan → two keyed partial aggs →
+    // unhinted df join (AQE picks broadcast while vocab ≪ corpus) → one
+    // per-source window — never a cartesian shape
+    Check("p54_tfidf_terms",
+      wantAll = Seq("HashAggregate", "Window", "Generate"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // quality gate: rank and per-source count share ONE window partitioning
     Check("p31_quality_gate", wantAll = Seq("token_set_hits", "Window"),
       wantNone = Seq("Join")),

@@ -581,6 +581,22 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("char_entropy: one-scan per-string Shannon bits over bytes") {
+    withFns {
+      val df = spark.range(1).toDF("i")
+      def d(e: String): Double = df.select(expr(e)).head.getDouble(0)
+      assert(d("char_entropy('')") == 0.0)
+      assert(d("char_entropy('aaaa')") == 0.0)
+      assert(math.abs(d("char_entropy('ab')") - 1.0) < 1e-12)
+      // 'abb': p(a)=1/3, p(b)=2/3
+      val exp = -(1.0 / 3 * math.log(1.0 / 3) / math.log(2) +
+        2.0 / 3 * math.log(2.0 / 3) / math.log(2))
+      assert(math.abs(d("char_entropy('abb')") - exp) < 1e-12)
+      // order-independent: same multiset, same entropy
+      assert(d("char_entropy('abcabc')") == d("char_entropy('ccbbaa')"))
+    }
+  }
+
   test("product/entropy/histogram aggregates pin DuckDB 1.0 semantics") {
     withFns {
       import spark.implicits._
