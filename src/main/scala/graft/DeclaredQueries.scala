@@ -895,6 +895,15 @@ object DeclaredQueries {
         "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey), " +
         "w2 AS (PARTITION BY o_orderpriority) " +
         "ORDER BY o_orderkey"),
+    "q173_summarize" ->
+      // DuckDB SUMMARIZE in derived-table position, exact columns
+      // projected (approx_unique/q25-q75 are approximate in BOTH engines
+      // and double renderings diverge — excluded by design; min/max are
+      // VARCHAR-rendered, count is TOTAL rows, null_percentage
+      // DECIMAL(9,2) half-up, all probe-pinned)
+      ("SELECT column_name, column_type, min, max, count, CAST(null_percentage AS VARCHAR) AS null_pct " +
+        "FROM (SUMMARIZE SELECT doc_id, lang, source, n_chars, CASE WHEN doc_id % 4 = 0 THEN NULL ELSE n_chars END AS n_opt FROM documents) " +
+        "ORDER BY column_name"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

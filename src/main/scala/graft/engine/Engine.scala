@@ -528,8 +528,125 @@ object Engine {
     }
   }
 
-  private val summarizeRe = "(?is)^\\s*SUMMARIZE\\s+([\\w.`\"]+)\\s*$".r
+  private val summarizeRe = "(?is)^\\s*SUMMARIZE\\s+(.+?)\\s*;?\\s*$".r
+  private val bareNameRe = "(?s)^[\\w.`\"]+$".r
   private val asofWordRe = "(?is).*\\bASOF\\b.*".r
+
+  /** DuckDB `SUMMARIZE <table|query>` → its exact 12-column shape
+    * (column_name, column_type, min, max, approx_unique, avg, std,
+    * q25/q50/q75, count, null_percentage), computed in ONE aggregate pass
+    * over the summarized frame (2 aggregates per column + 5 more per
+    * numeric column, all map-side combined — no per-column scans). Pinned
+    * on DuckDB 1.0 probes: min/max/avg/std VARCHAR-rendered, avg/std/q*
+    * NULL for non-numerics, std is the SAMPLE stddev, `count` is TOTAL
+    * rows (not non-NULL), null_percentage DECIMAL(9,2) half-up. The
+    * quantiles and approx_unique are approximate in BOTH engines (DuckDB
+    * t-digest/HLL vs Spark G-K/HLL++), so those three columns and double
+    * renderings are best-effort parity, never oracle-compared — declared
+    * entries project the exact columns. The single collected row is
+    * schema-width-bounded (never row-scaled). */
+  private[graft] def duckdbSummarize(spark: SparkSession, inner: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = sql(spark, inner)
+    val fields = df.schema.fields
+    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val c = df(s"`${f.name}`")
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      // min/max of arrays/maps/structs: DuckDB renders them; Spark can't
+      // order them — emit NULL for unorderable types (documented edge)
+      val orderable = f.dataType match {
+        case _: MapType => false
+        case _ => true
+      }
+      aggs += (if (orderable) min(c).cast("string") else lit(null).cast("string")).as(s"mn$i")
+      aggs += (if (orderable) max(c).cast("string") else lit(null).cast("string")).as(s"mx$i")
+      aggs += (if (orderable) approx_count_distinct(c) else lit(null).cast("long")).as(s"au$i")
+      if (numeric) {
+        aggs += avg(c).cast("string").as(s"av$i")
+        aggs += stddev_samp(c).cast("string").as(s"sd$i")
+        aggs += percentile_approx(c, lit(0.25), lit(10000)).cast("string").as(s"q1$i")
+        aggs += percentile_approx(c, lit(0.5), lit(10000)).cast("string").as(s"q2$i")
+        aggs += percentile_approx(c, lit(0.75), lit(10000)).cast("string").as(s"q3$i")
+      }
+      aggs += count(c).as(s"nn$i")
+    }
+    aggs += count(lit(1)).as("total")
+    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+    def s(name: String): String =
+      if (row.isNullAt(row.fieldIndex(name))) null else row.getString(row.fieldIndex(name))
+    def l(name: String): java.lang.Long =
+      if (row.isNullAt(row.fieldIndex(name))) null else java.lang.Long.valueOf(row.getLong(row.fieldIndex(name)))
+    val total = row.getLong(row.fieldIndex("total"))
+    val out = fields.zipWithIndex.map { case (f, i) =>
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      val nonNull = row.getLong(row.fieldIndex(s"nn$i"))
+      val nullPct: java.math.BigDecimal =
+        if (total == 0) null
+        else new java.math.BigDecimal(100.0 * (total - nonNull) / total)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+      org.apache.spark.sql.Row(f.name, duckTypeName(f.dataType),
+        s(s"mn$i"), s(s"mx$i"), l(s"au$i"),
+        if (numeric) s(s"av$i") else null,
+        if (numeric) s(s"sd$i") else null,
+        if (numeric) s(s"q1$i") else null,
+        if (numeric) s(s"q2$i") else null,
+        if (numeric) s(s"q3$i") else null,
+        java.lang.Long.valueOf(total), nullPct)
+    }
+    val schema = StructType(Seq(
+      StructField("column_name", StringType), StructField("column_type", StringType),
+      StructField("min", StringType), StructField("max", StringType),
+      StructField("approx_unique", LongType), StructField("avg", StringType),
+      StructField("std", StringType), StructField("q25", StringType),
+      StructField("q50", StringType), StructField("q75", StringType),
+      StructField("count", LongType),
+      StructField("null_percentage", DecimalType(9, 2))))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(out: _*)), schema)
+  }
+
+  /** Derived-table form `FROM (SUMMARIZE <inner>)` — each occurrence is
+    * computed into a temp view (the rewriteTableFunctions precedent) and
+    * the parenthesized span replaced by the view name, so the outer query
+    * translates normally. */
+  private def rewriteEmbeddedSummarize(spark: SparkSession, sql0: String): String = {
+    val openRe = "(?is)\\(\\s*SUMMARIZE\\b".r
+    var out = sql0
+    var m = openRe.findFirstMatchIn(out)
+    var guard = 0
+    while (m.isDefined && guard < 16) {
+      val open = m.get.start
+      // balanced-paren scan, single-quote-string aware
+      var i = open; var depth = 0; var inStr = false; var close = -1
+      while (i < out.length && close < 0) {
+        val ch = out.charAt(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) return out
+      val inner = out.substring(m.get.end, close).trim
+      val innerSql =
+        if (bareNameRe.pattern.matcher(inner).matches())
+          s"SELECT * FROM $inner"
+        else inner
+      val tv = "graft_summarize_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(innerSql.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      duckdbSummarize(spark, innerSql).createOrReplaceTempView(tv)
+      out = out.substring(0, open) + tv + out.substring(close + 1)
+      m = openRe.findFirstMatchIn(out)
+      guard += 1
+    }
+    out
+  }
 
   /** Merge-eligible `ASOF JOIN` statements run on the single-shuffle
     * union+window operator instead of the O(matches) range-join rewrite
@@ -589,7 +706,13 @@ object Engine {
     // DuckDB, returns an empty result; macro calls expand textually before
     // any other routing (so ASOF/COPY/DML shapes see the expanded SQL)
     if (graft.dialect.Macros.tryDdl(spark, duckSql0)) return spark.emptyDataFrame
-    val duckSql = graft.dialect.Macros.expand(spark, duckSql0)
+    val duckSql = {
+      val expanded = graft.dialect.Macros.expand(spark, duckSql0)
+      // derived-table SUMMARIZE: `FROM (SUMMARIZE …)` → temp view splice
+      if (expanded.toUpperCase.contains("SUMMARIZE"))
+        rewriteEmbeddedSummarize(spark, expanded)
+      else expanded
+    }
     duckSql match {
       case pragmaRe(name, callArg, eqArg) =>
         return runPragma(spark, name, Option(callArg).orElse(Option(eqArg)))
@@ -622,9 +745,12 @@ object Engine {
         return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))
       case copyToRe(source, path, opts) =>
         return runCopyTo(spark, source, path, Option(opts).getOrElse(""))
-      case summarizeRe(table) =>
-        // DuckDB SUMMARIZE → per-column stats (Spark's summary())
-        return spark.table(table.replaceAll("[`\"]", "")).summary()
+      case summarizeRe(target) =>
+        // DuckDB SUMMARIZE <table|query> → the exact 12-column DuckDB shape
+        return duckdbSummarize(spark,
+          if (bareNameRe.pattern.matcher(target.trim).matches())
+            s"SELECT * FROM ${target.trim.replaceAll("[`\"]", "")}"
+          else target)
       case dropTableIfExistsRe(t) => {
         // DuckDB DROP removes storage; Spark's only drops what the (per-
         // session, in-memory) metastore knows. A table directory orphaned

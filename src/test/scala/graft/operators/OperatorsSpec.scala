@@ -861,8 +861,29 @@ class OperatorsSpec extends SparkTestBase {
     val ex = Engine.sql(spark, "SELECT * EXCLUDE (o_orderpriority, o_orderdate) FROM orders LIMIT 1")
     assert(!ex.columns.contains("o_orderpriority"))
     assert(ex.columns.contains("o_orderkey"))
+    // SUMMARIZE emits DuckDB's exact 12-column shape (r7 session 3):
+    // VARCHAR-rendered min/max, sample std, TOTAL-rows count,
+    // DECIMAL(9,2) half-up null_percentage — all probe-pinned
     val summ = Engine.sql(spark, "SUMMARIZE region")
-    assert(summ.columns.contains("summary") && summ.count() > 0)
+    assert(summ.columns.toSeq == Seq("column_name", "column_type", "min",
+      "max", "approx_unique", "avg", "std", "q25", "q50", "q75", "count",
+      "null_percentage"))
+    val rk = summ.filter(col("column_name") === "r_regionkey").head()
+    assert(rk.getString(summ.columns.indexOf("min")) == "0")
+    assert(rk.getLong(summ.columns.indexOf("count")) ==
+      spark.table("region").count())
+    assert(rk.getDecimal(summ.columns.indexOf("null_percentage"))
+      .toPlainString == "0.00")
+    // non-numeric columns: avg/std/q* NULL (DuckDB shape)
+    val rn = summ.filter(col("column_name") === "r_name").head()
+    assert(rn.isNullAt(summ.columns.indexOf("avg")))
+    // query form + derived-table form
+    val q = Engine.sql(spark,
+      "SELECT column_name, null_percentage FROM (SUMMARIZE SELECT r_regionkey, " +
+        "CASE WHEN r_regionkey < 2 THEN NULL ELSE r_regionkey END AS ropt FROM region) " +
+        "ORDER BY column_name")
+    val pct = q.collect().map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toMap
+    assert(pct("r_regionkey") == "0.00" && pct("ropt") == "40.00")
   }
 
   test("information_schema emulation and version()") {
