@@ -904,6 +904,43 @@ object DeclaredQueries {
       ("SELECT column_name, column_type, min, max, count, CAST(null_percentage AS VARCHAR) AS null_pct " +
         "FROM (SUMMARIZE SELECT doc_id, lang, source, n_chars, CASE WHEN doc_id % 4 = 0 THEN NULL ELSE n_chars END AS n_opt FROM documents) " +
         "ORDER BY column_name"),
+    "q174_list_fns2" ->
+      // list_grade_up (1-based ascending positions, NULLS LAST, stable
+      // ties — the translator's (is-null, value, position) struct sort),
+      // list_any_value (first non-NULL), flatten, list_select (sub-1 and
+      // out-of-range indices → NULL, to_json keeps them), list_where
+      // (boolean-mask gather), translate passthrough — all probe-pinned
+      ("SELECT vec_id, " +
+        "array_to_string(list_grade_up([CAST(label AS BIGINT), 7, CAST(label AS BIGINT) * 2, 3]), ',') AS gu, " +
+        "CAST(list_any_value([NULL, CAST(label AS BIGINT), 9]) AS BIGINT) AS av, " +
+        "array_to_string(flatten([[CAST(label AS BIGINT)], [1, 2]]), ',') AS fl, " +
+        "CAST(to_json(list_select([10, 20, 30, 40], [CAST(label AS BIGINT) % 5, 2])) AS VARCHAR) AS sel, " +
+        "array_to_string(list_where([CAST(label AS BIGINT), 5, 6], [true, false, true]), ',') AS lw, " +
+        "translate(CAST(vec_id AS VARCHAR), '0123', 'wxyz') AS tr " +
+        "FROM embeddings ORDER BY vec_id LIMIT 100"),
+    "q175_regexp_groups" ->
+      // DuckDB's 2-arg regexp_extract returns GROUP 0 (Spark's default is
+      // group 1 — the silent divergence the translator closes with an
+      // explicit 0); the name-list form returns a STRUCT of groups 1..n
+      // (fields projected — the driver comparator can't hash structs)
+      ("SELECT doc_id, " +
+        "regexp_extract(source, '[0-9]+') AS g0, " +
+        "regexp_extract(source || ':' || lang, '([a-z]+)([0-9]+)', 2) AS g2, " +
+        "regexp_extract(lang, '([0-9]+)') AS nomatch, " +
+        "regexp_extract(source, '(src)([0-9]+)', ['w', 'd']).w AS gw, " +
+        "regexp_extract(source, '(src)([0-9]+)', ['w', 'd']).d AS gd " +
+        "FROM documents ORDER BY doc_id LIMIT 100"),
+    "q176_time_unicode" ->
+      // make_timestamp fractional seconds, to_timestamp numeric epoch →
+      // timestamp_seconds (both micro-exact via epoch_us round-trip);
+      // strip_accents / nfc_normalize kernels (NFD-strip / NFC compose —
+      // chr(769) is the combining acute, so nfc composes 'e'+mark → 'é')
+      ("SELECT o_orderkey, " +
+        "epoch_us(make_timestamp(2024, 1, CAST(o_orderkey % 28 + 1 AS BIGINT), 3, 4, 5.5)) AS mk_us, " +
+        "epoch_us(to_timestamp(o_orderkey * 1000 + 0.25)) AS tt_us, " +
+        "strip_accents('héllo wörld ñ ' || o_orderstatus) AS sa, " +
+        "nfc_normalize('caf' || 'e' || chr(769) || o_orderstatus) AS nfc " +
+        "FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

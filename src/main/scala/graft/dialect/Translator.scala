@@ -1089,6 +1089,14 @@ object Translator {
     // r7 session-3 widening, probe-pinned on DuckDB 1.0 (CountingAggs /
     // BarFormat kernels carry the exact semantics):
     "ENTROPY" -> "graft_entropy",
+    // full-name aliases of the registered gcd/lcm kernels
+    "GREATEST_COMMON_DIVISOR" -> "gcd",
+    "LEAST_COMMON_MULTIPLE" -> "lcm",
+    // TO_TIMESTAMP is NOT name-mapped here: DuckDB's 1-arg numeric form
+    // becomes timestamp_seconds in rewriteArgShapeFns, while the 2-arg
+    // to_timestamp(s, fmt) the STRPTIME rewrite emits must stay Spark's
+    // Spark's chr/char cut the codepoint to 256; DuckDB's is full Unicode
+    "CHR" -> "graft_chr",
     "HISTOGRAM" -> "graft_histogram",
     "PRODUCT" -> "graft_product",
     "BAR" -> "graft_bar",
@@ -1273,6 +1281,99 @@ object Translator {
               val fn = if (isCollectionExpr) "size" else "length"
               val repl = s"($fn($a) $cmp 0)"
               toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "TO_TIMESTAMP" && callOpen >= 0 =>
+            // DuckDB to_timestamp is numeric-seconds only (strings go
+            // through strptime) — exactly Spark's timestamp_seconds incl.
+            // fractions. 1-arg only: the 2-arg to_timestamp(s, fmt) the
+            // STRPTIME rewrite emits is already Spark semantics.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              toks = toks.patch(i, lex(
+                s"timestamp_seconds(${render(args(0)).trim})"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "REGEXP_EXTRACT" && callOpen >= 0 =>
+            // DuckDB's 2-arg default is group 0 (the whole match); Spark's
+            // is group 1 — a silent divergence without the explicit 0.
+            // The 3-arg name-list form returns a STRUCT of groups 1..n.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              toks = toks.patch(i, lex(
+                s"regexp_extract(${render(args(0)).trim}, ${render(args(1)).trim}, 0)"),
+                close - i + 1)
+              changed = true
+            } else if (args.length == 3) {
+              val third = args(2).filterNot(isWs)
+              // rewriteArrayLiterals runs first, so ['w','d'] arrives as
+              // array('w','d'); accept the raw bracket form too
+              val isNameList = (third.headOption.contains(Punct("[")) ||
+                third.headOption.exists(t => up(t) == "ARRAY")) &&
+                third.count(_.isInstanceOf[Str]) >= 1
+              if (isNameList) {
+                val names = third.collect { case st: Str => st.value }
+                val (s0, re) = (render(args(0)).trim, render(args(1)).trim)
+                val fields = names.zipWithIndex.map { case (n, gi) =>
+                  s"'$n', regexp_extract($s0, $re, ${gi + 1})"
+                }.mkString(", ")
+                toks = toks.patch(i, lex(s"named_struct($fields)"), close - i + 1)
+                changed = true
+              }
+            }
+          case id: Ident if id.upper == "LIST_GRADE_UP" && callOpen >= 0 =>
+            // DuckDB list_grade_up: 1-based positions in ascending order,
+            // NULLS LAST, ties stable (probe: [10,NULL,10,5] → [4,1,3,2]).
+            // Sort key rides a (is-null, value, position) struct: boolean
+            // false<true puts NULLs last, position keeps ties stable.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val l = render(args(0)).trim
+              toks = toks.patch(i, lex(
+                s"transform(array_sort(transform(($l), (__g_x, __g_i) -> " +
+                  s"named_struct('n', (__g_x IS NULL), 'v', __g_x, 'p', __g_i + 1))), " +
+                  s"__g_s -> __g_s.p)"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "LIST_ANY_VALUE" && callOpen >= 0 =>
+            // first non-NULL element; all-NULL / empty → NULL (probe)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              toks = toks.patch(i, lex(
+                s"try_element_at(filter((${render(args(0)).trim}), __g_x -> __g_x IS NOT NULL), 1)"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "LIST_SELECT" && callOpen >= 0 =>
+            // 1-based gather; 0, negative, and out-of-range indices → NULL
+            // (probe) — Spark's try_element_at would wrap negatives, so
+            // guard below 1 explicitly
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (l, idx) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(
+                s"transform(($idx), __g_i -> CASE WHEN __g_i < 1 THEN NULL " +
+                  s"ELSE try_element_at(($l), CAST(__g_i AS INT)) END)"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "LIST_WHERE" && callOpen >= 0 =>
+            // boolean-mask gather (probe: [10,20,30],[t,f,t] → [10,30]).
+            // DuckDB errors on NULL mask elements; the filter form drops
+            // them — loud-vs-silent divergence documented in SURVEY §2.12.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (l, m) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(
+                s"transform(filter(zip_with(($l), ($m), (__g_x, __g_m) -> " +
+                  s"named_struct('v', __g_x, 'k', __g_m)), __g_s -> __g_s.k), " +
+                  s"__g_t -> __g_t.v)"), close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "TO_JSON" && callOpen >= 0 =>

@@ -102,6 +102,12 @@ object GraftFunctions {
       args => org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(args(0))),
     ("char_entropy", "per-string Shannon entropy (bits) over UTF-8 bytes, one byte scan",
       args => CharEntropy(args(0))),
+    ("strip_accents", "DuckDB strip_accents: NFD + combining-mark removal (ASCII fast path)",
+      args => StripAccents(args(0))),
+    ("nfc_normalize", "DuckDB nfc_normalize: unicode canonical composition (ASCII fast path)",
+      args => NfcNormalize(args(0))),
+    ("graft_chr", "DuckDB chr: full Unicode codepoint (Spark's chr cuts to 256)",
+      args => ChrCodepoint(args(0))),
     ("graft_product", "DuckDB product aggregate: double multiply, NULLs skipped, empty group NULL",
       args => GraftProduct(org.apache.spark.sql.catalyst.expressions.Cast(
         args(0), org.apache.spark.sql.types.DoubleType))),

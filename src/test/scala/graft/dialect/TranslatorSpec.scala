@@ -750,6 +750,33 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT graft_bar(x, 0, 100, 20), graft_format_bytes(n) FROM t1")
   }
 
+  test("r7 session 3: regexp_extract group-0 default and name-list struct") {
+    // DuckDB 2-arg default is group 0; Spark's is 1 — explicit 0 injected
+    assert(t("SELECT regexp_extract(s, '[0-9]+')") ==
+      "SELECT regexp_extract(s, '[0-9]+', 0)")
+    // integer group passes through
+    assert(t("SELECT regexp_extract(s, '(a)(b)', 2)") ==
+      "SELECT regexp_extract(s, '(a)(b)', 2)")
+    // name-list form → named_struct of groups 1..n
+    assert(t("SELECT regexp_extract(s, '(a)(b)', ['x', 'y'])") ==
+      "SELECT named_struct('x', regexp_extract(s, '(a)(b)', 1), 'y', regexp_extract(s, '(a)(b)', 2))")
+  }
+
+  test("r7 session 3: list_grade_up/any_value/select/where expansions") {
+    assert(t("SELECT list_any_value(l)") ==
+      "SELECT try_element_at(filter((l), __g_x -> __g_x IS NOT NULL), 1)")
+    assert(t("SELECT list_select(l, ix)").contains("CASE WHEN __g_i < 1 THEN NULL"))
+    assert(t("SELECT list_where(l, m)").contains("zip_with((l), (m)"))
+    assert(t("SELECT list_grade_up(l)").contains("'n', (__g_x IS NULL)"))
+    // full-name gcd/lcm aliases and numeric to_timestamp
+    assert(t("SELECT greatest_common_divisor(a, b), least_common_multiple(a, b)") ==
+      "SELECT gcd(a, b), lcm(a, b)")
+    assert(t("SELECT to_timestamp(1700000000)") ==
+      "SELECT timestamp_seconds(1700000000)")
+    // chr: Spark's cuts codepoints to 256 — kernel rename
+    assert(t("SELECT chr(233)") == "SELECT graft_chr(233)")
+  }
+
   test("r7 session 3: named WINDOW clause passes through untouched") {
     val sql = "SELECT sum(x) OVER w, rank() OVER w FROM t1 " +
       "WINDOW w AS (PARTITION BY g ORDER BY k) ORDER BY k"

@@ -597,6 +597,23 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("unicode kernels: strip_accents, nfc_normalize, codepoint chr") {
+    withFns {
+      val df = spark.range(1).toDF("i")
+      def s(e: String): String = df.select(expr(e)).head.getString(0)
+      // probe-pinned on DuckDB 1.0: marks stripped, ß survives (no
+      // decomposition)
+      assert(s("strip_accents('héllo ünïcodé ñ ß')") == "hello unicode n ß")
+      assert(s("strip_accents('plain ascii')") == "plain ascii")
+      // NFC composes e + combining acute (U+0301) into é
+      assert(s("nfc_normalize('e' || graft_chr(769))") == "é")
+      assert(s("nfc_normalize('abc')") == "abc")
+      assert(s("graft_chr(65)") == "A")
+      assert(s("graft_chr(233)") == "é")
+      assert(s("graft_chr(128512)") == new String(Character.toChars(128512)))
+    }
+  }
+
   test("product/entropy/histogram aggregates pin DuckDB 1.0 semantics") {
     withFns {
       import spark.implicits._
