@@ -627,21 +627,28 @@ object PipelineQueries {
         .orderBy("source")),
     // ---- within-cluster exact kNN graph (r7 session 3): the neighbor-list
     // step a semantic-dedup / curriculum pipeline runs AFTER cluster
-    // assignment — per cluster (the fixture's label column stands in for
-    // the upstream assignment), each vector's exact top-3 by cosine.
-    // Scale shape: ONE co-partitioned join on the cluster key (both sides
-    // shuffle-partitioned by label, no broadcast of the fact side), per-
-    // cluster quadratic bounded by the assignment step's cluster-size cap,
-    // then one row_number window keyed by src. Never all-pairs across
-    // clusters.
+    // assignment — per cluster, each vector's exact top-3 by cosine. The
+    // cluster key is (label, md5-shard): the fixture's label stands in for
+    // the upstream semantic assignment, and the deterministic md5 sub-shard
+    // (the p40 hash, % 16) is the PRODUCTION CAP on cluster size — labels
+    // are a fixed vocabulary, so label-only clusters grow linearly with the
+    // corpus and the within-cluster quadratic would too; sub-sharding
+    // bounds it (the standard ANN-graph recall tradeoff, declared as the
+    // operator's semantics). Scale shape: ONE co-partitioned join on the
+    // composite key (no broadcast of the fact side), bounded per-cluster
+    // quadratic, one src-keyed row_number window. Never all-pairs.
     "p52_cluster_knn" -> q((s, _) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = s.table("embeddings")
-      val a = emb.select(col("label"), col("vec_id").as("src"),
-        col("embedding").as("ea"))
-      val b = emb.select(col("label"), col("vec_id").as("dst"),
-        col("embedding").as("eb"))
-      val pairs = a.join(b, Seq("label")).filter(col("src") =!= col("dst"))
+      val shard = (conv(substring(md5(col("vec_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 16).as("shard")
+      val emb = s.table("embeddings").select(col("label"), shard,
+        col("vec_id"), col("embedding"))
+      val a = emb.select(col("label"), col("shard"),
+        col("vec_id").as("src"), col("embedding").as("ea"))
+      val b = emb.select(col("label"), col("shard"),
+        col("vec_id").as("dst"), col("embedding").as("eb"))
+      val pairs = a.join(b, Seq("label", "shard"))
+        .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
           GraftFunctions.cosine_sim(col("ea"), col("eb")).as("cos"))
       val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
@@ -1191,11 +1198,12 @@ object PipelineQueries {
     // sequential walk); rank ties broken by dst, and the top-5-vicinity
     // score gaps all sit >= 3e-4 (probe) so double ordering is tie-free.
     "p52_cluster_knn" ->
-      ("WITH v AS (SELECT vec_id, label, embedding, " +
+      ("WITH v AS (SELECT vec_id, label, " +
+        "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT) % 16 AS shard, embedding, " +
         "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nsq FROM embeddings), " +
         "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
         "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) " +
-        "/ (sqrt(a.nsq) * sqrt(b.nsq)) AS cos FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id), " +
+        "/ (sqrt(a.nsq) * sqrt(b.nsq)) AS cos FROM v a JOIN v b ON a.label = b.label AND a.shard = b.shard AND a.vec_id <> b.vec_id), " +
         "r AS (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM p) " +
         "SELECT src, CAST(rk AS BIGINT) AS rk, dst, CAST(round(cos * 1000000) AS BIGINT) AS cos_micro " +
         "FROM r WHERE rk <= 3 ORDER BY src, rk"),
