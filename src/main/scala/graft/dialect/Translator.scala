@@ -1097,6 +1097,11 @@ object Translator {
     // to_timestamp(s, fmt) the STRPTIME rewrite emits must stay Spark's
     // Spark's chr/char cut the codepoint to 256; DuckDB's is full Unicode
     "CHR" -> "graft_chr",
+    // chsql wire surface (r7 session 3, spec-only — the oracle can't run
+    // chsql): popcount, best-effort parse, regex match
+    "BITCOUNT" -> "bit_count",
+    "PARSEDATETIMEBESTEFFORT" -> "try_to_timestamp",
+    "MATCH" -> "rlike",
     "HISTOGRAM" -> "graft_histogram",
     "PRODUCT" -> "graft_product",
     "BAR" -> "graft_bar",
@@ -1282,6 +1287,92 @@ object Translator {
               val repl = s"($fn($a) $cmp 0)"
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
+            }
+          case id: Ident if Set("PLUS", "MINUS", "MULTIPLY", "DIVIDE",
+              "INTDIVORZERO").contains(id.upper) && callOpen >= 0 =>
+            // ClickHouse arithmetic function forms (chsql). divide is float
+            // division — exactly Spark's `/`; intDivOrZero guards b = 0.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+              val repl = id.upper match {
+                case "PLUS" => s"(($a) + ($b))"
+                case "MINUS" => s"(($a) - ($b))"
+                case "MULTIPLY" => s"(($a) * ($b))"
+                case "DIVIDE" => s"(($a) / ($b))"
+                case _ => s"(CASE WHEN ($b) = 0 THEN 0 ELSE ($a) DIV ($b) END)"
+              }
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "POSITIONCASEINSENSITIVE" && callOpen >= 0 =>
+            // ClickHouse positionCaseInsensitive(haystack, needle), 1-based
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              toks = toks.patch(i, lex(
+                s"instr(lower(${render(args(0)).trim}), lower(${render(args(1)).trim}))"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "MULTISEARCHANY" && callOpen >= 0 =>
+            // ClickHouse multiSearchAny(haystack, [needles]) → UInt8 0/1
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              toks = toks.patch(i, lex(
+                s"CAST(exists((${render(args(1)).trim}), __g_n -> instr((${render(args(0)).trim}), __g_n) > 0) AS INT)"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "TOYYYYMMDDHHMMSS" && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val e = render(args(0)).trim
+              toks = toks.patch(i, lex(
+                s"(CAST(year($e) AS BIGINT) * 10000000000 + month($e) * 100000000 + " +
+                  s"day($e) * 1000000 + hour($e) * 10000 + minute($e) * 100 + second($e))"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "IPV4NUMTOSTRING" && callOpen >= 0 =>
+            // big-endian octets of a UInt32
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val n = render(args(0)).trim
+              toks = toks.patch(i, lex(
+                s"concat_ws('.', CAST(($n) DIV 16777216 % 256 AS STRING), " +
+                  s"CAST(($n) DIV 65536 % 256 AS STRING), " +
+                  s"CAST(($n) DIV 256 % 256 AS STRING), CAST(($n) % 256 AS STRING))"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "IPV4STRINGTONUM" && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              toks = toks.patch(i, lex(
+                s"aggregate(split((${render(args(0)).trim}), '\\\\.'), " +
+                  s"CAST(0 AS BIGINT), (__g_a, __g_x) -> __g_a * 256 + CAST(__g_x AS BIGINT))"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "SPLITBYSTRING" && callOpen >= 0 =>
+            // ClickHouse splitByString(sep, s) → split(s, quoted-sep)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              args(0).filterNot(isWs) match {
+                case Vector(sep: Str) =>
+                  val quoted = java.util.regex.Pattern.quote(sep.value).replace("'", "''")
+                  toks = toks.patch(i, lex(
+                    s"split(${render(args(1)).trim}, '$quoted')"), close - i + 1)
+                  changed = true
+                case _ =>
+              }
             }
           case id: Ident if id.upper == "TO_TIMESTAMP" && callOpen >= 0 =>
             // DuckDB to_timestamp is numeric-seconds only (strings go

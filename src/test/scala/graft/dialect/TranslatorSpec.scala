@@ -777,6 +777,24 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT chr(233)") == "SELECT graft_chr(233)")
   }
 
+  test("r7 session 3: chsql alias batch (arithmetic forms, search, IPv4)") {
+    assert(t("SELECT plus(a, 1), minus(a, b), multiply(a, 2), divide(a, b)") ==
+      "SELECT ((a) + (1)), ((a) - (b)), ((a) * (2)), ((a) / (b))")
+    assert(t("SELECT intDivOrZero(a, b)") ==
+      "SELECT (CASE WHEN (b) = 0 THEN 0 ELSE (a) DIV (b) END)")
+    assert(t("SELECT positionCaseInsensitive(h, n)") ==
+      "SELECT instr(lower(h), lower(n))")
+    assert(t("SELECT multiSearchAny(h, ['a', 'b'])") ==
+      "SELECT CAST(exists((array('a', 'b')), __g_n -> instr((h), __g_n) > 0) AS INT)")
+    assert(t("SELECT toYYYYMMDDhhmmss(ts)").contains("* 10000000000"))
+    assert(t("SELECT IPv4NumToString(n)").contains("DIV 16777216 % 256"))
+    assert(t("SELECT IPv4StringToNum(s)").contains("__g_a * 256"))
+    assert(t("SELECT splitByString('ab', s)") ==
+      "SELECT split(s, '\\Qab\\E')")
+    assert(t("SELECT bitCount(n), match(s, 'x.*'), parseDateTimeBestEffort(s)") ==
+      "SELECT bit_count(n), rlike(s, 'x.*'), try_to_timestamp(s)")
+  }
+
   test("r7 session 3: named WINDOW clause passes through untouched") {
     val sql = "SELECT sum(x) OVER w, rank() OVER w FROM t1 " +
       "WINDOW w AS (PARTITION BY g ORDER BY k) ORDER BY k"
