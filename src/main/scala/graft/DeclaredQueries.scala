@@ -941,6 +941,16 @@ object DeclaredQueries {
         "strip_accents('héllo wörld ñ ' || o_orderstatus) AS sa, " +
         "nfc_normalize('caf' || 'e' || chr(769) || o_orderstatus) AS nfc " +
         "FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey"),
+    "q177_view_sequence" ->
+      // CREATE VIEW (session-scoped over the temp catalog, body through
+      // the full dialect layer) + DuckDB sequences: first nextval returns
+      // START, stride INCREMENT. The row→value mapping follows evaluation
+      // order in BOTH engines (parallel scans there too), so the entry
+      // compares the VALUE SET (count/min/max/distinct), which is exact.
+      ("DROP SEQUENCE IF EXISTS g177_seq; " +
+        "CREATE SEQUENCE g177_seq START 100 INCREMENT 7; " +
+        "CREATE OR REPLACE VIEW g177_v AS SELECT o_orderkey, nextval('g177_seq') AS sid FROM orders WHERE o_orderkey < 50; " +
+        "SELECT count(*) AS n, CAST(min(sid) AS BIGINT) AS mn, CAST(max(sid) AS BIGINT) AS mx, count(DISTINCT sid) AS nd FROM g177_v"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -528,6 +528,16 @@ object Engine {
     }
   }
 
+  private val createSeqRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?SEQUENCE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`\"]+)(.*?)\\s*;?\\s*$").r
+  private val dropSeqRe =
+    "(?is)^\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?([\\w.`\"]+)\\s*;?\\s*$".r
+  private val seqStartRe = "(?is)START\\s+(?:WITH\\s+)?(-?\\d+)".r
+  private val seqIncRe = "(?is)INCREMENT\\s+(?:BY\\s+)?(-?\\d+)".r
+  private val createViewRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?VIEW\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`\"]+)\\s+AS\\s+(.+)$").r
   private val summarizeRe = "(?is)^\\s*SUMMARIZE\\s+(.+?)\\s*;?\\s*$".r
   private val bareNameRe = "(?s)^[\\w.`\"]+$".r
   private val asofWordRe = "(?is).*\\bASOF\\b.*".r
@@ -745,6 +755,34 @@ object Engine {
         return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))
       case copyToRe(source, path, opts) =>
         return runCopyTo(spark, source, path, Option(opts).getOrElse(""))
+      case createSeqRe(orRepl, ifNot, name, opts) =>
+        // DuckDB sequences (JVM-session state, Sequences.scala scaladoc)
+        val start = seqStartRe.findFirstMatchIn(opts).map(_.group(1).toLong)
+          .getOrElse(1L)
+        val inc = seqIncRe.findFirstMatchIn(opts).map(_.group(1).toLong)
+          .getOrElse(1L)
+        Sequences.create(name.replaceAll("[`\"]", ""), start, inc,
+          orReplace = orRepl != null, ifNotExists = ifNot != null)
+        return spark.emptyDataFrame
+      case dropSeqRe(ifEx, name) =>
+        Sequences.drop(name.replaceAll("[`\"]", ""), ifExists = ifEx != null)
+        return spark.emptyDataFrame
+      case createViewRe(orRepl, ifNot, name0, body) =>
+        // DuckDB CREATE VIEW over our temp-view catalog: a persistent Spark
+        // view can't reference temp relations, so views are session-scoped
+        // temp views (exactly the lifetime of the reference's per-file
+        // catalog entries from this server's perspective). The body goes
+        // through the full dialect layer.
+        val name = name0.replaceAll("[`\"]", "")
+        val exists = spark.catalog.tableExists(name)
+        if (exists && orRepl == null) {
+          if (ifNot != null) return spark.emptyDataFrame
+          throw new IllegalStateException(
+            s"""Catalog Error: View with name "$name" already exists!""")
+        }
+        sql(spark, body).createOrReplaceTempView(name)
+        bumpCatalogVersion()
+        return spark.emptyDataFrame
       case summarizeRe(target) =>
         // DuckDB SUMMARIZE <table|query> → the exact 12-column DuckDB shape
         return duckdbSummarize(spark,

@@ -108,6 +108,10 @@ object GraftFunctions {
       args => NfcNormalize(args(0))),
     ("graft_chr", "DuckDB chr: full Unicode codepoint (Spark's chr cuts to 256)",
       args => ChrCodepoint(args(0))),
+    ("nextval", "DuckDB nextval('seq'): per-row sequence advance (JVM-session state)",
+      args => NextVal(args(0))),
+    ("currval", "DuckDB currval('seq'): last value handed out by this session",
+      args => CurrVal(args(0))),
     ("graft_product", "DuckDB product aggregate: double multiply, NULLs skipped, empty group NULL",
       args => GraftProduct(org.apache.spark.sql.catalyst.expressions.Cast(
         args(0), org.apache.spark.sql.types.DoubleType))),

@@ -886,6 +886,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(pct("r_regionkey") == "0.00" && pct("ropt") == "40.00")
   }
 
+  test("sequences and CREATE VIEW pin DuckDB semantics (r7 session 3)") {
+    Engine.registerTables(spark, sfDir)
+    Engine.sql(spark, "DROP SEQUENCE IF EXISTS sp_seq")
+    Engine.sql(spark, "CREATE SEQUENCE sp_seq START 5 INCREMENT 3")
+    // duplicate CREATE without OR REPLACE errors; IF NOT EXISTS no-ops
+    intercept[IllegalStateException] {
+      Engine.sql(spark, "CREATE SEQUENCE sp_seq")
+    }
+    Engine.sql(spark, "CREATE SEQUENCE IF NOT EXISTS sp_seq START 999")
+    val r = Engine.sql(spark,
+      "SELECT nextval('sp_seq') AS a, nextval('sp_seq') AS b").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 8L) // START survived IF NOT EXISTS
+    assert(Engine.sql(spark, "SELECT currval('sp_seq') AS c").head().getLong(0) == 8L)
+    Engine.sql(spark, "DROP SEQUENCE sp_seq")
+    intercept[IllegalStateException] {
+      Engine.sql(spark, "DROP SEQUENCE sp_seq")
+    }
+    // CREATE VIEW: body through the dialect layer; duplicate errors
+    // without OR REPLACE; session-scoped
+    Engine.sql(spark,
+      "CREATE OR REPLACE VIEW sp_v AS SELECT count() AS n, FROM region")
+    assert(Engine.sql(spark, "SELECT n FROM sp_v").head().getLong(0) == 5L)
+    intercept[IllegalStateException] {
+      Engine.sql(spark, "CREATE VIEW sp_v AS SELECT 1 AS x")
+    }
+    Engine.sql(spark, "CREATE VIEW IF NOT EXISTS sp_v AS SELECT 1 AS x")
+    assert(Engine.sql(spark, "SELECT n FROM sp_v").head().getLong(0) == 5L)
+  }
+
   test("information_schema emulation and version()") {
     // DDL goes through Engine.sql (the server path) so the cached catalog
     // snapshot is invalidated; raw spark.sql DDL must bumpCatalogVersion
