@@ -951,6 +951,18 @@ object DeclaredQueries {
         "CREATE SEQUENCE g177_seq START 100 INCREMENT 7; " +
         "CREATE OR REPLACE VIEW g177_v AS SELECT o_orderkey, nextval('g177_seq') AS sid FROM orders WHERE o_orderkey < 50; " +
         "SELECT count(*) AS n, CAST(min(sid) AS BIGINT) AS mn, CAST(max(sid) AS BIGINT) AS mx, count(DISTINCT sid) AS nd FROM g177_v"),
+    "q178_alter_table" ->
+      // ALTER TABLE column surface (probe-pinned): ADD COLUMN backfills
+      // the DEFAULT, RENAME COLUMN, ALTER TYPE with USING, DROP COLUMN —
+      // all table rewrites on the write path (q168's CTAS precedent)
+      ("DROP TABLE IF EXISTS g178_t; " +
+        "CREATE TABLE g178_t AS SELECT o_orderkey AS id, o_orderpriority AS pri FROM orders WHERE o_orderkey < 30; " +
+        "ALTER TABLE g178_t ADD COLUMN flag INTEGER DEFAULT 7; " +
+        "ALTER TABLE g178_t ADD COLUMN note VARCHAR; " +
+        "ALTER TABLE g178_t RENAME COLUMN pri TO prio; " +
+        "ALTER TABLE g178_t ALTER COLUMN flag SET DATA TYPE VARCHAR USING prio || '-' || flag; " +
+        "ALTER TABLE g178_t DROP COLUMN note; " +
+        "SELECT id, prio, flag FROM g178_t ORDER BY id"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -528,6 +528,84 @@ object Engine {
     }
   }
 
+  // ---- ALTER TABLE column surface (r7 session 3) ----------------------
+  // DuckDB semantics probe-pinned on 1.0: ADD COLUMN fills existing rows
+  // with the DEFAULT (NULL absent), duplicate-add errors unless IF NOT
+  // EXISTS; DROP of a missing column errors unless IF EXISTS; RENAME
+  // [COLUMN] a TO b; ALTER [COLUMN] c [SET DATA] TYPE T [USING expr].
+  // Spark's v1 parquet tables can only ADD; everything else rewrites the
+  // table through swapInto (the UPDATE/DELETE machinery) — column ops on
+  // a warehouse table are full rewrites at any scale, same as DuckDB's
+  // own storage-level behavior for type changes.
+  private val alterAddColRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.`\"]+)\\s+ADD\\s+(?:COLUMN\\s+)?" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w`\"]+)\\s+([\\w(),\\[\\] ]+?)" +
+      "(?:\\s+DEFAULT\\s+(.+?))?\\s*;?\\s*$").r
+  private val alterDropColRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.`\"]+)\\s+DROP\\s+(?:COLUMN\\s+)?" +
+      "(IF\\s+EXISTS\\s+)?([\\w`\"]+)\\s*;?\\s*$").r
+  private val alterRenameColRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.`\"]+)\\s+RENAME\\s+(?:COLUMN\\s+)?" +
+      "(?!TO\\s)([\\w`\"]+)\\s+TO\\s+([\\w`\"]+)\\s*;?\\s*$").r
+  private val alterTypeRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.`\"]+)\\s+ALTER\\s+(?:COLUMN\\s+)?" +
+      "([\\w`\"]+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+([\\w(),\\[\\] ]+?)" +
+      "(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$").r
+
+  private def runAlterColumn(spark: SparkSession, duckSql: String): Option[DataFrame] = {
+    def clean(s: String) = s.replaceAll("[`\"]", "")
+    duckSql match {
+      case alterAddColRe(t0, ifNot, c0, typ, dflt) =>
+        val (t, c) = (clean(t0), clean(c0))
+        requireDmlTarget(spark, t)
+        val exists = spark.table(t).schema.fieldNames
+          .exists(_.equalsIgnoreCase(c))
+        if (exists) {
+          if (ifNot == null) throw new IllegalStateException(
+            s"Catalog Error: Column with name $c already exists!")
+          return Some(spark.emptyDataFrame)
+        }
+        val d = Option(dflt).getOrElse("NULL")
+        swapInto(spark, t,
+          sql(spark, s"SELECT *, CAST(($d) AS $typ) AS $c FROM $t"))
+        Some(spark.emptyDataFrame)
+      case alterDropColRe(t0, ifEx, c0) =>
+        val (t, c) = (clean(t0), clean(c0))
+        requireDmlTarget(spark, t)
+        val exists = spark.table(t).schema.fieldNames
+          .exists(_.equalsIgnoreCase(c))
+        if (!exists) {
+          if (ifEx == null) throw new IllegalStateException(
+            s"""Binder Error: Table "$t" does not have a column with name "$c"""")
+          return Some(spark.emptyDataFrame)
+        }
+        swapInto(spark, t, spark.table(t).drop(c))
+        Some(spark.emptyDataFrame)
+      case alterRenameColRe(t0, a0, b0) =>
+        val (t, a, b) = (clean(t0), clean(a0), clean(b0))
+        requireDmlTarget(spark, t)
+        if (!spark.table(t).schema.fieldNames.exists(_.equalsIgnoreCase(a)))
+          throw new IllegalStateException(
+            s"""Binder Error: Table "$t" does not have a column with name "$a"""")
+        swapInto(spark, t, spark.table(t).withColumnRenamed(a, b))
+        Some(spark.emptyDataFrame)
+      case alterTypeRe(t0, c0, typ, using) =>
+        val (t, c) = (clean(t0), clean(c0))
+        requireDmlTarget(spark, t)
+        val fields = spark.table(t).schema.fieldNames
+        if (!fields.exists(_.equalsIgnoreCase(c)))
+          throw new IllegalStateException(
+            s"""Binder Error: Table "$t" does not have a column with name "$c"""")
+        val src = Option(using).getOrElse(c)
+        val proj = fields.map { f =>
+          if (f.equalsIgnoreCase(c)) s"CAST(($src) AS $typ) AS $f" else f
+        }.mkString(", ")
+        swapInto(spark, t, sql(spark, s"SELECT $proj FROM $t"))
+        Some(spark.emptyDataFrame)
+      case _ => None
+    }
+  }
+
   private val createSeqRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?SEQUENCE\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`\"]+)(.*?)\\s*;?\\s*$").r
@@ -755,6 +833,9 @@ object Engine {
         return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))
       case copyToRe(source, path, opts) =>
         return runCopyTo(spark, source, path, Option(opts).getOrElse(""))
+      case s if s.toUpperCase.contains("ALTER") &&
+          runAlterColumn(spark, s).isDefined =>
+        return spark.emptyDataFrame
       case createSeqRe(orRepl, ifNot, name, opts) =>
         // DuckDB sequences (JVM-session state, Sequences.scala scaladoc)
         val start = seqStartRe.findFirstMatchIn(opts).map(_.group(1).toLong)

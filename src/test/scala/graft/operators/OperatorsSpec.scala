@@ -915,6 +915,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(Engine.sql(spark, "SELECT n FROM sp_v").head().getLong(0) == 5L)
   }
 
+  test("ALTER TABLE column ops pin DuckDB semantics (r7 session 3)") {
+    Engine.registerTables(spark, sfDir)
+    Engine.sql(spark, "DROP TABLE IF EXISTS sp_alter")
+    Engine.sql(spark, "CREATE TABLE sp_alter AS SELECT 1 AS a, 'x' AS b")
+    Engine.sql(spark, "ALTER TABLE sp_alter ADD COLUMN c INTEGER DEFAULT 7")
+    // duplicate add errors; IF NOT EXISTS no-ops and keeps the original
+    intercept[Exception] {
+      Engine.sql(spark, "ALTER TABLE sp_alter ADD COLUMN c INTEGER")
+    }
+    Engine.sql(spark, "ALTER TABLE sp_alter ADD COLUMN IF NOT EXISTS c VARCHAR")
+    Engine.sql(spark, "ALTER TABLE sp_alter RENAME a TO a2")
+    Engine.sql(spark,
+      "ALTER TABLE sp_alter ALTER COLUMN a2 SET DATA TYPE VARCHAR USING a2 || '!'")
+    Engine.sql(spark, "ALTER TABLE sp_alter ADD COLUMN d VARCHAR")
+    Engine.sql(spark, "ALTER TABLE sp_alter DROP COLUMN d")
+    Engine.sql(spark, "ALTER TABLE sp_alter DROP COLUMN IF EXISTS zz")
+    intercept[Exception] {
+      Engine.sql(spark, "ALTER TABLE sp_alter DROP COLUMN zz")
+    }
+    val r = Engine.sql(spark, "SELECT * FROM sp_alter").head()
+    assert(Engine.sql(spark, "SELECT * FROM sp_alter").columns.toSeq ==
+      Seq("a2", "b", "c"))
+    assert(r.getString(0) == "1!" && r.getString(1) == "x" && r.getInt(2) == 7)
+    // DML-target guard: ALTERing a fixture view must refuse loudly
+    intercept[Exception] {
+      Engine.sql(spark, "ALTER TABLE region ADD COLUMN oops INTEGER")
+    }
+    Engine.sql(spark, "DROP TABLE sp_alter")
+  }
+
   test("information_schema emulation and version()") {
     // DDL goes through Engine.sql (the server path) so the cached catalog
     // snapshot is invalidated; raw spark.sql DDL must bumpCatalogVersion
