@@ -2055,7 +2055,10 @@ object Translator {
                     case "second" => s"(unix_timestamp($b) - unix_timestamp($a))"
                     case _ => ""
                   }
-                  if (repl.nonEmpty) toks = toks.patch(i, Seq(Ident(repl)), close - i + 1)
+                  // re-lex: the replacement may contain inner calls later
+                  // passes must still see (e.g. to_timestamp inside epoch_us
+                  // — an opaque Ident blob broke translate∘translate fixpoint)
+                  if (repl.nonEmpty) toks = toks.patch(i, lex(repl), close - i + 1)
                 case _ =>
               }
             }
@@ -2075,7 +2078,7 @@ object Translator {
                     case "dow" => s"(extract(DOW FROM $e) - 1)"
                     case p => s"extract($p FROM $e)"
                   }
-                  toks = toks.patch(i, Seq(Ident(repl)), close - i + 1)
+                  toks = toks.patch(i, lex(repl), close - i + 1)
                 case _ =>
               }
             }
@@ -2095,7 +2098,7 @@ object Translator {
               case "EPOCH_MS" => s"unix_millis($e)"
               case "EPOCH_US" => s"unix_micros($e)"
             }
-            toks = toks.patch(i, Seq(Ident(repl)), close - i + 1)
+            toks = toks.patch(i, lex(repl), close - i + 1)
           }
         case _ =>
       }

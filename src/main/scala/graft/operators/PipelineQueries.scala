@@ -706,6 +706,28 @@ object PipelineQueries {
           round(col("tfidf") * 1000000).cast("bigint").as("tfidf_micro"))
         .orderBy("source", "rk")
     }),
+    // ---- curriculum quality bins (r7 session 3): exact quartile
+    // thresholds of doc length → 4 curriculum bins, the deterministic
+    // restatement of percentile-bucketed data ordering. Scale shape: ONE
+    // distributed exact-percentile aggregation (Spark's Percentile
+    // partial-aggregates a value→count map, memory bounded by DISTINCT
+    // lengths, never a global sort), the 1-row threshold frame broadcast
+    // back, one assignment scan. Both engines interpolate quantiles with
+    // the same (1-f)*a + f*b formula on the same integers → identical
+    // doubles, so the strict `>` bin edges are tie-free by construction.
+    "p55_quality_bins" -> q((s, _) => {
+      val docs = s.table("documents")
+      val th = docs.agg(expr(
+        "percentile(n_chars, array(0.25, 0.5, 0.75))").as("q"))
+      docs.crossJoin(broadcast(th)).select(col("doc_id"),
+          (lit(1) + (col("n_chars") > element_at(col("q"), 1)).cast("int")
+            + (col("n_chars") > element_at(col("q"), 2)).cast("int")
+            + (col("n_chars") > element_at(col("q"), 3)).cast("int"))
+            .cast("bigint").as("bin"),
+          round(element_at(col("q"), 1) * 100).cast("bigint").as("q1_c"),
+          round(element_at(col("q"), 3) * 100).cast("bigint").as("q3_c"))
+        .orderBy("doc_id")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -1237,6 +1259,14 @@ object PipelineQueries {
         "r AS (SELECT source, term, s, row_number() OVER (PARTITION BY source ORDER BY s DESC, term) AS rk FROM sc) " +
         "SELECT source, CAST(rk AS BIGINT) AS rk, term, CAST(round(s * 1000000) AS BIGINT) AS tfidf_micro " +
         "FROM r WHERE rk <= 5 ORDER BY source, rk"),
+    // p55 (r7 session 3): quantile_cont list form — same interpolation
+    // formula on the same integers as Spark's exact percentile, so the
+    // strict bin edges agree double-for-double.
+    "p55_quality_bins" ->
+      ("WITH th AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS q FROM documents) " +
+        "SELECT doc_id, CAST(1 + CAST(n_chars > q[1] AS INT) + CAST(n_chars > q[2] AS INT) + CAST(n_chars > q[3] AS INT) AS BIGINT) AS bin, " +
+        "CAST(round(q[1] * 100) AS BIGINT) AS q1_c, CAST(round(q[3] * 100) AS BIGINT) AS q3_c " +
+        "FROM documents, th ORDER BY doc_id"),
     // p44 (r7): brute-force byte-shingle simhash hamming scan over the
     // planted payload corpus — the p04 oracle pattern with 4-byte
     // substring shingles instead of tokens (fixture text is pure ASCII,

@@ -142,6 +142,18 @@ object Streaming {
       .drop("__starts")
   }
 
+  /** Continuous form of p53's char-entropy spam gate: each micro-batch is
+    * ONE stateless codegen pass over the kernel (no shuffle, no state
+    * store, no watermark — the scrubStream posture). Emits the per-doc
+    * entropy so downstream sinks can audit the gate. */
+  def entropyGateStream(docs: DataFrame, minBits: Double = 4.0,
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("ent_bits", call_function("char_entropy", col(textCol)))
+      .filter(col("ent_bits") >= minBits)
+  }
+
   // ---- sessionization ---------------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -169,6 +169,12 @@ object PlanAudit {
     Check("p54_tfidf_terms",
       wantAll = Seq("HashAggregate", "Window", "Generate"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // curriculum bins (r7 session 3): ONE exact-percentile agg, 1-row
+    // threshold frame broadcast back (NLJ over one row is the intended
+    // shape), assignment is a scan — never a sort-merge join or global sort
+    Check("p55_quality_bins",
+      wantAll = Seq("BroadcastNestedLoopJoin", "percentile"),
+      wantNone = Seq("SortMergeJoin", "CartesianProduct")),
     // quality gate: rank and per-source count share ONE window partitioning
     Check("p31_quality_gate", wantAll = Seq("token_set_hits", "Window"),
       wantNone = Seq("Join")),

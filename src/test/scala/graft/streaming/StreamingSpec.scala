@@ -116,6 +116,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming entropy gate drops low-diversity spam statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = Streaming.entropyGateStream(stream, minBits = 3.0)
+      .writeStream.format("memory").queryName("entgated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "a diverse sentence with many different words and letters"),
+        (2L, "aaa aaa aaa aaa aaa aaa aaa aaa"))
+      q.processAllAvailable()
+      input.addData((3L, "another batch of varied natural language text"))
+      q.processAllAvailable()
+      val kept = spark.table("entgated").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L, 3L))
+      assert(spark.table("entgated").columns.contains("ent_bits"))
+    } finally q.stop()
+  }
+
   test("streaming curation gates quality and language, dedups within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
