@@ -963,6 +963,18 @@ object DeclaredQueries {
         "ALTER TABLE g178_t ALTER COLUMN flag SET DATA TYPE VARCHAR USING prio || '-' || flag; " +
         "ALTER TABLE g178_t DROP COLUMN note; " +
         "SELECT id, prio, flag FROM g178_t ORDER BY id"),
+    "q179_window_exclude" ->
+      // window frame EXCLUDE CURRENT ROW for SUM/COUNT/AVG → frame
+      // aggregate minus the current row's contribution, with the
+      // probe-pinned NULL edges (post-exclusion frame with no non-NULL
+      // values → NULL, hence the count guard); the NULLIF makes every
+      // third price NULL so those edges are actually exercised
+      ("SELECT o_orderkey, " +
+        "CAST(round(coalesce(sum(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW), -1) * 100) AS BIGINT) AS s_c, " +
+        "CAST(count(*) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS c_star, " +
+        "CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END) OVER (ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS c_v, " +
+        "CAST(round(coalesce(avg(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END) OVER (ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), -1) * 100) AS BIGINT) AS a_c " +
+        "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

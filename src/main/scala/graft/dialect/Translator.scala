@@ -75,6 +75,7 @@ object Translator {
     toks = rewriteOpsSugar(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
+    toks = rewriteWindowExclude(toks)
     toks = rewriteOrderedArrayAgg(toks)
     toks = rewriteStrftime(toks)
     toks = rewriteDateFns(toks)
@@ -882,6 +883,76 @@ object Translator {
         case _ =>
       }
       i += 1
+    }
+    toks
+  }
+
+  /** `agg(v) OVER (spec EXCLUDE CURRENT ROW)` → frame aggregate minus the
+    * current row's contribution, for SUM/COUNT/AVG (Spark has no frame
+    * exclusion). Probe-pinned on DuckDB 1.0 incl. the NULL edges: when the
+    * post-exclusion frame has no non-NULL values, SUM/AVG are NULL — hence
+    * the count-guard, not a bare subtraction (which would yield 0). Other
+    * aggregates keep the EXCLUDE clause and fail LOUDLY in Spark's parser
+    * (a declared gap, never a silent wrong answer); EXCLUDE GROUP/TIES
+    * likewise pass through loudly. */
+  private[dialect] def rewriteWindowExclude(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case id: Ident if id.upper == "OVER" =>
+            val open = nextNonWs(toks, i)
+            if (open < toks.length && toks(open) == Punct("(")) {
+              val close = matchParen(toks, open)
+              val spec = toks.slice(open + 1, close)
+              // top-level EXCLUDE CURRENT ROW inside the spec
+              var d = 0; var ex = -1
+              for (j <- spec.indices) {
+                d += depthDelta(spec(j))
+                if (d == 0 && ex < 0 && up(spec(j)) == "EXCLUDE") ex = j
+              }
+              if (ex >= 0) {
+                val exNext = nextNonWs(spec, ex)
+                val exNext2 = if (exNext < spec.length) nextNonWs(spec, exNext) else spec.length
+                val isCurrentRow = exNext < spec.length &&
+                  up(spec(exNext)) == "CURRENT" && exNext2 < spec.length &&
+                  up(spec(exNext2)) == "ROW"
+                // the aggregate call directly before OVER
+                val closeArgs = prevNonWs(toks, i)
+                if (isCurrentRow && closeArgs >= 0 && toks(closeArgs) == Punct(")")) {
+                  val openArgs = openOf(toks, closeArgs)
+                  val fnIdx = prevNonWs(toks, openArgs)
+                  val fn = if (fnIdx >= 0) up(toks(fnIdx)) else ""
+                  if (Set("SUM", "COUNT", "AVG").contains(fn)) {
+                    val arg = render(toks.slice(openArgs + 1, closeArgs)).trim
+                    val specSql = render(spec.slice(0, ex) ++
+                      spec.slice(exNext2 + 1, spec.length)).trim
+                    val repl =
+                      if (fn == "COUNT" && arg == "*")
+                        s"(count(*) OVER ($specSql) - 1)"
+                      else if (fn == "COUNT")
+                        s"(count($arg) OVER ($specSql) - CASE WHEN ($arg) IS NOT NULL THEN 1 ELSE 0 END)"
+                      else {
+                        val cnt = s"(count($arg) OVER ($specSql) - CASE WHEN ($arg) IS NOT NULL THEN 1 ELSE 0 END)"
+                        val sum = s"(sum($arg) OVER ($specSql) - coalesce(($arg), 0))"
+                        if (fn == "SUM")
+                          s"(CASE WHEN $cnt = 0 THEN NULL ELSE $sum END)"
+                        else
+                          s"(CASE WHEN $cnt = 0 THEN NULL ELSE $sum / $cnt END)"
+                      }
+                    toks = toks.patch(fnIdx, lex(repl), close - fnIdx + 1)
+                    changed = true
+                  }
+                }
+              }
+            }
+          case _ =>
+        }
+        i += 1
+      }
     }
     toks
   }

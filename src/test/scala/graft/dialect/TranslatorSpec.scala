@@ -795,6 +795,19 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT bit_count(n), rlike(s, 'x.*'), try_to_timestamp(s)")
   }
 
+  test("r7 session 3: EXCLUDE CURRENT ROW for sum/count/avg; others stay loud") {
+    val sum = t("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t1")
+    assert(sum.contains("- coalesce((v), 0)") && sum.contains("CASE WHEN"))
+    assert(!sum.toUpperCase.contains("EXCLUDE"))
+    assert(t("SELECT count(*) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t1")
+      .contains("- 1)"))
+    val avg = t("SELECT avg(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) FROM t1")
+    assert(avg.contains("PARTITION BY g") && !avg.toUpperCase.contains("EXCLUDE"))
+    // unsupported aggregate keeps EXCLUDE → Spark rejects loudly
+    assert(t("SELECT min(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t1")
+      .toUpperCase.contains("EXCLUDE CURRENT ROW"))
+  }
+
   test("r7 session 3: named WINDOW clause passes through untouched") {
     val sql = "SELECT sum(x) OVER w, rank() OVER w FROM t1 " +
       "WINDOW w AS (PARTITION BY g ORDER BY k) ORDER BY k"
