@@ -975,6 +975,17 @@ object DeclaredQueries {
         "CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END) OVER (ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS c_v, " +
         "CAST(round(coalesce(avg(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END) OVER (ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW), -1) * 100) AS BIGINT) AS a_c " +
         "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"),
+    "q180_any_all" ->
+      // quantified subquery comparisons: = ANY → IN, <> ALL → NOT IN
+      // (exact), inequality ANY/ALL → extremum + count guards that
+      // reproduce DuckDB's three-valued probe table (empty → ALL TRUE /
+      // ANY FALSE; undecided-with-NULLs → NULL); including a CORRELATED
+      // >= ALL (the per-nation max-balance supplier)
+      ("SELECT s.s_suppkey, s.s_nationkey FROM supplier s " +
+        "WHERE s.s_acctbal >= ALL (SELECT s2.s_acctbal FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey) " +
+        "AND s.s_suppkey = ANY (SELECT s3.s_suppkey FROM supplier s3 WHERE s3.s_acctbal > 0) " +
+        "AND s.s_suppkey <> ALL (SELECT -1 AS neg) " +
+        "ORDER BY s.s_suppkey"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -75,6 +75,7 @@ object Translator {
     toks = rewriteOpsSugar(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
+    toks = rewriteAnyAll(toks)
     toks = rewriteWindowExclude(toks)
     toks = rewriteOrderedArrayAgg(toks)
     toks = rewriteStrftime(toks)
@@ -883,6 +884,79 @@ object Translator {
         case _ =>
       }
       i += 1
+    }
+    toks
+  }
+
+  /** Quantified subquery comparisons `x <op> ANY|ALL|SOME (SELECT …)` —
+    * Spark's parser has none of them. `= ANY` → `IN`, `<> ALL` → `NOT IN`
+    * (exact SQL equivalences); the inequality forms become extremum
+    * comparisons with count guards that reproduce the full three-valued
+    * probe table (DuckDB 1.0): empty set → ALL TRUE / ANY FALSE; a
+    * non-extremum decision with NULL elements present → NULL (e.g.
+    * `0 > ANY {1, NULL}` is NULL, `3 > ALL {1, NULL}` is NULL, but
+    * `3 > ALL {5, NULL}` is FALSE — false dominates ALL, true dominates
+    * ANY). The subquery is spliced once per aggregate; Spark's
+    * ReuseSubquery collapses the identical plans. `= ALL` / `<> ANY`
+    * stay untouched and fail loudly. */
+  private[dialect] def rewriteAnyAll(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case id: Ident if Set("ANY", "ALL", "SOME").contains(id.upper) =>
+            val opIdx = prevNonWs(toks, i)
+            val open = nextNonWs(toks, i)
+            val op = if (opIdx >= 0) toks(opIdx) match {
+              case Punct(p) if Set(">", "<", ">=", "<=", "=", "<>", "!=").contains(p) => p
+              case _ => ""
+            } else ""
+            val isSub = open < toks.length && toks(open) == Punct("(") && {
+              val k = nextNonWs(toks, open)
+              k < toks.length && (up(toks(k)) == "SELECT" || up(toks(k)) == "WITH" ||
+                up(toks(k)) == "FROM")
+            }
+            if (op.nonEmpty && isSub) {
+              val close = matchParen(toks, open)
+              val lhsStart = primaryStart(toks, prevNonWs(toks, opIdx))
+              val x = render(toks.slice(lhsStart, opIdx)).trim
+              val sub = render(toks.slice(open + 1, close)).trim
+              val isAll = id.upper == "ALL"
+              val repl: Option[String] = (op, isAll) match {
+                case ("=", false) => Some(s"(($x) IN ($sub))")
+                case (o, true) if o == "<>" || o == "!=" =>
+                  Some(s"(($x) NOT IN ($sub))")
+                case (o, all) if Set(">", "<", ">=", "<=").contains(o) =>
+                  // ALL compares against the failing-side extremum; ANY
+                  // against the succeeding-side one
+                  val ext = (o.startsWith(">") == all)
+                  val extFn = if (ext) "max" else "min"
+                  val cnt = s"(SELECT count(*) FROM ($sub) __g_q(__g_c))"
+                  val nulls = s"(SELECT count(*) - count(__g_c) FROM ($sub) __g_q(__g_c))"
+                  val cmp = s"(($x) $o (SELECT $extFn(__g_c) FROM ($sub) __g_q(__g_c)))"
+                  val empty = if (all) "TRUE" else "FALSE"
+                  // the decided side dominates (FALSE for ALL, TRUE for
+                  // ANY) even with NULL elements; the undecided side goes
+                  // NULL when NULL elements exist; a NULL cmp (NULL x or
+                  // all-NULL set) falls through to ELSE = NULL
+                  val gate = if (all) cmp else s"(NOT $cmp)"
+                  Some(s"(CASE WHEN $cnt = 0 THEN $empty " +
+                    s"WHEN $gate AND $nulls > 0 THEN CAST(NULL AS BOOLEAN) " +
+                    s"ELSE $cmp END)")
+                case _ => None
+              }
+              repl.foreach { r =>
+                toks = toks.patch(lhsStart, lex(r), close - lhsStart + 1)
+                changed = true
+              }
+            }
+          case _ =>
+        }
+        i += 1
+      }
     }
     toks
   }

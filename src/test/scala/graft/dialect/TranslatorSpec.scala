@@ -808,6 +808,27 @@ class TranslatorSpec extends AnyFunSuite {
       .toUpperCase.contains("EXCLUDE CURRENT ROW"))
   }
 
+  test("r7 session 3: quantified subquery comparisons (ANY/ALL/SOME)") {
+    // exact equivalences
+    assert(t("SELECT 1 WHERE k = ANY (SELECT c FROM t1)") ==
+      "SELECT 1 WHERE ((k) IN (SELECT c FROM t1))")
+    assert(t("SELECT 1 WHERE k <> ALL (SELECT c FROM t1)") ==
+      "SELECT 1 WHERE ((k) NOT IN (SELECT c FROM t1))")
+    assert(t("SELECT 1 WHERE k = SOME (SELECT c FROM t1)") ==
+      "SELECT 1 WHERE ((k) IN (SELECT c FROM t1))")
+    // inequality ALL → max comparison with count guards
+    val all = t("SELECT 1 WHERE k > ALL (SELECT c FROM t1)")
+    assert(all.contains("max(__g_c)") && all.contains("count(*)") &&
+      all.contains("THEN TRUE"))
+    // inequality ANY → min comparison, empty → FALSE
+    val any = t("SELECT 1 WHERE k <= ANY (SELECT c FROM t1)")
+    assert(any.contains("max(__g_c)") && any.contains("THEN FALSE"))
+    // GROUP BY ALL and UNION ALL are untouched
+    assert(t("SELECT g, count(*) FROM t1 GROUP BY ALL") ==
+      "SELECT g, count(*) FROM t1 GROUP BY ALL")
+    assert(t("SELECT 1 UNION ALL SELECT 2") == "SELECT 1 UNION ALL SELECT 2")
+  }
+
   test("r7 session 3: named WINDOW clause passes through untouched") {
     val sql = "SELECT sum(x) OVER w, rank() OVER w FROM t1 " +
       "WINDOW w AS (PARTITION BY g ORDER BY k) ORDER BY k"
