@@ -986,6 +986,15 @@ object DeclaredQueries {
         "AND s.s_suppkey = ANY (SELECT s3.s_suppkey FROM supplier s3 WHERE s3.s_acctbal > 0) " +
         "AND s.s_suppkey <> ALL (SELECT -1 AS neg) " +
         "ORDER BY s.s_suppkey"),
+    "q181_prepared" ->
+      // PREPARE / EXECUTE: $n and ? parameters spliced as literal texts
+      // outside string literals, body through the full dialect path —
+      // a prepared statement supports everything a direct one does
+      ("PREPARE g181 AS SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_c " +
+        "FROM orders WHERE o_orderkey < $1 AND o_orderstatus <> $2 " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority; " +
+        "EXECUTE g181(400, 'X')"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

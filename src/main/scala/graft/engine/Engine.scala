@@ -528,6 +528,70 @@ object Engine {
     }
   }
 
+  // ---- prepared statements (r7 session 3) -----------------------------
+  // DuckDB PREPARE name AS <sql> / EXECUTE name(args) / DEALLOCATE
+  // [PREPARE] name. Parameters are `$1..$n` (positional) or `?` (filled
+  // left-to-right); EXECUTE splices the literal argument texts into the
+  // stored DuckDB SQL (skipping string literals) and runs it through the
+  // normal dialect path — so a prepared statement supports everything a
+  // direct statement does. State is JVM-session-local like sequences.
+  private val preparedStmts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val prepareRe =
+    "(?is)^\\s*PREPARE\\s+([\\w`\"]+)\\s+AS\\s+(.+?)\\s*;?\\s*$".r
+  private val executeRe =
+    "(?is)^\\s*EXECUTE\\s+([\\w`\"]+)\\s*(?:\\((.*)\\))?\\s*;?\\s*$".r
+  private val deallocRe =
+    "(?is)^\\s*DEALLOCATE\\s+(?:PREPARE\\s+)?([\\w`\"]+)\\s*;?\\s*$".r
+
+  /** Split an EXECUTE argument list on top-level commas (paren- and
+    * string-aware). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach { ch =>
+      if (inStr) { cur.append(ch); if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true; cur.append(ch)
+        case '(' => depth += 1; cur.append(ch)
+        case ')' => depth -= 1; cur.append(ch)
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur.append(ch)
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  /** `$k` / `?` substitution outside string literals. */
+  private def bindParams(sql: String, args: Seq[String]): String = {
+    val out = new StringBuilder
+    var i = 0; var inStr = false; var qIdx = 0
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (inStr) { out.append(ch); if (ch == '\'') inStr = false; i += 1 }
+      else ch match {
+        case '\'' => inStr = true; out.append(ch); i += 1
+        case '$' if i + 1 < sql.length && sql.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+          val k = sql.substring(i + 1, j).toInt
+          require(k >= 1 && k <= args.length,
+            s"EXECUTE: parameter $$$k has no argument (got ${args.length})")
+          out.append("(").append(args(k - 1)).append(")")
+          i = j
+        case '?' =>
+          require(qIdx < args.length,
+            s"EXECUTE: more ? placeholders than arguments (${args.length})")
+          out.append("(").append(args(qIdx)).append(")")
+          qIdx += 1; i += 1
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
   // ---- ALTER TABLE column surface (r7 session 3) ----------------------
   // DuckDB semantics probe-pinned on 1.0: ADD COLUMN fills existing rows
   // with the DEFAULT (NULL absent), duplicate-add errors unless IF NOT
@@ -833,6 +897,22 @@ object Engine {
         return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))
       case copyToRe(source, path, opts) =>
         return runCopyTo(spark, source, path, Option(opts).getOrElse(""))
+      case prepareRe(name, body) =>
+        preparedStmts.put(name.replaceAll("[`\"]", "").toLowerCase, body)
+        return spark.emptyDataFrame
+      case executeRe(name0, argList) =>
+        val name = name0.replaceAll("[`\"]", "").toLowerCase
+        val body = preparedStmts.get(name)
+        if (body == null) throw new IllegalStateException(
+          s"EXECUTE: no prepared statement named '$name'")
+        val args = Option(argList).map(splitArgs).getOrElse(Nil)
+        return sql(spark, bindParams(body, args))
+      case deallocRe(name0) =>
+        val name = name0.replaceAll("[`\"]", "").toLowerCase
+        if (preparedStmts.remove(name) == null)
+          throw new IllegalStateException(
+            s"DEALLOCATE: no prepared statement named '$name'")
+        return spark.emptyDataFrame
       case s if s.toUpperCase.contains("ALTER") &&
           runAlterColumn(spark, s).isDefined =>
         return spark.emptyDataFrame

@@ -945,6 +945,26 @@ class OperatorsSpec extends SparkTestBase {
     Engine.sql(spark, "DROP TABLE sp_alter")
   }
 
+  test("PREPARE/EXECUTE/DEALLOCATE pin DuckDB semantics (r7 session 3)") {
+    Engine.registerTables(spark, sfDir)
+    Engine.sql(spark, "PREPARE sp_pq AS SELECT $1 + 1 AS v, upper($2) AS s")
+    val r = Engine.sql(spark, "EXECUTE sp_pq(41, 'hi')").head()
+    assert(r.get(0).toString == "42" && r.getString(1) == "HI")
+    // ? placeholders fill left-to-right; $ inside string literals survive
+    Engine.sql(spark,
+      "PREPARE sp_pq2 AS SELECT ? AS a, ? AS b, '$1 ? untouched' AS lit")
+    val r2 = Engine.sql(spark, "EXECUTE sp_pq2(7, 'x')").head()
+    assert(r2.get(0).toString == "7" && r2.getString(1) == "x" &&
+      r2.getString(2) == "$1 ? untouched")
+    // re-PREPARE replaces; DEALLOCATE removes; both error paths loud
+    Engine.sql(spark, "PREPARE sp_pq AS SELECT 99 AS v")
+    assert(Engine.sql(spark, "EXECUTE sp_pq").head().get(0).toString == "99")
+    Engine.sql(spark, "DEALLOCATE sp_pq")
+    intercept[IllegalStateException] { Engine.sql(spark, "EXECUTE sp_pq") }
+    intercept[IllegalStateException] { Engine.sql(spark, "DEALLOCATE sp_pq") }
+    Engine.sql(spark, "DEALLOCATE PREPARE sp_pq2")
+  }
+
   test("information_schema emulation and version()") {
     // DDL goes through Engine.sql (the server path) so the cached catalog
     // snapshot is invalidated; raw spark.sql DDL must bumpCatalogVersion
