@@ -995,6 +995,21 @@ object DeclaredQueries {
         "FROM orders WHERE o_orderkey < $1 AND o_orderstatus <> $2 " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority; " +
         "EXECUTE g181(400, 'X')"),
+    "q182_struct_slice_sort" ->
+      // struct_insert (UpdateFields chain, append order preserved),
+      // step slices (1-based inclusive, gathered via guarded sequence),
+      // list_sort order arguments (all four dir/nulls combinations
+      // probe-pinned; default is ASC NULLS LAST in both engines), and
+      // recursive unnest (two-level flatten)
+      ("SELECT vec_id, " +
+        "struct_insert({'id': vec_id}, lab := label, tag := 'x').lab AS si_lab, " +
+        "struct_insert({'id': vec_id}, lab := label, tag := 'x').tag AS si_tag, " +
+        "array_to_string([10, 20, 30, 40, 50, 60][2:6:2], ',') AS sl, " +
+        "array_to_string([CAST(label AS BIGINT), 9, 1][1:3:2], ',') AS sl2, " +
+        "array_to_string(list_sort([CAST(label AS BIGINT), 9, NULL, 1], 'DESC'), ',') AS lsd, " +
+        "array_to_string(list_sort([CAST(label AS BIGINT), 9, 1], 'ASC', 'NULLS FIRST'), ',') AS lsnf, " +
+        "(SELECT CAST(sum(u) AS BIGINT) FROM (SELECT unnest([[CAST(label AS BIGINT)], [2, 3]], recursive := true) AS u) inner_t) AS us " +
+        "FROM embeddings ORDER BY vec_id LIMIT 100"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

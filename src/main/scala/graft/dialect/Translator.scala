@@ -613,6 +613,32 @@ object Translator {
                   toks = toks.patch(rStart, lex(guarded), close - rStart + 1)
                   changed = true
                 } else {
+                  // second top-level colon → step slice l[a:b:s] (r7
+                  // session 3; probe: [1..6][2:6:2] = [2,4,6], 1-based
+                  // inclusive bounds). Gathered via sequence+element_at;
+                  // the CASE guards the empty slice (Spark's sequence
+                  // errors when start > stop with a positive step).
+                  var dd2 = 0; var colon2 = -1
+                  for ((t, k) <- inner.zipWithIndex) t match {
+                    case Punct("(") | Punct("[") => dd2 += 1
+                    case Punct(")") | Punct("]") => dd2 -= 1
+                    case Punct(":") if dd2 == 0 && k > colonAt && colon2 < 0 =>
+                      colon2 = k
+                    case _ =>
+                  }
+                  if (colon2 > colonAt) {
+                    val a = render(inner.slice(0, colonAt)).trim
+                    val b = render(inner.slice(colonAt + 1, colon2)).trim
+                    val st = render(inner.slice(colon2 + 1, inner.length)).trim
+                    val sa = if (a.isEmpty) "1" else startBound(recv, a)
+                    val eb = if (b.isEmpty) s"size($recv)"
+                      else s"least(${normBound(recv, b)}, size($recv))"
+                    val repl = s"(CASE WHEN ($sa) > ($eb) THEN slice($recv, 1, 0) " +
+                      s"ELSE transform(sequence(($sa), ($eb), ($st)), " +
+                      s"__g_i -> try_element_at($recv, CAST(__g_i AS INT))) END)"
+                    toks = toks.patch(rStart, lex(repl), close - rStart + 1)
+                    changed = true
+                  } else {
                   val a = render(inner.slice(0, colonAt)).trim
                   val b = render(inner.slice(colonAt + 1, inner.length)).trim
                   val repl =
@@ -625,6 +651,7 @@ object Translator {
                   if (repl.nonEmpty) {
                     toks = toks.patch(rStart, lex(repl), close - rStart + 1)
                     changed = true
+                  }
                   }
                 }
               }
@@ -1431,6 +1458,70 @@ object Translator {
               val fn = if (isCollectionExpr) "size" else "length"
               val repl = s"($fn($a) $cmp 0)"
               toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "LIST_SORT" || id.upper == "ARRAY_SORT") && callOpen >= 0 =>
+            // DuckDB 2/3-arg order forms (probe-pinned: default and 'ASC'
+            // are NULLS LAST; 'DESC' keeps NULLS LAST): four (dir, nulls)
+            // combinations map onto array_sort / sort_array / reverse
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length >= 2 && args.length <= 3) {
+              val lits = args.tail.map(_.filterNot(isWs)).flatMap {
+                case Vector(s: Str) => Some(s.value.toUpperCase.trim)
+                case _ => None
+              }
+              if (lits.length == args.length - 1) {
+                val l = render(args(0)).trim
+                val desc = lits.head.startsWith("DESC")
+                val nullsFirst = lits.lift(1).exists(_.contains("FIRST"))
+                val repl = (desc, nullsFirst) match {
+                  case (false, false) => s"array_sort($l)"
+                  case (true, false) => s"sort_array($l, false)"
+                  case (false, true) => s"sort_array($l, true)"
+                  case (true, true) => s"reverse(array_sort($l))"
+                }
+                toks = toks.patch(i, lex(repl), close - i + 1)
+                changed = true
+              }
+            }
+          case id: Ident if id.upper == "STRUCT_INSERT" && callOpen >= 0 =>
+            // struct_insert(s, a := v, …) → chained UpdateFields kernel
+            // (appends fields in argument order, DuckDB-identical)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length >= 2) {
+              val named = args.tail.map { arg =>
+                val at = arg.indexWhere(t => t == Punct(":="))
+                if (at <= 0) None
+                else {
+                  val name = arg.slice(0, at).filterNot(isWs) match {
+                    case Vector(n: Ident) => Some(n.text)
+                    case _ => None
+                  }
+                  name.map(n => (n, render(arg.slice(at + 1, arg.length)).trim))
+                }
+              }
+              if (named.forall(_.isDefined)) {
+                var acc = s"(${render(args(0)).trim})"
+                named.flatten.foreach { case (n, v) =>
+                  acc = s"graft_struct_insert($acc, '$n', ($v))"
+                }
+                toks = toks.patch(i, lex(acc), close - i + 1)
+                changed = true
+              }
+            }
+          case id: Ident if id.upper == "UNNEST" && callOpen >= 0 =>
+            // unnest(x, recursive := true) → explode(flatten(x)) — exact
+            // for two-level lists (deeper nesting fails loudly on
+            // flatten's type check; struct-unnesting not supported)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2 &&
+                render(args(1)).trim.toUpperCase.replaceAll("\\s+", "")
+                  .startsWith("RECURSIVE:=TRUE")) {
+              toks = toks.patch(i, lex(
+                s"explode(flatten(${render(args(0)).trim}))"), close - i + 1)
               changed = true
             }
           case id: Ident if Set("PLUS", "MINUS", "MULTIPLY", "DIVIDE",

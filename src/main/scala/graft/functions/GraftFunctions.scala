@@ -108,6 +108,11 @@ object GraftFunctions {
       args => NfcNormalize(args(0))),
     ("graft_chr", "DuckDB chr: full Unicode codepoint (Spark's chr cuts to 256)",
       args => ChrCodepoint(args(0))),
+    ("graft_struct_insert", "DuckDB struct_insert: append/replace one struct field (chained for multiple)",
+      args => org.apache.spark.sql.catalyst.expressions.UpdateFields(
+        args(0),
+        args(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        args(2))),
     ("nextval", "DuckDB nextval('seq'): per-row sequence advance (JVM-session state)",
       args => NextVal(args(0))),
     ("currval", "DuckDB currval('seq'): last value handed out by this session",

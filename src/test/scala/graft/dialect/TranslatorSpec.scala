@@ -829,6 +829,27 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT 1 UNION ALL SELECT 2") == "SELECT 1 UNION ALL SELECT 2")
   }
 
+  test("r7 session 3: struct_insert, step slices, list_sort orders, recursive unnest") {
+    assert(t("SELECT struct_insert(s, b := 2)") ==
+      "SELECT graft_struct_insert((s), 'b', (2))")
+    assert(t("SELECT struct_insert(s, b := 2, c := 'x')") ==
+      "SELECT graft_struct_insert(graft_struct_insert((s), 'b', (2)), 'c', ('x'))")
+    val sl = t("SELECT l[2:6:2]")
+    assert(sl.contains("sequence") && sl.contains("try_element_at") &&
+      sl.contains("slice(l, 1, 0)"))
+    assert(t("SELECT list_sort(l, 'DESC')") == "SELECT sort_array(l, false)")
+    assert(t("SELECT list_sort(l, 'ASC')") == "SELECT array_sort(l)")
+    assert(t("SELECT list_sort(l, 'ASC', 'NULLS FIRST')") ==
+      "SELECT sort_array(l, true)")
+    assert(t("SELECT list_sort(l, 'DESC', 'NULLS FIRST')") ==
+      "SELECT reverse(array_sort(l))")
+    assert(t("SELECT unnest(x, recursive := true)") ==
+      "SELECT explode(flatten(x))")
+    // plain forms unchanged
+    assert(t("SELECT list_sort(l)") == "SELECT array_sort(l)")
+    assert(t("SELECT unnest(x)") == "SELECT explode(x)")
+  }
+
   test("r7 session 3: named WINDOW clause passes through untouched") {
     val sql = "SELECT sum(x) OVER w, rank() OVER w FROM t1 " +
       "WINDOW w AS (PARTITION BY g ORDER BY k) ORDER BY k"
