@@ -1010,6 +1010,22 @@ object DeclaredQueries {
         "array_to_string(list_sort([CAST(label AS BIGINT), 9, 1], 'ASC', 'NULLS FIRST'), ',') AS lsnf, " +
         "(SELECT CAST(sum(u) AS BIGINT) FROM (SELECT unnest([[CAST(label AS BIGINT)], [2, 3]], recursive := true) AS u) inner_t) AS us " +
         "FROM embeddings ORDER BY vec_id LIMIT 100"),
+    "q183_base64_path_like" ->
+      // base64 family (BLOB⇄string via encode/decode UTF-8), LIKE/ILIKE
+      // ESCAPE function forms, parse_filename (with extension trim), and
+      // the readable-size aliases (formatReadableSize == format_bytes
+      // byte-exact; the Decimal variant is base-1000 — both probe-pinned)
+      ("SELECT doc_id, " +
+        "to_base64(encode(source)) AS b64, " +
+        "decode(from_base64(to_base64(encode(lang)))) AS rt, " +
+        "like_escape(source, 'src%', '$') AS le, " +
+        "ilike_escape(source, 'SRC%', '$') AS ile, " +
+        "not_like_escape(source, 'x$%%', '$') AS nle, " +
+        "parse_filename('/data/' || source || '/file.' || lang || '.jsonl') AS pf, " +
+        "parse_filename('/data/' || source || '/file_' || lang || '.jsonl', true) AS pft, " +
+        "formatReadableSize(n_chars * 1000) AS frs, " +
+        "formatReadableDecimalSize(n_chars * 1000) AS frd " +
+        "FROM documents ORDER BY doc_id LIMIT 100"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -1278,6 +1278,15 @@ object Translator {
     "PRODUCT" -> "graft_product",
     "BAR" -> "graft_bar",
     "FORMAT_BYTES" -> "graft_format_bytes",
+    // core-DuckDB readable-size aliases (probe: formatReadableSize ==
+    // format_bytes byte-exact; the Decimal variant is base-1000)
+    "FORMATREADABLESIZE" -> "graft_format_bytes",
+    "FORMATREADABLEDECIMALSIZE" -> "graft_format_bytes_decimal",
+    // base64 family: DuckDB takes/yields BLOBs, exactly Spark's
+    // base64/unbase64 contract
+    "TO_BASE64" -> "base64",
+    "BASE64" -> "base64",
+    "FROM_BASE64" -> "unbase64",
     "EDITDIST3" -> "levenshtein",
     // both pad the shorter list with NULL to the longest (probe-verified)
     "LIST_ZIP" -> "arrays_zip",
@@ -1457,6 +1466,51 @@ object Translator {
               }
               val fn = if (isCollectionExpr) "size" else "length"
               val repl = s"($fn($a) $cmp 0)"
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "ENCODE" || id.upper == "DECODE") && callOpen >= 0 =>
+            // DuckDB 1-arg UTF-8 string⇄blob conversions → Spark's
+            // charset forms
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              toks = toks.patch(i, lex(
+                s"${id.text.toLowerCase}(${render(args(0)).trim}, 'UTF-8')"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if Set("LIKE_ESCAPE", "ILIKE_ESCAPE",
+              "NOT_LIKE_ESCAPE", "NOT_ILIKE_ESCAPE").contains(id.upper) && callOpen >= 0 =>
+            // DuckDB function forms of LIKE … ESCAPE (probe-pinned);
+            // Spark supports both LIKE and ILIKE with ESCAPE natively
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 3) {
+              val (s0, p0, e0) = (render(args(0)).trim, render(args(1)).trim,
+                render(args(2)).trim)
+              val op = if (id.upper.contains("ILIKE")) "ILIKE" else "LIKE"
+              val core = s"(($s0) $op ($p0) ESCAPE $e0)"
+              val repl = if (id.upper.startsWith("NOT_")) s"(NOT $core)" else core
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "PARSE_FILENAME" && callOpen >= 0 =>
+            // last path component ('' after a trailing slash); optional
+            // trim_extension flag (probe: '/a/b/c.txt', true → 'c')
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length >= 1 && args.length <= 2) {
+              val p = render(args(0)).trim
+              val base = s"regexp_extract(($p), '[^/]*$$', 0)"
+              val trim = args.length == 2 &&
+                render(args(1)).trim.equalsIgnoreCase("true")
+              // regexp_replace_first (the registered kernel), not Spark's
+              // global regexp_replace: idempotent under re-translation
+              // (the 3-arg REGEXP_REPLACE rewrite would convert it) and
+              // exactly DuckDB's first-match trim
+              val repl = if (trim)
+                s"regexp_replace_first($base, '\\\\.[^.]*$$', '')" else base
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }

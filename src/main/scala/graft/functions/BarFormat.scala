@@ -50,6 +50,18 @@ case class GraftFormatBytes(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+case class GraftFormatBytesDecimal(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "format_bytes_decimal"
+  override def nullSafeEval(n: Any): Any =
+    BarFormat.formatBytesDecimal(n.asInstanceOf[Number].longValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, n =>
+      s"${ev.value} = graft.functions.BarFormat.formatBytesDecimal((long) $n);")
+  override protected def withNewChildInternal(c: Expression): GraftFormatBytesDecimal =
+    copy(child = c)
+}
+
 object BarFormat {
   private val Partials =
     Array("", "▏", "▎", "▍", "▌", "▋", "▊", "▉")
@@ -96,5 +108,26 @@ object BarFormat {
     // tenths digit = floor(rem * 10 / unit): rem < 2^50, *10 fits a Long
     val tenth = av % unit * 10L / unit
     UTF8String.fromString(s"$sign$whole.$tenth ${Units(k)}")
+  }
+
+  private val DecUnits = Array("bytes", "kB", "MB", "GB", "TB", "PB")
+
+  /** DuckDB formatReadableDecimalSize: base-1000 units, same truncated
+    * 1-decimal integer math (probe: 999999 → '999.9 kB', -2500 →
+    * '-2.5 kB', 1 → '1 byte'). */
+  def formatBytesDecimal(n: Long): UTF8String = {
+    if (n == Long.MinValue) return UTF8String.fromString("-9223.3 PB")
+    val av = math.abs(n)
+    if (av < 1000L) {
+      val s = if (av == 1L) s"$n byte" else s"$n bytes"
+      return UTF8String.fromString(s)
+    }
+    val sign = if (n < 0) "-" else ""
+    var k = 1
+    var unit = 1000L
+    while (k < 5 && av >= unit * 1000L) { k += 1; unit *= 1000L }
+    val whole = av / unit
+    val tenth = av % unit * 10L / unit
+    UTF8String.fromString(s"$sign$whole.$tenth ${DecUnits(k)}")
   }
 }

@@ -135,6 +135,9 @@ object GraftFunctions {
     ("graft_format_bytes", "DuckDB format_bytes: binary units, 1 truncated decimal, caps at PiB",
       args => GraftFormatBytes(org.apache.spark.sql.catalyst.expressions.Cast(
         args(0), org.apache.spark.sql.types.LongType))),
+    ("graft_format_bytes_decimal", "DuckDB formatReadableDecimalSize: base-1000 units, 1 truncated decimal",
+      args => GraftFormatBytesDecimal(org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), org.apache.spark.sql.types.LongType))),
     ("graft_version", "engine version string",
       _ => org.apache.spark.sql.catalyst.expressions.Literal.create(
         "graft-spark 0.1.0", org.apache.spark.sql.types.StringType)),

@@ -614,6 +614,19 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_format_bytes_decimal pins the DuckDB probe values (base 1000)") {
+    withFns {
+      val df = spark.range(1).toDF("i")
+      def s(e: String): String = df.select(expr(e)).head.getString(0)
+      assert(s("graft_format_bytes_decimal(999)") == "999 bytes")
+      assert(s("graft_format_bytes_decimal(1)") == "1 byte")
+      assert(s("graft_format_bytes_decimal(1024)") == "1.0 kB")
+      assert(s("graft_format_bytes_decimal(999999)") == "999.9 kB")
+      assert(s("graft_format_bytes_decimal(-2500)") == "-2.5 kB")
+      assert(s("graft_format_bytes_decimal(1500000000)") == "1.5 GB")
+    }
+  }
+
   test("product/entropy/histogram aggregates pin DuckDB 1.0 semantics") {
     withFns {
       import spark.implicits._
