@@ -728,6 +728,31 @@ object PipelineQueries {
           round(element_at(col("q"), 3) * 100).cast("bigint").as("q3_c"))
         .orderBy("doc_id")
     }),
+    // ---- metadata-conflict detection (r7 session 3): content-identical
+    // docs whose lang/source labels DISAGREE — the dedup-bookkeeping
+    // signal that keep-first dedup silently destroys label information
+    // (a mirror crawl re-tagged 20% of docs here, the p43/p44 planting
+    // convention). ONE content-hash shuffle; count-distinct partials
+    // combine map-side. Scale: hash keys move, never text.
+    "p56_label_conflicts" -> q((s, _) => {
+      val docs = s.table("documents")
+      val mirror = docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          when(col("doc_id") % 10 === 1, lit("und")).otherwise(col("lang")).as("lang"),
+          lit("mirror").as("source"))
+      val aug = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .unionByName(mirror)
+      aug.groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_lang"),
+          countDistinct(col("source")).as("n_source"),
+          min(col("doc_id")).as("first_id"))
+        .filter(col("n_docs") > 1)
+        .select(col("h"), col("n_docs"), col("n_lang"), col("n_source"),
+          col("first_id"),
+          (col("n_lang") > 1 || col("n_source") > 1).as("conflict"))
+        .orderBy("h")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -1267,6 +1292,18 @@ object PipelineQueries {
         "SELECT doc_id, CAST(1 + CAST(n_chars > q[1] AS INT) + CAST(n_chars > q[2] AS INT) + CAST(n_chars > q[3] AS INT) AS BIGINT) AS bin, " +
         "CAST(round(q[1] * 100) AS BIGINT) AS q1_c, CAST(round(q[3] * 100) AS BIGINT) AS q3_c " +
         "FROM documents, th ORDER BY doc_id"),
+    // p56 (r7 session 3): identical mirror-crawl planting + content-hash
+    // grouping in SQL.
+    "p56_label_conflicts" ->
+      ("WITH aug AS (SELECT doc_id, text, lang, source FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text, " +
+        "CASE WHEN doc_id % 10 = 1 THEN 'und' ELSE lang END, 'mirror' " +
+        "FROM documents WHERE doc_id % 5 = 1), " +
+        "g AS (SELECT md5(text) AS h, count(*) AS n_docs, " +
+        "count(DISTINCT lang) AS n_lang, count(DISTINCT source) AS n_source, " +
+        "min(doc_id) AS first_id FROM aug GROUP BY 1) " +
+        "SELECT h, n_docs, n_lang, n_source, first_id, " +
+        "(n_lang > 1 OR n_source > 1) AS conflict FROM g WHERE n_docs > 1 ORDER BY h"),
     // p44 (r7): brute-force byte-shingle simhash hamming scan over the
     // planted payload corpus — the p04 oracle pattern with 4-byte
     // substring shingles instead of tokens (fixture text is pure ASCII,

@@ -175,6 +175,11 @@ object PlanAudit {
     Check("p55_quality_bins",
       wantAll = Seq("BroadcastNestedLoopJoin", "percentile"),
       wantNone = Seq("SortMergeJoin", "CartesianProduct")),
+    // label conflicts (r7 session 3): one content-hash agg (the distinct
+    // pair runs through Expand, still keyed by h) — no join anywhere
+    Check("p56_label_conflicts",
+      wantAll = Seq("HashAggregate"),
+      wantNone = Seq("Join", "Window")),
     // quality gate: rank and per-source count share ONE window partitioning
     Check("p31_quality_gate", wantAll = Seq("token_set_hits", "Window"),
       wantNone = Seq("Join")),
