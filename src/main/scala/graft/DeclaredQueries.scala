@@ -1026,6 +1026,12 @@ object DeclaredQueries {
         "formatReadableSize(n_chars * 1000) AS frs, " +
         "formatReadableDecimalSize(n_chars * 1000) AS frd " +
         "FROM documents ORDER BY doc_id LIMIT 100"),
+    "q184_pragma_table_info" ->
+      // pragma_table_info as a table function (the introspection idiom):
+      // DuckDB type spellings on both sides, view/parquet columns all
+      // nullable, no defaults or pks
+      ("SELECT CAST(ti.cid AS BIGINT) AS cid, ti.name, ti.type, ti.notnull AS nn, ti.pk " +
+        "FROM pragma_table_info('customer') ti ORDER BY cid"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -287,8 +287,11 @@ object Engine {
       case "table_info" =>
         val t = arg.getOrElse("").trim.replaceAll("^['\"`]|['\"`]$", "")
         require(t.nonEmpty, "PRAGMA table_info requires a table name")
+        // DuckDB type spellings (INTEGER/VARCHAR, not INT/STRING) so the
+        // output is comparable across engines (r7 session 3)
         spark.table(t).schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-          (i.toLong, f.name, f.dataType.sql, !f.nullable, Option.empty[String], false)
+          (i.toLong, f.name, duckTypeName(f.dataType), !f.nullable,
+            Option.empty[String], false)
         }.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
       // setting pragmas no-op ONLY in recognizable setting shapes: a call
       // or `=` argument (threads(4), memory_limit='2GB'), or a bare toggle
@@ -760,6 +763,23 @@ object Engine {
         java.util.Arrays.asList(out: _*)), schema)
   }
 
+  private val callPragmaRe =
+    "(?is)^\\s*CALL\\s+pragma_([\\w]+)\\s*\\(\\s*('[^']*')?\\s*\\)\\s*;?\\s*$".r
+  private val tableFnPragmaRe =
+    "(?is)pragma_([\\w]+)\\s*\\(\\s*('[^']*')?\\s*\\)".r
+
+  /** `FROM pragma_table_info('t')`-style table-function forms — each
+    * occurrence computed via runPragma into a temp view and the call text
+    * replaced by the view name (the SUMMARIZE-splice pattern). */
+  private def rewriteTableFnPragmas(spark: SparkSession, sql0: String): String =
+    tableFnPragmaRe.replaceAllIn(sql0, m => {
+      val df = runPragma(spark, m.group(1), Option(m.group(2)))
+      val tv = "graft_pragma_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(m.matched.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      df.createOrReplaceTempView(tv)
+      tv
+    })
+
   /** Derived-table form `FROM (SUMMARIZE <inner>)` — each occurrence is
     * computed into a temp view (the rewriteTableFunctions precedent) and
     * the parenthesized span replaced by the view name, so the outer query
@@ -861,9 +881,16 @@ object Engine {
     val duckSql = {
       val expanded = graft.dialect.Macros.expand(spark, duckSql0)
       // derived-table SUMMARIZE: `FROM (SUMMARIZE …)` → temp view splice
-      if (expanded.toUpperCase.contains("SUMMARIZE"))
+      val s1 = if (expanded.toUpperCase.contains("SUMMARIZE"))
         rewriteEmbeddedSummarize(spark, expanded)
       else expanded
+      // table-function pragmas: `FROM pragma_table_info('t')` → temp view
+      // (CALL statements keep their text — the CALL matcher below routes
+      // them to runPragma directly)
+      if (s1.toLowerCase.contains("pragma_") &&
+          !callPragmaRe.pattern.matcher(s1).matches())
+        rewriteTableFnPragmas(spark, s1)
+      else s1
     }
     duckSql match {
       case pragmaRe(name, callArg, eqArg) =>
@@ -897,6 +924,9 @@ object Engine {
         return runCopyFrom(spark, table, path, Option(opts).getOrElse(""))
       case copyToRe(source, path, opts) =>
         return runCopyTo(spark, source, path, Option(opts).getOrElse(""))
+      case callPragmaRe(name, arg) =>
+        // DuckDB `CALL pragma_<fn>(…)` — the procedure form of PRAGMA
+        return runPragma(spark, name, Option(arg))
       case prepareRe(name, body) =>
         preparedStmts.put(name.replaceAll("[`\"]", "").toLowerCase, body)
         return spark.emptyDataFrame
