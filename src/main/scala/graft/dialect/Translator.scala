@@ -2615,22 +2615,61 @@ object Translator {
         case other => other
       }
     }
-    // USING SAMPLE n% | n PERCENT | n ROWS
+    // USING SAMPLE n% | n PERCENT | n ROWS, optionally with a method —
+    // `10% (bernoulli[, seed])` or `reservoir(5 ROWS)` — and REPEATABLE
+    // (seed). Methods collapse onto Spark's TABLESAMPLE (row-level
+    // Bernoulli; system/reservoir are declared approximations — the
+    // sampled SET is engine-specific either way), seeds ride through as
+    // REPEATABLE (Spark supports it natively).
     var i = 0
     while (i < toks.length) {
       if (up(toks(i)) == "USING") {
         val s = nextNonWs(toks, i)
         if (s < toks.length && up(toks(s)) == "SAMPLE") {
-          val numIdx = nextNonWs(toks, s)
+          var numIdx = nextNonWs(toks, s)
+          // method-first form: SAMPLE reservoir(5 ROWS)
+          var methodFirst = false
+          if (numIdx < toks.length && toks(numIdx).isInstanceOf[Ident] &&
+              Set("BERNOULLI", "SYSTEM", "RESERVOIR").contains(up(toks(numIdx)))) {
+            val op = nextNonWs(toks, numIdx)
+            if (op < toks.length && toks(op) == Punct("(")) {
+              methodFirst = true
+              numIdx = nextNonWs(toks, op)
+            }
+          }
           if (numIdx < toks.length && toks(numIdx).isInstanceOf[Num]) {
             val n = toks(numIdx).text
             val after = nextNonWs(toks, numIdx)
-            val (endIdx, unit) =
+            var (endIdx, unit) =
               if (after < toks.length && toks(after) == Punct("%")) (after, "PERCENT")
               else if (after < toks.length && up(toks(after)) == "PERCENT") (after, "PERCENT")
               else if (after < toks.length && up(toks(after)) == "ROWS") (after, "ROWS")
               else (numIdx, "ROWS")
-            toks = toks.patch(i, Seq(Ident(s"TABLESAMPLE ($n $unit)")), endIdx - i + 1)
+            var seed = ""
+            if (methodFirst) {
+              // consume through the method's close paren
+              var j = nextNonWs(toks, endIdx)
+              if (j < toks.length && toks(j) == Punct(")")) endIdx = j
+            } else {
+              // trailing (method[, seed]) group
+              val j = nextNonWs(toks, endIdx)
+              if (j < toks.length && toks(j) == Punct("(")) {
+                val close = matchParen(toks, j)
+                val parts = splitTopLevel(toks.slice(j + 1, close))
+                val isMethod = parts.headOption.exists(_.filterNot(isWs) match {
+                  case Vector(m: Ident) =>
+                    Set("BERNOULLI", "SYSTEM", "RESERVOIR").contains(m.upper)
+                  case _ => false
+                })
+                if (isMethod) {
+                  if (parts.length == 2) seed = render(parts(1)).trim
+                  endIdx = close
+                }
+              }
+            }
+            val rep = if (seed.nonEmpty) s" REPEATABLE ($seed)" else ""
+            toks = toks.patch(i,
+              Seq(Ident(s"TABLESAMPLE ($n $unit)$rep")), endIdx - i + 1)
           }
         }
       }

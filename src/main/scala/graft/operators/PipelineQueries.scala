@@ -753,6 +753,34 @@ object PipelineQueries {
           (col("n_lang") > 1 || col("n_source") > 1).as("conflict"))
         .orderBy("h")
     }),
+    // ---- centroid-cohesion report (r7 session 3): per cluster (label),
+    // the element-wise-mean centroid and every member's cosine to it —
+    // the outlier-detection / cluster-quality step after assignment.
+    // Scale shape: ONE posexplode scan partial-aggregated to (label, pos)
+    // means (centroid frame is |labels|×dim, tiny), centroids rebuilt
+    // with the sort-after-collect pattern and BROADCAST back, cosines in
+    // one kernel scan, per-label aggregation. Centroids are cast to FLOAT
+    // on both sides so the kernel input is bit-identical (the p39 oracle
+    // convention); double accumulation-order noise is absorbed by micro
+    // quantization.
+    "p57_centroid_cohesion" -> q((s, _) => {
+      val e = s.table("embeddings")
+      val pos = e.select(col("label"),
+        posexplode(col("embedding")).as(Seq("p", "v")))
+      val cen = pos.groupBy("label", "p")
+        .agg(avg(col("v").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+          st => st.getField("c").cast("float")).as("cen"))
+      e.join(broadcast(cen), Seq("label"))
+        .select(col("label"),
+          GraftFunctions.cosine_sim(col("embedding"), col("cen")).as("cos"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("cos")) * 1000000).cast("bigint").as("avg_cos_micro"),
+          round(min(col("cos")) * 1000000).cast("bigint").as("min_cos_micro"))
+        .orderBy("label")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -1304,6 +1332,21 @@ object PipelineQueries {
         "min(doc_id) AS first_id FROM aug GROUP BY 1) " +
         "SELECT h, n_docs, n_lang, n_source, first_id, " +
         "(n_lang > 1 OR n_source > 1) AS conflict FROM g WHERE n_docs > 1 ORDER BY h"),
+    // p57 (r7 session 3): the same centroid construction in SQL — ordered
+    // list rebuild, FLOAT cast, p39's double-cosine formula.
+    "p57_centroid_cohesion" ->
+      ("WITH pos AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS p FROM embeddings), " +
+        "cm AS (SELECT label, p, avg(CAST(v AS DOUBLE)) AS c FROM pos GROUP BY 1, 2), " +
+        "ca AS (SELECT label, list_transform(list(c ORDER BY p), x -> CAST(x AS FLOAT)) AS cen FROM cm GROUP BY label), " +
+        "cs AS (SELECT e.label, " +
+        "list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(ca.cen[i] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(ca.cen, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos " +
+        "FROM embeddings e JOIN ca USING (label)) " +
+        "SELECT label, count(*) AS n, " +
+        "CAST(round(avg(cos) * 1000000) AS BIGINT) AS avg_cos_micro, " +
+        "CAST(round(min(cos) * 1000000) AS BIGINT) AS min_cos_micro " +
+        "FROM cs GROUP BY label ORDER BY label"),
     // p44 (r7): brute-force byte-shingle simhash hamming scan over the
     // planted payload corpus — the p04 oracle pattern with 4-byte
     // substring shingles instead of tokens (fixture text is pure ASCII,

@@ -175,6 +175,12 @@ object PlanAudit {
     Check("p55_quality_bins",
       wantAll = Seq("BroadcastNestedLoopJoin", "percentile"),
       wantNone = Seq("SortMergeJoin", "CartesianProduct")),
+    // centroid cohesion (r7 session 3): posexplode → (label,pos) partial
+    // agg → tiny centroid frame BROADCAST back → kernel scan + per-label
+    // agg — never a sort-merge join of the fact side
+    Check("p57_centroid_cohesion",
+      wantAll = Seq("Generate", "BroadcastHashJoin", "cosine_sim"),
+      wantNone = Seq("SortMergeJoin", "CartesianProduct")),
     // label conflicts (r7 session 3): one content-hash agg (the distinct
     // pair runs through Expand, still keyed by h) — no join anywhere
     Check("p56_label_conflicts",

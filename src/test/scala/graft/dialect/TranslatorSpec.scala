@@ -850,6 +850,17 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT unnest(x)") == "SELECT explode(x)")
   }
 
+  test("r7 session 3: USING SAMPLE method forms and seeds") {
+    assert(t("SELECT * FROM t1 USING SAMPLE 10% (bernoulli)") ==
+      "SELECT * FROM t1 TABLESAMPLE (10 PERCENT)")
+    assert(t("SELECT * FROM t1 USING SAMPLE 10% (bernoulli, 42)") ==
+      "SELECT * FROM t1 TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+    assert(t("SELECT * FROM t1 USING SAMPLE reservoir(5 ROWS)") ==
+      "SELECT * FROM t1 TABLESAMPLE (5 ROWS)")
+    assert(t("SELECT * FROM t1 USING SAMPLE 5 ROWS") ==
+      "SELECT * FROM t1 TABLESAMPLE (5 ROWS)")
+  }
+
   test("r7 session 3: named WINDOW clause passes through untouched") {
     val sql = "SELECT sum(x) OVER w, rank() OVER w FROM t1 " +
       "WINDOW w AS (PARTITION BY g ORDER BY k) ORDER BY k"
