@@ -113,6 +113,28 @@ object Streaming {
       key: String = "source"): DataFrame =
     stream.join(broadcast(dim), key)
 
+  /** Stream–stream event-time interval join (r7 session 3): correlate two
+    * live feeds on a key within a time bound — the canonical "document
+    * arrives on one feed, its annotation/score arrives on another" shape
+    * of a streaming curation pipeline. Both sides carry watermarks and the
+    * join condition bounds right.ts to [left.ts, left.ts + withinMs], so
+    * Spark's symmetric hash join can EVICT state once the watermark passes
+    * a row's bound — state stays O(in-flight window), never unbounded.
+    * Inner join: unmatched rows age out silently (the left-outer variant
+    * emits them with NULLs at watermark expiry — same state contract). */
+  def correlateStreams(left: DataFrame, right: DataFrame, key: String,
+      withinMs: Long, leftTs: String = "ts", rightTs: String = "rts",
+      watermark: String = "10 seconds", joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinMs MILLISECONDS"),
+      joinType)
+      .drop(r(key))
+  }
+
   /** Streaming span-level decontamination (r7): the continuous form of
     * [[graft.operators.Decontamination.scrubEvalSpans]] — every incoming
     * doc loses tokens covered by a k-token window present in the (static,

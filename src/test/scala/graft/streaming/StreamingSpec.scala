@@ -137,6 +137,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates feeds within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[(Timestamp, Long, String)]
+    val scores = MemoryStream[(Timestamp, Long, Double)]
+    val left = docs.toDF().toDF("ts", "doc_id", "text")
+    val right = scores.toDF().toDF("rts", "doc_id", "score")
+    val q = Streaming.correlateStreams(left, right, "doc_id", withinMs = 5000)
+      .select("doc_id", "text", "score")
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      docs.addData((new Timestamp(t0), 1L, "doc one"),
+        (new Timestamp(t0), 2L, "doc two"))
+      // doc 1's score arrives 2s later (inside the 5s bound); doc 2's
+      // arrives 20s later (outside) and must NOT correlate
+      scores.addData((new Timestamp(t0 + 2000), 1L, 0.9),
+        (new Timestamp(t0 + 20000), 2L, 0.5))
+      q.processAllAvailable()
+      // advance both watermarks so state for the missed pair evicts
+      docs.addData((new Timestamp(t0 + 60000), 99L, "late"))
+      scores.addData((new Timestamp(t0 + 60000), 98L, 0.1))
+      q.processAllAvailable()
+      val rows = spark.table("correlated").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toMap
+      assert(rows == Map(1L -> 0.9))
+    } finally q.stop()
+  }
+
   test("streaming curation gates quality and language, dedups within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
