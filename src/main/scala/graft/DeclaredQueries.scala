@@ -1032,6 +1032,16 @@ object DeclaredQueries {
       // nullable, no defaults or pks
       ("SELECT CAST(ti.cid AS BIGINT) AS cid, ti.name, ti.type, ti.notnull AS nn, ti.pk " +
         "FROM pragma_table_info('customer') ti ORDER BY cid"),
+    "q185_mad" ->
+      // mad: interpolated median absolute deviation (CountingAggs
+      // value→count buffer — memory bounded by distinct values); both
+      // engines interpolate with the same lo + frac·(hi−lo) on the same
+      // doubles, so the result is bit-identical before quantization
+      ("SELECT l_returnflag, " +
+        "CAST(round(mad(l_quantity) * 1000000) AS BIGINT) AS mad_qty_micro, " +
+        "CAST(round(mad(l_extendedprice) * 1000000) AS BIGINT) AS mad_px_micro, " +
+        "CAST(round(mad(l_discount) * 1000000) AS BIGINT) AS mad_disc_micro " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

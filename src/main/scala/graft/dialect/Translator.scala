@@ -1276,6 +1276,7 @@ object Translator {
     "MATCH" -> "rlike",
     "HISTOGRAM" -> "graft_histogram",
     "PRODUCT" -> "graft_product",
+    "MAD" -> "graft_mad",
     "BAR" -> "graft_bar",
     "FORMAT_BYTES" -> "graft_format_bytes",
     // core-DuckDB readable-size aliases (probe: formatReadableSize ==

@@ -164,6 +164,58 @@ case class GraftEntropy(child: Expression,
     copy(child = c)
 }
 
+/** DuckDB `mad(x)` — median absolute deviation with interpolated medians
+  * (probe: mad{1,2,3,100} = 1.0 via median 2.5; single value → 0.0; empty
+  * → NULL; NULLs skipped). Same value→count buffer as histogram/entropy
+  * (keys cast to DOUBLE by the registration builder), so memory is
+  * bounded by DISTINCT values — the Spark Percentile shape, never a raw
+  * value list. */
+case class GraftMad(child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends CountMapAggregate {
+  override def prettyName: String = "mad"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** Interpolated median of a weighted multiset given as sorted
+    * (value, count) pairs. */
+  private def weightedMedian(pairs: Array[(Double, Long)], n: Long): Double = {
+    val p = (n - 1) * 0.5
+    val lo = p.toLong // floor: p >= 0
+    val frac = p - lo
+    var cum = 0L
+    var i = 0
+    var vLo = 0.0; var vHi = 0.0
+    var needHi = frac > 0
+    var foundLo = false; var foundHi = !needHi
+    while (i < pairs.length && (!foundLo || !foundHi)) {
+      cum += pairs(i)._2
+      if (!foundLo && cum >= lo + 1) { vLo = pairs(i)._1; foundLo = true }
+      if (needHi && !foundHi && cum >= lo + 2) { vHi = pairs(i)._1; foundHi = true }
+      i += 1
+    }
+    if (!needHi) vLo else vLo + frac * (vHi - vLo)
+  }
+
+  override def eval(buf: mutable.HashMap[Any, Long]): Any = {
+    if (buf.isEmpty) return null
+    val pairs = buf.toArray.map { case (k, c) =>
+      (k.asInstanceOf[Double], c)
+    }.sortBy(_._1)
+    val n = pairs.map(_._2).sum
+    val med = weightedMedian(pairs, n)
+    val devs = pairs.map { case (v, c) => (math.abs(v - med), c) }.sortBy(_._1)
+    weightedMedian(devs, n)
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): GraftMad =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): GraftMad =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(c: Expression): GraftMad =
+    copy(child = c)
+}
+
 case class GraftHistogram(child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends CountMapAggregate {

@@ -124,6 +124,9 @@ object GraftFunctions {
       args => GraftEntropy(args(0))),
     ("graft_histogram", "DuckDB histogram aggregate: MAP(value -> count), keys ascending, empty group NULL",
       args => GraftHistogram(args(0))),
+    ("graft_mad", "DuckDB mad aggregate: interpolated median absolute deviation",
+      args => GraftMad(org.apache.spark.sql.catalyst.expressions.Cast(
+        args(0), org.apache.spark.sql.types.DoubleType))),
     ("graft_bar", "DuckDB bar(x, min, max[, width=80]): unicode block bar, byte-length space pad",
       args => {
         def d(e: Expression) = org.apache.spark.sql.catalyst.expressions.Cast(

@@ -627,6 +627,23 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_mad pins DuckDB's interpolated median absolute deviation") {
+    withFns {
+      import spark.implicits._
+      def mad(vs: Seq[Double]): Any = {
+        val r = vs.toDF("x").select(expr("graft_mad(x)")).head
+        if (r.isNullAt(0)) null else r.getDouble(0)
+      }
+      assert(mad(Seq(1, 2, 3, 100)) == 1.0) // median 2.5, devs {.5,.5,1.5,97.5}
+      assert(mad(Seq(1, 2, 4)) == 1.0)
+      assert(mad(Seq(5)) == 0.0)
+      assert(mad(Seq.empty) == null)
+      // duplicate-heavy multiset exercises the weighted interpolation
+      assert(mad(Seq(1, 1, 1, 9)) == 0.0)
+      assert(mad(Seq(1, 1, 9, 9)) == 4.0) // median 5, devs all 4
+    }
+  }
+
   test("product/entropy/histogram aggregates pin DuckDB 1.0 semantics") {
     withFns {
       import spark.implicits._
