@@ -1042,6 +1042,27 @@ object DeclaredQueries {
         "CAST(round(mad(l_extendedprice) * 1000000) AS BIGINT) AS mad_px_micro, " +
         "CAST(round(mad(l_discount) * 1000000) AS BIGINT) AS mad_disc_micro " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q186_alias_sweep" ->
+      // duckdb_functions() audit sweep (r7 session 3): sem (POPULATION
+      // stddev / √n — probe-pinned), regexp_escape (RE2 QuoteMeta),
+      // regexp_full_match, list_resize (fill beyond original length
+      // only), map_extract ([] when absent), list_distance (euclidean),
+      // $-path json_extract, and the plain-rename family
+      // (mean/ucase/strlen/prefix/yearweek/century/weekday/…)
+      ("SELECT o_orderpriority, " +
+        "CAST(round(sem(o_totalprice) * 1000000) AS BIGINT) AS sem_micro, " +
+        "regexp_escape('p.' || o_orderstatus || '*') AS re, " +
+        "regexp_full_match(o_orderstatus, '[A-Z]') AS fm, " +
+        "array_to_string(list_resize([1, 2], 4, 9), ',') AS lr, " +
+        "CAST(to_json(map_extract(MAP {'P': 1, 'F': 2}, o_orderstatus)) AS VARCHAR) AS mx, " +
+        "CAST(round(list_distance([1.0, 2.0], [CAST(min(o_orderkey) % 3 AS DOUBLE), 6.0]) * 1000000) AS BIGINT) AS ld, " +
+        "CAST(json_extract('{\"k\": {\"v\": 5}}', '$.k.v') AS VARCHAR) AS je, " +
+        "ucase(CAST(mean(o_totalprice) > 0 AS VARCHAR)) AS m, strlen(o_orderpriority) AS sl, " +
+        "prefix(o_orderpriority, '1') AS pf, " +
+        "CAST(century(DATE '2024-03-01') AS BIGINT) AS cen, " +
+        "CAST(weekday(DATE '2024-03-03') AS BIGINT) AS wd, " +
+        "CAST(yearweek(DATE '2023-01-01') AS BIGINT) AS yw " +
+        "FROM orders GROUP BY o_orderpriority, o_orderstatus ORDER BY o_orderpriority, o_orderstatus"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

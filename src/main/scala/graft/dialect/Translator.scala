@@ -1162,7 +1162,7 @@ object Translator {
     var i = 0
     while (i < toks.length) {
       toks(i) match {
-        case id: Ident if id.upper == "STRING_SPLIT" || id.upper == "STR_SPLIT" =>
+        case id: Ident if id.upper == "STRING_SPLIT" || id.upper == "STR_SPLIT" || id.upper == "STRING_TO_ARRAY" =>
           val open = nextNonWs(toks, i)
           if (open < toks.length && toks(open) == Punct("(")) {
             val close = matchParen(toks, open)
@@ -1211,6 +1211,7 @@ object Translator {
     "LIST_FILTER" -> "filter",
     "STRING_SPLIT" -> "split",
     "STR_SPLIT" -> "split",
+    "STRING_TO_ARRAY" -> "split",
     "REGEXP_MATCHES" -> "rlike",
     "VERSION" -> "graft_version",
     "STRFTIME" -> "date_format",
@@ -1277,6 +1278,48 @@ object Translator {
     "HISTOGRAM" -> "graft_histogram",
     "PRODUCT" -> "graft_product",
     "MAD" -> "graft_mad",
+    // r7 session-3 alias sweep (duckdb_functions() audit): plain renames
+    // where Spark's semantics match exactly
+    "UCASE" -> "upper",
+    "LCASE" -> "lower",
+    "MEAN" -> "avg",
+    "PREFIX" -> "startswith",
+    "SUFFIX" -> "endswith",
+    // DuckDB strlen is BYTE length (length is chars) — Spark octet_length
+    "STRLEN" -> "octet_length",
+    "ARRAY_CAT" -> "concat",
+    "LIST_CAT" -> "concat",
+    "ARRAY_CONCAT" -> "concat",
+    "LIST_PACK" -> "array",
+    "ARRAY_VALUE" -> "array",
+    "LIST_APPLY" -> "transform",
+    "ARRAY_APPLY" -> "transform",
+    "ARRAY_TRANSFORM" -> "transform",
+    "APPLY" -> "transform",
+    "ARRAY_FILTER" -> "filter",
+    "ARRAY_HAS" -> "array_contains",
+    "ARRAY_INDEXOF" -> "array_position",
+    "ARRAY_EXTRACT" -> "try_element_at",
+    "ARRAY_ZIP" -> "arrays_zip",
+    // compensated sums: Spark's plain sum/avg — last-ulp differences are
+    // absorbed by declared-query quantization (documented)
+    "FAVG" -> "avg",
+    "FSUM" -> "sum",
+    "SUMKAHAN" -> "sum",
+    "KAHAN_SUM" -> "sum",
+    // kurtosis_pop IS the population g2 — exactly Spark's native form
+    "KURTOSIS_POP" -> "graft_kurtosis_g2",
+    "GEN_RANDOM_UUID" -> "uuid",
+    "GET_CURRENT_TIMESTAMP" -> "now",
+    "TRANSACTION_TIMESTAMP" -> "now",
+    "CURRENT_LOCALTIMESTAMP" -> "localtimestamp",
+    "ROW" -> "struct",
+    // $-path JSON extraction (DuckDB also takes bare keys — those return
+    // NULL through get_json_object, same as DuckDB 1.0's own behavior for
+    // dotted non-$ paths; declared queries use $-paths)
+    "JSON_EXTRACT" -> "get_json_object",
+    "JSON_EXTRACT_PATH" -> "get_json_object",
+    "JSON_EXTRACT_PATH_TEXT" -> "get_json_object",
     "BAR" -> "graft_bar",
     "FORMAT_BYTES" -> "graft_format_bytes",
     // core-DuckDB readable-size aliases (probe: formatReadableSize ==
@@ -1468,6 +1511,69 @@ object Translator {
               val fn = if (isCollectionExpr) "size" else "length"
               val repl = s"($fn($a) $cmp 0)"
               toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "SEM" && callOpen >= 0 =>
+            // DuckDB sem = POPULATION stddev / sqrt(n) (probe-pinned)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val x = render(args(0)).trim
+              toks = toks.patch(i, lex(
+                s"(stddev_pop($x) / sqrt(CAST(count($x) AS DOUBLE)))"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "REGEXP_FULL_MATCH" && callOpen >= 0 =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (s0, p0) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(
+                s"rlike(($s0), concat('^(?:', ($p0), ')$$'))"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "REGEXP_ESCAPE" && callOpen >= 0 =>
+            // RE2 QuoteMeta: backslash-escape every char outside
+            // [A-Za-z0-9_] (probe: '.', '*', '#', '-', and SPACE all
+            // escaped)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              toks = toks.patch(i, lex(
+                // Spark's 4-arg form (position 1): still a GLOBAL replace,
+                // and re-translation can't mistake it for DuckDB's 3-arg
+                // first-match form (the parse-fixpoint guard)
+                s"regexp_replace((${render(args(0)).trim}), '([^a-zA-Z0-9_])', '\\\\\\\\$$1', 1)"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if id.upper == "MAP_EXTRACT" && callOpen >= 0 =>
+            // DuckDB map_extract(m, k) → 1-element LIST ([] when absent) —
+            // the map-subscript wrap shape
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (m, k) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(
+                s"IF(map_contains_key(($m), ($k)), array(try_element_at(($m), ($k))), array())"),
+                close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "LIST_RESIZE" || id.upper == "ARRAY_RESIZE") && callOpen >= 0 =>
+            // probe-pinned: pads with NULL (or the 3rd-arg fill) BEYOND the
+            // original length only, truncates, n = 0 -> []; Spark sequence
+            // errors on empty ranges, hence the guard
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2 || args.length == 3) {
+              val (l, n) = (render(args(0)).trim, render(args(1)).trim)
+              val fill = if (args.length == 3) render(args(2)).trim else "NULL"
+              toks = toks.patch(i, lex(
+                s"(CASE WHEN ($n) <= 0 THEN slice(($l), 1, 0) ELSE " +
+                  s"transform(sequence(1, CAST(($n) AS INT)), __g_i -> " +
+                  s"CASE WHEN __g_i <= size(($l)) THEN try_element_at(($l), __g_i) ELSE ($fill) END) END)"),
+                close - i + 1)
               changed = true
             }
           case id: Ident if (id.upper == "ENCODE" || id.upper == "DECODE") && callOpen >= 0 =>
@@ -1705,7 +1811,7 @@ object Translator {
                 changed = true
               }
             }
-          case id: Ident if id.upper == "LIST_GRADE_UP" && callOpen >= 0 =>
+          case id: Ident if Set("LIST_GRADE_UP", "ARRAY_GRADE_UP", "GRADE_UP").contains(id.upper) && callOpen >= 0 =>
             // DuckDB list_grade_up: 1-based positions in ascending order,
             // NULLS LAST, ties stable (probe: [10,NULL,10,5] → [4,1,3,2]).
             // Sort key rides a (is-null, value, position) struct: boolean
@@ -1730,7 +1836,7 @@ object Translator {
                 close - i + 1)
               changed = true
             }
-          case id: Ident if id.upper == "LIST_SELECT" && callOpen >= 0 =>
+          case id: Ident if (id.upper == "LIST_SELECT" || id.upper == "ARRAY_SELECT") && callOpen >= 0 =>
             // 1-based gather; 0, negative, and out-of-range indices → NULL
             // (probe) — Spark's try_element_at would wrap negatives, so
             // guard below 1 explicitly
@@ -1744,7 +1850,7 @@ object Translator {
                 close - i + 1)
               changed = true
             }
-          case id: Ident if id.upper == "LIST_WHERE" && callOpen >= 0 =>
+          case id: Ident if (id.upper == "LIST_WHERE" || id.upper == "ARRAY_WHERE") && callOpen >= 0 =>
             // boolean-mask gather (probe: [10,20,30],[t,f,t] → [10,30]).
             // DuckDB errors on NULL mask elements; the filter form drops
             // them — loud-vs-silent divergence documented in SURVEY §2.12.
@@ -1758,7 +1864,7 @@ object Translator {
                   s"__g_t -> __g_t.v)"), close - i + 1)
               changed = true
             }
-          case id: Ident if id.upper == "TO_JSON" && callOpen >= 0 =>
+          case id: Ident if Set("TO_JSON", "ROW_TO_JSON", "ARRAY_TO_JSON").contains(id.upper) && callOpen >= 0 =>
             // DuckDB to_json keeps NULL struct fields ({"a":null}); Spark's
             // to_json DROPS them by default — inject
             // ignoreNullFields=false. One-arg calls only: the re-lexed
@@ -1809,7 +1915,7 @@ object Translator {
               toks = toks.patch(i, lex(s"sha2(${render(args(0)).trim}, 256)"), close - i + 1)
               changed = true
             }
-          case id: Ident if id.upper == "LIST_REVERSE_SORT" && callOpen >= 0 =>
+          case id: Ident if (id.upper == "LIST_REVERSE_SORT" || id.upper == "ARRAY_REVERSE_SORT") && callOpen >= 0 =>
             // DuckDB list_reverse_sort: descending, NULLs last — exactly
             // Spark sort_array(l, false) (probe: [3,NULL,1] -> [3,1,NULL])
             val close = matchParen(toks, callOpen)
@@ -1819,7 +1925,8 @@ object Translator {
               changed = true
             }
           case id: Ident if Set("LIST_COSINE_SIMILARITY", "LIST_INNER_PRODUCT",
-              "LIST_DOT_PRODUCT").contains(id.upper) && callOpen >= 0 =>
+              "LIST_DOT_PRODUCT", "ARRAY_COSINE_SIMILARITY", "ARRAY_INNER_PRODUCT",
+              "ARRAY_DOT_PRODUCT", "LIST_DISTANCE", "ARRAY_DISTANCE").contains(id.upper) && callOpen >= 0 =>
             // vector kernels over generic numeric lists → double-math
             // higher-order forms (the codegen cosine_sim kernel is the
             // ARRAY<FLOAT> hot path; these translate the DuckDB spellings
@@ -1832,9 +1939,15 @@ object Translator {
               def dot(x: String, y: String) =
                 s"aggregate(zip_with($x, $y, (__gv_x, __gv_y) -> CAST(__gv_x AS DOUBLE) * CAST(__gv_y AS DOUBLE)), " +
                   s"CAST(0 AS DOUBLE), (__gv_a, __gv_v) -> __gv_a + __gv_v)"
+              def dist(x: String, y: String) =
+                s"aggregate(zip_with($x, $y, (__gv_x, __gv_y) -> " +
+                  s"(CAST(__gv_x AS DOUBLE) - CAST(__gv_y AS DOUBLE)) * (CAST(__gv_x AS DOUBLE) - CAST(__gv_y AS DOUBLE))), " +
+                  s"CAST(0 AS DOUBLE), (__gv_a, __gv_v) -> __gv_a + __gv_v)"
               val repl =
-                if (id.upper == "LIST_COSINE_SIMILARITY")
+                if (id.upper.endsWith("COSINE_SIMILARITY"))
                   s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+                else if (id.upper.endsWith("DISTANCE"))
+                  s"sqrt(${dist(a, b)})"
                 else dot(a, b)
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
@@ -2067,7 +2180,12 @@ object Translator {
               toks = toks.patch(i, lex(s"conv($n, 10, $b)"), close - i + 1)
               changed = true
             }
-          case id: Ident if id.upper == "LIST_AGGREGATE" && callOpen >= 0 =>
+          case id: Ident if (Set("LIST_AGGREGATE", "LIST_AGGR", "ARRAY_AGGREGATE",
+              "ARRAY_AGGR").contains(id.upper) ||
+              (id.upper == "AGGREGATE" && {
+                val parts = splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen)))
+                parts.length == 2 && parts(1).filterNot(isWs).forall(_.isInstanceOf[Str])
+              })) && callOpen >= 0 =>
             // list_aggregate(l, 'name') -> the matching array form
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
@@ -2135,7 +2253,7 @@ object Translator {
             val fmt = if (id.upper == "DAYNAME") "EEEE" else "MMMM"
             toks = toks.patch(i, lex(s"date_format($arg, '$fmt')"), close - i + 1)
             changed = true
-          case id: Ident if id.upper == "LIST_REDUCE" && callOpen >= 0 =>
+          case id: Ident if (id.upper == "LIST_REDUCE" || id.upper == "ARRAY_REDUCE") && callOpen >= 0 =>
             // DuckDB folds left with the FIRST element as the seed (an
             // empty list errors there; NULL seed here — documented
             // divergence, declared queries keep lists non-empty)
@@ -2373,6 +2491,27 @@ object Translator {
                 case _ =>
               }
             }
+          }
+        case id: Ident if Set("CENTURY", "DECADE", "MILLENNIUM", "WEEKDAY",
+            "YEARWEEK", "ISOYEAR", "EPOCH_NS").contains(id.upper) =>
+          // r7 session-3 date-part functions, probe-pinned on DuckDB 1.0:
+          // century(2024)=21, decade=202, millennium=3 (CE off-by-one
+          // forms), weekday Sunday=0, yearweek = ISO year·100 + ISO week
+          // (2023-01-01 → 202252), isoyear = Spark's YEAROFWEEK
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            val e = render(toks.slice(open + 1, close)).trim
+            val repl = id.upper match {
+              case "CENTURY" => s"(CAST(floor((year($e) - 1) / 100.0) AS BIGINT) + 1)"
+              case "DECADE" => s"CAST(floor(year($e) / 10.0) AS BIGINT)"
+              case "MILLENNIUM" => s"(CAST(floor((year($e) - 1) / 1000.0) AS BIGINT) + 1)"
+              case "WEEKDAY" => s"(dayofweek($e) - 1)"
+              case "YEARWEEK" => s"(extract(YEAROFWEEK FROM $e) * 100 + weekofyear($e))"
+              case "ISOYEAR" => s"extract(YEAROFWEEK FROM $e)"
+              case "EPOCH_NS" => s"(unix_micros($e) * 1000)"
+            }
+            toks = toks.patch(i, lex(repl), close - i + 1)
           }
         case id: Ident if id.upper == "EPOCH" || id.upper == "EPOCH_MS" ||
             id.upper == "EPOCH_US" =>
