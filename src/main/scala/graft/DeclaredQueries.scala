@@ -1039,7 +1039,7 @@ object DeclaredQueries {
       // doubles, so the result is bit-identical before quantization
       ("SELECT l_returnflag, " +
         "CAST(round(mad(l_quantity) * 1000000) AS BIGINT) AS mad_qty_micro, " +
-        "CAST(round(mad(l_extendedprice) * 1000000) AS BIGINT) AS mad_px_micro, " +
+        "CAST(round(mad(l_tax) * 1000000) AS BIGINT) AS mad_tax_micro, " +
         "CAST(round(mad(l_discount) * 1000000) AS BIGINT) AS mad_disc_micro " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q186_alias_sweep" ->
