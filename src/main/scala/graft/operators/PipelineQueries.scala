@@ -781,6 +781,29 @@ object PipelineQueries {
           round(min(col("cos")) * 1000000).cast("bigint").as("min_cos_micro"))
         .orderBy("label")
     }),
+    // ---- cross-modal referential audit (r7 session 3): the pipeline-
+    // hygiene join between the text corpus and its embedding store —
+    // per source: docs with vectors, docs MISSING vectors, orphan
+    // vectors (no doc). The fixture aligns ids 1:1, so the entry
+    // deterministically drops vec_id % 7 == 3 to exercise the missing
+    // side and plants +2000000-shifted orphans from % 11 == 5. ONE
+    // full-outer equi-join on the id (co-partitioned), then a keyed agg.
+    "p58_modality_audit" -> q((s, _) => {
+      val docs = s.table("documents").select(col("doc_id"), col("source"))
+      val vecs = s.table("embeddings").filter(col("vec_id") % 7 =!= 3)
+        .select(col("vec_id"))
+        .unionByName(s.table("embeddings").filter(col("vec_id") % 11 === 5)
+          .select((col("vec_id") + 2000000L).as("vec_id")))
+      docs.join(vecs, docs("doc_id") === vecs("vec_id"), "full_outer")
+        .select(coalesce(col("source"), lit("__orphan__")).as("source"),
+          col("doc_id"), col("vec_id"))
+        .groupBy("source")
+        .agg(count(col("doc_id")).as("n_docs"),
+          count(col("vec_id")).as("n_vecs"),
+          count(when(col("vec_id").isNull, 1)).as("missing_vec"),
+          count(when(col("doc_id").isNull, 1)).as("orphan_vec"))
+        .orderBy("source")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -1347,6 +1370,16 @@ object PipelineQueries {
         "CAST(round(avg(cos) * 1000000) AS BIGINT) AS avg_cos_micro, " +
         "CAST(round(min(cos) * 1000000) AS BIGINT) AS min_cos_micro " +
         "FROM cs GROUP BY label ORDER BY label"),
+    // p58 (r7 session 3): same construction in SQL.
+    "p58_modality_audit" ->
+      ("WITH v AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 3 " +
+        "UNION ALL SELECT vec_id + 2000000 FROM embeddings WHERE vec_id % 11 = 5), " +
+        "j AS (SELECT coalesce(d.source, '__orphan__') AS source, d.doc_id, v.vec_id " +
+        "FROM documents d FULL OUTER JOIN v ON d.doc_id = v.vec_id) " +
+        "SELECT source, count(doc_id) AS n_docs, count(vec_id) AS n_vecs, " +
+        "count(CASE WHEN vec_id IS NULL THEN 1 END) AS missing_vec, " +
+        "count(CASE WHEN doc_id IS NULL THEN 1 END) AS orphan_vec " +
+        "FROM j GROUP BY source ORDER BY source"),
     // p44 (r7): brute-force byte-shingle simhash hamming scan over the
     // planted payload corpus — the p04 oracle pattern with 4-byte
     // substring shingles instead of tokens (fixture text is pure ASCII,

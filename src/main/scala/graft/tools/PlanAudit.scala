@@ -181,6 +181,11 @@ object PlanAudit {
     Check("p57_centroid_cohesion",
       wantAll = Seq("Generate", "BroadcastHashJoin", "cosine_sim"),
       wantNone = Seq("SortMergeJoin", "CartesianProduct")),
+    // modality audit (r7 session 3): one co-partitioned full-outer
+    // equi-join on the id + one keyed agg — never a cartesian shape
+    Check("p58_modality_audit",
+      wantAll = Seq("SortMergeJoin", "FullOuter", "HashAggregate"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // label conflicts (r7 session 3): one content-hash agg (the distinct
     // pair runs through Expand, still keyed by h) — no join anywhere
     Check("p56_label_conflicts",
