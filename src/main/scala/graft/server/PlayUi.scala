@@ -60,7 +60,13 @@ object PlayUi {
   <textarea id="sql" spellcheck="false" placeholder="SELECT o_orderpriority, count() AS c FROM orders GROUP BY o_orderpriority ORDER BY c DESC LIMIT 10"></textarea>
   <div class="bar">
     <button id="run">Run</button>
-    <button id="chart" title="line chart of numeric columns (JSONCompactColumns feed)">Chart</button>
+    <button id="chart" title="chart numeric columns (JSONCompactColumns feed)">Chart</button>
+    <select id="ctype" title="chart type">
+      <option>line</option>
+      <option>area</option>
+      <option>bar</option>
+      <option>scatter</option>
+    </select>
     <select id="fmt">
       <option>JSONCompact</option>
       <option>JSON</option>
@@ -69,6 +75,8 @@ object PlayUi {
       <option>CSV</option>
       <option>TSV</option>
     </select>
+    <button id="csv" title="download the last result as CSV">&#8681; CSV</button>
+    <select id="hist" title="query history"><option value="">history…</option></select>
     <span id="stats"></span>
   </div>
   <div id="out"></div>
@@ -118,13 +126,16 @@ async function run() {
     $("stats").textContent = "error";
   }
 }
-// original canvas line chart over the JSONCompactColumns feed: first
-// column = x labels, every numeric column = one series
+// original canvas plotter over the JSONCompactColumns feed: first column
+// = x labels, every numeric column = one series. Types: line, area, bar
+// (grouped), scatter. Hover crosshair + tooltip on a second canvas layer.
 const PALETTE = ["#4aa8ff","#ffb54a","#6aff8f","#ff6ad5","#b04aff","#4affd9"];
+let chartState = null; // geometry captured for the hover layer
 function drawChart(cols) {
   if (!cols.length || !cols[0].length) {
     $("out").innerHTML = "<pre class='error'>no rows to chart</pre>"; return;
   }
+  const type = $("ctype").value;
   const xs = cols[0];
   const series = [];
   for (let i = 1; i < cols.length; i++)
@@ -134,13 +145,19 @@ function drawChart(cols) {
     $("out").innerHTML = "<pre class='error'>no numeric columns to chart</pre>"; return;
   }
   const W = 1040, H = 420, L = 70, R = 16, T = 18, B = 46;
+  const wrap = document.createElement("div");
+  wrap.style.position = "relative"; wrap.style.width = W + "px";
   const c = document.createElement("canvas");
-  c.width = W; c.height = H;
-  $("out").innerHTML = ""; $("out").appendChild(c);
+  const ov = document.createElement("canvas"); // hover layer
+  for (const cv of [c, ov]) { cv.width = W; cv.height = H; }
+  ov.style.position = "absolute"; ov.style.left = 0; ov.style.top = 0;
+  $("out").innerHTML = ""; wrap.appendChild(c); wrap.appendChild(ov);
+  $("out").appendChild(wrap);
   const g = c.getContext("2d");
   g.fillStyle = "#1a2029"; g.fillRect(0, 0, W, H);
   const vals = series.flatMap(s => s.data).filter(v => v !== null);
   let lo = Math.min(...vals), hi = Math.max(...vals);
+  if (type === "bar" || type === "area") lo = Math.min(lo, 0);
   if (lo === hi) { lo -= 1; hi += 1; }
   const px = i => L + (xs.length === 1 ? 0 : i * (W - L - R) / (xs.length - 1));
   const py = v => T + (hi - v) * (H - T - B) / (hi - lo);
@@ -155,22 +172,80 @@ function drawChart(cols) {
     const label = String(xs[i]).slice(0, 12);
     g.fillText(label, Math.min(px(i), W - 80), H - B + 16);
   }
-  series.forEach((s, k) => {
-    g.strokeStyle = PALETTE[k % PALETTE.length];
-    g.lineWidth = 1.6; g.beginPath();
-    let started = false;
-    s.data.forEach((v, i) => {
-      if (v === null) { started = false; return; }
-      if (!started) { g.moveTo(px(i), py(v)); started = true; }
-      else g.lineTo(px(i), py(v));
+  const names = series.map(s =>
+    (lastMeta && lastMeta.length === cols.length) ? lastMeta[s.idx] : "col" + s.idx);
+  if (type === "bar") {
+    const slot = (W - L - R) / xs.length;
+    const bw = Math.max(1, slot * 0.8 / series.length);
+    series.forEach((s, k) => {
+      g.fillStyle = PALETTE[k % PALETTE.length];
+      s.data.forEach((v, i) => {
+        if (v === null) return;
+        const x0 = L + i * slot + slot * 0.1 + k * bw;
+        const y0 = py(Math.max(v, 0)), y1 = py(Math.min(v, 0));
+        g.fillRect(x0, y0, bw, Math.max(1, y1 - y0));
+      });
     });
-    g.stroke();
-    const name = (lastMeta && lastMeta.length === cols.length) ?
-      lastMeta[s.idx] : "col" + s.idx;
+  } else {
+    series.forEach((s, k) => {
+      const col = PALETTE[k % PALETTE.length];
+      if (type !== "scatter") {
+        g.strokeStyle = col; g.lineWidth = 1.6; g.beginPath();
+        let started = false;
+        s.data.forEach((v, i) => {
+          if (v === null) { started = false; return; }
+          if (!started) { g.moveTo(px(i), py(v)); started = true; }
+          else g.lineTo(px(i), py(v));
+        });
+        g.stroke();
+        if (type === "area") {
+          g.globalAlpha = 0.18; g.fillStyle = col; g.lineTo(px(xs.length - 1), py(0));
+          g.lineTo(px(0), py(0)); g.closePath(); g.fill(); g.globalAlpha = 1;
+        }
+      }
+      if (type === "scatter" || xs.length <= 60) {
+        g.fillStyle = col;
+        s.data.forEach((v, i) => {
+          if (v === null) return;
+          g.beginPath(); g.arc(px(i), py(v), type === "scatter" ? 3 : 2.2, 0, 7); g.fill();
+        });
+      }
+    });
+  }
+  series.forEach((s, k) => {
     g.fillStyle = PALETTE[k % PALETTE.length];
-    g.fillText(name, L + 8 + k * 140, T + 2);
-    g.fillStyle = "#7a8694";
+    g.fillText(names[k], L + 8 + k * 140, T + 2);
   });
+  chartState = { xs, series, names, px, L, R, W, H, T, B };
+  ov.addEventListener("mousemove", e => {
+    const st = chartState; if (!st) return;
+    const rect = ov.getBoundingClientRect();
+    const mx = e.clientX - rect.left;
+    const og = ov.getContext("2d");
+    og.clearRect(0, 0, W, H);
+    if (mx < st.L || mx > W - st.R) return;
+    // nearest x index
+    let best = 0, bd = 1e18;
+    for (let i = 0; i < st.xs.length; i++) {
+      const d = Math.abs(st.px(i) - mx);
+      if (d < bd) { bd = d; best = i; }
+    }
+    og.strokeStyle = "#7a8694"; og.setLineDash([4, 3]);
+    og.beginPath(); og.moveTo(st.px(best), st.T); og.lineTo(st.px(best), H - st.B); og.stroke();
+    og.setLineDash([]);
+    const lines = [String(st.xs[best])].concat(st.series.map((s, k) =>
+      st.names[k] + ": " + (s.data[best] === null ? "NULL" : s.data[best])));
+    const bw = Math.max(...lines.map(l => l.length)) * 7 + 16, bh = lines.length * 15 + 8;
+    const bx = Math.min(st.px(best) + 10, W - bw - 4), by = st.T + 6;
+    og.fillStyle = "rgba(18,22,28,0.92)"; og.fillRect(bx, by, bw, bh);
+    og.strokeStyle = "#2a3340"; og.strokeRect(bx, by, bw, bh);
+    og.font = "11px monospace";
+    lines.forEach((l, i) => {
+      og.fillStyle = i === 0 ? "#d8dee6" : PALETTE[(i - 1) % PALETTE.length];
+      og.fillText(l, bx + 8, by + 16 + i * 15);
+    });
+  });
+  ov.addEventListener("mouseleave", () => ov.getContext("2d").clearRect(0, 0, W, H));
 }
 async function runChart() {
   const sql = $("sql").value.trim();
@@ -191,11 +266,55 @@ async function runChart() {
     $("stats").textContent = "error";
   }
 }
-$("run").addEventListener("click", run);
-$("chart").addEventListener("click", runChart);
-$("sql").addEventListener("keydown", e => {
-  if (e.key === "Enter" && (e.ctrlKey || e.metaKey)) { e.preventDefault(); run(); }
+// CSV download of the current statement (server-rendered CSV format)
+async function downloadCsv() {
+  const sql = $("sql").value.trim();
+  if (!sql) return;
+  const resp = await fetch("/?default_format=CSV", { method: "POST", body: sql });
+  const text = await resp.text();
+  if (!resp.ok) {
+    $("out").innerHTML = "<pre class='error'>" + esc(text) + "</pre>"; return;
+  }
+  const a = document.createElement("a");
+  a.href = URL.createObjectURL(new Blob([text], { type: "text/csv" }));
+  a.download = "result.csv"; a.click();
+  URL.revokeObjectURL(a.href);
+}
+// query history: last 20 statements in localStorage
+function loadHistory() {
+  let h = [];
+  try { h = JSON.parse(localStorage.getItem("graft_history") || "[]"); } catch (e) {}
+  const sel = $("hist");
+  sel.innerHTML = "<option value=''>history…</option>";
+  h.forEach((q, i) => {
+    const o = document.createElement("option");
+    o.value = String(i); o.textContent = q.slice(0, 60).replace(/\s+/g, " ");
+    sel.appendChild(o);
+  });
+  return h;
+}
+function pushHistory(sql) {
+  let h = loadHistory().map((q, i) => q); // re-read
+  try { h = JSON.parse(localStorage.getItem("graft_history") || "[]"); } catch (e) {}
+  h = [sql].concat(h.filter(q => q !== sql)).slice(0, 20);
+  try { localStorage.setItem("graft_history", JSON.stringify(h)); } catch (e) {}
+  loadHistory();
+}
+$("hist").addEventListener("change", () => {
+  const h = loadHistory();
+  const v = $("hist").value;
+  if (v !== "" && h[Number(v)] !== undefined) $("sql").value = h[Number(v)];
+  $("hist").value = "";
 });
+$("run").addEventListener("click", () => { pushHistory($("sql").value.trim()); run(); });
+$("chart").addEventListener("click", () => { pushHistory($("sql").value.trim()); runChart(); });
+$("csv").addEventListener("click", downloadCsv);
+$("sql").addEventListener("keydown", e => {
+  if (e.key === "Enter" && (e.ctrlKey || e.metaKey)) {
+    e.preventDefault(); pushHistory($("sql").value.trim()); run();
+  }
+});
+loadHistory();
 </script>
 </body>
 </html>
