@@ -1063,6 +1063,10 @@ object DeclaredQueries {
         "CAST(weekday(DATE '2024-03-03') AS BIGINT) AS wd, " +
         "CAST(yearweek(DATE '2023-01-01') AS BIGINT) AS yw " +
         "FROM orders GROUP BY o_orderpriority, o_orderstatus ORDER BY o_orderpriority, o_orderstatus"),
+    "q187_describe_table" ->
+      // DuckDB's DESCRIBE <table> form — the same 6-column shape as
+      // DESCRIBE <query>, DuckDB type spellings, view columns nullable
+      "DESCRIBE customer",
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

@@ -182,6 +182,11 @@ object Engine {
     * still passes through to Spark's native statement. */
   private val describeSelectRe =
     "(?is)^\\s*DESCRIBE\\s+((?:SELECT|WITH|FROM|VALUES)\\b.*)$".r
+  // DESCRIBE <table> / SHOW <table> (DuckDB's table form — same 6-column
+  // shape as DESCRIBE <query>, DuckDB type spellings). SHOW TABLES /
+  // DATABASES never reach this: the translator rewrites them first.
+  private val describeTableRe =
+    "(?is)^\\s*(?:DESCRIBE|SHOW)\\s+(?:TABLE\\s+)?([\\w.`\"]+)\\s*;?\\s*$".r
   private val explainRe =
     "(?is)^\\s*EXPLAIN\\s+(ANALYZE\\s+)?((?:SELECT|WITH|FROM|VALUES)\\b.*)$".r
   private val dropTableIfExistsRe =
@@ -913,8 +918,17 @@ object Engine {
       }
       case describeSelectRe(inner) => {
         import spark.implicits._
+        // DuckDB type spellings (r7 session 3 — was Spark's INT/STRING)
         return sql(spark, inner).schema.fields.toSeq.map { f =>
-          (f.name, f.dataType.sql, if (f.nullable) "YES" else "NO",
+          (f.name, duckTypeName(f.dataType), if (f.nullable) "YES" else "NO",
+            Option.empty[String], Option.empty[String], Option.empty[String])
+        }.toDF("column_name", "column_type", "null", "key", "default", "extra")
+      }
+      case describeTableRe(t)
+          if spark.catalog.tableExists(t.replaceAll("[`\"]", "")) => {
+        import spark.implicits._
+        return spark.table(t.replaceAll("[`\"]", "")).schema.fields.toSeq.map { f =>
+          (f.name, duckTypeName(f.dataType), if (f.nullable) "YES" else "NO",
             Option.empty[String], Option.empty[String], Option.empty[String])
         }.toDF("column_name", "column_type", "null", "key", "default", "extra")
       }

@@ -1072,10 +1072,14 @@ class OperatorsSpec extends SparkTestBase {
     val d = Engine.sql(spark, "DESCRIBE SELECT r_regionkey, r_name FROM region")
     assert(d.columns.toSeq ==
       Seq("column_name", "column_type", "null", "key", "default", "extra"))
+    // DuckDB type spellings (r7 session 3 — was Spark's INT/STRING)
     assert(d.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
-      Seq(("r_regionkey", "INT"), ("r_name", "STRING")))
-    // plain DESCRIBE table still reaches Spark's native statement
-    assert(Engine.sql(spark, "DESCRIBE region").columns.contains("col_name"))
+      Seq(("r_regionkey", "INTEGER"), ("r_name", "VARCHAR")))
+    // DESCRIBE <table> / SHOW <table> take the same DuckDB six-column shape
+    assert(Engine.sql(spark, "DESCRIBE region").columns.head == "column_name")
+    assert(Engine.sql(spark, "SHOW region").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("r_regionkey", "INTEGER"), ("r_name", "VARCHAR")))
     // export -> drop a view -> import restores it with the same rows
     val dir = java.nio.file.Files.createTempDirectory("graft_exp").toString
     val nRegion = spark.table("region").count()
