@@ -1067,6 +1067,16 @@ object DeclaredQueries {
       // DuckDB's DESCRIBE <table> form — the same 6-column shape as
       // DESCRIBE <query>, DuckDB type spellings, view columns nullable
       "DESCRIBE customer",
+    "q188_joined_dml" ->
+      // UPDATE … FROM (joined update: SET/WHERE see the source alias;
+      // first-match pick — the join key is unique here so it's exact) and
+      // DELETE … USING (EXISTS anti-join) — both table rewrites on the
+      // write path; TRUNCATE accepted without the TABLE keyword
+      ("DROP TABLE IF EXISTS g188_t; " +
+        "CREATE TABLE g188_t AS SELECT o_orderkey AS id, o_orderpriority AS pri, o_totalprice AS price FROM orders WHERE o_orderkey < 40; " +
+        "UPDATE g188_t SET price = s.o_totalprice * 2, pri = upper(s.o_orderpriority) FROM orders s WHERE g188_t.id = s.o_orderkey AND s.o_orderkey < 15; " +
+        "DELETE FROM g188_t USING orders s WHERE g188_t.id = s.o_orderkey AND s.o_orderkey >= 30; " +
+        "SELECT id, pri, CAST(round(price * 100) AS BIGINT) AS price_c FROM g188_t ORDER BY id"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

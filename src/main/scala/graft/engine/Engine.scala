@@ -358,6 +358,93 @@ object Engine {
 
   private val deleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.`\"]+)(?:\\s+WHERE\\s+(.+?))?(?:\\s+RETURNING\\s+(.+?))?\\s*$".r
+
+  // ---- joined DML (r7 session 3): UPDATE … FROM / DELETE … USING -------
+  private val updateFromRe =
+    ("(?is)^\\s*UPDATE\\s+([\\w.`\"]+)\\s+SET\\s+(.+?)\\s+FROM\\s+(.+?)" +
+      "\\s+WHERE\\s+(.+?)(?:\\s+RETURNING\\s+(.+?))?\\s*$").r
+  private val deleteUsingRe =
+    ("(?is)^\\s*DELETE\\s+FROM\\s+([\\w.`\"]+)\\s+USING\\s+(.+?)" +
+      "\\s+WHERE\\s+(.+?)(?:\\s+RETURNING\\s+(.+?))?\\s*$").r
+  private val truncateBareRe =
+    "(?is)^\\s*TRUNCATE\\s+(?!TABLE\\b)([\\w.`\"]+)\\s*;?\\s*$".r
+
+  /** `UPDATE t SET … FROM src WHERE cond` — the joined-update form.
+    * Rewrites the table through one LEFT JOIN against the source: each
+    * target row takes the SET expressions from its FIRST matching source
+    * row (a row_number over a synthetic row id — DuckDB's own multi-match
+    * pick is likewise unspecified), unmatched rows pass through. SET and
+    * WHERE see both the target name and the source alias, exactly
+    * DuckDB's scoping. */
+  private def runUpdateFrom(spark: SparkSession, table0: String,
+      setClause: String, fromSrc: String, where: String,
+      returning: Option[String]): DataFrame = {
+    val table = table0.replaceAll("[`\"]", "")
+    requireDmlTarget(spark, table)
+    val sets = splitAssignments(setClause)
+    val fields = spark.table(table).schema.fields
+    sets.foreach { case (c, _) =>
+      require(fields.exists(_.name.equalsIgnoreCase(c)), s"unknown column in SET: $c")
+    }
+    val selectList = fields.map { f =>
+      sets.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, e)) =>
+          s"CAST(CASE WHEN __g_m THEN ($e) ELSE $table.${f.name} END AS ${f.dataType.sql}) AS ${f.name}"
+        case None => s"$table.${f.name} AS ${f.name}"
+      }
+    }
+    // the source gets the __g_m match marker inside a derived table that
+    // is RE-ALIASED under the user's own alias (or the bare relation
+    // name), so SET and WHERE resolve exactly as written
+    val srcAliasRe = "(?is)^(.+?)\\s+(?:AS\\s+)?([A-Za-z_][\\w]*)$".r
+    val (srcRel, srcAlias) = fromSrc.trim match {
+      case srcAliasRe(rel, al)
+          if !Set("BY", "GROUP", "ORDER", "WHERE").contains(al.toUpperCase) &&
+            rel.trim.nonEmpty => (rel.trim, al)
+      case s0 => (s0, s0.replaceAll("[`\"]", ""))
+    }
+    val joinSql =
+      s"SELECT ${selectList.mkString(", ")}, __g_rid, __g_m, " +
+        s"row_number() OVER (PARTITION BY __g_rid ORDER BY __g_m DESC) AS __g_rn " +
+        s"FROM (SELECT *, monotonically_increasing_id() AS __g_rid FROM $table) $table " +
+        s"LEFT JOIN (SELECT *, true AS __g_m FROM $srcRel) $srcAlias " +
+        s"ON coalesce(($where), false)"
+    val newRows = sql(spark,
+      s"SELECT ${fields.map(_.name).mkString(", ")} FROM ($joinSql) WHERE __g_rn = 1")
+    val ret = returning.map { proj =>
+      val matchedNew = sql(spark,
+        s"SELECT ${fields.map(_.name).mkString(", ")} FROM ($joinSql) " +
+          "WHERE __g_rn = 1 AND coalesce(__g_m, false)").localCheckpoint(true)
+      matchedNew.createOrReplaceTempView("graft_returning_src")
+      proj
+    }
+    swapInto(spark, table, newRows)
+    ret match {
+      case Some(proj) => sql(spark, s"SELECT $proj FROM graft_returning_src")
+      case None => spark.emptyDataFrame
+    }
+  }
+
+  /** `DELETE FROM t USING src WHERE cond` — rows with ANY match are
+    * removed (EXISTS anti-join; NULL/FALSE conditions keep the row, the
+    * plain-DELETE contract). */
+  private def runDeleteUsing(spark: SparkSession, table0: String,
+      using: String, where: String, returning: Option[String]): DataFrame = {
+    val table = table0.replaceAll("[`\"]", "")
+    requireDmlTarget(spark, table)
+    val existsCond = s"EXISTS (SELECT 1 FROM $using WHERE coalesce(($where), false))"
+    val deleted = returning.map { _ =>
+      sql(spark, s"SELECT * FROM $table WHERE $existsCond").localCheckpoint(true)
+    }
+    val kept = sql(spark, s"SELECT * FROM $table WHERE NOT $existsCond")
+    swapInto(spark, table, kept)
+    (returning, deleted) match {
+      case (Some(proj), Some(d)) =>
+        d.createOrReplaceTempView("graft_returning_src")
+        sql(spark, s"SELECT $proj FROM graft_returning_src")
+      case _ => spark.emptyDataFrame
+    }
+  }
   // INSERT … RETURNING (r7): DuckDB returns the inserted rows (after
   // defaults/column-list completion) projected through the RETURNING list.
   private val insertReturningRe =
@@ -1011,6 +1098,13 @@ object Engine {
         }
         return spark.emptyDataFrame
       }
+      case truncateBareRe(t) =>
+        // DuckDB accepts TRUNCATE without the TABLE keyword
+        return spark.sql(s"TRUNCATE TABLE ${t.replaceAll("[`\"]", "")}")
+      case updateFromRe(table, sets, fromSrc, where, ret) =>
+        return runUpdateFrom(spark, table, sets, fromSrc, where, Option(ret))
+      case deleteUsingRe(table, using, where, ret) =>
+        return runDeleteUsing(spark, table, using, where, Option(ret))
       case insertReturningRe(table, colList, body, proj) =>
         return runInsertReturning(spark, table, Option(colList), body, proj)
       case deleteRe(table, where, returning) =>

@@ -1187,6 +1187,36 @@ class OperatorsSpec extends SparkTestBase {
     Engine.sql(spark, "DROP TABLE graft_sct_probe")
   }
 
+  test("UPDATE FROM / DELETE USING pin DuckDB semantics (r7 session 3)") {
+    import spark.implicits._
+    Engine.registerTables(spark, sfDir)
+    Engine.sql(spark, "DROP TABLE IF EXISTS sp_jdml")
+    Engine.sql(spark,
+      "CREATE TABLE sp_jdml AS SELECT o_orderkey AS id, o_totalprice AS price FROM orders WHERE o_orderkey < 5")
+    val before = spark.table("sp_jdml").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Engine.sql(spark,
+      "UPDATE sp_jdml SET price = s.o_totalprice * 2 FROM orders s " +
+        "WHERE sp_jdml.id = s.o_orderkey AND s.o_orderkey < 3")
+    val after = spark.table("sp_jdml").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L to 4L).foreach { id =>
+      val want = if (id < 3) before(id) * 2 else before(id)
+      assert(after(id) == want, s"id $id")
+    }
+    // DELETE USING removes matched rows only; RETURNING yields them
+    val del = Engine.sql(spark,
+      "DELETE FROM sp_jdml USING orders s WHERE sp_jdml.id = s.o_orderkey " +
+        "AND s.o_orderkey >= 3 RETURNING id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(del == Seq(3L, 4L))
+    assert(spark.table("sp_jdml").count() == 3)
+    // bare TRUNCATE (no TABLE keyword)
+    Engine.sql(spark, "TRUNCATE sp_jdml")
+    assert(spark.table("sp_jdml").count() == 0)
+    Engine.sql(spark, "DROP TABLE sp_jdml")
+  }
+
   test("INSERT RETURNING appends and returns the inserted rows") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_ins_t")
