@@ -117,6 +117,27 @@ object GraftFunctions {
       args => NextVal(args(0))),
     ("currval", "DuckDB currval('seq'): last value handed out by this session",
       args => CurrVal(args(0))),
+    ("current_setting", "DuckDB current_setting('key'): session conf read (VARCHAR; unknown keys loud)",
+      args =>
+        // literal key → resolved at PLAN time on the driver (where our SET
+        // statement wrote it; arbitrary keys don't survive the task-side
+        // SQLConf clone); dynamic keys fall back to the runtime expression
+        if (args(0).foldable) {
+          val key = args(0).eval()
+            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+          val conf = org.apache.spark.sql.SparkSession.active.conf
+          val v0 = try conf.get(key) catch {
+            case _: java.util.NoSuchElementException =>
+              throw new IllegalStateException(
+                s"""unrecognized configuration parameter "$key"""")
+          }
+          // Spark's SET stores `x = '2GB'` quotes-and-all; DuckDB's
+          // current_setting returns the unquoted value
+          val v = if (v0.length >= 2 && v0.startsWith("'") && v0.endsWith("'"))
+            v0.substring(1, v0.length - 1) else v0
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            v, org.apache.spark.sql.types.StringType)
+        } else CurrentSetting(args(0))),
     ("graft_product", "DuckDB product aggregate: double multiply, NULLs skipped, empty group NULL",
       args => GraftProduct(org.apache.spark.sql.catalyst.expressions.Cast(
         args(0), org.apache.spark.sql.types.DoubleType))),

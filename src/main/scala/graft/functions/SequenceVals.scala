@@ -26,6 +26,39 @@ case class NextVal(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** DuckDB `current_setting('key')` — reads the session conf (where our
+  * SET statement writes, via Spark's runtime conf). Always VARCHAR (DuckDB
+  * types its own settings; ours are the conf's string form — documented).
+  * Unknown keys error loudly like DuckDB's "unrecognized configuration
+  * parameter". */
+case class CurrentSetting(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String = "current_setting"
+  override lazy val deterministic: Boolean = false
+  override def foldable: Boolean = false
+  override def nullSafeEval(k: Any): Any =
+    CurrentSetting.read(k.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, k =>
+      s"${ev.value} = graft.functions.CurrentSetting.read($k);")
+  override protected def withNewChildInternal(c: Expression): CurrentSetting =
+    copy(child = c)
+}
+
+object CurrentSetting {
+  def read(k: UTF8String): UTF8String = {
+    val key = k.toString
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val v = try conf.getConfString(key) catch {
+      case _: java.util.NoSuchElementException =>
+        throw new IllegalStateException(
+          s"""unrecognized configuration parameter "$key"""")
+    }
+    UTF8String.fromString(v)
+  }
+}
+
 case class CurrVal(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "currval"

@@ -1187,6 +1187,16 @@ class OperatorsSpec extends SparkTestBase {
     Engine.sql(spark, "DROP TABLE graft_sct_probe")
   }
 
+  test("SET / current_setting round-trip; unknown keys loud (r7 session 3)") {
+    Engine.registerTables(spark, sfDir)
+    Engine.sql(spark, "SET sp_probe_setting = 'hello'")
+    assert(Engine.sql(spark, "SELECT current_setting('sp_probe_setting') AS v")
+      .head.getString(0) == "hello")
+    intercept[Exception] {
+      Engine.sql(spark, "SELECT current_setting('sp_no_such_key_xyz') AS v")
+    }
+  }
+
   test("UPDATE FROM / DELETE USING pin DuckDB semantics (r7 session 3)") {
     import spark.implicits._
     Engine.registerTables(spark, sfDir)
