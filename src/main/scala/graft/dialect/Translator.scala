@@ -948,7 +948,22 @@ object Translator {
             }
             if (op.nonEmpty && isSub) {
               val close = matchParen(toks, open)
-              val lhsStart = primaryStart(toks, prevNonWs(toks, opIdx))
+              // the LHS is the full additive/concat expression (comparison
+              // binds loosest): walk back over operator-connected primaries
+              // so `'p' || c = ANY (…)` captures `'p' || c`, not just `c`
+              var lhsStart = primaryStart(toks, prevNonWs(toks, opIdx))
+              var extending = true
+              while (extending) {
+                val p = prevNonWs(toks, lhsStart)
+                val isBinOp = p >= 0 && (toks(p) match {
+                  case Punct(o2) => Set("||", "+", "-", "*", "/", "%", "^",
+                    "//", "&", "|").contains(o2)
+                  case _ => false
+                })
+                if (isBinOp && prevNonWs(toks, p) >= 0)
+                  lhsStart = primaryStart(toks, prevNonWs(toks, p))
+                else extending = false
+              }
               val x = render(toks.slice(lhsStart, opIdx)).trim
               val sub = render(toks.slice(open + 1, close)).trim
               val isAll = id.upper == "ALL"
@@ -1027,10 +1042,23 @@ object Translator {
                   val openArgs = openOf(toks, closeArgs)
                   val fnIdx = prevNonWs(toks, openArgs)
                   val fn = if (fnIdx >= 0) up(toks(fnIdx)) else ""
-                  if (Set("SUM", "COUNT", "AVG").contains(fn)) {
+                  val specNoEx = render(spec.slice(0, ex) ++
+                    spec.slice(exNext2 + 1, spec.length)).trim
+                  // a frame that provably never CONTAINS the current row
+                  // (both bounds PRECEDING, or both FOLLOWING) makes
+                  // EXCLUDE CURRENT ROW a NO-OP in DuckDB — a subtraction
+                  // would be silently off by the current row's value
+                  val noOp =
+                    "(?is).*BETWEEN\\s+\\S+\\s+PRECEDING\\s+AND\\s+\\S+\\s+PRECEDING.*".r
+                      .pattern.matcher(specNoEx).matches() ||
+                    "(?is).*BETWEEN\\s+\\S+\\s+FOLLOWING\\s+AND\\s+\\S+\\s+FOLLOWING.*".r
+                      .pattern.matcher(specNoEx).matches()
+                  if (noOp) {
+                    toks = toks.patch(open, lex(s"($specNoEx)"), close - open + 1)
+                    changed = true
+                  } else if (Set("SUM", "COUNT", "AVG").contains(fn)) {
                     val arg = render(toks.slice(openArgs + 1, closeArgs)).trim
-                    val specSql = render(spec.slice(0, ex) ++
-                      spec.slice(exNext2 + 1, spec.length)).trim
+                    val specSql = specNoEx
                     val repl =
                       if (fn == "COUNT" && arg == "*")
                         s"(count(*) OVER ($specSql) - 1)"
@@ -1057,6 +1085,16 @@ object Translator {
     }
     toks
   }
+
+
+  /** Literal separator → Spark regex-string form: metachars get a DOUBLED
+    * backslash (Spark's non-ANSI string parser consumes one level, the
+    * regex engine the other — Pattern.quote's \Q…\E form would be
+    * stripped to 'Q…E' by the string parser, silently never splitting). */
+  private def regexLiteralSep(sep: String): String =
+    sep.flatMap { c =>
+      if ("\\.[]{}()*+?^$|".contains(c)) "\\\\" + c else c.toString
+    }.replace("'", "''")
 
   /** `string_agg(x, d ORDER BY k)` → `listagg(x, d) WITHIN GROUP (ORDER BY k)`. */
   private[dialect] def rewriteStringAgg(toks0: Vector[Tok]): Vector[Tok] = {
@@ -1764,7 +1802,7 @@ object Translator {
             if (args.length == 2) {
               args(0).filterNot(isWs) match {
                 case Vector(sep: Str) =>
-                  val quoted = java.util.regex.Pattern.quote(sep.value).replace("'", "''")
+                  val quoted = regexLiteralSep(sep.value)
                   toks = toks.patch(i, lex(
                     s"split(${render(args(1)).trim}, '$quoted')"), close - i + 1)
                   changed = true
@@ -2180,12 +2218,15 @@ object Translator {
               toks = toks.patch(i, lex(s"conv($n, 10, $b)"), close - i + 1)
               changed = true
             }
-          case id: Ident if (Set("LIST_AGGREGATE", "LIST_AGGR", "ARRAY_AGGREGATE",
-              "ARRAY_AGGR").contains(id.upper) ||
+          case id: Ident if callOpen >= 0 &&
+              (Set("LIST_AGGREGATE", "LIST_AGGR", "ARRAY_AGGREGATE",
+                "ARRAY_AGGR").contains(id.upper) ||
               (id.upper == "AGGREGATE" && {
+                // callOpen is checked FIRST: a bare `aggregate` identifier
+                // (no call parens) must not reach matchParen(toks, -1)
                 val parts = splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen)))
                 parts.length == 2 && parts(1).filterNot(isWs).forall(_.isInstanceOf[Str])
-              })) && callOpen >= 0 =>
+              })) =>
             // list_aggregate(l, 'name') -> the matching array form
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
@@ -2485,6 +2526,9 @@ object Translator {
                   // extract is 1=Sunday..7 — shift. isodow agrees (Mon=1).
                   val repl = part.value.toLowerCase match {
                     case "dow" => s"(extract(DOW FROM $e) - 1)"
+                    // DuckDB's epoch part is FRACTIONAL seconds (probe:
+                    // …00.5 → 1704067200.5); Spark's extract has no epoch
+                    case "epoch" => s"(unix_micros($e) / 1000000.0)"
                     case p => s"extract($p FROM $e)"
                   }
                   toks = toks.patch(i, lex(repl), close - i + 1)
@@ -2492,6 +2536,22 @@ object Translator {
               }
             }
           }
+        case id: Ident if id.upper == "EXTRACT" => {
+          // EXTRACT(EPOCH FROM x): Spark's extract has no epoch field —
+          // fractional seconds via unix_micros (other fields pass through)
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            val fi = nextNonWs(toks, open)
+            val fromI = if (fi < close) nextNonWs(toks, fi) else close
+            if (fi < close && up(toks(fi)) == "EPOCH" &&
+                fromI < close && up(toks(fromI)) == "FROM") {
+              val e = render(toks.slice(fromI + 1, close)).trim
+              toks = toks.patch(i, lex(s"(unix_micros($e) / 1000000.0)"),
+                close - i + 1)
+            }
+          }
+        }
         case id: Ident if Set("CENTURY", "DECADE", "MILLENNIUM", "WEEKDAY",
             "YEARWEEK", "ISOYEAR", "EPOCH_NS").contains(id.upper) =>
           // r7 session-3 date-part functions, probe-pinned on DuckDB 1.0:
@@ -2566,7 +2626,7 @@ object Translator {
             if (args.length == 2) {
               args(0).filterNot(isWs) match {
                 case Vector(sep: Str) =>
-                  val quoted = java.util.regex.Pattern.quote(sep.value).replace("'", "''")
+                  val quoted = regexLiteralSep(sep.value)
                   val sql = s"split(${render(args(1)).trim}, '$quoted')"
                   toks = toks.patch(i, lex(sql), close - i + 1)
                 case _ =>

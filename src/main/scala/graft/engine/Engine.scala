@@ -360,12 +360,61 @@ object Engine {
     "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.`\"]+)(?:\\s+WHERE\\s+(.+?))?(?:\\s+RETURNING\\s+(.+?))?\\s*$".r
 
   // ---- joined DML (r7 session 3): UPDATE … FROM / DELETE … USING -------
-  private val updateFromRe =
-    ("(?is)^\\s*UPDATE\\s+([\\w.`\"]+)\\s+SET\\s+(.+?)\\s+FROM\\s+(.+?)" +
-      "\\s+WHERE\\s+(.+?)(?:\\s+RETURNING\\s+(.+?))?\\s*$").r
+  private val updateHeadRe =
+    "(?is)^\\s*UPDATE\\s+([\\w.`\"]+)\\s+SET\\s+(.+?)\\s*$".r
   private val deleteUsingRe =
     ("(?is)^\\s*DELETE\\s+FROM\\s+([\\w.`\"]+)\\s+USING\\s+(.+?)" +
       "\\s+WHERE\\s+(.+?)(?:\\s+RETURNING\\s+(.+?))?\\s*$").r
+
+  /** Positions of TOP-LEVEL keywords (outside parens and string literals)
+    * in a statement tail — so `SET a = (SELECT max(x) FROM s)` or
+    * `extract(epoch FROM ts)` never trips the joined-update path. */
+  private def topLevelKeyword(s: String, word: String): Int = {
+    var i = 0; var depth = 0; var inStr = false
+    val u = s.toUpperCase; val w = word.toUpperCase
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false; i += 1 }
+      else ch match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && u.startsWith(w, i) &&
+              (i == 0 || (!Character.isLetterOrDigit(s.charAt(i - 1)) &&
+                s.charAt(i - 1) != '_')) &&
+              (i + w.length >= s.length ||
+                (!Character.isLetterOrDigit(s.charAt(i + w.length)) &&
+                  s.charAt(i + w.length) != '_'))) return i
+          i += 1
+      }
+    }
+    -1
+  }
+
+  /** `UPDATE t SET … FROM src WHERE cond [RETURNING …]` split, None when
+    * there is no top-level FROM (plain UPDATE handles it). */
+  private def splitUpdateFrom(sql0: String): Option[(String, String, String, String, Option[String])] =
+    sql0 match {
+      case updateHeadRe(table, rest) =>
+        val fromAt = topLevelKeyword(rest, "FROM")
+        if (fromAt < 0) None
+        else {
+          val sets = rest.substring(0, fromAt).trim
+          val tail = rest.substring(fromAt + 4)
+          val whereAt = topLevelKeyword(tail, "WHERE")
+          if (whereAt < 0) None
+          else {
+            val src = tail.substring(0, whereAt).trim
+            val whereTail = tail.substring(whereAt + 5)
+            val retAt = topLevelKeyword(whereTail, "RETURNING")
+            if (retAt < 0) Some((table, sets, src, whereTail.trim, None))
+            else Some((table, sets, src, whereTail.substring(0, retAt).trim,
+              Some(whereTail.substring(retAt + 9).trim)))
+          }
+        }
+      case _ => None
+    }
   private val truncateBareRe =
     "(?is)^\\s*TRUNCATE\\s+(?!TABLE\\b)([\\w.`\"]+)\\s*;?\\s*$".r
 
@@ -418,10 +467,19 @@ object Engine {
       matchedNew.createOrReplaceTempView("graft_returning_src")
       proj
     }
+    // matched-row count against the OLD table, BEFORE the swap — the
+    // same one-row Count frame the plain UPDATE path returns
+    val matched =
+      if (returning.isEmpty)
+        sql(spark, s"SELECT CAST(count(*) AS BIGINT) AS n FROM ($joinSql) " +
+          "WHERE __g_rn = 1 AND coalesce(__g_m, false)").head.getLong(0)
+      else 0L
     swapInto(spark, table, newRows)
     ret match {
       case Some(proj) => sql(spark, s"SELECT $proj FROM graft_returning_src")
-      case None => spark.emptyDataFrame
+      case None =>
+        import spark.implicits._
+        Seq(matched).toDF("Count")
     }
   }
 
@@ -436,13 +494,17 @@ object Engine {
     val deleted = returning.map { _ =>
       sql(spark, s"SELECT * FROM $table WHERE $existsCond").localCheckpoint(true)
     }
+    val total = spark.table(table).count()
     val kept = sql(spark, s"SELECT * FROM $table WHERE NOT $existsCond")
-    swapInto(spark, table, kept)
+    val keptN = swapInto(spark, table, kept)
     (returning, deleted) match {
       case (Some(proj), Some(d)) =>
         d.createOrReplaceTempView("graft_returning_src")
         sql(spark, s"SELECT $proj FROM graft_returning_src")
-      case _ => spark.emptyDataFrame
+      case _ =>
+        import spark.implicits._
+        // the plain-DELETE Count contract: removed rows
+        Seq(total - keptN).toDF("Count")
     }
   }
   // INSERT … RETURNING (r7): DuckDB returns the inserted rows (after
@@ -775,6 +837,28 @@ object Engine {
   private val createViewRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?VIEW\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`\"]+)\\s+AS\\s+(.+)$").r
+  private val dropViewRe =
+    "(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?([\\w.`\"]+)\\s*;?\\s*$".r
+
+  // user views are temp views over a LAZY plan, which pins file indexes —
+  // a swapInto/ALTER that rewrites an underlying table would leave them
+  // stale or broken where DuckDB re-resolves per query. The DEFINITIONS
+  // live here and are re-registered after any catalog change.
+  private val userViews =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val userViewsDirty = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val refreshingViews = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private def refreshUserViews(spark: SparkSession): Unit = {
+    if (userViews.isEmpty || refreshingViews.get()) return
+    if (!userViewsDirty.getAndSet(false)) return
+    refreshingViews.set(true)
+    try userViews.forEach { (n, body) =>
+      try sql(spark, body).createOrReplaceTempView(n)
+      catch { case _: Throwable => () } // underlying gone: next reference errors
+    } finally refreshingViews.set(false)
+  }
   private val summarizeRe = "(?is)^\\s*SUMMARIZE\\s+(.+?)\\s*;?\\s*$".r
   private val bareNameRe = "(?s)^[\\w.`\"]+$".r
   private val asofWordRe = "(?is).*\\bASOF\\b.*".r
@@ -970,19 +1054,26 @@ object Engine {
     // DuckDB, returns an empty result; macro calls expand textually before
     // any other routing (so ASOF/COPY/DML shapes see the expanded SQL)
     if (graft.dialect.Macros.tryDdl(spark, duckSql0)) return spark.emptyDataFrame
+    refreshUserViews(spark)
     val duckSql = {
       val expanded = graft.dialect.Macros.expand(spark, duckSql0)
-      // derived-table SUMMARIZE: `FROM (SUMMARIZE …)` → temp view splice
-      val s1 = if (expanded.toUpperCase.contains("SUMMARIZE"))
-        rewriteEmbeddedSummarize(spark, expanded)
-      else expanded
-      // table-function pragmas: `FROM pragma_table_info('t')` → temp view
-      // (CALL statements keep their text — the CALL matcher below routes
-      // them to runPragma directly)
-      if (s1.toLowerCase.contains("pragma_") &&
-          !callPragmaRe.pattern.matcher(s1).matches())
-        rewriteTableFnPragmas(spark, s1)
-      else s1
+      // PREPARE stores the RAW body: the splice pre-passes below compute
+      // results eagerly, and a prepared statement must re-evaluate its
+      // SUMMARIZE/pragma snapshots at EXECUTE time, not PREPARE time
+      if (prepareRe.pattern.matcher(expanded).matches()) expanded
+      else {
+        // derived-table SUMMARIZE: `FROM (SUMMARIZE …)` → temp view splice
+        val s1 = if (expanded.toUpperCase.contains("SUMMARIZE"))
+          rewriteEmbeddedSummarize(spark, expanded)
+        else expanded
+        // table-function pragmas: `FROM pragma_table_info('t')` → temp view
+        // (CALL statements keep their text — the CALL matcher below routes
+        // them to runPragma directly)
+        if (s1.toLowerCase.contains("pragma_") &&
+            !callPragmaRe.pattern.matcher(s1).matches())
+          rewriteTableFnPragmas(spark, s1)
+        else s1
+      }
     }
     duckSql match {
       case pragmaRe(name, callArg, eqArg) =>
@@ -1073,6 +1164,13 @@ object Engine {
             s"""Catalog Error: View with name "$name" already exists!""")
         }
         sql(spark, body).createOrReplaceTempView(name)
+        userViews.put(name.toLowerCase, body) // definition survives DDL
+        bumpCatalogVersion()
+        return spark.emptyDataFrame
+      case dropViewRe(name0) =>
+        val name = name0.replaceAll("[`\"]", "")
+        userViews.remove(name.toLowerCase)
+        spark.sql(duckSql) // Spark's DROP VIEW handles IF EXISTS + errors
         bumpCatalogVersion()
         return spark.emptyDataFrame
       case summarizeRe(target) =>
@@ -1101,8 +1199,10 @@ object Engine {
       case truncateBareRe(t) =>
         // DuckDB accepts TRUNCATE without the TABLE keyword
         return spark.sql(s"TRUNCATE TABLE ${t.replaceAll("[`\"]", "")}")
-      case updateFromRe(table, sets, fromSrc, where, ret) =>
-        return runUpdateFrom(spark, table, sets, fromSrc, where, Option(ret))
+      case s0 if s0.toUpperCase.matches("(?s)^\\s*UPDATE\\b.*") &&
+          splitUpdateFrom(s0).isDefined =>
+        val (table, sets, fromSrc, where, ret) = splitUpdateFrom(s0).get
+        return runUpdateFrom(spark, table, sets, fromSrc, where, ret)
       case deleteUsingRe(table, using, where, ret) =>
         return runDeleteUsing(spark, table, using, where, Option(ret))
       case insertReturningRe(table, colList, body, proj) =>
@@ -1161,7 +1261,10 @@ object Engine {
       new java.util.WeakHashMap[SparkSession, InfoSnapshot]())
 
   /** Call after any DDL that changes the catalog (CREATE/DROP/ALTER). */
-  def bumpCatalogVersion(): Unit = { ddlVersion.incrementAndGet(); () }
+  def bumpCatalogVersion(): Unit = {
+    ddlVersion.incrementAndGet()
+    userViewsDirty.set(true) // user views re-resolve on next statement
+  }
 
   // lower-cased names of MAP-typed columns across the visible catalog —
   // feeds the translator's schema-aware subscript pass (r7). Cached per

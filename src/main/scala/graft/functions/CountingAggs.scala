@@ -57,6 +57,22 @@ abstract class CountMapAggregate
     extends TypedImperativeAggregate[mutable.HashMap[Any, Long]]
     with UnaryLike[Expression] {
 
+  /** The documented bind-time restriction (keys must round-trip the tagged
+    * serializer): primitives, strings, date/timestamp internals. Decimals,
+    * binaries, and nested types are rejected at ANALYSIS, not mid-query
+    * from serialize(). */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | StringType | DateType | TimestampType |
+          TimestampNTZType => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName does not support ${other.simpleString} input " +
+          "(supported: boolean, integral, floating, string, date, timestamp)")
+    }
+  }
+
   override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
     mutable.HashMap.empty
 

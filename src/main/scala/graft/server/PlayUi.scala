@@ -294,7 +294,7 @@ function loadHistory() {
   return h;
 }
 function pushHistory(sql) {
-  let h = loadHistory().map((q, i) => q); // re-read
+  let h = [];
   try { h = JSON.parse(localStorage.getItem("graft_history") || "[]"); } catch (e) {}
   h = [sql].concat(h.filter(q => q !== sql)).slice(0, 20);
   try { localStorage.setItem("graft_history", JSON.stringify(h)); } catch (e) {}

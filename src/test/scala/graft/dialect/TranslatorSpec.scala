@@ -790,7 +790,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT IPv4NumToString(n)").contains("DIV 16777216 % 256"))
     assert(t("SELECT IPv4StringToNum(s)").contains("__g_a * 256"))
     assert(t("SELECT splitByString('ab', s)") ==
-      "SELECT split(s, '\\Qab\\E')")
+      "SELECT split(s, 'ab')")
     assert(t("SELECT bitCount(n), match(s, 'x.*'), parseDateTimeBestEffort(s)") ==
       "SELECT bit_count(n), rlike(s, 'x.*'), try_to_timestamp(s)")
   }
@@ -859,6 +859,30 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT * FROM t1 TABLESAMPLE (5 ROWS)")
     assert(t("SELECT * FROM t1 USING SAMPLE 5 ROWS") ==
       "SELECT * FROM t1 TABLESAMPLE (5 ROWS)")
+  }
+
+  test("r7 session 3 review fixes: split escaping, exclude no-op, LHS scope, epoch") {
+    // splitByString/Char emit doubled-backslash metachar escapes, not
+    // \\Q…\\E (which Spark's string parser strips to a no-op regex)
+    assert(t("SELECT splitByString(',', s)") == "SELECT split(s, ',')")
+    assert(t("SELECT splitByChar('.', s)") == "SELECT split(s, '\\\\.')")
+    // bare `aggregate` identifier no longer crashes the translator
+    assert(t("SELECT aggregate FROM t1") == "SELECT aggregate FROM t1")
+    // EXCLUDE CURRENT ROW over a frame that never holds the current row
+    // is a NO-OP (clause dropped, no subtraction)
+    val noop = t("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW) FROM t1")
+    assert(noop.contains("sum(v) OVER") && !noop.contains("coalesce") &&
+      !noop.toUpperCase.contains("EXCLUDE"))
+    // quantified-comparison LHS spans operator-connected primaries
+    assert(t("SELECT 1 WHERE 'p' || c = ANY (SELECT s FROM t1)") ==
+      "SELECT 1 WHERE (('p' || c) IN (SELECT s FROM t1))")
+    assert(t("SELECT 1 WHERE a + b > ALL (SELECT s FROM t1)")
+      .contains("((a + b) >"))
+    // DuckDB's fractional-seconds epoch part, both syntactic forms
+    assert(t("SELECT extract(epoch FROM ts)") ==
+      "SELECT (unix_micros(ts) / 1000000.0)")
+    assert(t("SELECT date_part('epoch', ts)") ==
+      "SELECT (unix_micros(ts) / 1000000.0)")
   }
 
   test("r7 session 3: named WINDOW clause passes through untouched") {
