@@ -1077,6 +1077,15 @@ object DeclaredQueries {
         "UPDATE g188_t SET price = s.o_totalprice * 2, pri = upper(s.o_orderpriority) FROM orders s WHERE g188_t.id = s.o_orderkey AND s.o_orderkey < 15; " +
         "DELETE FROM g188_t USING orders s WHERE g188_t.id = s.o_orderkey AND s.o_orderkey >= 30; " +
         "SELECT id, pri, CAST(round(price * 100) AS BIGINT) AS price_c FROM g188_t ORDER BY id"),
+    "q189_window_filter" ->
+      // FILTER on WINDOW aggregates (Spark has it only on grouped aggs) →
+      // CASE-wrapped argument, exactly equivalent incl. the
+      // filtered-empty-frame edges (SUM NULL / COUNT 0, probe-pinned)
+      ("SELECT o_orderkey, " +
+        "CAST(round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F') OVER (ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), -1) * 100) AS BIGINT) AS sf_c, " +
+        "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') OVER (ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS cf, " +
+        "CAST(round(coalesce(avg(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderkey % 2 = 0) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey), -1)) AS BIGINT) AS af_c " +
+        "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

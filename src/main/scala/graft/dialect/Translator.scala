@@ -76,6 +76,7 @@ object Translator {
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
     toks = rewriteAnyAll(toks)
+    toks = rewriteWindowFilter(toks)
     toks = rewriteWindowExclude(toks)
     toks = rewriteOrderedArrayAgg(toks)
     toks = rewriteStrftime(toks)
@@ -993,6 +994,60 @@ object Translator {
               repl.foreach { r =>
                 toks = toks.patch(lhsStart, lex(r), close - lhsStart + 1)
                 changed = true
+              }
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** `agg(v) FILTER (WHERE c) OVER (…)` — Spark supports FILTER only on
+    * grouped aggregates, not window functions. For the single-argument
+    * aggregates (and count(*)), a CASE-wrapped argument is exactly
+    * equivalent (probe-pinned: filtered-empty frames give SUM NULL /
+    * COUNT 0, which the NULL-skipping aggregate over the CASE reproduces).
+    * Multi-argument aggregates keep the clause and fail loudly. */
+  private[dialect] def rewriteWindowFilter(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case id: Ident if id.upper == "FILTER" =>
+            val open = nextNonWs(toks, i)
+            if (open < toks.length && toks(open) == Punct("(")) {
+              val close = matchParen(toks, open)
+              val afterClose = nextNonWs(toks, close)
+              val isWindow = afterClose < toks.length && up(toks(afterClose)) == "OVER"
+              val inner = toks.slice(open + 1, close)
+              val wIdx = inner.indexWhere(!isWs(_))
+              if (isWindow && wIdx >= 0 && up(inner(wIdx)) == "WHERE") {
+                val cond = render(inner.slice(wIdx + 1, inner.length)).trim
+                val closeArgs = prevNonWs(toks, i)
+                if (closeArgs >= 0 && toks(closeArgs) == Punct(")")) {
+                  val openArgs = openOf(toks, closeArgs)
+                  val fnIdx = prevNonWs(toks, openArgs)
+                  val fn = if (fnIdx >= 0) up(toks(fnIdx)) else ""
+                  val args = splitTopLevel(toks.slice(openArgs + 1, closeArgs))
+                  val arg = if (args.length == 1) render(args(0)).trim else ""
+                  val repl =
+                    if (fn == "COUNT" && arg == "*")
+                      Some(s"count(CASE WHEN ($cond) THEN 1 END)")
+                    else if (args.length == 1 && fn.nonEmpty && arg != "*")
+                      Some(s"${fn.toLowerCase}(CASE WHEN ($cond) THEN ($arg) END)")
+                    else None
+                  repl.foreach { r =>
+                    // replace fn(args) FILTER (…) with the CASE form,
+                    // keeping OVER (…) untouched
+                    toks = toks.patch(fnIdx, lex(r), close - fnIdx + 1)
+                    changed = true
+                  }
+                }
               }
             }
           case _ =>

@@ -885,6 +885,19 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT (unix_micros(ts) / 1000000.0)")
   }
 
+  test("r7 session 3: FILTER on window aggregates becomes a CASE argument") {
+    assert(t("SELECT sum(v) FILTER (WHERE c) OVER (ORDER BY k) FROM t1") ==
+      "SELECT sum(CASE WHEN (c) THEN (v) END) OVER (ORDER BY k NULLS LAST) FROM t1")
+    assert(t("SELECT count(*) FILTER (WHERE c) OVER (PARTITION BY g) FROM t1") ==
+      "SELECT count(CASE WHEN (c) THEN 1 END) OVER (PARTITION BY g) FROM t1")
+    // grouped-aggregate FILTER stays native (Spark supports it there)
+    assert(t("SELECT sum(v) FILTER (WHERE c) FROM t1") ==
+      "SELECT sum(v) FILTER (WHERE c) FROM t1")
+    // multi-arg aggregates keep the clause and fail loudly downstream
+    assert(t("SELECT corr(a, b) FILTER (WHERE c) OVER (ORDER BY k) FROM t1")
+      .toUpperCase.contains("FILTER"))
+  }
+
   test("r7 session 3: named WINDOW clause passes through untouched") {
     val sql = "SELECT sum(x) OVER w, rank() OVER w FROM t1 " +
       "WINDOW w AS (PARTITION BY g ORDER BY k) ORDER BY k"
