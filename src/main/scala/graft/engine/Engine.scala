@@ -846,6 +846,9 @@ object Engine {
   // live here and are re-registered after any catalog change.
   private val userViews =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** COMMENT ON … metadata (object name → comment), session-scoped. */
+  private[graft] val objectComments =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val userViewsDirty = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val refreshingViews = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
@@ -1196,6 +1199,22 @@ object Engine {
         }
         return spark.emptyDataFrame
       }
+      case s0 if "(?is)^\\s*USE\\s+(memory|main)\\s*;?\\s*$".r
+          .pattern.matcher(s0).matches() =>
+        // DuckDB's default catalog names; the default Spark catalog IS the
+        // session's database — a no-op (ATTACH'd names route through
+        // TenantManager before reaching here)
+        return spark.emptyDataFrame
+      case s0 if "(?is)^\\s*COMMENT\\s+ON\\s+.*".r.pattern.matcher(s0).matches() =>
+        // metadata-only: stored for the catalog surface; DuckDB comments
+        // on views too, where Spark's COMMENT ON TABLE refuses — accept
+        // the statement and keep the comment engine-side
+        val m = "(?is)^\\s*COMMENT\\s+ON\\s+\\w+\\s+([\\w.`\"]+)\\s+IS\\s+(.+?)\\s*;?\\s*$".r
+        m.findFirstMatchIn(s0).foreach { mm =>
+          objectComments.put(mm.group(1).replaceAll("[`\"]", "").toLowerCase,
+            mm.group(2).trim.stripPrefix("'").stripSuffix("'"))
+        }
+        return spark.emptyDataFrame
       case truncateBareRe(t) =>
         // DuckDB accepts TRUNCATE without the TABLE keyword
         return spark.sql(s"TRUNCATE TABLE ${t.replaceAll("[`\"]", "")}")

@@ -1187,6 +1187,13 @@ class OperatorsSpec extends SparkTestBase {
     Engine.sql(spark, "DROP TABLE graft_sct_probe")
   }
 
+  test("USE memory and COMMENT ON are accepted (r7 session 3)") {
+    Engine.registerTables(spark, sfDir)
+    assert(Engine.sql(spark, "USE memory").isEmpty)
+    assert(Engine.sql(spark, "COMMENT ON TABLE region IS 'regions table'").isEmpty)
+    assert(Engine.objectComments.get("region") == "regions table")
+  }
+
   test("SET / current_setting round-trip; unknown keys loud (r7 session 3)") {
     Engine.registerTables(spark, sfDir)
     Engine.sql(spark, "SET sp_probe_setting = 'hello'")
