@@ -1086,6 +1086,15 @@ object DeclaredQueries {
         "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') OVER (ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS cf, " +
         "CAST(round(coalesce(avg(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderkey % 2 = 0) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey), -1)) AS BIGINT) AS af_c " +
         "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"),
+    "q190_index_lambdas" ->
+      // two-parameter lambdas: DuckDB's element index is 1-BASED where
+      // Spark's is 0-based — the translator renames the index param and
+      // shifts every body use (+1), closing a silent off-by-one
+      ("SELECT vec_id, " +
+        "array_to_string(list_transform([10, 20, 30], (x, i) -> x + i * CAST(label AS BIGINT)), ',') AS lt, " +
+        "array_to_string(list_filter([10, 20, 30], (x, i) -> i >= 2), ',') AS lf, " +
+        "array_to_string(list_transform([5, 6], (x, i) -> i), ',') AS idx " +
+        "FROM embeddings ORDER BY vec_id LIMIT 50"),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */

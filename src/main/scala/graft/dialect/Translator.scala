@@ -1714,6 +1714,46 @@ object Translator {
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
+          case id: Ident if Set("LIST_TRANSFORM", "LIST_FILTER", "ARRAY_TRANSFORM",
+              "ARRAY_FILTER", "LIST_APPLY", "ARRAY_APPLY", "APPLY",
+              "TRANSFORM", "FILTER").contains(id.upper) && callOpen >= 0 =>
+            // two-parameter lambdas: DuckDB's element index is 1-BASED,
+            // Spark's is 0-based — a silent off-by-one through a plain
+            // rename (probe: list_transform([10,20], (x,i) -> x+i) is
+            // [11,22] there, [10,21] here). The index param is renamed to
+            // a marker and every body use shifted by +1; the marker keeps
+            // the fixpoint loop from re-shifting.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val lam = args(1).dropWhile(isWs)
+              val shape = lam.filterNot(isWs)
+              val isTwoParam = shape.length > 6 && shape(0) == Punct("(") &&
+                shape(1).isInstanceOf[Ident] && shape(2) == Punct(",") &&
+                shape(3).isInstanceOf[Ident] && shape(4) == Punct(")") &&
+                shape(5) == Punct("->") &&
+                // never re-shift our own generated lambdas (grade_up etc.
+                // emit Spark-0-based __g_* index params by intent)
+                !shape(3).text.startsWith("__g_")
+              if (isTwoParam) {
+                val xName = shape(1).text
+                val iName = shape(3).text
+                val arrowAt = lam.indexWhere(_ == Punct("->"))
+                val body = lam.slice(arrowAt + 1, lam.length)
+                val shifted = body.zipWithIndex.map { case (t2, k) =>
+                  t2 match {
+                    case b: Ident if b.text.equalsIgnoreCase(iName) &&
+                        !(k > 0 && body.slice(0, k).reverse.find(!isWs(_))
+                          .contains(Punct("."))) => Ident("(__g_ix1 + 1)")
+                    case other => other
+                  }
+                }
+                val repl = s"${id.text}(${render(args(0)).trim}, " +
+                  s"($xName, __g_ix1) -> ${render(shifted).trim})"
+                toks = toks.patch(i, lex(repl), close - i + 1)
+                changed = true
+              }
+            }
           case id: Ident if (id.upper == "LIST_SORT" || id.upper == "ARRAY_SORT") && callOpen >= 0 =>
             // DuckDB 2/3-arg order forms (probe-pinned: default and 'ASC'
             // are NULLS LAST; 'DESC' keeps NULLS LAST): four (dir, nulls)

@@ -898,6 +898,21 @@ class TranslatorSpec extends AnyFunSuite {
       .toUpperCase.contains("FILTER"))
   }
 
+  test("r7 session 3: index lambdas shift DuckDB's 1-based index") {
+    assert(t("SELECT list_transform(l, (x, i) -> x + i)") ==
+      "SELECT transform(l, (x, __g_ix1) -> x + (__g_ix1 + 1))")
+    assert(t("SELECT list_filter(l, (x, i) -> i > 1)") ==
+      "SELECT filter(l, (x, __g_ix1) -> (__g_ix1 + 1) > 1)")
+    // 1-param lambdas and our own generated __g_* params stay untouched
+    assert(t("SELECT list_transform(l, x -> x + 1)") ==
+      "SELECT transform(l, x -> x + 1)")
+    assert(t("SELECT transform(l, (__g_x, __g_i) -> __g_i)") ==
+      "SELECT transform(l, (__g_x, __g_i) -> __g_i)")
+    // struct-field access `s.i` in the body is not the index variable
+    assert(t("SELECT list_transform(l, (s, i) -> s.i + i)") ==
+      "SELECT transform(l, (s, __g_ix1) -> s.i + (__g_ix1 + 1))")
+  }
+
   test("r7 session 3: named WINDOW clause passes through untouched") {
     val sql = "SELECT sum(x) OVER w, rank() OVER w FROM t1 " +
       "WINDOW w AS (PARTITION BY g ORDER BY k) ORDER BY k"
