@@ -1035,10 +1035,17 @@ object Translator {
                   val fn = if (fnIdx >= 0) up(toks(fnIdx)) else ""
                   val args = splitTopLevel(toks.slice(openArgs + 1, closeArgs))
                   val arg = if (args.length == 1) render(args(0)).trim else ""
+                  // whitelist: the CASE wrap is equivalent only for NULL-
+                  // SKIPPING aggregates — first/last/any_value/array_agg
+                  // would silently change results (review finding), so
+                  // they keep the clause and fail loudly
+                  val nullSkipping = Set("SUM", "COUNT", "AVG", "MIN", "MAX",
+                    "STDDEV", "STDDEV_SAMP", "STDDEV_POP", "VAR_SAMP",
+                    "VAR_POP", "VARIANCE")
                   val repl =
                     if (fn == "COUNT" && arg == "*")
                       Some(s"count(CASE WHEN ($cond) THEN 1 END)")
-                    else if (args.length == 1 && fn.nonEmpty && arg != "*")
+                    else if (args.length == 1 && nullSkipping.contains(fn) && arg != "*")
                       Some(s"${fn.toLowerCase}(CASE WHEN ($cond) THEN ($arg) END)")
                     else None
                   repl.foreach { r =>
@@ -1533,6 +1540,7 @@ object Translator {
   private[dialect] def rewriteArgShapeFns(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var changed = true
+    var lambdaIx = 0 // unique per-rewrite index-lambda marker suffix
     while (changed) {
       changed = false
       var i = 0
@@ -1738,18 +1746,42 @@ object Translator {
               if (isTwoParam) {
                 val xName = shape(1).text
                 val iName = shape(3).text
+                // unique marker per rewrite: a FIXED name would make a
+                // nested lambda's renamed index capture the outer
+                // reference (review finding)
+                lambdaIx += 1
+                val marker = s"__g_ix$lambdaIx"
                 val arrowAt = lam.indexWhere(_ == Punct("->"))
                 val body = lam.slice(arrowAt + 1, lam.length)
+                // shadow guard: from the first NESTED lambda re-declaring
+                // the same index name, stop substituting (found by
+                // pre-scan so the declaration tokens themselves are never
+                // touched) — leftover outer `i` references past it fail
+                // LOUDLY at analysis instead of silently rebinding
+                val nw = body.indices.filter(k => !isWs(body(k)))
+                var shadowStart = Int.MaxValue
+                var w = 0
+                while (w + 5 < nw.length && shadowStart == Int.MaxValue) {
+                  val Seq(a, b2, c, d, e2, f) =
+                    (w to w + 5).map(j => body(nw(j)))
+                  if (a == Punct("(") && b2.isInstanceOf[Ident] &&
+                      c == Punct(",") && d.isInstanceOf[Ident] &&
+                      d.text.equalsIgnoreCase(iName) && e2 == Punct(")") &&
+                      f == Punct("->"))
+                    shadowStart = nw(w)
+                  w += 1
+                }
                 val shifted = body.zipWithIndex.map { case (t2, k) =>
                   t2 match {
-                    case b: Ident if b.text.equalsIgnoreCase(iName) &&
+                    case b: Ident if k < shadowStart &&
+                        b.text.equalsIgnoreCase(iName) &&
                         !(k > 0 && body.slice(0, k).reverse.find(!isWs(_))
-                          .contains(Punct("."))) => Ident("(__g_ix1 + 1)")
+                          .contains(Punct("."))) => Ident(s"($marker + 1)")
                     case other => other
                   }
                 }
                 val repl = s"${id.text}(${render(args(0)).trim}, " +
-                  s"($xName, __g_ix1) -> ${render(shifted).trim})"
+                  s"($xName, $marker) -> ${render(shifted).trim})"
                 toks = toks.patch(i, lex(repl), close - i + 1)
                 changed = true
               }

@@ -959,6 +959,22 @@ object Engine {
       tv
     })
 
+  private val duckdbTablesFnRe = "(?i)duckdb_tables\\s*\\(\\s*\\)".r
+
+  /** Minimal `duckdb_tables()` (the catalog surface COMMENT ON feeds):
+    * database/schema/table names, the engine-side comment, column count.
+    * Bounded: one catalog listing, never data-sized. */
+  private def duckdbTablesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq.map { t =>
+      val cols = try spark.table(t.name).schema.length catch { case _: Throwable => 0 }
+      ("memory", Option(t.database).getOrElse("main"), t.name,
+        Option(objectComments.get(t.name.toLowerCase)),
+        t.tableType == "TEMPORARY", cols.toLong)
+    }.toDF("database_name", "schema_name", "table_name", "comment",
+      "temporary", "column_count")
+  }
+
   /** Derived-table form `FROM (SUMMARIZE <inner>)` — each occurrence is
     * computed into a temp view (the rewriteTableFunctions precedent) and
     * the parenthesized span replaced by the view name, so the outer query
@@ -1072,10 +1088,15 @@ object Engine {
         // table-function pragmas: `FROM pragma_table_info('t')` → temp view
         // (CALL statements keep their text — the CALL matcher below routes
         // them to runPragma directly)
-        if (s1.toLowerCase.contains("pragma_") &&
+        val s2 = if (s1.toLowerCase.contains("pragma_") &&
             !callPragmaRe.pattern.matcher(s1).matches())
           rewriteTableFnPragmas(spark, s1)
         else s1
+        // duckdb_tables() catalog table function → temp-view splice
+        if (s2.toLowerCase.contains("duckdb_tables")) {
+          duckdbTablesDf(spark).createOrReplaceTempView("graft_duckdb_tables")
+          duckdbTablesFnRe.replaceAllIn(s2, "graft_duckdb_tables")
+        } else s2
       }
     }
     duckSql match {
@@ -1199,20 +1220,26 @@ object Engine {
         }
         return spark.emptyDataFrame
       }
-      case s0 if "(?is)^\\s*USE\\s+(memory|main)\\s*;?\\s*$".r
+      case s0 if ("(?is)^\\s*USE\\s+[\"`']?(memory|main)[\"`']?" +
+          "(?:\\s*\\.\\s*[\"`']?main[\"`']?)?\\s*;?\\s*$").r
           .pattern.matcher(s0).matches() =>
-        // DuckDB's default catalog names; the default Spark catalog IS the
-        // session's database — a no-op (ATTACH'd names route through
-        // TenantManager before reaching here)
+        // DuckDB's default catalog spellings (memory, main, memory.main,
+        // quoted forms); the default Spark catalog IS the session's
+        // database — a no-op (ATTACH'd names route through TenantManager
+        // before reaching here)
         return spark.emptyDataFrame
       case s0 if "(?is)^\\s*COMMENT\\s+ON\\s+.*".r.pattern.matcher(s0).matches() =>
-        // metadata-only: stored for the catalog surface; DuckDB comments
-        // on views too, where Spark's COMMENT ON TABLE refuses — accept
-        // the statement and keep the comment engine-side
+        // metadata-only: stored engine-side keyed by the UNQUALIFIED name
+        // (DuckDB comments on views too, where Spark's COMMENT ON TABLE
+        // refuses); IS NULL removes; doubled '' unescaped
         val m = "(?is)^\\s*COMMENT\\s+ON\\s+\\w+\\s+([\\w.`\"]+)\\s+IS\\s+(.+?)\\s*;?\\s*$".r
         m.findFirstMatchIn(s0).foreach { mm =>
-          objectComments.put(mm.group(1).replaceAll("[`\"]", "").toLowerCase,
-            mm.group(2).trim.stripPrefix("'").stripSuffix("'"))
+          val key = mm.group(1).replaceAll("[`\"]", "").toLowerCase
+            .split('.').last
+          val raw = mm.group(2).trim
+          if (raw.equalsIgnoreCase("NULL")) objectComments.remove(key)
+          else objectComments.put(key,
+            raw.stripPrefix("'").stripSuffix("'").replace("''", "'"))
         }
         return spark.emptyDataFrame
       case truncateBareRe(t) =>

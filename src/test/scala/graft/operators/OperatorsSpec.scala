@@ -1190,8 +1190,18 @@ class OperatorsSpec extends SparkTestBase {
   test("USE memory and COMMENT ON are accepted (r7 session 3)") {
     Engine.registerTables(spark, sfDir)
     assert(Engine.sql(spark, "USE memory").isEmpty)
-    assert(Engine.sql(spark, "COMMENT ON TABLE region IS 'regions table'").isEmpty)
-    assert(Engine.objectComments.get("region") == "regions table")
+    assert(Engine.sql(spark, "USE memory.main").isEmpty)
+    assert(Engine.sql(spark, "COMMENT ON TABLE region IS 'it''s regions'").isEmpty)
+    // the comment surfaces through duckdb_tables() (unescaped)
+    val c = Engine.sql(spark,
+      "SELECT comment FROM duckdb_tables() WHERE table_name = 'region'")
+      .head.getString(0)
+    assert(c == "it's regions")
+    // IS NULL removes
+    Engine.sql(spark, "COMMENT ON TABLE region IS NULL")
+    assert(Engine.sql(spark,
+      "SELECT comment FROM duckdb_tables() WHERE table_name = 'region'")
+      .head.isNullAt(0))
   }
 
   test("SET / current_setting round-trip; unknown keys loud (r7 session 3)") {
