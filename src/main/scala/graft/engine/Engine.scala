@@ -975,6 +975,23 @@ object Engine {
       "temporary", "column_count")
   }
 
+  private val duckdbColumnsFnRe = "(?i)duckdb_columns\\s*\\(\\s*\\)".r
+
+  /** Minimal `duckdb_columns()`: one row per visible column with DuckDB
+    * type spellings. Bounded by the catalog. */
+  private def duckdbColumnsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      val fields = try spark.table(t.name).schema.fields.toSeq
+        catch { case _: Throwable => Seq.empty }
+      fields.zipWithIndex.map { case (f, i) =>
+        ("memory", Option(t.database).getOrElse("main"), t.name, f.name,
+          (i + 1).toLong, duckTypeName(f.dataType), f.nullable)
+      }
+    }.toDF("database_name", "schema_name", "table_name", "column_name",
+      "column_index", "data_type", "is_nullable")
+  }
+
   /** Derived-table form `FROM (SUMMARIZE <inner>)` — each occurrence is
     * computed into a temp view (the rewriteTableFunctions precedent) and
     * the parenthesized span replaced by the view name, so the outer query
@@ -1092,11 +1109,15 @@ object Engine {
             !callPragmaRe.pattern.matcher(s1).matches())
           rewriteTableFnPragmas(spark, s1)
         else s1
-        // duckdb_tables() catalog table function → temp-view splice
-        if (s2.toLowerCase.contains("duckdb_tables")) {
+        // duckdb_tables()/duckdb_columns() catalog fns → temp-view splice
+        val s3 = if (s2.toLowerCase.contains("duckdb_tables")) {
           duckdbTablesDf(spark).createOrReplaceTempView("graft_duckdb_tables")
           duckdbTablesFnRe.replaceAllIn(s2, "graft_duckdb_tables")
         } else s2
+        if (s3.toLowerCase.contains("duckdb_columns")) {
+          duckdbColumnsDf(spark).createOrReplaceTempView("graft_duckdb_columns")
+          duckdbColumnsFnRe.replaceAllIn(s3, "graft_duckdb_columns")
+        } else s3
       }
     }
     duckSql match {

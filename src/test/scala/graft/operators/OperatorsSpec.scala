@@ -1202,6 +1202,12 @@ class OperatorsSpec extends SparkTestBase {
     assert(Engine.sql(spark,
       "SELECT comment FROM duckdb_tables() WHERE table_name = 'region'")
       .head.isNullAt(0))
+    // duckdb_columns(): per-column rows with DuckDB type spellings
+    val rc = Engine.sql(spark,
+      "SELECT column_name, data_type FROM duckdb_columns() " +
+        "WHERE table_name = 'region' ORDER BY column_index")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rc == Seq(("r_regionkey", "INTEGER"), ("r_name", "VARCHAR")))
   }
 
   test("SET / current_setting round-trip; unknown keys loud (r7 session 3)") {
