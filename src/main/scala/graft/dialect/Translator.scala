@@ -1104,17 +1104,46 @@ object Translator {
                   val openArgs = openOf(toks, closeArgs)
                   val fnIdx = prevNonWs(toks, openArgs)
                   val fn = if (fnIdx >= 0) up(toks(fnIdx)) else ""
-                  val specNoEx = render(spec.slice(0, ex) ++
-                    spec.slice(exNext2 + 1, spec.length)).trim
+                  val specNoExToks = spec.slice(0, ex) ++
+                    spec.slice(exNext2 + 1, spec.length)
+                  val specNoEx = render(specNoExToks).trim
                   // a frame that provably never CONTAINS the current row
                   // (both bounds PRECEDING, or both FOLLOWING) makes
                   // EXCLUDE CURRENT ROW a NO-OP in DuckDB — a subtraction
-                  // would be silently off by the current row's value
-                  val noOp =
-                    "(?is).*BETWEEN\\s+\\S+\\s+PRECEDING\\s+AND\\s+\\S+\\s+PRECEDING.*".r
-                      .pattern.matcher(specNoEx).matches() ||
-                    "(?is).*BETWEEN\\s+\\S+\\s+FOLLOWING\\s+AND\\s+\\S+\\s+FOLLOWING.*".r
-                      .pattern.matcher(specNoEx).matches()
+                  // would be silently off by the current row's value.
+                  // Detected token-wise so multi-token bounds
+                  // (INTERVAL '2' DAY PRECEDING) are classified correctly:
+                  // each frame bound ENDS in PRECEDING/FOLLOWING/ROW, so the
+                  // last keyword before the frame's AND and the spec's final
+                  // keyword pin the two bounds regardless of bound arity.
+                  val noOp = {
+                    var d2 = 0; var bet = -1
+                    for (j <- specNoExToks.indices) {
+                      d2 += depthDelta(specNoExToks(j))
+                      if (d2 == 0 && bet < 0 && up(specNoExToks(j)) == "BETWEEN") bet = j
+                    }
+                    if (bet < 0) false
+                    else {
+                      var d3 = 0; var andIdx = -1
+                      for (j <- bet + 1 until specNoExToks.length) {
+                        d3 += depthDelta(specNoExToks(j))
+                        if (d3 == 0 && andIdx < 0 && up(specNoExToks(j)) == "AND") andIdx = j
+                      }
+                      if (andIdx < 0) false
+                      else {
+                        val b1 = {
+                          val k = prevNonWs(specNoExToks, andIdx)
+                          if (k >= 0) up(specNoExToks(k)) else ""
+                        }
+                        val b2 = {
+                          val p = prevNonWs(specNoExToks, specNoExToks.length)
+                          if (p >= 0) up(specNoExToks(p)) else ""
+                        }
+                        (b1 == "PRECEDING" && b2 == "PRECEDING") ||
+                        (b1 == "FOLLOWING" && b2 == "FOLLOWING")
+                      }
+                    }
+                  }
                   if (noOp) {
                     toks = toks.patch(open, lex(s"($specNoEx)"), close - open + 1)
                     changed = true
@@ -1155,7 +1184,13 @@ object Translator {
     * stripped to 'Q…E' by the string parser, silently never splitting). */
   private def regexLiteralSep(sep: String): String =
     sep.flatMap { c =>
-      if ("\\.[]{}()*+?^$|".contains(c)) "\\\\" + c else c.toString
+      // backslash needs FOUR source-level backslashes: Spark's string
+      // parser consumes one level (\\\\ → \\), the regex engine the other
+      // (\\ → literal \); 3 would leave a lone trailing \ escaping the
+      // closing quote or a malformed pattern
+      if (c == '\\') "\\\\\\\\"
+      else if (".[]{}()*+?^$|".contains(c)) "\\\\" + c
+      else c.toString
     }.replace("'", "''")
 
   /** `string_agg(x, d ORDER BY k)` → `listagg(x, d) WITHIN GROUP (ORDER BY k)`. */

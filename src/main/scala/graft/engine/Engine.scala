@@ -859,7 +859,12 @@ object Engine {
     refreshingViews.set(true)
     try userViews.forEach { (n, body) =>
       try sql(spark, body).createOrReplaceTempView(n)
-      catch { case _: Throwable => () } // underlying gone: next reference errors
+      catch {
+        case _: Throwable =>
+          // underlying changed incompatibly: drop the stale pinned plan so
+          // the next reference fails LOUDLY instead of returning stale data
+          try spark.catalog.dropTempView(n) catch { case _: Throwable => () }
+      }
     } finally refreshingViews.set(false)
   }
   private val summarizeRe = "(?is)^\\s*SUMMARIZE\\s+(.+?)\\s*;?\\s*$".r
@@ -947,17 +952,44 @@ object Engine {
   private val tableFnPragmaRe =
     "(?is)pragma_([\\w]+)\\s*\\(\\s*('[^']*')?\\s*\\)".r
 
+  /** Positions inside single-quoted string literals ('' escape-aware):
+    * catalog-fn/pragma textual splices must not fire on occurrences that
+    * are part of a literal's VALUE. */
+  private def singleQuoteMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var i = 0; var inStr = false
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { mask(i) = true; if (ch == '\'') inStr = false }
+      else if (ch == '\'') { mask(i) = true; inStr = true }
+      i += 1
+    }
+    mask
+  }
+
+  /** replaceAllIn that leaves matches inside single-quoted literals
+    * untouched (and runs no side effects for them). */
+  private def replaceOutsideQuotes(re: scala.util.matching.Regex, s: String)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val mask = singleQuoteMask(s)
+    re.replaceAllIn(s, m =>
+      if (m.start < mask.length && mask(m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else scala.util.matching.Regex.quoteReplacement(f(m)))
+  }
+
   /** `FROM pragma_table_info('t')`-style table-function forms — each
     * occurrence computed via runPragma into a temp view and the call text
-    * replaced by the view name (the SUMMARIZE-splice pattern). */
+    * replaced by the view name (the SUMMARIZE-splice pattern). Occurrences
+    * inside string literals are left as data, not executed. */
   private def rewriteTableFnPragmas(spark: SparkSession, sql0: String): String =
-    tableFnPragmaRe.replaceAllIn(sql0, m => {
+    replaceOutsideQuotes(tableFnPragmaRe, sql0) { m =>
       val df = runPragma(spark, m.group(1), Option(m.group(2)))
       val tv = "graft_pragma_" + java.security.MessageDigest.getInstance("MD5")
         .digest(m.matched.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       df.createOrReplaceTempView(tv)
       tv
-    })
+    }
 
   private val duckdbTablesFnRe = "(?i)duckdb_tables\\s*\\(\\s*\\)".r
 
@@ -1110,13 +1142,20 @@ object Engine {
           rewriteTableFnPragmas(spark, s1)
         else s1
         // duckdb_tables()/duckdb_columns() catalog fns → temp-view splice
+        // (quote-aware: occurrences inside string literals stay data)
         val s3 = if (s2.toLowerCase.contains("duckdb_tables")) {
-          duckdbTablesDf(spark).createOrReplaceTempView("graft_duckdb_tables")
-          duckdbTablesFnRe.replaceAllIn(s2, "graft_duckdb_tables")
+          lazy val registered = {
+            duckdbTablesDf(spark).createOrReplaceTempView("graft_duckdb_tables")
+            "graft_duckdb_tables"
+          }
+          replaceOutsideQuotes(duckdbTablesFnRe, s2)(_ => registered)
         } else s2
         if (s3.toLowerCase.contains("duckdb_columns")) {
-          duckdbColumnsDf(spark).createOrReplaceTempView("graft_duckdb_columns")
-          duckdbColumnsFnRe.replaceAllIn(s3, "graft_duckdb_columns")
+          lazy val registered = {
+            duckdbColumnsDf(spark).createOrReplaceTempView("graft_duckdb_columns")
+            "graft_duckdb_columns"
+          }
+          replaceOutsideQuotes(duckdbColumnsFnRe, s3)(_ => registered)
         } else s3
       }
     }

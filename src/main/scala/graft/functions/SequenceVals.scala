@@ -50,11 +50,15 @@ object CurrentSetting {
   def read(k: UTF8String): UTF8String = {
     val key = k.toString
     val conf = org.apache.spark.sql.internal.SQLConf.get
-    val v = try conf.getConfString(key) catch {
+    val v0 = try conf.getConfString(key) catch {
       case _: java.util.NoSuchElementException =>
         throw new IllegalStateException(
           s"""unrecognized configuration parameter "$key"""")
     }
+    // Spark's SET stores `x = '2GB'` quotes-and-all; unquote exactly like
+    // the plan-time literal-key branch so both paths agree
+    val v = if (v0.length >= 2 && v0.startsWith("'") && v0.endsWith("'"))
+      v0.substring(1, v0.length - 1) else v0
     UTF8String.fromString(v)
   }
 }

@@ -920,4 +920,35 @@ class TranslatorSpec extends AnyFunSuite {
     assert(out.contains("WINDOW w AS (PARTITION BY g ORDER BY k"))
     assert(out.contains("OVER w"))
   }
+
+  test("r8 advice: EXCLUDE no-op detection is token-wise (multi-token bounds)") {
+    // INTERVAL bounds are multi-token: the old \S+ regex missed them and
+    // fell through to subtraction — silently wrong where EXCLUDE is a no-op
+    val noop = t("SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND INTERVAL '1' DAY PRECEDING EXCLUDE CURRENT ROW) FROM t1")
+    assert(noop.contains("sum(v) OVER") && !noop.contains("coalesce") &&
+      !noop.toUpperCase.contains("EXCLUDE"), noop)
+    val noopF = t("SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '1' DAY FOLLOWING AND INTERVAL '2' DAY FOLLOWING EXCLUDE CURRENT ROW) FROM t1")
+    assert(noopF.contains("sum(v) OVER") && !noopF.contains("coalesce") &&
+      !noopF.toUpperCase.contains("EXCLUDE"), noopF)
+    // frames that DO hold the current row still subtract
+    val sub = t("SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND INTERVAL '1' DAY FOLLOWING EXCLUDE CURRENT ROW) FROM t1")
+    assert(sub.contains("coalesce") && !sub.toUpperCase.contains("EXCLUDE"), sub)
+    val sub2 = t("SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) FROM t1")
+    assert(sub2.contains("coalesce") && !sub2.toUpperCase.contains("EXCLUDE"), sub2)
+    // single-token bounds keep working
+    val noop1 = t("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW) FROM t1")
+    assert(!noop1.contains("coalesce") && !noop1.toUpperCase.contains("EXCLUDE"))
+  }
+
+  test("r8 advice: backslash separator gets four source-level backslashes") {
+    // Spark's string parser eats one level, the regex engine the other —
+    // 3 backslashes would leave a lone \ escaping the closing quote
+    assert(t("SELECT splitByString('\\', s)") ==
+      "SELECT split(s, '\\\\\\\\')")
+    assert(t("SELECT splitByChar('\\', s)") ==
+      "SELECT split(s, '\\\\\\\\')")
+    // mixed: metachar + backslash in one separator
+    assert(t("SELECT splitByString('.\\', s)") ==
+      "SELECT split(s, '\\\\.\\\\\\\\')")
+  }
 }

@@ -1553,4 +1553,48 @@ class OperatorsSpec extends SparkTestBase {
       assert(labels(v) == v, s"base $v should label its own cluster")
     }
   }
+
+  test("r8 advice: stale view drops loudly after incompatible ALTER") {
+    import spark.implicits._
+    Engine.sql(spark, "DROP TABLE IF EXISTS sp_vstale")
+    Engine.sql(spark, "CREATE TABLE sp_vstale AS SELECT 1 AS a, 2 AS b")
+    Engine.sql(spark, "CREATE VIEW sp_vstale_v AS SELECT b FROM sp_vstale")
+    assert(Engine.sql(spark, "SELECT * FROM sp_vstale_v").head.getInt(0) == 2)
+    // dropping the column the view body references must NOT leave a stale
+    // pinned plan serving old data — the next reference fails loudly
+    Engine.sql(spark, "ALTER TABLE sp_vstale DROP COLUMN b")
+    intercept[Exception] {
+      Engine.sql(spark, "SELECT * FROM sp_vstale_v").collect()
+    }
+    Engine.sql(spark, "DROP VIEW IF EXISTS sp_vstale_v")
+    Engine.sql(spark, "DROP TABLE sp_vstale")
+  }
+
+  test("r8 advice: pragma/catalog-fn splices skip string literals") {
+    Engine.registerTables(spark, sfDir)
+    // an occurrence inside a literal is DATA — not executed, not replaced
+    val r = Engine.sql(spark,
+      "SELECT 'use pragma_table_info(''t'') or duckdb_tables() wisely' AS s")
+      .head.getString(0)
+    assert(r == "use pragma_table_info('t') or duckdb_tables() wisely")
+    // while a real occurrence in the same statement still splices
+    val mixed = Engine.sql(spark,
+      "SELECT 'duckdb_tables() is a fn' AS s, count(*) AS c FROM duckdb_tables()")
+      .head
+    assert(mixed.getString(0) == "duckdb_tables() is a fn" && mixed.getLong(1) >= 1)
+  }
+
+  test("r8 advice: current_setting runtime path unquotes like plan-time") {
+    Engine.registerTables(spark, sfDir)
+    Engine.sql(spark, "SET sp_quoted_setting = '2GB'")
+    // literal key → plan-time branch
+    val planTime = Engine.sql(spark,
+      "SELECT current_setting('sp_quoted_setting') AS v").head.getString(0)
+    // non-foldable key → runtime CurrentSetting.read branch
+    val runTime = Engine.sql(spark,
+      "SELECT current_setting(concat('sp_quoted', '_setting')) AS v")
+      .head.getString(0)
+    assert(planTime == "2GB", planTime)
+    assert(runTime == planTime, s"runtime '$runTime' != plan-time '$planTime'")
+  }
 }
