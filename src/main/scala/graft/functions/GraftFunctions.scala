@@ -65,6 +65,8 @@ object GraftFunctions {
       args => DupGramStats(args(0))),
     ("token_hashes", "array<bigint>: 64-bit hash per whitespace token, in order, one byte scan",
       args => TokenHashes(args(0))),
+    ("token_counts", "array<struct<term,cnt>>: per-distinct-token frequencies, first-occurrence order, one byte scan",
+      args => TokenCounts(args(0))),
     ("byte_shingle_simhash", "portable 60-bit simhash over sliding byte n-gram shingles of a binary payload",
       args => ByteShingleSimhash(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),

@@ -673,33 +673,41 @@ object PipelineQueries {
           (expr("char_entropy(text)") >= 4.0).as("kept"))
         .orderBy("doc_id")
     }),
-    // ---- per-source tf-idf top terms (r7 session 3): the corpus-
-    // characterization step of a mixture report — tf per (source, term),
-    // df per term over distinct docs, score tf * ln((N+1)/(df+1)), exact
-    // top-5 per source. Scale shape: one explode scan feeding two keyed
-    // partial aggregations, then an UNHINTED join (AQE broadcasts the
-    // df table while vocab ≪ corpus, falls back to SMJ on a degenerate
-    // vocab — the p46 boiler-join posture) and one per-source window.
-    // Doc count from metadata, never a count() job.
+    // ---- per-source tf-idf top terms (r7 session 3; r8 single-scan): the
+    // corpus-characterization step of a mixture report — tf per (source,
+    // term), df per term over distinct docs, score tf * ln((N+1)/(df+1)),
+    // exact top-5 per source. Scale shape (the r7 verdict's one work-bound
+    // >2× entry, fixed): ONE corpus scan through the `token_counts` kernel
+    // (per-doc distinct-term frequencies in one byte pass), exploded and
+    // partial-aggregated into a single vocab-sized (source, term) exchange
+    // that BOTH the tf and df branches consume — each (doc, term) pair
+    // appears exactly once, so count(*) is df with no distinct. The df
+    // re-aggregation input is vocab-sized, the join is unhinted (AQE
+    // broadcasts the df table while vocab ≪ corpus — the p46 boiler-join
+    // posture), then one per-source window. Doc count from metadata,
+    // never a count() job.
     "p54_tfidf_terms" -> q((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = s.table("documents")
       val n = docs.queryExecution.analyzed.stats.rowCount.map(_.toLong)
         .orElse(Engine.parquetRowCount(s"$dir/documents.parquet"))
         .getOrElse(docs.count())
-      // Both branches partial-aggregate map-side into vocab-sized frames,
-      // so the only corpus-sized work is the two codegen scans. The df
-      // branch dedupes terms PER ROW (array_distinct) before exploding —
-      // a (doc, term) `.distinct()` would shuffle every token occurrence
-      // (measured 2.5 s → 1.6 s at sf≈1 from exactly that change).
-      val toksArr = filter(split(col("text"), " "), t => t =!= lit(""))
-      val tf = docs.select(col("source"), explode(toksArr).as("term"))
-        .groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      val dfT = docs.select(explode(array_distinct(toksArr)).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val scored = tf.join(dfT, Seq("term"))
-        .withColumn("tfidf",
-          col("tf") * log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))))
+      val entries = docs
+        .select(col("source"), explode(expr("token_counts(text)")).as("e"))
+        .select(col("source"), col("e.term").as("term"), col("e.cnt").as("cnt"))
+      val vocabST = entries.groupBy("source", "term")
+        .agg(sum("cnt").as("tf"), count(lit(1)).as("docs"))
+      // ReuseExchange only fires when both consumers keep the SAME
+      // aggregate list below the shared exchange — so each branch must
+      // reference BOTH aggregates or column pruning diverges the subtrees
+      // back into two corpus scans (PlanAudit pins the reuse). least(docs,
+      // tf) = docs and greatest(tf, docs) = tf identically: every (doc,
+      // term) entry has cnt >= 1, hence tf = sum(cnt) >= count(*) = docs.
+      val dfT = vocabST.groupBy("term")
+        .agg(sum(least(col("docs"), col("tf"))).as("df"))
+      val scored = vocabST.join(dfT, Seq("term"))
+        .withColumn("tfidf", greatest(col("tf"), col("docs")) *
+          log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))))
       val w = Window.partitionBy("source").orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
         .select(col("source"), col("rk").cast("bigint").as("rk"), col("term"),

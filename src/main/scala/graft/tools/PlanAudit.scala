@@ -163,11 +163,13 @@ object PlanAudit {
     Check("p53_entropy_gate",
       wantAll = Seq("char_entropy"),
       wantNone = Seq("Join", "Generate", "Window")),
-    // tf-idf terms (r7 session 3): explode scan → two keyed partial aggs →
-    // unhinted df join (AQE picks broadcast while vocab ≪ corpus) → one
-    // per-source window — never a cartesian shape
+    // tf-idf terms (r8 single-scan): ONE token_counts kernel scan → one
+    // vocab-sized (source, term) exchange shared by the tf and df branches
+    // (runtime reuse asserted separately below) → unhinted df join (AQE
+    // picks broadcast while vocab ≪ corpus) → one per-source window —
+    // never a cartesian shape
     Check("p54_tfidf_terms",
-      wantAll = Seq("HashAggregate", "Window", "Generate"),
+      wantAll = Seq("token_counts", "HashAggregate", "Window", "Generate"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // curriculum bins (r7 session 3): ONE exact-percentile agg, 1-row
     // threshold frame broadcast back (NLJ over one row is the intended
@@ -395,6 +397,32 @@ object PlanAudit {
         failures += 1
         println(s"PLAN BAD  q131 lineitem scans identical in (columns, " +
           s"filters) — ReuseExchange is now reachable, revisit: $liScans")
+      }
+    }
+    // r8 (VERDICT r7 #2): p54 single-scan tf-idf. The tf and df branches
+    // both consume ONE vocab-sized (source, term) exchange; AQE must show
+    // a ReusedExchange and exactly one documents FileScan in the FINAL
+    // plan. The reuse depends on pruning-symmetric aggregate references
+    // (least/greatest guards in PipelineQueries) — if an edit breaks the
+    // symmetry, column pruning silently re-diverges the subtrees into two
+    // corpus scans, and this catches it.
+    {
+      val p54 = SparkEntry.queries("p54_tfidf_terms")(spark, sfDir)
+      // collect(), not a noop write: write() builds a SEPARATE
+      // QueryExecution, leaving this one un-executed (isFinalPlan=false,
+      // no AQE reuse visible). Result is 5 rows per source — bounded.
+      p54.collect()
+      val planStr = p54.queryExecution.executedPlan.toString
+      val finalSection = planStr.split("== Initial Plan ==")(0)
+      val docScans = finalSection.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("documents"))
+      val reused = finalSection.contains("ReusedExchange")
+      if (reused && docScans == 1)
+        println("PLAN OK   p54 single corpus scan + ReusedExchange in final AQE plan")
+      else {
+        failures += 1
+        println(s"PLAN BAD  p54 reuse broken: ReusedExchange=$reused, " +
+          s"documents scans in final plan=$docScans (want 1)")
       }
     }
     val q = SparkEntry.queries("q24_group_having")(spark, sfDir)

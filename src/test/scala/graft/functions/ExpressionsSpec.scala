@@ -352,6 +352,32 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("token_counts matches the explode/groupBy term frequencies (r8)") {
+    withFns {
+      import spark.implicits._
+      val rnd = new scala.util.Random(31)
+      val words = Seq("a", "b", "cat", "dog", "xy", "a", "Zebra", "zebra")
+      val strs = (0 until 300).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" ") + (if (rnd.nextBoolean()) "  " else "")
+      } ++ Seq("", "solo", "a a a a a", "  leading  gaps  ", "tab\tinside stays one-token")
+      val rows = strs.toDF("s").select(
+        expr("token_counts(s)").as("tc"),
+        expr("filter(split(s, ' '), t -> t != '')").as("t"))
+        .collect()
+      rows.foreach { r =>
+        val tc = r.getSeq[org.apache.spark.sql.Row](0)
+          .map(e => e.getString(0) -> e.getInt(1))
+        val t = r.getSeq[String](1)
+        // per-term counts match the raw token stream exactly
+        val want = t.groupBy(identity).view.mapValues(_.length).toMap
+        assert(tc.toMap == want, s"counts mismatch: $tc vs $want for $t")
+        // one entry per distinct term, first-occurrence order
+        assert(tc.map(_._1) == t.distinct, s"order mismatch: $tc vs ${t.distinct}")
+      }
+    }
+  }
+
   test("quant_dot and quant_cos_micro match the zip_with SQL forms on random vectors") {
     withFns {
       val rnd = new scala.util.Random(11)
