@@ -1086,6 +1086,37 @@ object DeclaredQueries {
         "CAST(count(*) FILTER (WHERE o_orderstatus = 'F') OVER (ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS cf, " +
         "CAST(round(coalesce(avg(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderkey % 2 = 0) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey), -1)) AS BIGINT) AS af_c " +
         "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"),
+    "q191_eq_all_neq_any" ->
+      // `= ALL` / `<> ANY` quantified comparisons (r8) → count-guarded
+      // min=max=x CASE reproducing DuckDB's three-valued probe table:
+      // empty → = ALL TRUE / <> ANY FALSE; a definite differing non-null
+      // element → FALSE/TRUE; NULL elements (or NULL x) leave the
+      // undecided side NULL (3 = ALL {3, NULL} is NULL). ea_corr is the
+      // correlated form (q180's machinery); ea_const/ea_null/ea_empty hit
+      // TRUE/FALSE, the NULL edge, and the empty set per supplier key
+      ("SELECT s.s_suppkey, " +
+        "s.s_nationkey = ALL (SELECT s2.s_nationkey FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey) AS ea_corr, " +
+        "s.s_suppkey = ALL (SELECT 3 FROM orders o WHERE o.o_orderkey < 50) AS ea_const, " +
+        "s.s_suppkey = ALL (SELECT CASE WHEN o.o_orderkey % 7 = 0 THEN NULL ELSE 3 END FROM orders o WHERE o.o_orderkey < 50) AS ea_null, " +
+        "s.s_suppkey = ALL (SELECT o.o_orderkey FROM orders o WHERE o.o_orderkey > 999999999) AS ea_empty, " +
+        "s.s_suppkey <> ANY (SELECT 3 FROM orders o WHERE o.o_orderkey < 50) AS na_const, " +
+        "s.s_suppkey <> ANY (SELECT CASE WHEN o.o_orderkey % 7 = 0 THEN NULL ELSE 3 END FROM orders o WHERE o.o_orderkey < 50) AS na_null, " +
+        "s.s_suppkey <> ANY (SELECT o.o_orderkey FROM orders o WHERE o.o_orderkey > 999999999) AS na_empty " +
+        "FROM supplier s ORDER BY s.s_suppkey"),
+    "q192_window_filter_pairs" ->
+      // FILTER on two-argument PAIR-SKIPPING window aggregates (r8):
+      // corr/covar/regr_* drop a row iff either argument is NULL, so
+      // CASE-wrapping BOTH arguments with the predicate is exact.
+      // Integer-cents measures and coarse quantization dodge cross-engine
+      // ulp drift (the q189 posture)
+      ("SELECT o_orderkey, " +
+        "CAST(round(coalesce(corr(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) FILTER (WHERE o_orderstatus = 'F') OVER w, -1) * 10000) AS BIGINT) AS corr_q, " +
+        "CAST(round(coalesce(covar_samp(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) FILTER (WHERE o_orderkey % 2 = 0) OVER w, -1)) AS BIGINT) AS cov_r, " +
+        "CAST(round(coalesce(regr_slope(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) FILTER (WHERE o_orderstatus <> 'O') OVER w, -1) * 100) AS BIGINT) AS slope_q, " +
+        "CAST(regr_count(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) FILTER (WHERE o_orderstatus = 'F') OVER w AS BIGINT) AS rc " +
+        "FROM orders WHERE o_orderkey < 300 " +
+        "WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

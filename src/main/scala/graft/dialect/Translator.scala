@@ -926,7 +926,7 @@ object Translator {
     * `3 > ALL {5, NULL}` is FALSE — false dominates ALL, true dominates
     * ANY). The subquery is spliced once per aggregate; Spark's
     * ReuseSubquery collapses the identical plans. `= ALL` / `<> ANY`
-    * stay untouched and fail loudly. */
+    * (r8) become the count-guarded min=max=x CASE — see inline. */
   private[dialect] def rewriteAnyAll(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var changed = true
@@ -972,6 +972,27 @@ object Translator {
                 case ("=", false) => Some(s"(($x) IN ($sub))")
                 case (o, true) if o == "<>" || o == "!=" =>
                   Some(s"(($x) NOT IN ($sub))")
+                case (o, all) if o == "=" && all ||
+                    (o == "<>" || o == "!=") && !all =>
+                  // `x = ALL s` (r8, probe-pinned on DuckDB 1.0): empty →
+                  // TRUE; a DEFINITE differing non-null element → FALSE
+                  // (min<>x OR max<>x is only TRUE when x is non-null and
+                  // an extremum differs — dominates NULL elements, e.g.
+                  // 1 = ALL {2, NULL} is FALSE); otherwise NULL elements
+                  // or a NULL x leave it undecided → NULL (1 = ALL
+                  // {1, NULL} is NULL, as is the all-NULL set); else all
+                  // non-null and equal → TRUE. `x <> ANY s` is exactly
+                  // NOT(x = ALL s) in three-valued logic (empty → FALSE),
+                  // so it swaps the TRUE/FALSE arms of the same CASE.
+                  val cnt = s"(SELECT count(*) FROM ($sub) __g_q(__g_c))"
+                  val nulls = s"(SELECT count(*) - count(__g_c) FROM ($sub) __g_q(__g_c))"
+                  val differs = s"((SELECT min(__g_c) FROM ($sub) __g_q(__g_c)) <> ($x) " +
+                    s"OR (SELECT max(__g_c) FROM ($sub) __g_q(__g_c)) <> ($x))"
+                  val (onAll, onNone) = if (all) ("TRUE", "FALSE") else ("FALSE", "TRUE")
+                  Some(s"(CASE WHEN $cnt = 0 THEN $onAll " +
+                    s"WHEN $differs THEN $onNone " +
+                    s"WHEN $nulls > 0 OR ($x) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+                    s"ELSE $onAll END)")
                 case (o, all) if Set(">", "<", ">=", "<=").contains(o) =>
                   // ALL compares against the failing-side extremum; ANY
                   // against the succeeding-side one
@@ -1008,8 +1029,11 @@ object Translator {
     * grouped aggregates, not window functions. For the single-argument
     * aggregates (and count(*)), a CASE-wrapped argument is exactly
     * equivalent (probe-pinned: filtered-empty frames give SUM NULL /
-    * COUNT 0, which the NULL-skipping aggregate over the CASE reproduces).
-    * Multi-argument aggregates keep the clause and fail loudly. */
+    * COUNT 0, which the NULL-skipping aggregate over the CASE reproduces);
+    * for the two-argument pair-skipping family (corr/covar/regr_*, r8)
+    * wrapping BOTH arguments is exact. Other aggregates (first/last/
+    * any_value/array_agg — NOT null-skipping) keep the clause and fail
+    * loudly. */
   private[dialect] def rewriteWindowFilter(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var changed = true
@@ -1042,11 +1066,23 @@ object Translator {
                   val nullSkipping = Set("SUM", "COUNT", "AVG", "MIN", "MAX",
                     "STDDEV", "STDDEV_SAMP", "STDDEV_POP", "VAR_SAMP",
                     "VAR_POP", "VARIANCE")
+                  // pair-skipping aggregates (r8) drop a row iff EITHER
+                  // argument is NULL, so CASE-wrapping BOTH arguments with
+                  // the same predicate is exact (cond FALSE/NULL → both
+                  // NULL → skipped, matching FILTER's exclusion)
+                  val pairSkipping = Set("CORR", "COVAR_POP", "COVAR_SAMP",
+                    "REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2", "REGR_AVGX",
+                    "REGR_AVGY", "REGR_SXX", "REGR_SYY", "REGR_SXY",
+                    "REGR_COUNT")
                   val repl =
                     if (fn == "COUNT" && arg == "*")
                       Some(s"count(CASE WHEN ($cond) THEN 1 END)")
                     else if (args.length == 1 && nullSkipping.contains(fn) && arg != "*")
                       Some(s"${fn.toLowerCase}(CASE WHEN ($cond) THEN ($arg) END)")
+                    else if (args.length == 2 && pairSkipping.contains(fn))
+                      Some(s"${fn.toLowerCase}(" +
+                        s"CASE WHEN ($cond) THEN (${render(args(0)).trim}) END, " +
+                        s"CASE WHEN ($cond) THEN (${render(args(1)).trim}) END)")
                     else None
                   repl.foreach { r =>
                     // replace fn(args) FILTER (…) with the CASE form,

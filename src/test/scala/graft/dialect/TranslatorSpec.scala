@@ -893,8 +893,10 @@ class TranslatorSpec extends AnyFunSuite {
     // grouped-aggregate FILTER stays native (Spark supports it there)
     assert(t("SELECT sum(v) FILTER (WHERE c) FROM t1") ==
       "SELECT sum(v) FILTER (WHERE c) FROM t1")
-    // multi-arg aggregates keep the clause and fail loudly downstream
-    assert(t("SELECT corr(a, b) FILTER (WHERE c) OVER (ORDER BY k) FROM t1")
+    // pair-skipping multi-arg aggregates wrap both args since r8 (see the
+    // r8 test); non-whitelisted multi-arg forms keep the clause and fail
+    // loudly downstream
+    assert(t("SELECT arg_max(a, b) FILTER (WHERE c) OVER (ORDER BY k) FROM t1")
       .toUpperCase.contains("FILTER"))
   }
 
@@ -938,6 +940,31 @@ class TranslatorSpec extends AnyFunSuite {
     // single-token bounds keep working
     val noop1 = t("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW) FROM t1")
     assert(!noop1.contains("coalesce") && !noop1.toUpperCase.contains("EXCLUDE"))
+  }
+
+  test("r8: = ALL / <> ANY become the count-guarded min=max CASE") {
+    val ea = t("SELECT 1 WHERE k = ALL (SELECT c FROM t1)")
+    assert(ea.contains("min(__g_c)") && ea.contains("max(__g_c)") &&
+      ea.contains("THEN TRUE") && ea.contains("THEN FALSE") &&
+      ea.contains("CAST(NULL AS BOOLEAN)"), ea)
+    val na = t("SELECT 1 WHERE k <> ANY (SELECT c FROM t1)")
+    assert(na.contains("min(__g_c)") && na.contains("THEN FALSE") &&
+      na.contains("THEN TRUE"), na)
+    // != spelling and SOME synonym route the same way
+    assert(t("SELECT 1 WHERE k != ANY (SELECT c FROM t1)").contains("min(__g_c)"))
+    // exact equivalences keep their IN forms
+    assert(t("SELECT 1 WHERE k = ANY (SELECT c FROM t1)").contains("IN (SELECT"))
+    assert(t("SELECT 1 WHERE k <> ALL (SELECT c FROM t1)").contains("NOT IN (SELECT"))
+  }
+
+  test("r8: window FILTER on pair-skipping aggregates wraps BOTH arguments") {
+    val c = t("SELECT corr(x, y) FILTER (WHERE p) OVER (ORDER BY k) FROM t1")
+    assert(c == "SELECT corr(CASE WHEN (p) THEN (x) END, CASE WHEN (p) THEN (y) END) OVER (ORDER BY k NULLS LAST) FROM t1", c)
+    assert(t("SELECT regr_slope(x, y) FILTER (WHERE p) OVER (ORDER BY k) FROM t1")
+      .contains("regr_slope(CASE WHEN (p) THEN (x) END, CASE WHEN (p) THEN (y) END)"))
+    // non-whitelisted multi-arg aggregates keep the clause → loud
+    assert(t("SELECT max_by(x, y) FILTER (WHERE p) OVER (ORDER BY k) FROM t1")
+      .toUpperCase.contains("FILTER"))
   }
 
   test("r8 advice: backslash separator gets four source-level backslashes") {
