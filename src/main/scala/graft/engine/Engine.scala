@@ -549,9 +549,14 @@ object Engine {
   private val updateRe =
     "(?is)^\\s*UPDATE\\s+([\\w.`\"]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?(?:\\s+RETURNING\\s+(.+?))?\\s*$".r
 
+  /** Full-table-rewrite counter — PlanAudit asserts the q178 ALTER chain
+    * pays at most ONE rewrite (the r8 coalescer contract). */
+  private[graft] val swapCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Rewrite `table` to df's rows atomically; returns the new row count. */
   private def swapInto(spark: SparkSession, table: String,
       df: DataFrame): Long = {
+    swapCount.incrementAndGet()
     val tmp = table + "__rewriting"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     val obs = org.apache.spark.sql.Observation()
@@ -773,57 +778,183 @@ object Engine {
       "([\\w`\"]+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+([\\w(),\\[\\] ]+?)" +
       "(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$").r
 
-  private def runAlterColumn(spark: SparkSession, duckSql: String): Option[DataFrame] = {
+  /** Parsed ALTER TABLE column op (shared by the single-statement path and
+    * the script-level chain coalescer). */
+  private sealed trait AlterOp
+  private case class AlterAdd(ifNot: Boolean, col: String, typ: String,
+      dflt: Option[String]) extends AlterOp
+  private case class AlterDrop(ifEx: Boolean, col: String) extends AlterOp
+  private case class AlterRename(from: String, to: String) extends AlterOp
+  private case class AlterRetype(col: String, typ: String,
+      using: Option[String]) extends AlterOp
+
+  private def parseAlterOp(duckSql: String): Option[(String, AlterOp)] = {
     def clean(s: String) = s.replaceAll("[`\"]", "")
     duckSql match {
-      case alterAddColRe(t0, ifNot, c0, typ, dflt) =>
-        val (t, c) = (clean(t0), clean(c0))
-        requireDmlTarget(spark, t)
-        val exists = spark.table(t).schema.fieldNames
-          .exists(_.equalsIgnoreCase(c))
-        if (exists) {
-          if (ifNot == null) throw new IllegalStateException(
+      case alterAddColRe(t, ifNot, c, typ, dflt) =>
+        Some((clean(t), AlterAdd(ifNot != null, clean(c), typ, Option(dflt))))
+      case alterDropColRe(t, ifEx, c) =>
+        Some((clean(t), AlterDrop(ifEx != null, clean(c))))
+      case alterRenameColRe(t, a, b) =>
+        Some((clean(t), AlterRename(clean(a), clean(b))))
+      case alterTypeRe(t, c, typ, using) =>
+        Some((clean(t), AlterRetype(clean(c), typ, Option(using))))
+      case _ => None
+    }
+  }
+
+  /** Bare constant literal (number, string, NULL, TRUE/FALSE) — the
+    * defaults eligible for the metadata-only native ADD COLUMNS path
+    * (Spark requires a foldable DEFAULT, and these render identically in
+    * both dialects; anything else falls back to the rewrite). */
+  private val constantDefaultRe =
+    "(?is)^\\s*(?:NULL|TRUE|FALSE|-?\\d+(?:\\.\\d+)?|'(?:[^']|'')*')\\s*$".r
+
+  /** Apply `ops` to a symbolic column list (name → defining expr over the
+    * ORIGINAL table), reproducing DuckDB's probe-pinned error texts.
+    * Column references inside USING / DEFAULT expressions are substituted
+    * with their current defining exprs, so a chain like RENAME pri TO
+    * prio; ALTER flag TYPE … USING prio || flag resolves against the
+    * original scan. Pure — throws without touching the table. */
+  private def foldAlterOps(fields: Seq[String], table: String,
+      ops: Seq[AlterOp]): Seq[(String, String)] = {
+    def substitute(expr: String, cols: Seq[(String, String)]): String = {
+      import graft.dialect.Lexer
+      import graft.dialect.Lexer.{Ident, Punct, Tok}
+      val toks = Lexer.lex(expr)
+      val out = toks.zipWithIndex.map { case (tk, i) =>
+        tk match {
+          case id: Ident =>
+            // bare column reference (not a function call, not dotted)
+            val isCall = {
+              var j = i + 1
+              while (j < toks.length && toks(j).isInstanceOf[Lexer.Ws]) j += 1
+              j < toks.length && toks(j) == Punct("(")
+            }
+            val isDotted = {
+              var j = i - 1
+              while (j >= 0 && toks(j).isInstanceOf[Lexer.Ws]) j -= 1
+              j >= 0 && toks(j) == Punct(".")
+            }
+            cols.find(_._1.equalsIgnoreCase(id.upper)) match {
+              case Some((_, e)) if !isCall && !isDotted => (Ident(s"($e)"): Tok)
+              case _ => tk
+            }
+          case _ => tk
+        }
+      }
+      Lexer.render(out)
+    }
+    var cols: Seq[(String, String)] = fields.map(f => f -> f)
+    ops.foreach {
+      case AlterAdd(ifNot, c, typ, dflt) =>
+        if (cols.exists(_._1.equalsIgnoreCase(c))) {
+          if (!ifNot) throw new IllegalStateException(
+            s"Catalog Error: Column with name $c already exists!")
+        } else {
+          val d = dflt.getOrElse("NULL")
+          cols = cols :+ (c -> s"CAST((${substitute(d, cols)}) AS $typ)")
+        }
+      case AlterDrop(ifEx, c) =>
+        if (!cols.exists(_._1.equalsIgnoreCase(c))) {
+          if (!ifEx) throw new IllegalStateException(
+            s"""Binder Error: Table "$table" does not have a column with name "$c"""")
+        } else cols = cols.filterNot(_._1.equalsIgnoreCase(c))
+      case AlterRename(a, b) =>
+        if (!cols.exists(_._1.equalsIgnoreCase(a)))
+          throw new IllegalStateException(
+            s"""Binder Error: Table "$table" does not have a column with name "$a"""")
+        cols = cols.map { case (n, e) => if (n.equalsIgnoreCase(a)) (b, e) else (n, e) }
+      case AlterRetype(c, typ, using) =>
+        cols.find(_._1.equalsIgnoreCase(c)) match {
+          case None => throw new IllegalStateException(
+            s"""Binder Error: Table "$table" does not have a column with name "$c"""")
+          case Some((_, curExpr)) =>
+            val src = using.map(substitute(_, cols)).getOrElse(curExpr)
+            cols = cols.map { case (n2, e2) =>
+              if (n2.equalsIgnoreCase(c)) (n2, s"CAST(($src) AS $typ)") else (n2, e2)
+            }
+        }
+    }
+    cols
+  }
+
+  /** Metadata-only ADD COLUMN: Spark 4's native ADD COLUMNS with a
+    * constant DEFAULT fills existing rows via the exists-default without
+    * rewriting a byte (probe-verified on parquet v1) — at 100 TB that is
+    * the difference between O(1) and a full corpus pass. The Spark-side
+    * type spelling comes from casting NULL through the dialect layer. */
+  private def nativeAddColumn(spark: SparkSession, t: String,
+      op: AlterAdd): Boolean = {
+    if (!op.dflt.forall(d => constantDefaultRe.pattern.matcher(d).matches()))
+      return false
+    val sparkType = try
+      sql(spark, s"SELECT CAST(NULL AS ${op.typ}) AS x").schema.head.dataType.sql
+    catch { case _: Throwable => return false }
+    val defaultClause = op.dflt.map(d => s" DEFAULT $d").getOrElse("")
+    try {
+      tableWriteLock(t).synchronized {
+        spark.sql(s"ALTER TABLE $t ADD COLUMNS (${op.col} $sparkType$defaultClause)")
+      }
+      bumpCatalogVersion()
+      true
+    } catch { case _: Throwable => false }
+  }
+
+  /** Coalesced execution of consecutive ALTER TABLE column ops on one
+    * table: validate symbolically, then pay ONE rewrite (or zero, when
+    * every op is a constant-default ADD). Falls back to caller-side
+    * sequential execution when symbolic validation fails, reproducing
+    * DuckDB's statement-level partial application on mid-chain errors. */
+  private[graft] def runAlterChain(spark: SparkSession, table: String,
+      ops: Seq[AlterOp]): Boolean = {
+    requireDmlTarget(spark, table)
+    val fields = spark.table(table).schema.fieldNames.toSeq
+    val cols = try foldAlterOps(fields, table, ops)
+      catch { case _: Throwable => return false }
+    val allNativeAdds = ops.forall {
+      case a: AlterAdd => a.dflt.forall(d =>
+        constantDefaultRe.pattern.matcher(d).matches())
+      case _ => false
+    }
+    if (allNativeAdds) {
+      val applied = ops.collect { case a: AlterAdd => a }
+        .filter(a => !fields.exists(_.equalsIgnoreCase(a.col)))
+      if (applied.forall(a => nativeAddColumn(spark, table, a))) return true
+    }
+    val proj = cols.map { case (n, e) =>
+      if (e == n) n else s"($e) AS $n"
+    }.mkString(", ")
+    swapInto(spark, table, sql(spark, s"SELECT $proj FROM $table"))
+    true
+  }
+
+  private def runAlterColumn(spark: SparkSession, duckSql: String): Option[DataFrame] = {
+    parseAlterOp(duckSql).map { case (t, op) =>
+      requireDmlTarget(spark, t)
+      val fields = spark.table(t).schema.fieldNames.toSeq
+      // IF NOT EXISTS / IF EXISTS no-ops short-circuit before any work
+      op match {
+        case AlterAdd(ifNot, c, _, _) if fields.exists(_.equalsIgnoreCase(c)) =>
+          if (!ifNot) throw new IllegalStateException(
             s"Catalog Error: Column with name $c already exists!")
           return Some(spark.emptyDataFrame)
-        }
-        val d = Option(dflt).getOrElse("NULL")
-        swapInto(spark, t,
-          sql(spark, s"SELECT *, CAST(($d) AS $typ) AS $c FROM $t"))
-        Some(spark.emptyDataFrame)
-      case alterDropColRe(t0, ifEx, c0) =>
-        val (t, c) = (clean(t0), clean(c0))
-        requireDmlTarget(spark, t)
-        val exists = spark.table(t).schema.fieldNames
-          .exists(_.equalsIgnoreCase(c))
-        if (!exists) {
-          if (ifEx == null) throw new IllegalStateException(
+        case AlterDrop(ifEx, c) if !fields.exists(_.equalsIgnoreCase(c)) =>
+          if (!ifEx) throw new IllegalStateException(
             s"""Binder Error: Table "$t" does not have a column with name "$c"""")
           return Some(spark.emptyDataFrame)
-        }
-        swapInto(spark, t, spark.table(t).drop(c))
-        Some(spark.emptyDataFrame)
-      case alterRenameColRe(t0, a0, b0) =>
-        val (t, a, b) = (clean(t0), clean(a0), clean(b0))
-        requireDmlTarget(spark, t)
-        if (!spark.table(t).schema.fieldNames.exists(_.equalsIgnoreCase(a)))
-          throw new IllegalStateException(
-            s"""Binder Error: Table "$t" does not have a column with name "$a"""")
-        swapInto(spark, t, spark.table(t).withColumnRenamed(a, b))
-        Some(spark.emptyDataFrame)
-      case alterTypeRe(t0, c0, typ, using) =>
-        val (t, c) = (clean(t0), clean(c0))
-        requireDmlTarget(spark, t)
-        val fields = spark.table(t).schema.fieldNames
-        if (!fields.exists(_.equalsIgnoreCase(c)))
-          throw new IllegalStateException(
-            s"""Binder Error: Table "$t" does not have a column with name "$c"""")
-        val src = Option(using).getOrElse(c)
-        val proj = fields.map { f =>
-          if (f.equalsIgnoreCase(c)) s"CAST(($src) AS $typ) AS $f" else f
-        }.mkString(", ")
-        swapInto(spark, t, sql(spark, s"SELECT $proj FROM $t"))
-        Some(spark.emptyDataFrame)
-      case _ => None
+        case _ =>
+      }
+      op match {
+        case a: AlterAdd if nativeAddColumn(spark, t, a) => // metadata-only
+        case _ =>
+          val cols = foldAlterOps(fields, t, Seq(op))
+          val proj = cols.map { case (n, e) =>
+            if (e == n) n else s"($e) AS $n"
+          }.mkString(", ")
+          swapInto(spark, t, sql(spark, s"SELECT $proj FROM $t"))
+      }
+      spark.emptyDataFrame
     }
   }
 
@@ -1459,11 +1590,43 @@ object Engine {
   }
 
   /** Multi-statement ticket execution: run serially, return the last result
-    * (reference behavior, `/root/reference/examples/flight_read.py:7`). */
+    * (reference behavior, `/root/reference/examples/flight_read.py:7`).
+    * Consecutive ALTER TABLE column ops on the SAME table coalesce into
+    * one validated rewrite (r8): q178's 5-statement chain pays one table
+    * pass instead of five — at 100 TB, one corpus rewrite instead of five.
+    * If symbolic validation fails, the run falls back to per-statement
+    * execution, reproducing DuckDB's partial application on mid-chain
+    * errors. */
   def sqlScript(spark: SparkSession, script: String): DataFrame = {
     val stmts = Sanitizer.splitStatements(script)
     require(stmts.nonEmpty, "empty SQL script")
-    stmts.map(s => sql(spark, s)).last
+    var last: DataFrame = null
+    var i = 0
+    while (i < stmts.length) {
+      val chain = {
+        val b = scala.collection.mutable.ArrayBuffer[(String, AlterOp)]()
+        var j = i
+        var t: Option[String] = None
+        var go = true
+        while (go && j < stmts.length) {
+          parseAlterOp(stmts(j)) match {
+            case Some((tbl, op)) if t.forall(_.equalsIgnoreCase(tbl)) =>
+              t = Some(tbl); b += ((tbl, op)); j += 1
+            case _ => go = false
+          }
+        }
+        b.toSeq
+      }
+      if (chain.length >= 2 &&
+          runAlterChain(spark, chain.head._1, chain.map(_._2))) {
+        last = spark.emptyDataFrame
+        i += chain.length
+      } else {
+        last = sql(spark, stmts(i))
+        i += 1
+      }
+    }
+    last
   }
 
   /** Standard local session for tests/benchmarks: 32 shuffle partitions to

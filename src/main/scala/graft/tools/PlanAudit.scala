@@ -399,6 +399,20 @@ object PlanAudit {
           s"filters) — ReuseExchange is now reachable, revisit: $liScans")
       }
     }
+    // r8 (VERDICT r7 #4): the q178 5-statement ALTER chain must coalesce
+    // into at most ONE full-table rewrite (metadata-only ADDs pay zero) —
+    // at 100 TB each uncoalesced statement is a full corpus pass.
+    {
+      val before = Engine.swapCount.get()
+      SparkEntry.queries("q178_alter_table")(spark, sfDir).collect()
+      val rewrites = Engine.swapCount.get() - before
+      if (rewrites <= 1)
+        println(s"PLAN OK   q178 ALTER chain coalesced: $rewrites table rewrite(s)")
+      else {
+        failures += 1
+        println(s"PLAN BAD  q178 ALTER chain paid $rewrites rewrites (want <= 1)")
+      }
+    }
     // r8 (VERDICT r7 #2): p54 single-scan tf-idf. The tf and df branches
     // both consume ONE vocab-sized (source, term) exchange; AQE must show
     // a ReusedExchange and exactly one documents FileScan in the FINAL

@@ -1554,6 +1554,50 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("r8: ALTER fast paths — metadata-only ADD, coalesced chain, loud fallback") {
+    Engine.sql(spark, "DROP TABLE IF EXISTS sp_alt8")
+    Engine.sql(spark, "CREATE TABLE sp_alt8 AS SELECT 1 AS id UNION ALL SELECT 2")
+    // constant-default ADD is metadata-only: zero table rewrites
+    val c0 = Engine.swapCount.get()
+    Engine.sql(spark, "ALTER TABLE sp_alt8 ADD COLUMN flag INTEGER DEFAULT 7")
+    Engine.sql(spark, "ALTER TABLE sp_alt8 ADD COLUMN note VARCHAR")
+    assert(Engine.swapCount.get() == c0, "constant-default ADD must not rewrite")
+    assert(Engine.sql(spark, "SELECT id, flag, note FROM sp_alt8 ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.isNullAt(2))).toSeq ==
+      Seq((1, 7, true), (2, 7, true)))
+    // a consecutive chain through sqlScript pays at most one rewrite,
+    // including cross-statement references (USING sees the renamed column)
+    val c1 = Engine.swapCount.get()
+    val chained = Engine.sqlScript(spark,
+      "ALTER TABLE sp_alt8 RENAME flag TO prio; " +
+        "ALTER TABLE sp_alt8 ALTER COLUMN note SET DATA TYPE VARCHAR USING prio || '-x'; " +
+        "ALTER TABLE sp_alt8 DROP COLUMN id; " +
+        "SELECT prio, note FROM sp_alt8 ORDER BY prio")
+    assert(Engine.swapCount.get() - c1 == 1, "chain must coalesce to one rewrite")
+    assert(chained.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((7, "7-x"), (7, "7-x")))
+    // duplicate-add still errors with DuckDB's text (fast path keeps the
+    // probe-pinned error semantics)
+    val e = intercept[Exception] {
+      Engine.sql(spark, "ALTER TABLE sp_alt8 ADD COLUMN prio INTEGER")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // mid-chain error falls back to per-statement execution: the valid
+    // prefix applies, the failing statement is loud (DuckDB's
+    // statement-level partial application)
+    val c2 = Engine.swapCount.get()
+    intercept[Exception] {
+      Engine.sqlScript(spark,
+        "ALTER TABLE sp_alt8 ADD COLUMN extra INTEGER DEFAULT 1; " +
+          "ALTER TABLE sp_alt8 DROP COLUMN no_such_col; " +
+          "SELECT 1")
+    }
+    assert(spark.table("sp_alt8").schema.fieldNames.contains("extra"),
+      "valid prefix of a failing chain must still apply")
+    assert(Engine.swapCount.get() == c2, "fallback prefix was metadata-only")
+    Engine.sql(spark, "DROP TABLE sp_alt8")
+  }
+
   test("r8 advice: stale view drops loudly after incompatible ALTER") {
     import spark.implicits._
     Engine.sql(spark, "DROP TABLE IF EXISTS sp_vstale")
