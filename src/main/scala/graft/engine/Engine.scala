@@ -452,11 +452,26 @@ object Engine {
             rel.trim.nonEmpty => (rel.trim, al)
       case s0 => (s0, s0.replaceAll("[`\"]", ""))
     }
+    // multi-match contract (r8, probe-pinned on DuckDB 1.0): when several
+    // source rows match one target row, DuckDB applies the FIRST source
+    // row in scan order (no error; probed {(1,200),(1,100)} → 200,
+    // range(5) → 0). For file-backed sources the (_metadata.file_path,
+    // row_index) pair IS insertion order (file bin-packing reorders
+    // partitions by size, so monotonically_increasing_id is NOT);
+    // non-file sources (subqueries/views) fall back to the monotonic id —
+    // deterministic per layout, order engine-defined (documented).
+    val srcHasMeta =
+      try { sql(spark, s"SELECT _metadata.file_path FROM $srcRel LIMIT 0"); true }
+      catch { case _: Throwable => false }
+    val sidCols =
+      if (srcHasMeta)
+        "_metadata.file_path AS __g_sfile, _metadata.row_index AS __g_srow"
+      else "'' AS __g_sfile, monotonically_increasing_id() AS __g_srow"
     val joinSql =
       s"SELECT ${selectList.mkString(", ")}, __g_rid, __g_m, " +
-        s"row_number() OVER (PARTITION BY __g_rid ORDER BY __g_m DESC) AS __g_rn " +
+        s"row_number() OVER (PARTITION BY __g_rid ORDER BY __g_m DESC, __g_sfile, __g_srow) AS __g_rn " +
         s"FROM (SELECT *, monotonically_increasing_id() AS __g_rid FROM $table) $table " +
-        s"LEFT JOIN (SELECT *, true AS __g_m FROM $srcRel) $srcAlias " +
+        s"LEFT JOIN (SELECT *, true AS __g_m, $sidCols FROM $srcRel) $srcAlias " +
         s"ON coalesce(($where), false)"
     val newRows = sql(spark,
       s"SELECT ${fields.map(_.name).mkString(", ")} FROM ($joinSql) WHERE __g_rn = 1")

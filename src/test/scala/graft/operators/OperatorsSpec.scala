@@ -1598,6 +1598,24 @@ class OperatorsSpec extends SparkTestBase {
     Engine.sql(spark, "DROP TABLE sp_alt8")
   }
 
+  test("r8: UPDATE FROM multi-match picks the first source row in scan order") {
+    // probe-pinned on DuckDB 1.0: several matching source rows do NOT
+    // error — the first in scan order wins (VALUES order here; probed
+    // {(1,200),(1,100)} → 200 and range(5) → 0)
+    Engine.sql(spark, "DROP TABLE IF EXISTS sp_um_t")
+    Engine.sql(spark, "DROP TABLE IF EXISTS sp_um_s")
+    Engine.sql(spark, "CREATE TABLE sp_um_t AS SELECT * FROM (VALUES (1, 0), (2, 0)) t(id, v)")
+    Engine.sql(spark,
+      "CREATE TABLE sp_um_s AS SELECT * FROM (VALUES (1, 200), (1, 100), (2, 300)) s(id, w)")
+    Engine.sql(spark,
+      "UPDATE sp_um_t SET v = s.w FROM sp_um_s s WHERE sp_um_t.id = s.id")
+    val got = spark.table("sp_um_t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((1, 200), (2, 300)), got)
+    Engine.sql(spark, "DROP TABLE sp_um_t")
+    Engine.sql(spark, "DROP TABLE sp_um_s")
+  }
+
   test("r8 advice: stale view drops loudly after incompatible ALTER") {
     import spark.implicits._
     Engine.sql(spark, "DROP TABLE IF EXISTS sp_vstale")
