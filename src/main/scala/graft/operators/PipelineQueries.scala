@@ -812,6 +812,30 @@ object PipelineQueries {
           count(when(col("doc_id").isNull, 1)).as("orphan_vec"))
         .orderBy("source")
     }),
+    // ---- removal-provenance ledger (r8 — VERDICT r7 #5): the audit
+    // surface of a curation pipeline — every destructive step (exact
+    // dedup → min-token gate → span dedup) emits (doc_id, op, reason,
+    // detail, removed_tokens) rows, so input tokens = kept + ledgered is
+    // provable per document (the spec asserts it; the oracle recomputes
+    // the full ledger brute-force — the p43 precedent, same deterministic
+    // span planting so every op has real work). Scale shape: each ledger
+    // is a by-product of its op's own plan (window complement / inverse
+    // filter / n_tokens − kept_tokens) — zero extra corpus passes.
+    "p59_provenance_ledger" -> q((s, _) => {
+      val boiler = "copyright terms of service all rights reserved " +
+        "privacy policy cookie consent subscribe newsletter follow us on"
+      val first16 = concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), 1, 16))
+      val aug = s.table("documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 2, concat(lit(boiler), lit(" "), col("text")))
+          .when(col("doc_id") % 7 === 3, concat(col("text"), lit(" "), first16))
+          .otherwise(col("text")).as("text"))
+      val (_, ledger) = Ledger.curationChain(aug, minTokens = 40, k = 16)
+      ledger.select(col("doc_id"), col("op"), col("reason"),
+          col("detail").cast("bigint").as("detail"),
+          col("removed_tokens").cast("bigint").as("removed_tokens"))
+        .orderBy("doc_id", "op")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -1378,6 +1402,29 @@ object PipelineQueries {
         "CAST(round(avg(cos) * 1000000) AS BIGINT) AS avg_cos_micro, " +
         "CAST(round(min(cos) * 1000000) AS BIGINT) AS min_cos_micro " +
         "FROM cs GROUP BY label ORDER BY label"),
+    // p59 (r8): brute-force ledger — the p43 span-oracle structure with
+    // exact-dedup and gate CTE stages ahead of it, each emitting its
+    // ledger rows; one row per removed/cut doc, ordered by doc_id.
+    "p59_provenance_ledger" ->
+      ("WITH aug AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 5 = 2 THEN 'copyright terms of service all rights reserved privacy policy cookie consent subscribe newsletter follow us on' || ' ' || text " +
+        "WHEN doc_id % 7 = 3 THEN text || ' ' || array_to_string(list_slice(list_filter(string_split(text,' '), x -> x <> ''), 1, 16), ' ') " +
+        "ELSE text END AS text FROM documents), " +
+        "tk0 AS (SELECT doc_id, text, md5(text) AS h, len(list_filter(string_split(text,' '), x -> x <> '')) AS nt FROM aug), " +
+        "keep AS (SELECT h, min(doc_id) AS keep_id FROM tk0 GROUP BY h), " +
+        "led1 AS (SELECT t.doc_id, 'dedup_exact' AS op, 'duplicate' AS reason, CAST(k.keep_id AS BIGINT) AS detail, CAST(t.nt AS BIGINT) AS removed_tokens " +
+        "FROM tk0 t JOIN keep k ON t.h = k.h WHERE t.doc_id <> k.keep_id), " +
+        "s1 AS (SELECT t.* FROM tk0 t JOIN keep k ON t.h = k.h WHERE t.doc_id = k.keep_id), " +
+        "led2 AS (SELECT doc_id, 'gate' AS op, 'min_tokens' AS reason, CAST(nt AS BIGINT) AS detail, CAST(nt AS BIGINT) AS removed_tokens FROM s1 WHERE nt < 40), " +
+        "tk AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t FROM s1 WHERE nt >= 40), " +
+        "ws AS (SELECT doc_id, list_transform(range(1, len(t) - 14), i -> array_to_string(list_slice(t, i, i + 15), ' ')) AS w FROM tk), " +
+        "occ AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS win FROM ws), " +
+        "r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM occ), " +
+        "rem AS (SELECT DISTINCT doc_id, rpos FROM (SELECT doc_id, unnest(range(pos, pos + 16)) AS rpos FROM r WHERE rn > 1)), " +
+        "remc AS (SELECT doc_id, count(*) AS cut FROM rem GROUP BY doc_id), " +
+        "led3 AS (SELECT tk.doc_id, 'span_dedup' AS op, 'dup_window' AS reason, CAST(len(t) - remc.cut AS BIGINT) AS detail, CAST(remc.cut AS BIGINT) AS removed_tokens " +
+        "FROM tk JOIN remc USING (doc_id) WHERE remc.cut > 0) " +
+        "SELECT * FROM (SELECT * FROM led1 UNION ALL SELECT * FROM led2 UNION ALL SELECT * FROM led3) ORDER BY doc_id, op"),
     // p58 (r7 session 3): same construction in SQL.
     "p58_modality_audit" ->
       ("WITH v AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 3 " +

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -162,6 +162,45 @@ object Streaming {
       .withColumn(textCol,
         call_function("remove_token_spans", col(textCol), col("__starts"), lit(k)))
       .drop("__starts")
+  }
+
+  /** Ledgered [[scrubStream]] (r8 — the streaming twin of
+    * [[graft.operators.Ledger]]): the same stateless per-row scrub, plus a
+    * SECOND output stream carrying the removal provenance — (doc_id, op,
+    * reason, detail = spans cut, removed_tokens) for every doc that lost
+    * tokens. Both outputs are per-row column expressions over the same
+    * source (no shuffle, no state store); each can drive its own sink, so
+    * the curated stream and its audit trail commit independently. */
+  def scrubStreamLedgered(docs: DataFrame, evalDocs: DataFrame, k: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id")
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val evalW = evalDocs
+      .select(explode(call_function("window_md5s", col(textCol), lit(k))).as("wh"))
+      .distinct().collect().map(_.getAs[Array[Byte]]("wh"))
+    if (evalW.isEmpty)
+      return (docs, docs.filter(lit(false)).select(col(idCol),
+        lit("decontam_span").as("op"), lit("eval_window").as("reason"),
+        lit(0L).as("detail"), lit(0L).as("removed_tokens")))
+    val evalArr = array(evalW.map(lit(_)): _*)
+    val starts = filter(
+      transform(call_function("window_md5s", col(textCol), lit(k)),
+        (wh, i) => when(array_position(evalArr, wh) > 0, i).otherwise(lit(-1))),
+      p => p >= 0)
+    def nTokens(c: Column): Column =
+      element_at(call_function("token_set_hits", c), 1).cast("long")
+    val marked = docs
+      .withColumn("__starts", starts)
+      .withColumn("__nt0", nTokens(col(textCol)))
+      .withColumn(textCol,
+        call_function("remove_token_spans", col(textCol), col("__starts"), lit(k)))
+    val kept = marked.drop("__starts", "__nt0")
+    val ledger = marked.filter(size(col("__starts")) > 0)
+      .select(col(idCol), lit("decontam_span").as("op"),
+        lit("eval_window").as("reason"),
+        size(col("__starts")).cast("long").as("detail"),
+        (col("__nt0") - nTokens(col(textCol))).as("removed_tokens"))
+    (kept, ledger)
   }
 
   /** Continuous form of p53's char-entropy spam gate: each micro-batch is

@@ -1598,6 +1598,64 @@ class OperatorsSpec extends SparkTestBase {
     Engine.sql(spark, "DROP TABLE sp_alt8")
   }
 
+  test("r8: provenance ledger balances token accounting exactly (p59)") {
+    import org.apache.spark.sql.functions._
+    Engine.registerTables(spark, sfDir)
+    val boiler = "copyright terms of service all rights reserved " +
+      "privacy policy cookie consent subscribe newsletter follow us on"
+    val first16 = concat_ws(" ",
+      slice(TextAnalysis.tokens(col("text")), 1, 16))
+    val aug0 = spark.table("documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 2, concat(lit(boiler), lit(" "), col("text")))
+        .when(col("doc_id") % 7 === 3, concat(col("text"), lit(" "), first16))
+        .otherwise(col("text")).as("text"))
+    // plant exact duplicates so the dedup step is never vacuous at this sf
+    val aug = aug0.unionByName(aug0.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val (kept, ledger) = Ledger.curationChain(aug, minTokens = 40, k = 16)
+    val orig = aug.select(col("doc_id"),
+      element_at(TextAnalysis.tokenSetHits(col("text"), Nil), 1)
+        .cast("long").as("orig_tokens"))
+    val keptT = kept.select(col("doc_id"), col("kept_tokens"))
+    val ledT = ledger.groupBy("doc_id")
+      .agg(sum("removed_tokens").as("ledgered"))
+    val audit = orig
+      .join(keptT, Seq("doc_id"), "left")
+      .join(ledT, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("orig_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept"),
+        coalesce(col("ledgered"), lit(0L)).as("ledgered"))
+    val bad = audit.filter(col("orig_tokens") =!= col("kept") + col("ledgered"))
+      .collect()
+    assert(bad.isEmpty, s"token accounting broken for: ${bad.take(5).mkString(",")}")
+    // every op in the chain contributed rows at this sf (never vacuous)
+    val ops = ledger.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("dedup_exact", "gate", "span_dedup").forall(o => ops.getOrElse(o, 0L) > 0), ops)
+    // a removed doc appears in exactly ONE op's ledger (steps feed forward)
+    val multi = ledger.groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(multi == 0, s"$multi docs ledgered by more than one op")
+  }
+
+  test("r8: ledgered line dedup accounts removed lines and tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\nshared line here\ngamma delta"),
+      (2L, "shared line here\nunique two"),
+      (3L, "unique three\nshared line here")
+    ).toDF("doc_id", "text")
+    val (kept, ledger) = Ledger.lineDedup(docs)
+    val keptMap = kept.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keptMap(1L) == "alpha beta\nshared line here\ngamma delta")
+    assert(keptMap(2L) == "unique two")
+    assert(keptMap(3L) == "unique three")
+    val led = ledger.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    // docs 2 and 3 each lost the shared 3-token line
+    assert(led.toSet == Set((2L, "line_dedup", 1L, 3L), (3L, "line_dedup", 1L, 3L)), led.toSeq)
+  }
+
   test("r8: UPDATE FROM multi-match picks the first source row in scan order") {
     // probe-pinned on DuckDB 1.0: several matching source rows do NOT
     // error — the first in scan order wins (VALUES order here; probed

@@ -116,6 +116,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ledgered streaming scrub emits a removal-provenance stream (r8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val ev = Seq(Tuple1("secret bench item alpha")).toDF("text")
+
+    val (kept, ledger) = Streaming.scrubStreamLedgered(stream, ev, k = 3)
+    val qk = kept.writeStream.format("memory").queryName("led_kept")
+      .outputMode(OutputMode.Append).start()
+    val ql = ledger.writeStream.format("memory").queryName("led_ledger")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (10L, "intro words secret bench item tail words"),
+        (11L, "clean document nothing shared here"))
+      qk.processAllAvailable(); ql.processAllAvailable()
+      val keptRows = spark.table("led_kept").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+      assert(keptRows(10L) == "intro words tail words")
+      assert(keptRows(11L) == "clean document nothing shared here")
+      val led = spark.table("led_ledger").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("op"),
+          r.getAs[Long]("detail"), r.getAs[Long]("removed_tokens")))
+      // only doc 10 lost tokens: one span of 3 ("secret bench item"),
+      // 7 original tokens − 4 kept = 3 removed
+      assert(led.toSeq == Seq((10L, "decontam_span", 1L, 3L)), led.toSeq)
+    } finally { qk.stop(); ql.stop() }
+  }
+
   test("streaming entropy gate drops low-diversity spam statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
