@@ -984,18 +984,25 @@ object Translator {
                   // non-null and equal → TRUE. `x <> ANY s` is exactly
                   // NOT(x = ALL s) in three-valued logic (empty → FALSE),
                   // so it swaps the TRUE/FALSE arms of the same CASE.
-                  val cnt = s"(SELECT count(*) FROM ($sub) __g_q(__g_c))"
-                  val nulls = s"(SELECT count(*) - count(__g_c) FROM ($sub) __g_q(__g_c))"
-                  val differs = s"((SELECT min(__g_c) FROM ($sub) __g_q(__g_c)) <> ($x) " +
-                    s"OR (SELECT max(__g_c) FROM ($sub) __g_q(__g_c)) <> ($x))"
+                  // The whole decision is ONE scalar subquery over a
+                  // one-row aggregate (count/non-null/min/max) — spliced
+                  // per-aggregate forms decorrelate into one join EACH
+                  // (measured 1.11 s → this form at sf≈1 q191).
                   val (onAll, onNone) = if (all) ("TRUE", "FALSE") else ("FALSE", "TRUE")
-                  Some(s"(CASE WHEN $cnt = 0 THEN $onAll " +
-                    s"WHEN $differs THEN $onNone " +
-                    s"WHEN $nulls > 0 OR ($x) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-                    s"ELSE $onAll END)")
+                  Some(s"((SELECT CASE WHEN __g_c = 0 THEN $onAll " +
+                    s"WHEN __g_mn <> ($x) OR __g_mx <> ($x) THEN $onNone " +
+                    s"WHEN __g_c > __g_nn OR ($x) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+                    s"ELSE $onAll END FROM (SELECT count(*) AS __g_c, " +
+                    s"count(__g_c0) AS __g_nn, min(__g_c0) AS __g_mn, " +
+                    s"max(__g_c0) AS __g_mx FROM ($sub) __g_q(__g_c0))))")
                 case (o, all) if Set(">", "<", ">=", "<=").contains(o) =>
                   // ALL compares against the failing-side extremum; ANY
-                  // against the succeeding-side one
+                  // against the succeeding-side one. Kept as per-aggregate
+                  // scalar subqueries: Catalyst's MergeScalarSubqueries
+                  // consolidates the identical-FROM aggregates, and the
+                  // measured correlated form (q180 sf≈1) runs 2.6× faster
+                  // this way than the one-subquery CASE the = ALL path
+                  // uses (where the inverse held — both are pinned).
                   val ext = (o.startsWith(">") == all)
                   val extFn = if (ext) "max" else "min"
                   val cnt = s"(SELECT count(*) FROM ($sub) __g_q(__g_c))"

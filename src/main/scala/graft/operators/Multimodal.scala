@@ -127,28 +127,36 @@ object Multimodal {
   def frameDedup(items: DataFrame, frameBytes: Int = 64,
       payloadCol: String = "payload", idCol: String = "id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r8 shape: only 16-byte FRAME DIGESTS shuffle — the md5 is computed
+    // inside the scan's transform() so frame CONTENT never leaves the
+    // scan, the keep-first window runs over (id, idx, digest), and kept
+    // payloads are rebuilt LOCALLY by cutting removed frame indexes out
+    // of the original column (the remove_token_spans posture at byte
+    // granularity). The previous window-then-regroup plan shuffled full
+    // frame content twice (measured 2.07 s → this form at sf≈1).
     val d = items.select(col(idCol).as("id"), col(payloadCol).as("p"))
-    val frames = d
-      .where(length(col("p")) > 0)
-      .select(col("id"),
-        posexplode(transform(
-          sequence(lit(0),
-            ceil(length(col("p")) / lit(frameBytes)).cast("int") - 1),
-          i => substring(col("p"), (i * frameBytes + 1).cast("int"),
-            lit(frameBytes)))).as(Seq("idx", "frame")))
-    val keepFirst = Window.partitionBy(md5(col("frame"))).orderBy("id", "idx")
-    frames.withColumn("__rn", row_number().over(keepFirst))
-      .filter(col("__rn") === 1)
-      .groupBy("id")
-      .agg(count(lit(1)).as("kept_frames"),
-        concat_ws("", transform(
-          array_sort(collect_list(struct(col("idx"), col("frame")))),
-          s => s("frame"))).as("payload"))
-      .join(d.select(col("id"),
-        ceil(length(col("p")) / lit(frameBytes)).cast("long").as("n_frames")),
-        Seq("id"), "right")
-      .select(col("id"), col("n_frames"),
-        coalesce(col("kept_frames"), lit(0L)).as("kept_frames"),
-        coalesce(col("payload"), lit("")).as("payload"))
+    val withN = d.withColumn("__nf",
+      ceil(length(col("p")) / lit(frameBytes)).cast("int"))
+    val hashes = withN.where(col("__nf") > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("__nf") - 1),
+        i => md5(substring(col("p"), (i * frameBytes + 1).cast("int"),
+          lit(frameBytes))))).as(Seq("idx", "h")))
+    val keepFirst = Window.partitionBy("h").orderBy("id", "idx")
+    val removed = hashes.withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") > 1)
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(col("idx"))).as("rem"))
+    val emptyInts = expr("CAST(array() AS ARRAY<INT>)")
+    withN.join(removed, Seq("id"), "left")
+      .select(col("id"), col("__nf").cast("long").as("n_frames"),
+        (col("__nf") - coalesce(size(col("rem")), lit(0))).cast("long")
+          .as("kept_frames"),
+        when(col("__nf") === 0, lit(""))
+          .otherwise(concat_ws("", transform(
+            filter(sequence(lit(0), col("__nf") - 1),
+              i => !array_contains(coalesce(col("rem"), emptyInts), i)),
+            i => substring(col("p"), (i * frameBytes + 1).cast("int"),
+              lit(frameBytes))))).as("payload"))
   }
 }

@@ -399,6 +399,39 @@ object PlanAudit {
           s"filters) — ReuseExchange is now reachable, revisit: $liScans")
       }
     }
+    // r8 (VERDICT r7 #1): sf≈1 bench-coverage guard. The 2× contract is
+    // only MEASURED for entries with a baseline row; this fails loudly
+    // when the declared-query set and the sf≈1 artifacts diverge, so new
+    // entries can't drift in unmeasured. Skip list = the five O(n²)
+    // brute-force pair-set oracles (documented in dev/duckdb_bench.py).
+    {
+      def keysOf(path: String): Set[String] = {
+        val txt = scala.io.Source.fromFile(path).mkString
+        // {"queries":{"name":1.23,...}} — names are the quoted keys of the
+        // queries object; values are numbers or null
+        val qStart = txt.indexOf("\"queries\"")
+        val obj = txt.substring(txt.indexOf('{', qStart) + 1)
+        val nullKeys = "\"([^\"]+)\":\\s*null".r
+          .findAllMatchIn(obj).map(_.group(1)).toSet
+        val allKeys = "\"([^\"]+)\":".r
+          .findAllMatchIn(obj).map(_.group(1)).toSet - "sf" - "steal_pct" -
+          "metric" - "value" - "unit" - "n"
+        allKeys -- nullKeys
+      }
+      val duckSkip = Set("p03_dedup_minhash", "p04_dedup_simhash",
+        "p05_dedup_embedding", "p39_semantic_clusters", "p44_multimodal_neardup")
+      val gate = SparkEntry.queries.keySet
+      val sparkMissing = gate -- keysOf("dev/bench_sf1.json")
+      val duckMissing = gate -- keysOf("dev/duckdb_baseline_sf1.json") -- duckSkip
+      if (sparkMissing.isEmpty && duckMissing.isEmpty)
+        println(s"PLAN OK   sf1 bench coverage complete: ${gate.size} gate entries, " +
+          s"${duckSkip.size} documented O(n^2)-oracle skips")
+      else {
+        failures += 1
+        println(s"PLAN BAD  sf1 bench coverage gap: spark-side missing=" +
+          s"${sparkMissing.toSeq.sorted}, duck-side missing=${duckMissing.toSeq.sorted}")
+      }
+    }
     // r8 (VERDICT r7 #4): the q178 5-statement ALTER chain must coalesce
     // into at most ONE full-table rewrite (metadata-only ADDs pay zero) —
     // at 100 TB each uncoalesced statement is a full corpus pass.
