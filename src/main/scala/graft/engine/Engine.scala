@@ -455,21 +455,52 @@ object Engine {
     // multi-match contract (r8, probe-pinned on DuckDB 1.0): when several
     // source rows match one target row, DuckDB applies the FIRST source
     // row in scan order (no error; probed {(1,200),(1,100)} → 200,
-    // range(5) → 0). For file-backed sources the (_metadata.file_path,
-    // row_index) pair IS insertion order (file bin-packing reorders
-    // partitions by size, so monotonically_increasing_id is NOT);
-    // non-file sources (subqueries/views) fall back to the monotonic id —
-    // deterministic per layout, order engine-defined (documented).
-    val srcHasMeta =
-      try { sql(spark, s"SELECT _metadata.file_path FROM $srcRel LIMIT 0"); true }
-      catch { case _: Throwable => false }
-    val sidCols =
-      if (srcHasMeta)
+    // range(5) → 0). For file-backed sources, (file write order,
+    // _metadata.row_index) IS insertion order (file bin-packing reorders
+    // read partitions by size, so monotonically_increasing_id is NOT).
+    // When every source file is a standard part-NNNNN, the part number
+    // packs with row_index into ONE bigint — a 60-byte path string per
+    // joined row through the exchange+sort measured q188 2.4 → 3.1 s;
+    // non-part file names keep the exact (path, row_index) pair; non-file
+    // sources (subqueries) fall back to the monotonic id — deterministic
+    // per layout, order engine-defined (documented).
+    val partFileRe = ".*/part-(\\d+)[^/]*".r
+    val srcFiles: Option[Array[String]] =
+      if (bareNameRe.pattern.matcher(srcRel.trim).matches())
+        try {
+          val t = spark.table(srcRel.trim.replaceAll("[`\"]", ""))
+          // metadata columns resolve on tables/direct file relations but
+          // NOT through temp-view projections — the select() analyzes
+          // eagerly and throws exactly when the SQL form would
+          t.select(org.apache.spark.sql.functions.col("_metadata.file_path"),
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          val plan = t.queryExecution.optimizedPlan
+          val simple = !plan.exists {
+            case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+            case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+            case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+            case _ => false
+          }
+          if (simple) Some(t.inputFiles) else None
+        } catch { case _: Throwable => None }
+      else None
+    val sidCols = srcFiles match {
+      case Some(fs) if fs.length == 1 =>
+        // single file: row_index alone is the scan order
+        "_metadata.row_index AS __g_srow"
+      case Some(fs) if fs.nonEmpty &&
+          fs.forall(partFileRe.pattern.matcher(_).matches()) =>
+        // part number << 40 | row_index: one long, exact write order
+        s"((CAST(regexp_extract(_metadata.file_path, 'part-(\\\\d+)', 1) AS BIGINT) * ${1L << 40}) + _metadata.row_index) AS __g_srow"
+      case Some(_) =>
         "_metadata.file_path AS __g_sfile, _metadata.row_index AS __g_srow"
-      else "'' AS __g_sfile, monotonically_increasing_id() AS __g_srow"
+      case None =>
+        "monotonically_increasing_id() AS __g_srow"
+    }
+    val sfileSort = if (sidCols.contains("__g_sfile")) "__g_sfile, " else ""
     val joinSql =
       s"SELECT ${selectList.mkString(", ")}, __g_rid, __g_m, " +
-        s"row_number() OVER (PARTITION BY __g_rid ORDER BY __g_m DESC, __g_sfile, __g_srow) AS __g_rn " +
+        s"row_number() OVER (PARTITION BY __g_rid ORDER BY __g_m DESC, ${sfileSort}__g_srow) AS __g_rn " +
         s"FROM (SELECT *, monotonically_increasing_id() AS __g_rid FROM $table) $table " +
         s"LEFT JOIN (SELECT *, true AS __g_m, $sidCols FROM $srcRel) $srcAlias " +
         s"ON coalesce(($where), false)"
