@@ -1117,6 +1117,18 @@ object DeclaredQueries {
         "FROM orders WHERE o_orderkey < 300 " +
         "WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_orderkey"),
+    "q193_window_exclude_group" ->
+      // window frame EXCLUDE GROUP / EXCLUDE TIES (r8) → frame aggregate
+      // minus the whole ORDER-BY peer-group aggregate (TIES re-adds the
+      // current row), exact for RANGE frames straddling the current value
+      // (they hold every peer — probe-pinned, incl. the count-guarded
+      // NULL edges); o_orderdate gives real multi-row peer groups
+      ("SELECT o_orderkey, " +
+        "CAST(round(coalesce(sum(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END) OVER (ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP), -1) * 100) AS BIGINT) AS sg_c, " +
+        "CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END) OVER (ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS BIGINT) AS ct, " +
+        "CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS cs, " +
+        "CAST(round(coalesce(avg(CASE WHEN o_orderkey % 4 = 1 THEN NULL ELSE o_totalprice END) OVER (ORDER BY o_orderdate RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE TIES), -1) * 100) AS BIGINT) AS ag_c " +
+        "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -1108,14 +1108,16 @@ object Translator {
     toks
   }
 
-  /** `agg(v) OVER (spec EXCLUDE CURRENT ROW)` → frame aggregate minus the
-    * current row's contribution, for SUM/COUNT/AVG (Spark has no frame
-    * exclusion). Probe-pinned on DuckDB 1.0 incl. the NULL edges: when the
-    * post-exclusion frame has no non-NULL values, SUM/AVG are NULL — hence
-    * the count-guard, not a bare subtraction (which would yield 0). Other
-    * aggregates keep the EXCLUDE clause and fail LOUDLY in Spark's parser
-    * (a declared gap, never a silent wrong answer); EXCLUDE GROUP/TIES
-    * likewise pass through loudly. */
+  /** `agg(v) OVER (spec EXCLUDE CURRENT ROW|GROUP|TIES)` → frame aggregate
+    * minus the excluded contribution, for SUM/COUNT/AVG (Spark has no
+    * frame exclusion). Probe-pinned on DuckDB 1.0 incl. the NULL edges:
+    * when the post-exclusion frame has no non-NULL values, SUM/AVG are
+    * NULL — hence the count-guard, not a bare subtraction (which would
+    * yield 0). GROUP/TIES (r8) subtract the whole ORDER-BY peer group
+    * (TIES re-adds the current row), valid exactly for RANGE BETWEEN
+    * frames straddling the current value — such frames contain every
+    * peer; ROWS frames intersect the group (probe-pinned) and stay loud,
+    * as do other aggregates (declared gaps, never silent). */
   private[dialect] def rewriteWindowExclude(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var changed = true
@@ -1141,14 +1143,23 @@ object Translator {
                 val isCurrentRow = exNext < spec.length &&
                   up(spec(exNext)) == "CURRENT" && exNext2 < spec.length &&
                   up(spec(exNext2)) == "ROW"
+                // EXCLUDE GROUP / EXCLUDE TIES (r8): peers of the current
+                // row by the ORDER BY keys leave (GROUP) or all-but-self
+                // leave (TIES)
+                val kind =
+                  if (isCurrentRow) "ROW"
+                  else if (exNext < spec.length && up(spec(exNext)) == "GROUP") "GROUP"
+                  else if (exNext < spec.length && up(spec(exNext)) == "TIES") "TIES"
+                  else ""
+                val exEnd = if (kind == "ROW") exNext2 else exNext
                 // the aggregate call directly before OVER
                 val closeArgs = prevNonWs(toks, i)
-                if (isCurrentRow && closeArgs >= 0 && toks(closeArgs) == Punct(")")) {
+                if (kind.nonEmpty && closeArgs >= 0 && toks(closeArgs) == Punct(")")) {
                   val openArgs = openOf(toks, closeArgs)
                   val fnIdx = prevNonWs(toks, openArgs)
                   val fn = if (fnIdx >= 0) up(toks(fnIdx)) else ""
                   val specNoExToks = spec.slice(0, ex) ++
-                    spec.slice(exNext2 + 1, spec.length)
+                    spec.slice(exEnd + 1, spec.length)
                   val specNoEx = render(specNoExToks).trim
                   // a frame that provably never CONTAINS the current row
                   // (both bounds PRECEDING, or both FOLLOWING) makes
@@ -1159,38 +1170,42 @@ object Translator {
                   // each frame bound ENDS in PRECEDING/FOLLOWING/ROW, so the
                   // last keyword before the frame's AND and the spec's final
                   // keyword pin the two bounds regardless of bound arity.
-                  val noOp = {
-                    var d2 = 0; var bet = -1
+                  def topIdx(word: String): Int = {
+                    var d2 = 0; var r = -1
                     for (j <- specNoExToks.indices) {
                       d2 += depthDelta(specNoExToks(j))
-                      if (d2 == 0 && bet < 0 && up(specNoExToks(j)) == "BETWEEN") bet = j
+                      if (d2 == 0 && r < 0 && up(specNoExToks(j)) == word) r = j
                     }
-                    if (bet < 0) false
+                    r
+                  }
+                  val (b1, b2) = {
+                    val bet = topIdx("BETWEEN")
+                    if (bet < 0) ("", "")
                     else {
                       var d3 = 0; var andIdx = -1
                       for (j <- bet + 1 until specNoExToks.length) {
                         d3 += depthDelta(specNoExToks(j))
                         if (d3 == 0 && andIdx < 0 && up(specNoExToks(j)) == "AND") andIdx = j
                       }
-                      if (andIdx < 0) false
+                      if (andIdx < 0) ("", "")
                       else {
-                        val b1 = {
-                          val k = prevNonWs(specNoExToks, andIdx)
-                          if (k >= 0) up(specNoExToks(k)) else ""
-                        }
-                        val b2 = {
-                          val p = prevNonWs(specNoExToks, specNoExToks.length)
-                          if (p >= 0) up(specNoExToks(p)) else ""
-                        }
-                        (b1 == "PRECEDING" && b2 == "PRECEDING") ||
-                        (b1 == "FOLLOWING" && b2 == "FOLLOWING")
+                        val k = prevNonWs(specNoExToks, andIdx)
+                        val p = prevNonWs(specNoExToks, specNoExToks.length)
+                        (if (k >= 0) up(specNoExToks(k)) else "",
+                          if (p >= 0) up(specNoExToks(p)) else "")
                       }
                     }
                   }
+                  val noOp =
+                    (b1 == "PRECEDING" && b2 == "PRECEDING") ||
+                    (b1 == "FOLLOWING" && b2 == "FOLLOWING")
                   if (noOp) {
+                    // a frame that provably never contains the current
+                    // row's ORDER value holds neither it nor its peers —
+                    // EXCLUDE (any kind) is a no-op (probe-pinned)
                     toks = toks.patch(open, lex(s"($specNoEx)"), close - open + 1)
                     changed = true
-                  } else if (Set("SUM", "COUNT", "AVG").contains(fn)) {
+                  } else if (kind == "ROW" && Set("SUM", "COUNT", "AVG").contains(fn)) {
                     val arg = render(toks.slice(openArgs + 1, closeArgs)).trim
                     val specSql = specNoEx
                     val repl =
@@ -1208,6 +1223,65 @@ object Translator {
                       }
                     toks = toks.patch(fnIdx, lex(repl), close - fnIdx + 1)
                     changed = true
+                  } else if ((kind == "GROUP" || kind == "TIES") &&
+                      Set("SUM", "COUNT", "AVG").contains(fn) &&
+                      topIdx("RANGE") >= 0 &&
+                      (b1 == "PRECEDING" || b1 == "ROW") &&
+                      (b2 == "FOLLOWING" || b2 == "ROW")) {
+                    // A RANGE frame whose bounds straddle the current ORDER
+                    // value contains EVERY peer (they share the value), so
+                    // excluded-group aggregates are frame-aggregate minus
+                    // the WHOLE-PARTITION peer-group aggregate (window
+                    // partitioned by partition keys + order keys, no
+                    // frame = whole partition); TIES adds the current row
+                    // back. ROWS frames intersect the peer group
+                    // (probe-pinned: only in-frame peers leave) and cannot
+                    // be expressed this way — they stay loud.
+                    val partIdx = topIdx("PARTITION")
+                    val orderIdx = topIdx("ORDER")
+                    val rangeIdx = topIdx("RANGE")
+                    if (orderIdx >= 0 && rangeIdx > orderIdx) {
+                      val partSql =
+                        if (partIdx >= 0) {
+                          val byIdx = nextNonWs(specNoExToks, partIdx)
+                          render(specNoExToks.slice(byIdx + 1,
+                            if (orderIdx >= 0) orderIdx else rangeIdx)).trim
+                        } else ""
+                      val byIdx2 = nextNonWs(specNoExToks, orderIdx)
+                      val orderSec = specNoExToks.slice(byIdx2 + 1, rangeIdx)
+                      val orderKeys = splitTopLevel(orderSec).map { key =>
+                        var ks = key.filterNot(isWs)
+                        def lastUp = if (ks.nonEmpty) up(ks.last) else ""
+                        while (Set("ASC", "DESC", "FIRST", "LAST", "NULLS")
+                            .contains(lastUp)) ks = ks.dropRight(1)
+                        render(ks).trim
+                      }.filter(_.nonEmpty)
+                      val grpKeys =
+                        (if (partSql.nonEmpty) Seq(partSql) else Nil) ++ orderKeys
+                      val grp = s"PARTITION BY ${grpKeys.mkString(", ")}"
+                      val arg = render(toks.slice(openArgs + 1, closeArgs)).trim
+                      val specSql = specNoEx
+                      val ties = kind == "TIES"
+                      val repl =
+                        if (fn == "COUNT" && arg == "*")
+                          s"(count(*) OVER ($specSql) - count(*) OVER ($grp)" +
+                            (if (ties) " + 1)" else ")")
+                        else if (fn == "COUNT")
+                          s"(count($arg) OVER ($specSql) - count($arg) OVER ($grp)" +
+                            (if (ties) s" + CASE WHEN ($arg) IS NOT NULL THEN 1 ELSE 0 END)" else ")")
+                        else {
+                          val cnt = s"(count($arg) OVER ($specSql) - count($arg) OVER ($grp)" +
+                            (if (ties) s" + CASE WHEN ($arg) IS NOT NULL THEN 1 ELSE 0 END)" else ")")
+                          val sum = s"(sum($arg) OVER ($specSql) - coalesce(sum($arg) OVER ($grp), 0)" +
+                            (if (ties) s" + coalesce(($arg), 0))" else ")")
+                          if (fn == "SUM")
+                            s"(CASE WHEN $cnt = 0 THEN NULL ELSE $sum END)"
+                          else
+                            s"(CASE WHEN $cnt = 0 THEN NULL ELSE $sum / $cnt END)"
+                        }
+                      toks = toks.patch(fnIdx, lex(repl), close - fnIdx + 1)
+                      changed = true
+                    }
                   }
                 }
               }

@@ -971,6 +971,25 @@ class TranslatorSpec extends AnyFunSuite {
       .toUpperCase.contains("FILTER"))
   }
 
+  test("r8: EXCLUDE GROUP / TIES subtract the peer group on RANGE frames") {
+    val g = t("SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t1")
+    assert(g.contains("sum(v) OVER (PARTITION BY k)") &&
+      g.contains("count(v) OVER (PARTITION BY k)") &&
+      g.contains("CASE WHEN") && !g.toUpperCase.contains("EXCLUDE"), g)
+    val ties = t("SELECT count(*) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM t1")
+    assert(ties.contains("count(*) OVER (PARTITION BY g, k)") &&
+      ties.contains("+ 1)") && !ties.toUpperCase.contains("EXCLUDE"), ties)
+    // order modifiers are stripped from the peer-group keys
+    val mods = t("SELECT sum(v) OVER (ORDER BY k DESC NULLS LAST RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE GROUP) FROM t1")
+    assert(mods.contains("OVER (PARTITION BY k)"), mods)
+    // ROWS frames intersect the peer group — unsupported, stays loud
+    assert(t("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t1")
+      .toUpperCase.contains("EXCLUDE GROUP"))
+    // a both-PRECEDING frame holds no peers: EXCLUDE GROUP is a no-op
+    val noop = t("SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING EXCLUDE GROUP) FROM t1")
+    assert(!noop.toUpperCase.contains("EXCLUDE") && !noop.contains("CASE"), noop)
+  }
+
   test("r8 advice: backslash separator gets four source-level backslashes") {
     // Spark's string parser eats one level, the regex engine the other —
     // 3 backslashes would leave a lone \ escaping the closing quote
