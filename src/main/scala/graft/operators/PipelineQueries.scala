@@ -836,6 +836,40 @@ object PipelineQueries {
           col("removed_tokens").cast("bigint").as("removed_tokens"))
         .orderBy("doc_id", "op")
     }),
+    // ---- dataset card (r8): the per-source corpus MANIFEST a training
+    // run publishes — doc/dup counts, token totals, exact median length,
+    // language mix — in ONE token_set_hits kernel scan (token count + all
+    // four language hit sets from a single byte pass, the p12/p31 shape)
+    // feeding one source-keyed aggregation. The exact median partial-
+    // aggregates a value→count map (p55's percentile posture, memory
+    // bounded by distinct lengths); dup counts are count − distinct-hash.
+    // Everything map-side combines; no join, no window, no second scan.
+    "p60_dataset_card" -> q((s, _) => {
+      val sets = TextAnalysis.langStopwords
+      val h = TextAnalysis.tokenSetHits(lower(col("text")), sets.map(_._2))
+      val base = s.table("documents")
+        .select(col("source"), md5(col("text")).as("__h"), h.as("__hits"))
+        .select(col("source"), col("__h"),
+          element_at(col("__hits"), 1).cast("long").as("nt"),
+          element_at(col("__hits"), 2).as("__en"),
+          element_at(col("__hits"), 3).as("__de"),
+          element_at(col("__hits"), 4).as("__fr"),
+          element_at(col("__hits"), 5).as("__es"))
+        .withColumn("pred", expr(
+          """CASE WHEN __en >= __de AND __en >= __fr AND __en >= __es THEN 'en'
+            |WHEN __de >= __fr AND __de >= __es THEN 'de'
+            |WHEN __fr >= __es THEN 'fr' ELSE 'es' END""".stripMargin))
+      base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("__h"))).as("dup_docs"),
+          sum("nt").as("total_tokens"),
+          (expr("percentile(nt, 0.5)") * 10).cast("bigint").as("median_tokens_x10"),
+          sum(when(col("pred") === "en", 1L).otherwise(0L)).as("en_docs"),
+          sum(when(col("pred") === "de", 1L).otherwise(0L)).as("de_docs"),
+          sum(when(col("pred") === "fr", 1L).otherwise(0L)).as("fr_docs"),
+          sum(when(col("pred") === "es", 1L).otherwise(0L)).as("es_docs"))
+        .orderBy("source")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -1425,6 +1459,28 @@ object PipelineQueries {
         "led3 AS (SELECT tk.doc_id, 'span_dedup' AS op, 'dup_window' AS reason, CAST(len(t) - remc.cut AS BIGINT) AS detail, CAST(remc.cut AS BIGINT) AS removed_tokens " +
         "FROM tk JOIN remc USING (doc_id) WHERE remc.cut > 0) " +
         "SELECT * FROM (SELECT * FROM led1 UNION ALL SELECT * FROM led2 UNION ALL SELECT * FROM led3) ORDER BY doc_id, op"),
+    // p60 (r8): the dataset-card manifest restated brute-force — p12's
+    // language vote, exact median (both engines interpolate (1-f)a + fb
+    // on the same integers), count − count(DISTINCT md5) dup rate.
+    "p60_dataset_card" ->
+      ("WITH t AS (SELECT source, md5(text) AS h, " +
+        "len(list_filter(string_split(text,' '), x -> x <> '')) AS nt, " +
+        "list_filter(string_split(lower(text),' '), x -> x <> '') AS toks FROM documents), " +
+        "l AS (SELECT source, h, nt, " +
+        "len(list_filter(toks, w -> list_contains(['the','and','of','to','a','in','is'], w))) AS en, " +
+        "len(list_filter(toks, w -> list_contains(['der','die','das','und','ist','nicht'], w))) AS de, " +
+        "len(list_filter(toks, w -> list_contains(['le','la','les','et','est','une'], w))) AS fr, " +
+        "len(list_filter(toks, w -> list_contains(['el','la','los','y','es','una'], w))) AS es FROM t), " +
+        "p AS (SELECT source, h, nt, CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en' " +
+        "WHEN de >= fr AND de >= es THEN 'de' WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred FROM l) " +
+        "SELECT source, count(*) AS n_docs, count(*) - count(DISTINCT h) AS dup_docs, " +
+        "CAST(sum(nt) AS BIGINT) AS total_tokens, " +
+        "CAST(median(nt) * 10 AS BIGINT) AS median_tokens_x10, " +
+        "CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs, " +
+        "CAST(sum(CASE WHEN pred = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de_docs, " +
+        "CAST(sum(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr_docs, " +
+        "CAST(sum(CASE WHEN pred = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es_docs " +
+        "FROM p GROUP BY source ORDER BY source"),
     // p58 (r7 session 3): same construction in SQL.
     "p58_modality_audit" ->
       ("WITH v AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 3 " +

@@ -193,6 +193,11 @@ object PlanAudit {
     Check("p56_label_conflicts",
       wantAll = Seq("HashAggregate"),
       wantNone = Seq("Join", "Window")),
+    // dataset card (r8): one kernel scan + one source-keyed agg (the
+    // distinct-hash dup count runs through Expand, still keyed) — no
+    // join, no window, no second corpus scan
+    Check("p60_dataset_card", wantAll = Seq("token_set_hits", "HashAggregate"),
+      wantNone = Seq("Join", "Window")),
     // quality gate: rank and per-source count share ONE window partitioning
     Check("p31_quality_gate", wantAll = Seq("token_set_hits", "Window"),
       wantNone = Seq("Join")),
