@@ -854,7 +854,9 @@ object Engine {
     * (Spark requires a foldable DEFAULT, and these render identically in
     * both dialects; anything else falls back to the rewrite). */
   private val constantDefaultRe =
-    "(?is)^\\s*(?:NULL|TRUE|FALSE|-?\\d+(?:\\.\\d+)?|'(?:[^']|'')*')\\s*$".r
+    // plain strings only (no '' escapes — Spark's DDL parser handles
+    // embedded quotes differently, those fall to the rewrite path)
+    "(?is)^\\s*(?:NULL|TRUE|FALSE|-?\\d+(?:\\.\\d+)?|'[^']*')\\s*$".r
 
   /** Apply `ops` to a symbolic column list (name → defining expr over the
     * ORIGINAL table), reproducing DuckDB's probe-pinned error texts.
@@ -871,7 +873,10 @@ object Engine {
       val out = toks.zipWithIndex.map { case (tk, i) =>
         tk match {
           case id: Ident =>
-            // bare column reference (not a function call, not dotted)
+            // column reference, bare or quoted (not a function call, not
+            // dotted) — quoted idents have upper == "", so compare on the
+            // unquoted text
+            val name = id.text.replaceAll("[`\"]", "")
             val isCall = {
               var j = i + 1
               while (j < toks.length && toks(j).isInstanceOf[Lexer.Ws]) j += 1
@@ -882,7 +887,7 @@ object Engine {
               while (j >= 0 && toks(j).isInstanceOf[Lexer.Ws]) j -= 1
               j >= 0 && toks(j) == Punct(".")
             }
-            cols.find(_._1.equalsIgnoreCase(id.upper)) match {
+            cols.find(_._1.equalsIgnoreCase(name)) match {
               case Some((_, e)) if !isCall && !isDotted => (Ident(s"($e)"): Tok)
               case _ => tk
             }
@@ -971,7 +976,13 @@ object Engine {
     val proj = cols.map { case (n, e) =>
       if (e == n) n else s"($e) AS $n"
     }.mkString(", ")
-    swapInto(spark, table, sql(spark, s"SELECT $proj FROM $table"))
+    // a post-validation failure (e.g. a substituted expression the
+    // original scan can't resolve) falls back to per-statement execution:
+    // the projection is built BEFORE any table mutation, so the target is
+    // still intact here
+    val projected = try sql(spark, s"SELECT $proj FROM $table")
+      catch { case _: Throwable => return false }
+    swapInto(spark, table, projected)
     true
   }
 

@@ -87,14 +87,19 @@ object Ledger {
       flatTokens(col("text")).as("__nt0"),
       size(split(col("text"), java.util.regex.Pattern.quote(sep))).as("__nl0"))
     val out = Dedup.lineDedup(docs, sep)
-    val joined = out.join(orig, Seq("doc_id"))
-    val kept = joined.select(col("doc_id"), col("text"))
+    // LEFT join from orig: a doc that loses EVERY line is absent from the
+    // dedup output but must still be ledgered (full-token removal), never
+    // silently dropped
+    val joined = orig.join(out, Seq("doc_id"), "left")
+    val kept = joined.filter(col("kept_lines").isNotNull)
+      .select(col("doc_id"), col("text"))
     val ledger = joined
-      .withColumn("__ntk", flatTokens(col("text")))
-      .filter(col("__nl0") > col("kept_lines"))
+      .withColumn("__kl", coalesce(col("kept_lines"), lit(0L)))
+      .withColumn("__ntk", coalesce(flatTokens(col("text")), lit(0L)))
+      .filter(col("__nl0") > col("__kl"))
       .select(col("doc_id"), lit("line_dedup").as("op"),
         lit("dup_line").as("reason"),
-        (col("__nl0") - col("kept_lines")).as("detail"),
+        (col("__nl0") - col("__kl")).as("detail"),
         (col("__nt0") - col("__ntk")).as("removed_tokens"))
     (kept, ledger)
   }

@@ -1654,6 +1654,16 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
     // docs 2 and 3 each lost the shared 3-token line
     assert(led.toSet == Set((2L, "line_dedup", 1L, 3L), (3L, "line_dedup", 1L, 3L)), led.toSeq)
+    // a doc that loses EVERY line is absent from kept but fully ledgered
+    val docs2 = Seq(
+      (1L, "alpha beta\ngamma"),
+      (2L, "alpha beta\ngamma")
+    ).toDF("doc_id", "text")
+    val (kept2, ledger2) = Ledger.lineDedup(docs2)
+    assert(kept2.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val led2 = ledger2.collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(led2.toSeq == Seq((2L, 2L, 3L)), led2.toSeq)
   }
 
   test("r8: UPDATE FROM multi-match picks the first source row in scan order") {
