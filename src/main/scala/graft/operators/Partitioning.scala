@@ -113,4 +113,40 @@ object Partitioning {
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Global 1-based position by `sortCols` WITHOUT a single-task window
+    * (r8): range-partitioned parallel sort, then RDD.zipWithIndex — one
+    * light count job over all-but-last partitions for the offsets, then
+    * per-partition local indexes. This is the 100 TB replacement for
+    * `row_number() OVER (ORDER BY …)` with no PARTITION BY, whose
+    * unpartitioned window is a one-task total-order pass by construction
+    * (the q140 POSITIONAL JOIN scale note). The RDD hop is the documented
+    * exception for genuine per-partition imperative logic. */
+  def globalIndex(df: DataFrame, sortCols: Seq[Column],
+      idxName: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.sort(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idxName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** DuckDB-semantics POSITIONAL JOIN at scale: row N of `left` (by
+    * `leftSort`) pairs with row N of `right` (by `rightSort`), shorter
+    * side NULL-padded — a full-outer equi-join on [[globalIndex]]
+    * positions. Both sides index in parallel; the join shuffles by the
+    * position key like any equi-join. The SQL surface (q140) stays the
+    * deterministic single-task window form; THIS is the operator to
+    * reach for at corpus scale. */
+  def positionalJoin(left: DataFrame, leftSort: Seq[Column],
+      right: DataFrame, rightSort: Seq[Column],
+      idxName: String = "pos"): DataFrame = {
+    val l = globalIndex(left, leftSort, idxName)
+    val r = globalIndex(right, rightSort, idxName)
+    l.join(r, Seq(idxName), "full_outer")
+  }
 }

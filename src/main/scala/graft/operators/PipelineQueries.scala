@@ -870,6 +870,23 @@ object PipelineQueries {
           sum(when(col("pred") === "es", 1L).otherwise(0L)).as("es_docs"))
         .orderBy("source")
     }),
+    // ---- positional alignment at scale (r8): q140's POSITIONAL JOIN
+    // semantics (row N ⋈ row N, shorter side NULL-padded) WITHOUT the
+    // single-task unpartitioned window — range-partitioned parallel sort
+    // + RDD.zipWithIndex per side (one light count job for offsets), then
+    // a plain full-outer equi-join on the position. Closes the last
+    // structurally one-task surface in the engine: the SQL form stays the
+    // deterministic window (documented), this operator is the 100 TB
+    // path. The vec side is filtered so NULL padding is exercised.
+    "p61_positional_align" -> q((s, _) => {
+      val docs = s.table("documents").select(col("doc_id"))
+      val vecs = s.table("embeddings").filter(col("vec_id") % 7 =!= 3)
+        .select(col("vec_id"))
+      Partitioning.positionalJoin(docs, Seq(col("doc_id")),
+          vecs, Seq(col("vec_id").desc))
+        .select(col("pos").cast("bigint").as("pos"), col("doc_id"), col("vec_id"))
+        .orderBy("pos")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -1481,6 +1498,13 @@ object PipelineQueries {
         "CAST(sum(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr_docs, " +
         "CAST(sum(CASE WHEN pred = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es_docs " +
         "FROM p GROUP BY source ORDER BY source"),
+    // p61 (r8): positional alignment — the window form IS the oracle
+    // (row_number over each side's total order, full-outer on position).
+    "p61_positional_align" ->
+      ("WITH d AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS pos FROM documents), " +
+        "e AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id DESC) AS pos FROM embeddings WHERE vec_id % 7 <> 3) " +
+        "SELECT CAST(pos AS BIGINT) AS pos, d.doc_id, e.vec_id " +
+        "FROM d FULL OUTER JOIN e USING (pos) ORDER BY pos"),
     // p58 (r7 session 3): same construction in SQL.
     "p58_modality_audit" ->
       ("WITH v AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 3 " +

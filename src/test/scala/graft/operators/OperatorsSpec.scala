@@ -1666,6 +1666,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(led2.toSeq == Seq((2L, 2L, 3L)), led2.toSeq)
   }
 
+  test("r8: globalIndex assigns the exact total order across many partitions") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000).toDF("v").repartition(13)
+    val idx = Partitioning.globalIndex(df, Seq(col("v").desc), "pos")
+    // the point of the operator: NO unpartitioned window anywhere (AQE
+    // may still coalesce tiny fixtures to one partition — that's runtime
+    // sizing, not a structural one-task plan)
+    assert(!idx.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = idx.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    (0L until 1000L).foreach { v =>
+      assert(rows(1000L - v) == v, s"pos ${1000L - v} should be v=$v")
+    }
+    // positionalJoin pads the shorter side with NULLs
+    import spark.implicits._
+    val l = Seq(10L, 20L, 30L).toDF("a")
+    val r = Seq(1L).toDF("b")
+    val j = Partitioning.positionalJoin(l, Seq(col("a")), r, Seq(col("b")))
+      .orderBy("pos").collect()
+      .map(x => (x.getLong(0), x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2)))
+    assert(j.toSeq == Seq((1L, 10L, 1L), (2L, 20L, -1L), (3L, 30L, -1L)), j.toSeq)
+  }
+
   test("r8: UPDATE FROM multi-match picks the first source row in scan order") {
     // probe-pinned on DuckDB 1.0: several matching source rows do NOT
     // error — the first in scan order wins (VALUES order here; probed
