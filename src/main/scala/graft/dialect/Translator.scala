@@ -48,10 +48,13 @@ object Translator {
     * whose receiver is a plain (possibly qualified) identifier naming a
     * known MAP column emits DuckDB's 1-element-list wrap instead of the
     * array zero-index guards, closing both documented map-subscript
-    * divergences for the named-column case. The default no-op keeps the
-    * schema-free behavior (bare `Translator.sparkSql`, tests). */
+    * divergences for the named-column case. `isCollectionCol` (r8)
+    * likewise marks ARRAY/MAP columns for the empty()/notEmpty()
+    * size-vs-length dispatch. The default no-ops keep the schema-free
+    * behavior (bare `Translator.sparkSql`, tests). */
   def translate(sql: String, schemaOf: String => Option[Seq[String]],
-      isMapCol: String => Boolean): Translation = {
+      isMapCol: String => Boolean,
+      isCollectionCol: String => Boolean = _ => false): Translation = {
     val (noFmt, fmt) = Sanitizer.stripFormat(sql)
     var toks = lex(noFmt)
     val views = ArrayBuffer[ViewReg]()
@@ -84,7 +87,7 @@ object Translator {
     toks = rewriteRegexpReplaceFlag(toks)
     toks = rewriteJsonArrows(toks)
     toks = rewriteSplitLiteralSep(toks)
-    toks = rewriteArgShapeFns(toks)
+    toks = rewriteArgShapeFns(toks, isCollectionCol)
     toks = rewriteFunctionNames(toks)
     toks = rewriteListAggs(toks)
     toks = rewriteInfoSchema(toks)
@@ -1689,7 +1692,8 @@ object Translator {
     }
   }
 
-  private[dialect] def rewriteArgShapeFns(toks0: Vector[Tok]): Vector[Tok] = {
+  private[dialect] def rewriteArgShapeFns(toks0: Vector[Tok],
+      isCollectionCol: String => Boolean = _ => false): Vector[Tok] = {
     var toks = toks0
     var changed = true
     var lambdaIx = 0 // unique per-rewrite index-lambda marker suffix
@@ -1744,23 +1748,31 @@ object Translator {
             // ClickHouse empty/notEmpty: zero-length test. A CASE-dispatch
             // on typeof() cannot work — Spark type-checks BOTH branches at
             // analysis time, so size(stringcol) fails even in a dead
-            // branch. Dispatch is therefore SYNTACTIC: a bracket literal
-            // `[...]` or an array(...)/map(...)/list_value(...) call gets
-            // size(); everything else gets length() (the string case the
-            // chsql wire surface serves). Array-typed COLUMNS remain a
-            // declared gap (SURVEY §2.12 divergences) — they raise a loud
-            // DATATYPE_MISMATCH, never a silent wrong answer.
+            // branch. Dispatch is SYNTACTIC — a bracket literal `[...]`
+            // or an array(...)/map(...)/list_value(...) call gets size()
+            // — plus SCHEMA-AWARE (r8): a bare (possibly qualified)
+            // identifier naming a known ARRAY/MAP column also gets size(),
+            // closing the array-typed-column gap for named columns;
+            // everything else gets length() (the string case the chsql
+            // wire surface serves). Computed array expressions still
+            // raise a loud DATATYPE_MISMATCH, never a silent wrong answer.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 1) {
               val cmp = if (id.upper == "EMPTY") "=" else "<>"
               val a = render(args(0)).trim
-              val isCollectionExpr = args(0).find(!_.isInstanceOf[Ws]).exists {
-                case Punct("[") => true
-                case id2: Ident =>
-                  Set("MAP", "ARRAY", "LIST_VALUE").contains(id2.upper)
-                case _ => false
-              }
+              val nonWs = args(0).filterNot(isWs)
+              val isNamedCollection = nonWs.nonEmpty &&
+                nonWs.forall(t => t.isInstanceOf[Ident] || t == Punct(".")) &&
+                nonWs.last.isInstanceOf[Ident] &&
+                isCollectionCol(nonWs.last.text.replaceAll("[`\"]", "").toLowerCase)
+              val isCollectionExpr = isNamedCollection ||
+                args(0).find(!_.isInstanceOf[Ws]).exists {
+                  case Punct("[") => true
+                  case id2: Ident =>
+                    Set("MAP", "ARRAY", "LIST_VALUE").contains(id2.upper)
+                  case _ => false
+                }
               val fn = if (isCollectionExpr) "size" else "length"
               val repl = s"($fn($a) $cmp 0)"
               toks = toks.patch(i, lex(repl), close - i + 1)

@@ -1515,9 +1515,15 @@ object Engine {
     val isMapCol: String => Boolean =
       if (duckSql.contains("[")) mapColumnNames(spark).contains(_)
       else _ => false
+    // ARRAY/MAP column set for empty()/notEmpty() dispatch — only
+    // consulted when the statement mentions the function
+    val isCollectionCol: String => Boolean =
+      if (duckSql.toLowerCase.contains("empty"))
+        collectionColumnNames(spark).contains(_)
+      else _ => false
     val t = Translator.translate(duckSql,
       name => scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption,
-      isMapCol)
+      isMapCol, isCollectionCol)
     t.views.foreach { v =>
       v.format match {
         case "csv" => spark.read.option("header", "true")
@@ -1585,6 +1591,34 @@ object Engine {
         }.toSet
       }.getOrElse(Set.empty[String])
       mapColsCache.put(spark, (v, names))
+      names
+    }
+  }
+
+  /** ARRAY/MAP-typed visible column names (r8) — drives the schema-aware
+    * empty()/notEmpty() size-vs-length dispatch (the isMapCol precedent);
+    * cached per (session, DDL version) like mapColumnNames. */
+  private val collColsCache: java.util.Map[SparkSession, (Long, Set[String])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (Long, Set[String])]())
+
+  private def collectionColumnNames(spark: SparkSession): Set[String] = {
+    val v = ddlVersion.get()
+    val cached = collColsCache.get(spark)
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val names = scala.util.Try {
+        spark.catalog.listTables().collect().toSeq.flatMap { t =>
+          scala.util.Try(spark.table(t.name).schema.fields.toSeq)
+            .getOrElse(Seq.empty)
+            .collect {
+              case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+                  f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+                f.name.toLowerCase
+            }
+        }.toSet
+      }.getOrElse(Set.empty[String])
+      collColsCache.put(spark, (v, names))
       names
     }
   }

@@ -1666,6 +1666,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(led2.toSeq == Seq((2L, 2L, 3L)), led2.toSeq)
   }
 
+  test("r8: empty()/notEmpty() dispatch is schema-aware for array columns") {
+    Engine.registerTables(spark, sfDir)
+    // embedding is ARRAY<FLOAT>: empty() must route to size(), which the
+    // old syntactic dispatch could not know (it raised DATATYPE_MISMATCH)
+    val r = Engine.sql(spark,
+      "SELECT vec_id, empty(embedding) AS e, notEmpty(embedding) AS ne " +
+        "FROM embeddings ORDER BY vec_id LIMIT 3")
+      .collect().map(x => (x.getBoolean(1), x.getBoolean(2))).toSeq
+    assert(r.forall { case (e, ne) => !e && ne }, r)
+    // string columns still route to length()
+    val s = Engine.sql(spark,
+      "SELECT empty(source) AS e, empty('') AS ee FROM documents LIMIT 1").head
+    assert(!s.getBoolean(0) && s.getBoolean(1))
+  }
+
   test("r8: globalIndex assigns the exact total order across many partitions") {
     import org.apache.spark.sql.functions._
     val df = spark.range(0, 1000).toDF("v").repartition(13)
