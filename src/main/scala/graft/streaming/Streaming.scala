@@ -203,6 +203,41 @@ object Streaming {
     (kept, ledger)
   }
 
+  /** Continuous form of p60's dataset card (r8): running per-source
+    * corpus statistics — docs, tokens, language-vote counts — as a
+    * streaming aggregation in update/complete mode. The per-row work is
+    * the same ONE token_set_hits kernel pass as the batch op; state is
+    * one small row per source (bounded by source cardinality, no
+    * watermark needed for an all-time running manifest). Exact medians
+    * and distinct-hash dup counts stay batch-only (both need unbounded
+    * per-group state); the streaming card carries the algebraic subset. */
+  def datasetCardStream(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sets = graft.operators.TextAnalysis.langStopwords
+    val h = graft.operators.TextAnalysis.tokenSetHits(
+      lower(col(textCol)), sets.map(_._2))
+    docs
+      .withColumn("__hits", h)
+      .select(col(sourceCol).as("source"),
+        element_at(col("__hits"), 1).cast("long").as("__nt"),
+        element_at(col("__hits"), 2).as("__en"),
+        element_at(col("__hits"), 3).as("__de"),
+        element_at(col("__hits"), 4).as("__fr"),
+        element_at(col("__hits"), 5).as("__es"))
+      .withColumn("__pred", expr(
+        """CASE WHEN __en >= __de AND __en >= __fr AND __en >= __es THEN 'en'
+          |WHEN __de >= __fr AND __de >= __es THEN 'de'
+          |WHEN __fr >= __es THEN 'fr' ELSE 'es' END""".stripMargin))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("total_tokens"),
+        sum(when(col("__pred") === "en", 1L).otherwise(0L)).as("en_docs"),
+        sum(when(col("__pred") === "de", 1L).otherwise(0L)).as("de_docs"),
+        sum(when(col("__pred") === "fr", 1L).otherwise(0L)).as("fr_docs"),
+        sum(when(col("__pred") === "es", 1L).otherwise(0L)).as("es_docs"))
+  }
+
   /** Continuous form of p53's char-entropy spam gate: each micro-batch is
     * ONE stateless codegen pass over the kernel (no shuffle, no state
     * store, no watermark — the scrubStream posture). Emits the per-doc

@@ -146,6 +146,31 @@ class StreamingSpec extends SparkTestBase {
     } finally { qk.stop(); ql.stop() }
   }
 
+  test("streaming dataset card keeps running per-source stats (r8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("source", "text")
+    val q = Streaming.datasetCardStream(stream)
+      .writeStream.format("memory").queryName("card")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        ("web", "the cat and the dog"),
+        ("web", "der hund ist nicht das"),
+        ("books", "one two three"))
+      q.processAllAvailable()
+      input.addData(("web", "of a to in is the"))
+      q.processAllAvailable()
+      val rows = spark.table("card").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // web: 3 docs, 5+5+6 tokens, 2 en + 1 de
+      assert(rows("web") == ((3L, 16L, 2L, 1L)), rows("web"))
+      assert(rows("books")._1 == 1L && rows("books")._2 == 3L)
+    } finally q.stop()
+  }
+
   test("streaming entropy gate drops low-diversity spam statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
