@@ -3437,7 +3437,9 @@ object Translator {
     * nondeterministic pairs would be worse than an error. Scale note:
     * the unpartitioned row_number window is a single-task total-order
     * pass by construction (positional pairing IS a total order); at
-    * 100 TB express the pairing as an explicit key join instead.
+    * 100 TB use [[graft.operators.Partitioning.positionalJoin]] (r8) —
+    * parallel sort + RDD.zipWithIndex per side, full-outer equi-join on
+    * the position, no one-task stage.
     * Divergence: `SELECT *` over the join also surfaces the synthetic
     * position columns — declared queries project explicitly. */
   private[dialect] def rewritePositionalJoin(toks0: Vector[Tok]): Vector[Tok] = {

@@ -126,6 +126,8 @@ object Partitioning {
       idxName: String = "pos"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(!df.schema.fieldNames.exists(_.equalsIgnoreCase(idxName)),
+      s"globalIndex: input already has a column named '$idxName'")
     val sorted = df.sort(sortCols: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField(idxName, LongType, nullable = false))

@@ -22,11 +22,14 @@ object CodegenProbe {
       "bpe_token_count(text) AS bt",
       "regexp_replace_first(text, '[a-e]', '*') AS rr",
       "minhash_from_hashes(token_window_hashes(toks, 3), 16) AS mfh",
-      "hyperplane_sig(array(1.0f, 2.0f), 4) AS hs").collect()
+      "hyperplane_sig(array(1.0f, 2.0f), 4) AS hs",
+      // r8 kernel
+      "size(token_counts(text)) AS tc").collect()
     println("CODEGEN_ONLY_OK rows=" + out.length + " sh0=" + out(0).getLong(1) +
       " ms_len=" + out(0).getSeq[Long](2).length + " cs=" + out(0).getDouble(4) +
       " bt=" + out(0).getInt(5) + " rr=" + out(0).getString(6) +
-      " mfh_len=" + out(0).getSeq[Long](7).length)
+      " mfh_len=" + out(0).getSeq[Long](7).length +
+      " tc=" + out(0).getInt(9))
     spark.stop()
   }
 }
