@@ -30,7 +30,18 @@ object LongDocProbe {
       }
       run() // warmup (codegen)
       val t = (1 to 3).map(_ => run()).min
-      println(f"[longdoc] tokens=$n%7d  min $t%.3f s")
+      // r8: token_counts (the tf-idf kernel) on the same doc-length axis —
+      // per-doc hash map of distinct terms, linear by construction
+      def runTc(): Double = {
+        val t0 = System.nanoTime()
+        graft.functions.GraftFunctions.register(spark)
+        df.selectExpr("size(token_counts(text)) AS c")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runTc()
+      val tc = (1 to 3).map(_ => runTc()).min
+      println(f"[longdoc] tokens=$n%7d  chunk_windows min $t%.3f s  token_counts min $tc%.3f s")
     }
     spark.stop()
   }
