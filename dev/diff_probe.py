@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""DuckDB side of the differential fuzz harness (see
+src/main/scala/graft/tools/DiffProbe.scala). Same canonicalization; diff
+the two outputs to get the divergence report.
+
+Usage: python3 dev/diff_probe.py <sfDir> <queryFile>
+"""
+import sys, os, math, datetime, decimal
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == math.floor(v) and not math.isinf(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    if isinstance(v, decimal.Decimal):
+        return norm(float(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(sorted(f"{norm(k)}:{norm(x)}" for k, x in v.items())) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, datetime.datetime):
+        return str(v).removesuffix(".0")
+    return str(v)
+
+
+def main(sfdir, qfile):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    qs = [q.strip() for q in open(qfile)
+          if q.strip() and not q.strip().startswith("#")]
+    for i, q in enumerate(qs):
+        try:
+            rows = con.execute(q).fetchall()[:100]
+            body = " ;; ".join(sorted("|".join(norm(v) for v in r) for r in rows))
+            print(f"{i}\tOK\t{body}")
+        except Exception as e:
+            print(f"{i}\tERR\t{str(e).splitlines()[0][:120]}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -1789,13 +1789,57 @@ object Translator {
                 close - i + 1)
               changed = true
             }
+          case id: Ident if id.upper == "CONCAT" && callOpen >= 0 =>
+            // DuckDB concat stringifies EVERY argument and SKIPS NULLs
+            // (probe: concat('a', NULL, 'b') = 'ab', concat(1, 2) = '12',
+            // concat(NULL, NULL) = '') — Spark's concat propagates NULL
+            // and means array-concat on arrays, a silent divergence found
+            // by the r8 differential fuzz. concat_ws('') over per-arg
+            // string casts reproduces DuckDB exactly.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.nonEmpty && args.exists(_.exists(!isWs(_)))) {
+              val casts = args.map(a => s"CAST((${render(a).trim}) AS STRING)")
+              toks = toks.patch(i,
+                lex(s"concat_ws('', ${casts.mkString(", ")})"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "LENGTH" || id.upper == "LEN") && callOpen >= 0 =>
+            // DuckDB length()/len() work on lists too (len([1,2]) = 2) —
+            // dispatch to size() for array literals / collection calls /
+            // named ARRAY-MAP columns (the empty() posture, r8); strings
+            // keep length(). Only rewrites when a collection shape is
+            // recognized, so plain string length is untouched.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val nonWs = args(0).filterNot(isWs)
+              val isNamedCollection = nonWs.nonEmpty &&
+                nonWs.forall(t => t.isInstanceOf[Ident] || t == Punct(".")) &&
+                nonWs.last.isInstanceOf[Ident] &&
+                isCollectionCol(nonWs.last.text.replaceAll("[`\"]", "").toLowerCase)
+              val isCollectionExpr = isNamedCollection ||
+                args(0).find(!_.isInstanceOf[Ws]).exists {
+                  case Punct("[") => true
+                  case id2: Ident =>
+                    Set("MAP", "ARRAY", "LIST_VALUE").contains(id2.upper)
+                  case _ => false
+                }
+              if (isCollectionExpr) {
+                toks = toks.patch(i,
+                  lex(s"size(${render(args(0)).trim})"), close - i + 1)
+                changed = true
+              }
+            }
           case id: Ident if id.upper == "REGEXP_FULL_MATCH" && callOpen >= 0 =>
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 2) {
               val (s0, p0) = (render(args(0)).trim, render(args(1)).trim)
+              // || not concat: the r8 DuckDB-concat rewrite (NULL-skipping
+              // concat_ws) would otherwise turn a NULL pattern into '^(?:)$'
               toks = toks.patch(i, lex(
-                s"rlike(($s0), concat('^(?:', ($p0), ')$$'))"), close - i + 1)
+                s"rlike(($s0), '^(?:' || ($p0) || ')$$')"), close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "REGEXP_ESCAPE" && callOpen >= 0 =>
@@ -2816,7 +2860,14 @@ object Translator {
                   // DuckDB dow is 0=Sunday..6 (Postgres); Spark's DOW
                   // extract is 1=Sunday..7 — shift. isodow agrees (Mon=1).
                   val repl = part.value.toLowerCase match {
-                    case "dow" => s"(extract(DOW FROM $e) - 1)"
+                    // dayofweek directly — an emitted extract(DOW …) would
+                    // be re-shifted by the EXTRACT rewrite below (r8)
+                    case "dow" => s"(dayofweek($e) - 1)"
+                    // DuckDB isodow is Monday=1..Sunday=7; Spark has no
+                    // ISODOW field, and an emitted weekday() would be
+                    // re-captured by the DuckDB weekday-ALIAS rewrite
+                    // (Sunday=0) — dayofweek arithmetic instead (r8)
+                    case "isodow" => s"(((dayofweek($e) + 5) % 7) + 1)"
                     // DuckDB's epoch part is FRACTIONAL seconds (probe:
                     // …00.5 → 1704067200.5); Spark's extract has no epoch
                     case "epoch" => s"(unix_micros($e) / 1000000.0)"
@@ -2828,18 +2879,26 @@ object Translator {
             }
           }
         case id: Ident if id.upper == "EXTRACT" => {
-          // EXTRACT(EPOCH FROM x): Spark's extract has no epoch field —
-          // fractional seconds via unix_micros (other fields pass through)
+          // EXTRACT field divergences (r8, probe-pinned): EPOCH →
+          // fractional seconds via unix_micros (Spark has no epoch
+          // field); DOW → DuckDB is 0=Sunday where Spark's DOW is
+          // 1=Sunday (a SILENT off-by-one through passthrough); ISODOW
+          // (Monday=1..Sunday=7) → weekday()+1 (no Spark field). Other
+          // fields pass through.
           val open = nextNonWs(toks, i)
           if (open < toks.length && toks(open) == Punct("(")) {
             val close = matchParen(toks, open)
             val fi = nextNonWs(toks, open)
             val fromI = if (fi < close) nextNonWs(toks, fi) else close
-            if (fi < close && up(toks(fi)) == "EPOCH" &&
-                fromI < close && up(toks(fromI)) == "FROM") {
+            if (fi < close && fromI < close && up(toks(fromI)) == "FROM" &&
+                Set("EPOCH", "DOW", "ISODOW").contains(up(toks(fi)))) {
               val e = render(toks.slice(fromI + 1, close)).trim
-              toks = toks.patch(i, lex(s"(unix_micros($e) / 1000000.0)"),
-                close - i + 1)
+              val repl = up(toks(fi)) match {
+                case "EPOCH" => s"(unix_micros($e) / 1000000.0)"
+                case "DOW" => s"(dayofweek($e) - 1)"
+                case "ISODOW" => s"(((dayofweek($e) + 5) % 7) + 1)"
+              }
+              toks = toks.patch(i, lex(repl), close - i + 1)
             }
           }
         }

@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.engine.Engine
+
+/** Differential fuzz harness (r8): run each query from a file through the
+  * engine and print ONE canonical line per query —
+  * `IDX<TAB>OK<TAB>v1|v2|…` (rows sorted, values normalized: doubles to
+  * 6dp, NULL literal, arrays bracketed) or `IDX<TAB>ERR<TAB>message`.
+  * `dev/diff_probe.py` prints the same canonicalization from DuckDB; the
+  * diff of the two outputs is the divergence report. Queries here are
+  * deliberately OUTSIDE the declared set — this is how silent dialect
+  * gaps get found before a user does.
+  *
+  * Run: `sbt "runMain graft.tools.DiffProbe <sfDir> <queryFile>"`. */
+object DiffProbe {
+  def norm(v: Any): String = v match {
+    case null => "NULL"
+    case d: Double => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
+      d.toLong.toString else f"$d%.6f"
+    case f: Float => norm(f.toDouble)
+    case b: java.math.BigDecimal => norm(b.doubleValue())
+    case d: java.math.BigInteger => d.toString
+    case s: collection.Seq[_] => s.map(norm).mkString("[", ",", "]")
+    case a: Array[Byte] => a.map("%02x".format(_)).mkString
+    case m: collection.Map[_, _] =>
+      m.toSeq.map { case (k, v2) => norm(k) + ":" + norm(v2) }
+        .sorted.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(norm).mkString("(", ",", ")")
+    case t: java.sql.Timestamp => t.toString.stripSuffix(".0")
+    case other => other.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, file) = (args(0), args(1))
+    val spark = Engine.localSession("4")
+    Engine.registerTables(spark, sfDir)
+    val qs = scala.io.Source.fromFile(file).getLines()
+      .map(_.trim).filter(q => q.nonEmpty && !q.startsWith("#")).toSeq
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val line = try {
+        val rows = Engine.sql(spark, q).collect().take(100)
+          .map(_.toSeq.map(norm).mkString("|")).sorted.mkString(" ;; ")
+        s"$i\tOK\t$rows"
+      } catch {
+        case e: Throwable =>
+          s"$i\tERR\t${e.toString.linesIterator.next().take(120)}"
+      }
+      println(line)
+    }
+    spark.stop()
+  }
+}

@@ -269,7 +269,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT regexp_replace(s, 'a+', 'x')") == "SELECT regexp_replace_first(s, 'a+', 'x')")
     // nested commas in args don't confuse the top-level arg count
     assert(t("SELECT regexp_replace(concat(a, b), 'a+', 'x')") ==
-      "SELECT regexp_replace_first(concat(a, b), 'a+', 'x')")
+      "SELECT regexp_replace_first(concat_ws('', CAST((a) AS STRING), CAST((b) AS STRING)), 'a+', 'x')")
   }
 
   test("string_split literal separators are regex-quoted; arg_max/min renamed") {
@@ -306,7 +306,7 @@ class TranslatorSpec extends AnyFunSuite {
 
   test("date_part dow shifts to DuckDB's 0=Sunday; epoch family maps exactly") {
     assert(t("SELECT date_part('dow', d) FROM t") ==
-      "SELECT (extract(DOW FROM d) - 1) FROM t")
+      "SELECT (dayofweek(d) - 1) FROM t")
     assert(t("SELECT date_part('year', d) FROM t") ==
       "SELECT extract(year FROM d) FROM t")
     // epoch() is FRACTIONAL seconds in DuckDB — unix_timestamp truncates
@@ -988,6 +988,27 @@ class TranslatorSpec extends AnyFunSuite {
     // a both-PRECEDING frame holds no peers: EXCLUDE GROUP is a no-op
     val noop = t("SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING EXCLUDE GROUP) FROM t1")
     assert(!noop.toUpperCase.contains("EXCLUDE") && !noop.contains("CASE"), noop)
+  }
+
+  test("r8 fuzz: concat skips NULLs, length dispatches on collections, dow/isodow") {
+    // DuckDB concat stringifies and SKIPS NULLs — concat_ws('') over casts
+    assert(t("SELECT concat(a, NULL, b)") ==
+      "SELECT concat_ws('', CAST((a) AS STRING), CAST((NULL) AS STRING), CAST((b) AS STRING))")
+    // length()/len() on a list literal → size; strings untouched
+    assert(t("SELECT length([1,2])") == "SELECT size(array(1,2))")
+    assert(t("SELECT len([1,2])") == "SELECT size(array(1,2))")
+    assert(t("SELECT length(s)") == "SELECT length(s)")
+    // extract dow is 0=Sunday in DuckDB (Spark's DOW is 1=Sunday — the
+    // passthrough was a silent off-by-one); isodow has no Spark field
+    assert(t("SELECT extract(dow FROM d)") == "SELECT (dayofweek(d) - 1)")
+    assert(t("SELECT extract(isodow FROM d)") ==
+      "SELECT (((dayofweek(d) + 5) % 7) + 1)")
+    assert(t("SELECT date_part('isodow', d)") ==
+      "SELECT (((dayofweek(d) + 5) % 7) + 1)")
+    assert(t("SELECT date_part('dow', d)") == "SELECT (dayofweek(d) - 1)")
+    // regexp_full_match emission uses || so a NULL pattern stays NULL
+    assert(t("SELECT regexp_full_match(s, p)") ==
+      "SELECT rlike((s), '^(?:' || (p) || ')$')")
   }
 
   test("r8 advice: backslash separator gets four source-level backslashes") {
