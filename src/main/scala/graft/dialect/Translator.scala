@@ -76,6 +76,7 @@ object Translator {
     toks = rewriteStructMapLiterals(toks)
     toks = rewriteSubscripts(toks, isMapCol)
     toks = rewriteOpsSugar(toks)
+    toks = rewriteIntCastRounding(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
     toks = rewriteAnyAll(toks)
@@ -704,7 +705,81 @@ object Translator {
               if (i + 1 < toks.length && isWs(toks(i + 1))) None else Some(Ws(" "))).flatten
             toks = toks.patch(i, pad, 1)
             changed = true
-          case Punct("**") =>
+          case Punct("-") if {
+              // DATE - DATE is INTEGER days in DuckDB but an INTERVAL in
+              // Spark (r8 fuzz) — rewrite when BOTH operands are
+              // syntactically date-valued (DATE literals, make_date,
+              // to_date, current_date); typed columns can't be told apart
+              // at translate time and keep Spark's interval (documented)
+              def dateish(from: Int, to: Int): Boolean = {
+                val nw = toks.slice(from, to + 1).filterNot(isWs)
+                nw.nonEmpty && (nw.head match {
+                  case d: Ident if d.upper == "DATE" =>
+                    nw.length == 2 && nw(1).isInstanceOf[Str]
+                  case d: Ident if Set("MAKE_DATE", "TO_DATE").contains(d.upper) =>
+                    nw.length > 1 && nw(1) == Punct("(")
+                  case d: Ident if d.upper == "CURRENT_DATE" => nw.length == 1
+                  case _ => false
+                })
+              }
+              def lBounds: Option[(Int, Int)] = {
+                val lEnd = prevNonWs(toks, i)
+                if (lEnd < 0) None
+                else {
+                  var lStart = primaryStart(toks, lEnd)
+                  // DATE '…' literal: the keyword sits before the Str primary
+                  if (toks(lStart).isInstanceOf[Str]) {
+                    val p = prevNonWs(toks, lStart)
+                    if (p >= 0 && up(toks(p)) == "DATE") lStart = p
+                  }
+                  Some((lStart, lEnd))
+                }
+              }
+              def rBounds: Option[(Int, Int)] = {
+                val rStart = nextNonWs(toks, i)
+                if (rStart >= toks.length) None
+                else {
+                  var rEnd = primaryEnd(toks, rStart)
+                  if (up(toks(rStart)) == "DATE") {
+                    val n = nextNonWs(toks, rStart)
+                    if (n < toks.length && toks(n).isInstanceOf[Str]) rEnd = n
+                  }
+                  Some((rStart, rEnd))
+                }
+              }
+              (lBounds, rBounds) match {
+                case (Some((ls, le)), Some((rs, re))) =>
+                  dateish(ls, le) && dateish(rs, re)
+                case _ => false
+              }
+            } =>
+            val lEnd = prevNonWs(toks, i)
+            val rStart = nextNonWs(toks, i)
+            val lStart = {
+              var s0 = primaryStart(toks, lEnd)
+              if (toks(s0).isInstanceOf[Str]) {
+                val p = prevNonWs(toks, s0)
+                if (p >= 0 && up(toks(p)) == "DATE") s0 = p
+              }
+              s0
+            }
+            val rEnd = {
+              var e0 = primaryEnd(toks, rStart)
+              if (up(toks(rStart)) == "DATE") {
+                val n = nextNonWs(toks, rStart)
+                if (n < toks.length && toks(n).isInstanceOf[Str]) e0 = n
+              }
+              e0
+            }
+            val l = render(toks.slice(lStart, lEnd + 1)).trim
+            val r = render(toks.slice(rStart, rEnd + 1)).trim
+            toks = toks.patch(lStart, lex(s"datediff($l, $r)"), rEnd - lStart + 1)
+            changed = true
+          case Punct(op0) if op0 == "**" || op0 == "^" =>
+            // `^` is POWER in DuckDB where Spark's `^` is bitwise XOR — a
+            // silent wrong answer through passthrough (r8 fuzz: 2 ^ 3 gave
+            // 1). Both spellings route through the same power() rewrite;
+            // DuckDB's xor is the xor() function, which stays loud.
             val lEnd = prevNonWs(toks, i)
             val rStart = nextNonWs(toks, i)
             if (lEnd >= 0 && rStart < toks.length) {
@@ -877,6 +952,123 @@ object Translator {
         }
       }
       i += 1
+    }
+    toks
+  }
+
+  /** DuckDB casts to integer types ROUND (half away from zero: 1.9 → 2,
+    * -2.5 → -3, '1.9' → 2) where Spark truncates — a silent wrong answer
+    * found by the r8 differential fuzz. `CAST(x AS <int>)` and `x::<int>`
+    * become `CAST(round(CAST(x AS DECIMAL(38,9))) AS <int>)`: the DECIMAL
+    * intermediate is exact for the full BIGINT range (a DOUBLE route
+    * would corrupt values past 2^53), accepts booleans and numeric
+    * strings, errors loudly where DuckDB errors ('x'), and Spark's
+    * HALF_UP round matches DuckDB's half-away on negatives. TRY_CAST uses
+    * try forms throughout (NULL, never error). Runs BEFORE the
+    * ClickHouse toInt32() rewrite — that surface TRUNCATES by contract
+    * and must not pick up the rounding. Re-translation is idempotent
+    * (the inner cast targets DECIMAL, which this pass ignores). */
+  private val intCastTargets = Set("TINYINT", "SMALLINT", "INTEGER", "INT",
+    "BIGINT", "HUGEINT", "INT1", "INT2", "INT4", "INT8", "SIGNED",
+    "SHORT", "LONG")
+  /** Functions whose VALUE is always integral in Spark — an int cast of
+    * `fn(...)` needs no rounding detour, and skipping them keeps the
+    * rewrite idempotent over our own emitted SQL (round-headed
+    * quantizations, size(), datediff(), the integer kernels). */
+  private val integralFns = Set("ROUND", "FLOOR", "CEIL", "CEILING",
+    "SIZE", "CARDINALITY", "LENGTH", "CHAR_LENGTH", "CHARACTER_LENGTH",
+    "INSTR", "LOCATE", "POSITION", "ASCII", "UNICODE",
+    "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND",
+    "DAYOFWEEK", "DAYOFMONTH", "DAYOFYEAR", "WEEKOFYEAR", "QUARTER",
+    "DATEDIFF", "COUNT", "SIGN", "FACTORIAL",
+    "BIT_COUNT", "BIT_LENGTH", "OCTET_LENGTH",
+    "DAMERAU_LEVENSHTEIN", "LEVENSHTEIN", "BPE_TOKEN_COUNT",
+    "ASCII_CHAR_COUNT", "GCD", "LCM")
+  private[dialect] def rewriteIntCastRounding(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case id: Ident if (id.upper == "CAST" || id.upper == "TRY_CAST") && {
+                val n = nextNonWs(toks, i)
+                n < toks.length && toks(n) == Punct("(")
+              } =>
+            val open = nextNonWs(toks, i)
+            val close = matchParen(toks, open)
+            // top-level AS inside the call
+            var d = 0; var asIdx = -1
+            for (j <- open + 1 until close) {
+              d += depthDelta(toks(j))
+              if (d == 0 && asIdx < 0 && up(toks(j)) == "AS") asIdx = j
+            }
+            if (asIdx > 0) {
+              val tyToks = toks.slice(asIdx + 1, close).filterNot(isWs)
+              val isIntTarget = tyToks.length == 1 &&
+                tyToks.head.isInstanceOf[Ident] &&
+                intCastTargets.contains(up(tyToks.head))
+              // a top-level round()/floor()/ceil() source is already
+              // integral — truncation equals rounding, and the declared
+              // surface quantizes with CAST(round(x)·10^k AS BIGINT) in
+              // per-row hot paths where a DECIMAL detour costs real time
+              val alreadyIntegral = {
+                val fnTok = nextNonWs(toks, open)
+                // NULL literal needs no rounding; neither do our own
+                // generated __g_* lambda/marker variables (always
+                // integral where an int cast is emitted)
+                (fnTok < asIdx && nextNonWs(toks, fnTok) >= asIdx &&
+                  (up(toks(fnTok)) == "NULL" ||
+                    (toks(fnTok).isInstanceOf[Ident] &&
+                      toks(fnTok).text.startsWith("__g")))) || {
+                  // (possibly parenthesized, possibly signed) INTEGER
+                  // literal — emitted constants like (4) need no rounding
+                  val nw = toks.slice(open + 1, asIdx).filterNot(isWs)
+                  nw.nonEmpty && nw.forall {
+                    case Punct("(") | Punct(")") | Punct("-") | Punct("+") => true
+                    case n: Num => !n.text.exists(c => c == '.' || c == 'e' || c == 'E')
+                    case _ => false
+                  } && nw.count(_.isInstanceOf[Num]) == 1
+                } ||
+                (fnTok < asIdx && toks(fnTok).isInstanceOf[Ident] &&
+                integralFns.contains(up(toks(fnTok))) && {
+                  val innerOpen = nextNonWs(toks, fnTok)
+                  innerOpen < asIdx && toks(innerOpen) == Punct("(") &&
+                    matchParen(toks, innerOpen) == prevNonWs(toks, asIdx)
+                })
+              }
+              if (isIntTarget && !alreadyIntegral) {
+                val fn = id.upper
+                val expr = render(toks.slice(open + 1, asIdx)).trim
+                val ty = up(tyToks.head)
+                toks = toks.patch(i, lex(
+                  s"$fn(round($fn(($expr) AS DECIMAL(38,9))) AS $ty)"),
+                  close - i + 1)
+                changed = true
+              }
+            }
+          case Punct("::") =>
+            val tIdx = nextNonWs(toks, i)
+            val after = if (tIdx < toks.length) nextNonWs(toks, tIdx) else toks.length
+            val isIntTarget = tIdx < toks.length &&
+              toks(tIdx).isInstanceOf[Ident] &&
+              intCastTargets.contains(up(toks(tIdx))) &&
+              (after >= toks.length || toks(after) != Punct("("))
+            val lEnd = prevNonWs(toks, i)
+            if (isIntTarget && lEnd >= 0) {
+              val lStart = primaryStart(toks, lEnd)
+              val l = render(toks.slice(lStart, lEnd + 1)).trim
+              val ty = up(toks(tIdx))
+              toks = toks.patch(lStart, lex(
+                s"CAST(round(CAST(($l) AS DECIMAL(38,9))) AS $ty)"),
+                tIdx - lStart + 1)
+              changed = true
+            }
+          case _ =>
+        }
+        i += 1
+      }
     }
     toks
   }
@@ -1707,10 +1899,15 @@ object Translator {
         }
         toks(i) match {
           case id: Ident if id.upper == "XOR" && callOpen >= 0 =>
+            // or/and/not composition, NOT Spark's `^`: since r8 the `^`
+            // OPERATOR rewrites to power() (DuckDB semantics), so an
+            // emitted `a ^ b` would flip to power on any re-translation —
+            // this form is translate-idempotent
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 2) {
-              val repl = s"((${render(args(0)).trim}) ^ (${render(args(1)).trim}))"
+              val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+              val repl = s"((($a) | ($b)) & ~(($a) & ($b)))"
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
@@ -1831,6 +2028,24 @@ object Translator {
                 changed = true
               }
             }
+          case id: Ident if (id.upper == "SUBSTR" || id.upper == "SUBSTRING") &&
+              callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                val args = splitTopLevel(toks.slice(callOpen + 1, close))
+                args.length == 3 &&
+                  args(1).filterNot(isWs).map(_.text) == Vector("0")
+              } =>
+            // DuckDB substr(s, 0, n) consumes one length unit on the
+            // virtual position 0 (Postgres clamp: 'hello',0,3 → 'he');
+            // Spark treats start 0 as 1 with the FULL length — shift the
+            // literal-0 form (expression starts stay as-is: both engines
+            // agree on every start except exactly 0)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            toks = toks.patch(i, lex(
+              s"substr(${render(args(0)).trim}, 1, (${render(args(2)).trim}) - 1)"),
+              close - i + 1)
+            changed = true
           case id: Ident if id.upper == "REGEXP_FULL_MATCH" && callOpen >= 0 =>
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
@@ -2092,7 +2307,7 @@ object Translator {
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 2) {
               toks = toks.patch(i, lex(
-                s"CAST(exists((${render(args(1)).trim}), __g_n -> instr((${render(args(0)).trim}), __g_n) > 0) AS INT)"),
+                s"(CASE WHEN exists((${render(args(1)).trim}), __g_n -> instr((${render(args(0)).trim}), __g_n) > 0) THEN 1 ELSE 0 END)"),
                 close - i + 1)
               changed = true
             }
@@ -2833,10 +3048,10 @@ object Translator {
                   val b = render(args(2)).trim
                   val repl = part.value.toLowerCase match {
                     case "day" => s"datediff($b, $a)"
-                    case "month" => s"CAST(months_between(date_trunc('month', $b), date_trunc('month', $a)) AS BIGINT)"
+                    case "month" => s"CAST(round(months_between(date_trunc('month', $b), date_trunc('month', $a))) AS BIGINT)"
                     case "year" => s"(year($b) - year($a))"
-                    case "hour" => s"CAST((unix_timestamp($b) - unix_timestamp($a)) / 3600 AS BIGINT)"
-                    case "minute" => s"CAST((unix_timestamp($b) - unix_timestamp($a)) / 60 AS BIGINT)"
+                    case "hour" => s"((unix_timestamp($b) - unix_timestamp($a)) DIV 3600)"
+                    case "minute" => s"((unix_timestamp($b) - unix_timestamp($a)) DIV 60)"
                     case "second" => s"(unix_timestamp($b) - unix_timestamp($a))"
                     case _ => ""
                   }
@@ -2902,6 +3117,17 @@ object Translator {
             }
           }
         }
+        case id: Ident if id.upper == "WEEK" && {
+              // week(date) → ISO weekofyear (probe: both 52 on 2023-01-01);
+              // the bare-arg function only — WEEK inside interval/
+              // date_trunc literals is handled by those rewrites
+              val n = nextNonWs(toks, i)
+              n < toks.length && toks(n) == Punct("(")
+            } =>
+          val open = nextNonWs(toks, i)
+          val close = matchParen(toks, open)
+          val e = render(toks.slice(open + 1, close)).trim
+          toks = toks.patch(i, lex(s"weekofyear($e)"), close - i + 1)
         case id: Ident if Set("CENTURY", "DECADE", "MILLENNIUM", "WEEKDAY",
             "YEARWEEK", "ISOYEAR", "EPOCH_NS").contains(id.upper) =>
           // r7 session-3 date-part functions, probe-pinned on DuckDB 1.0:
