@@ -1129,6 +1129,27 @@ object DeclaredQueries {
         "CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS cs, " +
         "CAST(round(coalesce(avg(CASE WHEN o_orderkey % 4 = 1 THEN NULL ELSE o_totalprice END) OVER (ORDER BY o_orderdate RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE TIES), -1) * 100) AS BIGINT) AS ag_c " +
         "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"),
+    "q194_fuzz_semantics" ->
+      // r8 differential-fuzz closures, oracle-pinned in one entry:
+      // NULL-skipping stringifying concat, ^ as power, int casts ROUND
+      // half-away (1.9→2, -2.5→-3, strings parse), substr start-0 shift,
+      // DATE-literal subtraction in integer days, 0=Sunday dow / isodow,
+      // week() = ISO week, length()/len() over lists
+      ("SELECT o_orderkey, " +
+        "concat(o_orderstatus, NULL, o_orderpriority, '-', o_orderkey % 3) AS cc, " +
+        "CAST(2 ^ (o_orderkey % 4) AS BIGINT) AS pw, " +
+        "CAST(o_totalprice / 1000 AS INTEGER) AS ri, " +
+        "CAST(-2.5 AS INTEGER) AS rneg, " +
+        "CAST('1.9' AS INTEGER) AS rstr, " +
+        "substr(o_orderpriority, 0, 4) AS s0, " +
+        "DATE '2024-02-01' - DATE '2024-01-01' AS dd, " +
+        "CAST(extract(dow FROM DATE '2024-03-03') AS BIGINT) AS dw, " +
+        "CAST(extract(isodow FROM DATE '2024-03-03') AS BIGINT) AS idw, " +
+        "CAST(date_part('isodow', DATE '2024-03-04') AS BIGINT) AS idw2, " +
+        "CAST(week(DATE '2023-01-01') AS BIGINT) AS wk, " +
+        "CAST(length([1, 2, 3]) AS BIGINT) AS ll, " +
+        "CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) AS ls " +
+        "FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -1884,6 +1884,38 @@ object Translator {
     }
   }
 
+  /** Array-returning function heads — with bracket literals and the
+    * MAP/ARRAY constructors, the syntactic side of the collection-shape
+    * dispatch shared by empty()/notEmpty()/length()/len() (r8). */
+  private val arrayReturningFns = Set("MAP", "ARRAY", "LIST_VALUE",
+    "SPLIT", "STRING_SPLIT", "STRING_SPLIT_REGEX", "STRING_TO_ARRAY",
+    "REGEXP_SPLIT_TO_ARRAY", "SEQUENCE", "RANGE", "GENERATE_SERIES",
+    "ARRAY_DISTINCT", "LIST_DISTINCT", "ARRAY_SORT", "LIST_SORT",
+    "SORT_ARRAY", "TRANSFORM", "LIST_TRANSFORM", "FILTER", "LIST_FILTER",
+    "SLICE", "LIST_SLICE", "ARRAY_SLICE", "FLATTEN", "MAP_KEYS",
+    "MAP_VALUES", "SHUFFLE", "ARRAY_REPEAT", "COLLECT_LIST",
+    "COLLECT_SET", "ARRAY_AGG", "LIST_CONCAT", "ARRAY_CONCAT",
+    "LIST_APPEND", "LIST_PREPEND", "ARRAY_UNION", "ARRAY_INTERSECT",
+    "ARRAY_EXCEPT", "LIST_REVERSE", "ARRAY_COMPACT", "TOKEN_COUNTS",
+    "TOKEN_HASHES", "CHUNK_WINDOWS", "WINDOW_MD5S")
+
+  /** One argument's tokens look collection-valued: a bracket literal, an
+    * array-returning call, or a bare (qualified) identifier naming a
+    * known ARRAY/MAP column. */
+  private def collectionShaped(arg: Vector[Tok],
+      isCollectionCol: String => Boolean): Boolean = {
+    val nonWs = arg.filterNot(isWs)
+    val named = nonWs.nonEmpty &&
+      nonWs.forall(t => t.isInstanceOf[Ident] || t == Punct(".")) &&
+      nonWs.last.isInstanceOf[Ident] &&
+      isCollectionCol(nonWs.last.text.replaceAll("[`\"]", "").toLowerCase)
+    named || arg.find(!_.isInstanceOf[Ws]).exists {
+      case Punct("[") => true
+      case id2: Ident => arrayReturningFns.contains(id2.upper)
+      case _ => false
+    }
+  }
+
   private[dialect] def rewriteArgShapeFns(toks0: Vector[Tok],
       isCollectionCol: String => Boolean = _ => false): Vector[Tok] = {
     var toks = toks0
@@ -1958,19 +1990,8 @@ object Translator {
             if (args.length == 1) {
               val cmp = if (id.upper == "EMPTY") "=" else "<>"
               val a = render(args(0)).trim
-              val nonWs = args(0).filterNot(isWs)
-              val isNamedCollection = nonWs.nonEmpty &&
-                nonWs.forall(t => t.isInstanceOf[Ident] || t == Punct(".")) &&
-                nonWs.last.isInstanceOf[Ident] &&
-                isCollectionCol(nonWs.last.text.replaceAll("[`\"]", "").toLowerCase)
-              val isCollectionExpr = isNamedCollection ||
-                args(0).find(!_.isInstanceOf[Ws]).exists {
-                  case Punct("[") => true
-                  case id2: Ident =>
-                    Set("MAP", "ARRAY", "LIST_VALUE").contains(id2.upper)
-                  case _ => false
-                }
-              val fn = if (isCollectionExpr) "size" else "length"
+              val fn = if (collectionShaped(args(0), isCollectionCol)) "size"
+                else "length"
               val repl = s"($fn($a) $cmp 0)"
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
@@ -2009,24 +2030,10 @@ object Translator {
             // recognized, so plain string length is untouched.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
-            if (args.length == 1) {
-              val nonWs = args(0).filterNot(isWs)
-              val isNamedCollection = nonWs.nonEmpty &&
-                nonWs.forall(t => t.isInstanceOf[Ident] || t == Punct(".")) &&
-                nonWs.last.isInstanceOf[Ident] &&
-                isCollectionCol(nonWs.last.text.replaceAll("[`\"]", "").toLowerCase)
-              val isCollectionExpr = isNamedCollection ||
-                args(0).find(!_.isInstanceOf[Ws]).exists {
-                  case Punct("[") => true
-                  case id2: Ident =>
-                    Set("MAP", "ARRAY", "LIST_VALUE").contains(id2.upper)
-                  case _ => false
-                }
-              if (isCollectionExpr) {
-                toks = toks.patch(i,
-                  lex(s"size(${render(args(0)).trim})"), close - i + 1)
-                changed = true
-              }
+            if (args.length == 1 && collectionShaped(args(0), isCollectionCol)) {
+              toks = toks.patch(i,
+                lex(s"size(${render(args(0)).trim})"), close - i + 1)
+              changed = true
             }
           case id: Ident if (id.upper == "SUBSTR" || id.upper == "SUBSTRING") &&
               callOpen >= 0 && {
