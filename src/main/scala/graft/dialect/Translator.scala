@@ -1514,12 +1514,30 @@ object Translator {
         case id: Ident if id.upper == "STRING_AGG" || id.upper == "LISTAGG" || id.upper == "GROUP_CONCAT" =>
           val open = nextNonWs(toks, i)
           if (open < toks.length && toks(open) == Punct("(")) {
-            val close = matchParen(toks, open)
+            var close = matchParen(toks, open)
             // locate ORDER BY inside at depth 1
             var d = 0; var ob = -1
             for (j <- open to close) {
               d += depthDelta(toks(j))
               if (d == 1 && ob < 0 && up(toks(j)) == "ORDER") ob = j
+            }
+            // 1-arg form: DuckDB's default separator is ',' for all three
+            // spellings (probe-pinned; Spark's listagg default is '') —
+            // inject it before any ORDER BY
+            val argEnd = if (ob > 0) ob else close
+            val hasSep = {
+              var d2 = 0; var comma = false
+              for (j <- open + 1 until argEnd) {
+                d2 += depthDelta(toks(j))
+                if (d2 == 0 && toks(j) == Punct(",")) comma = true
+              }
+              comma
+            }
+            if (!hasSep && nextNonWs(toks, open) < argEnd) {
+              toks = toks.patch(argEnd,
+                Seq(Punct(","), Ws(" "), Str("','"), Ws(" ")), 0)
+              close += 4
+              if (ob > 0) ob += 4 // ORDER moved past the spliced separator
             }
             if (ob > 0) {
               val orderToks = toks.slice(ob, close)
@@ -1840,8 +1858,13 @@ object Translator {
             val open = nextNonWs(toks, i)
             val close = matchParen(toks, open)
             val arg = render(toks.slice(open + 1, close)).trim
-            val sum = s"aggregate($arg, CAST(0 AS DOUBLE), (__g_acc, __g_v) -> __g_acc + CAST(__g_v AS DOUBLE))"
-            val repl = if (id.upper == "LIST_SUM") sum else s"($sum / size($arg))"
+            // DuckDB list_sum/list_avg SKIP NULL elements and return NULL
+            // for an empty/all-NULL list (r8 fuzz: list_sum([]) was 0 and
+            // one NULL element poisoned the whole fold)
+            val nn = s"filter(($arg), __g_n -> __g_n IS NOT NULL)"
+            val sum = s"aggregate($nn, CAST(0 AS DOUBLE), (__g_acc, __g_v) -> __g_acc + CAST(__g_v AS DOUBLE))"
+            val body = if (id.upper == "LIST_SUM") sum else s"($sum / size($nn))"
+            val repl = s"(CASE WHEN size($nn) = 0 THEN CAST(NULL AS DOUBLE) ELSE $body END)"
             toks = toks.patch(i, lex(repl), close - i + 1)
             changed = true // restart: a nested list_sum in `arg` re-lexed above
           case _ =>
@@ -2079,9 +2102,87 @@ object Translator {
                 close - i + 1)
               changed = true
             }
-          case id: Ident if id.upper == "MAP_EXTRACT" && callOpen >= 0 =>
+          case id: Ident if id.upper == "FILTER" && callOpen >= 0 && {
+              // DuckDB accepts FILTER (cond) without WHERE on aggregates —
+              // inject it. The clause form always follows the aggregate
+              // call's ')'; the filter() higher-order function never does.
+              val p = prevNonWs(toks, i)
+              p >= 0 && toks(p) == Punct(")") && {
+                val first = nextNonWs(toks, callOpen)
+                first < matchParen(toks, callOpen) && up(toks(first)) != "WHERE"
+              }
+            } =>
+            toks = toks.patch(callOpen + 1,
+              Seq(Ident("WHERE"), Ws(" ")), 0)
+            changed = true
+          case id: Ident if id.upper == "DATE_ADD" && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              val args = splitTopLevel(toks.slice(callOpen + 1, close))
+              args.length == 2 &&
+                args(1).find(!_.isInstanceOf[Ws]).exists(t => up(t) == "INTERVAL")
+            } =>
+            // DuckDB date_add(d, INTERVAL …) — Spark's date_add takes day
+            // counts; the interval form is plain + arithmetic
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            toks = toks.patch(i, lex(
+              s"((${render(args(0)).trim}) + ${render(args(1)).trim})"),
+              close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "AGE" && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              splitTopLevel(toks.slice(callOpen + 1, close)).length == 2
+            } =>
+            // DuckDB age(a, b) = a - b (interval); Spark ts - ts agrees
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            toks = toks.patch(i, lex(
+              s"((${render(args(0)).trim}) - (${render(args(1)).trim}))"),
+              close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "ARRAY_TO_STRING" && callOpen >= 0 && {
+              splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen))).length == 2
+            } =>
+            // DuckDB returns NULL for the EMPTY list (probe-pinned, even
+            // typed-empty); array_join returns '' — guard. NULL elements
+            // are skipped by both.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val (l, sep) = (render(args(0)).trim, render(args(1)).trim)
+            toks = toks.patch(i, lex(
+              s"(CASE WHEN size(($l)) = 0 THEN CAST(NULL AS STRING) ELSE array_join(($l), $sep) END)"),
+              close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "RANGE" && callOpen >= 0 && {
+              // scalar-position range(n)/range(a, b): end-EXCLUSIVE list
+              // (empty when the range is void). Table-context ranges —
+              // both user-written FROM range(…) and the range() TVF the
+              // generate_series rewrite EMITS — must survive, so a range
+              // directly after FROM/JOIN is skipped. 3-arg (stepped)
+              // stays loud (sign-dependent end adjustment).
+              val p = prevNonWs(toks, i)
+              val tableCtx = p >= 0 && Set("FROM", "JOIN").contains(up(toks(p)))
+              val n = splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen))).length
+              !tableCtx && (n == 1 || n == 2)
+            } =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val (a, b) =
+              if (args.length == 1) ("0", render(args(0)).trim)
+              else (render(args(0)).trim, render(args(1)).trim)
+            // typed empty: slice of a 1-element sequence keeps the int
+            // element type (a bare array() would be ARRAY<STRING>)
+            toks = toks.patch(i, lex(
+              s"(CASE WHEN ($b) <= ($a) THEN slice(sequence(($a), ($a)), 1, 0) ELSE sequence(($a), ($b) - 1) END)"),
+              close - i + 1)
+            changed = true
+          case id: Ident if (id.upper == "MAP_EXTRACT" ||
+              id.upper == "ELEMENT_AT") && callOpen >= 0 =>
             // DuckDB map_extract(m, k) → 1-element LIST ([] when absent) —
-            // the map-subscript wrap shape
+            // the map-subscript wrap shape. element_at is MAP-ONLY in
+            // DuckDB and IS map_extract (r8 fuzz: it returned [1], the
+            // Spark passthrough returned the scalar — silent); list
+            // lookups spell list_element/list_extract → try_element_at
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 2) {
@@ -2782,19 +2883,32 @@ object Translator {
                 // callOpen is checked FIRST: a bare `aggregate` identifier
                 // (no call parens) must not reach matchParen(toks, -1)
                 val parts = splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen)))
-                parts.length == 2 && parts(1).filterNot(isWs).forall(_.isInstanceOf[Str])
+                parts.length >= 2 && parts(1).filterNot(isWs).forall(_.isInstanceOf[Str])
               })) =>
-            // list_aggregate(l, 'name') -> the matching array form
+            // list_aggregate(l, 'name' [, extra]) -> the matching array
+            // form. DuckDB element-aggregate semantics (r8, probe-pinned):
+            // NULL elements are SKIPPED ('count' of [1,NULL] is 1, sum of
+            // the empty/all-NULL list is NULL), string_agg joins with the
+            // given (or default ',') separator, first/last pick ends.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
-            val fnLit = if (args.length == 2) args(1).collectFirst { case s: Str => s.value } else None
+            val fnLit = if (args.length >= 2) args(1).collectFirst { case s: Str => s.value } else None
             val l = if (args.nonEmpty) render(args(0)).trim else ""
+            val nn = s"filter(($l), __g_n -> __g_n IS NOT NULL)"
+            val sumForm = s"aggregate($nn, CAST(0 AS DOUBLE), (__g_acc, __g_v) -> __g_acc + CAST(__g_v AS DOUBLE))"
             val repl = fnLit.map(_.toLowerCase) match {
-              case Some("min") => Some(s"array_min($l)")
-              case Some("max") => Some(s"array_max($l)")
-              case Some("count") => Some(s"size($l)")
-              case Some("sum") => Some(s"aggregate($l, CAST(0 AS DOUBLE), (__g_acc, __g_v) -> __g_acc + CAST(__g_v AS DOUBLE))")
-              case Some("avg") => Some(s"(aggregate($l, CAST(0 AS DOUBLE), (__g_acc, __g_v) -> __g_acc + CAST(__g_v AS DOUBLE)) / size($l))")
+              case Some("min") if args.length == 2 => Some(s"array_min($l)")
+              case Some("max") if args.length == 2 => Some(s"array_max($l)")
+              case Some("count") if args.length == 2 => Some(s"size($nn)")
+              case Some("sum") if args.length == 2 =>
+                Some(s"(CASE WHEN size($nn) = 0 THEN CAST(NULL AS DOUBLE) ELSE $sumForm END)")
+              case Some("avg") | Some("mean") if args.length == 2 =>
+                Some(s"(CASE WHEN size($nn) = 0 THEN CAST(NULL AS DOUBLE) ELSE ($sumForm / size($nn)) END)")
+              case Some("string_agg") =>
+                val sep = if (args.length >= 3) render(args(2)).trim else "','"
+                Some(s"array_join($l, $sep)")
+              case Some("first") if args.length == 2 => Some(s"try_element_at($l, 1)")
+              case Some("last") if args.length == 2 => Some(s"try_element_at($l, -1)")
               case _ => None
             }
             repl.foreach { r =>

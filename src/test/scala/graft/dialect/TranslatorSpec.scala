@@ -327,14 +327,16 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("list_sum / list_avg become aggregate() lambdas") {
+    // r8: NULL elements are skipped and the empty/all-NULL list is NULL
     val s = t("SELECT list_sum(xs) FROM t")
-    assert(s.contains("aggregate(xs, CAST(0 AS DOUBLE)"))
+    assert(s.contains("aggregate(filter((xs), __g_n -> __g_n IS NOT NULL), CAST(0 AS DOUBLE)"))
     assert(s.contains("__g_acc + CAST(__g_v AS DOUBLE)"))
+    assert(s.contains("CASE WHEN size(filter((xs), __g_n -> __g_n IS NOT NULL)) = 0 THEN CAST(NULL AS DOUBLE)"))
     val a = t("SELECT list_avg(xs) FROM t")
-    assert(a.contains("/ size(xs)"))
+    assert(a.contains("/ size(filter((xs), __g_n -> __g_n IS NOT NULL))"))
     // nested argument survives (inner rewritten too)
     val n = t("SELECT list_sum(list_transform(xs, x -> x * 2)) FROM t")
-    assert(n.contains("aggregate(transform(xs, x -> x * 2)"))
+    assert(n.contains("aggregate(filter((transform(xs, x -> x * 2))"))
   }
 
   test("date_diff / date_part / epoch mappings") {
@@ -387,7 +389,9 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("round-4 1:1 renames: array_to_string, list_reverse, countIf") {
-    assert(t("SELECT array_to_string(xs, ',')") == "SELECT array_join(xs, ',')")
+    // r8: empty list -> NULL (probe-pinned), hence the size guard
+    assert(t("SELECT array_to_string(xs, ',')") ==
+      "SELECT (CASE WHEN size((xs)) = 0 THEN CAST(NULL AS STRING) ELSE array_join((xs), ',') END)")
     assert(t("SELECT list_reverse(xs)") == "SELECT reverse(xs)")
     assert(t("SELECT countIf(x > 2)") == "SELECT count_if(x > 2)")
     assert(t("SELECT to_hex(x)") == "SELECT hex(x)")
@@ -525,7 +529,9 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT format('%s', a)") == "SELECT format('%s', a)")
     assert(t("SELECT list_aggregate(xs, 'max')") == "SELECT array_max(xs)")
     assert(t("SELECT list_aggregate(xs, 'min')") == "SELECT array_min(xs)")
-    assert(t("SELECT list_aggregate(xs, 'count')") == "SELECT size(xs)")
+    // r8: 'count' counts NON-NULL elements (probe: [1,NULL] -> 1)
+    assert(t("SELECT list_aggregate(xs, 'count')") ==
+      "SELECT size(filter((xs), __g_n -> __g_n IS NOT NULL))")
   }
 
   test("FROM-first: bare FROM becomes SELECT *") {
