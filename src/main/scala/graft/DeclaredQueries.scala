@@ -1150,6 +1150,27 @@ object DeclaredQueries {
         "CAST(length([1, 2, 3]) AS BIGINT) AS ll, " +
         "CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) AS ls " +
         "FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey"),
+    "q195_fuzz_semantics2" ->
+      // r8 fuzz batch 3, oracle-pinned: string_agg default ',' separator,
+      // NULL-skipping list_sum/list_avg with NULL-on-empty, map-only
+      // element_at returning a LIST, list_aggregate non-null count /
+      // string_agg / first, scalar end-exclusive range(), FILTER without
+      // WHERE, date_add with an INTERVAL, age() as timestamp difference
+      ("SELECT g, " +
+        "string_agg(st) AS sa, " +
+        "CAST(list_sum([g, NULL, 2]) AS BIGINT) AS ls, " +
+        "CAST(round(list_avg([g, NULL, 2, 4]) * 100) AS BIGINT) AS la_c, " +
+        "list_sum(list_filter([1], x -> x < 0)) IS NULL AS ls_e, " +
+        "array_to_string(element_at(MAP {'a': 1, 'b': 2}, CASE WHEN g % 2 = 0 THEN 'a' ELSE 'z' END), '|') AS ea, " +
+        "CAST(list_aggregate([g, NULL, 3], 'count') AS BIGINT) AS lc, " +
+        "list_aggregate(['x', 'y'], 'string_agg', '-') AS lsa, " +
+        "CAST(list_aggregate([g, 9], 'first') AS BIGINT) AS lf, " +
+        "array_to_string(range(g % 4), ',') AS rg, " +
+        "count(*) FILTER (g >= 0) AS cf, " +
+        "CAST(date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS DATE) AS da, " +
+        "age(TIMESTAMP '2024-03-05 01:00:00', TIMESTAMP '2024-03-01 00:00:00') = INTERVAL '4 days 1 hour' AS ag " +
+        "FROM (SELECT o_orderkey % 5 AS g, o_orderstatus AS st FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey) " +
+        "GROUP BY g ORDER BY g"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and
