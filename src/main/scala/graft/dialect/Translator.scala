@@ -1391,9 +1391,43 @@ object Translator {
                       }
                     }
                   }
-                  val noOp =
-                    (b1 == "PRECEDING" && b2 == "PRECEDING") ||
-                    (b1 == "FOLLOWING" && b2 == "FOLLOWING")
+                  // offset of the bound NEAREST the current row (end bound
+                  // for both-PRECEDING, start bound for both-FOLLOWING):
+                  // a 0 offset means the frame touches the current row
+                  // (ROWS) / its value and peers (RANGE), so nothing is
+                  // provably excluded-free.
+                  def boundOffsetTok(endKwIdx: Int): String = {
+                    val v = prevNonWs(specNoExToks, endKwIdx)
+                    if (v >= 0) render(Vector(specNoExToks(v))).trim else ""
+                  }
+                  val nearestZero = {
+                    val bet = topIdx("BETWEEN")
+                    if (bet < 0) false
+                    else {
+                      var d3 = 0; var andIdx = -1
+                      for (j <- bet + 1 until specNoExToks.length) {
+                        d3 += depthDelta(specNoExToks(j))
+                        if (d3 == 0 && andIdx < 0 && up(specNoExToks(j)) == "AND") andIdx = j
+                      }
+                      if (andIdx < 0) false
+                      else if (b1 == "PRECEDING" && b2 == "PRECEDING")
+                        boundOffsetTok(prevNonWs(specNoExToks, specNoExToks.length)) == "0"
+                      else if (b1 == "FOLLOWING" && b2 == "FOLLOWING")
+                        boundOffsetTok(prevNonWs(specNoExToks, andIdx)) == "0"
+                      else false
+                    }
+                  }
+                  val bothSided =
+                    ((b1 == "PRECEDING" && b2 == "PRECEDING") ||
+                      (b1 == "FOLLOWING" && b2 == "FOLLOWING")) && !nearestZero
+                  // CURRENT ROW: such a frame never holds the current row.
+                  // GROUP/TIES: peers share the ORDER value, so only a
+                  // RANGE frame (value-bounded) provably excludes them —
+                  // a ROWS frame 3 PRECEDING..1 PRECEDING can still hold
+                  // peer rows (advice r8: silent keep). ROWS GROUP/TIES
+                  // falls through to the loud branch.
+                  val noOp = bothSided &&
+                    (kind == "ROW" || topIdx("RANGE") >= 0)
                   if (noOp) {
                     // a frame that provably never contains the current
                     // row's ORDER value holds neither it nor its peers —
@@ -1690,8 +1724,11 @@ object Translator {
     "LIST_MAX" -> "array_max",
     // LIST_DISTINCT is NOT name-mapped: DuckDB drops NULLs where Spark's
     // array_distinct keeps one — handled with a filter wrap in
-    // rewriteArgShapeFns (r6)
-    "LIST_CONCAT" -> "concat",
+    // rewriteArgShapeFns (r6). LIST_CONCAT/LIST_CAT/ARRAY_CAT/
+    // ARRAY_CONCAT are NOT name-mapped to concat either (r9): DuckDB's
+    // forms SKIP NULL args, and an emitted plain concat was re-captured
+    // by the concat→concat_ws stringify on re-translation (advice r8) —
+    // they get a flatten(array(…)) rewrite in rewriteArgShapeFns.
     "LIST_APPEND" -> "array_append",
     // list_position / list_indexof: this DuckDB returns 0 for a missing
     // element (verified), exactly Spark's array_position contract
@@ -1752,9 +1789,6 @@ object Translator {
     "SUFFIX" -> "endswith",
     // DuckDB strlen is BYTE length (length is chars) — Spark octet_length
     "STRLEN" -> "octet_length",
-    "ARRAY_CAT" -> "concat",
-    "LIST_CAT" -> "concat",
-    "ARRAY_CONCAT" -> "concat",
     "LIST_PACK" -> "array",
     "ARRAY_VALUE" -> "array",
     "LIST_APPLY" -> "transform",
@@ -1821,7 +1855,9 @@ object Translator {
     "ARRAYJOIN" -> "explode",
     "HAS" -> "array_contains",
     "INDEXOF" -> "array_position",          // 1-based, 0 when absent — same
-    "ARRAYELEMENT" -> "element_at",         // 1-based, negative from end — same
+    // 1-based, negative from end — same; try_element_at so the emission
+    // is NOT re-captured by the map-only ELEMENT_AT wrap (idempotence)
+    "ARRAYELEMENT" -> "try_element_at",
     "ARRAYSTRINGCONCAT" -> "array_join",
     "TOUNIXTIMESTAMP" -> "unix_timestamp",
     "FROMUNIXTIMESTAMP" -> "from_unixtime",
@@ -2037,12 +2073,35 @@ object Translator {
             // and means array-concat on arrays, a silent divergence found
             // by the r8 differential fuzz. concat_ws('') over per-arg
             // string casts reproduces DuckDB exactly.
+            // list args stringify too (r9 probe: concat([1,2],[3]) =
+            // '[1, 2][3]' — concat is stringify-everything in DuckDB;
+            // list CONCATENATION spells list_concat/array_cat, which get
+            // their own flatten(array(…)) rewrite so the emission here is
+            // never re-captured)
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.nonEmpty && args.exists(_.exists(!isWs(_)))) {
               val casts = args.map(a => s"CAST((${render(a).trim}) AS STRING)")
               toks = toks.patch(i,
                 lex(s"concat_ws('', ${casts.mkString(", ")})"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if Set("LIST_CONCAT", "LIST_CAT", "ARRAY_CAT",
+              "ARRAY_CONCAT").contains(id.upper) && callOpen >= 0 =>
+            // DuckDB list concat is strictly 2-arg and SKIPS NULL args
+            // (probe: list_concat([1,2], NULL) = [1,2]; both NULL → NULL)
+            // — Spark's concat propagates NULL, and emitting concat was
+            // re-captured by the stringify rewrite above on
+            // re-translation (advice r8). flatten(array(a,b)) is the
+            // non-recapturable spelling of array concatenation.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(
+                s"(CASE WHEN ($a) IS NULL THEN ($b) WHEN ($b) IS NULL THEN ($a) " +
+                  s"ELSE flatten(array(($a), ($b))) END)"),
+                close - i + 1)
               changed = true
             }
           case id: Ident if (id.upper == "LENGTH" || id.upper == "LEN") && callOpen >= 0 =>

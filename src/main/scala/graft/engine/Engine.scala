@@ -489,8 +489,15 @@ object Engine {
         // single file: row_index alone is the scan order
         "_metadata.row_index AS __g_srow"
       case Some(fs) if fs.nonEmpty &&
-          fs.forall(partFileRe.pattern.matcher(_).matches()) =>
-        // part number << 40 | row_index: one long, exact write order
+          fs.forall(partFileRe.pattern.matcher(_).matches()) &&
+          fs.map { f => partFileRe.findFirstMatchIn(f).get.group(1) }
+            .distinct.length == fs.length =>
+        // part number << 40 | row_index: one long, exact write order.
+        // Distinctness guard (advice r8): a table built from N appends
+        // holds one part-00000-<uuid> PER append job, so packed values
+        // would collide across files and the row_number tiebreak would
+        // go nondeterministic — colliding layouts keep the exact
+        // (path, row_index) pair below.
         s"((CAST(regexp_extract(_metadata.file_path, 'part-(\\\\d+)', 1) AS BIGINT) * ${1L << 40}) + _metadata.row_index) AS __g_srow"
       case Some(_) =>
         "_metadata.file_path AS __g_sfile, _metadata.row_index AS __g_srow"
@@ -969,9 +976,38 @@ object Engine {
       case _ => false
     }
     if (allNativeAdds) {
-      val applied = ops.collect { case a: AlterAdd => a }
+      val adds = ops.collect { case a: AlterAdd => a }
         .filter(a => !fields.exists(_.equalsIgnoreCase(a.col)))
-      if (applied.forall(a => nativeAddColumn(spark, table, a))) return true
+      // probe type applicability for the WHOLE chain before mutating —
+      // a forall short-circuit after the first committed ADD would hand
+      // a partially-applied table to the per-statement fallback, which
+      // then re-ADDs the committed column (advice r8)
+      val typesOk = adds.forall(a =>
+        try { sql(spark, s"SELECT CAST(NULL AS ${a.typ}) AS x"); true }
+        catch { case _: Throwable => false })
+      if (typesOk) {
+        var k = 0
+        while (k < adds.length && nativeAddColumn(spark, table, adds(k))) k += 1
+        if (k == adds.length) return true
+        // mid-chain native failure AFTER commits: finish the remaining
+        // adds with one projection over the POST-mutation schema; a
+        // failure here must surface loudly — returning false would
+        // double-apply the committed prefix
+        val remaining: Seq[AlterOp] = adds.drop(k)
+        val fields2 = spark.table(table).schema.fieldNames.toSeq
+        val cols2 =
+          try foldAlterOps(fields2, table, remaining)
+          catch { case e: Throwable =>
+            if (k > 0) throw e else return false }
+        val proj2 = cols2.map { case (n, e) =>
+          if (e == n) n else s"($e) AS $n" }.mkString(", ")
+        val projected2 =
+          try sql(spark, s"SELECT $proj2 FROM $table")
+          catch { case e: Throwable =>
+            if (k > 0) throw e else return false }
+        swapInto(spark, table, projected2)
+        return true
+      }
     }
     val proj = cols.map { case (n, e) =>
       if (e == n) n else s"($e) AS $n"
@@ -1515,12 +1551,15 @@ object Engine {
     val isMapCol: String => Boolean =
       if (duckSql.contains("[")) mapColumnNames(spark).contains(_)
       else _ => false
-    // ARRAY/MAP column set for empty()/notEmpty() dispatch — only
-    // consulted when the statement mentions the function
+    // ARRAY/MAP column set for collection-shape dispatch (empty/len/
+    // length size-vs-length, concat list-vs-string, …). Always on: the
+    // translator only invokes the lambda when a rewrite actually needs a
+    // shape decision, and collectionColumnNames is cached per DDL
+    // version, so the steady-state cost is one Set lookup (a statement
+    // substring gate here silently disabled the named-column dispatch
+    // for len()/concat — advice r8).
     val isCollectionCol: String => Boolean =
-      if (duckSql.toLowerCase.contains("empty"))
-        collectionColumnNames(spark).contains(_)
-      else _ => false
+      name => collectionColumnNames(spark).contains(name)
     val t = Translator.translate(duckSql,
       name => scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption,
       isMapCol, isCollectionCol)

@@ -716,7 +716,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT position(h, n)") == "SELECT instr(h, n)")
     assert(t("SELECT position('or' IN s)") == "SELECT position('or' IN s)")
     assert(t("SELECT arrayJoin(a), has(a, 1), indexOf(a, 2), arrayElement(a, -1)") ==
-      "SELECT explode(a), array_contains(a, 1), array_position(a, 2), element_at(a, -1)")
+      "SELECT explode(a), array_contains(a, 1), array_position(a, 2), try_element_at(a, -1)")
     assert(t("SELECT arrayStringConcat(a, ','), leftPad(s, 3, '0'), toUnixTimestamp(ts)") ==
       "SELECT array_join(a, ','), lpad(s, 3, '0'), unix_timestamp(ts)")
     assert(t("SELECT toHour(ts), toDayOfYear(d), toDayOfMonth(d)") ==
@@ -995,6 +995,46 @@ class TranslatorSpec extends AnyFunSuite {
     // a both-PRECEDING frame holds no peers: EXCLUDE GROUP is a no-op
     val noop = t("SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING EXCLUDE GROUP) FROM t1")
     assert(!noop.toUpperCase.contains("EXCLUDE") && !noop.contains("CASE"), noop)
+  }
+
+  test("r9 advice: EXCLUDE no-op strip limits (ROWS GROUP/TIES loud, 0-offset edge)") {
+    // a both-PRECEDING ROWS frame CAN hold peer rows — EXCLUDE GROUP/TIES
+    // must stay loud, never silently strip (advice r8; DuckDB probe:
+    // sum OVER (ORDER BY k ROWS 3 PRECEDING..1 PRECEDING EXCLUDE GROUP)
+    // removes in-frame peers)
+    assert(t("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE GROUP) FROM t1")
+      .toUpperCase.contains("EXCLUDE GROUP"))
+    assert(t("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE TIES) FROM t1")
+      .toUpperCase.contains("EXCLUDE TIES"))
+    // EXCLUDE CURRENT ROW on the same ROWS frame is still a no-op strip
+    val cur = t("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW) FROM t1")
+    assert(!cur.toUpperCase.contains("EXCLUDE") && !cur.contains("CASE"), cur)
+    // 0-offset nearest bound touches the current row: NOT a no-op —
+    // the subtraction rewrite applies (probe: DuckDB excludes the row)
+    val zero = t("SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 0 PRECEDING EXCLUDE CURRENT ROW) FROM t1")
+    assert(zero.contains("CASE WHEN") && !zero.toUpperCase.contains("EXCLUDE"), zero)
+    // RANGE both-preceding GROUP stays a no-op (value-bounded: no peers)
+    val rg = t("SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE TIES) FROM t1")
+    assert(!rg.toUpperCase.contains("EXCLUDE") && !rg.contains("CASE"), rg)
+  }
+
+  test("r9 advice: list_concat NULL-skip form, arrayElement try_element_at, idempotence") {
+    // DuckDB list_concat/array_cat SKIP NULL args (probe:
+    // list_concat([1,2], NULL) = [1,2]); flatten(array(..)) spelling is
+    // not re-captured by the concat→concat_ws stringify
+    val lc = t("SELECT list_concat(a, b)")
+    assert(lc.contains("flatten(array((a), (b)))") && lc.contains("IS NULL"), lc)
+    assert(t("SELECT array_cat(a, b)") == lc.replace("list_concat", "array_cat"))
+    // concat on a LIST literal still stringifies (probe:
+    // concat([1,2],[3]) = '[1, 2][3]')
+    assert(t("SELECT concat([1], [2])").contains("concat_ws"))
+    // emissions survive re-translation unchanged (the advice's broken cases)
+    for (q <- Seq("SELECT list_concat(a, b)", "SELECT array_cat([1], [2])",
+        "SELECT arrayElement(a, 2)", "SELECT list_cat(a, b)")) {
+      val once = t(q)
+      assert(t(once) == once, s"not idempotent: $q -> $once -> ${t(once)}")
+    }
+    assert(t("SELECT arrayElement(a, 2)") == "SELECT try_element_at(a, 2)")
   }
 
   test("r8 fuzz: concat skips NULLs, length dispatches on collections, dow/isodow") {
