@@ -1171,6 +1171,32 @@ object DeclaredQueries {
         "age(TIMESTAMP '2024-03-05 01:00:00', TIMESTAMP '2024-03-01 00:00:00') = INTERVAL '4 days 1 hour' AS ag " +
         "FROM (SELECT o_orderkey % 5 AS g, o_orderstatus AS st FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey) " +
         "GROUP BY g ORDER BY g"),
+    "q196_date_bucket_sub_diff" ->
+      // r9 closures, oracle-pinned: time_bucket with string-form
+      // intervals (fixed widths anchor 2000-01-03, month widths
+      // month-index arithmetic, 3rd-arg offset/origin), date_sub as
+      // sign-carried complete intervals stepped from the earlier
+      // endpoint (clamped month addition), and date_diff as BOUNDARY
+      // CROSSINGS (both sides truncated to the part grid — the raw-span
+      // division shipped through r8 was a silent divergence)
+      ("SELECT event_id, " +
+        "time_bucket(INTERVAL '15 minutes', ts) AS tb15, " +
+        "time_bucket(INTERVAL '1 hour', ts, INTERVAL '10 minutes') AS tbo, " +
+        "time_bucket(INTERVAL '2 days', CAST(ts AS DATE)) AS tbd, " +
+        "time_bucket(INTERVAL '1 month', ts) AS tbm, " +
+        "time_bucket(INTERVAL '1 week', CAST(ts AS DATE)) AS tbw, " +
+        "CAST(date_sub('day', DATE '1996-01-01', CAST(ts AS DATE)) AS BIGINT) AS dsd, " +
+        "CAST(date_sub('month', DATE '1996-01-31', CAST(ts AS DATE)) AS BIGINT) AS dsm, " +
+        "CAST(date_sub('hour', TIMESTAMP '1996-06-01 12:00:00', ts) AS BIGINT) AS dsh, " +
+        "CAST(date_sub('week', CAST(ts AS DATE), DATE '1996-01-01') AS BIGINT) AS dsw, " +
+        "CAST(date_sub('quarter', DATE '1995-12-15', CAST(ts AS DATE)) AS BIGINT) AS dsq, " +
+        "CAST(date_sub('year', DATE '1994-06-15', CAST(ts AS DATE)) AS BIGINT) AS dsy, " +
+        "CAST(date_diff('hour', TIMESTAMP '1996-06-01 00:30:00', ts) AS BIGINT) AS ddh, " +
+        "CAST(date_diff('minute', TIMESTAMP '1996-06-01 00:30:00', ts) AS BIGINT) AS ddmin, " +
+        "CAST(date_diff('second', TIMESTAMP '1996-06-01 00:30:00', ts) AS BIGINT) AS dds, " +
+        "CAST(date_diff('week', DATE '1996-01-01', CAST(ts AS DATE)) AS BIGINT) AS ddw, " +
+        "CAST(date_diff('quarter', DATE '1996-01-01', CAST(ts AS DATE)) AS BIGINT) AS ddq " +
+        "FROM events WHERE event_id < 200 ORDER BY event_id"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -1926,22 +1926,58 @@ object Translator {
     */
   /** Seconds width of a `INTERVAL <n> <sub-month unit>` token run, for the
     * time_bucket rewrite; None for month/year units or any other shape. */
-  private def timeBucketSeconds(arg: Vector[Tok]): Option[Long] = {
+  /** Parse a literal INTERVAL token slice into (months, micros).
+    * Handles `INTERVAL n UNIT`, `INTERVAL 'n' UNIT` and the string form
+    * `INTERVAL '1 day 2 hours'` (the spelling DuckDB users actually
+    * type — the n-UNIT-only parser left it a loud gap, r8 fuzz).
+    * Non-literal or mixed month/sub-month intervals → None (loud). */
+  private def unitWidth(u0: String, n: Long): Option[(Long, Long)] =
+    u0.toUpperCase.stripSuffix("S") match {
+      case "MICROSECOND" | "US" | "USEC" => Some((0L, n))
+      case "MILLISECOND" | "MS" | "MSEC" => Some((0L, n * 1000L))
+      case "SECOND" | "SEC" => Some((0L, n * 1000000L))
+      case "MINUTE" | "MIN" => Some((0L, n * 60000000L))
+      case "HOUR" | "HR" => Some((0L, n * 3600000000L))
+      case "DAY" | "D" => Some((0L, n * 86400000000L))
+      case "WEEK" | "W" => Some((0L, n * 604800000000L))
+      case "MONTH" | "MON" => Some((n, 0L))
+      case "QUARTER" => Some((n * 3, 0L))
+      case "YEAR" | "YR" | "Y" => Some((n * 12, 0L))
+      case "DECADE" => Some((n * 120, 0L))
+      case "CENTURY" | "CENTURIE" => Some((n * 1200, 0L))
+      case "MILLENNIUM" | "MILLENNIA" => Some((n * 12000, 0L))
+      case _ => None
+    }
+
+  private def intervalWidth(arg: Vector[Tok]): Option[(Long, Long)] = {
     val sig = arg.filterNot(isWs)
+    def num(t: String): Option[Long] = scala.util.Try(t.toLong).toOption
     sig match {
       case Vector(iv: Ident, n: Num, u: Ident) if iv.upper == "INTERVAL" =>
-        val mult = u.upper.stripSuffix("S") match {
-          case "SECOND" => Some(1L)
-          case "MINUTE" => Some(60L)
-          case "HOUR" => Some(3600L)
-          case "DAY" => Some(86400L)
-          case "WEEK" => Some(604800L)
-          case _ => None
-        }
-        mult.flatMap(m => scala.util.Try(n.text.toLong).toOption.map(_ * m))
+        num(n.text).flatMap(unitWidth(u.text, _))
+      case Vector(iv: Ident, s: Str, u: Ident) if iv.upper == "INTERVAL" =>
+        num(s.value.trim).flatMap(unitWidth(u.text, _))
+      case Vector(iv: Ident, s: Str) if iv.upper == "INTERVAL" =>
+        val parts = s.value.trim.toLowerCase.split("\\s+")
+        if (parts.length >= 2 && parts.length % 2 == 0) {
+          val widths = parts.grouped(2).map {
+            case Array(q, u) => num(q).flatMap(unitWidth(u, _))
+            case _ => None
+          }.toSeq
+          if (widths.forall(_.isDefined))
+            Some(widths.flatten.foldLeft((0L, 0L)) {
+              case ((m1, us1), (m2, us2)) => (m1 + m2, us1 + us2) })
+          else None
+        } else None
       case _ => None
     }
   }
+
+  /** Pure month- or pure micro-width literal interval (mixed → None:
+    * calendar+fixed arithmetic has no single bucket grid). */
+  private def bucketWidth(arg: Vector[Tok]): Option[(Long, Long)] =
+    intervalWidth(arg).filter { case (m, us) =>
+      (m > 0 && us == 0) || (m == 0 && us > 0) }
 
   /** Array-returning function heads — with bracket literals and the
     * MAP/ARRAY constructors, the syntactic side of the collection-shape
@@ -3068,25 +3104,144 @@ object Translator {
           case id: Ident if id.upper == "TIME_BUCKET" && callOpen >= 0 && {
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
-            args.length == 2 && timeBucketSeconds(args(0)).isDefined
+            (args.length == 2 || args.length == 3) &&
+              bucketWidth(args(0)).isDefined
           } =>
-            // time_bucket(INTERVAL n UNIT, ts) for sub-month units: DuckDB
-            // aligns buckets to origin 2000-01-03 00:00:00 (probe: 7-day
-            // buckets start Mondays; sub-day units agree with epoch
-            // alignment because 2000-01-03 is a midnight multiple of every
-            // sub-day width). Spark spelling: origin + floor((ts - origin)
-            // / width) * width in unix seconds — floor handles pre-origin
-            // timestamps. Month/year widths are left unrewritten (different
-            // origin + calendar arithmetic; date_trunc covers them).
+            // time_bucket(width, ts[, offset|origin]) — DuckDB anchors
+            // fixed widths to 2000-01-03 00:00:00 (a Monday: 7-day
+            // buckets start Mondays) and month widths to 2000-01-01,
+            // flooring pre-origin inputs (probe: 1969-03-05 → 1969-03-04
+            // for 2-day buckets). pmod IS the floor arithmetic:
+            // bucket = t - pmod(t - origin, w). A 3rd INTERVAL arg
+            // shifts the origin; a 3rd DATE/TIMESTAMP arg replaces it
+            // (month widths use only its year+month — probe: origin
+            // 2000-02-15 buckets land on the 1st). DATE-typed input
+            // returns DATE in DuckDB: pinned for DATE literals / ::DATE
+            // casts; bare columns get the TIMESTAMP shape (documented
+            // rendering-class divergence, same class as date_trunc).
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
-            val w = timeBucketSeconds(args(0)).get
+            val (wm, wus) = bucketWidth(args(0)).get
             val ts = render(args(1)).trim
-            val org = 946857600L // 2000-01-03 00:00:00 UTC
-            toks = toks.patch(i,
-              lex(s"timestamp_seconds($org + CAST(floor((unix_seconds($ts) - $org) / $w.0) AS BIGINT) * $w)"),
-              close - i + 1)
-            changed = true
+            val dateIn = {
+              val sig = args(1).filterNot(isWs)
+              val r = render(args(1)).trim.toUpperCase
+              (sig.headOption.exists(t => up(t) == "DATE") &&
+                sig.length == 2) ||
+                r.endsWith("::DATE") || r.matches("(?s).*AS\\s+DATE\\s*\\)\\s*$")
+            }
+            val thirdIv: Option[(Long, Long)] =
+              if (args.length == 3) intervalWidth(args(2)) else None
+            val thirdOrigin: Option[String] =
+              if (args.length == 3 && thirdIv.isEmpty)
+                Some(render(args(2)).trim) else None
+            val ok =
+              if (args.length == 3 && thirdIv.isDefined) {
+                // offset must live on the same grid axis as the width
+                val (om, ous) = thirdIv.get
+                (wus > 0 && om == 0) || (wm > 0 && ous == 0)
+              } else true
+            if (!ok) { () /* cross-axis offset: stays loud */ }
+            else if (wus > 0) {
+              val oExpr = thirdOrigin match {
+                case Some(org) => s"(unix_micros(CAST(($org) AS TIMESTAMP)))"
+                case None =>
+                  val base = 946857600000000L // 2000-01-03 00:00:00 UTC
+                  s"(${base + thirdIv.map(_._2).getOrElse(0L)})"
+              }
+              val t = s"unix_micros(CAST(($ts) AS TIMESTAMP))"
+              val bucket = s"timestamp_micros($t - pmod($t - $oExpr, $wus))"
+              val out = if (dateIn) s"CAST($bucket AS DATE)" else bucket
+              toks = toks.patch(i, lex(out), close - i + 1)
+              changed = true
+            } else {
+              // month grid: bucket month-index arithmetic, day-of-month 1
+              val md0 = thirdOrigin match {
+                case Some(org) => s"(year(($org)) * 12 + month(($org)) - 1)"
+                case None => s"(${2000 * 12 + thirdIv.map(_._1).getOrElse(0L)})"
+              }
+              val md = s"(year(($ts)) * 12 + month(($ts)) - 1)"
+              val bm = s"($md - pmod($md - $md0, $wm))"
+              val d = s"make_date(CAST(round($bm DIV 12) AS INT), CAST(round($bm % 12 + 1) AS INT), 1)"
+              val out = if (dateIn) d else s"CAST($d AS TIMESTAMP)"
+              toks = toks.patch(i, lex(out), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "DATE_SUB" || id.upper == "DATESUB") &&
+              callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                val args = splitTopLevel(toks.slice(callOpen + 1, close))
+                args.length == 3 &&
+                  (args(0).filterNot(isWs) match {
+                    case Vector(_: Str) => true
+                    case _ => false
+                  })
+              } =>
+            // DuckDB date_sub('part', a, b) counts COMPLETE parts from a
+            // to b, sign-symmetric, truncating toward zero (probes:
+            // ('hour', 10:00, +1d 09:59:59) = 23; ('month', Jan 31,
+            // Mar 30) = 1 but Mar 31 = 2 — interval-arithmetic clamping,
+            // NOT months_between's /31 day fractions, whose floor
+            // diverges on e.g. (Jan 30, Feb 29)). Fixed parts divide the
+            // microsecond span (BIGINT DIV truncates toward zero);
+            // month-class parts take the raw month-index diff and walk
+            // back one step when start+m0 months overshoots — a single
+            // step always suffices because month addition is monotonic.
+            // NOT Spark's 2-arg date_sub(date, days), which passes through.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val part = args(0).filterNot(isWs).head.asInstanceOf[Str]
+              .value.trim.toLowerCase
+            val a = render(args(1)).trim
+            val b = render(args(2)).trim
+            val fixedUs: Option[Long] = part match {
+              case "microsecond" | "microseconds" | "us" => Some(1L)
+              case "millisecond" | "milliseconds" | "ms" => Some(1000L)
+              case "second" | "seconds" | "sec" | "secs" => Some(1000000L)
+              case "minute" | "minutes" | "min" | "mins" => Some(60000000L)
+              case "hour" | "hours" | "hr" | "hrs" => Some(3600000000L)
+              case "day" | "days" | "d" => Some(86400000000L)
+              case "week" | "weeks" | "w" => Some(604800000000L)
+              case _ => None
+            }
+            val monthsPer: Option[Long] = part match {
+              case "month" | "months" | "mon" | "mons" => Some(1L)
+              case "quarter" | "quarters" => Some(3L)
+              case "year" | "years" | "yr" | "yrs" | "y" => Some(12L)
+              case "decade" | "decades" => Some(120L)
+              case "century" | "centuries" => Some(1200L)
+              case "millennium" | "millennia" => Some(12000L)
+              case _ => None
+            }
+            if (fixedUs.isDefined) {
+              val w = fixedUs.get
+              toks = toks.patch(i, lex(
+                s"((unix_micros(CAST(($b) AS TIMESTAMP)) - unix_micros(CAST(($a) AS TIMESTAMP))) DIV $w)"),
+                close - i + 1)
+              changed = true
+            } else if (monthsPer.isDefined) {
+              // probe-pinned direction contract: the complete-month count
+              // always steps forward FROM THE EARLIER endpoint (clamped
+              // month addition), then carries the sign — a backward walk
+              // from the later endpoint disagrees when clamping is
+              // asymmetric (('month', Feb 29, Jan 31) is -1: Jan 31 + 1mo
+              // clamps to Feb 29; Feb 29 - 1mo = Jan 29 would say 0).
+              val per = monthsPer.get
+              val ta = s"CAST(($a) AS TIMESTAMP)"
+              val tb = s"CAST(($b) AS TIMESTAMP)"
+              val lo = s"least($ta, $tb)"
+              val hi = s"greatest($ta, $tb)"
+              // round() head keeps the emitted int cast out of the
+              // rounding-cast rewrite (identity on integrals) — idempotence
+              val m0 = s"(CAST(round(year($hi) - year($lo)) AS BIGINT) * 12 + month($hi) - month($lo))"
+              val adj = s"(CASE WHEN timestampadd(MONTH, CAST(round($m0) AS INT), $lo) > $hi " +
+                s"THEN $m0 - 1 ELSE $m0 END)"
+              val signed = s"(CASE WHEN $ta > $tb THEN -($adj) ELSE $adj END)"
+              val out = if (per == 1L) signed
+                else s"((CASE WHEN $ta > $tb THEN -($adj DIV $per) ELSE ($adj DIV $per) END))"
+              toks = toks.patch(i, lex(out), close - i + 1)
+              changed = true
+            } // unknown part name: stays loud
           case id: Ident if (id.upper == "LIST_HAS_ALL" || id.upper == "ARRAY_HAS_ALL") && callOpen >= 0 =>
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
@@ -3226,13 +3381,30 @@ object Translator {
                 case Vector(part: Str) =>
                   val a = render(args(1)).trim
                   val b = render(args(2)).trim
+                  // DuckDB date_diff counts BOUNDARY CROSSINGS (probe:
+                  // ('hour', 10:59:59, 11:00:01) = 1) — truncate BOTH
+                  // sides to the part grid, then divide; the raw-span
+                  // DIV shipped through r8 was a silent divergence (r9).
+                  // Truncated values are exact multiples of the width,
+                  // so DIV is exact in both directions.
+                  def truncDiv(unit: String, w: Long): String =
+                    s"((unix_seconds(date_trunc('$unit', CAST($b AS TIMESTAMP))) - " +
+                      s"unix_seconds(date_trunc('$unit', CAST($a AS TIMESTAMP)))) DIV $w)"
                   val repl = part.value.toLowerCase match {
-                    case "day" => s"datediff($b, $a)"
-                    case "month" => s"CAST(round(months_between(date_trunc('month', $b), date_trunc('month', $a))) AS BIGINT)"
-                    case "year" => s"(year($b) - year($a))"
-                    case "hour" => s"((unix_timestamp($b) - unix_timestamp($a)) DIV 3600)"
-                    case "minute" => s"((unix_timestamp($b) - unix_timestamp($a)) DIV 60)"
-                    case "second" => s"(unix_timestamp($b) - unix_timestamp($a))"
+                    case "day" | "days" | "d" => s"datediff($b, $a)"
+                    case "month" | "months" => s"CAST(round(months_between(date_trunc('month', $b), date_trunc('month', $a))) AS BIGINT)"
+                    case "quarter" | "quarters" => s"(CAST(round(months_between(date_trunc('quarter', $b), date_trunc('quarter', $a))) AS BIGINT) DIV 3)"
+                    case "year" | "years" => s"(year($b) - year($a))"
+                    case "decade" | "decades" => s"((year($b) DIV 10) - (year($a) DIV 10))"
+                    case "century" | "centuries" => s"(CAST(ceil(year($b) / 100.0) AS BIGINT) - CAST(ceil(year($a) / 100.0) AS BIGINT))"
+                    case "week" | "weeks" => s"(datediff(date_trunc('week', $b), date_trunc('week', $a)) DIV 7)"
+                    case "hour" | "hours" => truncDiv("hour", 3600L)
+                    case "minute" | "minutes" => truncDiv("minute", 60L)
+                    case "second" | "seconds" => truncDiv("second", 1L)
+                    case "millisecond" | "milliseconds" =>
+                      s"((unix_millis(CAST($b AS TIMESTAMP)) - unix_millis(CAST($a AS TIMESTAMP))))"
+                    case "microsecond" | "microseconds" =>
+                      s"((unix_micros(CAST($b AS TIMESTAMP)) - unix_micros(CAST($a AS TIMESTAMP))))"
                     case _ => ""
                   }
                   // re-lex: the replacement may contain inner calls later

@@ -466,10 +466,11 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT array_distinct(xs)") ==
       "SELECT graft_list_distinct(xs)")
     assert(t("SELECT time_bucket(INTERVAL 15 MINUTE, ts) FROM events") ==
-      "SELECT timestamp_seconds(946857600 + CAST(floor((unix_seconds(ts) - 946857600) / 900.0) AS BIGINT) * 900) FROM events")
-    // month/year widths stay unrewritten (different origin + calendar math)
-    assert(t("SELECT time_bucket(INTERVAL 1 MONTH, ts) FROM events")
-      .contains("time_bucket"))
+      "SELECT timestamp_micros(unix_micros(CAST((ts) AS TIMESTAMP)) - pmod(unix_micros(CAST((ts) AS TIMESTAMP)) - (946857600000000), 900000000)) FROM events")
+    // month/year widths bucket on the month-index grid since r9
+    // (origin 2000-01; probe-pinned)
+    val tbm = t("SELECT time_bucket(INTERVAL 1 MONTH, ts) FROM events")
+    assert(tbm.contains("make_date") && tbm.contains("pmod"), tbm)
     assert(t("SELECT list_has_all(xs, ys)") == "SELECT (size(array_except((ys), (xs))) = 0)")
     assert(t("SELECT list_has_any(xs, ys)") == "SELECT arrays_overlap(xs, ys)")
     assert(t("SELECT list_position(xs, 3)") == "SELECT array_position(xs, 3)")
