@@ -26,6 +26,14 @@ def norm(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     if isinstance(v, dict):
+        # this duckdb client returns MAP values as {'key': [...], 'value':
+        # [...]} — re-pair so maps render {k:v,...} like plain dicts /
+        # Spark maps (r9 batch-4 canonicalization)
+        if set(v.keys()) == {"key", "value"} and isinstance(v.get("key"), list) \
+                and isinstance(v.get("value"), list) \
+                and len(v["key"]) == len(v["value"]):
+            items = zip(v["key"], v["value"])
+            return "{" + ",".join(sorted(f"{norm(k)}:{norm(x)}" for k, x in items)) + "}"
         return "{" + ",".join(sorted(f"{norm(k)}:{norm(x)}" for k, x in v.items())) + "}"
     if isinstance(v, bytes):
         return v.hex()

@@ -526,9 +526,8 @@ object DeclaredQueries {
       // engines; both preserve literal insertion order — probe-verified).
       // Keys/values serialized (the driver comparator cannot hash
       // ARRAY/MAP columns); cardinality CAST pins UBIGINT-vs-INT widths.
-      // Map SUBSCRIPT is deliberately not declared: DuckDB 1.0 m['k']
-      // returns a one-element LIST where Spark returns the bare value
-      // (the documented subscript divergence).
+      // Map SUBSCRIPT on literals is pinned in q197 since r9 (the
+      // one-element-LIST shape, formerly a documented divergence).
       "SELECT o_orderkey, array_to_string(map_keys(MAP {'pri': o_orderpriority, 'stat': o_orderstatus}), ',') AS ks, array_to_string(map_values(MAP {'pri': o_orderpriority, 'stat': o_orderstatus}), ',') AS vs, CAST(cardinality(MAP {'pri': o_orderpriority, 'stat': o_orderstatus}) AS BIGINT) AS n FROM orders ORDER BY o_orderkey LIMIT 100",
     "q139_regexp_extract_all" ->
       // r6: regexp_extract_all with the 2-arg default-group divergence
@@ -1197,6 +1196,44 @@ object DeclaredQueries {
         "CAST(date_diff('week', DATE '1996-01-01', CAST(ts AS DATE)) AS BIGINT) AS ddw, " +
         "CAST(date_diff('quarter', DATE '1996-01-01', CAST(ts AS DATE)) AS BIGINT) AS ddq " +
         "FROM events WHERE event_id < 200 ORDER BY event_id"),
+    "q197_json_nested" ->
+      // r9 fuzz batch 4, oracle-pinned: json_extract returns JSON
+      // (strings stay QUOTED — the text form is ->>/json_extract_string),
+      // arrow chains with bare-key paths, quoted-key paths ($."a.b" was a
+      // silent NULL), json_valid/json_type/json_quote/json() minify,
+      // 2-arg json_array_length, from_json structure specs, struct
+      // literal dot-chains, and the LIST-shaped map subscript on MAP
+      // literals / map_from_entries (previously a documented divergence,
+      // now parity)
+      ("SELECT event_id, " +
+        "CAST(json_extract(props, '$.k') AS VARCHAR) AS je, " +
+        "CAST(json_extract('{\"s\": \"str\"}', '$.s') AS VARCHAR) AS jq_s, " +
+        "props ->> 'k' AS pt, " +
+        "'{\"a\": {\"b\": 7}}' -> 'a' ->> 'b' AS chain, " +
+        "CAST(json_extract('{\"a.b\": 3}', '$.\"a.b\"') AS VARCHAR) AS qk, " +
+        "json_valid(props) AS jv, " +
+        "json_valid('{nope') AS jv_bad, " +
+        "json_type(props) AS jt, " +
+        "json_type(props, '$.k') AS jtk, " +
+        "CAST(json_quote(event_type) AS VARCHAR) AS jqt, " +
+        "CAST(json('{\"x\":   1, \"y\": [1,  2]}') AS VARCHAR) AS jmin, " +
+        "CAST(json_array_length('{\"a\": [1,2,3]}', '$.a') AS BIGINT) AS jal, " +
+        "CAST(from_json('{\"n\": 4, \"m\": {\"p\": \"x\"}}', '{\"n\": \"BIGINT\", \"m\": {\"p\": \"VARCHAR\"}}').n AS BIGINT) AS fj, " +
+        "CAST({'k': event_id % 7, 'n': {'m': event_id % 3}}.n.m AS BIGINT) AS sm, " +
+        "array_to_string(MAP {'a': event_id % 5, 'b': 9}['a'], ',') AS ma, " +
+        "array_to_string(MAP {'a': 1}[CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'z' END], ',') AS mz, " +
+        "array_to_string(map_from_entries([{'k': 'x', 'v': event_id % 4}])['x'], ',') AS mfe " +
+        "FROM events WHERE props LIKE '{%' AND event_id < 300 ORDER BY event_id"),
+    "q198_grouping_sets_id" ->
+      // r9 fuzz batch 4: multi-argument GROUPING (DuckDB's bitmask form,
+      // first argument highest bit) = Spark grouping_id; edge NULLs of
+      // GROUPING SETS incl. the empty set ride along
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS c, " +
+        "CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, " +
+        "CAST(grouping(o_orderstatus) AS BIGINT) AS g1 " +
+        "FROM orders WHERE o_orderkey < 500 " +
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

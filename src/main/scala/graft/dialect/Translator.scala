@@ -245,7 +245,10 @@ object Translator {
     val p = prevNonWs(toks, i)
     p >= 0 && (toks(p) match {
       case _: Ident => up(toks(p)) == "" || !keywordLike(up(toks(p)))
-      case Punct(")") | Punct("]") => true
+      // `}` ends a struct/MAP literal (rewritten to a call later in the
+      // pipeline) — `MAP {'a': [1]}['a']` is a subscript, not an array
+      // literal (r9 batch-4 fuzz)
+      case Punct(")") | Punct("]") | Punct("}") => true
       case _: Str | _: Num => true
       case _ => false
     })
@@ -421,7 +424,13 @@ object Translator {
         val p = prevNonWs(toks, s)
         val pp = if (p >= 0) prevNonWs(toks, p) else -1
         if (p >= 0 && toks(p) == Punct(".") && pp >= 0 && toks(pp).isInstanceOf[Ident]) s = pp
-        else ok = false
+        else if (p >= 0 && toks(p) == Punct(".") && pp >= 0 && toks(pp) == Punct(")")) {
+          // field access on a call result — `named_struct(…).p.q[2]` must
+          // subscript the WHOLE chain, not the dangling `p.q` (r9
+          // batch-4 fuzz: struct-literal dot chains resolved as columns)
+          s = primaryStart(toks, pp)
+          ok = false
+        } else ok = false
       }
       s
     case _ => end
@@ -583,10 +592,17 @@ object Translator {
               // guard), [] when missing or k IS NULL.
               val mapRecv = colonAt < 0 && {
                 val seg = toks.slice(rStart, p + 1).filter(!isWs(_))
-                seg.nonEmpty && seg.zipWithIndex.forall {
+                (seg.nonEmpty && seg.zipWithIndex.forall {
                   case (t, k) =>
                     if (k % 2 == 0) t.isInstanceOf[Ident] else t == Punct(".")
-                } && isMapCol(seg.last.text.toLowerCase)
+                } && isMapCol(seg.last.text.toLowerCase)) ||
+                // map-returning call: `MAP {…}[k]` / map_from_entries(…)[k]
+                // take the LIST-shaped DuckDB map-subscript too (r9
+                // batch-4 fuzz: these returned the bare value)
+                (seg.length >= 2 && seg.head.isInstanceOf[Ident] &&
+                  Set("MAP", "MAP_FROM_ENTRIES", "MAP_CONCAT",
+                    "MAP_FILTER").contains(up(seg.head)) &&
+                  seg(1) == Punct("(") && seg.last == Punct(")"))
               }
               if (inner.exists(!isWs(_))) {
                 if (mapRecv) {
@@ -1816,8 +1832,11 @@ object Translator {
     // $-path JSON extraction (DuckDB also takes bare keys — those return
     // NULL through get_json_object, same as DuckDB 1.0's own behavior for
     // dotted non-$ paths; declared queries use $-paths)
-    "JSON_EXTRACT" -> "get_json_object",
-    "JSON_EXTRACT_PATH" -> "get_json_object",
+    // JSON_EXTRACT / JSON_EXTRACT_PATH are NOT name-mapped (r9): they
+    // return JSON (strings stay quoted) — the literal-path forms get the
+    // variant rewrite in rewriteArgShapeFns; dynamic paths stay loud
+    // rather than silently unquoting. The *_STRING/_TEXT text forms map
+    // to get_json_object (literal paths are normalized first).
     "JSON_EXTRACT_PATH_TEXT" -> "get_json_object",
     "BAR" -> "graft_bar",
     "FORMAT_BYTES" -> "graft_format_bytes",
@@ -1978,6 +1997,121 @@ object Translator {
   private def bucketWidth(arg: Vector[Tok]): Option[(Long, Long)] =
     intervalWidth(arg).filter { case (m, us) =>
       (m > 0 && us == 0) || (m == 0 && us > 0) }
+
+  /** Normalize a DuckDB JSON path literal to the Spark JsonPath dialect
+    * (r9 batch-4 fuzz): bare keys get the `$.` root, JSON-pointer
+    * `/a/1` becomes `$.a[1]`, integer paths index the root array, and
+    * `."quoted.key"` segments become `['quoted.key']` (Spark's parser
+    * reads a dotted quoted key as two steps — silent NULL). Returns the
+    * SQL literal, quotes included; None for non-literal paths (loud). */
+  private def normalizeJsonPath(t: Tok): Option[String] = t match {
+    case n: Num if !n.text.exists(c => c == '.' || c == 'e' || c == 'E') =>
+      Some(s"'$$[${n.text}]'")
+    case s: Str =>
+      val v = s.value
+      val p =
+        if (v.startsWith("$")) v
+        else if (v.startsWith("/"))
+          v.split("/").drop(1).foldLeft("$") { (acc, seg) =>
+            if (seg.nonEmpty && seg.forall(_.isDigit)) s"$acc[$seg]"
+            else s"$acc.$seg"
+          }
+        else "$." + v
+      val q = "\\.\"([^\"]*)\"".r.replaceAllIn(p,
+        m => java.util.regex.Matcher.quoteReplacement(s"['${m.group(1)}']"))
+      Some("'" + q.replace("'", "''") + "'")
+    case _ => None
+  }
+
+  /** DuckDB type name (as spelled in a from_json structure spec) → Spark
+    * DDL type (r9). Unsigned widths widen to the next signed Spark type. */
+  private def duckTypeToDdl(t0: String): Option[String] = {
+    val t = t0.trim.toUpperCase
+    t match {
+      case "VARCHAR" | "TEXT" | "STRING" | "BPCHAR" | "CHAR" | "JSON" => Some("STRING")
+      case "TINYINT" | "INT1" => Some("TINYINT")
+      case "SMALLINT" | "INT2" | "SHORT" | "UTINYINT" => Some("SMALLINT")
+      case "INTEGER" | "INT" | "INT4" | "SIGNED" | "USMALLINT" => Some("INT")
+      case "BIGINT" | "INT8" | "LONG" | "HUGEINT" | "UBIGINT" | "UINTEGER" => Some("BIGINT")
+      case "DOUBLE" | "FLOAT8" | "REAL" | "FLOAT4" | "FLOAT" => Some("DOUBLE")
+      case "BOOLEAN" | "BOOL" | "LOGICAL" => Some("BOOLEAN")
+      case "DATE" => Some("DATE")
+      case "TIMESTAMP" | "DATETIME" => Some("TIMESTAMP")
+      case s if s.startsWith("DECIMAL(") || s.startsWith("NUMERIC(") =>
+        Some(s.replace("NUMERIC", "DECIMAL"))
+      case _ => None
+    }
+  }
+
+  /** DuckDB from_json structure literal ('{"a": "INTEGER"}' /
+    * '["VARCHAR"]', arbitrarily nested) → Spark DDL type string; None on
+    * anything unparseable (the call then stays loud). */
+  private def jsonStructureToDdl(spec: String): Option[String] = {
+    var i = 0
+    val s = spec
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def parseStr(): Option[String] = {
+      skipWs()
+      if (i < s.length && s(i) == '"') {
+        val e = s.indexOf('"', i + 1)
+        if (e > i) { val r = s.substring(i + 1, e); i = e + 1; Some(r) }
+        else None
+      } else None
+    }
+    def parse(): Option[String] = {
+      skipWs()
+      if (i >= s.length) None
+      else s(i) match {
+        case '{' =>
+          i += 1
+          val fields = scala.collection.mutable.ArrayBuffer[String]()
+          var ok = true; var done = false
+          while (ok && !done) {
+            skipWs()
+            if (i < s.length && s(i) == '}') { i += 1; done = true }
+            else parseStr() match {
+              case Some(k) =>
+                skipWs()
+                if (i < s.length && s(i) == ':') {
+                  i += 1
+                  parse() match {
+                    case Some(v) =>
+                      fields += s"`$k`: $v"; skipWs()
+                      if (i < s.length && s(i) == ',') i += 1
+                      else if (i < s.length && s(i) == '}') { i += 1; done = true }
+                      else ok = false
+                    case None => ok = false
+                  }
+                } else ok = false
+              case None => ok = false
+            }
+          }
+          if (ok && done && fields.nonEmpty)
+            Some(s"STRUCT<${fields.mkString(", ")}>") else None
+        case '[' =>
+          i += 1
+          parse().flatMap { el =>
+            skipWs()
+            if (i < s.length && s(i) == ']') { i += 1; Some(s"ARRAY<$el>") }
+            else None
+          }
+        case '"' => parseStr().flatMap(duckTypeToDdl)
+        case _ => None
+      }
+    }
+    val r = parse(); skipWs()
+    if (i == s.length) r else None
+  }
+
+  /** Lambda-taking function heads (both the DuckDB spellings and the
+    * Spark ones our earlier passes emit): a bare-ident `-> ` inside one
+    * of these is a lambda arrow, not a JSON access (r9). */
+  private[dialect] val lambdaHeadFns = Set("TRANSFORM", "LIST_TRANSFORM",
+    "ARRAY_TRANSFORM", "APPLY", "LIST_APPLY", "ARRAY_APPLY", "FILTER",
+    "LIST_FILTER", "ARRAY_FILTER", "AGGREGATE", "REDUCE", "LIST_REDUCE",
+    "ARRAY_REDUCE", "FOLD", "ZIP_WITH", "MAP_ZIP_WITH", "MAP_FILTER",
+    "TRANSFORM_KEYS", "TRANSFORM_VALUES", "EXISTS", "FORALL", "SORT_ARRAY",
+    "ARRAY_SORT", "LIST_SORT", "LIST_GRADE_UP", "LIST_SELECT", "LIST_WHERE")
 
   /** Array-returning function heads — with bracket literals and the
     * MAP/ARRAY constructors, the syntactic side of the collection-shape
@@ -3242,6 +3376,147 @@ object Translator {
               toks = toks.patch(i, lex(out), close - i + 1)
               changed = true
             } // unknown part name: stays loud
+          case id: Ident if (id.upper == "JSON_EXTRACT" ||
+              id.upper == "JSON_EXTRACT_PATH") && callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                val args = splitTopLevel(toks.slice(callOpen + 1, close))
+                args.length == 2 &&
+                  args(1).filterNot(isWs).length == 1 &&
+                  normalizeJsonPath(args(1).filterNot(isWs).head).isDefined
+              } =>
+            // DuckDB json_extract returns JSON (strings stay quoted:
+            // '"x"') — get_json_object is the TEXT form and silently
+            // unquoted (r9 batch-4 fuzz). to_json ∘ variant_get keeps
+            // the JSON rendering for every type; parse_json stays loud
+            // on malformed input exactly like DuckDB.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val j = render(args(0)).trim
+            val path = normalizeJsonPath(args(1).filterNot(isWs).head).get
+            toks = toks.patch(i, lex(
+              s"to_json(variant_get(parse_json($j), $path))"), close - i + 1)
+            changed = true
+          case id: Ident if (id.upper == "JSON_EXTRACT_STRING" ||
+              id.upper == "JSON_EXTRACT_PATH_TEXT") && callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                val args = splitTopLevel(toks.slice(callOpen + 1, close))
+                args.length == 2 &&
+                  args(1).filterNot(isWs).length == 1 &&
+                  normalizeJsonPath(args(1).filterNot(isWs).head).isDefined
+              } =>
+            // text form — get_json_object, with the path normalized
+            // (quoted keys / pointer / bare-key forms)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val j = render(args(0)).trim
+            val path = normalizeJsonPath(args(1).filterNot(isWs).head).get
+            toks = toks.patch(i, lex(
+              s"get_json_object($j, $path)"), close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "JSON_VALID" && callOpen >= 0 =>
+            // NULL in → NULL; otherwise parseability (try_parse_json is
+            // NULL exactly on malformed input; a JSON 'null' is a
+            // non-NULL variant)
+            val close = matchParen(toks, callOpen)
+            val j = render(toks.slice(callOpen + 1, close)).trim
+            toks = toks.patch(i, lex(
+              s"(CASE WHEN ($j) IS NULL THEN NULL ELSE try_parse_json($j) IS NOT NULL END)"),
+              close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "JSON_QUOTE" && callOpen >= 0 =>
+            // JSON-encode one value: serialize {"g": v} and strip the
+            // 6-char prefix + closing brace (ignoreNullFields=false so
+            // NULL renders as the JSON null)
+            val close = matchParen(toks, callOpen)
+            val j = render(toks.slice(callOpen + 1, close)).trim
+            val ser = s"to_json(named_struct('g', ($j)), map('ignoreNullFields', 'false'))"
+            toks = toks.patch(i, lex(
+              s"substr($ser, 6, length($ser) - 6)"), close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "JSON_ARRAY_LENGTH" && callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                val args = splitTopLevel(toks.slice(callOpen + 1, close))
+                args.length == 2 &&
+                  args(1).filterNot(isWs).length == 1 &&
+                  normalizeJsonPath(args(1).filterNot(isWs).head).isDefined
+              } =>
+            // 2-arg path form → extract the array, then Spark's native
+            // 1-arg json_array_length
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val j = render(args(0)).trim
+            val path = normalizeJsonPath(args(1).filterNot(isWs).head).get
+            toks = toks.patch(i, lex(
+              s"json_array_length(get_json_object($j, $path))"), close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "FROM_JSON" && callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                val args = splitTopLevel(toks.slice(callOpen + 1, close))
+                args.length == 2 && (args(1).filterNot(isWs) match {
+                  case Vector(st: Str) =>
+                    st.value.trim.headOption.exists(c => c == '{' || c == '[') &&
+                      jsonStructureToDdl(st.value).isDefined
+                  case _ => false
+                })
+              } =>
+            // DuckDB from_json(j, structure) takes a JSON structure of
+            // type-name strings — Spark takes a DDL schema; the converted
+            // DDL never starts with {/[, so the emission isn't
+            // re-captured. Scalar structures ('"INTEGER"') stay loud.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val spec = args(1).filterNot(isWs).head.asInstanceOf[Str].value
+            val ddl = jsonStructureToDdl(spec).get
+            toks = toks.patch(i, lex(
+              s"from_json(${render(args(0)).trim}, '$ddl')"), close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "JSON" && callOpen >= 0 && {
+                splitTopLevel(toks.slice(callOpen + 1,
+                  matchParen(toks, callOpen))).length == 1
+              } =>
+            // json(x) validates + minifies — a variant round-trip does
+            // exactly that (loud on malformed input, like DuckDB)
+            val close = matchParen(toks, callOpen)
+            val j = render(toks.slice(callOpen + 1, close)).trim
+            toks = toks.patch(i, lex(s"to_json(parse_json($j))"), close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "JSON_TYPE" && callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                val args = splitTopLevel(toks.slice(callOpen + 1, close))
+                args.length == 1 || (args.length == 2 &&
+                  args(1).filterNot(isWs).length == 1 &&
+                  normalizeJsonPath(args(1).filterNot(isWs).head).isDefined)
+              } =>
+            // first-character dispatch over the (extracted) JSON text —
+            // probe-pinned names: OBJECT/ARRAY/VARCHAR/BOOLEAN/NULL,
+            // UBIGINT for unsigned ints, BIGINT for negatives, DOUBLE
+            // when a . or exponent appears
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val j0 = render(args(0)).trim
+            val j = if (args.length == 1) s"($j0)"
+              else s"to_json(variant_get(parse_json($j0), ${normalizeJsonPath(args(1).filterNot(isWs).head).get}))"
+            toks = toks.patch(i, lex(
+              s"(CASE WHEN $j IS NULL THEN NULL ELSE " +
+                s"CASE substr(ltrim($j), 1, 1) " +
+                s"WHEN '{' THEN 'OBJECT' WHEN '[' THEN 'ARRAY' " +
+                s"WHEN '\"' THEN 'VARCHAR' WHEN 't' THEN 'BOOLEAN' " +
+                s"WHEN 'f' THEN 'BOOLEAN' WHEN 'n' THEN 'NULL' " +
+                s"ELSE CASE WHEN ltrim($j) RLIKE '[.eE]' THEN 'DOUBLE' " +
+                s"WHEN substr(ltrim($j), 1, 1) = '-' THEN 'BIGINT' " +
+                s"ELSE 'UBIGINT' END END END)"), close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "GROUPING" && callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                splitTopLevel(toks.slice(callOpen + 1, close)).length >= 2
+              } =>
+            // DuckDB's multi-arg GROUPING is the bitmask (first argument
+            // highest bit) — Spark spells that grouping_id; 1-arg
+            // grouping passes through
+            val close = matchParen(toks, callOpen)
+            val inner = render(toks.slice(callOpen + 1, close)).trim
+            toks = toks.patch(i, lex(s"grouping_id($inner)"), close - i + 1)
+            changed = true
           case id: Ident if (id.upper == "LIST_HAS_ALL" || id.upper == "ARRAY_HAS_ALL") && callOpen >= 0 =>
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
@@ -3614,34 +3889,77 @@ object Translator {
     toks
   }
 
-  /** DuckDB JSON arrows: `j ->> '$.k'` / `j -> '$.k'` →
-    * `get_json_object(j, '$.k')` (for a simple column/qualified-column left
-    * operand). */
+  /** DuckDB JSON arrows (r9 batch-4 widening): `j -> path` extracts JSON
+    * (strings stay quoted — to_json ∘ variant_get ∘ parse_json); `j ->>
+    * path` extracts TEXT (get_json_object). The left operand may be a
+    * string literal, a (qualified) column, or a call/paren group — which
+    * covers chains, since a rewritten arrow becomes a call blob the next
+    * arrow consumes. Paths take the bare-key / pointer / quoted-key
+    * normalization; non-literal paths stay loud. */
   private[dialect] def rewriteJsonArrows(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var i = 0
     while (i < toks.length) {
       toks(i) match {
-        case Punct("->>") | Punct("->") =>
+        case arrow @ (Punct("->>") | Punct("->")) =>
           val rhsIdx = nextNonWs(toks, i)
           val lhsEnd = prevNonWs(toks, i)
-          if (rhsIdx < toks.length && lhsEnd >= 0 && toks(rhsIdx).isInstanceOf[Str]) {
-            // walk the qualified-column chain backwards: ident (. ident)*
-            var lhsStart = lhsEnd
-            var done = false
-            while (!done && lhsStart >= 0) {
-              val p = prevNonWs(toks, lhsStart)
-              if (p >= 1 && toks(p) == Punct(".") &&
-                toks(prevNonWs(toks, p)).isInstanceOf[Ident]) lhsStart = prevNonWs(toks, p)
-              else done = true
+          val path = if (rhsIdx < toks.length)
+            normalizeJsonPath(toks(rhsIdx)) else None
+          // `->` is ALSO the lambda arrow (list_transform(l, x -> 'b') is
+          // a constant lambda, not a JSON access): a single bare-ident or
+          // ident-tuple LHS inside a lambda-taking call keeps its arrow.
+          // `->>` is never a lambda, so it needs no guard.
+          val isLambdaArrow = arrow == Punct("->") && lhsEnd >= 0 && {
+            def enclosingHead(from: Int): String = {
+              var d = 0; var k = from
+              while (k >= 0) {
+                toks(k) match {
+                  case Punct(")") => d += 1
+                  case Punct("(") if d > 0 => d -= 1
+                  case Punct("(") =>
+                    val h = prevNonWs(toks, k)
+                    return if (h >= 0 && toks(h).isInstanceOf[Ident]) up(toks(h)) else ""
+                  case _ =>
+                }
+                k -= 1
+              }
+              ""
             }
-            if (toks(lhsStart).isInstanceOf[Ident]) {
-              val lhs = render(toks.slice(lhsStart, lhsEnd + 1)).trim
-              val path = toks(rhsIdx).text
-              toks = toks.patch(lhsStart,
-                Seq(Ident(s"get_json_object($lhs, $path)")), rhsIdx - lhsStart + 1)
-              i = lhsStart
+            toks(lhsEnd) match {
+              case id2: Ident if {
+                    val p2 = prevNonWs(toks, lhsEnd)
+                    p2 < 0 || toks(p2) != Punct(".")
+                  } =>
+                id2.text.startsWith("__g") ||
+                  lambdaHeadFns.contains(enclosingHead(prevNonWs(toks, lhsEnd)))
+              case Punct(")") =>
+                // (a, b) tuple of bare idents = lambda parameter list
+                val open = openOf(toks, lhsEnd)
+                toks.slice(open + 1, lhsEnd).filterNot(isWs).forall {
+                  case _: Ident | Punct(",") => true
+                  case _ => false
+                } && prevNonWs(toks, open) >= 0 &&
+                  !toks(prevNonWs(toks, open)).isInstanceOf[Ident]
+              case _ => false
             }
+          }
+          if (path.isDefined && lhsEnd >= 0 && !isLambdaArrow &&
+              (toks(lhsEnd) match {
+                case _: Str | _: Ident | Punct(")") => true
+                case _ => false
+              })) {
+            val lhsStart = toks(lhsEnd) match {
+              case _: Str => lhsEnd
+              case _ => primaryStart(toks, lhsEnd)
+            }
+            val lhs = render(toks.slice(lhsStart, lhsEnd + 1)).trim
+            val repl =
+              if (arrow == Punct("->>")) s"get_json_object($lhs, ${path.get})"
+              else s"to_json(variant_get(parse_json($lhs), ${path.get}))"
+            toks = toks.patch(lhsStart,
+              lex(repl), rhsIdx - lhsStart + 1)
+            i = lhsStart
           }
         case _ =>
       }

@@ -25,7 +25,15 @@ object DiffProbe {
     case m: collection.Map[_, _] =>
       m.toSeq.map { case (k, v2) => norm(k) + ":" + norm(v2) }
         .sorted.mkString("{", ",", "}")
-    case r: org.apache.spark.sql.Row => r.toSeq.map(norm).mkString("(", ",", ")")
+    case r: org.apache.spark.sql.Row =>
+      // named structs render {field:value,…} to line up with DuckDB's
+      // python dicts (r9 batch-4 canonicalization); schema-less rows
+      // (rare: manual Row construction) keep the tuple form
+      if (r.schema != null)
+        r.schema.fieldNames.zip(r.toSeq)
+          .map { case (n, v) => s"$n:${norm(v)}" }
+          .sorted.mkString("{", ",", "}")
+      else r.toSeq.map(norm).mkString("(", ",", ")")
     case t: java.sql.Timestamp => t.toString.stripSuffix(".0")
     case other => other.toString
   }

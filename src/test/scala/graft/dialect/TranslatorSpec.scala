@@ -353,11 +353,23 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("USE mydb") == "USE mydb")
   }
 
-  test("JSON arrow operators become get_json_object") {
+  test("JSON arrow operators: ->> text form, -> JSON form (r9)") {
     assert(t("SELECT props ->> '$.k' FROM events")
       == "SELECT get_json_object(props, '$.k') FROM events")
+    // -> returns JSON (strings stay quoted) — the variant route
     assert(t("SELECT e.props -> '$.k' FROM events e")
-      == "SELECT get_json_object(e.props, '$.k') FROM events e")
+      == "SELECT to_json(variant_get(parse_json(e.props), '$.k'), map('ignoreNullFields', 'false')) FROM events e")
+    // bare-key paths get the $. root; string-literal LHS and chains work
+    assert(t("SELECT props ->> 'k' FROM events")
+      == "SELECT get_json_object(props, '$.k') FROM events")
+    val chain = t("SELECT '{\"a\": {\"b\": 7}}' -> 'a' ->> 'b'")
+    assert(chain.contains("get_json_object(to_json(variant_get(parse_json('"), chain)
+    // quoted dotted keys become bracket steps (Spark reads `."a.b"` as
+    // two steps — silent NULL before r9)
+    assert(t("SELECT j ->> '$.\"a.b\"'") == "SELECT get_json_object(j, '$[''a.b'']')")
+    // lambda arrows are NOT json arrows
+    assert(t("SELECT list_transform([1,2], x -> 'b')")
+      == "SELECT transform(array(1,2), x -> 'b')")
   }
 
   test("xor / list_slice / strptime arg-shape rewrites") {
