@@ -505,10 +505,42 @@ object Engine {
         "monotonically_increasing_id() AS __g_srow"
     }
     val sfileSort = if (sidCols.contains("__g_sfile")) "__g_sfile, " else ""
+    // r9 copy-on-write: one semi-join pass (small source side broadcast by
+    // AQE) yields BOTH the matched-row count and the set of target files
+    // holding matches — only those files go through the join+rewrite, the
+    // rest are linked forward byte-identical, and the separate
+    // matched-count join pass disappears.
+    val split = cowSplit(spark, table,
+      s"SELECT __g_cowf AS f, CAST(count(*) AS BIGINT) AS c FROM " +
+        s"(SELECT *, _metadata.file_path AS __g_cowf FROM $table) $table " +
+        s"LEFT SEMI JOIN (SELECT * FROM $srcRel) $srcAlias " +
+        s"ON coalesce(($where), false) GROUP BY __g_cowf")
+    import spark.implicits._
+    if (split.isDefined && split.get._3 == 0L) {
+      // no target row matches: the table is untouched — no join, no swap
+      val (_, u, _) = split.get
+      lastCowStats.set((u.length, 0, u.length))
+      return returning match {
+        case Some(proj) =>
+          sql(spark, s"SELECT ${fields.map(_.name).mkString(", ")} " +
+            s"FROM $table WHERE false")
+            .createOrReplaceTempView("graft_returning_src")
+          sql(spark, s"SELECT $proj FROM graft_returning_src")
+        case None => Seq(0L).toDF("Count")
+      }
+    }
+    val cow = split.filter { case (a, u, _) => a.nonEmpty && u.nonEmpty }
+    val targetRel = cow match {
+      case Some((affected, _, _)) =>
+        s"(SELECT *, monotonically_increasing_id() AS __g_rid FROM $table " +
+          s"WHERE _metadata.file_path IN ${fileInList(affected)}) $table"
+      case None =>
+        s"(SELECT *, monotonically_increasing_id() AS __g_rid FROM $table) $table"
+    }
     val joinSql =
       s"SELECT ${selectList.mkString(", ")}, __g_rid, __g_m, " +
         s"row_number() OVER (PARTITION BY __g_rid ORDER BY __g_m DESC, ${sfileSort}__g_srow) AS __g_rn " +
-        s"FROM (SELECT *, monotonically_increasing_id() AS __g_rid FROM $table) $table " +
+        s"FROM $targetRel " +
         s"LEFT JOIN (SELECT *, true AS __g_m, $sidCols FROM $srcRel) $srcAlias " +
         s"ON coalesce(($where), false)"
     val newRows = sql(spark,
@@ -520,14 +552,23 @@ object Engine {
       matchedNew.createOrReplaceTempView("graft_returning_src")
       proj
     }
-    // matched-row count against the OLD table, BEFORE the swap — the
-    // same one-row Count frame the plain UPDATE path returns
-    val matched =
-      if (returning.isEmpty)
+    // matched-row count against the OLD table, BEFORE the swap — the same
+    // one-row Count frame the plain UPDATE path returns; the COW probe
+    // already counted it (semi-join = rows with ≥1 match = rn-1∧m rows)
+    val matched = split match {
+      case Some((_, _, m)) => m
+      case None if returning.isEmpty =>
         sql(spark, s"SELECT CAST(count(*) AS BIGINT) AS n FROM ($joinSql) " +
           "WHERE __g_rn = 1 AND coalesce(__g_m, false)").head.getLong(0)
-      else 0L
-    swapInto(spark, table, newRows)
+      case None => 0L
+    }
+    cow match {
+      case Some((affected, untouched, _)) =>
+        cowSwapInto(spark, table, newRows, untouched)
+        lastCowStats.set((affected.length + untouched.length,
+          affected.length, untouched.length))
+      case None => swapInto(spark, table, newRows)
+    }
     ret match {
       case Some(proj) => sql(spark, s"SELECT $proj FROM graft_returning_src")
       case None =>
@@ -544,20 +585,58 @@ object Engine {
     val table = table0.replaceAll("[`\"]", "")
     requireDmlTarget(spark, table)
     val existsCond = s"EXISTS (SELECT 1 FROM $using WHERE coalesce(($where), false))"
-    val deleted = returning.map { _ =>
-      sql(spark, s"SELECT * FROM $table WHERE $existsCond").localCheckpoint(true)
-    }
-    val total = spark.table(table).count()
-    val kept = sql(spark, s"SELECT * FROM $table WHERE NOT $existsCond")
-    val keptN = swapInto(spark, table, kept)
-    (returning, deleted) match {
-      case (Some(proj), Some(d)) =>
-        d.createOrReplaceTempView("graft_returning_src")
-        sql(spark, s"SELECT $proj FROM graft_returning_src")
-      case _ =>
-        import spark.implicits._
-        // the plain-DELETE Count contract: removed rows
-        Seq(total - keptN).toDF("Count")
+    // r9 copy-on-write: one semi-join pass yields the removed-row count
+    // AND the files holding removed rows; only those are rewritten (the
+    // kept survivors of affected files), the rest linked byte-identical.
+    val split = cowSplit(spark, table,
+      s"SELECT __g_cowf AS f, CAST(count(*) AS BIGINT) AS c FROM " +
+        s"(SELECT *, _metadata.file_path AS __g_cowf FROM $table) $table " +
+        s"LEFT SEMI JOIN $using ON coalesce(($where), false) GROUP BY __g_cowf")
+    import spark.implicits._
+    split match {
+      case Some((_, untouched, 0L)) =>
+        lastCowStats.set((untouched.length, 0, untouched.length))
+        returning match {
+          case Some(proj) =>
+            sql(spark, s"SELECT * FROM $table WHERE false")
+              .createOrReplaceTempView("graft_returning_src")
+            sql(spark, s"SELECT $proj FROM graft_returning_src")
+          case None => Seq(0L).toDF("Count")
+        }
+      case Some((affected, untouched, removed)) if untouched.nonEmpty =>
+        val prune = s"_metadata.file_path IN ${fileInList(affected)}"
+        val deleted = returning.map { _ =>
+          sql(spark, s"SELECT * FROM $table WHERE $prune AND $existsCond")
+            .localCheckpoint(true)
+        }
+        cowSwapInto(spark, table, sql(spark,
+          s"SELECT * FROM $table WHERE $prune AND NOT $existsCond"), untouched)
+        lastCowStats.set((affected.length + untouched.length,
+          affected.length, untouched.length))
+        (returning, deleted) match {
+          case (Some(proj), Some(d)) =>
+            d.createOrReplaceTempView("graft_returning_src")
+            sql(spark, s"SELECT $proj FROM graft_returning_src")
+          case _ => Seq(removed).toDF("Count")
+        }
+      case other =>
+        val deleted = returning.map { _ =>
+          sql(spark, s"SELECT * FROM $table WHERE $existsCond").localCheckpoint(true)
+        }
+        // the COW probe (when it ran) already counted the removed rows —
+        // skip the total-count pass in that case
+        val removedKnown = other.map(_._3)
+        val total = if (removedKnown.isDefined) 0L else spark.table(table).count()
+        val kept = sql(spark, s"SELECT * FROM $table WHERE NOT $existsCond")
+        val keptN = swapInto(spark, table, kept)
+        (returning, deleted) match {
+          case (Some(proj), Some(d)) =>
+            d.createOrReplaceTempView("graft_returning_src")
+            sql(spark, s"SELECT $proj FROM graft_returning_src")
+          case _ =>
+            // the plain-DELETE Count contract: removed rows
+            Seq(removedKnown.getOrElse(total - keptN)).toDF("Count")
+        }
     }
   }
   // INSERT … RETURNING (r7): DuckDB returns the inserted rows (after
@@ -624,6 +703,92 @@ object Engine {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** File stats of the last copy-on-write DML — PlanAudit asserts a
+    * selective UPDATE/DELETE on a multi-file table links (rather than
+    * rewrites) at least one file. (total, affected=rewritten, linked). */
+  private[graft] val lastCowStats =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int, Int)]((0, 0, 0))
+
+  /** URI → plain filesystem path (`file:///x` and `/x` both → `/x`). */
+  private def fsPath(s: String): String =
+    try {
+      val p = new java.net.URI(s).getPath
+      if (p == null || p.isEmpty) s else p
+    } catch { case _: Exception => s }
+
+  /** SQL literal list for a `_metadata.file_path IN (…)` prune. */
+  private def fileInList(files: Seq[String]): String =
+    files.map(f => "'" + f.replace("'", "''") + "'").mkString("(", ", ", ")")
+
+  /** Copy-on-write file split for a DML (r9): `matchSql` must be one
+    * pushed-filter scan returning (file_path, matched_count) per file that
+    * holds at least one matched row. Returns (affected file paths as
+    * `_metadata.file_path` spells them, untouched files as inputFiles
+    * spells them, matched row count); None when the table is not
+    * file-backed or the probe fails (caller then takes the full-rewrite
+    * path). affected empty ⇒ the DML is a no-op; untouched empty ⇒ every
+    * file holds a match and COW degenerates to the full rewrite. */
+  private def cowSplit(spark: SparkSession, table: String,
+      matchSql: String): Option[(Seq[String], Seq[String], Long)] =
+    try {
+      val all = spark.table(table).inputFiles.toSeq
+      if (all.isEmpty || all.exists(f => !fsPath(f).startsWith("/"))) None
+      else {
+        val perFile = sql(spark, matchSql).collect()
+        val affected = perFile.map(_.getString(0)).toSeq
+        val matched = perFile.map(_.getLong(1)).sum
+        val affectedSet = affected.map(fsPath).toSet
+        val untouched = all.filterNot(f => affectedSet.contains(fsPath(f)))
+        Some((affected, untouched, matched))
+      }
+    } catch { case _: Exception => None }
+
+  /** File-level copy-on-write rewrite (r9, the 100 TB DML posture): only
+    * the rows of the affected files are decoded and re-encoded through
+    * `rewritten`; every untouched parquet file is hard-linked (copy
+    * fallback for filesystems without links) into the replacement table's
+    * directory before the same atomic drop+rename swap `swapInto` does.
+    * A selective UPDATE on a 100 TB table therefore costs O(affected
+    * files), not one full-corpus rewrite — the hard link is the
+    * single-node equivalent of a manifest commit that carries an
+    * immutable data file forward (parquet files are never mutated in
+    * place, so sharing inodes is safe, and the original directory is
+    * untouched until the final rename: a crash leaves the table intact).
+    * The reference delegates DML to its embedded engine
+    * (`main.py:231`); file-granular rewrite is this engine's own scale
+    * design. Returns the rewritten-row count. */
+  private def cowSwapInto(spark: SparkSession, table: String,
+      rewritten: DataFrame, untouched: Seq[String]): Long = {
+    swapCount.incrementAndGet()
+    val tmp = table + "__rewriting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = rewritten.observe(obs,
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    tableWriteLock(table).synchronized {
+      observed.write.format("parquet").saveAsTable(tmp)
+      val dir = java.nio.file.Paths.get(fsPath(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(tmp)).location.toString))
+      untouched.zipWithIndex.foreach { case (f, i) =>
+        val src = java.nio.file.Paths.get(fsPath(f))
+        val dst0 = dir.resolve(src.getFileName)
+        val dst = if (java.nio.file.Files.exists(dst0))
+          dir.resolve(s"link-$i-${src.getFileName}") else dst0
+        try java.nio.file.Files.createLink(dst, src)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(src, dst)
+        }
+      }
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
+    spark.catalog.refreshTable(table)
+    bumpCatalogVersion()
+    obs.get("n").asInstanceOf[Long]
+  }
+
   /** DML requires a real (managed/external) catalog table — tableExists is
     * true for temp views too, and a DELETE against a fixture view would
     * otherwise drop the view and swap a managed table in over it. */
@@ -639,28 +804,68 @@ object Engine {
       where: String, returning: Option[String] = None): DataFrame = {
     val table = table0.replaceAll("[`\"]", "")
     requireDmlTarget(spark, table)
-    val total = spark.table(table).count()
-    // DELETE … RETURNING (r7): the deleted rows, captured (and pinned via
-    // localCheckpoint) BEFORE the swap rewrites the table
-    val deleted = returning.map { _ =>
-      val delSql =
-        if (where == null || where.trim.isEmpty) s"SELECT * FROM $table"
-        else s"SELECT * FROM $table WHERE coalesce(($where), false)"
-      sql(spark, delSql).localCheckpoint(true)
-    }
-    // SQL DELETE removes rows where the predicate is TRUE; FALSE and NULL
-    // survive — hence NOT coalesce(pred, false)
-    val keepSql =
-      if (where == null || where.trim.isEmpty) s"SELECT * FROM $table WHERE false"
-      else s"SELECT * FROM $table WHERE NOT coalesce(($where), false)"
-    val keptN = swapInto(spark, table, sql(spark, keepSql))
-    returning match {
-      case Some(proj) =>
-        deleted.get.createOrReplaceTempView("graft_returning_src")
-        sql(spark, s"SELECT $proj FROM graft_returning_src")
-      case None =>
+    val hasWhere = where != null && where.trim.nonEmpty
+    // r9 copy-on-write: one pushed-filter scan finds the files that hold
+    // matched rows (and the removed-row count for free); only those files
+    // are rewritten, the rest are linked forward byte-identical.
+    val split = if (hasWhere) cowSplit(spark, table,
+      s"SELECT _metadata.file_path AS f, CAST(count(*) AS BIGINT) AS c " +
+        s"FROM $table WHERE coalesce(($where), false) " +
+        "GROUP BY _metadata.file_path") else None
+    split match {
+      case Some((affected, untouched, matched)) if untouched.nonEmpty =>
         import spark.implicits._
-        Seq(total - keptN).toDF("Count")
+        if (matched == 0L) {
+          // no row matches: the table is untouched — no rewrite at all
+          lastCowStats.set((untouched.length, 0, untouched.length))
+          return returning match {
+            case Some(proj) =>
+              sql(spark, s"SELECT * FROM $table WHERE false")
+                .createOrReplaceTempView("graft_returning_src")
+              sql(spark, s"SELECT $proj FROM graft_returning_src")
+            case None => Seq(0L).toDF("Count")
+          }
+        }
+        val prune = s"_metadata.file_path IN ${fileInList(affected)}"
+        val deleted = returning.map { _ =>
+          sql(spark, s"SELECT * FROM $table WHERE $prune " +
+            s"AND coalesce(($where), false)").localCheckpoint(true)
+        }
+        cowSwapInto(spark, table, sql(spark,
+          s"SELECT * FROM $table WHERE $prune " +
+            s"AND NOT coalesce(($where), false)"), untouched)
+        lastCowStats.set((affected.length + untouched.length,
+          affected.length, untouched.length))
+        returning match {
+          case Some(proj) =>
+            deleted.get.createOrReplaceTempView("graft_returning_src")
+            sql(spark, s"SELECT $proj FROM graft_returning_src")
+          case None => Seq(matched).toDF("Count")
+        }
+      case _ =>
+        val total = spark.table(table).count()
+        // DELETE … RETURNING (r7): the deleted rows, captured (and pinned
+        // via localCheckpoint) BEFORE the swap rewrites the table
+        val deleted = returning.map { _ =>
+          val delSql =
+            if (!hasWhere) s"SELECT * FROM $table"
+            else s"SELECT * FROM $table WHERE coalesce(($where), false)"
+          sql(spark, delSql).localCheckpoint(true)
+        }
+        // SQL DELETE removes rows where the predicate is TRUE; FALSE and
+        // NULL survive — hence NOT coalesce(pred, false)
+        val keepSql =
+          if (!hasWhere) s"SELECT * FROM $table WHERE false"
+          else s"SELECT * FROM $table WHERE NOT coalesce(($where), false)"
+        val keptN = swapInto(spark, table, sql(spark, keepSql))
+        returning match {
+          case Some(proj) =>
+            deleted.get.createOrReplaceTempView("graft_returning_src")
+            sql(spark, s"SELECT $proj FROM graft_returning_src")
+          case None =>
+            import spark.implicits._
+            Seq(total - keptN).toDF("Count")
+        }
     }
   }
 
@@ -697,13 +902,38 @@ object Engine {
     sets.foreach { case (c, _) =>
       require(fields.exists(_.name.equalsIgnoreCase(c)), s"unknown column in SET: $c")
     }
-    // count the matched rows against the OLD table (the rewrite below
-    // changes them); one extra scan, paid only on the DML path
-    val matched = where match {
-      case Some(w) => sql(spark,
-        s"SELECT CAST(count(*) AS BIGINT) AS n FROM $table WHERE coalesce(($w), false)")
-        .head.getLong(0)
-      case None => spark.table(table).count()
+    // r9 copy-on-write: the matched-row count scan doubles as the
+    // file-granular probe — only files holding matched rows get rewritten
+    // (SET-projected), untouched ones are linked forward byte-identical.
+    val split = where.flatMap(w => cowSplit(spark, table,
+      s"SELECT _metadata.file_path AS f, CAST(count(*) AS BIGINT) AS c " +
+        s"FROM $table WHERE coalesce(($w), false) " +
+        "GROUP BY _metadata.file_path"))
+    val matched = split match {
+      case Some((_, _, m)) => m
+      case None => where match {
+        case Some(w) => sql(spark,
+          s"SELECT CAST(count(*) AS BIGINT) AS n FROM $table WHERE coalesce(($w), false)")
+          .head.getLong(0)
+        case None => spark.table(table).count()
+      }
+    }
+    val cow = split.filter { case (a, u, m) => m > 0 && u.nonEmpty && a.nonEmpty }
+    val prune = cow.map { case (a, _, _) =>
+      s"_metadata.file_path IN ${fileInList(a)}" }
+    if (split.isDefined && matched == 0L) {
+      // no row matches: the table is untouched — no rewrite at all
+      val (_, u, _) = split.get
+      lastCowStats.set((u.length, 0, u.length))
+      return returning match {
+        case Some(proj) =>
+          sql(spark, s"SELECT * FROM $table WHERE false")
+            .createOrReplaceTempView("graft_returning_src")
+          sql(spark, s"SELECT $proj FROM graft_returning_src")
+        case None =>
+          import spark.implicits._
+          Seq(0L).toDF("Count")
+      }
     }
     val selectList = fields.map { f =>
       sets.find(_._1.equalsIgnoreCase(f.name)) match {
@@ -727,12 +957,23 @@ object Engine {
           case None => f.name
         }
       }
-      val w = where.map(w0 => s" WHERE coalesce(($w0), false)").getOrElse("")
-      sql(spark, s"SELECT ${newList.mkString(", ")} FROM $table$w")
+      val w = (prune.toSeq ++ where.map(w0 => s"coalesce(($w0), false)"))
+        .mkString(" AND ")
+      val wc = if (w.isEmpty) "" else s" WHERE $w"
+      sql(spark, s"SELECT ${newList.mkString(", ")} FROM $table$wc")
         .localCheckpoint(true)
     }
-    swapInto(spark, table,
-      sql(spark, s"SELECT ${selectList.mkString(", ")} FROM $table"))
+    cow match {
+      case Some((affected, untouched, _)) =>
+        cowSwapInto(spark, table, sql(spark,
+          s"SELECT ${selectList.mkString(", ")} FROM $table WHERE ${prune.get}"),
+          untouched)
+        lastCowStats.set((affected.length + untouched.length,
+          affected.length, untouched.length))
+      case None =>
+        swapInto(spark, table,
+          sql(spark, s"SELECT ${selectList.mkString(", ")} FROM $table"))
+    }
     returning match {
       case Some(proj) =>
         updatedRows.get.createOrReplaceTempView("graft_returning_src")

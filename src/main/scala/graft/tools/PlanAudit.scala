@@ -477,6 +477,34 @@ object PlanAudit {
           s"documents scans in final plan=$docScans (want 1)")
       }
     }
+    // r9 (VERDICT r8 #2): file-level copy-on-write DML. A selective
+    // UPDATE/DELETE on a multi-file table must rewrite ONLY the files
+    // holding matched rows and link the rest forward — at 100 TB the
+    // alternative is one full corpus rewrite per DML statement. A
+    // no-match UPDATE must pay ZERO rewrites (probe scan only).
+    {
+      Engine.sql(spark, "DROP TABLE IF EXISTS g_cow_audit")
+      spark.sql("SELECT o_orderkey AS id, o_totalprice AS price " +
+          "FROM orders WHERE o_orderkey < 2000")
+        .repartition(8).write.format("parquet").saveAsTable("g_cow_audit")
+      Engine.sql(spark, "UPDATE g_cow_audit SET price = 0 WHERE id = 1").collect()
+      val (tot, aff, linked) = Engine.lastCowStats.get()
+      if (tot >= 4 && aff < tot && linked >= 1)
+        println(s"PLAN OK   cow UPDATE rewrote $aff/$tot files, $linked linked forward")
+      else {
+        failures += 1
+        println(s"PLAN BAD  cow UPDATE rewrote $aff/$tot files ($linked linked; want aff<tot)")
+      }
+      val swaps = Engine.swapCount.get()
+      Engine.sql(spark, "UPDATE g_cow_audit SET price = -1 WHERE id = -5").collect()
+      if (Engine.swapCount.get() == swaps)
+        println("PLAN OK   cow no-match UPDATE paid zero rewrites")
+      else {
+        failures += 1
+        println("PLAN BAD  cow no-match UPDATE paid a table rewrite")
+      }
+      Engine.sql(spark, "DROP TABLE IF EXISTS g_cow_audit")
+    }
     val q = SparkEntry.queries("q24_group_having")(spark, sfDir)
     val formatted = q.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

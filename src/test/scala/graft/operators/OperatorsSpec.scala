@@ -1764,4 +1764,72 @@ class OperatorsSpec extends SparkTestBase {
     assert(planTime == "2GB", planTime)
     assert(runTime == planTime, s"runtime '$runTime' != plan-time '$planTime'")
   }
+
+  test("r9: copy-on-write DML rewrites only the files holding matched rows") {
+    Engine.registerTables(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS g_cow_t")
+    spark.sql("DROP TABLE IF EXISTS g_cow_t__rewriting")
+    // 8 parquet files via round-robin repartition: a selective predicate
+    // touches a strict subset of them
+    spark.sql("SELECT o_orderkey AS id, o_totalprice AS price, " +
+        "o_orderpriority AS pri FROM orders WHERE o_orderkey < 2000")
+      .repartition(8).write.format("parquet").saveAsTable("g_cow_t")
+    val files0 = spark.table("g_cow_t").inputFiles.length
+    assert(files0 >= 4, s"fixture too small for a COW test: $files0 files")
+    val before = spark.table("g_cow_t").count()
+    val sumBefore = spark.table("g_cow_t").agg(sum("id")).head.getLong(0)
+
+    // selective UPDATE: one matched row ⇒ at most a couple of files rewritten
+    val u = Engine.sql(spark, "UPDATE g_cow_t SET price = 0 WHERE id = 1")
+    assert(u.head.getLong(0) == 1L)
+    val (tot, aff, linked) = Engine.lastCowStats.get()
+    assert(tot == files0 && aff < tot && linked >= 1,
+      s"UPDATE did not COW: total=$tot affected=$aff linked=$linked")
+    assert(spark.table("g_cow_t").count() == before)
+    assert(spark.table("g_cow_t").agg(sum("id")).head.getLong(0) == sumBefore)
+    assert(Engine.sql(spark, "SELECT price FROM g_cow_t WHERE id = 1")
+      .head.getDouble(0) == 0.0)
+
+    // no-match UPDATE: zero files rewritten, zero swaps — pure metadata
+    val swaps = Engine.swapCount.get()
+    val u0 = Engine.sql(spark, "UPDATE g_cow_t SET price = -1 WHERE id = -5")
+    assert(u0.head.getLong(0) == 0L)
+    assert(Engine.swapCount.get() == swaps, "no-match UPDATE paid a rewrite")
+    assert(Engine.sql(spark,
+      "SELECT count(*) AS c FROM g_cow_t WHERE price = -1").head.getLong(0) == 0L)
+
+    // selective DELETE: survivors of affected files rewritten, rest linked
+    val d = Engine.sql(spark, "DELETE FROM g_cow_t WHERE id = 2")
+    assert(d.head.getLong(0) == 1L)
+    val (t2, a2, l2) = Engine.lastCowStats.get()
+    assert(a2 < t2 && l2 >= 1, s"DELETE did not COW: total=$t2 affected=$a2 linked=$l2")
+    assert(spark.table("g_cow_t").count() == before - 1)
+    assert(spark.table("g_cow_t").agg(sum("id")).head.getLong(0) == sumBefore - 2)
+
+    // joined forms take the same path: UPDATE … FROM and DELETE … USING
+    val uf = Engine.sql(spark,
+      "UPDATE g_cow_t SET price = s.o_totalprice * 3 FROM orders s " +
+        "WHERE g_cow_t.id = s.o_orderkey AND s.o_orderkey = 7")
+    assert(uf.head.getLong(0) == 1L)
+    val (t3, a3, l3) = Engine.lastCowStats.get()
+    assert(a3 < t3 && l3 >= 1, s"UPDATE FROM did not COW: $t3/$a3/$l3")
+    val expect7 = Engine.sql(spark,
+      "SELECT o_totalprice * 3 FROM orders WHERE o_orderkey = 7").head.getDouble(0)
+    assert(Engine.sql(spark, "SELECT price FROM g_cow_t WHERE id = 7")
+      .head.getDouble(0) == expect7)
+    val du = Engine.sql(spark,
+      "DELETE FROM g_cow_t USING orders s " +
+        "WHERE g_cow_t.id = s.o_orderkey AND s.o_orderkey = 3")
+    assert(du.head.getLong(0) == 1L)
+    val (t4, a4, l4) = Engine.lastCowStats.get()
+    assert(a4 < t4 && l4 >= 1, s"DELETE USING did not COW: $t4/$a4/$l4")
+    assert(spark.table("g_cow_t").count() == before - 2)
+
+    // RETURNING still sees exactly the matched rows through the pruned path
+    val ur = Engine.sql(spark,
+      "UPDATE g_cow_t SET price = 1.5 WHERE id IN (10, 11) RETURNING id, price")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(ur.toSeq == Seq((10L, 1.5), (11L, 1.5)))
+    spark.sql("DROP TABLE g_cow_t")
+  }
 }
