@@ -505,75 +505,104 @@ object Engine {
         "monotonically_increasing_id() AS __g_srow"
     }
     val sfileSort = if (sidCols.contains("__g_sfile")) "__g_sfile, " else ""
-    // r9 copy-on-write: one semi-join pass (small source side broadcast by
-    // AQE) yields BOTH the matched-row count and the set of target files
-    // holding matches — only those files go through the join+rewrite, the
-    // rest are linked forward byte-identical, and the separate
-    // matched-count join pass disappears.
-    val split = cowSplit(spark, table,
-      s"SELECT __g_cowf AS f, CAST(count(*) AS BIGINT) AS c FROM " +
-        s"(SELECT *, _metadata.file_path AS __g_cowf FROM $table) $table " +
-        s"LEFT SEMI JOIN (SELECT * FROM $srcRel) $srcAlias " +
-        s"ON coalesce(($where), false) GROUP BY __g_cowf")
+    // r9 one-pass copy-on-write: ONE inner join against the source emits
+    // only the matched target rows — their post-SET values plus their
+    // (_metadata.file_path, row_index) identity — checkpointed once (size
+    // = matched rows, not the table). The matched count, the RETURNING
+    // frame, the affected-file set, AND the rewrite all derive from that
+    // checkpoint: affected files are re-read and LEFT-joined against it
+    // on the (file, row) key (broadcast when small), untouched files are
+    // linked forward byte-identical, and the source is never scanned a
+    // second time — at 100 TB a selective joined UPDATE costs one
+    // source scan + one target scan + a rewrite of the affected files.
+    // The predicate is NOT coalesce-wrapped: in JOIN ON a NULL condition
+    // already means no-match, and the naked conjunction lets Catalyst
+    // split it, push source-only filters into the scan, and detect
+    // equi-join keys (→ broadcast). coalesce(p, false) is kept ONLY under
+    // NOT (the DELETE keep-side fallback), where NULL must surface as
+    // false rather than poison the negation.
     import spark.implicits._
-    if (split.isDefined && split.get._3 == 0L) {
-      // no target row matches: the table is untouched — no join, no swap
-      val (_, u, _) = split.get
-      lastCowStats.set((u.length, 0, u.length))
-      return returning match {
-        case Some(proj) =>
-          sql(spark, s"SELECT ${fields.map(_.name).mkString(", ")} " +
-            s"FROM $table WHERE false")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    localFiles(spark, table) match {
+      case Some(allFiles) =>
+        val matchedSql =
+          s"SELECT ${fields.map(_.name).mkString(", ")}, __g_f, __g_r FROM (" +
+            s"SELECT ${selectList.mkString(", ")}, __g_f, __g_r, " +
+            s"row_number() OVER (PARTITION BY __g_f, __g_r ORDER BY ${sfileSort}__g_srow) AS __g_rn " +
+            s"FROM (SELECT *, _metadata.file_path AS __g_f, _metadata.row_index AS __g_r FROM $table) $table " +
+            s"JOIN (SELECT *, true AS __g_m, $sidCols FROM $srcRel) $srcAlias " +
+            s"ON ($where)) WHERE __g_rn = 1"
+        // lazy checkpoint: materialized by the per-file agg action right
+        // below (one job, not two); pinned before the swap either way
+        val matched = sql(spark, matchedSql).localCheckpoint(false)
+        // ONE action yields both the matched count and the affected files
+        val perFile = matched.groupBy("__g_f").count().collect()
+        val matchedN = perFile.map(_.getLong(1)).sum
+        if (matchedN == 0L) {
+          // no target row matches: the table is untouched — no swap
+          lastCowStats.set((allFiles.length, 0, allFiles.length))
+          return returning match {
+            case Some(proj) =>
+              matched.drop("__g_f", "__g_r")
+                .createOrReplaceTempView("graft_returning_src")
+              sql(spark, s"SELECT $proj FROM graft_returning_src")
+            case None => Seq(0L).toDF("Count")
+          }
+        }
+        val affected = perFile.map(_.getString(0)).toSeq
+        val affectedSet = affected.map(fsPath).toSet
+        val untouched = allFiles.filterNot(f => affectedSet.contains(fsPath(f)))
+        returning.foreach { _ =>
+          matched.drop("__g_f", "__g_r")
             .createOrReplaceTempView("graft_returning_src")
-          sql(spark, s"SELECT $proj FROM graft_returning_src")
-        case None => Seq(0L).toDF("Count")
-      }
-    }
-    val cow = split.filter { case (a, u, _) => a.nonEmpty && u.nonEmpty }
-    val targetRel = cow match {
-      case Some((affected, _, _)) =>
-        s"(SELECT *, monotonically_increasing_id() AS __g_rid FROM $table " +
-          s"WHERE _metadata.file_path IN ${fileInList(affected)}) $table"
+        }
+        val target = sql(spark,
+          s"SELECT *, _metadata.file_path AS __g_f, _metadata.row_index AS __g_r " +
+            s"FROM $table" + (if (untouched.nonEmpty)
+              s" WHERE _metadata.file_path IN ${fileInList(affected)}" else ""))
+        val mPref = matched.select(
+          fields.toSeq.map(f => matched(f.name).as(s"__g_n_${f.name}")) ++
+            Seq(matched("__g_f"), matched("__g_r"), lit(true).as("__g_hit")): _*)
+        val newRows = target.join(mPref, Seq("__g_f", "__g_r"), "left")
+          .select(fields.toSeq.map(f =>
+            when(col("__g_hit"), col(s"__g_n_${f.name}"))
+              .otherwise(col(f.name)).as(f.name)): _*)
+        if (untouched.nonEmpty) cowSwapInto(spark, table, newRows, untouched)
+        else swapInto(spark, table, newRows)
+        lastCowStats.set((allFiles.length, affected.length, untouched.length))
+        returning match {
+          case Some(proj) => sql(spark, s"SELECT $proj FROM graft_returning_src")
+          case None => Seq(matchedN).toDF("Count")
+        }
       case None =>
-        s"(SELECT *, monotonically_increasing_id() AS __g_rid FROM $table) $table"
-    }
-    val joinSql =
-      s"SELECT ${selectList.mkString(", ")}, __g_rid, __g_m, " +
-        s"row_number() OVER (PARTITION BY __g_rid ORDER BY __g_m DESC, ${sfileSort}__g_srow) AS __g_rn " +
-        s"FROM $targetRel " +
-        s"LEFT JOIN (SELECT *, true AS __g_m, $sidCols FROM $srcRel) $srcAlias " +
-        s"ON coalesce(($where), false)"
-    val newRows = sql(spark,
-      s"SELECT ${fields.map(_.name).mkString(", ")} FROM ($joinSql) WHERE __g_rn = 1")
-    val ret = returning.map { proj =>
-      val matchedNew = sql(spark,
-        s"SELECT ${fields.map(_.name).mkString(", ")} FROM ($joinSql) " +
-          "WHERE __g_rn = 1 AND coalesce(__g_m, false)").localCheckpoint(true)
-      matchedNew.createOrReplaceTempView("graft_returning_src")
-      proj
-    }
-    // matched-row count against the OLD table, BEFORE the swap — the same
-    // one-row Count frame the plain UPDATE path returns; the COW probe
-    // already counted it (semi-join = rows with ≥1 match = rn-1∧m rows)
-    val matched = split match {
-      case Some((_, _, m)) => m
-      case None if returning.isEmpty =>
-        sql(spark, s"SELECT CAST(count(*) AS BIGINT) AS n FROM ($joinSql) " +
-          "WHERE __g_rn = 1 AND coalesce(__g_m, false)").head.getLong(0)
-      case None => 0L
-    }
-    cow match {
-      case Some((affected, untouched, _)) =>
-        cowSwapInto(spark, table, newRows, untouched)
-        lastCowStats.set((affected.length + untouched.length,
-          affected.length, untouched.length))
-      case None => swapInto(spark, table, newRows)
-    }
-    ret match {
-      case Some(proj) => sql(spark, s"SELECT $proj FROM graft_returning_src")
-      case None =>
-        import spark.implicits._
-        Seq(matched).toDF("Count")
+        // non-file-backed target: the single-statement LEFT JOIN full
+        // rewrite (row identity via monotonic id — order engine-defined)
+        val joinSql =
+          s"SELECT ${selectList.mkString(", ")}, __g_rid, __g_m, " +
+            s"row_number() OVER (PARTITION BY __g_rid ORDER BY __g_m DESC, ${sfileSort}__g_srow) AS __g_rn " +
+            s"FROM (SELECT *, monotonically_increasing_id() AS __g_rid FROM $table) $table " +
+            s"LEFT JOIN (SELECT *, true AS __g_m, $sidCols FROM $srcRel) $srcAlias " +
+            s"ON ($where)"
+        val newRows = sql(spark,
+          s"SELECT ${fields.map(_.name).mkString(", ")} FROM ($joinSql) WHERE __g_rn = 1")
+        val ret = returning.map { proj =>
+          val matchedNew = sql(spark,
+            s"SELECT ${fields.map(_.name).mkString(", ")} FROM ($joinSql) " +
+              "WHERE __g_rn = 1 AND coalesce(__g_m, false)").localCheckpoint(true)
+          matchedNew.createOrReplaceTempView("graft_returning_src")
+          proj
+        }
+        // matched-row count against the OLD table, BEFORE the swap
+        val matched =
+          if (returning.isEmpty)
+            sql(spark, s"SELECT CAST(count(*) AS BIGINT) AS n FROM ($joinSql) " +
+              "WHERE __g_rn = 1 AND coalesce(__g_m, false)").head.getLong(0)
+          else 0L
+        swapInto(spark, table, newRows)
+        ret match {
+          case Some(proj) => sql(spark, s"SELECT $proj FROM graft_returning_src")
+          case None => Seq(matched).toDF("Count")
+        }
     }
   }
 
@@ -584,49 +613,66 @@ object Engine {
       using: String, where: String, returning: Option[String]): DataFrame = {
     val table = table0.replaceAll("[`\"]", "")
     requireDmlTarget(spark, table)
-    val existsCond = s"EXISTS (SELECT 1 FROM $using WHERE coalesce(($where), false))"
-    // r9 copy-on-write: one semi-join pass yields the removed-row count
-    // AND the files holding removed rows; only those are rewritten (the
-    // kept survivors of affected files), the rest linked byte-identical.
-    val split = cowSplit(spark, table,
-      s"SELECT __g_cowf AS f, CAST(count(*) AS BIGINT) AS c FROM " +
-        s"(SELECT *, _metadata.file_path AS __g_cowf FROM $table) $table " +
-        s"LEFT SEMI JOIN $using ON coalesce(($where), false) GROUP BY __g_cowf")
+    val existsCond = s"EXISTS (SELECT 1 FROM $using WHERE ($where))"
+    // r9 one-pass copy-on-write (see runUpdateFrom): ONE semi-join pass
+    // against the source emits only the (_metadata.file_path, row_index)
+    // ids of removed rows — checkpointed once (16 bytes+path per removed
+    // row, not the table). The removed count, affected files, RETURNING
+    // frame, and the survivors-of-affected rewrite (an anti-join against
+    // the small checkpoint, broadcast when small) all derive from it; the
+    // source is never scanned twice, untouched files link forward.
     import spark.implicits._
-    split match {
-      case Some((_, untouched, 0L)) =>
-        lastCowStats.set((untouched.length, 0, untouched.length))
-        returning match {
-          case Some(proj) =>
-            sql(spark, s"SELECT * FROM $table WHERE false")
-              .createOrReplaceTempView("graft_returning_src")
-            sql(spark, s"SELECT $proj FROM graft_returning_src")
-          case None => Seq(0L).toDF("Count")
+    localFiles(spark, table) match {
+      case Some(allFiles) =>
+        // INNER JOIN + DISTINCT, not LEFT SEMI: a semi join can only
+        // broadcast-build its right (source) side, while the inner form
+        // lets AQE broadcast whichever side is smaller — usually the
+        // pruned target probe, with the source streaming past it.
+        val matched = sql(spark,
+          s"SELECT DISTINCT __g_f, __g_r FROM " +
+            s"(SELECT *, _metadata.file_path AS __g_f, _metadata.row_index AS __g_r FROM $table) $table " +
+            s"JOIN $using ON ($where)").localCheckpoint(false)
+        // ONE action yields both the removed count and the affected files
+        val perFile = matched.groupBy("__g_f").count().collect()
+        val removed = perFile.map(_.getLong(1)).sum
+        if (removed == 0L) {
+          lastCowStats.set((allFiles.length, 0, allFiles.length))
+          returning match {
+            case Some(proj) =>
+              sql(spark, s"SELECT * FROM $table WHERE false")
+                .createOrReplaceTempView("graft_returning_src")
+              sql(spark, s"SELECT $proj FROM graft_returning_src")
+            case None => Seq(0L).toDF("Count")
+          }
+        } else {
+          val affected = perFile.map(_.getString(0)).toSeq
+          val affectedSet = affected.map(fsPath).toSet
+          val untouched = allFiles.filterNot(f => affectedSet.contains(fsPath(f)))
+          val target = sql(spark,
+            s"SELECT *, _metadata.file_path AS __g_f, _metadata.row_index AS __g_r " +
+              s"FROM $table" + (if (untouched.nonEmpty)
+                s" WHERE _metadata.file_path IN ${fileInList(affected)}" else ""))
+          val deleted = returning.map { _ =>
+            target.join(matched, Seq("__g_f", "__g_r"), "semi")
+              .drop("__g_f", "__g_r").localCheckpoint(true)
+          }
+          val kept = target.join(matched, Seq("__g_f", "__g_r"), "anti")
+            .drop("__g_f", "__g_r")
+          if (untouched.nonEmpty) cowSwapInto(spark, table, kept, untouched)
+          else swapInto(spark, table, kept)
+          lastCowStats.set((allFiles.length, affected.length, untouched.length))
+          (returning, deleted) match {
+            case (Some(proj), Some(d)) =>
+              d.createOrReplaceTempView("graft_returning_src")
+              sql(spark, s"SELECT $proj FROM graft_returning_src")
+            case _ => Seq(removed).toDF("Count")
+          }
         }
-      case Some((affected, untouched, removed)) if untouched.nonEmpty =>
-        val prune = s"_metadata.file_path IN ${fileInList(affected)}"
-        val deleted = returning.map { _ =>
-          sql(spark, s"SELECT * FROM $table WHERE $prune AND $existsCond")
-            .localCheckpoint(true)
-        }
-        cowSwapInto(spark, table, sql(spark,
-          s"SELECT * FROM $table WHERE $prune AND NOT $existsCond"), untouched)
-        lastCowStats.set((affected.length + untouched.length,
-          affected.length, untouched.length))
-        (returning, deleted) match {
-          case (Some(proj), Some(d)) =>
-            d.createOrReplaceTempView("graft_returning_src")
-            sql(spark, s"SELECT $proj FROM graft_returning_src")
-          case _ => Seq(removed).toDF("Count")
-        }
-      case other =>
+      case None =>
         val deleted = returning.map { _ =>
           sql(spark, s"SELECT * FROM $table WHERE $existsCond").localCheckpoint(true)
         }
-        // the COW probe (when it ran) already counted the removed rows —
-        // skip the total-count pass in that case
-        val removedKnown = other.map(_._3)
-        val total = if (removedKnown.isDefined) 0L else spark.table(table).count()
+        val total = spark.table(table).count()
         val kept = sql(spark, s"SELECT * FROM $table WHERE NOT $existsCond")
         val keptN = swapInto(spark, table, kept)
         (returning, deleted) match {
@@ -635,7 +681,7 @@ object Engine {
             sql(spark, s"SELECT $proj FROM graft_returning_src")
           case _ =>
             // the plain-DELETE Count contract: removed rows
-            Seq(removedKnown.getOrElse(total - keptN)).toDF("Count")
+            Seq(total - keptN).toDF("Count")
         }
     }
   }
@@ -719,6 +765,22 @@ object Engine {
   /** SQL literal list for a `_metadata.file_path IN (…)` prune. */
   private def fileInList(files: Seq[String]): String =
     files.map(f => "'" + f.replace("'", "''") + "'").mkString("(", ", ", ")")
+
+  /** All data files of a local file-backed table — the precondition for
+    * the one-pass joined-DML COW path, whose row identity is
+    * (_metadata.file_path, row_index). None when the table is not
+    * file-backed or not local (callers take the full-rewrite path). */
+  private def localFiles(spark: SparkSession, table: String): Option[Seq[String]] =
+    try {
+      val all = spark.table(table).inputFiles.toSeq
+      // _metadata must resolve for the (file, row) identity to exist;
+      // select() analyzes eagerly and throws exactly when it would not
+      spark.table(table).select(
+        org.apache.spark.sql.functions.col("_metadata.file_path"),
+        org.apache.spark.sql.functions.col("_metadata.row_index"))
+      if (all.isEmpty || all.exists(f => !fsPath(f).startsWith("/"))) None
+      else Some(all)
+    } catch { case _: Exception => None }
 
   /** Copy-on-write file split for a DML (r9): `matchSql` must be one
     * pushed-filter scan returning (file_path, matched_count) per file that
@@ -810,7 +872,7 @@ object Engine {
     // are rewritten, the rest are linked forward byte-identical.
     val split = if (hasWhere) cowSplit(spark, table,
       s"SELECT _metadata.file_path AS f, CAST(count(*) AS BIGINT) AS c " +
-        s"FROM $table WHERE coalesce(($where), false) " +
+        s"FROM $table WHERE ($where) " +
         "GROUP BY _metadata.file_path") else None
     split match {
       case Some((affected, untouched, matched)) if untouched.nonEmpty =>
@@ -829,7 +891,7 @@ object Engine {
         val prune = s"_metadata.file_path IN ${fileInList(affected)}"
         val deleted = returning.map { _ =>
           sql(spark, s"SELECT * FROM $table WHERE $prune " +
-            s"AND coalesce(($where), false)").localCheckpoint(true)
+            s"AND ($where)").localCheckpoint(true)
         }
         cowSwapInto(spark, table, sql(spark,
           s"SELECT * FROM $table WHERE $prune " +
@@ -849,7 +911,7 @@ object Engine {
         val deleted = returning.map { _ =>
           val delSql =
             if (!hasWhere) s"SELECT * FROM $table"
-            else s"SELECT * FROM $table WHERE coalesce(($where), false)"
+            else s"SELECT * FROM $table WHERE ($where)"
           sql(spark, delSql).localCheckpoint(true)
         }
         // SQL DELETE removes rows where the predicate is TRUE; FALSE and
@@ -907,13 +969,13 @@ object Engine {
     // (SET-projected), untouched ones are linked forward byte-identical.
     val split = where.flatMap(w => cowSplit(spark, table,
       s"SELECT _metadata.file_path AS f, CAST(count(*) AS BIGINT) AS c " +
-        s"FROM $table WHERE coalesce(($w), false) " +
+        s"FROM $table WHERE ($w) " +
         "GROUP BY _metadata.file_path"))
     val matched = split match {
       case Some((_, _, m)) => m
       case None => where match {
         case Some(w) => sql(spark,
-          s"SELECT CAST(count(*) AS BIGINT) AS n FROM $table WHERE coalesce(($w), false)")
+          s"SELECT CAST(count(*) AS BIGINT) AS n FROM $table WHERE ($w)")
           .head.getLong(0)
         case None => spark.table(table).count()
       }

@@ -437,6 +437,48 @@ object PlanAudit {
           s"${sparkMissing.toSeq.sorted}, duck-side missing=${duckMissing.toSeq.sorted}")
       }
     }
+    // r9 (VERDICT r8 #7): weak-set audit. The >2×-DuckDB-AND->1 s-absolute
+    // list was recomputed by hand each round from dev/bench_sf1.json; this
+    // emits it and fails on NEW entrants beyond the known-by-design
+    // allowlist (deliberate skew insurance, digest-shuffle designs, the
+    // all-broadcast TPC-H per-stage scheduling-floor shapes, composite
+    // multi-pass ops whose oracle is a single pass). A new name here means
+    // an edit regressed a query's scale posture — triage before shipping.
+    {
+      def valuesOf(path: String): Map[String, Double] = {
+        val txt = scala.io.Source.fromFile(path).mkString
+        val qStart = txt.indexOf("\"queries\"")
+        val obj = txt.substring(txt.indexOf('{', qStart) + 1,
+          txt.indexOf('}', qStart))
+        "\"([^\"]+)\":\\s*([0-9.eE+-]+)".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      val byDesign = Set(
+        "q188_joined_dml",      // 5-statement DML script at the per-action
+                                // floor; the full-rewrite trap is gone
+                                // (COW assertions below prove file pruning)
+        "p18_salted_join",      // deliberate skew insurance: salt overhead
+        "p51_frame_dedup",      // digest-shuffle by design; DuckDB toy-scale floor
+        "p59_provenance_ledger",// 3-pass composite vs 1-pass oracle
+        "p21_sim_ann_ivf",      // declared query includes brute-force exact side
+        "q81_window_extras",    // many distinct window specs, per-stage floor
+        "q64_tpch_q9", "q130_tpch_q18_shape", "q131_tpch_q21_shape",
+        "q144_tpch_q7_shape")   // all-broadcast shapes at the scheduling floor
+      val sv = valuesOf("dev/bench_sf1.json")
+      val dv = valuesOf("dev/duckdb_baseline_sf1.json")
+      val weak = sv.keySet.intersect(dv.keySet).toSeq
+        .filter(k => sv(k) > 1.0 && dv(k) > 0 && sv(k) / dv(k) > 2).sorted
+      weak.foreach(k => println(f"          weak: $k%-28s spark=${sv(k)}%6.2f " +
+        f"duck=${dv(k)}%6.2f ratio=${sv(k) / dv(k)}%5.1f" +
+        (if (byDesign(k)) "  (by design)" else "  <-- NEW")))
+      val newEntrants = weak.filterNot(byDesign)
+      if (newEntrants.isEmpty)
+        println(s"PLAN OK   weak set: ${weak.size} entries, all known-by-design")
+      else {
+        failures += 1
+        println(s"PLAN BAD  weak set has unlisted entrants: $newEntrants")
+      }
+    }
     // r8 (VERDICT r7 #4): the q178 5-statement ALTER chain must coalesce
     // into at most ONE full-table rewrite (metadata-only ADDs pay zero) —
     // at 100 TB each uncoalesced statement is a full corpus pass.
