@@ -450,6 +450,140 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  // ---- incremental fuzzy dedup against persisted indexes (r9) ----------
+  //
+  // The batch-refresh shape for NEAR-dups: tonight's crawl dedups against
+  // the 100 TB corpus already trained on. Re-banding the full union would
+  // re-scan the corpus text for every increment; instead the corpus pays
+  // ONE index build at ingest — per doc/vector, its band keys plus exactly
+  // the per-item state the exact verify needs (distinct window-hash set /
+  // the vector) — and each increment joins its own bands against that
+  // table. Only CROSS (new × old) pairs are emitted; within-increment
+  // pairs are minhashPairs/embeddingPairs' job. Query-side parameters
+  // (numHashes/bands/shingleSize, planesPerBand/bands) MUST match the
+  // build — they define the signature space the index is keyed in.
+
+  /** One-time persisted minhash band index: (id, bands, sh, nsh) per doc.
+    * `sh` (the distinct token-window hash set, [[graft.functions
+    * .TokenWindowHashes]]) rides along so the increment-side Jaccard
+    * verify reads the INDEX, never the corpus text. */
+  def buildMinhashIndex(docs: DataFrame, indexTable: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    Similarity.dropStaleWarehouseDir(spark, indexTable)
+    minhashScan(docs, numHashes, bands, shingleSize, textCol, idCol)
+      .write.format("parquet").mode("overwrite").saveAsTable(indexTable)
+  }
+
+  /** Incremental cross-corpus near-dup pairs (new_id, old_id, jaccard):
+    * bands the increment (one scan, checkpointed), joins its band keys
+    * against the persisted index (AQE broadcasts the increment side when
+    * it fits), and exact-verifies candidates with the hash sets — new
+    * side from the checkpoint, old side column-pruned from the index. */
+  def minhashPairsIncremental(newDocs: DataFrame, indexTable: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = newDocs.sparkSession
+    GraftFunctions.register(spark)
+    val newScanned =
+      minhashScan(newDocs, numHashes, bands, shingleSize, textCol, idCol)
+        .localCheckpoint()
+    val newBanded = newScanned
+      .select(col("id").as("nid"), explode(col("bands")).as("band"))
+      .select(col("nid"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
+    val idx = spark.table(indexTable)
+    val oldBanded = idx
+      .select(col("id").as("oid"), explode(col("bands")).as("band"))
+      .select(col("oid"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
+    val cand = oldBanded.join(newBanded, Seq("band_id", "band_hash"))
+      .select(col("nid").as("d1"), col("oid").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val withSh = cand
+      .join(newScanned.select(col("id").as("d1"), col("sh").as("sh1"), col("nsh").as("n1")), "d1")
+      .join(idx.select(col("id").as("d2"), col("sh").as("sh2"), col("nsh").as("n2")), "d2")
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    withSh.withColumn("jaccard", inter / (col("n1") + col("n2") - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** The shared one-pass tokenize→hash→sign→band scan of
+    * [[buildMinhashIndex]] and [[minhashPairsIncremental]]:
+    * (id, bands array<struct<b,h>>, sh, nsh). */
+  private def minhashScan(docs: DataFrame, numHashes: Int, bands: Int,
+      shingleSize: Int, textCol: String, idCol: String): DataFrame = {
+    val r = numHashes / bands
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("b"),
+        xxhash64(slice(col("sig"), lit(b * r + 1), lit(r))).as("h"))
+    }
+    docs.select(col(idCol).as("id"),
+        GraftFunctions.token_window_hashes(toks, shingleSize).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .withColumn("sig", GraftFunctions.minhash_from_hashes(col("sh"), numHashes))
+      .select(col("id"), array(bandStructs: _*).as("bands"), col("sh"), col("nsh"))
+  }
+
+  /** One-time persisted hyperplane-signature index for incremental
+    * embedding near-dup: (id, v, sig) per vector. */
+  def buildEmbeddingIndex(emb: DataFrame, indexTable: String,
+      planesPerBand: Int = 12, bands: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(planesPerBand >= 1 && bands >= 1 && planesPerBand * bands <= 64,
+      "need 1 <= planesPerBand * bands <= 64")
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    Similarity.dropStaleWarehouseDir(spark, indexTable)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig",
+        Similarity.hyperplaneSignature(col("v"), planesPerBand * bands))
+      .write.format("parquet").mode("overwrite").saveAsTable(indexTable)
+  }
+
+  /** Incremental cross-corpus embedding near-dup pairs
+    * (new_id, old_id, cosine) — [[minhashPairsIncremental]]'s shape over
+    * banded hyperplane signatures; the exact-cosine verify pulls old
+    * vectors from the index, never the source corpus. */
+  def embeddingPairsIncremental(newEmb: DataFrame, indexTable: String,
+      minCosine: Double = 0.95, planesPerBand: Int = 12, bands: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planesPerBand >= 1 && bands >= 1 && planesPerBand * bands <= 64,
+      "need 1 <= planesPerBand * bands <= 64")
+    val spark = newEmb.sparkSession
+    GraftFunctions.register(spark)
+    val mask = if (planesPerBand == 64) -1L else (1L << planesPerBand) - 1
+    def slices(idAs: String, df: DataFrame) = {
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("b"),
+          shiftrightunsigned(col("sig"), b * planesPerBand)
+            .bitwiseAND(lit(mask)).as("bits"))
+      }
+      df.select(col("id").as(idAs), explode(array(bandStructs: _*)).as("band"))
+        .select(col(idAs), col("band.b").as("band_id"), col("band.bits").as("band_bits"))
+    }
+    val newScanned = newEmb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig",
+        Similarity.hyperplaneSignature(col("v"), planesPerBand * bands))
+      .localCheckpoint()
+    val idx = newScanned.sparkSession.table(indexTable)
+    val cand = slices("oid", idx).join(slices("nid", newScanned),
+        Seq("band_id", "band_bits"))
+      .select(col("nid").as("d1"), col("oid").as("d2"))
+      .dropDuplicates("d1", "d2")
+    cand
+      .join(newScanned.select(col("id").as("d1"), col("v").as("v1")), "d1")
+      .join(idx.select(col("id").as("d2"), col("v").as("v2")), "d2")
+      .select(col("d1"), col("d2"),
+        GraftFunctions.cosine_sim(col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** C4-style line-level dedup: every later occurrence of a line that
     * appears anywhere earlier in the corpus (order = (doc_id, position)) is
     * dropped; each doc is reassembled from its surviving lines in original

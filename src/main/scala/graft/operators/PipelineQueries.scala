@@ -887,6 +887,50 @@ object PipelineQueries {
         .select(col("pos").cast("bigint").as("pos"), col("doc_id"), col("vec_id"))
         .orderBy("pos")
     }),
+    // r9 (VERDICT r8 #4): incremental minhash dedup — tonight's "crawl"
+    // (doc_id % 5 == 0) dedups against a PERSISTED band index of the rest
+    // of the corpus (built once per data dir); only cross new×old pairs
+    // emerge, and the old corpus text is never re-read (PlanAudit asserts
+    // one documents scan). Correctness argument = p03's — every
+    // qualifying fixture pair sits at j >= 0.9 where the 16×4 banding's
+    // miss probability is ~5e-8 — restricted to the cross pair set.
+    "p62_minhash_incremental" -> q((s, dir) => {
+      val docs = s.table("documents")
+      val idx = "graft_mhidx_" + dirKey(dir)
+      if (!s.catalog.tableExists(idx))
+        Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), idx)
+      Dedup.minhashPairsIncremental(docs.filter(col("doc_id") % 5 === 0),
+          idx, threshold = 0.5)
+        .select(col("d1"), col("d2"),
+          round(col("jaccard") * 10000).cast("bigint").as("jac_bp"))
+        .orderBy("d1", "d2")
+    }),
+    // r9: incremental embedding near-dup — p05's planted copies play the
+    // increment, the base vectors the indexed corpus; output is exactly
+    // the n (original, copy) cross pairs at cosine >= 0.99 (p05's
+    // deterministic-recall argument, cross-restricted). (d1, d2) oriented
+    // (old, new) to mirror the oracle's a.vec_id < b.vec_id.
+    "p63_embedding_incremental" -> q((s, dir) => {
+      val base = s.table("embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) + lit(0.01) * ((i + 1) % 2))).cast("float"))
+          .as("embedding"))
+      val n = 2 * s.table("embeddings").queryExecution.analyzed.stats.rowCount
+        .map(_.toLong)
+        .orElse(Engine.parquetRowCount(s"$dir/embeddings.parquet"))
+        .getOrElse(base.count())
+      val p = math.max(4, math.min(Similarity.planesFor(math.max(1, n),
+        targetBucketSize = 32), 12))
+      val idx = "graft_embidx_" + dirKey(dir)
+      if (!s.catalog.tableExists(idx))
+        Dedup.buildEmbeddingIndex(base, idx, planesPerBand = p, bands = 5)
+      Dedup.embeddingPairsIncremental(planted, idx, minCosine = 0.99,
+          planesPerBand = p, bands = 5)
+        .select(col("d2").as("d1"), col("d1").as("d2"),
+          round(col("cosine") * 1000000).cast("bigint").as("cos_micro"))
+        .orderBy("d1", "d2")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -1505,6 +1549,29 @@ object PipelineQueries {
         "e AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id DESC) AS pos FROM embeddings WHERE vec_id % 7 <> 3) " +
         "SELECT CAST(pos AS BIGINT) AS pos, d.doc_id, e.vec_id " +
         "FROM d FULL OUTER JOIN e USING (pos) ORDER BY pos"),
+    // p62 (r9): p03's brute-force exact-Jaccard oracle restricted to the
+    // cross (new × old) pair set — d1 is the increment (doc_id % 5 = 0),
+    // d2 the indexed corpus.
+    "p62_minhash_incremental" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct(list_transform(range(0, len(tk)-2), i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) END AS sh FROM t), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS j " +
+        "FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0) " +
+        "SELECT d1, d2, CAST(round(j * 10000) AS BIGINT) AS jac_bp FROM p WHERE j >= 0.5 ORDER BY d1, d2"),
+    // p63 (r9): p05's brute-force exact-cosine oracle restricted to the
+    // cross set — d1 the base corpus, d2 its planted +1M copy.
+    "p63_embedding_incremental" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+        "pl AS (SELECT vec_id + 1000000 AS vec_id, " +
+        "list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] * (1 + 0.01*(i%2)) AS FLOAT)) AS embedding FROM base), " +
+        "c AS (SELECT * FROM base UNION ALL SELECT * FROM pl), " +
+        "v AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nsq FROM c), " +
+        "p AS (SELECT a.vec_id AS d1, b.vec_id AS d2, " +
+        "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) " +
+        "/ (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine FROM v a JOIN v b ON a.vec_id < 1000000 AND b.vec_id >= 1000000) " +
+        "SELECT d1, d2, CAST(round(cosine * 1000000) AS BIGINT) AS cos_micro FROM p WHERE cosine >= 0.99 ORDER BY d1, d2"),
     // p58 (r7 session 3): same construction in SQL.
     "p58_modality_audit" ->
       ("WITH v AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 3 " +

@@ -220,7 +220,7 @@ object Similarity {
   /** A previous JVM may have left the warehouse dir without a catalog entry
     * (fresh session, persistent cwd) — saveAsTable would then fail on
     * LOCATION_ALREADY_EXISTS. */
-  private def dropStaleWarehouseDir(spark: SparkSession, table: String): Unit =
+  private[operators] def dropStaleWarehouseDir(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         .stripPrefix("file:")

@@ -424,7 +424,10 @@ object PlanAudit {
         allKeys -- nullKeys
       }
       val duckSkip = Set("p03_dedup_minhash", "p04_dedup_simhash",
-        "p05_dedup_embedding", "p39_semantic_clusters", "p44_multimodal_neardup")
+        "p05_dedup_embedding", "p39_semantic_clusters", "p44_multimodal_neardup",
+        // r9: the incremental oracles brute-force the cross pair set —
+        // O(increment × corpus), sf0.01-only like the p03/p04/p05 family
+        "p62_minhash_incremental", "p63_embedding_incremental")
       val gate = SparkEntry.queries.keySet
       val sparkMissing = gate -- keysOf("dev/bench_sf1.json")
       val duckMissing = gate -- keysOf("dev/duckdb_baseline_sf1.json") -- duckSkip
@@ -517,6 +520,27 @@ object PlanAudit {
         failures += 1
         println(s"PLAN BAD  p54 reuse broken: ReusedExchange=$reused, " +
           s"documents scans in final plan=$docScans (want 1)")
+      }
+    }
+    // r9 (VERDICT r8 #4): incremental minhash dedup must never re-scan
+    // the old corpus — the increment is checkpointed (one scan at build),
+    // the old side lives entirely in the persisted band index. The plan
+    // must therefore contain ZERO `documents` file scans (the increment's
+    // scan happened eagerly before plan time) and read the index table.
+    {
+      val df = SparkEntry.queries("p62_minhash_incremental")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val docScans = plan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("documents"))
+      val idxScans = plan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("graft_mhidx_"))
+      if (docScans == 0 && idxScans >= 1)
+        println(s"PLAN OK   p62 incremental dedup reads the band index " +
+          s"($idxScans scans), never the corpus text (0 documents scans)")
+      else {
+        failures += 1
+        println(s"PLAN BAD  p62 rescans: documents=$docScans (want 0), " +
+          s"index=$idxScans (want >=1)")
       }
     }
     // r9 (VERDICT r8 #2): file-level copy-on-write DML. A selective

@@ -1765,6 +1765,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(runTime == planTime, s"runtime '$runTime' != plan-time '$planTime'")
   }
 
+  test("r9: incremental minhash/embedding dedup emit exactly the cross pairs") {
+    Engine.registerTables(spark, sfDir)
+    val docs = spark.table("documents")
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    spark.sql("DROP TABLE IF EXISTS sp_mh_idx")
+    Dedup.buildMinhashIndex(oldDocs, "sp_mh_idx")
+    val inc = Dedup.minhashPairsIncremental(newDocs, "sp_mh_idx", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is cross: d1 from the increment, d2 from the index
+    assert(inc.forall { case (d1, d2) => d1 % 3 == 0 && d2 % 3 != 0 }, inc)
+    // full-corpus pairs restricted to the cross set = the incremental set
+    // (fixture pairs all sit far above the banding miss floor — p03's
+    // argument)
+    val full = Dedup.minhashPairs(docs, threshold = 0.5)
+      .collect().flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (a % 3 == 0 && b % 3 != 0) Some((a, b))
+        else if (b % 3 == 0 && a % 3 != 0) Some((b, a))
+        else None
+      }.toSet
+    assert(inc == full, s"missing=${full.diff(inc)} extra=${inc.diff(full)}")
+    spark.sql("DROP TABLE sp_mh_idx")
+
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + lit(0.01) * ((i + 1) % 2))).cast("float"))
+        .as("embedding"))
+    spark.sql("DROP TABLE IF EXISTS sp_emb_idx")
+    Dedup.buildEmbeddingIndex(emb, "sp_emb_idx", planesPerBand = 8, bands = 5)
+    val pairs = Dedup.embeddingPairsIncremental(planted, "sp_emb_idx",
+        minCosine = 0.99, planesPerBand = 8, bands = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly one (copy, original) pair per vector — the planted design
+    val expected = emb.select("vec_id").collect()
+      .map(_.getLong(0)).map(i => (i + 1000000L, i)).toSet
+    assert(pairs == expected,
+      s"missing=${expected.diff(pairs).take(5)} extra=${pairs.diff(expected).take(5)}")
+    spark.sql("DROP TABLE sp_emb_idx")
+  }
+
   test("r9: copy-on-write DML rewrites only the files holding matched rows") {
     Engine.registerTables(spark, sfDir)
     spark.sql("DROP TABLE IF EXISTS g_cow_t")
