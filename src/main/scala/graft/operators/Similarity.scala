@@ -140,31 +140,105 @@ object Similarity {
   //
   // LSH buckets by random hyperplanes; IVF buckets by nearest CENTROID —
   // better recall/probe on clustered corpora because buckets follow the
-  // data's own density. Centroids here are a deterministic hash-sample of
-  // the corpus (the nCentroids vectors with the smallest xxhash64(id)):
-  // no k-means iterations, stable across runs/clusters, and good enough
-  // for coarse quantization (FAISS's IVF works with sampled training too).
+  // data's own density. Centroids are trained (r9): deterministic
+  // spherical k-means on a bounded hash-sample — [[trainCentroids]].
 
-  /** One-time IVF index build: pick centroids, assign every vector to its
-    * nearest centroid (argmax cosine — one codegen pass, nCentroids
-    * similarities per row), persist bucketed-by-centroid plus a tiny
-    * `<table>_centroids` side table the query path scores driver-side. */
+  /** Auto-sizing for the IVF centroid count (r9 — the [[planesFor]]
+    * precedent for the IVF family): per-query work is
+    * ≈ nprobe·n/nCentroids (bucket scan) + nCentroids (driver centroid
+    * scoring), balanced at √n; clamped so the driver-side centroid table
+    * stays trivially collectable (4096 × dim floats ≲ 2 MB). */
+  def centroidsFor(corpusSize: Long): Int = {
+    require(corpusSize > 0)
+    math.min(4096, math.max(4, math.ceil(math.sqrt(corpusSize.toDouble)).toInt))
+  }
+
+  /** Deterministic spherical k-means over a driver-side hash-sample (r9;
+    * previously the centroids were the raw hash-sample — quantization
+    * follows the data's density only by accident). FAISS-style: train on
+    * a bounded sample, not the corpus. Every source of nondeterminism is
+    * pinned — the sample is the `sampleN` smallest (xxhash64(id), id)
+    * rows, init is the first `k` sample vectors in that order, Lloyd
+    * iterations are fixed-count sequential driver loops — so a rebuild
+    * reproduces the exact same centroids (spec-asserted). Vectors are
+    * unit-normalized: cosine assignment = dot, centroid = normalized
+    * mean; an emptied cluster keeps its previous centroid. */
+  private def trainCentroids(
+      emb: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 8): Array[Array[Float]] = {
+    def normalize(v: Array[Float]): Array[Double] = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n == 0.0) d else d.map(_ / n)
+    }
+    val sampleN = math.min(math.max(k * 32, 1024), 65536)
+    val sample = emb.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleN).collect()
+      .map(r => normalize(r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty, "cannot train centroids on an empty corpus")
+    val dim = sample.map(_.length).max
+    var cents: Array[Array[Double]] =
+      sample.take(k).map(v => java.util.Arrays.copyOf(v, dim))
+    val kEff = cents.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < kEff) {
+          var dot = 0.0; var i = 0
+          val lim = math.min(v.length, dim)
+          while (i < lim) { dot += v(i) * cents(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < math.min(v.length, dim)) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old
+        else {
+          val m = sums(c)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) old else m.map(_ / n)
+        }
+      }
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** One-time IVF index build: train centroids ([[trainCentroids]]),
+    * assign every vector to its nearest centroid (argmax cosine — one
+    * codegen pass, nCentroids similarities per row), persist
+    * bucketed-by-centroid plus a tiny `<table>_centroids` side table the
+    * query path scores driver-side. */
   def buildIvfIndex(
       emb: DataFrame,
       indexTable: String,
-      nCentroids: Int = 16,
+      nCentroids: Int = 0,
       numBuckets: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      trainIters: Int = 8): Unit = {
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
-    val cents: Array[(Int, Array[Float])] = emb
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(nCentroids)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    // nCentroids = 0 → auto-size from the corpus row count ([[centroidsFor]]);
+    // metadata stats when available, a one-time count job at ingest otherwise
+    val k =
+      if (nCentroids > 0) nCentroids
+      else centroidsFor(math.max(1L,
+        emb.queryExecution.analyzed.stats.rowCount.map(_.toLong)
+          .getOrElse(emb.count())))
+    // trainIters = 0 keeps the raw (normalized) hash-sample init — the
+    // pre-r9 behavior, exposed for the recall-margin comparison spec
+    val cents: Array[(Int, Array[Float])] =
+      trainCentroids(emb, k, idCol, vecCol, trainIters).zipWithIndex.map(_.swap)
     val simCols = cents.map { case (_, v) =>
       coalesce(GraftFunctions.cosine_sim(col(vecCol), typedLit(v.toSeq)), lit(-2.0d))
     }
