@@ -142,9 +142,10 @@ object Streaming {
     * collected once at plan time into a literal array, so the whole scrub
     * is per-row column expressions (kernel scan + array_position probes +
     * remove_token_spans) — no shuffle, no state store, no watermark
-    * needed; each micro-batch pays one codegen pass. The batch twin's
-    * broadcast JOIN is the shape for eval sets too big for an expression
-    * literal; benchmarks are thousands of items, which fits. */
+    * needed; each micro-batch pays one codegen pass. This is the
+    * small-eval-set form ([[ScrubLiteralMaxDigests]]); above the
+    * threshold use [[scrubBatchBroadcast]] (or let [[scrubStreamAuto]]
+    * pick), whose byte-identical output is spec-asserted. */
   def scrubStream(docs: DataFrame, evalDocs: DataFrame, k: Int = 16,
       textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -162,6 +163,88 @@ object Streaming {
       .withColumn(textCol,
         call_function("remove_token_spans", col(textCol), col("__starts"), lit(k)))
       .drop("__starts")
+  }
+
+  /** Digest-count threshold for the literal-probe scrub (r9, documented
+    * contract): at or below this many distinct eval window digests the
+    * plan-literal array + `array_position` probe wins — one stateless
+    * expression, no join, and the O(|eval|) linear probe is trivial.
+    * Above it the literal bloats every task binary and the per-window
+    * probe cost dominates — use [[scrubBatchBroadcast]], whose broadcast
+    * hash relation ships once per executor and probes O(1). Benchmarks
+    * are thousands of windows (literal side); 10M-window eval sets are
+    * the broadcast case. */
+  val ScrubLiteralMaxDigests = 4096L
+
+  /** The eval-side digest frame for [[scrubBatchBroadcast]] — compute
+    * once, cache/persist, reuse across micro-batches. */
+  def scrubEvalDigests(evalDocs: DataFrame, k: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(evalDocs.sparkSession)
+    evalDocs
+      .select(explode(call_function("window_md5s", col(textCol), lit(k))).as("wh"))
+      .distinct()
+  }
+
+  /** Broadcast twin of [[scrubStream]] (r9, VERDICT r8 #6):
+    * byte-identical output, the eval digests joined as a BROADCAST hash
+    * relation instead of a plan-literal array. The per-doc span regroup
+    * is an aggregation, which a pure streaming plan would pay in state
+    * store; the twin is therefore the foreachBatch idiom — apply this
+    * function to each micro-batch:
+    * {{{
+    * docs.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+    *   Streaming.scrubBatchBroadcast(b, digests, k).write.(...)
+    * }
+    * }}}
+    * Still no state store and no watermark — each batch pays one
+    * broadcast join + one batch-local aggregation. `idCol` must identify
+    * rows uniquely within a batch (span sets regroup by it). Also usable
+    * as a plain batch operator. */
+  def scrubBatchBroadcast(batch: DataFrame, evalDigests: DataFrame,
+      k: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val starts = batch
+      .select(col(idCol).as("__sid"),
+        posexplode(call_function("window_md5s", col(textCol), lit(k)))
+          .as(Seq("__i", "__wh")))
+      .join(broadcast(evalDigests.select(col("wh").as("__wh"))), "__wh")
+      .groupBy("__sid")
+      // ascending distinct starts — the exact set (and order) the literal
+      // form's index-preserving filter produces
+      .agg(array_sort(collect_set(col("__i"))).as("__starts"))
+    batch.join(starts, batch(idCol) === col("__sid"), "left")
+      .withColumn(textCol,
+        call_function("remove_token_spans", col(textCol),
+          coalesce(col("__starts"), expr("CAST(array() AS ARRAY<INT>)")),
+          lit(k)))
+      .drop("__sid", "__starts")
+  }
+
+  /** How [[scrubStreamAuto]] answered: either an inline stateless
+    * streaming frame (literal probe), or the broadcast per-batch form to
+    * run under foreachBatch. */
+  sealed trait ScrubPlan
+  final case class ScrubInline(stream: DataFrame) extends ScrubPlan
+  final case class ScrubPerBatch(digests: DataFrame,
+      scrub: DataFrame => DataFrame) extends ScrubPlan
+
+  /** Auto-selected scrub (r9): counts the distinct eval digests once; at
+    * or below `maxLiteralDigests` ([[ScrubLiteralMaxDigests]]) returns
+    * the stateless literal-probe stream, above it the cached digest frame
+    * plus the [[scrubBatchBroadcast]] closure for foreachBatch. */
+  def scrubStreamAuto(docs: DataFrame, evalDocs: DataFrame, k: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxLiteralDigests: Long = ScrubLiteralMaxDigests): ScrubPlan = {
+    val digests = scrubEvalDigests(evalDocs, k, textCol).cache()
+    val n = digests.count()
+    if (n <= maxLiteralDigests) {
+      digests.unpersist()
+      ScrubInline(scrubStream(docs, evalDocs, k, textCol))
+    } else
+      ScrubPerBatch(digests,
+        b => scrubBatchBroadcast(b, digests, k, textCol, idCol))
   }
 
   /** Ledgered [[scrubStream]] (r8 — the streaming twin of

@@ -116,6 +116,60 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("broadcast scrub twin is byte-identical to the literal form (r9)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(Tuple1("secret bench item alpha"),
+      Tuple1("another leaked eval phrase here")).toDF("text")
+    val docsData = Seq(
+      (10L, "intro words secret bench item tail words"),
+      (11L, "clean document nothing shared here"),
+      (12L, "secret bench item alpha"),
+      (13L, "x another leaked eval phrase here y secret bench item z"),
+      (14L, ""))
+
+    // literal form through a stream
+    val inA = MemoryStream[(Long, String)]
+    val qa = Streaming.scrubStream(inA.toDF().toDF("doc_id", "text"), ev, k = 3)
+      .writeStream.format("memory").queryName("scrub_lit")
+      .outputMode(OutputMode.Append).start()
+    // broadcast form through foreachBatch (the documented idiom)
+    val digests = Streaming.scrubEvalDigests(ev, k = 3).cache()
+    val inB = MemoryStream[(Long, String)]
+    val qb = inB.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streaming.scrubBatchBroadcast(b, digests, k = 3)
+          .write.mode("append").saveAsTable("scrub_bc")
+      }.start()
+    try {
+      spark.sql("DROP TABLE IF EXISTS scrub_bc")
+      inA.addData(docsData: _*); qa.processAllAvailable()
+      inB.addData(docsData: _*); qb.processAllAvailable()
+      val lit0 = spark.table("scrub_lit").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val bc = spark.table("scrub_bc").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(lit0.sameElements(bc),
+        s"literal=${lit0.toSeq} broadcast=${bc.toSeq}")
+      assert(lit0.toMap.apply(13L) == "x y z") // both spans cut
+    } finally {
+      qa.stop(); qb.stop(); digests.unpersist()
+      spark.sql("DROP TABLE IF EXISTS scrub_bc")
+    }
+
+    // auto-selection honours the documented threshold
+    val small = Streaming.scrubStreamAuto(
+      inA.toDF().toDF("doc_id", "text"), ev, k = 3)
+    assert(small.isInstanceOf[Streaming.ScrubInline])
+    val big = Streaming.scrubStreamAuto(
+      inA.toDF().toDF("doc_id", "text"), ev, k = 3, maxLiteralDigests = 1)
+    assert(big.isInstanceOf[Streaming.ScrubPerBatch])
+    big match {
+      case Streaming.ScrubPerBatch(d, _) => d.unpersist(); ()
+      case _ => ()
+    }
+  }
+
   test("ledgered streaming scrub emits a removal-provenance stream (r8)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
