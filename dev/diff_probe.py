@@ -18,9 +18,19 @@ def norm(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        if v == math.floor(v) and not math.isinf(v) and abs(v) < 1e15:
+        # inf/nan first: math.floor(inf) raises (r9 batch-5 harness fix);
+        # spellings match Scala's Double formatting
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if v == math.floor(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6f}"
+    if isinstance(v, datetime.timedelta):
+        # intervals canonicalize to seconds on both sides (Spark returns
+        # java.time.Duration, rendered as seconds there too)
+        return norm(v.total_seconds())
     if isinstance(v, decimal.Decimal):
         return norm(float(v))
     if isinstance(v, (list, tuple)):
@@ -38,7 +48,14 @@ def norm(v):
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, datetime.datetime):
-        return str(v).removesuffix(".0")
+        # tz-aware (TIMESTAMPTZ) → UTC naive; fraction trailing zeros
+        # stripped to line up with java.sql.Timestamp.toString (r9)
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        out = str(v).removesuffix(".0")
+        if "." in out:
+            out = out.rstrip("0").rstrip(".")
+        return out
     return str(v)
 
 

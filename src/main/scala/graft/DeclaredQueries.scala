@@ -1234,6 +1234,27 @@ object DeclaredQueries {
         "FROM orders WHERE o_orderkey < 500 " +
         "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ()) " +
         "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "q199_fuzz5_pins" ->
+      // r9 fuzz batch 5 closures, oracle-pinned: fmod is FLOORED modulo
+      // (sign of divisor → pmod), fdiv is floored division, scalar range
+      // with stepped/negative forms (end-exclusive, empty on void),
+      // list_reverse/array_reverse, datetrunc/datepart aliases (dow
+      // 0-base preserved through the alias), arbitrary(), the NULL
+      // needle of list_contains, and split_part's negative index
+      ("SELECT o_orderkey, " +
+        "fmod(-CAST(o_orderkey AS DOUBLE) - 0.5, 3) AS fm, " +
+        "CAST(fdiv(-CAST(o_orderkey AS BIGINT), 4) AS BIGINT) AS fd, " +
+        "range(CAST(5 AS BIGINT), 1, -1) AS r_down, " +
+        "range(CAST(1 AS BIGINT), 10, 3) AS r_step, " +
+        "range(CAST(3 AS BIGINT), 3, 1) AS r_void, " +
+        "list_reverse([o_orderkey, 1, 2]) AS lr, " +
+        "array_reverse([1, o_orderkey]) AS ar, " +
+        "datetrunc('quarter', TIMESTAMP '2024-05-05 10:00:00') AS dtq, " +
+        "CAST(datepart('dow', DATE '2024-01-07') AS BIGINT) AS dp, " +
+        "list_contains([o_orderkey, 2], NULL) AS lcn, " +
+        "split_part('a,b,c', ',', -1) AS sp, " +
+        "(SELECT arbitrary(x) FROM (SELECT 7 AS x) t) AS arb " +
+        "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

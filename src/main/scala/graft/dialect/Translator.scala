@@ -1794,6 +1794,15 @@ object Translator {
     "PARSEDATETIMEBESTEFFORT" -> "try_to_timestamp",
     "MATCH" -> "rlike",
     "HISTOGRAM" -> "graft_histogram",
+    // r9 fuzz batch 5, probe-pinned on DuckDB 1.0:
+    // fmod is FLOORED modulo (sign of divisor: fmod(-7,2)=1, fmod(7,-2)=-1)
+    // — exactly Spark pmod; plain mod/% match already (sign of dividend)
+    "FMOD" -> "pmod",
+    "ARRAY_REVERSE" -> "reverse",
+    "DATETRUNC" -> "date_trunc",
+    // fallback for non-literal parts the rewriteDateFns form skips
+    "DATEPART" -> "date_part",
+    "ARBITRARY" -> "any_value",
     "PRODUCT" -> "graft_product",
     "MAD" -> "graft_mad",
     // r7 session-3 alias sweep (duckdb_functions() audit): plain renames
@@ -2391,19 +2400,35 @@ object Translator {
               // stays loud (sign-dependent end adjustment).
               val p = prevNonWs(toks, i)
               val tableCtx = p >= 0 && Set("FROM", "JOIN").contains(up(toks(p)))
-              val n = splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen))).length
-              !tableCtx && (n == 1 || n == 2)
+              val argsN = splitTopLevel(toks.slice(callOpen + 1, matchParen(toks, callOpen)))
+              // 3-arg needs the step's sign at rewrite time (end-exclusive
+              // adjustment flips with it) — literal steps only, the rest
+              // stay loud
+              !tableCtx && (argsN.length == 1 || argsN.length == 2 ||
+                (argsN.length == 3 &&
+                  scala.util.Try(render(argsN(2)).trim.toLong).toOption.exists(_ != 0)))
             } =>
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
-            val (a, b) =
-              if (args.length == 1) ("0", render(args(0)).trim)
-              else (render(args(0)).trim, render(args(1)).trim)
             // typed empty: slice of a 1-element sequence keeps the int
             // element type (a bare array() would be ARRAY<STRING>)
-            toks = toks.patch(i, lex(
-              s"(CASE WHEN ($b) <= ($a) THEN slice(sequence(($a), ($a)), 1, 0) ELSE sequence(($a), ($b) - 1) END)"),
-              close - i + 1)
+            if (args.length == 3) {
+              val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+              val step = render(args(2)).trim.toLong
+              val (empty, end) =
+                if (step > 0) (s"($b) <= ($a)", s"($b) - 1")
+                else (s"($b) >= ($a)", s"($b) + 1")
+              toks = toks.patch(i, lex(
+                s"(CASE WHEN $empty THEN slice(sequence(($a), ($a)), 1, 0) ELSE sequence(($a), $end, $step) END)"),
+                close - i + 1)
+            } else {
+              val (a, b) =
+                if (args.length == 1) ("0", render(args(0)).trim)
+                else (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(
+                s"(CASE WHEN ($b) <= ($a) THEN slice(sequence(($a), ($a)), 1, 0) ELSE sequence(($a), ($b) - 1) END)"),
+                close - i + 1)
+            }
             changed = true
           case id: Ident if (id.upper == "MAP_EXTRACT" ||
               id.upper == "ELEMENT_AT") && callOpen >= 0 =>
@@ -3576,6 +3601,31 @@ object Translator {
             }
             toks = toks.patch(i, Seq(Ident("to_timestamp")), 1)
             changed = true
+          case id: Ident if id.upper == "FDIV" && callOpen >= 0 =>
+            // r9 batch 5: fdiv = floored division (probe: fdiv(-7,-2)=3,
+            // fdiv(10.5,-3)=-4); Spark / on integers is double division,
+            // so floor(x / y) reproduces it for every numeric pairing
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (x, y) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(s"floor(($x) / ($y))"), close - i + 1)
+              changed = true
+            }
+          case id: Ident if (id.upper == "LIST_CONTAINS" ||
+              id.upper == "LIST_HAS") && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              val args = splitTopLevel(toks.slice(callOpen + 1, close))
+              args.length == 2 && (args(1).filterNot(isWs) match {
+                case Vector(n: Ident) => n.upper == "NULL"
+                case _ => false
+              })
+            } =>
+            // r9 batch 5: list_contains(l, NULL) is NULL in DuckDB; Spark's
+            // array_contains rejects the untyped NULL needle at analysis
+            val close = matchParen(toks, callOpen)
+            toks = toks.patch(i, lex("CAST(NULL AS BOOLEAN)"), close - i + 1)
+            changed = true
           case id: Ident if id.upper == "GENERATE_SERIES" && callOpen >= 0 =>
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
@@ -3690,7 +3740,7 @@ object Translator {
               }
             }
           }
-        case id: Ident if id.upper == "DATE_PART" =>
+        case id: Ident if id.upper == "DATE_PART" || id.upper == "DATEPART" =>
           val open = nextNonWs(toks, i)
           if (open < toks.length && toks(open) == Punct("(")) {
             val close = matchParen(toks, open)

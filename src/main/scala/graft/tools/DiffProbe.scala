@@ -29,12 +29,21 @@ object DiffProbe {
       // named structs render {field:value,…} to line up with DuckDB's
       // python dicts (r9 batch-4 canonicalization); schema-less rows
       // (rare: manual Row construction) keep the tuple form
-      if (r.schema != null)
-        r.schema.fieldNames.zip(r.toSeq)
+      if (r.schema != null) {
+        // positional structs (arrays_zip: fields "0".."n-1") render as
+        // lists — DuckDB's client renders list_zip tuples that way (r9)
+        val names = r.schema.fieldNames
+        if (names.zipWithIndex.forall { case (n, i) => n == i.toString })
+          r.toSeq.map(norm).mkString("[", ",", "]")
+        else names.zip(r.toSeq)
           .map { case (n, v) => s"$n:${norm(v)}" }
           .sorted.mkString("{", ",", "}")
-      else r.toSeq.map(norm).mkString("(", ",", ")")
+      } else r.toSeq.map(norm).mkString("(", ",", ")")
     case t: java.sql.Timestamp => t.toString.stripSuffix(".0")
+    // day-time intervals canonicalize to seconds on both sides (the
+    // python twin renders timedelta.total_seconds())
+    case d: java.time.Duration => norm(d.getSeconds + d.getNano / 1e9)
+    case p: java.time.Period => norm(p.toTotalMonths.toDouble) + "mo"
     case other => other.toString
   }
 
