@@ -1241,19 +1241,56 @@ object DeclaredQueries {
       // list_reverse/array_reverse, datetrunc/datepart aliases (dow
       // 0-base preserved through the alias), arbitrary(), the NULL
       // needle of list_contains, and split_part's negative index
+      // r10: list outputs serialized via array_to_string per the round-5
+      // rule (raw LIST columns crash the driver comparator's pandas sort
+      // — the r9 red row); r_void coalesced because DuckDB renders the
+      // empty list's array_to_string as NULL. Also extended with the
+      // advisor-flagged negative-DIVISOR fmod pin (floored modulo: sign
+      // of divisor, which pmod got wrong) and the date_diff century /
+      // millennium floor-grid boundary pins.
       ("SELECT o_orderkey, " +
         "fmod(-CAST(o_orderkey AS DOUBLE) - 0.5, 3) AS fm, " +
+        "fmod(CAST(o_orderkey AS DOUBLE) + 0.5, -3) AS fmn, " +
+        "fmod(CAST(o_orderkey AS BIGINT) + 3, -2) AS fmi, " +
         "CAST(fdiv(-CAST(o_orderkey AS BIGINT), 4) AS BIGINT) AS fd, " +
-        "range(CAST(5 AS BIGINT), 1, -1) AS r_down, " +
-        "range(CAST(1 AS BIGINT), 10, 3) AS r_step, " +
-        "range(CAST(3 AS BIGINT), 3, 1) AS r_void, " +
-        "list_reverse([o_orderkey, 1, 2]) AS lr, " +
-        "array_reverse([1, o_orderkey]) AS ar, " +
-        "datetrunc('quarter', TIMESTAMP '2024-05-05 10:00:00') AS dtq, " +
+        "array_to_string(range(CAST(5 AS BIGINT), 1, -1), ',') AS r_down, " +
+        "array_to_string(range(CAST(1 AS BIGINT), 10, 3), ',') AS r_step, " +
+        "coalesce(array_to_string(range(CAST(3 AS BIGINT), 3, 1), ','), '') AS r_void, " +
+        "array_to_string(list_reverse([o_orderkey, 1, 2]), ',') AS lr, " +
+        "array_to_string(array_reverse([1, o_orderkey]), ',') AS ar, " +
+        "CAST(date_diff('century', DATE '1899-06-01', DATE '1900-06-01') AS BIGINT) AS ddc1, " +
+        "CAST(date_diff('century', DATE '1900-06-01', DATE '1901-06-01') AS BIGINT) AS ddc0, " +
+        "CAST(date_diff('century', DATE '2000-01-01', DATE '1999-01-01') AS BIGINT) AS ddcn, " +
+        "CAST(date_diff('millennium', DATE '1999-01-01', DATE '2000-01-01') AS BIGINT) AS ddm, " +
+        // DuckDB date_trunc to a ≥day unit returns DATE (the q50 rule) —
+        // CAST pins the shape on both sides
+        "CAST(datetrunc('quarter', TIMESTAMP '2024-05-05 10:00:00') AS DATE) AS dtq, " +
         "CAST(datepart('dow', DATE '2024-01-07') AS BIGINT) AS dp, " +
         "list_contains([o_orderkey, 2], NULL) AS lcn, " +
         "split_part('a,b,c', ',', -1) AS sp, " +
         "(SELECT arbitrary(x) FROM (SELECT 7 AS x) t) AS arb " +
+        "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
+    "q200_date_interval_ts" ->
+      // r10 (VERDICT r9 #3 — the oldest silent shape divergence): DuckDB's
+      // DATE ± INTERVAL returns TIMESTAMP; the translator now wraps
+      // syntactically date-valued operands in CAST(… AS TIMESTAMP). Pins:
+      // ym + dt literal forms, month-end clamping both directions, the
+      // commuted INTERVAL + DATE, to_date/make_date call forms, the MIXED
+      // month+sub-month string interval (chained single-class adds — a
+      // former loud parse gap), and DuckDB's expression interval
+      // INTERVAL (e) UNIT via make_ym_interval/make_dt_interval
+      ("SELECT o_orderkey, " +
+        "DATE '2024-01-31' + INTERVAL 1 MONTH AS am, " +
+        "DATE '2024-03-31' - INTERVAL 1 MONTH AS sm, " +
+        "DATE '2024-01-01' + INTERVAL 90 MINUTE AS amin, " +
+        "DATE '2024-01-01' - INTERVAL 2 HOUR AS sh, " +
+        "INTERVAL 1 DAY + DATE '2024-01-01' AS cd, " +
+        "last_day(DATE '2024-05-05') + INTERVAL 2 DAY AS td, " +
+        "make_date(2024, 2, 29) + INTERVAL 1 YEAR AS md, " +
+        "DATE '2024-01-01' + INTERVAL '1 month 2 days' AS mx, " +
+        "DATE '2024-06-15' - INTERVAL '1 year 3 hours' AS mxs, " +
+        "o_orderdate + INTERVAL (o_orderkey) DAY AS oe, " +
+        "DATE '2024-01-31' + INTERVAL (o_orderkey % 3) MONTH AS oem " +
         "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where

@@ -791,6 +791,99 @@ object Translator {
             val r = render(toks.slice(rStart, rEnd + 1)).trim
             toks = toks.patch(lStart, lex(s"datediff($l, $r)"), rEnd - lStart + 1)
             changed = true
+          case Punct(op0) if (op0 == "+" || op0 == "-") && {
+              // x ± INTERVAL … (r10, VERDICT r9 #3): DuckDB's DATE ±
+              // INTERVAL returns TIMESTAMP where Spark keeps DATE — wrap
+              // the syntactically date-valued operand in CAST(… AS
+              // TIMESTAMP). Also closes two loud parse gaps: the MIXED
+              // month+sub-month string interval (Spark rejects INTERVAL
+              // '1 month 2 days') via chained single-class adds, and the
+              // expression interval INTERVAL (e) UNIT via
+              // make_ym_interval / make_dt_interval.
+              val rStart = nextNonWs(toks, i)
+              val lEnd = prevNonWs(toks, i)
+              rStart < toks.length && up(toks(rStart)) == "INTERVAL" &&
+                intervalRunEnd(toks, rStart) >= 0 && lEnd >= 0 &&
+                // left must be a real operand end (not SELECT/comma/open
+                // paren — those make the INTERVAL unary, not arithmetic)
+                (toks(lEnd) match {
+                  case _: Num | _: Str => true
+                  case Punct(")") | Punct("]") => true
+                  case id2: Ident => !keywordLike(id2.upper)
+                  case _ => false
+                }) && !intervalEndsAt(toks, lEnd)
+            } =>
+            val rStart = nextNonWs(toks, i)
+            val rEnd = intervalRunEnd(toks, rStart)
+            val lEnd = prevNonWs(toks, i)
+            var lStart = primaryStart(toks, lEnd)
+            if (toks(lStart).isInstanceOf[Str]) {
+              val p = prevNonWs(toks, lStart)
+              if (p >= 0 && (up(toks(p)) == "DATE" || up(toks(p)) == "TIMESTAMP"))
+                lStart = p
+            }
+            val l = render(toks.slice(lStart, lEnd + 1)).trim
+            val lDate = dateValuedSlice(toks, lStart, lEnd)
+            val lNew = if (lDate) s"CAST(($l) AS TIMESTAMP)" else l
+            val sig = toks.slice(rStart, rEnd + 1).filterNot(isWs)
+            val mixed = sig match {
+              case Vector(_: Ident, _: Str) =>
+                intervalWidth(toks.slice(rStart, rEnd + 1))
+                  .filter { case (m, us) => m != 0 && us != 0 }
+              case _ => None
+            }
+            val exprIv: Option[String] =
+              if (sig.length >= 3 && sig(1) == Punct("(")) {
+                val open = nextNonWs(toks, rStart)
+                val close = matchParen(toks, open)
+                val e = render(toks.slice(open, close + 1)).trim
+                val (m1, us1) = unitWidth(up(toks(rEnd)), 1L).get
+                Some(
+                  if (m1 > 0L) s"make_ym_interval(0, $e * $m1)"
+                  else if (us1 % 1000000L == 0L)
+                    s"make_dt_interval(0, 0, 0, $e * ${us1 / 1000000L})"
+                  else s"make_dt_interval(0, 0, 0, $e * $us1 / 1000000.0)")
+              } else None
+            (mixed, exprIv) match {
+              case (Some((m, us)), _) =>
+                toks = toks.patch(lStart, lex(
+                  s"(($lNew $op0 INTERVAL $m MONTH) $op0 INTERVAL $us MICROSECOND)"),
+                  rEnd - lStart + 1)
+                changed = true
+              case (_, Some(fn)) =>
+                toks = toks.patch(lStart, lex(s"($lNew $op0 $fn)"),
+                  rEnd - lStart + 1)
+                changed = true
+              case _ if lDate =>
+                toks = toks.patch(lStart, lex(lNew), lEnd - lStart + 1)
+                changed = true
+              case _ => // plain interval on a non-date operand: passthrough
+            }
+          case Punct("+") if {
+              // commuted form: INTERVAL … + <date-valued> — wrap the
+              // right side the same way
+              val lEnd = prevNonWs(toks, i)
+              val rStart = nextNonWs(toks, i)
+              lEnd >= 0 && rStart < toks.length &&
+                intervalEndsAt(toks, lEnd) && {
+                  var rE = primaryEnd(toks, rStart)
+                  if (up(toks(rStart)) == "DATE") {
+                    val n = nextNonWs(toks, rStart)
+                    if (n < toks.length && toks(n).isInstanceOf[Str]) rE = n
+                  }
+                  dateValuedSlice(toks, rStart, rE)
+                }
+            } =>
+            val rStart = nextNonWs(toks, i)
+            var rEnd = primaryEnd(toks, rStart)
+            if (up(toks(rStart)) == "DATE") {
+              val n = nextNonWs(toks, rStart)
+              if (n < toks.length && toks(n).isInstanceOf[Str]) rEnd = n
+            }
+            val r = render(toks.slice(rStart, rEnd + 1)).trim
+            toks = toks.patch(rStart, lex(s"CAST(($r) AS TIMESTAMP)"),
+              rEnd - rStart + 1)
+            changed = true
           case Punct(op0) if op0 == "**" || op0 == "^" =>
             // `^` is POWER in DuckDB where Spark's `^` is bitwise XOR — a
             // silent wrong answer through passthrough (r8 fuzz: 2 ^ 3 gave
@@ -1794,10 +1887,11 @@ object Translator {
     "PARSEDATETIMEBESTEFFORT" -> "try_to_timestamp",
     "MATCH" -> "rlike",
     "HISTOGRAM" -> "graft_histogram",
-    // r9 fuzz batch 5, probe-pinned on DuckDB 1.0:
-    // fmod is FLOORED modulo (sign of divisor: fmod(-7,2)=1, fmod(7,-2)=-1)
-    // — exactly Spark pmod; plain mod/% match already (sign of dividend)
-    "FMOD" -> "pmod",
+    // FMOD is handled by an arg-shape rewrite (true floored modulo) — the
+    // old name-map to pmod diverged for negative divisors: DuckDB
+    // fmod(7,-2)=-1 but Spark pmod(7,-2)=1 (pmod only corrects a negative
+    // JVM remainder, it never flips sign toward the divisor). r10 fix,
+    // probe-pinned: fmod(7,-2)=-1, fmod(10,-3)=-2, fmod(-7,2)=1.
     "ARRAY_REVERSE" -> "reverse",
     "DATETRUNC" -> "date_trunc",
     // fallback for non-literal parts the rewriteDateFns form skips
@@ -2006,6 +2100,64 @@ object Translator {
   private def bucketWidth(arg: Vector[Tok]): Option[(Long, Long)] =
     intervalWidth(arg).filter { case (m, us) =>
       (m > 0 && us == 0) || (m == 0 && us > 0) }
+
+  /** End index of an INTERVAL run starting at `start` (an INTERVAL ident),
+    * or -1. Shapes: `INTERVAL n UNIT`, `INTERVAL 'n' UNIT`,
+    * `INTERVAL 'str'` (string form), `INTERVAL (expr) UNIT` (DuckDB's
+    * non-literal count). Used by the ± INTERVAL arithmetic rewrite. */
+  private def intervalRunEnd(toks: Vector[Tok], start: Int): Int = {
+    if (up(toks(start)) != "INTERVAL") return -1
+    val n1 = nextNonWs(toks, start)
+    if (n1 >= toks.length) return -1
+    toks(n1) match {
+      case _: Num =>
+        val n2 = nextNonWs(toks, n1)
+        if (n2 < toks.length && unitWidth(up(toks(n2)), 1L).isDefined) n2 else -1
+      case _: Str =>
+        val n2 = nextNonWs(toks, n1)
+        if (n2 < toks.length && unitWidth(up(toks(n2)), 1L).isDefined) n2 else n1
+      case Punct("(") =>
+        val close = matchParen(toks, n1)
+        val n2 = nextNonWs(toks, close)
+        if (n2 < toks.length && unitWidth(up(toks(n2)), 1L).isDefined) n2 else -1
+      case _ => -1
+    }
+  }
+
+  /** Syntactically DATE-valued primary (literal / date-returning call) —
+    * the class the ± INTERVAL rewrite must CAST to TIMESTAMP for DuckDB
+    * parity. Deliberately EXCLUDES `CAST(… AS DATE)`: our own date_trunc/
+    * time_bucket emissions produce that shape AFTER this pass runs, so
+    * capturing it would break the translate∘translate fixpoint. Typed
+    * DATE columns can't be told apart at translate time either —
+    * documented, same posture as the DATE - DATE rewrite. */
+  private def dateValuedSlice(toks: Vector[Tok], from: Int, to: Int): Boolean = {
+    val nw = toks.slice(from, to + 1).filterNot(isWs)
+    nw.headOption.exists {
+      case d: Ident if d.upper == "DATE" =>
+        nw.length == 2 && nw(1).isInstanceOf[Str]
+      case d: Ident if Set("MAKE_DATE", "TO_DATE", "LAST_DAY").contains(d.upper) =>
+        nw.length > 1 && nw(1) == Punct("(")
+      case d: Ident if d.upper == "CURRENT_DATE" || d.upper == "TODAY" => true
+      case _ => false
+    }
+  }
+
+  /** True when the operand ENDING at `lEnd` is a literal INTERVAL run —
+    * interval+interval arithmetic must stay passthrough. */
+  private def intervalEndsAt(toks: Vector[Tok], lEnd: Int): Boolean =
+    toks(lEnd) match {
+      case u: Ident if unitWidth(u.upper, 1L).isDefined =>
+        val p1 = prevNonWs(toks, lEnd)
+        p1 >= 0 && (toks(p1).isInstanceOf[Num] || toks(p1).isInstanceOf[Str]) && {
+          val p2 = prevNonWs(toks, p1)
+          p2 >= 0 && up(toks(p2)) == "INTERVAL"
+        }
+      case _: Str =>
+        val p1 = prevNonWs(toks, lEnd)
+        p1 >= 0 && up(toks(p1)) == "INTERVAL"
+      case _ => false
+    }
 
   /** Normalize a DuckDB JSON path literal to the Spark JsonPath dialect
     * (r9 batch-4 fuzz): bare keys get the `$.` root, JSON-pointer
@@ -3601,6 +3753,22 @@ object Translator {
             }
             toks = toks.patch(i, Seq(Ident("to_timestamp")), 1)
             changed = true
+          case id: Ident if id.upper == "FMOD" && callOpen >= 0 =>
+            // r10 (advisor fix): fmod = FLOORED modulo — result takes the
+            // sign of the DIVISOR (probe on DuckDB 1.0: fmod(7,-2)=-1,
+            // fmod(10,-3)=-2, fmod(-7,2)=1, fmod(7,0)=NULL, always
+            // DOUBLE). Spark pmod matches only for positive divisors, so
+            // emit x - y*floor(x/y) directly; Spark's non-ANSI x/0 → NULL
+            // reproduces the NULL-on-zero-divisor edge for free.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (x, y) = (render(args(0)).trim, render(args(1)).trim)
+              val xd = s"CAST(($x) AS DOUBLE)"
+              val yd = s"CAST(($y) AS DOUBLE)"
+              toks = toks.patch(i, lex(s"($xd - $yd * floor($xd / $yd))"), close - i + 1)
+              changed = true
+            }
           case id: Ident if id.upper == "FDIV" && callOpen >= 0 =>
             // r9 batch 5: fdiv = floored division (probe: fdiv(-7,-2)=3,
             // fdiv(10.5,-3)=-4); Spark / on integers is double division,
@@ -3721,7 +3889,12 @@ object Translator {
                     case "quarter" | "quarters" => s"(CAST(round(months_between(date_trunc('quarter', $b), date_trunc('quarter', $a))) AS BIGINT) DIV 3)"
                     case "year" | "years" => s"(year($b) - year($a))"
                     case "decade" | "decades" => s"((year($b) DIV 10) - (year($a) DIV 10))"
-                    case "century" | "centuries" => s"(CAST(ceil(year($b) / 100.0) AS BIGINT) - CAST(ceil(year($a) / 100.0) AS BIGINT))"
+                    // r10 (advisor fix): DuckDB counts century/millennium
+                    // crossings on the FLOOR grid like decade — probed
+                    // date_diff('century', 1899→1900)=1 but (1900→1901)=0;
+                    // the old ceil form was inverted at every boundary
+                    case "century" | "centuries" => s"((year($b) DIV 100) - (year($a) DIV 100))"
+                    case "millennium" | "millennia" => s"((year($b) DIV 1000) - (year($a) DIV 1000))"
                     case "week" | "weeks" => s"(datediff(date_trunc('week', $b), date_trunc('week', $a)) DIV 7)"
                     case "hour" | "hours" => truncDiv("hour", 3600L)
                     case "minute" | "minutes" => truncDiv("minute", 60L)

@@ -47,6 +47,9 @@ object GraftFunctions {
       args => RegexpReplaceFirst(args(0), args(1), args(2))),
     ("quant_dot", "integer dot product of array<float> against a pre-quantized array<bigint>",
       args => QuantDot(args(0), args(1))),
+    ("centroid_argmax", "argmax-cosine centroid id of array<float> against a flat row-major centroid matrix",
+      args => CentroidArgmax(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue())),
     ("quant_cos_micro", "integer-exact cosine (micro-units) of array<float> against a pre-quantized array<bigint>",
       args => QuantCosMicro(args(0), args(1))),
     ("strip_to_alnum_space", "trim(regexp_replace(s,'[^a-z0-9 ]','')) as one byte scan",
@@ -206,6 +209,9 @@ object GraftFunctions {
   def minhash_from_hashes(hashes: Column, numHashes: Int): Column =
     org.apache.spark.sql.functions.call_function("minhash_from_hashes", hashes,
       org.apache.spark.sql.functions.lit(numHashes))
+  def centroid_argmax(vec: Column, cmat: Column, dim: Int): Column =
+    org.apache.spark.sql.functions.call_function("centroid_argmax", vec, cmat,
+      org.apache.spark.sql.functions.lit(dim))
 }
 
 /** `spark.sql.extensions` entry point. */

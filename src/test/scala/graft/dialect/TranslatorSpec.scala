@@ -1071,6 +1071,61 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT rlike((s), '^(?:' || (p) || ')$')")
   }
 
+  test("r10 advice: fmod floored modulo, date_diff century/millennium floor grid") {
+    // fmod takes the sign of the DIVISOR (probe: fmod(7,-2)=-1,
+    // fmod(10,-3)=-2) — pmod matched only for positive divisors
+    val fm = t("SELECT fmod(a, b)")
+    assert(fm.contains("floor") && !fm.toLowerCase.contains("pmod"), fm)
+    assert(t(fm) == fm, s"fmod emission not idempotent: $fm")
+    // century/millennium crossings count on the floor grid like decade
+    // (probe: date_diff('century', 1899→1900)=1, (1900→1901)=0)
+    val dc = t("SELECT date_diff('century', a, b)")
+    assert(dc.contains("DIV 100") && !dc.contains("ceil"), dc)
+    val dm = t("SELECT date_diff('millennium', a, b)")
+    assert(dm.contains("DIV 1000"), dm)
+  }
+
+  test("r10: DATE ± INTERVAL casts to TIMESTAMP, mixed/expr intervals rewritten") {
+    // date-valued operands get the TIMESTAMP wrap (DuckDB returns
+    // TIMESTAMP for DATE ± INTERVAL)
+    assert(t("SELECT DATE '2024-01-31' + INTERVAL 1 MONTH") ==
+      "SELECT CAST((DATE '2024-01-31') AS TIMESTAMP) + INTERVAL 1 MONTH")
+    assert(t("SELECT current_date - INTERVAL 7 DAY") ==
+      "SELECT CAST((current_date) AS TIMESTAMP) - INTERVAL 7 DAY")
+    assert(t("SELECT to_date(s) + INTERVAL 1 DAY FROM t") ==
+      "SELECT CAST((to_date(s)) AS TIMESTAMP) + INTERVAL 1 DAY FROM t")
+    // commuted: INTERVAL + DATE
+    assert(t("SELECT INTERVAL 1 DAY + DATE '2024-01-01'") ==
+      "SELECT INTERVAL 1 DAY + CAST((DATE '2024-01-01') AS TIMESTAMP)")
+    // typed columns stay passthrough (can't be told apart at translate
+    // time — documented, same posture as DATE - DATE)
+    assert(t("SELECT ts + INTERVAL 1 DAY FROM t") ==
+      "SELECT ts + INTERVAL 1 DAY FROM t")
+    // interval+interval arithmetic untouched
+    assert(t("SELECT INTERVAL 1 DAY + INTERVAL 2 HOUR") ==
+      "SELECT INTERVAL 1 DAY + INTERVAL 2 HOUR")
+    // mixed month+sub-month string interval → chained single-class adds
+    // (Spark rejects the mixed literal outright)
+    assert(t("SELECT ts + INTERVAL '1 month 2 days' FROM t") ==
+      "SELECT ((ts + INTERVAL 1 MONTH) + INTERVAL 172800000000 MICROSECOND) FROM t")
+    // expression interval (DuckDB INTERVAL (e) UNIT)
+    assert(t("SELECT ts + INTERVAL (n) DAY FROM t") ==
+      "SELECT (ts + make_dt_interval(0, 0, 0, (n) * 86400)) FROM t")
+    assert(t("SELECT ts - INTERVAL (n) MONTH FROM t") ==
+      "SELECT (ts - make_ym_interval(0, (n) * 1)) FROM t")
+    // unary context (no left operand) stays put
+    assert(t("SELECT - INTERVAL 1 DAY") == "SELECT - INTERVAL 1 DAY")
+    // emissions survive re-translation unchanged
+    for (q <- Seq("SELECT DATE '2024-01-31' + INTERVAL 1 MONTH",
+        "SELECT ts + INTERVAL '1 month 2 days' FROM t",
+        "SELECT ts + INTERVAL (n) DAY FROM t",
+        "SELECT INTERVAL 1 DAY + DATE '2024-01-01'",
+        "SELECT time_bucket(INTERVAL '1 month', d) + INTERVAL 1 DAY FROM t")) {
+      val once = t(q)
+      assert(t(once) == once, s"not idempotent: $q -> $once -> ${t(once)}")
+    }
+  }
+
   test("r8 advice: backslash separator gets four source-level backslashes") {
     // Spark's string parser eats one level, the regex engine the other —
     // 3 backslashes would leave a lone \ escaping the closing quote

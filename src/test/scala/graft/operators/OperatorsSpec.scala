@@ -10,6 +10,20 @@ class OperatorsSpec extends SparkTestBase {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       assert(df.schema.fields.nonEmpty, s"$name: empty schema")
+      // r10 dev-gate lint (VERDICT r9 #1): the driver comparator
+      // pandas-sorts rows and cannot hash numpy arrays, so no
+      // oracle-listed entry may expose a top-level ARRAY/MAP column —
+      // serialize through array_to_string (round-5 rule). Mechanical now,
+      // not prose: q199 shipped red for exactly this.
+      if (SparkEntry.oracleSql.contains(name)) {
+        val offenders = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+        }
+        assert(offenders.isEmpty,
+          s"$name: top-level array/map columns ${offenders.toSeq} would crash " +
+            "the driver comparator — serialize via array_to_string")
+      }
       df.limit(1).collect() // forces execution of the plan head
     }
   }
