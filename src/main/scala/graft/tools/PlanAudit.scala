@@ -585,9 +585,13 @@ object PlanAudit {
     // no-match UPDATE must pay ZERO rewrites (probe scan only).
     {
       Engine.sql(spark, "DROP TABLE IF EXISTS g_cow_audit")
+      // range-partitioned: files hold contiguous id ranges, so both a
+      // selective (1-file) and a broad-but-partial (many-file) predicate
+      // are constructible
       spark.sql("SELECT o_orderkey AS id, o_totalprice AS price " +
           "FROM orders WHERE o_orderkey < 2000")
-        .repartition(8).write.format("parquet").saveAsTable("g_cow_audit")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("id"))
+        .write.format("parquet").saveAsTable("g_cow_audit")
       Engine.sql(spark, "UPDATE g_cow_audit SET price = 0 WHERE id = 1").collect()
       val (tot, aff, linked) = Engine.lastCowStats.get()
       if (tot >= 4 && aff < tot && linked >= 1)
@@ -603,6 +607,25 @@ object PlanAudit {
       else {
         failures += 1
         println("PLAN BAD  cow no-match UPDATE paid a table rewrite")
+      }
+      // r10 (VERDICT r9 #5): above the IN-list threshold the prune must
+      // switch to the broadcast semi-join form (no O(files) SQL literal).
+      // id < 1200 touches ~5 of 8 range-partitioned files (> threshold 2)
+      // while leaving the tail untouched (all-affected would degenerate
+      // to the unpruned full rewrite and never build a prune).
+      spark.conf.set("graft.cow.inlist.max", "2")
+      Engine.sql(spark,
+        "UPDATE g_cow_audit SET price = price WHERE id < 1200 AND id % 2 = 0")
+        .collect()
+      spark.conf.unset("graft.cow.inlist.max")
+      val (_, aff2, linked2) = Engine.lastCowStats.get()
+      if (Engine.lastCowPrune.get() == "semijoin" && aff2 > 2 && linked2 >= 1)
+        println(s"PLAN OK   cow broad UPDATE ($aff2 files) pruned via " +
+          "semi-join above threshold")
+      else {
+        failures += 1
+        println(s"PLAN BAD  cow broad UPDATE prune=${Engine.lastCowPrune.get()} " +
+          s"aff=$aff2 linked=$linked2 (want semijoin above threshold)")
       }
       Engine.sql(spark, "DROP TABLE IF EXISTS g_cow_audit")
     }
