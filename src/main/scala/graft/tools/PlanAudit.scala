@@ -578,6 +578,55 @@ object PlanAudit {
           s"index=$idxScans (want >=1)")
       }
     }
+    // r10 (VERDICT r9 #7): the band index is persisted PRE-EXPLODED and
+    // bucketed by band key. With broadcast disabled (the huge-increment
+    // regime) and AQE off (so the static tree is walkable), the candidate
+    // join must shuffle ONLY the increment side: the index side's join
+    // subtree contains zero exchanges — its bucket layout already
+    // satisfies the join's distribution.
+    {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      import org.apache.spark.sql.functions.col
+      val docs = spark.table("documents")
+      val bIdx = "graft_audit_mhidx"
+      if (!spark.catalog.tableExists(bIdx + "_bands"))
+        graft.operators.Dedup.buildMinhashIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), bIdx)
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val pairs = graft.operators.Dedup.minhashPairsIncremental(
+          docs.filter(col("doc_id") % 5 === 0), bIdx, threshold = 0.5)
+        val plan = pairs.queryExecution.executedPlan
+        def scansBands(p: SparkPlan): Boolean = p.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .mkString(",").contains("_bands") => f
+        }.nonEmpty
+        val bandSides = plan.collect { case j: BaseJoinExec => j }
+          .flatMap(j => Seq(j.left, j.right).filter(scansBands))
+        // innermost join side holding the bands scan = the probe side of
+        // the candidate join; downstream exchanges (dedup, verify joins)
+        // legitimately contain it deeper in their subtrees
+        val innermost = bandSides.sortBy(_.collect { case p => p }.length)
+          .headOption
+        val shuffles = innermost.toSeq
+          .flatMap(_.collect { case e: ShuffleExchangeLike => e })
+        if (innermost.nonEmpty && shuffles.isEmpty)
+          println("PLAN OK   band index bucket-joins with zero index-side exchange")
+        else {
+          failures += 1
+          println(s"PLAN BAD  band index join: bandsScanFound=${innermost.nonEmpty} " +
+            s"indexSideExchanges=${shuffles.length} (want found, 0)")
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
     // r9 (VERDICT r8 #2): file-level copy-on-write DML. A selective
     // UPDATE/DELETE on a multi-file table must rewrite ONLY the files
     // holding matched rows and link the rest forward — at 100 TB the
