@@ -1167,7 +1167,11 @@ object DeclaredQueries {
         "array_to_string(range(g % 4), ',') AS rg, " +
         "count(*) FILTER (g >= 0) AS cf, " +
         "CAST(date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS DATE) AS da, " +
-        "age(TIMESTAMP '2024-03-05 01:00:00', TIMESTAMP '2024-03-01 00:00:00') = INTERVAL '4 days 1 hour' AS ag " +
+        // r10: age() became the calendar decomposition (CalendarInterval);
+        // pin via part extraction — the old `= INTERVAL` comparison can't
+        // type-match Spark's mixed interval
+        "CAST(date_part('day', age(TIMESTAMP '2024-03-05 01:00:00', TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT) AS ag_d, " +
+        "CAST(date_part('hour', age(TIMESTAMP '2024-03-05 01:00:00', TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT) AS ag_h " +
         "FROM (SELECT o_orderkey % 5 AS g, o_orderstatus AS st FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey) " +
         "GROUP BY g ORDER BY g"),
     "q196_date_bucket_sub_diff" ->
@@ -1292,6 +1296,41 @@ object DeclaredQueries {
         "o_orderdate + INTERVAL (o_orderkey) DAY AS oe, " +
         "DATE '2024-01-31' + INTERVAL (o_orderkey % 3) MONTH AS oem " +
         "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
+    "q201_fuzz6_pins" ->
+      // r10 fuzz batch 6 closures, oracle-pinned: SIMPLE (1:1 codepoint)
+      // case mapping (ß→ẞ, İ→i, ligatures kept, no final sigma — the
+      // graft_upper/graft_lower kernels), unicode('') = -1, ILIKE under
+      // the simple fold, epoch/epoch_ms/extract-epoch of literal
+      // intervals (30-day months), DuckDB's strict string→BOOLEAN
+      // try_cast (no yes/y/no/n, no trim), and
+      // array_agg(DISTINCT … ORDER BY …)
+      ("SELECT " +
+        "upper('straße') AS up1, " +
+        "lower('İSTANBUL') AS lo1, " +
+        "upper('ﬁne') AS up2, " +
+        "lower('Σασ') AS lo2, " +
+        // no CAST around unicode(): the emission is a CASE the int-cast
+        // pass would re-wrap on re-translation (both engines return INT)
+        "unicode('é') AS uc, " +
+        "unicode('') AS uce, " +
+        "('İSTANBUL' ILIKE 'istanbul') AS il, " +
+        "('HELLO' ILIKE 'h%') AS il2, " +
+        "('x' NOT ILIKE 'Y') AS il3, " +
+        "CAST(epoch(INTERVAL '1 day') AS DOUBLE) AS ei, " +
+        "CAST(epoch_ms(INTERVAL '90 minutes') AS BIGINT) AS eims, " +
+        "CAST(extract(epoch FROM INTERVAL '2 hours') AS DOUBLE) AS eext, " +
+        "TRY_CAST('yes' AS BOOLEAN) AS tb1, " +
+        "TRY_CAST('TRUE' AS BOOLEAN) AS tb2, " +
+        "TRY_CAST(' true' AS BOOLEAN) AS tb3, " +
+        "TRY_CAST('1' AS BOOLEAN) AS tb4, " +
+        // age() calendar decomposition (probed: '1 mon 1 day' forward,
+        // sign-carried components backward)
+        "CAST(date_part('month', age(TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-01-31 00:00:00')) AS BIGINT) AS agm, " +
+        "CAST(date_part('day', age(TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-01-31 00:00:00')) AS BIGINT) AS agd, " +
+        "CAST(date_part('month', age(TIMESTAMP '2024-01-31 00:00:00', TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT) AS agmn, " +
+        "CAST(date_part('day', age(TIMESTAMP '2024-01-31 00:00:00', TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT) AS agdn, " +
+        "(SELECT array_to_string(array_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',') " +
+        "FROM orders WHERE o_orderkey < 200) AS lagg"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

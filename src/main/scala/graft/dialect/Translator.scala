@@ -1155,6 +1155,27 @@ object Translator {
                   s"$fn(round($fn(($expr) AS DECIMAL(38,9))) AS $ty)"),
                   close - i + 1)
                 changed = true
+              } else if (id.upper == "TRY_CAST" && tyToks.length == 1 &&
+                  up(tyToks.head) == "BOOLEAN") {
+                // r10 fuzz batch 6, probe-pinned: DuckDB's string→BOOLEAN
+                // accepts only true/false/t/f/1/0, case-insensitive, NO
+                // whitespace trim — Spark additionally takes yes/y/no/n
+                // and trims, a silent wrong answer through try_cast.
+                // Implemented as an explicit value map over the
+                // stringified input (an inner TRY_CAST would re-capture;
+                // plain CAST string→boolean THROWS in Spark even
+                // non-ANSI). Residue: a non-0/1 NUMERIC input stringifies
+                // past the map and returns NULL where DuckDB gives
+                // nonzero→true — narrower than the yes/no bug and only
+                // for try_cast(<float> AS BOOLEAN), documented here.
+                val expr = render(toks.slice(open + 1, asIdx)).trim
+                val s = s"lower(CAST(($expr) AS STRING))"
+                toks = toks.patch(i, lex(
+                  s"(CASE WHEN $s IN ('true', 't', '1') THEN true " +
+                    s"WHEN $s IN ('false', 'f', '0') THEN false " +
+                    s"ELSE CAST(NULL AS BOOLEAN) END)"),
+                  close - i + 1)
+                changed = true
               }
             }
           case Punct("::") =>
@@ -1741,12 +1762,19 @@ object Translator {
                   else if (ord.toUpperCase.endsWith(" ASC"))
                     (ord.dropRight(4).trim, false)
                   else (ord, false)
+                // r10 fuzz batch 6: array_agg(DISTINCT x ORDER BY …) was
+                // a loud parse error — strip DISTINCT and dedupe AFTER
+                // the sort (array_distinct keeps first occurrence, so
+                // order is preserved)
+                val distinct = valueExpr.toUpperCase.startsWith("DISTINCT ")
+                val ve = if (distinct) valueExpr.drop(9).trim else valueExpr
                 if (!key.toUpperCase.contains("NULLS")) {
                   val sorted =
-                    s"array_sort(collect_list(named_struct('k', ($key), 'v', ($valueExpr))))"
+                    s"array_sort(collect_list(named_struct('k', ($key), 'v', ($ve))))"
                   val body = if (desc) s"reverse($sorted)" else sorted
+                  val projected = s"transform($body, __g_s -> __g_s.v)"
                   toks = toks.patch(i,
-                    lex(s"transform($body, __g_s -> __g_s.v)"),
+                    lex(if (distinct) s"array_distinct($projected)" else projected),
                     close - i + 1)
                 }
               }
@@ -1901,8 +1929,13 @@ object Translator {
     "MAD" -> "graft_mad",
     // r7 session-3 alias sweep (duckdb_functions() audit): plain renames
     // where Spark's semantics match exactly
-    "UCASE" -> "upper",
-    "LCASE" -> "lower",
+    // r10 fuzz batch 6: DuckDB case mapping is utf8proc's SIMPLE (1:1
+    // codepoint) mapping; Java's full mapping silently diverges on
+    // ß/İ/ﬁ/final-sigma — kernel [[graft.functions.CaseMap]]
+    "UPPER" -> "graft_upper",
+    "LOWER" -> "graft_lower",
+    "UCASE" -> "graft_upper",
+    "LCASE" -> "graft_lower",
     "MEAN" -> "avg",
     "PREFIX" -> "startswith",
     "SUFFIX" -> "endswith",
@@ -1956,8 +1989,7 @@ object Translator {
     // both pad the shorter list with NULL to the longest (probe-verified)
     "LIST_ZIP" -> "arrays_zip",
     // codepoint of the first character in both engines
-    "UNICODE" -> "ascii",
-    "ORD" -> "ascii",
+    // UNICODE/ORD are arg-shape rewrites (empty string → -1, not 0)
     // DuckDB to_hex and Spark hex both emit uppercase, no leading zeros
     "TO_HEX" -> "hex",
     // r7 widening, each probe-verified on DuckDB 1.0:
@@ -2100,6 +2132,13 @@ object Translator {
   private def bucketWidth(arg: Vector[Tok]): Option[(Long, Long)] =
     intervalWidth(arg).filter { case (m, us) =>
       (m > 0 && us == 0) || (m == 0 && us > 0) }
+
+  /** Epoch microseconds of a LITERAL interval argument (30-day months —
+    * DuckDB's epoch(INTERVAL) convention, probed: '1 month' → 2592000);
+    * None for non-interval or non-literal args, which keep the timestamp
+    * emission (loud on intervals — Spark's unix_micros rejects them). */
+  private def intervalEpochMicros(arg: Vector[Tok]): Option[Long] =
+    intervalWidth(arg).map { case (m, us) => m * 2592000000000L + us }
 
   /** End index of an INTERVAL run starting at `start` (an INTERVAL ident),
     * or -1. Shapes: `INTERVAL n UNIT`, `INTERVAL 'n' UNIT`,
@@ -2523,11 +2562,31 @@ object Translator {
               val close = matchParen(toks, callOpen)
               splitTopLevel(toks.slice(callOpen + 1, close)).length == 2
             } =>
-            // DuckDB age(a, b) = a - b (interval); Spark ts - ts agrees
+            // r10 fuzz batch 6 (was a silent divergence): DuckDB age(a, b)
+            // is the CALENDAR decomposition (full months by date walking,
+            // then days, then time — Postgres semantics; probed:
+            // age(Mar 1, Jan 31) = '1 mon 1 day'), not the exact duration
+            // the old a - b mapping produced (30 days there). Emit the
+            // decomposition as a CalendarInterval via make_interval:
+            // m0 = raw month diff, stepped back/forward when B + m0
+            // months overshoots A; remainder split into trunc-toward-zero
+            // days + sub-day micros (Spark DIV/% both truncate, so the
+            // components share the sign like DuckDB's negative ages).
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val a = s"CAST((${render(args(0)).trim}) AS TIMESTAMP)"
+            val b = s"CAST((${render(args(1)).trim}) AS TIMESTAMP)"
+            val m0 = s"((year($a) - year($b)) * 12 + (month($a) - month($b)))"
+            val m = s"(CASE WHEN $a >= $b AND timestampadd(MONTH, $m0, $b) > $a THEN $m0 - 1 " +
+              s"WHEN $a < $b AND timestampadd(MONTH, $m0, $b) < $a THEN $m0 + 1 ELSE $m0 END)"
+            val rem = s"(unix_micros($a) - unix_micros(timestampadd(MONTH, $m, $b)))"
+            // round() is an identity on the integral DIV but marks the
+            // cast alreadyIntegral for the int-cast-rounding pass — the
+            // bare CAST(… DIV … AS INT) was re-wrapped on re-translation,
+            // breaking the translate∘translate fixpoint
             toks = toks.patch(i, lex(
-              s"((${render(args(0)).trim}) - (${render(args(1)).trim}))"),
+              s"make_interval(0, $m, 0, CAST(round($rem DIV 86400000000) AS INT), 0, 0, " +
+                s"CAST($rem % 86400000000 AS DECIMAL(18,6)) / 1000000)"),
               close - i + 1)
             changed = true
           case id: Ident if id.upper == "ARRAY_TO_STRING" && callOpen >= 0 && {
@@ -3753,6 +3812,50 @@ object Translator {
             }
             toks = toks.patch(i, Seq(Ident("to_timestamp")), 1)
             changed = true
+          case id: Ident if id.upper == "ILIKE" && callOpen < 0 && {
+              // r10 fuzz batch 6: DuckDB ILIKE folds with the SIMPLE case
+              // mapping ('İSTANBUL' ILIKE 'istanbul' is true); Spark's
+              // native ILIKE uses Java full folding — rewrite to LIKE
+              // over graft_lower on both sides. A trailing ESCAPE clause
+              // survives untouched.
+              val lEnd = prevNonWs(toks, i)
+              val rStart = nextNonWs(toks, i)
+              lEnd >= 0 && rStart < toks.length && {
+                val opEndL = if (up(toks(lEnd)) == "NOT") prevNonWs(toks, lEnd) else lEnd
+                opEndL >= 0 && (toks(opEndL) match {
+                  case _: Num | _: Str => true
+                  case Punct(")") | Punct("]") => true
+                  case id2: Ident => !keywordLike(id2.upper)
+                  case _ => false
+                })
+              }
+            } =>
+            val lEnd0 = prevNonWs(toks, i)
+            val notKw = up(toks(lEnd0)) == "NOT"
+            val lEnd = if (notKw) prevNonWs(toks, lEnd0) else lEnd0
+            val lStart = primaryStart(toks, lEnd)
+            val rStart = nextNonWs(toks, i)
+            val rEnd = primaryEnd(toks, rStart)
+            val l = render(toks.slice(lStart, lEnd + 1)).trim
+            val r = render(toks.slice(rStart, rEnd + 1)).trim
+            val not = if (notKw) "NOT " else ""
+            toks = toks.patch(lStart,
+              lex(s"graft_lower($l) ${not}LIKE graft_lower($r)"),
+              rEnd - lStart + 1)
+            changed = true
+          case id: Ident if (id.upper == "UNICODE" || id.upper == "ORD") &&
+              callOpen >= 0 =>
+            // r10 fuzz batch 6: DuckDB unicode('')/ord('') = -1 where
+            // Spark ascii('') = 0; NULL passes through either way
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 1) {
+              val x = render(args(0)).trim
+              toks = toks.patch(i, lex(
+                s"(CASE WHEN length($x) = 0 THEN -1 ELSE ascii($x) END)"),
+                close - i + 1)
+              changed = true
+            }
           case id: Ident if id.upper == "FMOD" && callOpen >= 0 =>
             // r10 (advisor fix): fmod = FLOORED modulo — result takes the
             // sign of the DIVISOR (probe on DuckDB 1.0: fmod(7,-2)=-1,
@@ -3934,8 +4037,12 @@ object Translator {
                     // (Sunday=0) — dayofweek arithmetic instead (r8)
                     case "isodow" => s"(((dayofweek($e) + 5) % 7) + 1)"
                     // DuckDB's epoch part is FRACTIONAL seconds (probe:
-                    // …00.5 → 1704067200.5); Spark's extract has no epoch
-                    case "epoch" => s"(unix_micros($e) / 1000000.0)"
+                    // …00.5 → 1704067200.5); Spark's extract has no epoch.
+                    // Literal-interval args fold to their width (r10)
+                    case "epoch" => intervalEpochMicros(args(1)) match {
+                      case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
+                      case None => s"(unix_micros($e) / 1000000.0)"
+                    }
                     case p => s"extract($p FROM $e)"
                   }
                   toks = toks.patch(i, lex(repl), close - i + 1)
@@ -3959,7 +4066,11 @@ object Translator {
                 Set("EPOCH", "DOW", "ISODOW").contains(up(toks(fi)))) {
               val e = render(toks.slice(fromI + 1, close)).trim
               val repl = up(toks(fi)) match {
-                case "EPOCH" => s"(unix_micros($e) / 1000000.0)"
+                case "EPOCH" =>
+                  intervalEpochMicros(toks.slice(fromI + 1, close)) match {
+                    case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
+                    case None => s"(unix_micros($e) / 1000000.0)"
+                  }
                 case "DOW" => s"(dayofweek($e) - 1)"
                 case "ISODOW" => s"(((dayofweek($e) + 5) % 7) + 1)"
               }
@@ -4009,10 +4120,22 @@ object Translator {
           if (open < toks.length && toks(open) == Punct("(")) {
             val close = matchParen(toks, open)
             val e = render(toks.slice(open + 1, close)).trim
+            // literal-interval args fold to their 30-day-month width (r10
+            // fuzz batch 6 — probed epoch_ms(INTERVAL '1 day') = 86400000)
+            val iv = intervalEpochMicros(toks.slice(open + 1, close))
             val repl = id.upper match {
-              case "EPOCH" => s"(unix_micros($e) / 1000000.0)"
-              case "EPOCH_MS" => s"unix_millis($e)"
-              case "EPOCH_US" => s"unix_micros($e)"
+              case "EPOCH" => iv match {
+                case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
+                case None => s"(unix_micros($e) / 1000000.0)"
+              }
+              case "EPOCH_MS" => iv match {
+                case Some(us) => s"CAST(${us / 1000L} AS BIGINT)"
+                case None => s"unix_millis($e)"
+              }
+              case "EPOCH_US" => iv match {
+                case Some(us) => s"CAST($us AS BIGINT)"
+                case None => s"unix_micros($e)"
+              }
             }
             toks = toks.patch(i, lex(repl), close - i + 1)
           }

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DuckDB-parity SIMPLE (1:1 codepoint) case mapping (r10 fuzz batch 6).
+  *
+  * DuckDB's upper/lower are utf8proc's per-codepoint mappings; Java's
+  * String.toUpperCase/toLowerCase apply FULL Unicode mappings — silent
+  * divergences probed on DuckDB 1.0:
+  *   upper('straße') → 'STRASSE-ẞ' vs Spark 'SS' (full expands 1:2),
+  *   lower('İSTANBUL') → 'istanbul' vs Spark 'i̇stanbul' (combining dot),
+  *   upper('ﬁne') → 'ﬁNE' vs Spark 'FINE' (ligature expanded),
+  *   lower('Σασ') → 'σασ' vs Spark final-sigma 'σας'.
+  * `Character.toUpperCase/toLowerCase` are exactly the 1:1 UnicodeData
+  * mappings — identical to utf8proc except ß→ẞ (utf8proc carries the
+  * capital sharp s where UnicodeData leaves ß unmapped), special-cased
+  * here and spec-pinned.
+  *
+  * ASCII-only strings (the overwhelming hot path: the whole token
+  * pipeline lowercases corpus text) take UTF8String's byte-level fast
+  * path untouched — identical output, no String round-trip. */
+object CaseMap {
+  private def isAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def upperSimple(s: UTF8String): UTF8String = {
+    if (isAscii(s)) return s.toUpperCase
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var j = 0
+    while (j < str.length) {
+      val cp = str.codePointAt(j)
+      sb.appendCodePoint(
+        if (cp == 0x00DF) 0x1E9E else Character.toUpperCase(cp))
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def lowerSimple(s: UTF8String): UTF8String = {
+    if (isAscii(s)) return s.toLowerCase
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var j = 0
+    while (j < str.length) {
+      val cp = str.codePointAt(j)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `graft_upper(s)` — DuckDB-parity simple uppercase. */
+case class GraftUpper(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_upper"
+  override def nullSafeEval(input: Any): Any =
+    CaseMap.upperSimple(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CaseMap.upperSimple($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftUpper =
+    copy(child = newChild)
+}
+
+/** `graft_lower(s)` — DuckDB-parity simple lowercase. */
+case class GraftLower(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lower"
+  override def nullSafeEval(input: Any): Any =
+    CaseMap.lowerSimple(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CaseMap.lowerSimple($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftLower =
+    copy(child = newChild)
+}

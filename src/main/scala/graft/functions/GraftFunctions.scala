@@ -50,6 +50,10 @@ object GraftFunctions {
     ("centroid_argmax", "argmax-cosine centroid id of array<float> against a flat row-major centroid matrix",
       args => CentroidArgmax(args(0), args(1),
         args(2).eval().asInstanceOf[Number].intValue())),
+    ("graft_upper", "DuckDB-parity simple (1:1 codepoint) uppercase",
+      args => GraftUpper(args(0))),
+    ("graft_lower", "DuckDB-parity simple (1:1 codepoint) lowercase",
+      args => GraftLower(args(0))),
     ("quant_cos_micro", "integer-exact cosine (micro-units) of array<float> against a pre-quantized array<bigint>",
       args => QuantCosMicro(args(0), args(1))),
     ("strip_to_alnum_space", "trim(regexp_replace(s,'[^a-z0-9 ]','')) as one byte scan",

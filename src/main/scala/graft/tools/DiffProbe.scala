@@ -44,6 +44,11 @@ object DiffProbe {
     // python twin renders timedelta.total_seconds())
     case d: java.time.Duration => norm(d.getSeconds + d.getNano / 1e9)
     case p: java.time.Period => norm(p.toTotalMonths.toDouble) + "mo"
+    // CalendarInterval (the age() decomposition): duckdb's python client
+    // converts month-bearing intervals to timedelta with 30-day months —
+    // mirror that so both sides canonicalize to the same seconds
+    case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+      norm(ci.months * 2592000.0 + ci.days * 86400.0 + ci.microseconds / 1e6)
     case other => other.toString
   }
 

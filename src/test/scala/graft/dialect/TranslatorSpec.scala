@@ -318,9 +318,9 @@ class TranslatorSpec extends AnyFunSuite {
 
   test("star REPLACE becomes EXCEPT plus appended aliases") {
     assert(t("SELECT * REPLACE (upper(a) AS a) FROM t") ==
-      "SELECT * EXCEPT (a), upper(a) AS a FROM t")
+      "SELECT * EXCEPT (a), graft_upper(a) AS a FROM t")
     assert(t("SELECT * REPLACE (a + 1 AS a, lower(b) AS b) FROM t WHERE c > 0") ==
-      "SELECT * EXCEPT (a, b), a + 1 AS a, lower(b) AS b FROM t WHERE c > 0")
+      "SELECT * EXCEPT (a, b), a + 1 AS a, graft_lower(b) AS b FROM t WHERE c > 0")
     // the scalar function replace(s, x, y) is untouched
     assert(t("SELECT replace(s, 'a', 'b') FROM t") ==
       "SELECT replace(s, 'a', 'b') FROM t")
@@ -435,8 +435,8 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("dot-call chaining becomes nested calls, before the fn-name map") {
-    assert(t("SELECT s.lower() FROM t") == "SELECT lower(s) FROM t")
-    assert(t("SELECT s.lower().upper() FROM t") == "SELECT upper(lower(s)) FROM t")
+    assert(t("SELECT s.lower() FROM t") == "SELECT graft_lower(s) FROM t")
+    assert(t("SELECT s.lower().upper() FROM t") == "SELECT graft_upper(graft_lower(s)) FROM t")
     assert(t("SELECT trim(s).length() FROM t") == "SELECT length(trim(s)) FROM t")
     // args append after the receiver; fn-name map still applies
     // (list_element -> try_element_at: NULL out of bounds, like DuckDB)
@@ -603,7 +603,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT [x * 2 FOR x IN xs] AS r FROM t")
       == "SELECT transform(xs, x -> x * 2) AS r FROM t")
     assert(t("SELECT [upper(s) FOR s IN split(v, '-') IF s <> ''] FROM t")
-      == "SELECT transform(filter(split(v, '-'), s -> s <> ''), s -> upper(s)) FROM t")
+      == "SELECT transform(filter(split(v, '-'), s -> s <> ''), s -> graft_upper(s)) FROM t")
     // literal source list still becomes array(...); subscripts untouched
     assert(t("SELECT [x + 1 FOR x IN [1, 2]] FROM t")
       == "SELECT transform(array(1, 2), x -> x + 1) FROM t")
@@ -640,7 +640,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT dayname(d), monthname(d) FROM t")
       == "SELECT date_format(d, 'EEEE'), date_format(d, 'MMMM') FROM t")
     assert(t("SELECT unicode(s), ord(s) FROM t")
-      == "SELECT ascii(s), ascii(s) FROM t")
+      == "SELECT (CASE WHEN length(s) = 0 THEN -1 ELSE ascii(s) END), (CASE WHEN length(s) = 0 THEN -1 ELSE ascii(s) END) FROM t")
     assert(t("SELECT list_zip(a, b) FROM t")
       == "SELECT arrays_zip(a, b) FROM t")
   }
@@ -803,7 +803,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT intDivOrZero(a, b)") ==
       "SELECT (CASE WHEN (b) = 0 THEN 0 ELSE (a) DIV (b) END)")
     assert(t("SELECT positionCaseInsensitive(h, n)") ==
-      "SELECT instr(lower(h), lower(n))")
+      "SELECT instr(graft_lower(h), graft_lower(n))")
     assert(t("SELECT multiSearchAny(h, ['a', 'b'])") ==
       "SELECT (CASE WHEN exists((array('a', 'b')), __g_n -> instr((h), __g_n) > 0) THEN 1 ELSE 0 END)")
     assert(t("SELECT toYYYYMMDDhhmmss(ts)").contains("* 10000000000"))

@@ -8,6 +8,32 @@ class ExpressionsSpec extends SparkTestBase {
 
   private def withFns[T](f: => T): T = { GraftFunctions.register(spark); f }
 
+  test("graft_upper/graft_lower are the DuckDB simple 1:1 case mappings") {
+    withFns {
+      import spark.implicits._
+      // probed on DuckDB 1.0 (r10 fuzz batch 6) — Java's FULL mappings
+      // diverge on every one of these (ß expands to SS, İ gains a
+      // combining dot, the ligature expands, final sigma kicks in)
+      assert(Seq("straße").toDF("s")
+        .select(expr("graft_upper(s)")).head.getString(0) == "STRAẞE")
+      assert(Seq("İSTANBUL").toDF("s")
+        .select(expr("graft_lower(s)")).head.getString(0) == "istanbul")
+      assert(Seq("ﬁne").toDF("s")
+        .select(expr("graft_upper(s)")).head.getString(0) == "ﬁNE")
+      assert(Seq("Σασ").toDF("s")
+        .select(expr("graft_lower(s)")).head.getString(0) == "σασ")
+      assert(Seq("ẞ").toDF("s")
+        .select(expr("graft_lower(s)")).head.getString(0) == "ß")
+      // ASCII fast path byte-identical to the native mapping
+      assert(Seq("Hello WORLD 123").toDF("s")
+        .select(expr("graft_lower(s)"), expr("graft_upper(s)")).head.toSeq
+        == Seq("hello world 123", "HELLO WORLD 123"))
+      // NULL passthrough
+      assert(Seq(Option.empty[String]).toDF("s")
+        .select(expr("graft_upper(s)")).head.isNullAt(0))
+    }
+  }
+
   test("cosine_sim matches a reference computation") {
     withFns {
       val a = Array(1.0f, 2.0f, 3.0f)
