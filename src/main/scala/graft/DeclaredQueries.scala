@@ -1331,6 +1331,33 @@ object DeclaredQueries {
         "CAST(date_part('day', age(TIMESTAMP '2024-01-31 00:00:00', TIMESTAMP '2024-03-01 00:00:00')) AS BIGINT) AS agdn, " +
         "(SELECT array_to_string(array_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',') " +
         "FROM orders WHERE o_orderkey < 200) AS lagg"),
+    "q202_fuzz7_pins" ->
+      // r10 fuzz batch 7 closures, oracle-pinned: VERBATIM string
+      // literals (Spark's default parser ate one backslash level —
+      // every \d-class regex was silently corrupted, and the PII
+      // patterns matched a superset since r2), POSIX character classes
+      // → \p{...}, printf float-specifier DECIMAL coercion, fmt-spec
+      // {:.Nf}/{:d} holes, strftime %g, lenient strptime parse fields,
+      // COLLATE NOCASE → UTF8_LCASE, split_part index 0, negative
+      // substr length, list_value
+      ("SELECT o_orderkey, " +
+        "regexp_extract(CAST(o_orderkey AS VARCHAR) || '-' || o_orderstatus, '(\\d+)', 1) AS rx1, " +
+        "regexp_extract('foo.bar', '\\.([a-z]+)', 1) AS rx2, " +
+        "regexp_matches(o_orderstatus, '[[:alpha:]]') AS rx3, " +
+        "regexp_replace('a1b22c', '\\d+', '#', 'g') AS rx4, " +
+        "array_to_string(regexp_split_to_array('x1y22z', '\\d+'), ',') AS rx5, " +
+        "regexp_replace('abc', '(b)', '[\\1]') AS rx6, " +
+        "printf('%5.2f|%e', CAST(3.14159 AS DOUBLE), CAST(12345.678 AS DOUBLE)) AS pf1, " +
+        "printf('%d-%s', o_orderkey, o_orderstatus) AS pf2, " +
+        "format('{:.2f} {} {:d}', CAST(2.718 AS DOUBLE), 'x', 7) AS fm1, " +
+        "strftime(TIMESTAMP '2024-03-07 14:05:09.123', '%Y-%m-%d %H:%M:%S %g') AS sf1, " +
+        "strptime('Mar 7 2024', '%b %d %Y') AS sp1, " +
+        "('a' = 'A' COLLATE NOCASE) AS co1, " +
+        "split_part('a,b,c', ',', 0) AS spz, " +
+        "substr('hello', 4, -2) AS sn1, " +
+        "substr('hello', 2, -1) AS sn2, " +
+        "array_to_string(list_value(1, 2, o_orderkey % 3), ',') AS lv " +
+        "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -86,6 +86,7 @@ object Translator {
     toks = rewriteStrftime(toks)
     toks = rewriteDateFns(toks)
     toks = rewriteRegexpReplaceFlag(toks)
+    toks = rewritePosixClasses(toks)
     toks = rewriteJsonArrows(toks)
     toks = rewriteSplitLiteralSep(toks)
     toks = rewriteArgShapeFns(toks, isCollectionCol)
@@ -94,8 +95,53 @@ object Translator {
     toks = rewriteInfoSchema(toks)
     toks = rewriteTypeNames(toks)
     toks = injectNullOrder(toks)
+    toks = encodeStrLiterals(toks)
     Translation(render(toks).trim, views.toSeq, fmt)
   }
+
+  /** Final literal re-encoding for `spark.sql.parser.escapedStringLiterals
+    * = true` (r10 fuzz batch 7). Verbatim literals give DuckDB parity for
+    * backslashes (the default parser ate one level, silently corrupting
+    * every `\d`-class regex), but the verbatim scanner keeps `''` as TWO
+    * characters and chokes on a backslash directly before the closing
+    * quote. Intermediate passes keep carrying DuckDB-style `''`-quoted
+    * Str tokens; this last pass re-encodes each value:
+    *   - no quote, no trailing backslash → plain '…' (verbatim);
+    *   - has ' but no " → a double-quoted literal (Spark non-ANSI treats
+    *     "…" as a string; our lexer reads it as a quoted Ident, which
+    *     passes re-translation through untouched — the fixpoint holds);
+    *   - both quote kinds / trailing backslash → a ('piece' || chr(39) ||
+    *     …) concat chain, with trailing backslashes hopped out as chr(92)
+    *     terms. */
+  private def encodeStrLiterals(toks: Vector[Tok]): Vector[Tok] =
+    toks.flatMap {
+      case s: Str =>
+        val v = s.value
+        if (!v.contains('\'') && !v.endsWith("\\"))
+          Vector(Str("'" + v + "'"))
+        else if (!v.contains('"') && !v.endsWith("\\"))
+          Vector(Ident("\"" + v + "\""))
+        else {
+          val terms = scala.collection.mutable.ArrayBuffer[String]()
+          val buf = new StringBuilder
+          def flush(): Unit = {
+            var t = buf.toString
+            buf.clear()
+            var k = 0
+            while (t.nonEmpty && t.last == '\\') { t = t.dropRight(1); k += 1 }
+            if (t.nonEmpty) terms += ("'" + t + "'")
+            (0 until k).foreach(_ => terms += "chr(92)")
+          }
+          v.foreach {
+            case '\'' => flush(); terms += "chr(39)"
+            case c => buf.append(c); ()
+          }
+          flush()
+          if (terms.isEmpty) Vector(Str("''"))
+          else lex("(" + terms.mkString(" || ") + ")")
+        }
+      case t => Vector(t)
+    }
 
   /** Convenience: translated SQL text only. */
   def sparkSql(sql: String): String = translate(sql).sql
@@ -462,7 +508,9 @@ object Translator {
   /** Render `v` as a Spark SQL string literal (Spark's default parser treats
     * backslash as an escape inside literals, unlike DuckDB). */
   private def sparkStrLit(v: String): String =
-    "'" + v.flatMap { case '\'' => "''"; case '\\' => "\\\\"; case c => c.toString } + "'"
+    // escapedStringLiterals=true (r10): literals are VERBATIM like DuckDB
+    // — only the quote needs doubling, a backslash IS a backslash
+    "'" + v.flatMap { case '\'' => "''"; case c => c.toString } + "'"
 
   /** `struct_pack(a := 1, b := 'x')` args as named_struct pairs, or None if
     * any arg is not `name := expr`. */
@@ -1654,18 +1702,15 @@ object Translator {
   }
 
 
-  /** Literal separator → Spark regex-string form: metachars get a DOUBLED
-    * backslash (Spark's non-ANSI string parser consumes one level, the
-    * regex engine the other — Pattern.quote's \Q…\E form would be
-    * stripped to 'Q…E' by the string parser, silently never splitting). */
+  /** Literal separator → Spark regex-string form. Under
+    * escapedStringLiterals=true (r10) the string parser is verbatim, so
+    * only the REGEX level needs escaping: one backslash per metachar, two
+    * for a literal backslash. (The pre-r10 form carried four source
+    * backslashes — one level for the old escape-eating parser.) */
   private def regexLiteralSep(sep: String): String =
     sep.flatMap { c =>
-      // backslash needs FOUR source-level backslashes: Spark's string
-      // parser consumes one level (\\\\ → \\), the regex engine the other
-      // (\\ → literal \); 3 would leave a lone trailing \ escaping the
-      // closing quote or a malformed pattern
-      if (c == '\\') "\\\\\\\\"
-      else if (".[]{}()*+?^$|".contains(c)) "\\\\" + c
+      if (c == '\\') "\\\\"
+      else if (".[]{}()*+?^$|".contains(c)) "\\" + c
       else c.toString
     }.replace("'", "''")
 
@@ -1808,10 +1853,10 @@ object Translator {
               val sepIdx = open + 1 + args(0).length + 1 + sepInArg
               toks(sepIdx) match {
                 case s: Str if s.value.exists(!_.isLetterOrDigit) =>
-                  // two backslashes in the SQL literal: Spark's (non-ANSI)
-                  // string parser consumes one, the regex engine the other
+                  // verbatim literals (r10): one backslash, for the regex
+                  // engine only
                   val escaped = s.value.flatMap { c =>
-                    if ("\\.[]{}()*+?^$|".contains(c)) "\\\\" + c else c.toString
+                    if ("\\.[]{}()*+?^$|".contains(c)) "\\" + c else c.toString
                   }
                   toks = toks.updated(sepIdx,
                     Str("'" + escaped.replace("'", "''") + "'"))
@@ -1921,6 +1966,8 @@ object Translator {
     // JVM remainder, it never flips sign toward the divisor). r10 fix,
     // probe-pinned: fmod(7,-2)=-1, fmod(10,-3)=-2, fmod(-7,2)=1.
     "ARRAY_REVERSE" -> "reverse",
+    // r10 batch 7: DuckDB's variadic list constructor alias
+    "LIST_VALUE" -> "array",
     "DATETRUNC" -> "date_trunc",
     // fallback for non-literal parts the rewriteDateFns form skips
     "DATEPART" -> "date_part",
@@ -2527,7 +2574,7 @@ object Translator {
                 // Spark's 4-arg form (position 1): still a GLOBAL replace,
                 // and re-translation can't mistake it for DuckDB's 3-arg
                 // first-match form (the parse-fixpoint guard)
-                s"regexp_replace((${render(args(0)).trim}), '([^a-zA-Z0-9_])', '\\\\\\\\$$1', 1)"),
+                s"regexp_replace((${render(args(0)).trim}), '([^a-zA-Z0-9_])', '\\\\$$1', 1)"),
                 close - i + 1)
               changed = true
             }
@@ -2714,7 +2761,7 @@ object Translator {
               // (the 3-arg REGEXP_REPLACE rewrite would convert it) and
               // exactly DuckDB's first-match trim
               val repl = if (trim)
-                s"regexp_replace_first($base, '\\\\.[^.]*$$', '')" else base
+                s"regexp_replace_first($base, '\\.[^.]*$$', '')" else base
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
@@ -2913,7 +2960,7 @@ object Translator {
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 1) {
               toks = toks.patch(i, lex(
-                s"aggregate(split((${render(args(0)).trim}), '\\\\.'), " +
+                s"aggregate(split((${render(args(0)).trim}), '\\.'), " +
                   s"CAST(0 AS BIGINT), (__g_a, __g_x) -> __g_a * 256 + CAST(__g_x AS BIGINT))"),
                 close - i + 1)
               changed = true
@@ -3380,22 +3427,66 @@ object Translator {
               toks = toks.patch(i, lex(r), close - i + 1)
               changed = true
             }
+          case id: Ident if id.upper == "PRINTF" && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              val args = splitTopLevel(toks.slice(callOpen + 1, close))
+              args.length >= 2 && (args(0).filterNot(isWs) match {
+                case Vector(_: Str) => true
+                case _ => false
+              })
+            } =>
+            // r10 batch 7: Java's Formatter rejects DECIMAL values for the
+            // FLOAT conversions (%f/%e/%g threw IllegalFormatConversion
+            // where DuckDB formats them) — cast each float-specifier arg
+            // to DOUBLE, matching duck's coercion. %i is duck's alias for
+            // %d. Non-literal formats keep the plain name map.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val fmt0 = args(0).filterNot(isWs).head.asInstanceOf[Str].value
+            val fmt = fmt0.replace("%i", "%d")
+            val convs = "%[-+ #0]*\\d*(?:\\.\\d+)?([a-zA-Z%])".r
+              .findAllMatchIn(fmt).map(_.group(1)).filterNot(_ == "%").toSeq
+            val rest = args.drop(1).map(a => render(a).trim).zipWithIndex.map {
+              case (a, ix) if ix < convs.length && "feg".contains(convs(ix)) =>
+                s"CAST(($a) AS DOUBLE)"
+              case (a, _) => a
+            }
+            toks = toks.patch(i,
+              lex(s"format_string(${sparkStrLit(fmt)}, ${rest.mkString(", ")})"),
+              close - i + 1)
+            changed = true
           case id: Ident if id.upper == "FORMAT" && callOpen >= 0 && {
-            // fmt-style format('{} x {}', ...) -> format_string('%s x %s', ...)
-            // only when the first arg is a literal of plain {} / {N} holes
+            // fmt-style format('{} x {}', ...) -> format_string('%s x %s',
+            // ...) when the first arg is a literal of {} / {N} holes, plus
+            // (r10 batch 7) the spec forms {:.Nf} / {:d} / {:s}; other
+            // spec strings (alignment, width) stay loud
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             args.length >= 2 && (args(0).filterNot(isWs) match {
-              case Vector(s: Str) => !s.value.contains("{:") && !s.value.contains("%")
+              case Vector(s: Str) => !s.value.contains("%") &&
+                "\\{:([^}]*)\\}".r.findAllMatchIn(s.value)
+                  .forall(m => m.group(1).matches("\\.\\d+f|[ds]"))
               case _ => false
             })
           } =>
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             val fmt = args(0).filterNot(isWs).head.asInstanceOf[Str].value
-            val jfmt = "\\{(\\d*)\\}".r.replaceAllIn(fmt,
-              m => if (m.group(1).isEmpty) "%s" else s"%${m.group(1).toInt + 1}\\$$s")
-            val rest = args.drop(1).map(a => render(a).trim)
+            // collect per-hole conversions in order for arg casting
+            val holeRe = "\\{(\\d*)(?::([^}]*))?\\}".r
+            val convs = holeRe.findAllMatchIn(fmt)
+              .map(m => Option(m.group(2)).getOrElse("")).toSeq
+            val jfmt = holeRe.replaceAllIn(fmt, m => {
+              val spec = Option(m.group(2)).getOrElse("")
+              val body = if (spec.isEmpty) "s" else spec // "d" | "s" | ".Nf"
+              if (m.group(1).isEmpty) "%" + body
+              else s"%${m.group(1).toInt + 1}\\$$$body"
+            })
+            val rest = args.drop(1).map(a => render(a).trim).zipWithIndex.map {
+              case (a, ix) if ix < convs.length && convs(ix).endsWith("f") =>
+                s"CAST(($a) AS DOUBLE)"
+              case (a, _) => a
+            }
             toks = toks.patch(i,
               lex(s"format_string(${sparkStrLit(jfmt)}, ${rest.mkString(", ")})"),
               close - i + 1)
@@ -3807,10 +3898,57 @@ object Translator {
             val close = matchParen(toks, callOpen)
             toks = toks.zipWithIndex.map {
               case (s: Str, j) if j > callOpen && j < close && s.value.contains("%") =>
-                Str("'" + strftimeToJava(s.value).replace("'", "''") + "'")
+                Str("'" + strptimeToJava(s.value).replace("'", "''") + "'")
               case (t, _) => t
             }
             toks = toks.patch(i, Seq(Ident("to_timestamp")), 1)
+            changed = true
+          case id: Ident if id.upper == "NOCASE" && {
+              // r10 batch 7: DuckDB's NOCASE collation — Spark 4 spells
+              // the case-insensitive UTF8 collation UTF8_LCASE
+              val p = prevNonWs(toks, i)
+              p >= 0 && up(toks(p)) == "COLLATE"
+            } =>
+            toks = toks.updated(i, Ident("UTF8_LCASE"))
+            changed = true
+          case id: Ident if id.upper == "SPLIT_PART" && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              val args = splitTopLevel(toks.slice(callOpen + 1, close))
+              args.length == 3 && (args(2).filterNot(isWs) match {
+                case Vector(n: Num) => n.text == "0"
+                case _ => false
+              })
+            } =>
+            // r10 batch 7: DuckDB split_part index 0 → '' where Spark
+            // raises INVALID_INDEX_OF_ZERO (literal-0 only; a dynamic 0
+            // stays loud — documented)
+            val close = matchParen(toks, callOpen)
+            toks = toks.patch(i, lex("''"), close - i + 1)
+            changed = true
+          case id: Ident if (id.upper == "SUBSTR" || id.upper == "SUBSTRING") &&
+              callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              val args = splitTopLevel(toks.slice(callOpen + 1, close))
+              args.length == 3 && (args(2).filterNot(isWs) match {
+                case Vector(Punct("-"), _: Num) => true
+                case _ => false
+              })
+            } =>
+            // r10 batch 7, probe-pinned: DuckDB substr with a NEGATIVE
+            // length L takes the |L| chars ENDING just before pos —
+            // substr('hello', 2, -1) = 'h', (4, -2) = 'el', clamped at the
+            // string start — where Spark returns ''. Literal negative
+            // lengths only (the silent case); dynamic lengths keep
+            // Spark's '' (documented).
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val s0 = render(args(0)).trim
+            val pos = render(args(1)).trim
+            val lenL = render(args(2)).trim
+            val p = s"(CASE WHEN ($pos) < 0 THEN length($s0) + ($pos) + 1 ELSE ($pos) END)"
+            val st = s"GREATEST($p + ($lenL), 1)"
+            toks = toks.patch(i, lex(
+              s"substr(($s0), $st, $p - $st)"), close - i + 1)
             changed = true
           case id: Ident if id.upper == "ILIKE" && callOpen < 0 && {
               // r10 fuzz batch 6: DuckDB ILIKE folds with the SIMPLE case
@@ -3952,11 +4090,26 @@ object Translator {
     * date_format( call are translated to JDK patterns. */
   private val strftimeMap = Seq(
     "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd", "%H" -> "HH",
-    "%I" -> "hh", "%M" -> "mm", "%S" -> "ss", "%f" -> "SSSSSS", "%p" -> "a",
+    "%I" -> "hh", "%M" -> "mm", "%S" -> "ss", "%f" -> "SSSSSS", "%g" -> "SSS",
+    "%p" -> "a",
     "%j" -> "DDD", "%a" -> "EEE", "%A" -> "EEEE", "%b" -> "MMM", "%B" -> "MMMM",
     "%%" -> "%")
   def strftimeToJava(p: String): String =
     strftimeMap.foldLeft(p) { case (s, (k, v)) => s.replace(k, v) }
+
+  /** Parse-side pattern map (r10 batch 7): DuckDB's strptime accepts
+    * non-zero-padded numbers ('Mar 7 2024' under '%b %d %Y'); Spark's
+    * strict parser requires exactly the pattern width, so parse fields
+    * use the single-letter lenient forms (which also accept padded
+    * input). Format-side keeps the padded two-letter forms. */
+  private val strptimeMap = Seq(
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "M", "%d" -> "d", "%H" -> "H",
+    "%I" -> "h", "%M" -> "m", "%S" -> "s", "%f" -> "SSSSSS", "%g" -> "SSS",
+    "%p" -> "a",
+    "%j" -> "D", "%a" -> "EEE", "%A" -> "EEEE", "%b" -> "MMM", "%B" -> "MMMM",
+    "%%" -> "%")
+  def strptimeToJava(p: String): String =
+    strptimeMap.foldLeft(p) { case (s, (k, v)) => s.replace(k, v) }
 
   /** DuckDB `date_diff('day', a, b)` / `date_part('year', ts)` /
     * `epoch(ts)` → Spark `datediff(b, a)` / `extract(year FROM ts)` /
@@ -4194,6 +4347,67 @@ object Translator {
     * first-match-only — Spark's builtin cannot express that, so it maps to
     * graft's codegen [[graft.functions.RegexpReplaceFirst]] expression
     * (round 4; previously a documented divergence). */
+  /** POSIX character classes in regex-argument literals (r10 batch 7):
+    * DuckDB's RE2 accepts `[[:alpha:]]`; Java's engine silently matches
+    * NOTHING on that syntax. Translate `[:name:]` → `\p{Name}` (valid in
+    * Java both inside and outside a bracket class; `[:word:]` → `\w`,
+    * which has no \p form) in the PATTERN argument of the regexp
+    * functions and the RLIKE/MATCH right operand. */
+  private val posixClassMap = Map(
+    "alpha" -> "\\p{Alpha}", "alnum" -> "\\p{Alnum}", "digit" -> "\\p{Digit}",
+    "space" -> "\\p{Space}", "upper" -> "\\p{Upper}", "lower" -> "\\p{Lower}",
+    "punct" -> "\\p{Punct}", "xdigit" -> "\\p{XDigit}", "cntrl" -> "\\p{Cntrl}",
+    "graph" -> "\\p{Graph}", "print" -> "\\p{Print}", "blank" -> "\\p{Blank}",
+    "ascii" -> "\\p{ASCII}", "word" -> "\\w")
+  private val posixRegexFns = Set("REGEXP_MATCHES", "REGEXP_EXTRACT",
+    "REGEXP_EXTRACT_ALL", "REGEXP_REPLACE", "REGEXP_SPLIT_TO_ARRAY",
+    "REGEXP_FULL_MATCH", "REGEXP_COUNT", "REGEXP_REPLACE_FIRST",
+    "STRING_SPLIT_REGEX", "RLIKE", "MATCH")
+  private[dialect] def rewritePosixClasses(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    def mapped(v: String): String =
+      "\\[:([a-z]+):\\]".r.replaceAllIn(v, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          posixClassMap.getOrElse(m.group(1), m.matched)))
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case id: Ident if posixRegexFns.contains(id.upper) =>
+          val open = nextNonWs(toks, i)
+          if (open < toks.length && toks(open) == Punct("(")) {
+            val close = matchParen(toks, open)
+            val args = splitTopLevel(toks.slice(open + 1, close))
+            // pattern is arg 1 for every function in the set
+            if (args.length >= 2) {
+              val pIn = args(1).indexWhere(!isWs(_))
+              if (pIn >= 0) {
+                val pIdx = open + 1 + args(0).length + 1 + pIn
+                toks(pIdx) match {
+                  case s: Str if s.value.contains("[:") =>
+                    toks = toks.updated(pIdx,
+                      Str("'" + mapped(s.value).replace("'", "''") + "'"))
+                  case _ =>
+                }
+              }
+            }
+          }
+        case p: Ident if p.upper == "RLIKE" || p.upper == "SIMILAR" =>
+          // operator form: the right operand literal
+          val r = nextNonWs(toks, i)
+          val r2 = if (r < toks.length && up(toks(r)) == "TO") nextNonWs(toks, r) else r
+          if (r2 < toks.length) toks(r2) match {
+            case s: Str if s.value.contains("[:") =>
+              toks = toks.updated(r2,
+                Str("'" + mapped(s.value).replace("'", "''") + "'"))
+            case _ =>
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    toks
+  }
+
   private[dialect] def rewriteRegexpReplaceFlag(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var i = 0

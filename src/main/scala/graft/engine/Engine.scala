@@ -20,6 +20,10 @@ object Engine {
     * (the driver's DuckDB oracle does the same). Idempotent; re-registers
     * only when the directory changes for this session. */
   def registerTables(spark: SparkSession, dir: String): Unit = {
+    // externally-created sessions (driver smoke, server embedding) must
+    // match localSession's DuckDB-parity literal semantics — runtime-
+    // settable, so pin it on every session that reaches the engine
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     val key = "graft.registered.dir"
     val cur = spark.conf.getOption(key)
     if (!cur.contains(dir)) {
@@ -498,7 +502,9 @@ object Engine {
         // would collide across files and the row_number tiebreak would
         // go nondeterministic — colliding layouts keep the exact
         // (path, row_index) pair below.
-        s"((CAST(regexp_extract(_metadata.file_path, 'part-(\\\\d+)', 1) AS BIGINT) * ${1L << 40}) + _metadata.row_index) AS __g_srow"
+        // single backslash: literals are verbatim under
+        // escapedStringLiterals=true (r10)
+        s"((CAST(regexp_extract(_metadata.file_path, 'part-(\\d+)', 1) AS BIGINT) * ${1L << 40}) + _metadata.row_index) AS __g_srow"
       case Some(_) =>
         "_metadata.file_path AS __g_sfile, _metadata.row_index AS __g_srow"
       case None =>
@@ -2105,6 +2111,12 @@ object Engine {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
+      // r10 fuzz batch 7: DuckDB string literals carry NO backslash
+      // escaping — Spark's default parser ate one level, silently
+      // corrupting every regex containing \d/\w/\. (and the PII patterns
+      // shipped since r2 matched a superset). Verbatim literals restore
+      // parity; the translator's own emissions are single-level now.
+      .config("spark.sql.parser.escapedStringLiterals", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()

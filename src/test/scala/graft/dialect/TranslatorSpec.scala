@@ -273,9 +273,9 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("string_split literal separators are regex-quoted; arg_max/min renamed") {
-    // '.' must not become match-any: double backslash survives Spark's
-    // string parser as a regex escape
-    assert(t("SELECT string_split(x, '.')") == "SELECT split(x, '\\\\.')")
+    // '.' must not become match-any: regex-level escape (verbatim
+    // literals since r10)
+    assert(t("SELECT string_split(x, '.')") == "SELECT split(x, '\\.')")
     // plain-word separators stay readable
     assert(t("SELECT string_split(x, ' ')") == "SELECT split(x, ' ')")
     assert(t("SELECT arg_max(a, b), arg_min(a, b)") == "SELECT max_by(a, b), min_by(a, b)")
@@ -365,8 +365,10 @@ class TranslatorSpec extends AnyFunSuite {
     val chain = t("SELECT '{\"a\": {\"b\": 7}}' -> 'a' ->> 'b'")
     assert(chain.contains("get_json_object(to_json(variant_get(parse_json('"), chain)
     // quoted dotted keys become bracket steps (Spark reads `."a.b"` as
-    // two steps — silent NULL before r9)
-    assert(t("SELECT j ->> '$.\"a.b\"'") == "SELECT get_json_object(j, '$[''a.b'']')")
+    // two steps — silent NULL before r9). The path carries single quotes,
+    // so the r10 literal encoder emits the double-quoted form (verbatim
+    // scanner keeps '' as two chars)
+    assert(t("SELECT j ->> '$.\"a.b\"'") == "SELECT get_json_object(j, \"$['a.b']\")")
     // lambda arrows are NOT json arrows
     assert(t("SELECT list_transform([1,2], x -> 'b')")
       == "SELECT transform(array(1,2), x -> 'b')")
@@ -381,8 +383,11 @@ class TranslatorSpec extends AnyFunSuite {
     // length, literal bounds constant-fold)
     assert(t("SELECT list_slice(xs, 2, 4)") ==
       "SELECT slice((xs), 2, (CASE WHEN ((4) - (2) + 1) < 0 THEN 0 ELSE ((4) - (2) + 1) END))")
+    // r10 batch 7: parse-side patterns use the LENIENT single-letter
+    // forms (DuckDB strptime accepts non-zero-padded input; the lenient
+    // fields also accept padded input, so this is a strict superset)
     assert(t("SELECT strptime(s, '%Y-%m-%d %H:%M:%S')")
-      == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')")
+      == "SELECT to_timestamp(s, 'yyyy-M-d H:m:s')")
     // non-pattern args untouched
     assert(t("SELECT strptime(s, fmt)") == "SELECT to_timestamp(s, fmt)")
   }
@@ -424,10 +429,10 @@ class TranslatorSpec extends AnyFunSuite {
   test("GLOB becomes LIKE with translated pattern; SIMILAR TO becomes anchored RLIKE") {
     assert(t("SELECT * FROM t WHERE x GLOB 'ab*c?'")
       == "SELECT * FROM t WHERE x LIKE 'ab%c_'")
-    // literal % / _ in a glob are escaped for LIKE (doubled backslash
-    // survives Spark's string-literal parser)
+    // literal % / _ in a glob are escaped for LIKE (single backslash —
+    // verbatim literals since r10)
     assert(t("SELECT * FROM t WHERE x GLOB 'a%b_c*'")
-      == "SELECT * FROM t WHERE x LIKE 'a\\\\%b\\\\_c%'")
+      == "SELECT * FROM t WHERE x LIKE 'a\\%b\\_c%'")
     assert(t("SELECT * FROM t WHERE x SIMILAR TO 'S[0-9]+'")
       == "SELECT * FROM t WHERE x RLIKE '^(?:S[0-9]+)$'")
     assert(t("SELECT * FROM t WHERE x NOT SIMILAR TO 'a.b'")
@@ -884,10 +889,10 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("r7 session 3 review fixes: split escaping, exclude no-op, LHS scope, epoch") {
-    // splitByString/Char emit doubled-backslash metachar escapes, not
-    // \\Q…\\E (which Spark's string parser strips to a no-op regex)
+    // splitByString/Char emit regex-level metachar escapes, not
+    // \\Q…\\E (RE2 form Java also accepts, but kept explicit)
     assert(t("SELECT splitByString(',', s)") == "SELECT split(s, ',')")
-    assert(t("SELECT splitByChar('.', s)") == "SELECT split(s, '\\\\.')")
+    assert(t("SELECT splitByChar('.', s)") == "SELECT split(s, '\\.')")
     // bare `aggregate` identifier no longer crashes the translator
     assert(t("SELECT aggregate FROM t1") == "SELECT aggregate FROM t1")
     // EXCLUDE CURRENT ROW over a frame that never holds the current row
@@ -1126,15 +1131,20 @@ class TranslatorSpec extends AnyFunSuite {
     }
   }
 
-  test("r8 advice: backslash separator gets four source-level backslashes") {
-    // Spark's string parser eats one level, the regex engine the other —
-    // 3 backslashes would leave a lone \ escaping the closing quote
+  test("r10: backslash separator escapes at the regex level only (verbatim literals)") {
+    // escapedStringLiterals=true since r10: the regex still needs its own
+    // escape (two backslashes = one literal), but the SCANNER chokes on a
+    // backslash before the closing quote — the literal encoder hops
+    // trailing backslashes out as chr(92) terms
     assert(t("SELECT splitByString('\\', s)") ==
-      "SELECT split(s, '\\\\\\\\')")
+      "SELECT split(s, (chr(92) || chr(92)))")
     assert(t("SELECT splitByChar('\\', s)") ==
-      "SELECT split(s, '\\\\\\\\')")
+      "SELECT split(s, (chr(92) || chr(92)))")
     // mixed: metachar + backslash in one separator
     assert(t("SELECT splitByString('.\\', s)") ==
-      "SELECT split(s, '\\\\.\\\\\\\\')")
+      "SELECT split(s, ('\\.' || chr(92) || chr(92)))")
+    // a mid-string backslash stays a plain verbatim literal
+    assert(t("SELECT splitByString('a\\b', s)") ==
+      "SELECT split(s, 'a\\\\b')")
   }
 }

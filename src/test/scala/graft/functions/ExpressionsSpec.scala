@@ -278,7 +278,7 @@ class ExpressionsSpec extends SparkTestBase {
       val df = strs.toDF("s")
       val rows = df.select(
         expr("bpe_token_count(s)"),
-        expr(s"CAST(regexp_count(s, '${graft.operators.TextAnalysis.bpeTokenPattern.replace("\\", "\\\\")}') AS INT)"))
+        expr(s"CAST(regexp_count(s, '${graft.operators.TextAnalysis.bpeTokenPattern}') AS INT)"))
         .collect()
       rows.zip(strs).foreach { case (r, s) =>
         assert(r.getInt(0) == r.getInt(1), s"mismatch on ${s.map(_.toInt)}: scan=${r.getInt(0)} regex=${r.getInt(1)}")
@@ -299,8 +299,8 @@ class ExpressionsSpec extends SparkTestBase {
         "12345678", "123456", "+', digits 99 88 77 66 5", "u.-x%@a-b.c-d.org tail",
         "a@b.co.uk x", "nested u@v.ww@x.yy here", "+12345678", "()+55555555()")
       val df = strs.toDF("s")
-      val e = graft.operators.TextAnalysis.emailPattern.replace("\\", "\\\\")
-      val p = graft.operators.TextAnalysis.phonePattern.replace("\\", "\\\\")
+      val e = graft.operators.TextAnalysis.emailPattern
+      val p = graft.operators.TextAnalysis.phonePattern
       val rows = df.select(
         expr("pii_scrub(s)").as("k"),
         expr(s"regexp_replace(regexp_replace(s, '$e', '<EMAIL>'), '$p', '<PHONE>')"),
@@ -520,7 +520,7 @@ class ExpressionsSpec extends SparkTestBase {
   test("regexp_replace_first DuckDB-style backrefs and literal dollars") {
     withFns {
       val df = spark.createDataFrame(Seq(Tuple1("abc def"))).toDF("s")
-      assert(df.select(expr("regexp_replace_first(s, '(\\\\w+) (\\\\w+)', '\\\\2 \\\\1')"))
+      assert(df.select(expr("regexp_replace_first(s, '(\\w+) (\\w+)', '\\2 \\1')"))
         .head.getString(0) == "def abc")
       // '$' is literal in RE2/DuckDB replacements (Java would treat $1 as a group)
       assert(df.select(expr("regexp_replace_first(s, 'abc', '$1x')"))
