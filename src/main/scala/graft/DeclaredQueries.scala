@@ -1358,6 +1358,30 @@ object DeclaredQueries {
         "substr('hello', 2, -1) AS sn2, " +
         "array_to_string(list_value(1, 2, o_orderkey % 3), ',') AS lv " +
         "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
+    "q203_fuzz7b_pins" ->
+      // r10 fuzz batch 7b closures, oracle-pinned: strftime scanner —
+      // C-grid week numbers %U/%W (computed segments: JDK week patterns
+      // are banned in Spark), ISO %u/%V/%G, C weekday %w, locale
+      // composites %c/%x/%X/%T, %z offset, literal ALPHA text (JDK
+      // formatters reserve every letter — quoted now; 'T%Hh' threw
+      // before), %% escape (the old sequential replace mangled %%Y to
+      // garbage), unpadded %-d forms, %n nanoseconds; strptime quoted
+      // literals; string-literal subscripts/slices (1-based inclusive
+      // chars, negative from-end, out-of-range → '')
+      ("SELECT o_orderkey, " +
+        "strftime(o_orderdate, '%U|%W|%u|%V|%G|%w') AS wk, " +
+        "strftime(o_orderdate, 'week %W of %Y') AS wl, " +
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', '%c/%x/%X/%T/%z') AS comp, " +
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', 'T%Hh%Mm') AS lit, " +
+        "strftime(TIMESTAMP '2024-03-07 14:05:09.123456', '%n') AS ns, " +
+        "strftime(o_orderdate, '%-d.%-m.%-y') AS unp, " +
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', '%%Y %m') AS esc, " +
+        "strptime('Mar 7 2024 2:05 PM', '%b %d %Y %I:%M %p') AS sp, " +
+        "strptime('2024T03', '%YT%m') AS sp2, " +
+        "'abcdef'[2] AS si1, 'abcdef'[-2] AS si2, 'abcdef'[0] AS si3, " +
+        "'abcdef'[2:4] AS ss1, 'abcdef'[-3:-1] AS ss2, 'abcdef'[5:2] AS ss3, " +
+        "'abcdef'[:0] AS ss4, 'héllo'[2:3] AS ss5 " +
+        "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -553,6 +553,33 @@ object Translator {
   private def clamp0(x: String): String =
     s"(CASE WHEN ($x) < 0 THEN 0 ELSE ($x) END)"
 
+  /** String receivers (r10 batch 7b): DuckDB subscripts/slices are
+    * defined on VARCHAR too — 1-based inclusive CHARACTER positions,
+    * negative from-end, out-of-range → `''` (NOT NULL; probe-pinned:
+    * 'abcdef'[0] = 'abcdef'[10] = ''), crossed/empty bounds → ''.
+    * Token-level typing only reaches a Str-LITERAL receiver; a
+    * string-typed COLUMN subscript still fails loudly in Spark's
+    * analyzer (documented divergence). */
+  private def strNormBound(recv: String, e: String): String = intLit(e) match {
+    case Some(v) if v >= 0 => e
+    case _ => s"(CASE WHEN ($e) < 0 THEN length($recv) + ($e) + 1 ELSE ($e) END)"
+  }
+  private def strIndexForm(recv: String, idx: String): String = {
+    val n = strNormBound(recv, idx)
+    // NULL index → NULL; 0 / off-front → '' (substr(s, 0, 1) would return
+    // the FIRST char in Spark — position 0 is treated as 1 there)
+    s"(CASE WHEN ($idx) IS NULL THEN CAST(NULL AS STRING) " +
+      s"WHEN ($n) < 1 THEN '' " +
+      s"ELSE substr($recv, CAST(($n) AS INT), 1) END)"
+  }
+  private def strSliceForm(recv: String, a: String, b: String): String = {
+    val sa = if (a.isEmpty) "1" else s"greatest(${strNormBound(recv, a)}, 1)"
+    val eb = if (b.isEmpty) s"length($recv)"
+      else s"least(${strNormBound(recv, b)}, length($recv))"
+    s"substr($recv, CAST(($sa) AS INT), " +
+      s"greatest(CAST(($eb) AS INT) - CAST(($sa) AS INT) + 1, 0))"
+  }
+
   /** Full two-bound inclusive slice `l[a:b]` / `list_slice(l, a, b)` →
     * guarded Spark `slice`. The receiver is re-rendered inside the bound
     * guards (`size(recv)`), so a non-trivial receiver expression is
@@ -609,6 +636,8 @@ object Translator {
             p >= 0 && (toks(p) match {
               case id: Ident => !keywordLike(id.upper)
               case Punct(")") | Punct("]") => true
+              // string-literal receiver: 'abcdef'[2:4] (r10 batch 7b)
+              case _: Str => true
               case _ => false
             })
           } =>
@@ -633,6 +662,11 @@ object Translator {
               val p = prevNonWs(toks, i)
               val rStart = primaryStart(toks, p)
               val recv = render(toks.slice(rStart, p + 1)).trim
+              // bare string-literal receiver → character subscript/slice
+              val strRecv = toks.slice(rStart, p + 1).filter(!isWs(_)) match {
+                case Vector(_: Str) => true
+                case _ => false
+              }
               // schema-aware map dispatch (r7): receiver is a plain
               // (dot-qualified) identifier naming a known MAP column →
               // DuckDB 1.0 semantics, probe-pinned: m[k] = [v] when the
@@ -658,6 +692,29 @@ object Translator {
                   val repl = s"IF(map_contains_key($recv, $idx), array(try_element_at($recv, $idx)), array())"
                   toks = toks.patch(rStart, lex(repl), close - rStart + 1)
                   changed = true
+                } else if (strRecv && colonAt < 0) {
+                  toks = toks.patch(rStart,
+                    lex(strIndexForm(recv, render(inner).trim)),
+                    close - rStart + 1)
+                  changed = true
+                } else if (strRecv) {
+                  // string slice — only the single-colon form (a step
+                  // slice on a string stays on the array path → loud)
+                  var dd2 = 0; var colon2 = -1
+                  for ((t, k) <- inner.zipWithIndex) t match {
+                    case Punct("(") | Punct("[") => dd2 += 1
+                    case Punct(")") | Punct("]") => dd2 -= 1
+                    case Punct(":") if dd2 == 0 && k > colonAt && colon2 < 0 =>
+                      colon2 = k
+                    case _ =>
+                  }
+                  if (colon2 < 0) {
+                    val a = render(inner.slice(0, colonAt)).trim
+                    val b = render(inner.slice(colonAt + 1, inner.length)).trim
+                    toks = toks.patch(rStart,
+                      lex(strSliceForm(recv, a, b)), close - rStart + 1)
+                    changed = true
+                  }
                 } else if (colonAt < 0) {
                   val idx = render(inner).trim
                   val guarded = intLit(idx) match {
@@ -1895,7 +1952,10 @@ object Translator {
     "STRING_TO_ARRAY" -> "split",
     "REGEXP_MATCHES" -> "rlike",
     "VERSION" -> "graft_version",
-    "STRFTIME" -> "date_format",
+    // STRFTIME deliberately NOT name-mapped (r10 batch 7b): the scanner
+    // in rewriteStrftime owns every translatable form; a blanket rename
+    // would feed raw %-patterns to date_format on scanner rejection,
+    // turning duck's loud unknown-specifier error into silent garbage
     "STARTS_WITH" -> "startswith",
     "ENDS_WITH" -> "endswith",
     "LIST_SORT" -> "array_sort",
@@ -3894,7 +3954,17 @@ object Translator {
               toks = toks.patch(i, lex(sliceForm(s"($l)", a, b)), close - i + 1)
               changed = true
             }
-          case id: Ident if id.upper == "STRPTIME" && callOpen >= 0 =>
+          case id: Ident if id.upper == "STRPTIME" && callOpen >= 0 && {
+              // only rewrite when every '%'-literal in the call scans
+              // cleanly in parse mode — unknown or format-only specifiers
+              // leave the call untranslated (duck errors there too)
+              val close = matchParen(toks, callOpen)
+              toks.zipWithIndex.forall {
+                case (s: Str, j) if j > callOpen && j < close && s.value.contains("%") =>
+                  scanStrftime(s.value, parse = true).isDefined
+                case _ => true
+              }
+            } =>
             val close = matchParen(toks, callOpen)
             toks = toks.zipWithIndex.map {
               case (s: Str, j) if j > callOpen && j < close && s.value.contains("%") =>
@@ -4080,36 +4150,141 @@ object Translator {
             }
             if (commas == 0) Ident("log10") else id
           }
-          else if (id.upper == "STRFTIME") Ident("date_format")
           else id
         case _ => t
       }
     }
 
-  /** `%Y-%m-%d`-style strftime patterns inside string literals following a
-    * date_format( call are translated to JDK patterns. */
-  private val strftimeMap = Seq(
-    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd", "%H" -> "HH",
-    "%I" -> "hh", "%M" -> "mm", "%S" -> "ss", "%f" -> "SSSSSS", "%g" -> "SSS",
-    "%p" -> "a",
-    "%j" -> "DDD", "%a" -> "EEE", "%A" -> "EEEE", "%b" -> "MMM", "%B" -> "MMMM",
-    "%%" -> "%")
-  def strftimeToJava(p: String): String =
-    strftimeMap.foldLeft(p) { case (s, (k, v)) => s.replace(k, v) }
+  /** Scanned strftime segment: Left = a JDK pattern chunk (literals
+    * already quoted), Right = a computed SQL fragment with a `«TS»` hole
+    * for the time expression (specifiers JDK patterns cannot express —
+    * C-grid week numbers, ISO fields, unpadded year). */
+  private type StfSeg = Either[String, String]
 
-  /** Parse-side pattern map (r10 batch 7): DuckDB's strptime accepts
-    * non-zero-padded numbers ('Mar 7 2024' under '%b %d %Y'); Spark's
-    * strict parser requires exactly the pattern width, so parse fields
-    * use the single-letter lenient forms (which also accept padded
-    * input). Format-side keeps the padded two-letter forms. */
-  private val strptimeMap = Seq(
-    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "M", "%d" -> "d", "%H" -> "H",
-    "%I" -> "h", "%M" -> "m", "%S" -> "s", "%f" -> "SSSSSS", "%g" -> "SSS",
-    "%p" -> "a",
-    "%j" -> "D", "%a" -> "EEE", "%A" -> "EEEE", "%b" -> "MMM", "%B" -> "MMMM",
-    "%%" -> "%")
+  /** `%Y-%m-%d`-style strftime patterns → JDK-pattern / computed-SQL
+    * segments (r10 batch 7b — replaces the sequential replace() map,
+    * which mangled `%%Y` to garbage and left literal ALPHABETIC text
+    * unquoted, where JDK formatters treat every letter as a pattern
+    * char: DuckDB `'T%Hh'` → 'T14h', the old emission threw).
+    *
+    * `parse=true` uses the lenient single-letter numeric fields (DuckDB
+    * strptime accepts non-zero-padded input; lenient fields accept both)
+    * and REJECTS format-only specifiers. Returns None on any specifier
+    * DuckDB itself errors on (%e, %D, %R, …) — the caller leaves the
+    * call untranslated, so it fails loudly like the reference.
+    *
+    * Probe-pinned on DuckDB 1.x: %c/%x/%X/%T spellings, %z = '+00',
+    * %Z = '', %-X unpadded forms, %u ISO weekday, %V ISO week,
+    * %G ISO year, %U/%W C-grid weeks, %n nanoseconds, %%Y = '%Y'. */
+  private def scanStrftime(p: String, parse: Boolean): Option[Vector[StfSeg]] = {
+    val out = Vector.newBuilder[StfSeg]
+    val lit = new StringBuilder
+    // JDK formatters reserve all letters (+ quote/brace/bracket/hash);
+    // literal runs containing any get '…'-quoted, '' for an embedded
+    // quote. Plain punctuation stays raw (readability, and the pinned
+    // spec expectations: 'yyyy-MM-dd HH:mm:ss').
+    def quoteLit(s: String): String =
+      if (s.exists(c => c.isLetter || "'#{}[]".contains(c)))
+        "'" + s.replace("'", "''") + "'"
+      else s
+    def flushLit(): Unit =
+      if (lit.nonEmpty) { out += Left(quoteLit(lit.toString)); lit.clear() }
+    var i = 0
+    var bad = false
+    while (i < p.length && !bad) {
+      if (p(i) == '%' && i + 1 < p.length) {
+        val dash = p(i + 1) == '-' && i + 2 < p.length
+        val c = if (dash) p(i + 2) else p(i + 1)
+        i += (if (dash) 3 else 2)
+        def pat(j: String): Unit = { flushLit(); out += Left(j) }
+        def sql(t: String): Unit =
+          if (parse) bad = true else { flushLit(); out += Right(t) }
+        (c, dash) match {
+          case ('%', false) => lit.append('%')
+          case ('Y', false) => pat("yyyy")
+          case ('y', false) => pat("yy")
+          // unpadded 2-digit year has no JDK spelling ('y' prints 2024)
+          case ('y', true) => sql("CAST(year(«TS») % 100 AS STRING)")
+          case ('m', d) => pat(if (d || parse) "M" else "MM")
+          case ('d', d) => pat(if (d || parse) "d" else "dd")
+          case ('H', d) => pat(if (d || parse) "H" else "HH")
+          case ('I', d) => pat(if (d || parse) "h" else "hh")
+          case ('M', d) => pat(if (d || parse) "m" else "mm")
+          case ('S', d) => pat(if (d || parse) "s" else "ss")
+          case ('j', d) => pat(if (d || parse) "D" else "DDD")
+          case ('f', false) => pat("SSSSSS")
+          case ('g', false) => pat("SSS")
+          // nanoseconds; engine resolution is µs → micros ||'000'
+          case ('n', false) => sql("(date_format(«TS», 'SSSSSS') || '000')")
+          case ('p', false) => pat("a")
+          case ('a', false) => pat("EEE")
+          case ('A', false) => pat("EEEE")
+          case ('b', false) | ('h', false) => pat("MMM")
+          case ('B', false) => pat("MMMM")
+          case ('c', false) => pat("yyyy-MM-dd HH:mm:ss")
+          case ('x', false) => pat("yyyy-MM-dd")
+          case ('X', false) | ('T', false) => pat("HH:mm:ss")
+          case ('z', false) => pat("x")
+          case ('Z', false) => () // duck prints '' (no tz name on naive ts)
+          // ISO weekday Mon=1..Sun=7 (Spark dayofweek is Sun=1..Sat=7)
+          case ('u', false) =>
+            sql("CAST(((dayofweek(«TS») + 5) % 7) + 1 AS STRING)")
+          // C weekday Sun=0..Sat=6
+          case ('w', false) =>
+            sql("CAST(dayofweek(«TS») - 1 AS STRING)")
+          case ('V', false) =>
+            sql("lpad(CAST(weekofyear(«TS») AS STRING), 2, '0')")
+          case ('G', false) =>
+            sql("CAST(extract(YEAROFWEEK FROM «TS») AS STRING)")
+          // C-strftime week grids: %U Sunday-first, %W Monday-first —
+          // (tm_yday + 7 - tm_wday) / 7 with 0-based yday/wday
+          case ('U', false) =>
+            sql("lpad(CAST((dayofyear(«TS») + 7 - dayofweek(«TS»)) DIV 7 AS STRING), 2, '0')")
+          case ('W', false) =>
+            sql("lpad(CAST((dayofyear(«TS») + 6 - (dayofweek(«TS») + 5) % 7) DIV 7 AS STRING), 2, '0')")
+          case _ => bad = true // duck errors on unknown specifiers — stay loud
+        }
+      } else { lit.append(p(i)); i += 1 }
+    }
+    flushLit()
+    if (bad) None else Some(out.result())
+  }
+
+  /** Joined single-pattern form for patterns with no computed segments
+    * (the common case, and the pre-r10 public surface). */
+  def strftimeToJava(p: String): String =
+    scanStrftime(p, parse = false)
+      .filter(_.forall(_.isLeft))
+      .map(_.collect { case Left(j) => j }.mkString)
+      .getOrElse(p)
   def strptimeToJava(p: String): String =
-    strptimeMap.foldLeft(p) { case (s, (k, v)) => s.replace(k, v) }
+    scanStrftime(p, parse = true)
+      .filter(_.forall(_.isLeft))
+      .map(_.collect { case Left(j) => j }.mkString)
+      .getOrElse(p)
+
+  /** Full rewrite of one strftime/formatDateTime call body: `ts` is the
+    * rendered time expression, `p` the duck pattern. None → leave the
+    * call untranslated (unknown specifier; duck errors there too). */
+  private def strftimeSql(ts: String, p: String): Option[String] =
+    scanStrftime(p, parse = false).map { segs =>
+      // merge adjacent pattern chunks into one date_format
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      val run = new StringBuilder
+      def flushRun(): Unit = if (run.nonEmpty) {
+        parts += s"date_format($ts, ${sparkStrLit(run.toString)})"
+        run.clear()
+      }
+      segs.foreach {
+        case Left(j) => run.append(j)
+        case Right(t) => flushRun(); parts += t.replace("«TS»", ts)
+      }
+      flushRun()
+      if (parts.isEmpty) "''"
+      else if (parts.length == 1 && segs.forall(_.isLeft)) parts.head
+      // concat: NULL ts still nulls the whole result (concat of NULLs)
+      else s"concat(${parts.mkString(", ")})"
+    }
 
   /** DuckDB `date_diff('day', a, b)` / `date_part('year', ts)` /
     * `epoch(ts)` → Spark `datediff(b, a)` / `extract(year FROM ts)` /
@@ -4312,12 +4487,27 @@ object Translator {
           val open = nextNonWs(toks, i)
           if (open < toks.length && toks(open) == Punct("(")) {
             val close = matchParen(toks, open)
-            toks = toks.zipWithIndex.map {
-              case (s: Str, j) if j > open && j < close && s.value.contains("%") =>
-                Str("'" + strftimeToJava(s.value).replace("'", "''") + "'")
-              case (t, _) => t
-            }
-            toks = toks.patch(i, Seq(Ident("date_format")), 1)
+            val args = splitTopLevel(toks.slice(open + 1, close))
+            // pattern = whichever arg is the '%'-bearing literal (duck
+            // accepts both argument orders; chsql formatDateTime(time, fmt))
+            val fmtIx = args.indexWhere(_.filterNot(isWs) match {
+              case Vector(s: Str) => s.value.contains("%")
+              case _ => false
+            })
+            if (args.length == 2 && fmtIx >= 0) {
+              val ts = render(args(1 - fmtIx)).trim
+              val fmt = args(fmtIx).filterNot(isWs).head.asInstanceOf[Str].value
+              // «TS» holes sit inside function-call parens in every
+              // template, so the rendered arg needs no extra wrapping
+              strftimeSql(ts, fmt) match {
+                case Some(sql) =>
+                  toks = toks.patch(i, lex(sql), close - i + 1)
+                case None => () // unknown specifier — duck errors; stay loud
+              }
+            } else
+              // dynamic pattern: bare rename (documented divergence — the
+              // runtime pattern string is not translated)
+              toks = toks.patch(i, Seq(Ident("date_format")), 1)
           }
         // ClickHouse splitByChar(sep, s) → split(s, quoted-sep) (args swap)
         case id: Ident if id.upper == "SPLITBYCHAR" =>
