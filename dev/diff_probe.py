@@ -32,6 +32,10 @@ def norm(v):
         # java.time.Duration, rendered as seconds there too)
         return norm(v.total_seconds())
     if isinstance(v, decimal.Decimal):
+        # integral decimals print exactly (mirror DiffProbe.scala — the
+        # float route lost precision past 2^53; r10 batch 8)
+        if v == v.to_integral_value():
+            return str(int(v))
         return norm(float(v))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"

@@ -1382,6 +1382,39 @@ object DeclaredQueries {
         "'abcdef'[2:4] AS ss1, 'abcdef'[-3:-1] AS ss2, 'abcdef'[5:2] AS ss3, " +
         "'abcdef'[:0] AS ss4, 'héllo'[2:3] AS ss5 " +
         "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
+    "q204_fuzz8_pins" ->
+      // r10 fuzz batch 8 closures, oracle-pinned: gamma/lgamma kernels
+      // (Lanczos; exact integer args), width-aware bit_count (duck counts
+      // within the value's TYPE width — tinyint -1 is 8, Spark's builtin
+      // said 64), duck-spelled typeof(), julian (midnight-aligned grid,
+      // epoch offset 2440588), timezone(zone, ts) = to_utc_timestamp,
+      // dayofweek/weekday 0=Sunday (silent off-by-one through
+      // passthrough until now), isodow as a standalone fn, 2-arg
+      // array_length, any_value(ORDER BY) -> min_by/max_by, BLOB type
+      // spelling, HUGEINT arithmetic past 2^63 via DECIMAL(38,0)
+      ("SELECT o_orderkey, " +
+        "round(gamma(1.0 + (o_orderkey % 5)), 6) AS gm, " +
+        "round(lgamma(10.5 + o_orderkey), 6) AS lg, " +
+        "bit_count(CAST(o_orderkey % 128 AS TINYINT)) AS bc8, " +
+        "bit_count(o_orderkey) AS bc64, " +
+        "typeof(o_orderkey) AS ty1, typeof(o_orderstatus) AS ty2, " +
+        "round(julian(o_orderdate), 6) AS jl, " +
+        // CAST drops duck's TIMESTAMPTZ wrapper (session zone is UTC on
+        // both sides; the instant is identical, only the tz marker differs)
+        "CAST(timezone('America/New_York', TIMESTAMP '2024-03-07 14:05:09') AS TIMESTAMP) AS tz, " +
+        "dayofweek(o_orderdate) AS dw, isodow(o_orderdate) AS idw, " +
+        "array_length([1,2,3], 1) AS al, " +
+        "'abc'::BLOB::VARCHAR AS bl, " +
+        "(9223372036854775807::HUGEINT + o_orderkey)::VARCHAR AS hg " +
+        "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
+    "q205_fuzz8_aggs" ->
+      // batch-8 ordered-aggregate closure: any_value(x ORDER BY k) is the
+      // value at the smallest k (min_by); DESC -> max_by
+      ("SELECT " +
+        "any_value(o_orderstatus ORDER BY o_orderkey) AS av1, " +
+        "any_value(o_orderstatus ORDER BY o_orderkey DESC) AS av2, " +
+        "arbitrary(o_orderstatus ORDER BY o_totalprice) AS av3 " +
+        "FROM orders WHERE o_orderkey < 100"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -1195,7 +1195,7 @@ object Translator {
     "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND",
     "DAYOFWEEK", "DAYOFMONTH", "DAYOFYEAR", "WEEKOFYEAR", "QUARTER",
     "DATEDIFF", "COUNT", "SIGN", "FACTORIAL",
-    "BIT_COUNT", "BIT_LENGTH", "OCTET_LENGTH",
+    "BIT_COUNT", "GRAFT_BIT_COUNT", "BIT_LENGTH", "OCTET_LENGTH",
     "DAMERAU_LEVENSHTEIN", "LEVENSHTEIN", "BPE_TOKEN_COUNT",
     "ASCII_CHAR_COUNT", "GCD", "LCM")
   private[dialect] def rewriteIntCastRounding(toks0: Vector[Tok]): Vector[Tok] = {
@@ -1777,6 +1777,52 @@ object Translator {
     var i = 0
     while (i < toks.length) {
       toks(i) match {
+        case id: Ident if (id.upper == "ANY_VALUE" || id.upper == "ARBITRARY") && {
+            val open = nextNonWs(toks, i)
+            open < toks.length && toks(open) == Punct("(") && {
+              val close = matchParen(toks, open)
+              var d = 0; var ob = -1
+              for (j <- open to close) {
+                d += depthDelta(toks(j))
+                if (d == 1 && ob < 0 && up(toks(j)) == "ORDER") ob = j
+              }
+              ob > 0
+            }
+          } =>
+          // r10 batch 8: any_value(x ORDER BY k [ASC|DESC]) — the value at
+          // the smallest/largest key is exactly min_by/max_by (probe:
+          // DESC over (1,'a'),(2,'b') → 'b'). Single sort key only; a
+          // multi-key ORDER BY stays loud (Spark's parser rejects the
+          // in-call ORDER BY it would otherwise reach).
+          val open = nextNonWs(toks, i)
+          val close = matchParen(toks, open)
+          var d0 = 0; var ob0 = -1
+          for (j <- open to close) {
+            d0 += depthDelta(toks(j))
+            if (d0 == 1 && ob0 < 0 && up(toks(j)) == "ORDER") ob0 = j
+          }
+          val by = nextNonWs(toks, ob0)
+          if (by < close && up(toks(by)) == "BY") {
+            val valStr = render(toks.slice(open + 1, ob0)).trim
+            var keyToks = toks.slice(by + 1, close)
+            val topComma = {
+              var dd = 0; var c = false
+              keyToks.foreach { t => dd += depthDelta(t)
+                if (dd == 0 && t == Punct(",")) c = true }
+              c
+            }
+            if (!topComma && valStr.nonEmpty) {
+              val sigK = keyToks.filter(!isWs(_))
+              val desc = sigK.lastOption.exists(t => up(t) == "DESC")
+              if (sigK.nonEmpty && (up(sigK.last) == "ASC" || up(sigK.last) == "DESC")) {
+                val lastIdx = keyToks.lastIndexWhere(!isWs(_))
+                keyToks = keyToks.take(lastIdx)
+              }
+              val fn = if (desc) "max_by" else "min_by"
+              toks = toks.patch(i,
+                lex(s"$fn($valStr, ${render(keyToks).trim})"), close - i + 1)
+            }
+          }
         case id: Ident if id.upper == "STRING_AGG" || id.upper == "LISTAGG" || id.upper == "GROUP_CONCAT" =>
           val open = nextNonWs(toks, i)
           if (open < toks.length && toks(open) == Punct("(")) {
@@ -2028,6 +2074,11 @@ object Translator {
     "ARRAY_REVERSE" -> "reverse",
     // r10 batch 7: DuckDB's variadic list constructor alias
     "LIST_VALUE" -> "array",
+    // r10 batch 8: width-aware bit_count kernel (Spark's builtin counts
+    // over the promoted 64-bit value — tinyint -1 read 64, duck says 8)
+    "BIT_COUNT" -> "graft_bit_count",
+    // duck-spelled type names (INTEGER / VARCHAR / INTEGER[] / …)
+    "TYPEOF" -> "graft_typeof",
     "DATETRUNC" -> "date_trunc",
     // fallback for non-literal parts the rewriteDateFns form skips
     "DATEPART" -> "date_part",
@@ -3283,7 +3334,7 @@ object Translator {
             if (args.length == 1) {
               val d = render(args(0)).trim
               toks = toks.patch(i,
-                lex(s"(((dayofweek($d) + 5) % 7) + 1)"), close - i + 1)
+                lex(s"(((extract(DAYOFWEEK FROM $d) + 5) % 7) + 1)"), close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "POSITION" && callOpen >= 0 && {
@@ -3954,6 +4005,37 @@ object Translator {
               toks = toks.patch(i, lex(sliceForm(s"($l)", a, b)), close - i + 1)
               changed = true
             }
+          case id: Ident if id.upper == "TIMEZONE" && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              splitTopLevel(toks.slice(callOpen + 1, close)).length == 2
+            } =>
+            // r10 batch 8, probe-pinned: duck timezone(zone, ts) over a
+            // NAIVE timestamp interprets ts in `zone` and renders it in
+            // the session zone (UTC) — exactly to_utc_timestamp. (The
+            // TIMESTAMPTZ flavor inverts; our engine has no separate
+            // TIMESTAMPTZ type, same documented posture as elsewhere.)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            toks = toks.patch(i, lex(
+              s"to_utc_timestamp(CAST(${render(args(1)).trim} AS TIMESTAMP), ${render(args(0)).trim})"),
+              close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "ARRAY_LENGTH" && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              val args = splitTopLevel(toks.slice(callOpen + 1, close))
+              args.length == 2 && (args(1).filterNot(isWs) match {
+                case Vector(n: Num) => n.text == "1"
+                case _ => false
+              })
+            } =>
+            // r10 batch 8: duck's 2-arg array_length(l, 1) — dimension 1
+            // is the plain length; higher literal dims stay loud (duck
+            // errors on non-nested inputs there too)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            toks = toks.patch(i,
+              lex(s"size(${render(args(0)).trim})"), close - i + 1)
+            changed = true
           case id: Ident if id.upper == "STRPTIME" && callOpen >= 0 && {
               // only rewrite when every '%'-literal in the call scans
               // cleanly in parse mode — unknown or format-only specifiers
@@ -4228,10 +4310,10 @@ object Translator {
           case ('Z', false) => () // duck prints '' (no tz name on naive ts)
           // ISO weekday Mon=1..Sun=7 (Spark dayofweek is Sun=1..Sat=7)
           case ('u', false) =>
-            sql("CAST(((dayofweek(«TS») + 5) % 7) + 1 AS STRING)")
+            sql("CAST(((extract(DAYOFWEEK FROM «TS») + 5) % 7) + 1 AS STRING)")
           // C weekday Sun=0..Sat=6
           case ('w', false) =>
-            sql("CAST(dayofweek(«TS») - 1 AS STRING)")
+            sql("CAST(extract(DAYOFWEEK FROM «TS») - 1 AS STRING)")
           case ('V', false) =>
             sql("lpad(CAST(weekofyear(«TS») AS STRING), 2, '0')")
           case ('G', false) =>
@@ -4239,9 +4321,9 @@ object Translator {
           // C-strftime week grids: %U Sunday-first, %W Monday-first —
           // (tm_yday + 7 - tm_wday) / 7 with 0-based yday/wday
           case ('U', false) =>
-            sql("lpad(CAST((dayofyear(«TS») + 7 - dayofweek(«TS»)) DIV 7 AS STRING), 2, '0')")
+            sql("lpad(CAST((dayofyear(«TS») + 7 - extract(DAYOFWEEK FROM «TS»)) DIV 7 AS STRING), 2, '0')")
           case ('W', false) =>
-            sql("lpad(CAST((dayofyear(«TS») + 6 - (dayofweek(«TS») + 5) % 7) DIV 7 AS STRING), 2, '0')")
+            sql("lpad(CAST((dayofyear(«TS») + 6 - (extract(DAYOFWEEK FROM «TS») + 5) % 7) DIV 7 AS STRING), 2, '0')")
           case _ => bad = true // duck errors on unknown specifiers — stay loud
         }
       } else { lit.append(p(i)); i += 1 }
@@ -4358,12 +4440,13 @@ object Translator {
                   val repl = part.value.toLowerCase match {
                     // dayofweek directly — an emitted extract(DOW …) would
                     // be re-shifted by the EXTRACT rewrite below (r8)
-                    case "dow" => s"(dayofweek($e) - 1)"
+                    case "dow" | "dayofweek" | "weekday" =>
+                      s"(extract(DAYOFWEEK FROM $e) - 1)"
                     // DuckDB isodow is Monday=1..Sunday=7; Spark has no
                     // ISODOW field, and an emitted weekday() would be
                     // re-captured by the DuckDB weekday-ALIAS rewrite
                     // (Sunday=0) — dayofweek arithmetic instead (r8)
-                    case "isodow" => s"(((dayofweek($e) + 5) % 7) + 1)"
+                    case "isodow" => s"(((extract(DAYOFWEEK FROM $e) + 5) % 7) + 1)"
                     // DuckDB's epoch part is FRACTIONAL seconds (probe:
                     // …00.5 → 1704067200.5); Spark's extract has no epoch.
                     // Literal-interval args fold to their width (r10)
@@ -4391,7 +4474,7 @@ object Translator {
             val fi = nextNonWs(toks, open)
             val fromI = if (fi < close) nextNonWs(toks, fi) else close
             if (fi < close && fromI < close && up(toks(fromI)) == "FROM" &&
-                Set("EPOCH", "DOW", "ISODOW").contains(up(toks(fi)))) {
+                Set("EPOCH", "DOW", "ISODOW", "WEEKDAY").contains(up(toks(fi)))) {
               val e = render(toks.slice(fromI + 1, close)).trim
               val repl = up(toks(fi)) match {
                 case "EPOCH" =>
@@ -4399,8 +4482,9 @@ object Translator {
                     case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
                     case None => s"(unix_micros($e) / 1000000.0)"
                   }
-                case "DOW" => s"(dayofweek($e) - 1)"
-                case "ISODOW" => s"(((dayofweek($e) + 5) % 7) + 1)"
+                // duck's WEEKDAY extract field is the 0=Sunday form too
+                case "DOW" | "WEEKDAY" => s"(extract(DAYOFWEEK FROM $e) - 1)"
+                case "ISODOW" => s"(((extract(DAYOFWEEK FROM $e) + 5) % 7) + 1)"
               }
               toks = toks.patch(i, lex(repl), close - i + 1)
             }
@@ -4418,7 +4502,8 @@ object Translator {
           val e = render(toks.slice(open + 1, close)).trim
           toks = toks.patch(i, lex(s"weekofyear($e)"), close - i + 1)
         case id: Ident if Set("CENTURY", "DECADE", "MILLENNIUM", "WEEKDAY",
-            "YEARWEEK", "ISOYEAR", "EPOCH_NS").contains(id.upper) =>
+            "YEARWEEK", "ISOYEAR", "EPOCH_NS", "DAYOFWEEK", "ISODOW",
+            "JULIAN").contains(id.upper) =>
           // r7 session-3 date-part functions, probe-pinned on DuckDB 1.0:
           // century(2024)=21, decade=202, millennium=3 (CE off-by-one
           // forms), weekday Sunday=0, yearweek = ISO year·100 + ISO week
@@ -4431,7 +4516,21 @@ object Translator {
               case "CENTURY" => s"(CAST(floor((year($e) - 1) / 100.0) AS BIGINT) + 1)"
               case "DECADE" => s"CAST(floor(year($e) / 10.0) AS BIGINT)"
               case "MILLENNIUM" => s"(CAST(floor((year($e) - 1) / 1000.0) AS BIGINT) + 1)"
-              case "WEEKDAY" => s"(dayofweek($e) - 1)"
+              case "WEEKDAY" => s"(extract(DAYOFWEEK FROM $e) - 1)"
+              // r10 batch 8: duck dayofweek() is the Postgres 0=Sunday
+              // form where Spark's builtin is 1=Sunday — a SILENT
+              // off-by-one through passthrough until now. The extract
+              // spelling avoids self-recapture (this very rule).
+              case "DAYOFWEEK" => s"(extract(DAYOFWEEK FROM $e) - 1)"
+              case "ISODOW" => s"(((extract(DAYOFWEEK FROM $e) + 5) % 7) + 1)"
+              // r10 batch 8, probe-pinned: duck julian(DATE '2000-01-01')
+              // = 2451545.0 — a MIDNIGHT-aligned day count (the
+              // astronomical JD would read .5 there), so the epoch
+              // offset is 2440588 = julian(1970-01-01 00:00)
+              case "JULIAN" =>
+                // CAST to DOUBLE first: bigint / decimal-literal would stay
+                // DECIMAL(29,6) where duck returns DOUBLE
+                s"(CAST(unix_micros(CAST($e AS TIMESTAMP)) AS DOUBLE) / 86400000000.0 + 2440588.0)"
               case "YEARWEEK" => s"(extract(YEAROFWEEK FROM $e) * 100 + weekofyear($e))"
               case "ISOYEAR" => s"extract(YEAROFWEEK FROM $e)"
               case "EPOCH_NS" => s"(unix_micros($e) * 1000)"
@@ -4752,6 +4851,9 @@ object Translator {
           val n = nextNonWs(toks, i)
           if (n < toks.length && toks(n) == Punct("(")) t else Ident("STRING")
         case id: Ident if id.upper == "DATETIME" => Ident("TIMESTAMP")
+        // r10 batch 8: duck's blob spellings (Spark: BINARY)
+        case id: Ident if id.upper == "BLOB" || id.upper == "BYTEA" ||
+            id.upper == "VARBINARY" => Ident("BINARY")
         case id: Ident if id.upper == "HUGEINT" => Ident("DECIMAL(38,0)")
         case id: Ident if id.upper == "UTINYINT" => Ident("SMALLINT")
         case id: Ident if id.upper == "UINTEGER" => Ident("BIGINT")

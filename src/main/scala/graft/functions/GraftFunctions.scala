@@ -99,6 +99,14 @@ object GraftFunctions {
       args => JaroWinklerSimilarity(args(0), args(1))),
     ("gcd", "integer gcd, absolute-value semantics",
       args => GcdExpr(args(0), args(1))),
+    ("gamma", "DuckDB gamma(x): exact for integer args, Lanczos otherwise; zero/negative-integer errors loudly",
+      args => GammaExpr(args(0))),
+    ("lgamma", "DuckDB lgamma(x): ln|gamma|, reflection below 0.5; pole args error loudly",
+      args => LgammaExpr(args(0))),
+    ("graft_bit_count", "DuckDB bit_count: set bits within the value's TYPE width (tinyint=8, not 64)",
+      args => BitCountWidth(args(0))),
+    ("graft_typeof", "DuckDB typeof(): duck-spelled type name of the argument, folded at analysis",
+      args => DuckTypeOf(args(0))),
     ("lcm", "integer lcm, absolute-value semantics, 0 when either arg is 0",
       args => LcmExpr(args(0), args(1))),
     // population-moment aggregates under graft names so the translator's

@@ -18,7 +18,12 @@ object DiffProbe {
     case d: Double => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
       d.toLong.toString else f"$d%.6f"
     case f: Float => norm(f.toDouble)
-    case b: java.math.BigDecimal => norm(b.doubleValue())
+    case b: java.math.BigDecimal =>
+      // integral decimals print exactly (duck's HUGEINT comes back as a
+      // python int on the twin side; the double route lost precision past
+      // 2^53 — r10 batch 8)
+      if (b.stripTrailingZeros.scale <= 0) b.toBigInteger.toString
+      else norm(b.doubleValue())
     case d: java.math.BigInteger => d.toString
     case s: collection.Seq[_] => s.map(norm).mkString("[", ",", "]")
     case a: Array[Byte] => a.map("%02x".format(_)).mkString

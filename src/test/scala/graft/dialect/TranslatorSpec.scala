@@ -306,7 +306,7 @@ class TranslatorSpec extends AnyFunSuite {
 
   test("date_part dow shifts to DuckDB's 0=Sunday; epoch family maps exactly") {
     assert(t("SELECT date_part('dow', d) FROM t") ==
-      "SELECT (dayofweek(d) - 1) FROM t")
+      "SELECT (extract(DAYOFWEEK FROM d) - 1) FROM t")
     assert(t("SELECT date_part('year', d) FROM t") ==
       "SELECT extract(year FROM d) FROM t")
     // epoch() is FRACTIONAL seconds in DuckDB — unix_timestamp truncates
@@ -729,7 +729,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT toStartOfWeek(d)") ==
       "SELECT date_sub(CAST(date_trunc('WEEK', date_add(d, 1)) AS DATE), 1)")
     assert(t("SELECT toYYYYMM(d)") == "SELECT (year(d) * 100 + month(d))")
-    assert(t("SELECT toDayOfWeek(d)") == "SELECT (((dayofweek(d) + 5) % 7) + 1)")
+    assert(t("SELECT toDayOfWeek(d)") == "SELECT (((extract(DAYOFWEEK FROM d) + 5) % 7) + 1)")
     // CH position(haystack, needle) → instr (same order); standard IN form untouched
     assert(t("SELECT position(h, n)") == "SELECT instr(h, n)")
     assert(t("SELECT position('or' IN s)") == "SELECT position('or' IN s)")
@@ -1065,12 +1065,12 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT length(s)") == "SELECT length(s)")
     // extract dow is 0=Sunday in DuckDB (Spark's DOW is 1=Sunday — the
     // passthrough was a silent off-by-one); isodow has no Spark field
-    assert(t("SELECT extract(dow FROM d)") == "SELECT (dayofweek(d) - 1)")
+    assert(t("SELECT extract(dow FROM d)") == "SELECT (extract(DAYOFWEEK FROM d) - 1)")
     assert(t("SELECT extract(isodow FROM d)") ==
-      "SELECT (((dayofweek(d) + 5) % 7) + 1)")
+      "SELECT (((extract(DAYOFWEEK FROM d) + 5) % 7) + 1)")
     assert(t("SELECT date_part('isodow', d)") ==
-      "SELECT (((dayofweek(d) + 5) % 7) + 1)")
-    assert(t("SELECT date_part('dow', d)") == "SELECT (dayofweek(d) - 1)")
+      "SELECT (((extract(DAYOFWEEK FROM d) + 5) % 7) + 1)")
+    assert(t("SELECT date_part('dow', d)") == "SELECT (extract(DAYOFWEEK FROM d) - 1)")
     // regexp_full_match emission uses || so a NULL pattern stays NULL
     assert(t("SELECT regexp_full_match(s, p)") ==
       "SELECT rlike((s), '^(?:' || (p) || ')$')")
