@@ -1415,6 +1415,35 @@ object DeclaredQueries {
         "any_value(o_orderstatus ORDER BY o_orderkey DESC) AS av2, " +
         "arbitrary(o_orderstatus ORDER BY o_totalprice) AS av3 " +
         "FROM orders WHERE o_orderkey < 100"),
+    "q206_fuzz9_pins" ->
+      // r10 fuzz batch 9 scalar closures, oracle-pinned: to_* interval
+      // constructors (via DATE + interval so the output is a TIMESTAMP,
+      // not an unwritable interval), the bare MIXED-class string interval
+      // (make_interval), dual-signature epoch_ms (bigint -> TIMESTAMP),
+      // regexp_matches option strings ('i'; 'gc' no-ops), fmt alignment/
+      // zero-pad specs
+      ("SELECT o_orderkey, " +
+        "(DATE '2024-01-01' + to_days((o_orderkey % 4)::INTEGER))::VARCHAR AS td, " +
+        "(DATE '2024-01-01' + to_years(1))::VARCHAR AS ty, " +
+        "(DATE '2024-01-01' + to_milliseconds(1500 + o_orderkey * 100))::VARCHAR AS tms, " +
+        "(TIMESTAMP '2020-01-01 00:00:00' + (INTERVAL '1 year 2 months 3 days'))::VARCHAR AS miv, " +
+        "epoch_ms(1709820309000)::VARCHAR AS its, " +
+        "epoch_ms(o_orderdate::TIMESTAMP) AS fms, " +
+        "regexp_matches(o_orderpriority, '^[a-z]', 'i') AS rmi, " +
+        "regexp_matches(o_orderpriority, 'o', 'c') AS rmg, " +
+        "format('{:>12}', o_orderstatus) AS fal, " +
+        "format('{:08d}', o_orderkey) AS fzd " +
+        "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
+    "q207_fuzz9_tables" ->
+      // batch-9 table-generating closures: generate_series over DATE
+      // bounds with an INTERVAL step (duck returns TIMESTAMPs inclusive
+      // of the end -> explode(sequence)), and an expression-nested unnest
+      // (lifted to a LATERAL VIEW; duck allows unnest anywhere in a
+      // select item)
+      ("SELECT d::VARCHAR AS day, u AS un " +
+        "FROM generate_series(DATE '2024-01-01', DATE '2024-01-09', INTERVAL 2 DAY) AS t(d), " +
+        "(SELECT unnest([1, 2]) + 10 AS u) AS z " +
+        "ORDER BY day, un"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

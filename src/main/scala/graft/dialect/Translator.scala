@@ -964,6 +964,64 @@ object Translator {
                 changed = true
               case _ => // plain interval on a non-date operand: passthrough
             }
+          case id: Ident if id.upper == "INTERVAL" && {
+              // r10 batch 9: a BARE mixed-class string interval —
+              // `SELECT INTERVAL '1 year 2 months 3 days'` parses in duck
+              // but Spark rejects literals mixing year-month and day-time
+              // classes. Only the mixed shape rewrites (single-class
+              // strings parse natively and feed the time_bucket/
+              // date_trunc literal scanners, which must see them raw).
+              val n = nextNonWs(toks, i)
+              n < toks.length && toks(n).isInstanceOf[Str] && {
+                val nn = nextNonWs(toks, n)
+                // `INTERVAL 'n' UNIT` has a trailing unit — not this form
+                (nn >= toks.length || unitWidth(up(toks(nn)), 1L).isEmpty) &&
+                  intervalWidth(toks.slice(i, n + 1))
+                    .exists { case (m, us) => m != 0 && us != 0 }
+              }
+            } =>
+            val n = nextNonWs(toks, i)
+            val Some((m, us)) = intervalWidth(toks.slice(i, n + 1))
+            val secs =
+              if (us % 1000000L == 0L) (us / 1000000L).toString
+              else s"$us / 1000000.0"
+            toks = toks.patch(i,
+              lex(s"make_interval(0, $m, 0, 0, 0, 0, $secs)"), n - i + 1)
+            changed = true
+          case Punct(op0) if (op0 == "+" || op0 == "-") && {
+              // r10 batch 9: date ± <interval-valued CALL> (to_days(n),
+              // make_interval(…)) — same TIMESTAMP-cast treatment as the
+              // literal INTERVAL run (DATE + micros-bearing intervals
+              // error at runtime in Spark and return TIMESTAMP in duck)
+              val rStart = nextNonWs(toks, i)
+              val lEnd = prevNonWs(toks, i)
+              rStart < toks.length && lEnd >= 0 && (toks(rStart) match {
+                case id2: Ident =>
+                  (toIntervalUnits.contains(id2.upper) ||
+                    id2.upper == "MAKE_INTERVAL") && {
+                    val n = nextNonWs(toks, rStart)
+                    n < toks.length && toks(n) == Punct("(")
+                  }
+                case _ => false
+              }) && {
+                var lStart = primaryStart(toks, lEnd)
+                if (toks(lStart).isInstanceOf[Str]) {
+                  val p = prevNonWs(toks, lStart)
+                  if (p >= 0 && up(toks(p)) == "DATE") lStart = p
+                }
+                dateValuedSlice(toks, lStart, lEnd)
+              }
+            } =>
+            val lEnd = prevNonWs(toks, i)
+            var lStart = primaryStart(toks, lEnd)
+            if (toks(lStart).isInstanceOf[Str]) {
+              val p = prevNonWs(toks, lStart)
+              if (p >= 0 && up(toks(p)) == "DATE") lStart = p
+            }
+            val l = render(toks.slice(lStart, lEnd + 1)).trim
+            toks = toks.patch(lStart, lex(s"CAST(($l) AS TIMESTAMP)"),
+              lEnd - lStart + 1)
+            changed = true
           case Punct("+") if {
               // commuted form: INTERVAL … + <date-valued> — wrap the
               // right side the same way
@@ -3569,14 +3627,15 @@ object Translator {
           case id: Ident if id.upper == "FORMAT" && callOpen >= 0 && {
             // fmt-style format('{} x {}', ...) -> format_string('%s x %s',
             // ...) when the first arg is a literal of {} / {N} holes, plus
-            // (r10 batch 7) the spec forms {:.Nf} / {:d} / {:s}; other
-            // spec strings (alignment, width) stay loud
+            // (r10 batch 7) the spec forms {:.Nf} / {:d} / {:s} and
+            // (r10 batch 9) alignment/zero-pad/width {:>6} {:<8s} {:06d}
+            // {:8.3f}; center-align and custom fills stay loud
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             args.length >= 2 && (args(0).filterNot(isWs) match {
               case Vector(s: Str) => !s.value.contains("%") &&
                 "\\{:([^}]*)\\}".r.findAllMatchIn(s.value)
-                  .forall(m => m.group(1).matches("\\.\\d+f|[ds]"))
+                  .forall(m => fmtSpecToJava(m.group(1)).isDefined)
               case _ => false
             })
           } =>
@@ -3586,10 +3645,11 @@ object Translator {
             // collect per-hole conversions in order for arg casting
             val holeRe = "\\{(\\d*)(?::([^}]*))?\\}".r
             val convs = holeRe.findAllMatchIn(fmt)
-              .map(m => Option(m.group(2)).getOrElse("")).toSeq
+              .map(m => fmtSpecToJava(Option(m.group(2)).getOrElse("")).getOrElse("s"))
+              .toSeq
             val jfmt = holeRe.replaceAllIn(fmt, m => {
               val spec = Option(m.group(2)).getOrElse("")
-              val body = if (spec.isEmpty) "s" else spec // "d" | "s" | ".Nf"
+              val body = fmtSpecToJava(spec).getOrElse("s")
               if (m.group(1).isEmpty) "%" + body
               else s"%${m.group(1).toInt + 1}\\$$$body"
             })
@@ -3613,6 +3673,26 @@ object Translator {
               toks = toks.patch(i, lex(s"array_prepend(($l), ($e))"), close - i + 1)
               changed = true
             }
+          case id: Ident if id.upper == "REGEXP_MATCHES" && callOpen >= 0 && {
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            args.length == 3 && (args(2).filterNot(isWs) match {
+              case Vector(s: Str) => s.value.forall("imsc".contains(_))
+              case _ => false
+            })
+          } =>
+            // r10 batch 9: duck's options string → Java inline flags.
+            // i/m/s carry over; c (case-sensitive) is both engines'
+            // default. Other options stay loud — including 'g', which
+            // duck itself rejects on regexp_matches.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val flags = args(2).filterNot(isWs).head.asInstanceOf[Str]
+              .value.filter("ims".contains(_))
+            val (s0, p0) = (render(args(0)).trim, render(args(1)).trim)
+            val pat = if (flags.isEmpty) s"($p0)" else s"'(?$flags)' || ($p0)"
+            toks = toks.patch(i, lex(s"rlike(($s0), $pat)"), close - i + 1)
+            changed = true
           case id: Ident if id.upper == "REGEXP_EXTRACT_ALL" && callOpen >= 0 && {
             val close = matchParen(toks, callOpen)
             splitTopLevel(toks.slice(callOpen + 1, close)).length == 2
@@ -4205,6 +4285,16 @@ object Translator {
                   val tail = if (args.length == 3) s", $stepLit" else ""
                   toks = toks.patch(i, lex(s"range($a, $end$tail)"), close - i + 1)
                   changed = true
+                case _ if args.length == 3 =>
+                  // r10 batch 9: the DATE/TIMESTAMP + INTERVAL-step table
+                  // form — duck returns TIMESTAMPs inclusive of the end
+                  // bound, exactly explode(sequence) over TIMESTAMP-cast
+                  // bounds (Spark's sequence is end-inclusive too)
+                  val (a, b) = (render(args(0)).trim, render(args(1)).trim)
+                  toks = toks.patch(i, lex(
+                    s"explode(sequence(CAST($a AS TIMESTAMP), CAST($b AS TIMESTAMP), $stepLit))"),
+                    close - i + 1)
+                  changed = true
                 case _ =>
               }
             }
@@ -4214,6 +4304,58 @@ object Translator {
       }
     }
     toks
+  }
+
+  /** DuckDB interval-constructor name → make_interval emission (r10
+    * batch 9). Spark make_interval slots: (years, months, weeks, days,
+    * hours, mins, secs). */
+  private val toIntervalUnits: Map[String, String => String] = Map(
+    "TO_MILLENNIA" -> (e => s"make_interval(($e) * 1000)"),
+    "TO_CENTURIES" -> (e => s"make_interval(($e) * 100)"),
+    "TO_DECADES" -> (e => s"make_interval(($e) * 10)"),
+    "TO_YEARS" -> (e => s"make_interval($e)"),
+    "TO_MONTHS" -> (e => s"make_interval(0, $e)"),
+    "TO_WEEKS" -> (e => s"make_interval(0, 0, $e)"),
+    "TO_DAYS" -> (e => s"make_interval(0, 0, 0, $e)"),
+    "TO_HOURS" -> (e => s"make_interval(0, 0, 0, 0, $e)"),
+    "TO_MINUTES" -> (e => s"make_interval(0, 0, 0, 0, 0, $e)"),
+    "TO_SECONDS" -> (e => s"make_interval(0, 0, 0, 0, 0, 0, $e)"),
+    "TO_MILLISECONDS" -> (e =>
+      s"make_interval(0, 0, 0, 0, 0, 0, CAST($e AS DOUBLE) / 1000.0)"),
+    "TO_MICROSECONDS" -> (e =>
+      s"make_interval(0, 0, 0, 0, 0, 0, CAST($e AS DOUBLE) / 1000000.0)"))
+
+  /** fmt-style spec body → java.util.Formatter body, or None when the
+    * spec has no faithful Java form (center align, custom fill chars,
+    * sign/group flags). Grammar: [align][0][width][.prec][type] with
+    * align ∈ {<, >}, type ∈ {d, f, s}. DuckDB's fmt defaults: {:f} is
+    * 6 digits, bare width right-aligns (both match Java). */
+  private def fmtSpecToJava(spec: String): Option[String] = {
+    if (spec.isEmpty) return Some("s")
+    val re = "^([<>])?(0)?(\\d+)?(?:\\.(\\d+))?([dfs])?$".r
+    spec match {
+      case re(align, zero, width, prec, typ) =>
+        val t = Option(typ).getOrElse(
+          if (prec != null) "f" else "s")
+        val w = Option(width).getOrElse("")
+        val left = align == "<"
+        t match {
+          case "d" =>
+            if (prec != null) None // precision is invalid on %d
+            else Some((if (left) "-" else "") +
+              (if (zero != null && !left) "0" else "") + w + "d")
+          case "f" =>
+            if (zero != null && left) None
+            else Some((if (left) "-" else "") +
+              (if (zero != null) "0" else "") + w +
+              "." + Option(prec).getOrElse("6") + "f")
+          case _ => // strings: zero-fill has no Java form
+            if (zero != null) None
+            else Some((if (left) "-" else "") + w +
+              Option(prec).map("." + _).getOrElse("") + "s")
+        }
+      case _ => None
+    }
   }
 
   private[dialect] def rewriteFunctionNames(toks: Vector[Tok]): Vector[Tok] =
@@ -4501,6 +4643,19 @@ object Translator {
           val close = matchParen(toks, open)
           val e = render(toks.slice(open + 1, close)).trim
           toks = toks.patch(i, lex(s"weekofyear($e)"), close - i + 1)
+        case id: Ident if id.upper.startsWith("TO_") &&
+            toIntervalUnits.contains(id.upper) && {
+              val n = nextNonWs(toks, i)
+              n < toks.length && toks(n) == Punct("(")
+            } =>
+          // r10 batch 9: DuckDB's interval constructors to_years(2),
+          // to_days(3), … → make_interval with the count in the right
+          // slot (probe: to_years(2) = INTERVAL 2 YEAR; decades/centuries/
+          // millennia scale into years, millis/micros into seconds)
+          val open = nextNonWs(toks, i)
+          val close = matchParen(toks, open)
+          val e = render(toks.slice(open + 1, close)).trim
+          toks = toks.patch(i, lex(toIntervalUnits(id.upper)(e)), close - i + 1)
         case id: Ident if Set("CENTURY", "DECADE", "MILLENNIUM", "WEEKDAY",
             "YEARWEEK", "ISOYEAR", "EPOCH_NS", "DAYOFWEEK", "ISODOW",
             "JULIAN").contains(id.upper) =>
@@ -4550,7 +4705,18 @@ object Translator {
             // literal-interval args fold to their 30-day-month width (r10
             // fuzz batch 6 — probed epoch_ms(INTERVAL '1 day') = 86400000)
             val iv = intervalEpochMicros(toks.slice(open + 1, close))
-            val repl = id.upper match {
+            // r10 batch 9: epoch_ms(BIGINT) is the INVERSE direction —
+            // millis → TIMESTAMP (dual signature in DuckDB; probed
+            // epoch_ms(1709820309000) = 2024-03-07 14:05:09). Only the
+            // literal-integer shape is decidable at the token level; a
+            // named column keeps the common ts→ms direction.
+            val bareIntArg = toks.slice(open + 1, close).filterNot(isWs) match {
+              case Vector(n: Num) => !n.text.contains(".") && !n.text.toUpperCase.contains("E")
+              case _ => false
+            }
+            val repl = if (bareIntArg && id.upper == "EPOCH_MS")
+              s"timestamp_millis($e)"
+            else id.upper match {
               case "EPOCH" => iv match {
                 case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
                 case None => s"(unix_micros($e) / 1000000.0)"
@@ -5410,7 +5576,101 @@ object Translator {
       }
       i += 1
     }
-    rewriteQualify(rewriteDistinctOn(rewriteAsof(toks)))
+    rewriteQualify(rewriteDistinctOn(rewriteAsof(rewriteUnnestInExpr(toks))))
+  }
+
+  /** `SELECT f(unnest(X)) …` (r10 batch 9): DuckDB allows unnest anywhere
+    * in a select item; Spark only allows a generator at the TOP level of
+    * the list. Lift the single nested unnest into a LATERAL VIEW explode
+    * and reference its output column. Guarded to exactly ONE unnest call
+    * in the list — DuckDB ZIPS multiple unnests row-wise where two
+    * LATERAL VIEWs would cross-product, so the multi-unnest shape stays
+    * loud. GROUP BY / HAVING / WINDOW statements also stay loud (the
+    * explode would change aggregation grain). */
+  private[dialect] def rewriteUnnestInExpr(toks: Vector[Tok]): Vector[Tok] = {
+    val c = splitClauses(toks).orNull
+    if (c == null || c.groupIdx >= 0 || c.havingIdx >= 0 || c.windowIdx >= 0)
+      return toks
+    val selEnd = Seq(c.fromIdx, c.whereIdx, c.qualifyIdx, c.orderIdx,
+      c.limitIdx, c.offsetIdx).filter(_ > c.selectIdx)
+      .minOption.getOrElse(toks.length)
+    // locate top-level-in-an-item unnest calls inside the select list only
+    var occurrences = List.empty[(Int, Int)] // (identIdx, closeIdx)
+    var i = c.selectIdx + 1
+    while (i < selEnd) {
+      toks(i) match {
+        case Punct("(") if {
+            // skip scalar-subquery regions — the statement-level
+            // recursion rewrites those on their own (q182's recursive
+            // unnest lives inside one; lifting it OUT of its subquery
+            // broke the := kwarg)
+            val n = nextNonWs(toks, i)
+            n < toks.length && up(toks(n)) == "SELECT"
+          } =>
+          i = matchParen(toks, i)
+        case id: Ident if id.upper == "UNNEST" =>
+          val n = nextNonWs(toks, i)
+          if (n < selEnd && toks(n) == Punct("(")) {
+            val close = matchParen(toks, n)
+            occurrences ::= (i, close)
+            i = close // nested unnest-inside-unnest stays loud via count
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    occurrences match {
+      case (uIdx, uClose) :: scala.Nil =>
+        // bare `unnest(x)` / `unnest(x) AS a` items are native explode —
+        // only rewrite when the call sits INSIDE a larger expression
+        val items = splitTopLevel(toks.slice(c.selectIdx + 1, selEnd))
+        var acc = c.selectIdx + 1
+        var nested = false
+        for (item <- items) {
+          val end = acc + item.length
+          if (uIdx >= acc && uIdx < end) {
+            val nw = item.filterNot(isWs)
+            // strip an optional trailing [AS] alias before comparing ends
+            val woAlias =
+              if (nw.length >= 3 && up(nw(nw.length - 2)) == "AS") nw.dropRight(2)
+              else if (nw.length >= 2 && nw.last.isInstanceOf[Ident] &&
+                !keywordLike(up(nw.last)) && nw(nw.length - 2) == Punct(")")) nw.dropRight(1)
+              else nw
+            // bare = the item IS the call: starts at the unnest ident and
+            // ends at its own closing paren
+            val bare = woAlias.headOption.exists(t => up(t) == "UNNEST") &&
+              woAlias.length >= 3 && woAlias(1) == Punct("(") && {
+                var d0 = 0; var firstZero = -1
+                for ((t, ix) <- woAlias.zipWithIndex.drop(1)) {
+                  d0 += depthDelta(t)
+                  if (d0 == 0 && firstZero < 0) firstZero = ix
+                }
+                firstZero == woAlias.length - 1
+              }
+            nested = !bare
+          }
+          acc = end + 1 // past the comma
+        }
+        if (!nested) return toks
+        val argOpen = nextNonWs(toks, uIdx)
+        val arg = render(toks.slice(argOpen + 1, uClose)).trim
+        val patched = toks.patch(uIdx, lex("__graft_unn"), uClose - uIdx + 1)
+        val shift = patched.length - toks.length
+        val lateral = lex(s" LATERAL VIEW explode($arg) __graft_unnv AS __graft_unn ")
+        if (c.fromIdx >= 0) {
+          val fromEnd = Seq(c.whereIdx, c.qualifyIdx, c.orderIdx, c.limitIdx,
+            c.offsetIdx).filter(_ > c.fromIdx)
+            .minOption.map(_ + shift).getOrElse(patched.length)
+          patched.patch(fromEnd, lateral, 0)
+        } else {
+          val insertAt = Seq(c.whereIdx, c.qualifyIdx, c.orderIdx, c.limitIdx,
+            c.offsetIdx).filter(_ > c.selectIdx)
+            .minOption.map(_ + shift).getOrElse(patched.length)
+          patched.patch(insertAt,
+            lex(" FROM (SELECT 1 AS __graft_one)") ++ lateral, 0)
+        }
+      case _ => toks
+    }
   }
 
   /** Top-level clause boundaries of a SELECT statement. */

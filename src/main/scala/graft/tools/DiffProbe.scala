@@ -48,7 +48,10 @@ object DiffProbe {
     // day-time intervals canonicalize to seconds on both sides (the
     // python twin renders timedelta.total_seconds())
     case d: java.time.Duration => norm(d.getSeconds + d.getNano / 1e9)
-    case p: java.time.Period => norm(p.toTotalMonths.toDouble) + "mo"
+    // year-month intervals flatten the same way duck's python client
+    // does: 30-day months → seconds (r10 batch 9; the old "Nmo" form
+    // could never match the twin)
+    case p: java.time.Period => norm(p.toTotalMonths * 2592000.0)
     // CalendarInterval (the age() decomposition): duckdb's python client
     // converts month-bearing intervals to timedelta with 30-day months —
     // mirror that so both sides canonicalize to the same seconds

@@ -1147,4 +1147,65 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT splitByString('a\\b', s)") ==
       "SELECT split(s, 'a\\\\b')")
   }
+
+  test("r10 batch 9: interval constructors, mixed string interval, epoch_ms dual") {
+    assert(t("SELECT to_days(3), to_years(2)") ==
+      "SELECT make_interval(0, 0, 0, 3), make_interval(2)")
+    assert(t("SELECT to_milliseconds(1500)") ==
+      "SELECT make_interval(0, 0, 0, 0, 0, 0, CAST(1500 AS DOUBLE) / 1000.0)")
+    // bare MIXED-class string interval (Spark rejects the literal)
+    assert(t("SELECT INTERVAL '1 year 2 months 3 days'") ==
+      "SELECT make_interval(0, 14, 0, 0, 0, 0, 259200)")
+    // single-class strings parse natively and must stay raw for the
+    // time_bucket/date_trunc literal scanners
+    assert(t("SELECT INTERVAL '5 days'") == "SELECT INTERVAL '5 days'")
+    // epoch_ms: literal-integer arg is the INVERSE direction (ms -> ts)
+    assert(t("SELECT epoch_ms(1709820309000)") ==
+      "SELECT timestamp_millis(1709820309000)")
+    assert(t("SELECT epoch_ms(ts) FROM t") == "SELECT unix_millis(ts) FROM t")
+  }
+
+  test("r10 batch 9: regexp_matches flags and format alignment specs") {
+    assert(t("SELECT regexp_matches(s, p, 'i') FROM t") ==
+      "SELECT rlike((s), '(?i)' || (p)) FROM t")
+    // c (case-sensitive) is both engines' default — a no-op
+    assert(t("SELECT regexp_matches(s, 'x', 'c') FROM t") ==
+      "SELECT rlike((s), ('x')) FROM t")
+    // unsupported options stay loud as a 3-arg rlike — including 'g',
+    // which duck itself rejects on regexp_matches
+    assert(t("SELECT regexp_matches(s, 'x', 'l') FROM t")
+      .startsWith("SELECT rlike(s, 'x',"))
+    assert(t("SELECT regexp_matches(s, 'x', 'g') FROM t")
+      .startsWith("SELECT rlike(s, 'x',"))
+    assert(t("SELECT format('{:>6}', s) FROM t") ==
+      "SELECT format_string('%6s', s) FROM t")
+    assert(t("SELECT format('{:06d}', n) FROM t") ==
+      "SELECT format_string('%06d', n) FROM t")
+    assert(t("SELECT format('{:<8s}', s) FROM t") ==
+      "SELECT format_string('%-8s', s) FROM t")
+    // center alignment has no Java form — stays loud
+    assert(t("SELECT format('{:^6}', s) FROM t").startsWith("SELECT format("))
+  }
+
+  test("r10 batch 9: nested unnest lifts to LATERAL VIEW; bare stays explode") {
+    assert(t("SELECT unnest(xs) * 2 AS u FROM t WHERE n > 3") ==
+      "SELECT __graft_unn * 2 AS u FROM t  LATERAL VIEW explode(xs) __graft_unnv AS __graft_unn WHERE n > 3")
+    assert(t("SELECT unnest([1,2]) + 100") ==
+      "SELECT __graft_unn + 100 FROM (SELECT 1 AS __graft_one) LATERAL VIEW explode(array(1,2)) __graft_unnv AS __graft_unn")
+    // bare unnest is Spark-native explode — no restructure
+    assert(t("SELECT unnest(xs) FROM t") == "SELECT explode(xs) FROM t")
+    assert(t("SELECT unnest(xs) AS u FROM t") == "SELECT explode(xs) AS u FROM t")
+    // two unnests would ZIP in duck but cross-product as two lateral
+    // views — stays loud (untranslated nested generators)
+    val two = t("SELECT unnest(a) + unnest(b) FROM t")
+    assert(!two.contains("LATERAL"))
+  }
+
+  test("r10 batch 9: generate_series over dates becomes explode(sequence)") {
+    assert(t("SELECT * FROM generate_series(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY) AS t(d)") ==
+      "SELECT * FROM explode(sequence(CAST(DATE '2024-01-01' AS TIMESTAMP), CAST(DATE '2024-01-04' AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)")
+    // integer form keeps the native range() TVF (end made inclusive)
+    assert(t("SELECT * FROM generate_series(1, 5) AS t(g)") ==
+      "SELECT * FROM range(1, (5) + 1) AS t(g)")
+  }
 }
