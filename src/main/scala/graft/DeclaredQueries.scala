@@ -1444,6 +1444,19 @@ object DeclaredQueries {
         "FROM generate_series(DATE '2024-01-01', DATE '2024-01-09', INTERVAL 2 DAY) AS t(d), " +
         "(SELECT unnest([1, 2]) + 10 AS u) AS z " +
         "ORDER BY day, un"),
+    "q208_fuzz9b_json" ->
+      // r10 batch 9b: the loud batch-4 JSON leftovers now kernels —
+      // json_structure (recursive type sketch, array element-structure
+      // merging), json_merge_patch (RFC 7386, NULL-target = absent),
+      // json_contains (needle anywhere, subset object matches, strict
+      // scalar equality) — plus array_slice character semantics on a
+      // string literal
+      ("SELECT o_orderkey, " +
+        "json_structure('{\"k\":' || o_orderkey || ',\"s\":\"' || o_orderstatus || '\",\"l\":[1,2.5]}')::VARCHAR AS js, " +
+        "json_merge_patch('{\"a\":1,\"b\":2}', '{\"b\":' || o_orderkey || ',\"c\":null}')::VARCHAR AS jm, " +
+        "json_contains('{\"a\":{\"b\":[1,2,3]}}', '[' || (o_orderkey % 5) || ']') AS jc, " +
+        "array_slice('abcdef', 2, CAST(2 + o_orderkey % 4 AS INTEGER)) AS sl " +
+        "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -631,6 +631,29 @@ object Translator {
       var i = 0
       while (i < toks.length && !changed) {
         toks(i) match {
+          case id: Ident if (id.upper == "ARRAY_SLICE" || id.upper == "LIST_SLICE") && {
+              // r10 batch 9b: a string-LITERAL receiver slices CHARACTERS
+              // (duck's array_slice('hello', 2, 4) = 'ell') — rewritten in
+              // THIS pass so the emitted CASTs get the int-cast rounding
+              // treatment once (emitting them later broke idempotence);
+              // string-typed COLUMNS stay loud (no schema at token level).
+              // List receivers keep the later guarded-slice rewrite.
+              val open = nextNonWs(toks, i)
+              open < toks.length && toks(open) == Punct("(") && {
+                val close = matchParen(toks, open)
+                val args = splitTopLevel(toks.slice(open + 1, close))
+                args.length == 3 && (args(0).filterNot(isWs) match {
+                  case Vector(_: Str) => true
+                  case _ => false
+                })
+              }
+            } =>
+            val open = nextNonWs(toks, i)
+            val close = matchParen(toks, open)
+            val args = splitTopLevel(toks.slice(open + 1, close))
+            val (l, a, b) = (render(args(0)).trim, render(args(1)).trim, render(args(2)).trim)
+            toks = toks.patch(i, lex(strSliceForm(l, a, b)), close - i + 1)
+            changed = true
           case Punct("[") if {
             val p = prevNonWs(toks, i)
             p >= 0 && (toks(p) match {
@@ -2137,6 +2160,10 @@ object Translator {
     "BIT_COUNT" -> "graft_bit_count",
     // duck-spelled type names (INTEGER / VARCHAR / INTEGER[] / …)
     "TYPEOF" -> "graft_typeof",
+    // r10 batch 9: the loud batch-4 JSON leftovers, now kernels
+    "JSON_STRUCTURE" -> "graft_json_structure",
+    "JSON_CONTAINS" -> "graft_json_contains",
+    "JSON_MERGE_PATCH" -> "graft_json_merge_patch",
     "DATETRUNC" -> "date_trunc",
     // fallback for non-literal parts the rewriteDateFns form skips
     "DATEPART" -> "date_part",

@@ -107,6 +107,12 @@ object GraftFunctions {
       args => BitCountWidth(args(0))),
     ("graft_typeof", "DuckDB typeof(): duck-spelled type name of the argument, folded at analysis",
       args => DuckTypeOf(args(0))),
+    ("graft_json_structure", "DuckDB json_structure(): recursive type sketch; arrays merge element structures",
+      args => JsonStructureExpr(args(0))),
+    ("graft_json_contains", "DuckDB json_contains(haystack, needle): needle found anywhere, subset object matches",
+      args => JsonContainsExpr(args(0), args(1))),
+    ("graft_json_merge_patch", "DuckDB json_merge_patch(): RFC 7386; NULL target = absent, NULL patch = NULL",
+      args => JsonMergePatchExpr(args(0), args(1))),
     ("lcm", "integer lcm, absolute-value semantics, 0 when either arg is 0",
       args => LcmExpr(args(0), args(1))),
     // population-moment aggregates under graft names so the translator's

@@ -38,7 +38,11 @@ object DiffProbe {
         // positional structs (arrays_zip: fields "0".."n-1") render as
         // lists — DuckDB's client renders list_zip tuples that way (r9)
         val names = r.schema.fieldNames
-        if (names.zipWithIndex.forall { case (n, i) => n == i.toString })
+        // positional field names — "0".."n-1" (arrays_zip) or Spark's
+        // struct() defaults "col1".."colN" (duck's row() renders those
+        // as plain tuples → lists on the twin side; r10 batch 9)
+        if (names.zipWithIndex.forall { case (n, i) => n == i.toString } ||
+            names.zipWithIndex.forall { case (n, i) => n == s"col${i + 1}" })
           r.toSeq.map(norm).mkString("[", ",", "]")
         else names.zip(r.toSeq)
           .map { case (n, v) => s"$n:${norm(v)}" }
