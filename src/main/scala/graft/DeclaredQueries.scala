@@ -1457,6 +1457,24 @@ object DeclaredQueries {
         "json_contains('{\"a\":{\"b\":[1,2,3]}}', '[' || (o_orderkey % 5) || ']') AS jc, " +
         "array_slice('abcdef', 2, CAST(2 + o_orderkey % 4 AS INTEGER)) AS sl " +
         "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
+    "q209_fuzz10_pins" ->
+      // r10 fuzz batch 10: GROUP BY ALL, ~~-family and ~ regex operators,
+      // GLOB character classes, SIMILAR TO as pure regex, ARRAY[]
+      // literals, TYPE[]/TYPE[n] cast suffixes, array distance fns,
+      // count(columns(*)) whole-item replication
+      ("SELECT o_orderstatus, " +
+        "count(*) AS n, " +
+        "count(*) FILTER (o_orderpriority ~~ '%-%') AS lk, " +
+        "count(*) FILTER (o_orderpriority ~ '[0-9]-[A-Z]+') AS rx, " +
+        "count(*) FILTER (o_orderpriority GLOB '[12]*') AS gl, " +
+        "count(*) FILTER (o_orderpriority SIMILAR TO '.-URGENT') AS st, " +
+        "min(array_to_string(ARRAY[o_orderkey, o_custkey]::BIGINT[], ',')) AS ar, " +
+        "round(min(array_inner_product([1.0, 2.0]::FLOAT[2], [3.0, 4.0]::FLOAT[2])), 6) AS ip " +
+        "FROM orders WHERE o_orderkey < 2000 GROUP BY ALL ORDER BY o_orderstatus"),
+    "q210_fuzz10_columns" ->
+      // batch-10 columns() replication: an aggregate over columns(*)
+      // replicates per matched column with the column name as the alias
+      ("SELECT count(columns('o_order.*')) FROM orders WHERE o_orderkey < 100"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -24,7 +24,11 @@ object Lexer {
   /** Whitespace or comment run. */
   final case class Ws(text: String) extends Tok
 
-  private val multiChar = Seq("<=", ">=", "<>", "!=", "==", "||", "::", "->>", "->", "**", "//", ":=")
+  // longest-first within a shared prefix: "!~~*" before "!~~" before "!~"
+  // before "!=", "~~*" before "~~" (r10 batch 10: the ~~-family LIKE and
+  // ~ regex operator spellings)
+  private val multiChar = Seq("!~~*", "!~~", "~~*", "~~", "!~",
+    "<=", ">=", "<>", "!=", "==", "||", "::", "->>", "->", "**", "//", ":=")
 
   def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

@@ -74,6 +74,7 @@ object Translator {
     toks = rewriteListComprehensions(toks)
     toks = rewriteArrayLiterals(toks)
     toks = rewriteStructMapLiterals(toks)
+    toks = rewriteArrayTypeSuffix(toks)
     toks = rewriteSubscripts(toks, isMapCol)
     toks = rewriteOpsSugar(toks)
     toks = rewriteIntCastRounding(toks)
@@ -378,13 +379,80 @@ object Translator {
     toks
   }
 
+  /** `:: TYPE[]` / `CAST(x AS TYPE[n])` — DuckDB's list and fixed-size
+    * ARRAY type suffixes → `ARRAY<TYPE>` (r10 batch 10; Spark has no
+    * fixed-size arrays, so the size is dropped — values carry over).
+    * MUST run before rewriteSubscripts (which would eat `FLOAT[2]` as a
+    * subscript) and before the int-cast rounding pass (which would wrap
+    * `::INTEGER[]`'s element type as a scalar int cast). */
+  private[dialect] def rewriteArrayTypeSuffix(toks0: Vector[Tok]): Vector[Tok] = {
+    val castTypeHeads = Set("TINYINT", "SMALLINT", "INTEGER", "INT", "INT2",
+      "INT4", "INT8", "BIGINT", "HUGEINT", "UTINYINT", "USMALLINT",
+      "UINTEGER", "UBIGINT", "FLOAT", "FLOAT4", "FLOAT8", "REAL", "DOUBLE",
+      "DECIMAL", "NUMERIC", "VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR",
+      "BOOLEAN", "BOOL", "DATE", "TIMESTAMP", "DATETIME", "BLOB", "BYTEA",
+      "VARBINARY", "BINARY", "UUID", "JSON", "INTERVAL")
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case id: Ident if castTypeHeads.contains(id.upper) && {
+              val p = prevNonWs(toks, i)
+              p >= 0 && (toks(p) == Punct("::") || up(toks(p)) == "AS")
+            } =>
+            // type head [+ (precision args)] then one or more [n?] suffixes
+            var end = i
+            val n1 = nextNonWs(toks, i)
+            if (n1 < toks.length && toks(n1) == Punct("("))
+              end = matchParen(toks, n1)
+            var suffixes = 0
+            var cur = nextNonWs(toks, end)
+            var lastClose = end
+            while (cur < toks.length && toks(cur) == Punct("[") && {
+                val a = nextNonWs(toks, cur)
+                a < toks.length && (toks(a) == Punct("]") || (toks(a).isInstanceOf[Num] && {
+                  val b = nextNonWs(toks, a); b < toks.length && toks(b) == Punct("]")
+                }))
+              }) {
+              suffixes += 1
+              val a = nextNonWs(toks, cur)
+              lastClose = if (toks(a) == Punct("]")) a else nextNonWs(toks, a)
+              cur = nextNonWs(toks, lastClose)
+            }
+            if (suffixes > 0) {
+              var ty = render(toks.slice(i, end + 1)).trim
+              for (_ <- 1 to suffixes) ty = s"ARRAY<$ty>"
+              toks = toks.patch(i, lex(ty), lastClose - i + 1)
+              changed = true
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
   private[dialect] def rewriteArrayLiterals(toks: Vector[Tok]): Vector[Tok] = {
     val out = ArrayBuffer[Tok]()
     val stack = ArrayBuffer[Boolean]() // true = this bracket became array(
     for ((t, i) <- toks.zipWithIndex) t match {
       case Punct("[") =>
         if (isSubscriptOpen(toks, i)) { out += t; stack += false }
-        else { out += Ident("array"); out += Punct("("); stack += true }
+        else {
+          // Postgres-style ARRAY[1,2] prefix (r10 batch 10): drop the
+          // keyword — the bracket itself becomes array(
+          var j = out.length - 1
+          while (j >= 0 && out(j).isInstanceOf[Ws]) j -= 1
+          if (j >= 0 && (out(j) match {
+            case id: Ident => id.upper == "ARRAY"
+            case _ => false
+          })) out.remove(j, out.length - j)
+          out += Ident("array"); out += Punct("("); stack += true
+        }
       case Punct("]") =>
         if (stack.nonEmpty && stack.remove(stack.length - 1)) out += Punct(")") else out += t
       case other => out += other
@@ -1070,6 +1138,41 @@ object Translator {
             toks = toks.patch(rStart, lex(s"CAST(($r) AS TIMESTAMP)"),
               rEnd - rStart + 1)
             changed = true
+          case Punct(op0) if Set("~~", "~~*", "!~~", "!~~*").contains(op0) =>
+            // r10 batch 10: Postgres-spelling LIKE operators (probed on
+            // duck: ~~ = LIKE, ~~* = ILIKE, !-prefixed = NOT forms)
+            val repl = op0 match {
+              case "~~" => "LIKE"
+              case "~~*" => "ILIKE"
+              case "!~~" => "NOT LIKE"
+              case _ => "NOT ILIKE"
+            }
+            toks = toks.patch(i, lex(repl), 1)
+            changed = true
+          case Punct(op0) if (op0 == "~" || op0 == "!~") && {
+              val lEnd = prevNonWs(toks, i)
+              val rStart = nextNonWs(toks, i)
+              lEnd >= 0 && rStart < toks.length && (toks(lEnd) match {
+                case _: Str | _: Num => true
+                case Punct(")") | Punct("]") => true
+                case id2: Ident => !keywordLike(id2.upper)
+                case _ => false
+              })
+            } =>
+            // duck's ~ is a FULL regex match (probed: 'abc' ~ 'b' is
+            // false, 'abc' ~ 'abc' true) — the regexp_full_match form;
+            // !~ is its NULL-preserving negation
+            val lEnd = prevNonWs(toks, i)
+            val rStart = nextNonWs(toks, i)
+            val lStart = primaryStart(toks, lEnd)
+            val rEnd = primaryEnd(toks, rStart)
+            val l = render(toks.slice(lStart, lEnd + 1)).trim
+            val r = render(toks.slice(rStart, rEnd + 1)).trim
+            val not = if (op0 == "!~") "NOT " else ""
+            toks = toks.patch(lStart,
+              lex(s"($not" + s"rlike(($l), '^(?:' || ($r) || ')$$'))"),
+              rEnd - lStart + 1)
+            changed = true
           case Punct(op0) if op0 == "**" || op0 == "^" =>
             // `^` is POWER in DuckDB where Spark's `^` is bitwise XOR — a
             // silent wrong answer through passthrough (r8 fuzz: 2 ^ 3 gave
@@ -1097,14 +1200,24 @@ object Translator {
             val n = nextNonWs(toks, i); n < toks.length && toks(n).isInstanceOf[Str]
           } =>
             val n = nextNonWs(toks, i)
-            val pat = toks(n).asInstanceOf[Str].value.flatMap {
-              case '*' => "%"
-              case '?' => "_"
-              case '%' => "\\%"
-              case '_' => "\\_"
-              case c => c.toString
+            val raw = toks(n).asInstanceOf[Str].value
+            // r10 batch 10: patterns with character classes ([ab], [!x])
+            // have no LIKE form — route through an anchored regex; plain
+            // */? patterns keep the cheaper LIKE (probe: 'abc' GLOB
+            // '[ab]bc' is true, the old LIKE route matched literally)
+            if (raw.contains('[')) {
+              toks = toks.patch(i, Seq(Ident("RLIKE"), Ws(" "),
+                Str(sparkStrLit("^(?:" + globToRegex(raw) + ")$"))), n - i + 1)
+            } else {
+              val pat = raw.flatMap {
+                case '*' => "%"
+                case '?' => "_"
+                case '%' => "\\%"
+                case '_' => "\\_"
+                case c => c.toString
+              }
+              toks = toks.patch(i, Seq(Ident("LIKE"), Ws(" "), Str(sparkStrLit(pat))), n - i + 1)
             }
-            toks = toks.patch(i, Seq(Ident("LIKE"), Ws(" "), Str(sparkStrLit(pat))), n - i + 1)
             changed = true
           case id: Ident if id.upper == "SIMILAR" && {
             val n = nextNonWs(toks, i)
@@ -1114,6 +1227,10 @@ object Translator {
           } =>
             val n = nextNonWs(toks, i)
             val s = nextNonWs(toks, n)
+            // duck's SIMILAR TO is a PURE regex full match — unlike
+            // Postgres, % and _ are NOT wildcards (probed r10 batch 10:
+            // 'abc' SIMILAR TO 'a%' is false, 'a%c' SIMILAR TO 'a%c'
+            // true) — so the pattern passes through raw
             val pat = toks(s).asInstanceOf[Str].value
             toks = toks.patch(i,
               Seq(Ident("RLIKE"), Ws(" "), Str(sparkStrLit("^(?:" + pat + ")$"))), s - i + 1)
@@ -1196,39 +1313,35 @@ object Translator {
               Some((true, s.value))
             case _ => None
           }
-          if (likeRe.isDefined) {
-            val (neg, pat) = likeRe.get
-            val rx = java.util.regex.Pattern.compile(
-              pat.flatMap {
-                case '%' => ".*"
-                case '_' => "."
-                case c => java.util.regex.Pattern.quote(c.toString)
-              })
-            var j = close + 1; var depth = 0; var table: Option[String] = None
-            while (j < toks.length && table.isEmpty && depth >= 0) {
-              depth += depthDelta(toks(j))
-              if (depth == 0 && up(toks(j)) == "FROM") {
-                val t = nextNonWs(toks, j)
-                if (t < toks.length) toks(t) match {
-                  case tid: Ident => table = Some(tid.text.replaceAll("[`\"]", ""))
-                  case _ => j = toks.length
-                }
-              }
-              j += 1
+          // column filter for the three inner shapes: lambda-LIKE,
+          // 'regex' (partial match), or bare * (all columns, r10 batch 10)
+          val filter: Option[String => Boolean] = likeRe match {
+            case Some((neg, pat)) =>
+              val rx = java.util.regex.Pattern.compile(
+                pat.flatMap {
+                  case '%' => ".*"
+                  case '_' => "."
+                  case c => java.util.regex.Pattern.quote(c.toString)
+                })
+              Some(c => rx.matcher(c).matches() != neg)
+            case None => innerToks match {
+              case Vector(s: Str) =>
+                val p = java.util.regex.Pattern.compile(s.value)
+                Some(c => p.matcher(c).find())
+              case Vector(Punct("*")) => Some(_ => true)
+              case _ => None
             }
-            for (t <- table; cols <- schemaOf(t)) {
-              val hit = cols.filter(c => rx.matcher(c).matches() != neg)
-              if (hit.nonEmpty)
-                toks = toks.patch(i, lex(hit.mkString(", ")), close - i + 1)
-            }
-          } else if (innerToks.length == 1 && innerToks(0).isInstanceOf[Str]) {
-            val re = innerToks(0).asInstanceOf[Str].value
+          }
+          if (filter.isDefined) {
             // the statement's FROM table: first plain ident after FROM at
-            // paren-depth 0 relative to the COLUMNS call
-            var j = close + 1; var depth = 0; var table: Option[String] = None
-            while (j < toks.length && table.isEmpty && depth >= 0) {
-              depth += depthDelta(toks(j))
-              if (depth == 0 && up(toks(j)) == "FROM") {
+            // STREAM depth 0 (r10 batch 10: the old relative-depth scan
+            // aborted when COLUMNS sat inside a call — count(columns(*)) —
+            // because the call's closing paren drove the count negative)
+            val dpre = new Array[Int](toks.length + 1)
+            for (k <- toks.indices) dpre(k + 1) = dpre(k) + depthDelta(toks(k))
+            var j = close + 1; var table: Option[String] = None
+            while (j < toks.length && table.isEmpty) {
+              if (dpre(j) == 0 && up(toks(j)) == "FROM") {
                 val t = nextNonWs(toks, j)
                 if (t < toks.length) toks(t) match {
                   case tid: Ident => table = Some(tid.text.replaceAll("[`\"]", ""))
@@ -1238,10 +1351,51 @@ object Translator {
               j += 1
             }
             for (t <- table; cols <- schemaOf(t)) {
-              val p = java.util.regex.Pattern.compile(re)
-              val hit = cols.filter(c => p.matcher(c).find())
-              if (hit.nonEmpty)
-                toks = toks.patch(i, lex(hit.mkString(", ")), close - i + 1)
+              val hit = cols.filter(filter.get)
+              if (hit.nonEmpty) {
+                // item bounds at stream depth 0 — duck replicates the
+                // WHOLE select item per matched column (r10 batch 10:
+                // count(columns(*)) is one count per column, auto-aliased
+                // to the column name; the old in-place patch silently
+                // produced a multi-arg count). In-place expansion only
+                // when the call IS the whole item.
+                val pre = toks.take(i)
+                val depthAtI = pre.map(depthDelta).sum
+                if (depthAtI == 0) {
+                  // bare item (possibly `SELECT columns(...)`) — expand in
+                  // place; adjoining expression text replicates below only
+                  // when bounds are findable
+                  val bounds = itemBoundsAt(toks, i, close)
+                  bounds match {
+                    case Some((s0, e0))
+                        if render(toks.slice(s0, e0)).trim !=
+                          render(toks.slice(i, close + 1)).trim =>
+                      val item = toks.slice(s0, e0)
+                      val relI = i - s0
+                      val relClose = close - s0
+                      val clones = hit.map { c =>
+                        render(item.patch(relI, lex(c), relClose - relI + 1)).trim +
+                          (if (itemName(item).isEmpty) s" AS $c" else "")
+                      }
+                      toks = toks.patch(s0, lex(" " + clones.mkString(", ") + " "), e0 - s0)
+                    case _ =>
+                      toks = toks.patch(i, lex(hit.mkString(", ")), close - i + 1)
+                  }
+                } else {
+                  itemBoundsAt(toks, i, close) match {
+                    case Some((s0, e0)) =>
+                      val item = toks.slice(s0, e0)
+                      val relI = i - s0
+                      val relClose = close - s0
+                      val clones = hit.map { c =>
+                        render(item.patch(relI, lex(c), relClose - relI + 1)).trim +
+                          (if (itemName(item).isEmpty) s" AS $c" else "")
+                      }
+                      toks = toks.patch(s0, lex(" " + clones.mkString(", ") + " "), e0 - s0)
+                    case None => // bounds unfindable (nested subquery) — loud
+                  }
+                }
+              }
             }
           }
         }
@@ -1249,6 +1403,36 @@ object Translator {
       i += 1
     }
     toks
+  }
+
+  /** Select-item bounds enclosing position `i` at stream depth 0:
+    * (start, endExclusive), or None when `i` is not inside the top-level
+    * select list (e.g. inside a subquery — depth never returns to 0). */
+  private def itemBoundsAt(toks: Vector[Tok], i: Int, close: Int): Option[(Int, Int)] = {
+    // prefix depths
+    val d = new Array[Int](toks.length + 1)
+    for (j <- toks.indices) d(j + 1) = d(j) + depthDelta(toks(j))
+    var s0 = -1
+    var j = i - 1
+    var found = false
+    while (j >= 0 && !found) {
+      if (d(j) == 0 && (toks(j) == Punct(",") || up(toks(j)) == "SELECT" ||
+          up(toks(j)) == "DISTINCT")) { s0 = j + 1; found = true }
+      else if (d(j) == 0 && up(toks(j)) == "FROM") return None
+      j -= 1
+    }
+    if (s0 < 0) return None
+    var e0 = toks.length
+    j = close + 1
+    var done = false
+    while (j < toks.length && !done) {
+      if (d(j) == 0 && (toks(j) == Punct(",") ||
+          Set("FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+            "WINDOW", "QUALIFY", "UNION", "INTERSECT", "EXCEPT")
+            .contains(up(toks(j))))) { e0 = j; done = true }
+      j += 1
+    }
+    Some((s0, e0))
   }
 
   /** DuckDB casts to integer types ROUND (half away from zero: 1.9 → 2,
@@ -4331,6 +4515,33 @@ object Translator {
       }
     }
     toks
+  }
+
+  /** GLOB pattern → Java regex body (r10 batch 10): `*` → `.*`, `?` →
+    * `.`, `[...]` classes kept with glob's `!` negation → `^`, all other
+    * regex metacharacters escaped. */
+  private def globToRegex(glob: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < glob.length) {
+      val c = glob(i)
+      if (inClass) {
+        if (c == ']') { inClass = false; sb += ']' }
+        else if (c == '\\') sb ++= "\\\\"
+        else sb += c
+      } else c match {
+        case '*' => sb ++= ".*"
+        case '?' => sb += '.'
+        case '[' =>
+          inClass = true; sb += '['
+          if (i + 1 < glob.length && glob(i + 1) == '!') { sb += '^'; i += 1 }
+        case c0 if "\\.^$+(){}|".indexOf(c0) >= 0 => sb += '\\' += c0
+        case c0 => sb += c0
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   /** DuckDB interval-constructor name → make_interval emission (r10

@@ -1201,6 +1201,53 @@ class TranslatorSpec extends AnyFunSuite {
     assert(!two.contains("LATERAL"))
   }
 
+  test("r10 batch 10: operator spellings, GLOB classes, SIMILAR TO raw regex") {
+    // Postgres-spelling LIKE operators
+    assert(t("SELECT 'abc' ~~ 'a%'") == "SELECT 'abc' LIKE 'a%'")
+    assert(t("SELECT s !~~ 'a%' FROM t0") == "SELECT s NOT LIKE 'a%' FROM t0")
+    // ~ is duck's FULL regex match; !~ its negation
+    assert(t("SELECT s ~ 'ab' FROM t0") ==
+      "SELECT (rlike((s), '^(?:' || ('ab') || ')$')) FROM t0")
+    assert(t("SELECT s !~ 'ab' FROM t0") ==
+      "SELECT (NOT rlike((s), '^(?:' || ('ab') || ')$')) FROM t0")
+    // GLOB with a character class routes through an anchored regex;
+    // plain patterns keep LIKE
+    assert(t("SELECT 'abc' GLOB '[ab]bc'") == "SELECT 'abc' RLIKE '^(?:[ab]bc)$'")
+    assert(t("SELECT 'abc' GLOB 'a*'") == "SELECT 'abc' LIKE 'a%'")
+    assert(t("SELECT x GLOB '[!a]*.txt' FROM t0") ==
+      "SELECT x RLIKE '^(?:[^a].*\\.txt)$' FROM t0")
+    // SIMILAR TO is a PURE regex in duck (probed: % is NOT a wildcard)
+    assert(t("SELECT 'abc' SIMILAR TO 'a.*'") == "SELECT 'abc' RLIKE '^(?:a.*)$'")
+  }
+
+  test("r10 batch 10: ARRAY[] literals and TYPE[]/TYPE[n] cast suffixes") {
+    assert(t("SELECT ARRAY[1, 2]") == "SELECT array(1, 2)")
+    assert(t("SELECT x::INTEGER[] FROM t0") == "SELECT x::ARRAY<INTEGER> FROM t0")
+    assert(t("SELECT x::FLOAT[2] FROM t0") == "SELECT x::ARRAY<FLOAT> FROM t0")
+    assert(t("SELECT CAST(x AS DECIMAL(4,2)[]) FROM t0") ==
+      "SELECT CAST(x AS ARRAY<DECIMAL(4,2)>) FROM t0")
+    // scalar int casts keep the rounding detour
+    assert(t("SELECT x::INTEGER FROM t0") ==
+      "SELECT CAST(round(CAST((x) AS DECIMAL(38,9))) AS INTEGER) FROM t0")
+  }
+
+  test("r10 batch 10: columns() inside an expression replicates the item") {
+    val schema: String => Option[Seq[String]] = {
+      case "t0" => Some(Seq("a", "bb"))
+      case _ => None
+    }
+    assert(Translator.translate("SELECT count(columns(*)) FROM t0", schema).sql ==
+      "SELECT count(a) AS a, count(bb) AS bb FROM t0")
+    // explicit alias duplicates per match, like duck
+    assert(Translator.translate("SELECT min(columns('b.*')) AS m FROM t0", schema).sql ==
+      "SELECT min(bb) AS m FROM t0")
+    // bare call still expands in place
+    assert(Translator.translate("SELECT columns('b.*') FROM t0", schema).sql ==
+      "SELECT bb FROM t0")
+    assert(Translator.translate("SELECT columns(*) FROM t0", schema).sql ==
+      "SELECT a, bb FROM t0")
+  }
+
   test("r10 batch 9: generate_series over dates becomes explode(sequence)") {
     assert(t("SELECT * FROM generate_series(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY) AS t(d)") ==
       "SELECT * FROM explode(sequence(CAST(DATE '2024-01-01' AS TIMESTAMP), CAST(DATE '2024-01-04' AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)")
