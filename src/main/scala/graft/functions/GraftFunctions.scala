@@ -113,6 +113,8 @@ object GraftFunctions {
       args => JsonContainsExpr(args(0), args(1))),
     ("graft_json_merge_patch", "DuckDB json_merge_patch(): RFC 7386; NULL target = absent, NULL patch = NULL",
       args => JsonMergePatchExpr(args(0), args(1))),
+    ("graft_url_canon", "URL canonicalization: fragment/default-port/utm strip, lowercase scheme+host, sorted query params",
+      args => UrlCanonicalize(args(0))),
     ("lcm", "integer lcm, absolute-value semantics, 0 when either arg is 0",
       args => LcmExpr(args(0), args(1))),
     // population-moment aggregates under graft names so the translator's

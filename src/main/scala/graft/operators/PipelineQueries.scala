@@ -931,6 +931,33 @@ object PipelineQueries {
           round(col("cosine") * 1000000).cast("bigint").as("cos_micro"))
         .orderBy("d1", "d2")
     }),
+    // ---- URL canonicalization + URL-level dedup (r10): the cosmetic-
+    // variant collapse a crawler pipeline runs before any content
+    // hashing. Raw URLs are synthesized deterministically from doc_id
+    // (the fixture has no URL column) with the variant classes the
+    // canonicalizer must kill: upper-case scheme/host, default :80
+    // ports, trailing slashes, utm_* tracking params, re-ordered query
+    // params, fragments. Scale shape: one row-local codegen projection +
+    // one hash shuffle on the canonical string.
+    "p64_url_dedup" -> q((s, _) => {
+      val d = s.table("documents").select(col("doc_id"))
+      val m = (k: Int) => (col("doc_id") % k).cast("string")
+      val url = concat(lit("HTTP://WWW.Site"), m(13), lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":80"))
+          .when(col("doc_id") % 3 === 1, lit("")).otherwise(lit(":8080")),
+        lit("/P/q"), m(11),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit("?b=1&a="), m(7)))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("?a="), m(7), lit("&utm_source=x&b=1")))
+          .when(col("doc_id") % 4 === 2, lit("?utm_campaign=only"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("#Sec")).otherwise(lit("")))
+      UrlOps.urlDedup(d.withColumn("url", url), "doc_id", "url")
+        .select(col("canon_url"), col("keeper").cast("bigint").as("keeper"),
+          col("n_variants"))
+        .orderBy("canon_url")
+    }),
     // ---- end-to-end curation composite (r5): the whole training-data
     // prep as ONE declared plan — PII scrub (codegen kernel) → quality +
     // language gate (one token_set_hits scan) → corpus-wide exact dedup
@@ -975,6 +1002,35 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     "p01_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups FROM documents GROUP BY h ORDER BY h",
+    // p64 (r10): the same synthesis + canonicalization restated in duck
+    // string/list functions; regexp_replace('/+$') is anchored so duck's
+    // first-match default equals Spark's replace-all here.
+    "p64_url_dedup" ->
+      ("WITH u AS (SELECT doc_id, 'HTTP://WWW.Site' || (doc_id % 13) || '.COM' || " +
+        "CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN '' ELSE ':8080' END || " +
+        "'/P/q' || (doc_id % 11) || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || " +
+        "CASE doc_id % 4 WHEN 0 THEN '?b=1&a=' || (doc_id % 7) " +
+        "WHEN 1 THEN '?a=' || (doc_id % 7) || '&utm_source=x&b=1' " +
+        "WHEN 2 THEN '?utm_campaign=only' ELSE '' END || " +
+        "CASE WHEN doc_id % 6 = 0 THEN '#Sec' ELSE '' END AS url FROM documents), " +
+        "nf AS (SELECT doc_id, CASE WHEN instr(url,'#')>0 THEN substr(url,1,instr(url,'#')-1) ELSE url END AS u FROM u), " +
+        "sp AS (SELECT doc_id, lower(string_split(u,'://')[1]) AS scheme, string_split(u,'://')[2] AS rest FROM nf), " +
+        "hp AS (SELECT doc_id, scheme, " +
+        "CASE WHEN instr(rest,'/')>0 THEN substr(rest,1,instr(rest,'/')-1) ELSE rest END AS hostport, " +
+        "CASE WHEN instr(rest,'/')>0 THEN substr(rest,instr(rest,'/')) ELSE '/' END AS pathq FROM sp), " +
+        "hh AS (SELECT doc_id, scheme, " +
+        "lower(CASE WHEN instr(hostport,':')>0 THEN substr(hostport,1,instr(hostport,':')-1) ELSE hostport END) AS host, " +
+        "CASE WHEN instr(hostport,':')>0 THEN substr(hostport,instr(hostport,':')+1) ELSE '' END AS port, " +
+        "CASE WHEN instr(pathq,'?')>0 THEN substr(pathq,1,instr(pathq,'?')-1) ELSE pathq END AS path0, " +
+        "CASE WHEN instr(pathq,'?')>0 THEN substr(pathq,instr(pathq,'?')+1) ELSE '' END AS query FROM hp), " +
+        "cc AS (SELECT doc_id, scheme || '://' || host || " +
+        "CASE WHEN port = '' OR (scheme='http' AND port='80') OR (scheme='https' AND port='443') THEN '' ELSE ':' || port END || " +
+        "CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/' ELSE regexp_replace(path0, '/+$', '') END || " +
+        "CASE WHEN len(list_filter(string_split(query,'&'), x -> x <> '' AND NOT starts_with(x,'utm_'))) > 0 " +
+        "THEN '?' || array_to_string(list_sort(list_filter(string_split(query,'&'), x -> x <> '' AND NOT starts_with(x,'utm_'))), '&') " +
+        "ELSE '' END AS canon_url FROM hh) " +
+        "SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keeper, CAST(count(*) AS BIGINT) AS n_variants " +
+        "FROM cc GROUP BY canon_url ORDER BY canon_url"),
     "p02_dedup_ngram_jaccard" ->
       ("SELECT a.doc_id AS d1, b.doc_id AS d2, " +
         "CAST(round(10000.0 * len(list_intersect(list_distinct(string_split(a.text,' ')), list_distinct(string_split(b.text,' ')))) " +

@@ -139,6 +139,12 @@ object PlanAudit {
     Check("p49_source_novelty",
       wantAll = Seq("window_md5s", "Window", "HashAggregate"),
       wantNone = Seq("Join")),
+    // URL dedup (r10): canonicalization is a row-local projection; the
+    // whole operator is ONE hash aggregate on the canonical string —
+    // never a join, never a window
+    Check("p64_url_dedup",
+      wantAll = Seq("HashAggregate"),
+      wantNone = Seq("Join", "Window", "CartesianProduct")),
     // frame dedup (r7): aligned-frame explode → content-hash keep-first
     // window → id-keyed reassembly + one id equi-join — the lineDedup
     // shape at frame granularity, never a cross join
