@@ -1475,6 +1475,19 @@ object DeclaredQueries {
       // batch-10 columns() replication: an aggregate over columns(*)
       // replicates per matched column with the column name as the alias
       ("SELECT count(columns('o_order.*')) FROM orders WHERE o_orderkey < 100"),
+    "q211_fuzz12_pins" ->
+      // r10 fuzz batch 12: ordered-set aggregates (WITHIN GROUP — native
+      // in both engines), in-call ORDER BY stripped from order-insensitive
+      // aggregates, DISTINCT+FILTER combo. (A WITHIN GROUP mixed with TWO
+      // distinct-aggregate groups trips a Spark RewriteDistinctAggregates
+      // ClassCastException — loud, upstream; the second DISTINCT shape is
+      // probe-covered standalone in batch 12.)
+      ("SELECT " +
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50, " +
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25, " +
+        "sum(o_totalprice ORDER BY o_orderkey) AS os, " +
+        "count(DISTINCT o_orderstatus) FILTER (o_orderkey % 2 = 0) AS cdf " +
+        "FROM orders WHERE o_orderkey < 100"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

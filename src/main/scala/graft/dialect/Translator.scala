@@ -2042,6 +2042,31 @@ object Translator {
     var i = 0
     while (i < toks.length) {
       toks(i) match {
+        case id: Ident if orderInsensitiveAggs.contains(id.upper) && {
+            val open = nextNonWs(toks, i)
+            open < toks.length && toks(open) == Punct("(") && {
+              val close = matchParen(toks, open)
+              var d = 0; var ob = -1
+              for (j <- open to close) {
+                d += depthDelta(toks(j))
+                if (d == 1 && ob < 0 && up(toks(j)) == "ORDER") ob = j
+              }
+              ob > 0 && { val by = nextNonWs(toks, ob)
+                by < close && up(toks(by)) == "BY" }
+            }
+          } =>
+          // r10 batch 12: duck accepts ORDER BY inside ANY aggregate; for
+          // order-INSENSITIVE heads (sum/avg/min/max/count/moments) the
+          // clause is a semantic no-op — strip it (Spark's parser rejects
+          // the in-call ORDER BY these would otherwise reach)
+          val open = nextNonWs(toks, i)
+          val close = matchParen(toks, open)
+          var d0 = 0; var ob0 = -1
+          for (j <- open to close) {
+            d0 += depthDelta(toks(j))
+            if (d0 == 1 && ob0 < 0 && up(toks(j)) == "ORDER") ob0 = j
+          }
+          toks = toks.patch(ob0, Vector.empty, close - ob0)
         case id: Ident if (id.upper == "ANY_VALUE" || id.upper == "ARBITRARY") && {
             val open = nextNonWs(toks, i)
             open < toks.length && toks(open) == Punct("(") && {
@@ -4516,6 +4541,16 @@ object Translator {
     }
     toks
   }
+
+  /** Aggregate heads whose value is independent of input order — an
+    * in-call ORDER BY is a semantic no-op duck accepts and Spark's
+    * parser rejects (r10 batch 12). */
+  private val orderInsensitiveAggs = Set("SUM", "AVG", "MEAN", "MIN", "MAX",
+    "COUNT", "FSUM", "FAVG", "KAHAN_SUM", "SUMKAHAN", "BOOL_AND", "BOOL_OR",
+    "BIT_AND", "BIT_OR", "BIT_XOR", "STDDEV", "STDDEV_SAMP", "STDDEV_POP",
+    "VARIANCE", "VAR_SAMP", "VAR_POP", "MEDIAN", "PRODUCT", "ENTROPY",
+    "SKEWNESS", "KURTOSIS", "CORR", "COVAR_SAMP", "COVAR_POP", "GEOMEAN",
+    "GEOMETRIC_MEAN")
 
   /** GLOB pattern → Java regex body (r10 batch 10): `*` → `.*`, `?` →
     * `.`, `[...]` classes kept with glob's `!` negation → `^`, all other

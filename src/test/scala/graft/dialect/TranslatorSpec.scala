@@ -1248,6 +1248,17 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT a, bb FROM t0")
   }
 
+  test("r10 batch 12: in-call ORDER BY strips from order-insensitive aggregates") {
+    assert(t("SELECT sum(x ORDER BY k) FROM t0") == "SELECT sum(x ) FROM t0")
+    assert(t("SELECT avg(DISTINCT x ORDER BY k DESC) FROM t0") ==
+      "SELECT avg(DISTINCT x ) FROM t0")
+    // order-SENSITIVE heads keep their dedicated rewrites
+    assert(t("SELECT any_value(x ORDER BY k) FROM t0") == "SELECT min_by(x, k) FROM t0")
+    // window ORDER BY is untouched (beyond the standing NULLS LAST inject)
+    assert(t("SELECT sum(x) OVER (ORDER BY k) FROM t0") ==
+      "SELECT sum(x) OVER (ORDER BY k NULLS LAST) FROM t0")
+  }
+
   test("r10 batch 9: generate_series over dates becomes explode(sequence)") {
     assert(t("SELECT * FROM generate_series(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY) AS t(d)") ==
       "SELECT * FROM explode(sequence(CAST(DATE '2024-01-01' AS TIMESTAMP), CAST(DATE '2024-01-04' AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)")
