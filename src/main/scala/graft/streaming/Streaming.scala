@@ -71,6 +71,24 @@ object Streaming {
       .drop("__graft_sig")
   }
 
+  /** Streaming URL-level dedup — the continuous twin of
+    * [[graft.operators.UrlOps.urlDedup]]: each URL canonicalizes through
+    * the same codegen kernel (fragment/default-port/utm strip, lowercase
+    * scheme+host, sorted query params) and cosmetic re-crawls of a page
+    * already seen inside the watermark horizon are dropped. State is one
+    * canonical string per kept URL, bounded by the watermark. */
+  def urlDedupStream(pages: DataFrame,
+      urlCol: String = "url",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.register(pages.sparkSession)
+    pages
+      .withColumn("__graft_canon",
+        graft.operators.UrlOps.canonicalUrl(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__graft_canon")
+  }
+
   /** Streaming corpus curation — the continuous form of
     * [[graft.operators.TextAnalysis.curate]]: quality gate (min token
     * count) → language gate → exact-dedup-within-watermark on the content

@@ -67,6 +67,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming URL dedup drops cosmetic re-crawls, keeps distinct pages") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val pages = input.toDF().toDF("ts", "page_id", "url")
+    val q = Streaming.urlDedupStream(pages)
+      .writeStream.format("memory").queryName("urldedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(0), 1L, "HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=2&a=1#frag"),
+        (ts(0, 30), 2L, "http://www.ex.com/a?a=1&b=2"), // same canonical → dropped
+        (ts(1), 3L, "https://www.ex.com/a?a=1&b=2"))    // different scheme → kept
+      q.processAllAvailable()
+      val ids = spark.table("urldedup_out").collect()
+        .map(_.getAs[Long]("page_id")).toSet
+      assert(ids.contains(3L))
+      assert((ids - 3L).size == 1, s"expected one survivor of the canon pair, got $ids")
+      // the canonical form itself is the dedup key
+      val canon = spark.table("urldedup_out").collect()
+        .map(_.getAs[String]("__graft_canon")).toSet
+      assert(canon.contains("http://www.ex.com/a?a=1&b=2"))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dimension into each micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
