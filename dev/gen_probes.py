@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Deterministic random-expression probe generator (r10).
+
+Builds depth-bounded scalar expressions over the orders fixture from a
+whitelist of constructs both engines should agree on, and emits one
+probe line per expression. Run the output through DiffProbe + the duck
+twin like any hand-written batch; every diff is a divergence to triage.
+
+Usage: python3 dev/gen_probes.py [n] [seed] > dev/diff_probe_gen.txt
+"""
+import random
+import sys
+
+INT = "int"
+DBL = "dbl"
+STR = "str"
+DATE = "date"
+BOOL = "bool"
+
+COLS = [("o_orderkey", INT), ("o_custkey", INT), ("o_totalprice", DBL),
+        ("o_orderstatus", STR), ("o_orderpriority", STR),
+        ("o_orderdate", DATE)]
+
+
+def lit(rng, ty):
+    if ty == INT:
+        return str(rng.choice([0, 1, 2, 3, 5, 7, 10, 100, -1, -3]))
+    if ty == DBL:
+        return str(rng.choice([0.5, 1.5, 2.0, -0.5, 10.25, 3.0]))
+    if ty == STR:
+        return "'" + rng.choice(["a", "ab", "xyz", "O", "-", " ", "1"]) + "'"
+    if ty == DATE:
+        return "DATE '" + rng.choice(
+            ["2024-03-07", "1997-01-31", "2000-12-25"]) + "'"
+    return rng.choice(["true", "false"])
+
+
+def atom(rng, ty):
+    cols = [c for c, t in COLS if t == ty]
+    if cols and rng.random() < 0.6:
+        c = rng.choice(cols)
+        # the fixture's o_orderdate is TIMESTAMP-typed — cast to DATE so
+        # date + int arithmetic is valid on both engines
+        return c + "::DATE" if ty == DATE else c
+    return lit(rng, ty)
+
+
+def gen(rng, ty, depth):
+    if depth <= 0:
+        return atom(rng, ty)
+    r = rng.random()
+    if ty == INT:
+        if r < 0.25:
+            a, b = gen(rng, INT, depth - 1), gen(rng, INT, depth - 1)
+            op = rng.choice(["+", "-", "*"])
+            return f"({a} {op} {b})"
+        if r < 0.35:
+            # divisor pinned non-zero
+            return f"({gen(rng, INT, depth - 1)} % {rng.choice([2, 3, 5, 7])})"
+        if r < 0.45:
+            return f"({gen(rng, INT, depth - 1)} // {rng.choice([2, 3, 5])})"
+        if r < 0.55:
+            return f"abs({gen(rng, INT, depth - 1)})"
+        if r < 0.65:
+            return f"length({gen(rng, STR, depth - 1)})"
+        if r < 0.75:
+            f = rng.choice(["year", "month", "day", "dayofweek", "isodow",
+                            "quarter", "week"])
+            return f"{f}({gen(rng, DATE, depth - 1)})"
+        if r < 0.8:
+            return f"greatest({gen(rng, INT, depth - 1)}, {gen(rng, INT, depth - 1)})"
+        if r < 0.85:
+            return f"coalesce(nullif({gen(rng, INT, depth - 1)}, {lit(rng, INT)}), {lit(rng, INT)})"
+        if r < 0.9:
+            return f"instr({gen(rng, STR, depth - 1)}, {lit(rng, STR)})"
+        if r < 0.95:
+            return (f"date_diff('day', {gen(rng, DATE, depth - 1)}, "
+                    f"{gen(rng, DATE, depth - 1)})")
+        return (f"(CASE WHEN {gen(rng, BOOL, depth - 1)} THEN "
+                f"{gen(rng, INT, depth - 1)} ELSE {gen(rng, INT, depth - 1)} END)")
+    if ty == DBL:
+        if r < 0.3:
+            a = gen(rng, DBL, depth - 1)
+            # keep the second factor a literal: column*column magnitudes
+            # (~1e11) cannot represent 4 decimals and expose cross-engine
+            # rounding ulps at the canonical print precision
+            op = rng.choice(['+', '-', '*'])
+            b = lit(rng, DBL) if op == '*' else gen(rng, DBL, depth - 1)
+            return f"({a} {op} {b})"
+        if r < 0.45:
+            return f"round({gen(rng, DBL, depth - 1)}, {rng.choice([0, 1, 2, 3])})"
+        if r < 0.55:
+            return f"abs({gen(rng, DBL, depth - 1)})"
+        if r < 0.65:
+            return f"floor({gen(rng, DBL, depth - 1)})"
+        if r < 0.75:
+            return f"ceil({gen(rng, DBL, depth - 1)})"
+        if r < 0.85:
+            return f"sqrt(abs({gen(rng, DBL, depth - 1)}))"
+        return f"(CAST({gen(rng, INT, depth - 1)} AS DOUBLE) / {rng.choice([2, 4, 8])})"
+    if ty == STR:
+        if r < 0.25:
+            return f"({gen(rng, STR, depth - 1)} || {gen(rng, STR, depth - 1)})"
+        if r < 0.4:
+            return f"upper({gen(rng, STR, depth - 1)})"
+        if r < 0.5:
+            return f"lower({gen(rng, STR, depth - 1)})"
+        if r < 0.6:
+            return f"substr({gen(rng, STR, depth - 1)}, {rng.choice([1, 2, -1])}, {rng.choice([1, 2, 3])})"
+        if r < 0.7:
+            return f"reverse({gen(rng, STR, depth - 1)})"
+        if r < 0.8:
+            return f"trim({gen(rng, STR, depth - 1)})"
+        if r < 0.85:
+            return f"replace({gen(rng, STR, depth - 1)}, 'a', 'z')"
+        if r < 0.9:
+            return f"lpad({gen(rng, STR, depth - 1)}, {rng.choice([3, 5])}, '_')"
+        if r < 0.95:
+            return f"coalesce(nullif({gen(rng, STR, depth - 1)}, {lit(rng, STR)}), {lit(rng, STR)})"
+        return f"left({gen(rng, STR, depth - 1)}, {rng.choice([1, 2, 10])})"
+    if ty == DATE:
+        if r < 0.4:
+            return f"({gen(rng, DATE, depth - 1)} + {rng.choice([1, 7, 30, -3])})"
+        if r < 0.6:
+            return f"last_day({gen(rng, DATE, depth - 1)})"
+        return atom(rng, DATE)
+    # bool
+    if r < 0.4:
+        a, b = gen(rng, INT, depth - 1), gen(rng, INT, depth - 1)
+        return f"({a} {rng.choice(['<', '<=', '=', '<>', '>='])} {b})"
+    if r < 0.6:
+        a, b = gen(rng, STR, depth - 1), gen(rng, STR, depth - 1)
+        return f"({a} {rng.choice(['<', '=', '>'])} {b})"
+    if r < 0.7:
+        return f"({gen(rng, BOOL, depth - 1)} AND {gen(rng, BOOL, depth - 1)})"
+    if r < 0.8:
+        return (f"({gen(rng, INT, depth - 1)} BETWEEN "
+                f"{lit(rng, INT)} AND {lit(rng, INT)})")
+    if r < 0.9:
+        return f"({gen(rng, STR, depth - 1)} IN ('a', 'O', 'xyz'))"
+    return f"(NOT {gen(rng, BOOL, depth - 1)})"
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    rng = random.Random(seed)
+    print(f"# generated scalar probes: n={n} seed={seed} "
+          "(dev/gen_probes.py — deterministic)")
+    for i in range(n):
+        ty = rng.choice([INT, DBL, STR, DATE, BOOL])
+        e = gen(rng, ty, rng.choice([2, 3]))
+        # doubles can differ in last ulp through different eval orders —
+        # round the final value for comparison
+        if ty == DBL:
+            e = f"round({e}, 4)"
+        if ty == DATE:
+            e = f"({e})::VARCHAR"
+        print(f"SELECT o_orderkey, {e} AS e FROM orders "
+              "WHERE o_orderkey < 30 ORDER BY o_orderkey")
+
+
+if __name__ == "__main__":
+    main()
