@@ -141,12 +141,73 @@ def gen(rng, ty, depth):
     return f"(NOT {gen(rng, BOOL, depth - 1)})"
 
 
+"""Query-level mode: random join/group-by/having shapes over the TPC-H
+fixture pair graph. Aggregate doubles are rounded (sum magnitudes would
+otherwise expose accumulation-order ulps — the engines sum in different
+orders, which is correct behavior on both sides)."""
+
+JOINS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+]
+GROUPABLE = {
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_nationkey"],
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "nation": ["n_name", "n_regionkey"],
+}
+NUMERIC = {
+    "orders": ["o_totalprice", "o_orderkey"],
+    "customer": ["c_acctbal", "c_custkey"],
+    "lineitem": ["l_quantity", "l_extendedprice"],
+    "nation": ["n_nationkey"],
+}
+PREDCOL = {
+    "orders": "o_orderkey", "customer": "c_custkey",
+    "lineitem": "l_orderkey", "nation": "n_nationkey",
+}
+
+
+def gen_query(rng):
+    t1, t2, k1, k2 = rng.choice(JOINS)
+    jt = rng.choice(["JOIN", "LEFT JOIN", "SEMI-SUB"])
+    keys = [rng.choice(GROUPABLE[t1])]
+    if rng.random() < 0.5:
+        keys.append(rng.choice(GROUPABLE[t2] if jt != "SEMI-SUB" else GROUPABLE[t1]))
+    keys = list(dict.fromkeys(keys))
+    num = rng.choice(NUMERIC[t1])
+    aggs = [f"count(*) AS n",
+            f"CAST(round(sum({num}) / 100.0) AS BIGINT) AS s"]
+    if rng.random() < 0.5:
+        aggs.append(f"CAST(min({num}) AS BIGINT) AS mn")
+    if rng.random() < 0.4:
+        aggs.append(f"count(DISTINCT {rng.choice(GROUPABLE[t1])}) AS cd")
+    pred = f"{PREDCOL[t1]} % {rng.choice([2, 3, 5])} = 0 AND {PREDCOL[t1]} < {rng.choice([500, 2000, 10000])}"
+    if jt == "SEMI-SUB":
+        frm = (f"FROM {t1} WHERE {k1} IN (SELECT {k2} FROM {t2}) "
+               f"AND {pred}")
+    else:
+        frm = f"FROM {t1} {jt} {t2} ON {k1} = {k2} WHERE {pred}"
+    having = ""
+    if rng.random() < 0.4:
+        having = f" HAVING count(*) > {rng.choice([1, 3, 10])}"
+    sel = ", ".join(keys + aggs)
+    return (f"SELECT {sel} {frm} GROUP BY {', '.join(keys)}{having} "
+            f"ORDER BY {', '.join(keys)}")
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    mode = sys.argv[3] if len(sys.argv) > 3 else "scalar"
     rng = random.Random(seed)
-    print(f"# generated scalar probes: n={n} seed={seed} "
+    print(f"# generated {mode} probes: n={n} seed={seed} "
           "(dev/gen_probes.py — deterministic)")
+    if mode == "query":
+        for _ in range(n):
+            print(gen_query(rng))
+        return
     for i in range(n):
         ty = rng.choice([INT, DBL, STR, DATE, BOOL])
         e = gen(rng, ty, rng.choice([2, 3]))

@@ -1488,6 +1488,17 @@ object DeclaredQueries {
         "sum(o_totalprice ORDER BY o_orderkey) AS os, " +
         "count(DISTINCT o_orderstatus) FILTER (o_orderkey % 2 = 0) AS cdf " +
         "FROM orders WHERE o_orderkey < 100"),
+    "q212_intcast_ties" ->
+      // r10: int-cast rounding dispatched on the INPUT type (randomized
+      // query fuzzer find — a fixture min() of exactly 98.5): DOUBLE/
+      // FLOAT round half-to-EVEN (IEEE rint), DECIMAL/VARCHAR half away
+      // from zero; TRY_CAST twin NULLs bad strings
+      ("SELECT o_orderkey, " +
+        "CAST((o_orderkey + 0.5)::DOUBLE AS BIGINT) AS he, " +
+        "(o_orderkey + 0.5)::BIGINT AS ha, " +
+        "CAST((o_orderkey || '.5') AS BIGINT) AS se, " +
+        "TRY_CAST('x' || o_orderkey AS INTEGER) AS tn " +
+        "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -1438,7 +1438,11 @@ object Translator {
   /** DuckDB casts to integer types ROUND (half away from zero: 1.9 → 2,
     * -2.5 → -3, '1.9' → 2) where Spark truncates — a silent wrong answer
     * found by the r8 differential fuzz. `CAST(x AS <int>)` and `x::<int>`
-    * become `CAST(round(CAST(x AS DECIMAL(38,9))) AS <int>)`: the DECIMAL
+    * become `CAST(graft_int_round(x) AS <int>)` (r10 — previously
+    * `CAST(round(CAST(x AS DECIMAL(38,9))) AS <int>)`, which applied
+    * half-away to float/double ties where duck rounds half-EVEN): the
+    * kernel dispatches the rounding rule on the resolved input type. The
+    * old rationale still holds — the DECIMAL
     * intermediate is exact for the full BIGINT range (a DOUBLE route
     * would corrupt values past 2^53), accepts booleans and numeric
     * strings, errors loudly where DuckDB errors ('x'), and Spark's
@@ -1460,7 +1464,8 @@ object Translator {
     "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND",
     "DAYOFWEEK", "DAYOFMONTH", "DAYOFYEAR", "WEEKOFYEAR", "QUARTER",
     "DATEDIFF", "COUNT", "SIGN", "FACTORIAL",
-    "BIT_COUNT", "GRAFT_BIT_COUNT", "BIT_LENGTH", "OCTET_LENGTH",
+    "BIT_COUNT", "GRAFT_BIT_COUNT", "GRAFT_INT_ROUND", "GRAFT_INT_ROUND_TRY",
+    "BIT_LENGTH", "OCTET_LENGTH",
     "DAMERAU_LEVENSHTEIN", "LEVENSHTEIN", "BPE_TOKEN_COUNT",
     "ASCII_CHAR_COUNT", "GCD", "LCM")
   private[dialect] def rewriteIntCastRounding(toks0: Vector[Tok]): Vector[Tok] = {
@@ -1521,8 +1526,15 @@ object Translator {
                 val fn = id.upper
                 val expr = render(toks.slice(open + 1, asIdx)).trim
                 val ty = up(tyToks.head)
+                // r10: the graft_int_round kernel dispatches the rounding
+                // rule on the INPUT type (double/float half-even,
+                // decimal/string half-away — the old DECIMAL(38,9) detour
+                // applied half-away to everything, a silent off-by-one on
+                // float ties found by the randomized query fuzzer)
+                val kernel = if (fn == "TRY_CAST") "graft_int_round_try"
+                  else "graft_int_round"
                 toks = toks.patch(i, lex(
-                  s"$fn(round($fn(($expr) AS DECIMAL(38,9))) AS $ty)"),
+                  s"$fn($kernel($expr) AS $ty)"),
                   close - i + 1)
                 changed = true
               } else if (id.upper == "TRY_CAST" && tyToks.length == 1 &&
@@ -1561,7 +1573,7 @@ object Translator {
               val l = render(toks.slice(lStart, lEnd + 1)).trim
               val ty = up(toks(tIdx))
               toks = toks.patch(lStart, lex(
-                s"CAST(round(CAST(($l) AS DECIMAL(38,9))) AS $ty)"),
+                s"CAST(graft_int_round(($l)) AS $ty)"),
                 tIdx - lStart + 1)
               changed = true
             }

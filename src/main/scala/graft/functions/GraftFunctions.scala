@@ -115,6 +115,10 @@ object GraftFunctions {
       args => JsonMergePatchExpr(args(0), args(1))),
     ("graft_url_canon", "URL canonicalization: fragment/default-port/utm strip, lowercase scheme+host, sorted query params",
       args => UrlCanonicalize(args(0))),
+    ("graft_int_round", "DuckDB int-cast rounding by INPUT type: double/float half-even, decimal/string half-away; loud on bad input",
+      args => IntRoundExpr(args(0), tryMode = false)),
+    ("graft_int_round_try", "graft_int_round's TRY twin: NULL on unparseable strings / NaN / inf",
+      args => IntRoundExpr(args(0), tryMode = true)),
     ("lcm", "integer lcm, absolute-value semantics, 0 when either arg is 0",
       args => LcmExpr(args(0), args(1))),
     // population-moment aggregates under graft names so the translator's

@@ -1228,7 +1228,7 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT CAST(x AS ARRAY<DECIMAL(4,2)>) FROM t0")
     // scalar int casts keep the rounding detour
     assert(t("SELECT x::INTEGER FROM t0") ==
-      "SELECT CAST(round(CAST((x) AS DECIMAL(38,9))) AS INTEGER) FROM t0")
+      "SELECT CAST(graft_int_round((x)) AS INTEGER) FROM t0")
   }
 
   test("r10 batch 10: columns() inside an expression replicates the item") {
