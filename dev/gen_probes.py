@@ -169,7 +169,64 @@ PREDCOL = {
 }
 
 
+# lineitem's l_orderkey repeats per line — the composite keeps window
+# tiebreaks and ORDER BYs deterministic
+PK = {"orders": "o_orderkey", "customer": "c_custkey",
+      "lineitem": "(l_orderkey * 8 + l_linenumber)",
+      "nation": "n_nationkey"}
+
+
+def gen_window_query(rng):
+    t1 = rng.choice(["orders", "customer", "lineitem"])
+    key = rng.choice(GROUPABLE[t1])
+    num = rng.choice(NUMERIC[t1])
+    pk = PK[t1]
+    fn = rng.choice([
+        f"row_number() OVER (PARTITION BY {key} ORDER BY {num}, {pk})",
+        f"rank() OVER (PARTITION BY {key} ORDER BY {num} DESC, {pk})",
+        f"dense_rank() OVER (ORDER BY {key}, {pk})",
+        f"CAST(round(sum({num}) OVER (PARTITION BY {key} ORDER BY {pk} "
+        f"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 10.0) AS BIGINT)",
+        f"lag(CAST({key} AS VARCHAR), 1, 'zz') OVER (ORDER BY {pk})",
+        f"count(*) OVER (PARTITION BY {key})",
+    ])
+    pred = f"{pk} % {rng.choice([2, 3])} = 0 AND {pk} < {rng.choice([200, 500])}"
+    return (f"SELECT {pk}, {key}, {fn} AS w FROM {t1} WHERE {pred} "
+            f"ORDER BY {pk}" + (", 2, 3" if t1 == "lineitem" else ""))
+
+
+def gen_exists_query(rng):
+    t1, t2, k1, k2 = rng.choice(JOINS)
+    form = rng.choice(["EXISTS", "NOT EXISTS", "NOT IN"])
+    pk = PK[t1]
+    if form == "NOT IN":
+        sub = f"{k1} NOT IN (SELECT {k2} FROM {t2} WHERE {PK[t2]} % 2 = 0)"
+    else:
+        sub = (f"{form} (SELECT 1 FROM {t2} WHERE {k2} = {k1} "
+               f"AND {PK[t2]} % 2 = 0)")
+    return (f"SELECT {pk}, {rng.choice(GROUPABLE[t1])} AS g FROM {t1} "
+            f"WHERE {sub} AND {pk} < 300 ORDER BY {pk}"
+            + (", 2" if t1 == "lineitem" else ""))
+
+
+def gen_setop_query(rng):
+    t1 = rng.choice(["orders", "customer"])
+    key = rng.choice(GROUPABLE[t1])
+    pk = PK[t1]
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    return (f"SELECT {key} AS k FROM {t1} WHERE {pk} % 2 = 0 AND {pk} < 400 "
+            f"{op} SELECT {key} FROM {t1} WHERE {pk} % 3 = 0 AND {pk} < 400 "
+            f"ORDER BY k")
+
+
 def gen_query(rng):
+    r = rng.random()
+    if r < 0.25:
+        return gen_window_query(rng)
+    if r < 0.4:
+        return gen_exists_query(rng)
+    if r < 0.5:
+        return gen_setop_query(rng)
     t1, t2, k1, k2 = rng.choice(JOINS)
     jt = rng.choice(["JOIN", "LEFT JOIN", "SEMI-SUB"])
     keys = [rng.choice(GROUPABLE[t1])]
