@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Probe-loop gate (r10): run EVERY probe batch through DiffProbe + the
+duck twin and fail on any diff not in the allowlist.
+
+The hand-written batches 1-7 carry ~25 adjudicated residual diffs
+(documented divergences, permissive supersets, duck's own errors,
+float ulps, order-nondeterminism) — previously tracked only in prose.
+This makes the adjudication mechanical: a NEW diff (regression or
+fresh divergence) exits 1; a RESOLVED allowlisted diff is reported so
+the allowlist can shrink.
+
+Usage:
+  python3 dev/probe_gate.py <sfDir>            # gate (exit 1 on new diffs)
+  python3 dev/probe_gate.py <sfDir> --rebuild  # regenerate the allowlist
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+ALLOWLIST = os.path.join(os.path.dirname(__file__), "probe_allowlist.json")
+
+
+def spark_side(sfdir, path):
+    out = subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.tools.DiffProbe {sfdir} {path}"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    lines = {}
+    for ln in out.stdout.splitlines():
+        if ln.startswith("[info] ") and "\t" in ln:
+            body = ln[len("[info] "):]
+            idx = body.split("\t", 1)[0]
+            if idx.isdigit():
+                lines[int(idx)] = body
+    return lines
+
+
+def duck_side(sfdir, path):
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "diff_probe.py"), sfdir, path],
+        capture_output=True, text=True)
+    lines = {}
+    for ln in out.stdout.splitlines():
+        if "\t" in ln:
+            idx = ln.split("\t", 1)[0]
+            if idx.isdigit():
+                lines[int(idx)] = ln
+    return lines
+
+
+def main():
+    sfdir = sys.argv[1]
+    rebuild = len(sys.argv) > 2 and sys.argv[2] == "--rebuild"
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__),
+                                          "diff_probe_*.txt")))
+    allow = {}
+    if not rebuild and os.path.exists(ALLOWLIST):
+        allow = json.load(open(ALLOWLIST))
+    found = {}
+    new_total = 0
+    for path in files:
+        name = os.path.basename(path)
+        s = spark_side(sfdir, path)
+        d = duck_side(sfdir, path)
+        diffs = sorted(i for i in (set(s) | set(d))
+                       if s.get(i) != d.get(i))
+        found[name] = diffs
+        allowed = set(allow.get(name, []))
+        new = [i for i in diffs if i not in allowed]
+        gone = [i for i in allowed if i not in diffs]
+        status = "OK " if not new else "NEW"
+        print(f"{status} {name}: {len(diffs)} diffs"
+              + (f", NEW at {new}" if new else "")
+              + (f", resolved {gone} (shrink the allowlist)" if gone else ""))
+        for i in new:
+            print(f"      spark[{i}]: {s.get(i, '<missing>')[:140]}")
+            print(f"      duck [{i}]: {d.get(i, '<missing>')[:140]}")
+        new_total += len(new)
+    if rebuild:
+        json.dump(found, open(ALLOWLIST, "w"), indent=1, sort_keys=True)
+        print(f"allowlist rebuilt: {ALLOWLIST}")
+        return 0
+    return 1 if new_total else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
