@@ -4451,9 +4451,28 @@ object Translator {
             val lEnd0 = prevNonWs(toks, i)
             val notKw = up(toks(lEnd0)) == "NOT"
             val lEnd = if (notKw) prevNonWs(toks, lEnd0) else lEnd0
-            val lStart = primaryStart(toks, lEnd)
+            // capture whole || chains on BOTH sides (r11 advisor fix):
+            // `a ILIKE b || '%'` must fold the ENTIRE pattern — || binds
+            // tighter than LIKE, so a partial capture would leave the
+            // concatenated tail case-sensitive
+            var lStart = primaryStart(toks, lEnd)
+            var lExt = true
+            while (lExt) {
+              val p = prevNonWs(toks, lStart)
+              if (p >= 0 && toks(p) == Punct("||") && prevNonWs(toks, p) >= 0)
+                lStart = primaryStart(toks, prevNonWs(toks, p))
+              else lExt = false
+            }
             val rStart = nextNonWs(toks, i)
-            val rEnd = primaryEnd(toks, rStart)
+            var rEnd = primaryEnd(toks, rStart)
+            var rExt = true
+            while (rExt) {
+              val n = nextNonWs(toks, rEnd)
+              if (n < toks.length && toks(n) == Punct("||") &&
+                nextNonWs(toks, n) < toks.length)
+                rEnd = primaryEnd(toks, nextNonWs(toks, n))
+              else rExt = false
+            }
             val l = render(toks.slice(lStart, lEnd + 1)).trim
             val r = render(toks.slice(rStart, rEnd + 1)).trim
             val not = if (notKw) "NOT " else ""

@@ -751,6 +751,7 @@ object Engine {
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     }
+    dropCowPruneView(spark)
     bumpCatalogVersion()
     obs.get("n").asInstanceOf[Long]
   }
@@ -778,6 +779,23 @@ object Engine {
   private[graft] val lastCowPrune =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** Per-call unique semijoin-prune view (r11 advisor fix): a FIXED name
+    * would let two concurrent COW DMLs on one session overwrite each
+    * other's path list between view creation and execution, pruning
+    * against the wrong file set — and leak into the session catalog.
+    * Name is unique per call; the thread's view is dropped at the end of
+    * its swap (all consumers have executed by then: RETURNING frames are
+    * eagerly checkpointed, the rewrite runs inside the swap). */
+  private val cowPruneSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val cowPruneView = new ThreadLocal[String]()
+  private def dropCowPruneView(spark: SparkSession): Unit = {
+    val v = cowPruneView.get()
+    if (v != null) {
+      try spark.catalog.dropTempView(v) catch { case _: Exception => }
+      cowPruneView.remove()
+    }
+  }
+
   /** Affected-file scan prune (r10, VERDICT r9 #5). Below
     * `graft.cow.inlist.max` files (default 1000): a literal IN list —
     * Catalyst converts it to an O(1) InSet and statically prunes the file
@@ -797,8 +815,13 @@ object Engine {
     } else {
       lastCowPrune.set("semijoin")
       import spark.implicits._
-      files.toDF("__g_path").createOrReplaceTempView("graft_cow_affected")
-      "_metadata.file_path IN (SELECT __g_path FROM graft_cow_affected)"
+      // self-heal: a prior DML on this thread that failed before its swap
+      // leaves its view behind — drop it before registering a fresh one
+      dropCowPruneView(spark)
+      val vn = s"graft_cow_affected_${cowPruneSeq.incrementAndGet()}"
+      files.toDF("__g_path").createOrReplaceTempView(vn)
+      cowPruneView.set(vn)
+      s"_metadata.file_path IN (SELECT __g_path FROM $vn)"
     }
   }
 
@@ -882,6 +905,7 @@ object Engine {
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     }
+    dropCowPruneView(spark)
     spark.catalog.refreshTable(table)
     bumpCatalogVersion()
     obs.get("n").asInstanceOf[Long]

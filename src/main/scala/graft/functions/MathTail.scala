@@ -14,6 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class GammaExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "gamma"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: NumericType | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gamma requires a numeric type, got ${other.simpleString}")
+    }
   private def toD(a: Any): Double = a match {
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case n: Number => n.doubleValue()
@@ -32,6 +40,14 @@ case class GammaExpr(child: Expression) extends UnaryExpression {
 case class LgammaExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "lgamma"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: NumericType | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lgamma requires a numeric type, got ${other.simpleString}")
+    }
   private def toD(a: Any): Double = a match {
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case n: Number => n.doubleValue()

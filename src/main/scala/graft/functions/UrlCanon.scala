@@ -35,9 +35,15 @@ object UrlCanon {
     val (scheme, rest) =
       if (sep >= 0) (s.substring(0, sep).toLowerCase(java.util.Locale.ROOT), s.substring(sep + 3))
       else ("", s)
-    val slash = rest.indexOf('/')
-    val hostPort = if (slash >= 0) rest.substring(0, slash) else rest
-    val pathQ = if (slash >= 0) rest.substring(slash) else "/"
+    // Authority ends at the FIRST of '/' or '?' (fragment already
+    // stripped): a URL with a query but no path ("http://ex.com?b=1")
+    // is valid — the query must not fold into the host (r11 fix).
+    val cut = rest.indexWhere(c => c == '/' || c == '?')
+    val hostPort = if (cut >= 0) rest.substring(0, cut) else rest
+    val pathQ =
+      if (cut < 0) "/"
+      else if (rest.charAt(cut) == '?') "/" + rest.substring(cut)
+      else rest.substring(cut)
     val colon = hostPort.indexOf(':')
     val host =
       (if (colon >= 0) hostPort.substring(0, colon) else hostPort).toLowerCase(java.util.Locale.ROOT)

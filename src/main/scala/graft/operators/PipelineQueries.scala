@@ -945,8 +945,9 @@ object PipelineQueries {
       val url = concat(lit("HTTP://WWW.Site"), m(13), lit(".COM"),
         when(col("doc_id") % 3 === 0, lit(":80"))
           .when(col("doc_id") % 3 === 1, lit("")).otherwise(lit(":8080")),
-        lit("/P/q"), m(11),
-        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit("")) // path-less: query (if any) follows host directly
+          .otherwise(concat(lit("/P/q"), m(11),
+            when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")))),
         when(col("doc_id") % 4 === 0, concat(lit("?b=1&a="), m(7)))
           .when(col("doc_id") % 4 === 1,
             concat(lit("?a="), m(7), lit("&utm_source=x&b=1")))
@@ -1008,16 +1009,19 @@ object PipelineQueries {
     "p64_url_dedup" ->
       ("WITH u AS (SELECT doc_id, 'HTTP://WWW.Site' || (doc_id % 13) || '.COM' || " +
         "CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN '' ELSE ':8080' END || " +
-        "'/P/q' || (doc_id % 11) || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || " +
+        "CASE WHEN doc_id % 9 = 0 THEN '' ELSE '/P/q' || (doc_id % 11) || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END END || " +
         "CASE doc_id % 4 WHEN 0 THEN '?b=1&a=' || (doc_id % 7) " +
         "WHEN 1 THEN '?a=' || (doc_id % 7) || '&utm_source=x&b=1' " +
         "WHEN 2 THEN '?utm_campaign=only' ELSE '' END || " +
         "CASE WHEN doc_id % 6 = 0 THEN '#Sec' ELSE '' END AS url FROM documents), " +
         "nf AS (SELECT doc_id, CASE WHEN instr(url,'#')>0 THEN substr(url,1,instr(url,'#')-1) ELSE url END AS u FROM u), " +
         "sp AS (SELECT doc_id, lower(string_split(u,'://')[1]) AS scheme, string_split(u,'://')[2] AS rest FROM nf), " +
+        // authority ends at the FIRST of '/' or '?' — a query with no
+        // path must not fold into the host (mirrors UrlCanon r11 fix)
         "hp AS (SELECT doc_id, scheme, " +
-        "CASE WHEN instr(rest,'/')>0 THEN substr(rest,1,instr(rest,'/')-1) ELSE rest END AS hostport, " +
-        "CASE WHEN instr(rest,'/')>0 THEN substr(rest,instr(rest,'/')) ELSE '/' END AS pathq FROM sp), " +
+        "CASE WHEN cutpos IS NOT NULL THEN substr(rest,1,cutpos-1) ELSE rest END AS hostport, " +
+        "CASE WHEN cutpos IS NULL THEN '/' WHEN substr(rest,cutpos,1)='?' THEN '/' || substr(rest,cutpos) ELSE substr(rest,cutpos) END AS pathq " +
+        "FROM (SELECT doc_id, scheme, rest, least(nullif(instr(rest,'/'),0), nullif(instr(rest,'?'),0)) AS cutpos FROM sp)), " +
         "hh AS (SELECT doc_id, scheme, " +
         "lower(CASE WHEN instr(hostport,':')>0 THEN substr(hostport,1,instr(hostport,':')-1) ELSE hostport END) AS host, " +
         "CASE WHEN instr(hostport,':')>0 THEN substr(hostport,instr(hostport,':')+1) ELSE '' END AS port, " +

@@ -8,6 +8,24 @@ class ExpressionsSpec extends SparkTestBase {
 
   private def withFns[T](f: => T): T = { GraftFunctions.register(spark); f }
 
+  test("graft_url_canon: authority ends at the first of '/' or '?'") {
+    withFns {
+      import spark.implicits._
+      def c(u: String): String =
+        Seq(u).toDF("u").select(expr("graft_url_canon(u)")).head.getString(0)
+      // r11 fix: query with no path must not fold into the host — utm
+      // strip, param sort, and port drop all apply
+      assert(c("HTTP://Ex.com?B=1&utm_source=x") == "http://ex.com/?B=1")
+      assert(c("https://Ex.COM:443?b=2&a=1") == "https://ex.com/?a=1&b=2")
+      assert(c("http://ex.com?utm_campaign=only#frag") == "http://ex.com/")
+      // unchanged shapes: path present, trailing slashes, fragments
+      assert(c("HTTP://WWW.Ex.com:80/A/b/?b=1&a=2#Sec") ==
+        "http://www.ex.com/A/b?a=2&b=1")
+      assert(c("http://ex.com") == "http://ex.com/")
+      assert(c("http://ex.com:8080/p") == "http://ex.com:8080/p")
+    }
+  }
+
   test("graft_upper/graft_lower are the DuckDB simple 1:1 case mappings") {
     withFns {
       import spark.implicits._
