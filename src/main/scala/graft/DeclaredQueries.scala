@@ -1499,6 +1499,27 @@ object DeclaredQueries {
         "CAST((o_orderkey || '.5') AS BIGINT) AS se, " +
         "TRY_CAST('x' || o_orderkey AS INTEGER) AS tn " +
         "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
+    "q213_date_col_arith" ->
+      // r11 (VERDICT r10 #1 — the largest remaining silent shape class):
+      // date arithmetic on a DATE-TYPED COLUMN, resolved through the
+      // cached catalog type set (isDateCol, the isMapCol precedent). The
+      // fixture has no DATE column (o_orderdate is TIMESTAMP), so the
+      // view casts one; the SELECT then pins: column ± literal INTERVAL
+      // → TIMESTAMP, the commuted form, the mixed month+sub-month string
+      // interval, the expression interval, qualified references, and
+      // date_col − date_literal / date_col − date_col → integer days
+      ("DROP VIEW IF EXISTS g213_od; " +
+        "CREATE OR REPLACE VIEW g213_od AS SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders WHERE o_orderkey < 60; " +
+        "SELECT o_orderkey, " +
+        "od + INTERVAL 1 DAY AS a1, " +
+        "od - INTERVAL 2 HOUR AS s1, " +
+        "INTERVAL 1 MONTH + od AS c1, " +
+        "od + INTERVAL '1 month 2 days' AS mx, " +
+        "od + INTERVAL (o_orderkey % 5) DAY AS oe, " +
+        "g213_od.od + INTERVAL 3 DAY AS qf, " +
+        "CAST(od - DATE '1995-01-01' AS BIGINT) AS dd, " +
+        "CAST(od - od AS BIGINT) AS dz " +
+        "FROM g213_od ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -50,11 +50,16 @@ object Translator {
     * array zero-index guards, closing both documented map-subscript
     * divergences for the named-column case. `isCollectionCol` (r8)
     * likewise marks ARRAY/MAP columns for the empty()/notEmpty()
-    * size-vs-length dispatch. The default no-ops keep the schema-free
-    * behavior (bare `Translator.sparkSql`, tests). */
+    * size-vs-length dispatch. `isDateCol` (r11, VERDICT r10 #1) marks
+    * DATE-typed columns so `date_col ± INTERVAL` gets the q200
+    * TIMESTAMP-result cast and `date_col − date_col` returns integer
+    * days on real columns, not just syntactically date-valued operands.
+    * The default no-ops keep the schema-free behavior (bare
+    * `Translator.sparkSql`, tests). */
   def translate(sql: String, schemaOf: String => Option[Seq[String]],
       isMapCol: String => Boolean,
-      isCollectionCol: String => Boolean = _ => false): Translation = {
+      isCollectionCol: String => Boolean = _ => false,
+      isDateCol: String => Boolean = _ => false): Translation = {
     val (noFmt, fmt) = Sanitizer.stripFormat(sql)
     var toks = lex(noFmt)
     val views = ArrayBuffer[ViewReg]()
@@ -76,7 +81,7 @@ object Translator {
     toks = rewriteStructMapLiterals(toks)
     toks = rewriteArrayTypeSuffix(toks)
     toks = rewriteSubscripts(toks, isMapCol)
-    toks = rewriteOpsSugar(toks)
+    toks = rewriteOpsSugar(toks, isDateCol)
     toks = rewriteIntCastRounding(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
@@ -898,7 +903,8 @@ object Translator {
     *   - `fn(x IGNORE NULLS)` / `RESPECT NULLS` → `fn(x) IGNORE NULLS` —
     *     Spark spells the null treatment after the call, before OVER.
     */
-  private[dialect] def rewriteOpsSugar(toks0: Vector[Tok]): Vector[Tok] = {
+  private[dialect] def rewriteOpsSugar(toks0: Vector[Tok],
+      isDateCol: String => Boolean = _ => false): Vector[Tok] = {
     var toks = toks0
     var changed = true
     while (changed) {
@@ -920,20 +926,11 @@ object Translator {
           case Punct("-") if {
               // DATE - DATE is INTEGER days in DuckDB but an INTERVAL in
               // Spark (r8 fuzz) — rewrite when BOTH operands are
-              // syntactically date-valued (DATE literals, make_date,
-              // to_date, current_date); typed columns can't be told apart
-              // at translate time and keep Spark's interval (documented)
-              def dateish(from: Int, to: Int): Boolean = {
-                val nw = toks.slice(from, to + 1).filterNot(isWs)
-                nw.nonEmpty && (nw.head match {
-                  case d: Ident if d.upper == "DATE" =>
-                    nw.length == 2 && nw(1).isInstanceOf[Str]
-                  case d: Ident if Set("MAKE_DATE", "TO_DATE").contains(d.upper) =>
-                    nw.length > 1 && nw(1) == Punct("(")
-                  case d: Ident if d.upper == "CURRENT_DATE" => nw.length == 1
-                  case _ => false
-                })
-              }
+              // date-valued: syntactically (DATE literals, make_date,
+              // to_date, current_date, last_day) or — r11 — a DATE-typed
+              // column resolved through the catalog type set (isDateCol)
+              def dateish(from: Int, to: Int): Boolean =
+                dateValuedSlice(toks, from, to, isDateCol)
               def lBounds: Option[(Int, Int)] = {
                 val lEnd = prevNonWs(toks, i)
                 if (lEnd < 0) None
@@ -1019,7 +1016,7 @@ object Translator {
                 lStart = p
             }
             val l = render(toks.slice(lStart, lEnd + 1)).trim
-            val lDate = dateValuedSlice(toks, lStart, lEnd)
+            val lDate = dateValuedSlice(toks, lStart, lEnd, isDateCol)
             val lNew = if (lDate) s"CAST(($l) AS TIMESTAMP)" else l
             val sig = toks.slice(rStart, rEnd + 1).filterNot(isWs)
             val mixed = sig match {
@@ -1100,7 +1097,7 @@ object Translator {
                   val p = prevNonWs(toks, lStart)
                   if (p >= 0 && up(toks(p)) == "DATE") lStart = p
                 }
-                dateValuedSlice(toks, lStart, lEnd)
+                dateValuedSlice(toks, lStart, lEnd, isDateCol)
               }
             } =>
             val lEnd = prevNonWs(toks, i)
@@ -1125,7 +1122,7 @@ object Translator {
                     val n = nextNonWs(toks, rStart)
                     if (n < toks.length && toks(n).isInstanceOf[Str]) rE = n
                   }
-                  dateValuedSlice(toks, rStart, rE)
+                  dateValuedSlice(toks, rStart, rE, isDateCol)
                 }
             } =>
             val rStart = nextNonWs(toks, i)
@@ -2627,14 +2624,18 @@ object Translator {
     }
   }
 
-  /** Syntactically DATE-valued primary (literal / date-returning call) —
-    * the class the ± INTERVAL rewrite must CAST to TIMESTAMP for DuckDB
-    * parity. Deliberately EXCLUDES `CAST(… AS DATE)`: our own date_trunc/
-    * time_bucket emissions produce that shape AFTER this pass runs, so
-    * capturing it would break the translate∘translate fixpoint. Typed
-    * DATE columns can't be told apart at translate time either —
-    * documented, same posture as the DATE - DATE rewrite. */
-  private def dateValuedSlice(toks: Vector[Tok], from: Int, to: Int): Boolean = {
+  /** DATE-valued primary: a literal / date-returning call (syntactic),
+    * or — r11, VERDICT r10 #1 — a plain (possibly qualified) identifier
+    * chain naming a DATE-typed column in the visible catalog via
+    * `isDateCol` (the isMapCol precedent). The class the ± INTERVAL
+    * rewrite must CAST to TIMESTAMP for DuckDB parity. Deliberately
+    * EXCLUDES `CAST(… AS DATE)`: our own date_trunc/time_bucket
+    * emissions produce that shape AFTER this pass runs, so capturing it
+    * would break the translate∘translate fixpoint (the column case is
+    * fixpoint-safe: its emission wraps the column in CAST(… AS
+    * TIMESTAMP), which this test no longer matches). */
+  private def dateValuedSlice(toks: Vector[Tok], from: Int, to: Int,
+      isDateCol: String => Boolean = _ => false): Boolean = {
     val nw = toks.slice(from, to + 1).filterNot(isWs)
     nw.headOption.exists {
       case d: Ident if d.upper == "DATE" =>
@@ -2642,6 +2643,14 @@ object Translator {
       case d: Ident if Set("MAKE_DATE", "TO_DATE", "LAST_DAY").contains(d.upper) =>
         nw.length > 1 && nw(1) == Punct("(")
       case d: Ident if d.upper == "CURRENT_DATE" || d.upper == "TODAY" => true
+      case _: Ident =>
+        // pure ident/dot chain (`c`, `t.c`, `db.t.c`) — never a call or
+        // subscript (those slices carry parens/brackets) — whose LAST
+        // segment names a known DATE-typed column
+        nw.length % 2 == 1 &&
+          nw.zipWithIndex.forall { case (t, j) =>
+            if (j % 2 == 0) t.isInstanceOf[Ident] else t == Punct(".") } &&
+          isDateCol(nw.last.text.toLowerCase(java.util.Locale.ROOT))
       case _ => false
     }
   }

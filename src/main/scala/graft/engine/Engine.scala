@@ -1922,9 +1922,14 @@ object Engine {
     // for len()/concat — advice r8).
     val isCollectionCol: String => Boolean =
       name => collectionColumnNames(spark).contains(name)
+    // DATE-typed column set (r11, VERDICT r10 #1): drives the schema-
+    // aware `date_col ± INTERVAL` TIMESTAMP cast and `date_col −
+    // date_col` integer-days rewrites; same lazy per-DDL-version cache
+    val isDateCol: String => Boolean =
+      name => dateColumnNames(spark).contains(name)
     val t = Translator.translate(duckSql,
       name => scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption,
-      isMapCol, isCollectionCol)
+      isMapCol, isCollectionCol, isDateCol)
     t.views.foreach { v =>
       v.format match {
         case "csv" => spark.read.option("header", "true")
@@ -2020,6 +2025,36 @@ object Engine {
         }.toSet
       }.getOrElse(Set.empty[String])
       collColsCache.put(spark, (v, names))
+      names
+    }
+  }
+
+  /** DATE-typed visible column names (r11) — drives the schema-aware
+    * `date_col ± INTERVAL` / `date_col − date_col` rewrites (VERDICT r10
+    * #1); cached per (session, DDL version) like mapColumnNames. Name-
+    * based like its siblings: a name that is DATE-typed in ANY visible
+    * table counts (the collision cost is a no-op CAST(ts AS TIMESTAMP)
+    * on a timestamp column of the same name — documented posture). */
+  private val dateColsCache: java.util.Map[SparkSession, (Long, Set[String])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (Long, Set[String])]())
+
+  private def dateColumnNames(spark: SparkSession): Set[String] = {
+    val v = ddlVersion.get()
+    val cached = dateColsCache.get(spark)
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val names = scala.util.Try {
+        spark.catalog.listTables().collect().toSeq.flatMap { t =>
+          scala.util.Try(spark.table(t.name).schema.fields.toSeq)
+            .getOrElse(Seq.empty)
+            .collect {
+              case f if f.dataType == org.apache.spark.sql.types.DateType =>
+                f.name.toLowerCase
+            }
+        }.toSet
+      }.getOrElse(Set.empty[String])
+      dateColsCache.put(spark, (v, names))
       names
     }
   }
