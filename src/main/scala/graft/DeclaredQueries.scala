@@ -1499,6 +1499,24 @@ object DeclaredQueries {
         "CAST((o_orderkey || '.5') AS BIGINT) AS se, " +
         "TRY_CAST('x' || o_orderkey AS INTEGER) AS tn " +
         "FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey"),
+    "q214_stringagg_distinct" ->
+      // r11 (VERDICT r10 #3): string_agg(DISTINCT x, sep ORDER BY x)
+      // now emits via collect_set (sort on the element type, stringify
+      // after, empty → NULL) instead of listagg(DISTINCT) WITHIN GROUP —
+      // Spark's RewriteDistinctAggregates upstream ClassCastException
+      // (AttributeReference → SortOrder) fired whenever that ListAgg
+      // distinct group coexisted with a SECOND distinct aggregate. This
+      // pin is exactly the formerly-loud shape: a WITHIN GROUP
+      // percentile, two DISTINCT string_aggs (ASC + DESC), and two more
+      // distinct groups, under GROUP BY
+      ("SELECT o_orderstatus, " +
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50, " +
+        "string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS sa, " +
+        "string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority DESC) AS sad, " +
+        "count(DISTINCT o_orderpriority) AS d1, " +
+        "count(DISTINCT o_custkey) AS d2 " +
+        "FROM orders WHERE o_orderkey < 1000 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q213_date_col_arith" ->
       // r11 (VERDICT r10 #1 — the largest remaining silent shape class):
       // date arithmetic on a DATE-TYPED COLUMN, resolved through the
