@@ -264,6 +264,163 @@ def gen_query(rng):
             f"ORDER BY {', '.join(keys)}")
 
 
+"""Statement-level mode (r11, VERDICT r10 #4): correlated scalar
+subqueries, CTE chains (incl. recursive), and nested LATERAL — the
+statement surface the query mode's flat join/group shapes never
+exercise."""
+
+
+def gen_correlated(rng):
+    t1, t2, k1, k2 = rng.choice(JOINS)
+    pk = PK[t1]
+    agg = rng.choice(["count(*)", f"count({PK[t2]})",
+                      f"CAST(min({NUMERIC[t2][0]}) AS BIGINT)",
+                      f"CAST(max({PK[t2]}) AS BIGINT)",
+                      f"CAST(round(sum({NUMERIC[t2][0]}) / 10.0) AS BIGINT)"])
+    sub = f"(SELECT {agg} FROM {t2} WHERE {k2} = {k1} AND {PK[t2]} % {rng.choice([2, 3])} = 0)"
+    if rng.random() < 0.5:
+        # SELECT-clause scalar (NULL/0 on empty group is the classic
+        # cross-engine divergence spot — coalesce half the time so both
+        # bare and defaulted shapes are probed)
+        e = f"coalesce({sub}, -1)" if rng.random() < 0.5 else sub
+        return (f"SELECT {pk}, {e} AS c FROM {t1} "
+                f"WHERE {pk} < {rng.choice([150, 300])} ORDER BY {pk}"
+                + (", 2" if t1 == "lineitem" else ""))
+    # WHERE-clause scalar comparison
+    num = rng.choice(NUMERIC[t1])
+    return (f"SELECT {pk}, {rng.choice(GROUPABLE[t1])} AS g FROM {t1} "
+            f"WHERE {num} > {sub} AND {pk} < 300 ORDER BY {pk}"
+            + (", 2" if t1 == "lineitem" else ""))
+
+
+STR_GROUP = {"o_orderstatus", "o_orderpriority", "c_mktsegment",
+             "l_returnflag", "l_linestatus", "n_name"}
+
+
+def gen_cte_chain(rng):
+    t1, t2, k1, k2 = rng.choice(JOINS)
+    pk, key, num = PK[t1], rng.choice(GROUPABLE[t1]), rng.choice(NUMERIC[t1])
+    m = rng.choice([2, 3])
+    a = (f"a AS (SELECT {pk} AS id, {key} AS g, {num} AS v FROM {t1} "
+         f"WHERE {pk} % {m} = 0 AND {pk} < 600)")
+    b = rng.choice([
+        "b AS (SELECT g, count(*) AS n, CAST(round(sum(v) / 10.0) AS BIGINT) AS s FROM a GROUP BY g)",
+        f"b AS (SELECT id, g, v FROM a WHERE id % {rng.choice([2, 3, 5])} <> 1)",
+        "b AS (SELECT g, id, row_number() OVER (PARTITION BY g ORDER BY v, id) AS r, v FROM a)",
+    ])
+    if b.startswith("b AS (SELECT g, count"):
+        final = "SELECT g, n, s FROM c ORDER BY g"
+        # upper() only on string keys: both engines reject upper(INTEGER)
+        # (ours bind-time via graft_upper's checkInputDataTypes) but with
+        # unmatchable error text — the converging probe is the typed one
+        c = rng.choice([
+            "c AS (SELECT g, n, s FROM b WHERE n > 1)",
+            "c AS (SELECT upper(g) AS g, n + 1 AS n, s FROM b)"
+            if key in STR_GROUP else
+            "c AS (SELECT g, n + 1 AS n, s FROM b WHERE s <> 0)",
+        ])
+    elif "row_number" in b:
+        # r in the ORDER BY: lineitem's composite id duplicates, and a
+        # tie at the 100-row harness cutoff slices differently per engine
+        final = "SELECT g, id, r FROM c ORDER BY g, id, r"
+        c = f"c AS (SELECT g, id, r, v FROM b WHERE r <= {rng.choice([2, 4])})"
+    else:
+        # full-row ORDER BY for the same cutoff-determinism reason
+        final = "SELECT id, g, CAST(round(v) AS BIGINT) AS vr FROM c ORDER BY id, 2, 3"
+        c = "c AS (SELECT b1.id, b1.g, b1.v FROM b b1 JOIN a ON b1.id = a.id)"
+    return f"WITH {a}, {b}, {c} {final}"
+
+
+def gen_recursive(rng):
+    step = rng.choice([1, 2, 3])
+    lim = rng.choice([10, 25, 50])
+    body = (f"WITH RECURSIVE r(n) AS (SELECT {rng.choice([1, 2])} "
+            f"UNION ALL SELECT n + {step} FROM r WHERE n < {lim})")
+    if rng.random() < 0.5:
+        return f"{body} SELECT n FROM r ORDER BY n"
+    t1 = rng.choice(["orders", "customer"])
+    pk, key = PK[t1], rng.choice(GROUPABLE[t1])
+    return (f"{body} SELECT r.n, t.{key} AS g FROM r JOIN {t1} t "
+            f"ON t.{pk} = r.n ORDER BY r.n")
+
+
+def gen_lateral(rng):
+    t1, t2, k1, k2 = rng.choice(JOINS[:2])  # orders/customer, lineitem/orders
+    pk, pk2 = PK[t1], PK[t2]
+    num2 = rng.choice(NUMERIC[t2])
+    inner = (f"LATERAL (SELECT {pk2} AS iid, {num2} AS x FROM {t2} "
+             f"WHERE {k2} = {k1} ORDER BY {num2}, {pk2} "
+             f"LIMIT {rng.choice([1, 2, 3])}) l")
+    if rng.random() < 0.35:
+        # nested: a second lateral correlated on the first's output
+        outer2 = (f", LATERAL (SELECT count(*) AS c FROM {t2} "
+                  f"WHERE {k2} = {k1} AND {pk2} <= l.iid) l2")
+        return (f"SELECT {pk}, l.iid, CAST(round(l.x) AS BIGINT) AS xr, l2.c "
+                f"FROM {t1}, {inner}{outer2} WHERE {pk} < 120 "
+                f"ORDER BY {pk}, l.iid")
+    agg_form = rng.random() < 0.4
+    if agg_form:
+        inner = (f"LATERAL (SELECT count(*) AS c, "
+                 f"CAST(round(sum({num2}) / 10.0) AS BIGINT) AS s FROM {t2} "
+                 f"WHERE {k2} = {k1}) l")
+        return (f"SELECT {pk}, l.c, l.s FROM {t1}, {inner} "
+                f"WHERE {pk} < 200 ORDER BY {pk}")
+    return (f"SELECT {pk}, l.iid, CAST(round(l.x) AS BIGINT) AS xr "
+            f"FROM {t1}, {inner} WHERE {pk} < 200 ORDER BY {pk}, l.iid")
+
+
+def gen_stmt(rng):
+    r = rng.random()
+    if r < 0.35:
+        return gen_correlated(rng)
+    if r < 0.6:
+        return gen_cte_chain(rng)
+    if r < 0.75:
+        return gen_recursive(rng)
+    return gen_lateral(rng)
+
+
+"""DML round-trip mode (r11): DROP→CTAS→INSERT→UPDATE→DELETE→SELECT as
+one ';'-separated script per probe line; both harnesses execute the
+whole script and compare the final SELECT. Table names are
+probe-indexed so a failed probe never poisons a later one."""
+
+
+def gen_dml(rng, i):
+    t1, t2, k1, k2 = rng.choice(JOINS)
+    pk, key, num = PK[t1], rng.choice(GROUPABLE[t1]), rng.choice(NUMERIC[t1])
+    tbl = f"g_rt_{i}"
+    lo, hi = rng.choice([(0, 120), (0, 200), (40, 260)])
+    stmts = [
+        f"DROP TABLE IF EXISTS {tbl}",
+        f"CREATE TABLE {tbl} AS SELECT {pk} AS id, {key} AS g, {num} AS v "
+        f"FROM {t1} WHERE {pk} >= {lo} AND {pk} < {hi}",
+        f"INSERT INTO {tbl} SELECT {pk} + 100000, {key}, {num} "
+        f"FROM {t1} WHERE {pk} % {rng.choice([3, 5])} = 1 AND {pk} < {hi}",
+    ]
+    upd = rng.random()
+    if upd < 0.4:
+        stmts.append(f"UPDATE {tbl} SET v = v * 2 WHERE id % {rng.choice([2, 3])} = 0")
+    elif upd < 0.7:
+        # lower() only on string keys (see gen_cte_chain); the correlated
+        # self-subquery (pre-update snapshot semantics) is the point here
+        setg = "g = lower(g), " if key in STR_GROUP else ""
+        stmts.append(f"UPDATE {tbl} SET {setg}v = v + 1 "
+                     f"WHERE v > (SELECT avg(v) FROM {tbl})")
+    else:
+        stmts.append(f"UPDATE {tbl} SET v = s.{NUMERIC[t2][0]} "
+                     f"FROM {t2} s WHERE {tbl}.id = s.{PK[t2]} "
+                     f"AND s.{PK[t2]} % 4 = 0")
+    if rng.random() < 0.5:
+        stmts.append(f"DELETE FROM {tbl} WHERE id % {rng.choice([7, 11])} = 2")
+    else:
+        stmts.append(f"DELETE FROM {tbl} USING {t2} s "
+                     f"WHERE {tbl}.id = s.{PK[t2]} AND s.{PK[t2]} % 6 = 3")
+    stmts.append(f"SELECT id, g, CAST(round(v * 100) AS BIGINT) AS v_c "
+                 f"FROM {tbl} ORDER BY id, g, v_c")
+    return "; ".join(stmts)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
@@ -274,6 +431,14 @@ def main():
     if mode == "query":
         for _ in range(n):
             print(gen_query(rng))
+        return
+    if mode == "stmt":
+        for _ in range(n):
+            print(gen_stmt(rng))
+        return
+    if mode == "dml":
+        for i in range(n):
+            print(gen_dml(rng, i))
         return
     for i in range(n):
         ty = rng.choice([INT, DBL, STR, DATE, BOOL])

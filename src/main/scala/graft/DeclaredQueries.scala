@@ -1538,6 +1538,36 @@ object DeclaredQueries {
         "CAST(od - DATE '1995-01-01' AS BIGINT) AS dd, " +
         "CAST(od - od AS BIGINT) AS dz " +
         "FROM g213_od ORDER BY o_orderkey"),
+    "q215_stmt_shapes" ->
+      // r11 (VERDICT r10 #4): statement-level fuzz pins — the shapes the
+      // new `gen_probes.py stmt` mode exercises, combined: a CTE chain
+      // feeding a window, a BARE correlated scalar subquery (count over
+      // an empty correlated group → 0, the classic divergence spot), a
+      // coalesced correlated sum, and NESTED LATERAL (the second lateral
+      // correlates on the first's output). 400 generated probes across 2
+      // seeds converge on these; this pins the composite.
+      ("WITH a AS (SELECT o_orderkey AS id, o_custkey AS ck, o_totalprice AS v FROM orders WHERE o_orderkey < 200), " +
+        "b AS (SELECT id, ck, v, row_number() OVER (PARTITION BY ck ORDER BY v DESC, id) AS r FROM a) " +
+        "SELECT b.id, b.ck, b.r, " +
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey = b.id) AS ln, " +
+        "coalesce((SELECT CAST(round(sum(l_quantity)) AS BIGINT) FROM lineitem WHERE l_orderkey = b.id), -1) AS sq, " +
+        "l.iid, l2.cnt " +
+        "FROM b, " +
+        "LATERAL (SELECT l_partkey AS iid FROM lineitem WHERE l_orderkey = b.id ORDER BY l_partkey LIMIT 2) l, " +
+        "LATERAL (SELECT count(*) AS cnt FROM lineitem WHERE l_orderkey = b.id AND l_partkey <= l.iid) l2 " +
+        "WHERE b.r <= 3 ORDER BY b.id, l.iid"),
+    "q216_dml_roundtrip" ->
+      // r11: DML round-trip pin from the `gen_probes.py dml` mode —
+      // CTAS → INSERT SELECT → UPDATE with a CORRELATED SELF-SUBQUERY
+      // (predicate evaluated against the pre-update snapshot, both
+      // engines) → DELETE USING → final SELECT. q188 pins the joined
+      // forms; the self-referential avg() threshold is the new surface.
+      ("DROP TABLE IF EXISTS g216_t; " +
+        "CREATE TABLE g216_t AS SELECT o_orderkey AS id, o_orderpriority AS g, o_totalprice AS v FROM orders WHERE o_orderkey < 150; " +
+        "INSERT INTO g216_t SELECT o_orderkey + 100000, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey < 150; " +
+        "UPDATE g216_t SET g = lower(g), v = v + 1 WHERE v > (SELECT avg(v) FROM g216_t); " +
+        "DELETE FROM g216_t USING orders s WHERE g216_t.id = s.o_orderkey AND s.o_orderkey % 6 = 3; " +
+        "SELECT id, g, CAST(round(v * 100) AS BIGINT) AS v_c FROM g216_t ORDER BY id"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

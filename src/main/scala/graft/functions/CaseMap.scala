@@ -65,6 +65,17 @@ object CaseMap {
 case class GraftUpper(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_upper"
+  // STRING-only at bind time (r11 stmt-fuzzer find: upper(INTEGER) used
+  // to crash in the generated UTF8String cast at RUNTIME; DuckDB binder-
+  // errors, so the parity posture is a clean analysis error)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_upper requires a string type, got ${other.simpleString}")
+    }
   override def nullSafeEval(input: Any): Any =
     CaseMap.upperSimple(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -77,6 +88,14 @@ case class GraftUpper(child: Expression) extends UnaryExpression {
 case class GraftLower(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_lower"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lower requires a string type, got ${other.simpleString}")
+    }
   override def nullSafeEval(input: Any): Any =
     CaseMap.lowerSimple(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -72,7 +72,10 @@ object DiffProbe {
       .map(_.trim).filter(q => q.nonEmpty && !q.startsWith("#")).toSeq
     qs.zipWithIndex.foreach { case (q, i) =>
       val line = try {
-        val rows = Engine.sql(spark, q).collect().take(100)
+        // sqlScript so ';'-separated DML round-trip probes (r11) execute
+        // whole-script with the final statement's rows compared — for a
+        // single statement it is exactly Engine.sql
+        val rows = Engine.sqlScript(spark, q).collect().take(100)
           .map(_.toSeq.map(norm).mkString("|")).sorted.mkString(" ;; ")
         s"$i\tOK\t$rows"
       } catch {
