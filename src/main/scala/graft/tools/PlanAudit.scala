@@ -507,7 +507,14 @@ object PlanAudit {
         "p21_sim_ann_ivf",      // declared query includes brute-force exact side
         "q81_window_extras",    // many distinct window specs, per-stage floor
         "q64_tpch_q9", "q130_tpch_q18_shape", "q131_tpch_q21_shape",
-        "q144_tpch_q7_shape")   // all-broadcast shapes at the scheduling floor
+        "q144_tpch_q7_shape")   // floor DECOMPOSED by tools/FloorProbe (r11,
+                                // BASELINE round-11): partition-minimized
+                                // A/B at sf≈1 — q64/q144 FLAT (stage-graph
+                                // depth + shuffle materialization, not task
+                                // fan-out), q130/q131 1.8–3× SLOWER at 4
+                                // partitions (parallelism-bound: the 32-way
+                                // fan-out is earning its keep). Shipped
+                                // tuning kept on measurement, not prose.
       val sv = valuesOf("dev/bench_sf1.json")
       val dv = valuesOf("dev/duckdb_baseline_sf1.json")
       val weak = sv.keySet.intersect(dv.keySet).toSeq
