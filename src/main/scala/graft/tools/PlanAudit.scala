@@ -501,6 +501,9 @@ object PlanAudit {
         "q188_joined_dml",      // 5-statement DML script at the per-action
                                 // floor; the full-rewrite trap is gone
                                 // (COW assertions below prove file pruning)
+        "q216_dml_roundtrip",   // same: 6-statement round-trip (CTAS +
+                                // INSERT + correlated UPDATE + DELETE =
+                                // 4 table rewrites), per-action floor
         "p18_salted_join",      // deliberate skew insurance: salt overhead
         "p51_frame_dedup",      // digest-shuffle by design; DuckDB toy-scale floor
         "p59_provenance_ledger",// 3-pass composite vs 1-pass oracle
