@@ -264,6 +264,87 @@ def gen_query(rng):
             f"ORDER BY {', '.join(keys)}")
 
 
+"""List mode (r11): depth-bounded expressions over the LIST surface —
+literals (incl. NULL elements and []), lambdas (1- and 2-param),
+sort/distinct/filter/slice/concat/aggregate/subscript — the function
+family where NULL-element and empty-list semantics diverge silently."""
+
+LI = "li"   # LIST of INT
+LS = "ls"   # LIST of STR
+
+
+def lit_list(rng, ty):
+    if ty == LI:
+        opts = ["[1, 2, 3]", "[5, 1, 5, NULL]", "[7]", "[]",
+                "[-2, 0, 2, 4]", "[NULL]", "[3, 1, 2, 1]"]
+    else:
+        opts = ["['a', 'bb', 'c']", "['z', NULL, 'a']", "['x']",
+                "['q', 'q', 'r']"]
+    return rng.choice(opts)
+
+
+def gen_list(rng, ty, depth):
+    if ty in (LI, LS):
+        if depth <= 0:
+            if ty == LI and rng.random() < 0.3:
+                return f"[o_orderkey % 7, o_orderkey % 5 - 1, {rng.choice([3, 9])}]"
+            if ty == LS and rng.random() < 0.3:
+                return "string_split(o_orderpriority, '-')"
+            return lit_list(rng, ty)
+        r = rng.random()
+        el = "x + 1" if ty == LI else "upper(x)"
+        pred = "x % 2 = 0" if ty == LI else "length(x) >= 2"
+        if r < 0.15:
+            return f"list_sort({gen_list(rng, ty, depth - 1)})"
+        if r < 0.25:
+            return f"list_reverse_sort({gen_list(rng, ty, depth - 1)})"
+        if r < 0.35:
+            # duck's list_distinct output ORDER is unspecified (hash-based;
+            # known adjudication) — sort so the probe pins the dedup/NULL-
+            # drop semantics, not the arbitrary order
+            return f"list_sort(list_distinct({gen_list(rng, ty, depth - 1)}))"
+        if r < 0.5:
+            return f"list_transform({gen_list(rng, ty, depth - 1)}, x -> {el})"
+        if r < 0.6:
+            return f"list_filter({gen_list(rng, ty, depth - 1)}, x -> {pred})"
+        if r < 0.7:
+            return (f"list_concat({gen_list(rng, ty, depth - 1)}, "
+                    f"{gen_list(rng, ty, depth - 1)})")
+        if r < 0.8:
+            a = rng.choice([1, 2, -1])
+            return f"list_slice({gen_list(rng, ty, depth - 1)}, {a}, {a + rng.choice([0, 1, 2])})"
+        if r < 0.9 and ty == LI:
+            return (f"list_transform({gen_list(rng, LI, depth - 1)}, "
+                    f"(x, i) -> x + i * {rng.choice([1, 10])})")
+        return f"list_append({gen_list(rng, ty, depth - 1)}, {'9' if ty == LI else chr(39) + 'w' + chr(39)})"
+    # scalar reductions over lists
+    r = rng.random()
+    src = gen_list(rng, rng.choice([LI, LS]), depth - 1)
+    isrc = gen_list(rng, LI, depth - 1)
+    if r < 0.2:
+        return f"len({src})"
+    if r < 0.35:
+        return f"list_sum({isrc})"
+    if r < 0.5:
+        return f"list_aggregate({isrc}, '{rng.choice(['min', 'max', 'sum'])}')"
+    if r < 0.65:
+        return f"list_position({isrc}, {rng.choice([1, 2, 5, 'NULL'])})"
+    if r < 0.8:
+        return f"({isrc})[{rng.choice([1, 2, 5, -1])}]"
+    if r < 0.9:
+        return f"CAST(list_contains({isrc}, {rng.choice([1, 5, 9])}) AS VARCHAR)"
+    return f"array_to_string({gen_list(rng, LS, depth - 1)}, ',')"
+
+
+def gen_list_probe(rng):
+    if rng.random() < 0.55:
+        e = gen_list(rng, rng.choice([LI, LS]), rng.choice([1, 2, 3]))
+    else:
+        e = gen_list(rng, "scalar", rng.choice([2, 3]))
+    return (f"SELECT o_orderkey, {e} AS e FROM orders "
+            "WHERE o_orderkey < 25 ORDER BY o_orderkey")
+
+
 """Statement-level mode (r11, VERDICT r10 #4): correlated scalar
 subqueries, CTE chains (incl. recursive), and nested LATERAL — the
 statement surface the query mode's flat join/group shapes never
@@ -435,6 +516,10 @@ def main():
     if mode == "stmt":
         for _ in range(n):
             print(gen_stmt(rng))
+        return
+    if mode == "list":
+        for _ in range(n):
+            print(gen_list_probe(rng))
         return
     if mode == "dml":
         for i in range(n):

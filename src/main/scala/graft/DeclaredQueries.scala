@@ -1568,6 +1568,23 @@ object DeclaredQueries {
         "UPDATE g216_t SET g = lower(g), v = v + 1 WHERE v > (SELECT avg(v) FROM g216_t); " +
         "DELETE FROM g216_t USING orders s WHERE g216_t.id = s.o_orderkey AND s.o_orderkey % 6 = 3; " +
         "SELECT id, g, CAST(round(v * 100) AS BIGINT) AS v_c FROM g216_t ORDER BY id"),
+    "q217_list_contains_nulls" ->
+      // r11 (list fuzz find): DuckDB list_contains is NOT three-valued
+      // over NULL elements — absent needle → false even when the list
+      // holds NULLs; NULL only for a NULL list or NULL needle. Spark's
+      // array_contains says NULL for absent-with-NULLs, so the translator
+      // emits array_position(l, e) > 0 (exact matrix). Pins all five
+      // cells plus the list_has/array_contains spellings. (The fully
+      // UNTYPED corner list_has([NULL], NULL) stays a LOUD analysis
+      // error on Spark — array_position cannot resolve a NullType
+      // element type — so c4 types the needle.)
+      ("SELECT o_orderkey, " +
+        "CAST(list_contains([o_orderkey % 3, NULL, 7], 1) AS VARCHAR) AS c1, " +
+        "CAST(list_contains([1, 2], NULL) AS VARCHAR) AS c2, " +
+        "CAST(list_contains(CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE [1, 2] END, 1) AS VARCHAR) AS c3, " +
+        "CAST(list_has([NULL], 1 + NULL) AS VARCHAR) AS c4, " +
+        "CAST(array_contains([5, NULL], 5) AS VARCHAR) AS c5 " +
+        "FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -2984,6 +2984,32 @@ object Translator {
                 lex(s"concat_ws('', ${casts.mkString(", ")})"), close - i + 1)
               changed = true
             }
+          case id: Ident if Set("LIST_CONTAINS", "LIST_HAS",
+              "ARRAY_CONTAINS", "ARRAY_HAS", "HAS").contains(id.upper) && callOpen >= 0 =>
+            // DuckDB list_contains is NOT three-valued over NULL elements
+            // (r11 list fuzz): absent needle → false even when the list
+            // holds NULLs; NULL only for a NULL list or NULL needle.
+            // Spark's array_contains returns NULL for absent-with-NULLs,
+            // and array_position demands an EXACT element-type match
+            // (array_position([1.0, 2.0], 2) is an analysis error where
+            // array_contains coerces — probe-gate find), so emit a
+            // NULL-guarded size(filter(l, x -> x = e)) > 0: found → true,
+            // absent → false (a NULL element's comparison is NULL, which
+            // filter drops), either arg NULL → NULL via the guard; `=`
+            // inside the lambda applies normal binary coercion. The
+            // filter-follows-'(' shape dodges the aggregate-FILTER and
+            // window-FILTER rewrites; 1-param lambda dodges the 1-based
+            // index shift; not re-captured on re-translation.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            if (args.length == 2) {
+              val (l, e) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(
+                s"(CASE WHEN ($l) IS NULL OR ($e) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+                  s"ELSE size(filter(($l), graft_lc -> graft_lc = ($e))) > 0 END)"),
+                close - i + 1)
+              changed = true
+            }
           case id: Ident if Set("LIST_CONCAT", "LIST_CAT", "ARRAY_CAT",
               "ARRAY_CONCAT").contains(id.upper) && callOpen >= 0 =>
             // DuckDB list concat is strictly 2-arg and SKIPS NULL args

@@ -674,8 +674,14 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT sha256(s)") == "SELECT sha2(s, 256)")
     assert(t("SELECT list_reverse_sort(l)") == "SELECT sort_array(l, false)")
     assert(t("SELECT strpos(s, 'x')") == "SELECT instr(s, 'x')")
+    // r11: duck list_contains is not three-valued over NULL elements —
+    // a NULL-guarded size(filter(...)) reproduces the matrix with normal
+    // binary coercion (see rewriteArgShapeFns)
     assert(t("SELECT list_contains(l, 2), list_has(l, 3)") ==
-      "SELECT array_contains(l, 2), array_contains(l, 3)")
+      "SELECT (CASE WHEN (l) IS NULL OR (2) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+        "ELSE size(filter((l), graft_lc -> graft_lc = (2))) > 0 END), " +
+        "(CASE WHEN (l) IS NULL OR (3) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+        "ELSE size(filter((l), graft_lc -> graft_lc = (3))) > 0 END)")
     // vector kernels expand to double higher-order math
     val cos = t("SELECT list_cosine_similarity(a, b)")
     assert(cos.contains("zip_with(a, b") && cos.contains("sqrt"))
@@ -734,7 +740,9 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT position(h, n)") == "SELECT instr(h, n)")
     assert(t("SELECT position('or' IN s)") == "SELECT position('or' IN s)")
     assert(t("SELECT arrayJoin(a), has(a, 1), indexOf(a, 2), arrayElement(a, -1)") ==
-      "SELECT explode(a), array_contains(a, 1), array_position(a, 2), try_element_at(a, -1)")
+      "SELECT explode(a), (CASE WHEN (a) IS NULL OR (1) IS NULL THEN CAST(NULL AS BOOLEAN) " +
+        "ELSE size(filter((a), graft_lc -> graft_lc = (1))) > 0 END), " +
+        "array_position(a, 2), try_element_at(a, -1)")
     assert(t("SELECT arrayStringConcat(a, ','), leftPad(s, 3, '0'), toUnixTimestamp(ts)") ==
       "SELECT array_join(a, ','), lpad(s, 3, '0'), unix_timestamp(ts)")
     assert(t("SELECT toHour(ts), toDayOfYear(d), toDayOfMonth(d)") ==
