@@ -345,6 +345,57 @@ def gen_list_probe(rng):
             "WHERE o_orderkey < 25 ORDER BY o_orderkey")
 
 
+"""Map/struct mode (r11): MAP {…} literals, map_from_entries, keys/
+values/cardinality, the LIST-shaped duck map subscript, element_at/
+map_extract, map_concat, struct_pack + dot access — the container
+surface where key order, duplicate keys, and missing-key shapes can
+silently diverge."""
+
+
+def gen_map_atom(rng):
+    opts = [
+        "MAP {'a': 1, 'b': 2}",
+        "MAP {'x': 10, 'y': NULL, 'z': 30}",
+        "MAP {'k': o_orderkey % 5, 'j': 3}",
+        "MAP {'one': 'I', 'two': 'II'}",
+        "map_from_entries([('a', 1), ('b', o_orderkey % 3)])",
+    ]
+    return rng.choice(opts)
+
+
+def gen_map_probe(rng):
+    m = gen_map_atom(rng)
+    r = rng.random()
+    if r < 0.12:
+        e = f"map_keys({m})"
+    elif r < 0.24:
+        e = f"map_values({m})"
+    elif r < 0.34:
+        e = f"cardinality({m})"
+    elif r < 0.46:
+        k = rng.choice(["'a'", "'x'", "'k'", "'nope'", "'two'"])
+        e = f"({m})[{k}]"
+    elif r < 0.58:
+        k = rng.choice(["'a'", "'y'", "'j'", "'nope'"])
+        e = f"element_at({m}, {k})"
+    elif r < 0.68:
+        # both sides BIGINT-valued: duck's map_concat requires identical
+        # value types (INTEGER literal vs BIGINT column expr is an error)
+        e = ("map_concat(MAP {'a': o_orderkey % 2, 'c': 9}, "
+             "MAP {'b': o_orderkey % 4})")
+    elif r < 0.8:
+        f1 = rng.choice(["a", "b"])
+        e = (f"(struct_pack(a := o_orderkey % 7, b := 'v' || (o_orderkey % 3)))"
+             f".{f1}")
+    elif r < 0.9:
+        e = ("struct_pack(n := o_orderkey % 5, "
+             "s := struct_pack(inner := o_orderkey % 2))")
+    else:
+        e = f"map_extract({m}, {rng.choice(['chr(97)', chr(39) + 'b' + chr(39)])})"
+    return (f"SELECT o_orderkey, {e} AS e FROM orders "
+            "WHERE o_orderkey < 25 ORDER BY o_orderkey")
+
+
 """Statement-level mode (r11, VERDICT r10 #4): correlated scalar
 subqueries, CTE chains (incl. recursive), and nested LATERAL — the
 statement surface the query mode's flat join/group shapes never
@@ -520,6 +571,10 @@ def main():
     if mode == "list":
         for _ in range(n):
             print(gen_list_probe(rng))
+        return
+    if mode == "map":
+        for _ in range(n):
+            print(gen_map_probe(rng))
         return
     if mode == "dml":
         for i in range(n):

@@ -1585,6 +1585,21 @@ object DeclaredQueries {
         "CAST(list_has([NULL], 1 + NULL) AS VARCHAR) AS c4, " +
         "CAST(array_contains([5, NULL], 5) AS VARCHAR) AS c5 " +
         "FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey"),
+    "q218_map_subscript_paren" ->
+      // r11 (map fuzz find): a PARENTHESIZED map receiver — (MAP {…})[k]
+      // or (map_from_entries(…))[k] — took the array-subscript path and
+      // returned the bare value instead of DuckDB's LIST-shaped map
+      // subscript ([v] when present, [] when missing). The receiver
+      // detection now unwraps outer parens. Pins present/missing/
+      // NULL-valued keys; list outputs serialize via array_to_string/len
+      // (round-10 raw-ARRAY output lint).
+      ("SELECT o_orderkey, " +
+        "array_to_string((MAP {'a': 1, 'b': o_orderkey % 3})['a'], ',') AS p1, " +
+        "array_to_string((MAP {'a': 1})['nope'], ',') AS p2, " +
+        "array_to_string((map_from_entries([('a', 1), ('b', o_orderkey % 3)]))['b'], ',') AS p3, " +
+        "CAST(len(list_sort((MAP {'x': 10, 'y': NULL})['y'])) AS BIGINT) AS p4, " +
+        "CAST(len(list_sort((MAP {'a': 1})['zz'])) AS BIGINT) AS p5 " +
+        "FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

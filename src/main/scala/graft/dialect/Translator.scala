@@ -769,7 +769,30 @@ object Translator {
               // key is present (key 0 included — maps have no zero-index
               // guard), [] when missing or k IS NULL.
               val mapRecv = colonAt < 0 && {
-                val seg = toks.slice(rStart, p + 1).filter(!isWs(_))
+                // unwrap fully-parenthesized receivers — (MAP {…})[k] /
+                // (map_from_entries(…))[k] took the ARRAY subscript path
+                // and returned the bare value (r11 map fuzz); stripping
+                // outer parens lets the same shape checks see the map
+                var seg = toks.slice(rStart, p + 1).filter(!isWs(_))
+                var go = true
+                while (go) {
+                  go = false
+                  if (seg.length >= 2 && seg.head == Punct("(") &&
+                      seg.last == Punct(")")) {
+                    var d = 0; var fc = -1; var k = 0
+                    while (k < seg.length && fc < 0) {
+                      seg(k) match {
+                        case Punct("(") => d += 1
+                        case Punct(")") => d -= 1; if (d == 0) fc = k
+                        case _ => ()
+                      }
+                      k += 1
+                    }
+                    if (fc == seg.length - 1) {
+                      seg = seg.slice(1, seg.length - 1); go = true
+                    }
+                  }
+                }
                 (seg.nonEmpty && seg.zipWithIndex.forall {
                   case (t, k) =>
                     if (k % 2 == 0) t.isInstanceOf[Ident] else t == Punct(".")
