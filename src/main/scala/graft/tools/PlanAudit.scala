@@ -276,7 +276,21 @@ object PlanAudit {
     // agg — never a corpus-corpus sort-merge join
     Check("p42_semantic_decontam",
       wantAll = Seq("BroadcastNestedLoopJoin", "cosine_sim", "HashAggregate"),
-      wantNone = Seq("SortMergeJoin", "CartesianProduct")))
+      wantNone = Seq("SortMergeJoin", "CartesianProduct")),
+    // r11 stmt pins: the correlated scalar subqueries and the FIRST
+    // lateral decorrelate to hash equi-joins on l_orderkey; the nested
+    // lateral's NON-equi correlation (l_partkey <= l.iid) takes Spark's
+    // domain-join decorrelation — a BroadcastNestedLoopJoin whose BUILD
+    // side is the bounded DISTINCT-iid domain (not a corpus side), then
+    // an equi-SMJ back on (id, iid). Assert the decorrelation happened
+    // (SMJ back-join present, no cartesian) rather than demanding all-
+    // equi, which this query class cannot produce on any engine.
+    Check("q215_stmt_shapes", wantAll = Seq("SortMergeJoin"),
+      wantNone = Seq("CartesianProduct")),
+    // r11 map pin: the parenthesized map subscript is pure projection —
+    // one scan, no join, no shuffle beyond the final sort
+    Check("q218_map_subscript_paren",
+      wantNone = Seq("Join", "CartesianProduct", "Window")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
