@@ -1572,12 +1572,15 @@ object DeclaredQueries {
       // r11 (list fuzz find): DuckDB list_contains is NOT three-valued
       // over NULL elements — absent needle → false even when the list
       // holds NULLs; NULL only for a NULL list or NULL needle. Spark's
-      // array_contains says NULL for absent-with-NULLs, so the translator
-      // emits array_position(l, e) > 0 (exact matrix). Pins all five
-      // cells plus the list_has/array_contains spellings. (The fully
-      // UNTYPED corner list_has([NULL], NULL) stays a LOUD analysis
-      // error on Spark — array_position cannot resolve a NullType
-      // element type — so c4 types the needle.)
+      // array_contains says NULL for absent-with-NULLs, and
+      // array_position demands an exact element-type match, so the
+      // translator emits a NULL-guarded coalesce(exists(l, x -> x = e),
+      // false) — first-hit short-circuit, normal binary coercion (exact
+      // matrix; r12 form, was size(filter(…)) > 0). Pins all five cells
+      // plus the list_has/array_contains spellings. (The fully UNTYPED
+      // corner list_has([NULL], NULL) stays a LOUD analysis error on
+      // Spark — the lambda equality cannot resolve a NullType element
+      // type — so c4 types the needle.)
       ("SELECT o_orderkey, " +
         "CAST(list_contains([o_orderkey % 3, NULL, 7], 1) AS VARCHAR) AS c1, " +
         "CAST(list_contains([1, 2], NULL) AS VARCHAR) AS c2, " +
@@ -1600,6 +1603,71 @@ object DeclaredQueries {
         "CAST(len(list_sort((MAP {'x': 10, 'y': NULL})['y'])) AS BIGINT) AS p4, " +
         "CAST(len(list_sort((MAP {'a': 1})['zz'])) AS BIGINT) AS p5 " +
         "FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey"),
+    "q219_date_trunc_shape" ->
+      // r12 (VERDICT r11 #1): DuckDB's date_trunc returns DATE for every
+      // day-or-coarser unit REGARDLESS of input type (probed: even
+      // date_trunc('month', TIMESTAMP) is DATE) — the engine now emits
+      // CAST(date_trunc(…) AS DATE) for that class, closing the last
+      // common silent shape. Pins: TIMESTAMP column and DATE-typed
+      // column inputs, the datetrunc alias with a PLURAL unit (a silent
+      // NULL in raw Spark), decade/century (absent from Spark — duck
+      // floors year−year%k: 1998 → 1990/1900, probed), the sub-day
+      // passthrough (h1 stays TIMESTAMP in both), time_bucket on a
+      // DATE-typed COLUMN (was literal/::DATE only), and date_trunc
+      // feeding DATE−DATE integer-days arithmetic.
+      ("DROP VIEW IF EXISTS g219_od; " +
+        "CREATE OR REPLACE VIEW g219_od AS SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_orderdate AS ots FROM orders WHERE o_orderkey < 60; " +
+        "SELECT o_orderkey, " +
+        "date_trunc('month', ots) AS m1, " +
+        "date_trunc('week', ots) AS w1, " +
+        "datetrunc('months', od) AS mp, " +
+        "date_trunc('quarter', od) AS q1, " +
+        "date_trunc('year', ots) AS y1, " +
+        "date_trunc('decade', od) AS dec1, " +
+        "date_trunc('century', od) AS cen1, " +
+        "date_trunc('day', ots) AS d1, " +
+        "date_trunc('hour', ots) AS h1, " +
+        "time_bucket(INTERVAL '7 days', od) AS tb1, " +
+        "CAST(date_trunc('month', od) - DATE '1995-01-01' AS BIGINT) AS dd " +
+        "FROM g219_od ORDER BY o_orderkey"),
+    "q220_div_mod_zero" ->
+      // r12 (VERDICT r11 #2): DuckDB returns NULL for x/0 and x%0 where
+      // Spark's ANSI mode raised DIVIDE_BY_ZERO — `/` → try_divide and
+      // `%` → try_mod whenever the divisor is not a provably non-zero
+      // integer literal and no operand carries DECIMAL risk (decimal
+      // literals/casts/columns keep the loud ANSI error — the r8
+      // adjudication's type-shape concern, now scoped to exactly that
+      // class). Pins: dynamic divisors hitting zero (d1 NULL when 3 |
+      // o_orderkey, m1 NULL when 5 | o_orderkey), literal 1/0 and 1%0,
+      // double % 0, and NULL-dividend propagation.
+      ("SELECT o_orderkey, " +
+        "CAST(round(o_totalprice / (o_orderkey % 3) * 100) AS BIGINT) AS d1, " +
+        "o_orderkey % (o_orderkey % 5) AS m1, " +
+        "1 / 0 AS z1, " +
+        "1 % 0 AS z2, " +
+        "CAST(o_totalprice AS DOUBLE) % 0 AS z4, " +
+        "CAST(NULL AS BIGINT) / o_orderkey AS np " +
+        "FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey"),
+    "q221_string_col_subscript" ->
+      // r12 (VERDICT r11 #3): subscripts/slices on a STRING-TYPED COLUMN
+      // — previously a loud Spark analysis error, now routed through the
+      // string-literal character semantics via the strict catalog type
+      // set (1-based inclusive, negative from-end, out-of-range → '').
+      // Pins: single index, negative index, 0 and off-end (both ''),
+      // two-bound/open slices, a qualified receiver, a DYNAMIC index
+      // (0 → '' via the guard), and the array_slice function form.
+      ("SELECT o_orderkey, " +
+        "o_orderpriority[1] AS c1, " +
+        "o_orderpriority[-1] AS cm1, " +
+        "o_orderpriority[0] AS c0, " +
+        "o_orderpriority[100] AS cbig, " +
+        "o_orderpriority[2:4] AS sl, " +
+        "o_orderpriority[3:] AS so, " +
+        "o_orderpriority[:-2] AS se, " +
+        "orders.o_orderpriority[2] AS qv, " +
+        "o_orderpriority[CAST(o_orderkey % 3 AS INT)] AS dyn, " +
+        "array_slice(o_orderpriority, 2, 4) AS asl " +
+        "FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -43,23 +43,51 @@ object Translator {
   def translate(sql: String, schemaOf: String => Option[Seq[String]]): Translation =
     translate(sql, schemaOf, _ => false)
 
-  /** `isMapCol` (r7) resolves a lower-cased column name to "MAP-typed in
-    * the visible catalog" — the schema-aware subscript pass: a subscript
-    * whose receiver is a plain (possibly qualified) identifier naming a
-    * known MAP column emits DuckDB's 1-element-list wrap instead of the
-    * array zero-index guards, closing both documented map-subscript
-    * divergences for the named-column case. `isCollectionCol` (r8)
-    * likewise marks ARRAY/MAP columns for the empty()/notEmpty()
-    * size-vs-length dispatch. `isDateCol` (r11, VERDICT r10 #1) marks
-    * DATE-typed columns so `date_col ± INTERVAL` gets the q200
-    * TIMESTAMP-result cast and `date_col − date_col` returns integer
-    * days on real columns, not just syntactically date-valued operands.
-    * The default no-ops keep the schema-free behavior (bare
-    * `Translator.sparkSql`, tests). */
+  /** Catalog column-type resolution for the schema-aware rewrites. All
+    * resolvers are name-based over the VISIBLE catalog (the isMapCol
+    * precedent); the engine supplies them from a per-DDL-version cache.
+    *
+    *   - `isMapCol` (r7): MAP-typed — drives the 1-element-list map
+    *     subscript instead of the array zero-index guards.
+    *   - `isCollectionCol` (r8): ARRAY/MAP — empty()/len size-vs-length
+    *     dispatch.
+    *   - `isDateCol` (r11/r12): takes the FULL lower-cased dotted ident
+    *     chain (`c`, `t.c`, `db.t.c`) plus a strictness flag. When the
+    *     chain is qualified by a name the engine knows as a table, the
+    *     lookup is exact per-table; otherwise strict=true requires the
+    *     name to be DATE-typed in EVERY table that defines it (the
+    *     `date_col − date_col` → datediff rewrite is silently wrong on a
+    *     TIMESTAMP column sharing a DATE column's name — advice r11),
+    *     while strict=false accepts any-table (the ± INTERVAL rewrite's
+    *     collision cost is a no-op CAST to TIMESTAMP).
+    *   - `isStringCol` (r12, VERDICT r11 #3): VARCHAR-typed in every
+    *     defining table — routes `s[2]` / `s[2:4]` / array_slice(s,…) on
+    *     string COLUMNS through the string-literal character semantics.
+    *   - `isDecimalCol` (r12, VERDICT r11 #2): DECIMAL-typed in ANY
+    *     defining table — SUPPRESSES the `/`→try_divide, `%`→try_mod
+    *     rewrite (conservative: a suppressed rewrite stays the loud ANSI
+    *     error; a wrongly-applied one would change DECIMAL result types).
+    */
+  final case class ColTypes(
+      isMapCol: String => Boolean = _ => false,
+      isCollectionCol: String => Boolean = _ => false,
+      isDateCol: (String, Boolean) => Boolean = (_, _) => false,
+      isStringCol: String => Boolean = _ => false,
+      isDecimalCol: String => Boolean = _ => false)
+
+  /** Back-compat overload (tests, simple callers): last-segment
+    * name-based resolvers, date lookup non-strict in both modes. */
   def translate(sql: String, schemaOf: String => Option[Seq[String]],
       isMapCol: String => Boolean,
       isCollectionCol: String => Boolean = _ => false,
-      isDateCol: String => Boolean = _ => false): Translation = {
+      isDateCol: String => Boolean = _ => false): Translation =
+    translate(sql, schemaOf, ColTypes(
+      isMapCol = isMapCol,
+      isCollectionCol = isCollectionCol,
+      isDateCol = (chain, _) => isDateCol(chain.split('.').last)))
+
+  def translate(sql: String, schemaOf: String => Option[Seq[String]],
+      types: ColTypes): Translation = {
     val (noFmt, fmt) = Sanitizer.stripFormat(sql)
     var toks = lex(noFmt)
     val views = ArrayBuffer[ViewReg]()
@@ -80,8 +108,9 @@ object Translator {
     toks = rewriteArrayLiterals(toks)
     toks = rewriteStructMapLiterals(toks)
     toks = rewriteArrayTypeSuffix(toks)
-    toks = rewriteSubscripts(toks, isMapCol)
-    toks = rewriteOpsSugar(toks, isDateCol)
+    toks = rewriteSubscripts(toks, types.isMapCol, types.isStringCol)
+    toks = rewriteOpsSugar(toks, types.isDateCol)
+    toks = rewriteDateTruncShape(toks)
     toks = rewriteIntCastRounding(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteStringAgg(toks)
@@ -95,11 +124,12 @@ object Translator {
     toks = rewritePosixClasses(toks)
     toks = rewriteJsonArrows(toks)
     toks = rewriteSplitLiteralSep(toks)
-    toks = rewriteArgShapeFns(toks, isCollectionCol)
+    toks = rewriteArgShapeFns(toks, types.isCollectionCol, types.isDateCol)
     toks = rewriteFunctionNames(toks)
     toks = rewriteListAggs(toks)
     toks = rewriteInfoSchema(toks)
     toks = rewriteTypeNames(toks)
+    toks = rewriteDivMod(toks, types.isDecimalCol)
     toks = injectNullOrder(toks)
     toks = encodeStrLiterals(toks)
     Translation(render(toks).trim, views.toSeq, fmt)
@@ -626,31 +656,29 @@ object Translator {
   private def clamp0(x: String): String =
     s"(CASE WHEN ($x) < 0 THEN 0 ELSE ($x) END)"
 
-  /** String receivers (r10 batch 7b): DuckDB subscripts/slices are
-    * defined on VARCHAR too — 1-based inclusive CHARACTER positions,
-    * negative from-end, out-of-range → `''` (NOT NULL; probe-pinned:
-    * 'abcdef'[0] = 'abcdef'[10] = ''), crossed/empty bounds → ''.
-    * Token-level typing only reaches a Str-LITERAL receiver; a
-    * string-typed COLUMN subscript still fails loudly in Spark's
-    * analyzer (documented divergence). */
-  private def strNormBound(recv: String, e: String): String = intLit(e) match {
-    case Some(v) if v >= 0 => e
-    case _ => s"(CASE WHEN ($e) < 0 THEN length($recv) + ($e) + 1 ELSE ($e) END)"
-  }
-  private def strIndexForm(recv: String, idx: String): String = {
-    val n = strNormBound(recv, idx)
-    // NULL index → NULL; 0 / off-front → '' (substr(s, 0, 1) would return
-    // the FIRST char in Spark — position 0 is treated as 1 there)
-    s"(CASE WHEN ($idx) IS NULL THEN CAST(NULL AS STRING) " +
-      s"WHEN ($n) < 1 THEN '' " +
-      s"ELSE substr($recv, CAST(($n) AS INT), 1) END)"
-  }
+  /** String receivers (r10 batch 7b; r12 kernels): DuckDB subscripts/
+    * slices are defined on VARCHAR too — 1-based inclusive CHARACTER
+    * positions, negative from-end, out-of-range → `''` (NOT NULL;
+    * probe-pinned: 'abcdef'[0] = 'abcdef'[10] = ''), crossed/empty bounds
+    * → '', NULL bound → NULL. Reaches Str-LITERAL receivers and (r12,
+    * VERDICT r11 #3) string-typed COLUMNS via the strict catalog type
+    * set. Emitted as the graft_str_index/graft_str_slice codegen kernels
+    * ([[graft.functions.StrSubscript]]) — the former CASE/substr/length
+    * splices tripped the upstream janino subexpression-split bug
+    * ("isNull_N is not an rvalue" → interpreted fallback) as soon as two
+    * slice columns shared a projection. An empty slice end is encoded as
+    * Long.MaxValue (clamped to len in the kernel). */
+  private def isNullLit(e: String): Boolean = e.trim.equalsIgnoreCase("NULL")
+  private def strIndexForm(recv: String, idx: String): String =
+    if (isNullLit(idx)) "CAST(NULL AS STRING)"
+    else s"graft_str_index($recv, $idx)"
   private def strSliceForm(recv: String, a: String, b: String): String = {
-    val sa = if (a.isEmpty) "1" else s"greatest(${strNormBound(recv, a)}, 1)"
-    val eb = if (b.isEmpty) s"length($recv)"
-      else s"least(${strNormBound(recv, b)}, length($recv))"
-    s"substr($recv, CAST(($sa) AS INT), " +
-      s"greatest(CAST(($eb) AS INT) - CAST(($sa) AS INT) + 1, 0))"
+    if (isNullLit(a) || isNullLit(b)) "CAST(NULL AS STRING)"
+    else {
+      val lo = if (a.isEmpty) "1" else a
+      val hi = if (b.isEmpty) "9223372036854775807" else b
+      s"graft_str_slice($recv, $lo, $hi)"
+    }
   }
 
   /** Full two-bound inclusive slice `l[a:b]` / `list_slice(l, a, b)` →
@@ -693,10 +721,24 @@ object Translator {
     * subquery output) takes the array guards — bare value, zero-guarded —
     * and empty brackets (`VARCHAR[]` type suffixes) are untouched. */
   private[dialect] def rewriteSubscripts(toks0: Vector[Tok]): Vector[Tok] =
-    rewriteSubscripts(toks0, _ => false)
+    rewriteSubscripts(toks0, _ => false, _ => false)
 
   private[dialect] def rewriteSubscripts(toks0: Vector[Tok],
-      isMapCol: String => Boolean): Vector[Tok] = {
+      isMapCol: String => Boolean): Vector[Tok] =
+    rewriteSubscripts(toks0, isMapCol, _ => false)
+
+  private[dialect] def rewriteSubscripts(toks0: Vector[Tok],
+      isMapCol: String => Boolean,
+      isStringCol: String => Boolean): Vector[Tok] = {
+    // plain (possibly qualified) ident-chain receiver naming a column the
+    // catalog knows as STRING-typed in every defining table (r12, VERDICT
+    // r11 #3) — routed through the string-literal character semantics
+    def strColChain(seg: Vector[Tok]): Boolean =
+      seg.nonEmpty && seg.length % 2 == 1 && seg.zipWithIndex.forall {
+        case (t, k) =>
+          if (k % 2 == 0) t.isInstanceOf[Ident] && !keywordLike(up(t))
+          else t == Punct(".")
+      } && isStringCol(seg.map(_.text).mkString.toLowerCase(java.util.Locale.ROOT))
     var toks = toks0
     var changed = true
     while (changed) {
@@ -708,16 +750,18 @@ object Translator {
               // r10 batch 9b: a string-LITERAL receiver slices CHARACTERS
               // (duck's array_slice('hello', 2, 4) = 'ell') — rewritten in
               // THIS pass so the emitted CASTs get the int-cast rounding
-              // treatment once (emitting them later broke idempotence);
-              // string-typed COLUMNS stay loud (no schema at token level).
-              // List receivers keep the later guarded-slice rewrite.
+              // treatment once (emitting them later broke idempotence).
+              // r12 (VERDICT r11 #3): a string-typed COLUMN receiver
+              // (strict catalog resolution) takes the same character
+              // semantics. List receivers keep the later guarded-slice
+              // rewrite.
               val open = nextNonWs(toks, i)
               open < toks.length && toks(open) == Punct("(") && {
                 val close = matchParen(toks, open)
                 val args = splitTopLevel(toks.slice(open + 1, close))
                 args.length == 3 && (args(0).filterNot(isWs) match {
                   case Vector(_: Str) => true
-                  case _ => false
+                  case seg => strColChain(seg)
                 })
               }
             } =>
@@ -758,10 +802,13 @@ object Translator {
               val p = prevNonWs(toks, i)
               val rStart = primaryStart(toks, p)
               val recv = render(toks.slice(rStart, p + 1)).trim
-              // bare string-literal receiver → character subscript/slice
+              // bare string-literal receiver → character subscript/slice;
+              // r12: a string-typed COLUMN receiver (strict catalog
+              // resolution — the name must be VARCHAR in every defining
+              // table, exact when table-qualified) takes the same path
               val strRecv = toks.slice(rStart, p + 1).filter(!isWs(_)) match {
                 case Vector(_: Str) => true
-                case _ => false
+                case seg => strColChain(seg)
               }
               // schema-aware map dispatch (r7): receiver is a plain
               // (dot-qualified) identifier naming a known MAP column →
@@ -927,7 +974,7 @@ object Translator {
     *     Spark spells the null treatment after the call, before OVER.
     */
   private[dialect] def rewriteOpsSugar(toks0: Vector[Tok],
-      isDateCol: String => Boolean = _ => false): Vector[Tok] = {
+      isDateCol: (String, Boolean) => Boolean = (_, _) => false): Vector[Tok] = {
     var toks = toks0
     var changed = true
     while (changed) {
@@ -950,10 +997,16 @@ object Translator {
               // DATE - DATE is INTEGER days in DuckDB but an INTERVAL in
               // Spark (r8 fuzz) — rewrite when BOTH operands are
               // date-valued: syntactically (DATE literals, make_date,
-              // to_date, current_date, last_day) or — r11 — a DATE-typed
-              // column resolved through the catalog type set (isDateCol)
+              // to_date, current_date, last_day, day-or-coarser
+              // date_trunc) or — r11 — a DATE-typed column resolved
+              // through the catalog type set. STRICT resolution (r12,
+              // advice r11): the datediff rewrite silently changes the
+              // result of TIMESTAMP − TIMESTAMP, so a column name that is
+              // non-DATE in any visible table does not qualify here
+              // (unlike the ± INTERVAL rewrite, whose collision cost is a
+              // no-op CAST)
               def dateish(from: Int, to: Int): Boolean =
-                dateValuedSlice(toks, from, to, isDateCol)
+                dateValuedSlice(toks, from, to, isDateCol, strict = true)
               def lBounds: Option[(Int, Int)] = {
                 val lEnd = prevNonWs(toks, i)
                 if (lEnd < 0) None
@@ -2206,7 +2259,20 @@ object Translator {
                   if (args.length == 2 && ordParts.length == 1) {
                     val x = render(args(0)).trim
                     val sep = render(args(1)).trim
-                    val ord0 = render(ordParts(0)).trim
+                    val ord0raw = render(ordParts(0)).trim
+                    // r12 (advice r11): strip a trailing NULLS FIRST/LAST
+                    // before the ASC/DESC check — string_agg drops NULLs
+                    // before aggregation in both engines, so the nulls
+                    // ordering cannot affect results, and leaving it in
+                    // place fell back to listagg(DISTINCT) WITHIN GROUP
+                    // where the upstream RewriteDistinctAggregates CCE
+                    // stays reachable alongside a second distinct agg
+                    val ord0 = {
+                      val u = ord0raw.toUpperCase
+                      if (u.endsWith(" NULLS FIRST")) ord0raw.dropRight(12).trim
+                      else if (u.endsWith(" NULLS LAST")) ord0raw.dropRight(11).trim
+                      else ord0raw
+                    }
                     val (key, desc) =
                       if (ord0.toUpperCase.endsWith(" DESC"))
                         (ord0.dropRight(5).trim, true)
@@ -2713,24 +2779,141 @@ object Translator {
     * fixpoint-safe: its emission wraps the column in CAST(… AS
     * TIMESTAMP), which this test no longer matches). */
   private def dateValuedSlice(toks: Vector[Tok], from: Int, to: Int,
-      isDateCol: String => Boolean = _ => false): Boolean = {
+      isDateCol: (String, Boolean) => Boolean = (_, _) => false,
+      strict: Boolean = false): Boolean = {
     val nw = toks.slice(from, to + 1).filterNot(isWs)
     nw.headOption.exists {
       case d: Ident if d.upper == "DATE" =>
         nw.length == 2 && nw(1).isInstanceOf[Str]
       case d: Ident if Set("MAKE_DATE", "TO_DATE", "LAST_DAY").contains(d.upper) =>
         nw.length > 1 && nw(1) == Punct("(")
+      case d: Ident if (d.upper == "DATE_TRUNC" || d.upper == "DATETRUNC") =>
+        // r12 (VERDICT r11 #1): duck's date_trunc returns DATE for
+        // day-or-coarser units regardless of input type — date-valued
+        // exactly when the unit literal is day-or-coarser
+        nw.length > 3 && nw(1) == Punct("(") && (nw(2) match {
+          case s: Str => dateTruncDayPlusUnit(s.value).isDefined
+          case _ => false
+        })
       case d: Ident if d.upper == "CURRENT_DATE" || d.upper == "TODAY" => true
       case _: Ident =>
         // pure ident/dot chain (`c`, `t.c`, `db.t.c`) — never a call or
-        // subscript (those slices carry parens/brackets) — whose LAST
-        // segment names a known DATE-typed column
+        // subscript (those slices carry parens/brackets) — resolved as a
+        // whole through the catalog type set (table-exact when the
+        // qualifier names a known table; strict = DATE in every defining
+        // table)
         nw.length % 2 == 1 &&
           nw.zipWithIndex.forall { case (t, j) =>
             if (j % 2 == 0) t.isInstanceOf[Ident] else t == Punct(".") } &&
-          isDateCol(nw.last.text.toLowerCase(java.util.Locale.ROOT))
+          isDateCol(nw.map(_.text).mkString.toLowerCase(java.util.Locale.ROOT),
+            strict)
       case _ => false
     }
+  }
+
+  /** DuckDB date_trunc units that are day-or-coarser (the class whose
+    * result is DATE there, TIMESTAMP in Spark), mapped to the Spark unit
+    * spelling — duck also accepts plural forms Spark rejects (silent NULL
+    * in Spark's date_trunc). Right(k) marks the decade/century/millennium
+    * family Spark lacks entirely (k = the year-flooring factor duck
+    * applies: probe 2024 → decade 2020, century 2000, millennium 2000). */
+  private def dateTruncDayPlusUnit(lit: String): Option[Either[String, Int]] = {
+    val v = lit.stripPrefix("'").stripSuffix("'").trim
+      .toLowerCase(java.util.Locale.ROOT)
+    v match {
+      case "day" | "days" | "d" => Some(Left("DAY"))
+      case "week" | "weeks" | "w" => Some(Left("WEEK"))
+      case "month" | "months" | "mon" | "mons" => Some(Left("MONTH"))
+      case "quarter" | "quarters" => Some(Left("QUARTER"))
+      case "year" | "years" | "y" => Some(Left("YEAR"))
+      case "decade" | "decades" => Some(Right(10))
+      case "century" | "centuries" => Some(Right(100))
+      case "millennium" | "millennia" | "millenniums" => Some(Right(1000))
+      case _ => None
+    }
+  }
+
+  /** r12 (VERDICT r11 #1): DuckDB's date_trunc returns DATE for every
+    * day-or-coarser unit REGARDLESS of the input type (probed:
+    * typeof(date_trunc('month', TIMESTAMP '…')) = DATE), where Spark
+    * always returns TIMESTAMP — the most common remaining silent shape a
+    * real user hits. Day-or-coarser literal-unit calls are wrapped in
+    * CAST(… AS DATE); plural unit spellings (duck-legal, a silent NULL in
+    * Spark) normalize to the Spark singular; decade/century/millennium
+    * (absent from Spark — silent NULL) emit duck's year-flooring
+    * arithmetic (year − year%k, probed: century(2024) = 2000-01-01, NOT
+    * the Gregorian 2001). Fixpoint: a call already enclosed in
+    * CAST(… AS DATE) — our own emission or the user's explicit cast — is
+    * skipped, as is an argument that is itself a CAST(… AS TIMESTAMP)
+    * (the rewriteDateFns datediff grids emit that shape, and their
+    * TIMESTAMP result feeds unix_seconds). Residual: a user-written
+    * date_trunc('month', CAST(x AS TIMESTAMP)) keeps the TIMESTAMP shape
+    * (indistinguishable from the internal emission at token level —
+    * documented divergence). Sub-day units return TIMESTAMP in both
+    * engines and pass through. */
+  private[dialect] def rewriteDateTruncShape(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case id: Ident if (id.upper == "DATE_TRUNC" || id.upper == "DATETRUNC") && {
+              val n = nextNonWs(toks, i)
+              n < toks.length && toks(n) == Punct("(")
+            } =>
+            val open = nextNonWs(toks, i)
+            val close = matchParen(toks, open)
+            val args = splitTopLevel(toks.slice(open + 1, close))
+            val unit: Option[Either[String, Int]] =
+              if (args.length == 2) args(0).filterNot(isWs) match {
+                case Vector(s: Str) => dateTruncDayPlusUnit(s.value)
+                case _ => None
+              } else None
+            val enclosedInDateCast = {
+              var k = 0
+              var p = prevNonWs(toks, i)
+              while (p >= 0 && toks(p) == Punct("(")) { k += 1; p = prevNonWs(toks, p) }
+              k >= 1 && p >= 0 && toks(p).isInstanceOf[Ident] &&
+                up(toks(p)) == "CAST" && {
+                  var q = nextNonWs(toks, close)
+                  var kk = k - 1
+                  while (kk > 0 && q < toks.length && toks(q) == Punct(")")) {
+                    kk -= 1; q = nextNonWs(toks, q)
+                  }
+                  kk == 0 && q < toks.length && up(toks(q)) == "AS" && {
+                    val r = nextNonWs(toks, q)
+                    r < toks.length && toks(r).isInstanceOf[Ident] &&
+                      up(toks(r)) == "DATE"
+                  }
+                }
+            }
+            val tsCastArg = args.length == 2 && {
+              val a = args(1).filterNot(isWs)
+              a.length >= 5 && a.head.isInstanceOf[Ident] &&
+                up(a.head) == "CAST" && a(1) == Punct("(") &&
+                a.last == Punct(")") && {
+                  val tl = a(a.length - 2)
+                  tl.isInstanceOf[Ident] && up(tl) == "TIMESTAMP"
+                }
+            }
+            if (unit.isDefined && !enclosedInDateCast && !tsCastArg) {
+              val arg = render(args(1)).trim
+              val repl = unit.get match {
+                case Left(u) => s"CAST(date_trunc('$u', $arg) AS DATE)"
+                case Right(k) =>
+                  s"make_date(year($arg) - pmod(year($arg), $k), 1, 1)"
+              }
+              toks = toks.patch(i, lex(repl), close - i + 1)
+              changed = true
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
   }
 
   /** True when the operand ENDING at `lEnd` is a literal INTERVAL run —
@@ -2897,7 +3080,8 @@ object Translator {
   }
 
   private[dialect] def rewriteArgShapeFns(toks0: Vector[Tok],
-      isCollectionCol: String => Boolean = _ => false): Vector[Tok] = {
+      isCollectionCol: String => Boolean = _ => false,
+      isDateCol: (String, Boolean) => Boolean = (_, _) => false): Vector[Tok] = {
     var toks = toks0
     var changed = true
     var lambdaIx = 0 // unique per-rewrite index-lambda marker suffix
@@ -3016,20 +3200,27 @@ object Translator {
             // and array_position demands an EXACT element-type match
             // (array_position([1.0, 2.0], 2) is an analysis error where
             // array_contains coerces — probe-gate find), so emit a
-            // NULL-guarded size(filter(l, x -> x = e)) > 0: found → true,
-            // absent → false (a NULL element's comparison is NULL, which
-            // filter drops), either arg NULL → NULL via the guard; `=`
-            // inside the lambda applies normal binary coercion. The
-            // filter-follows-'(' shape dodges the aggregate-FILTER and
-            // window-FILTER rewrites; 1-param lambda dodges the 1-based
-            // index shift; not re-captured on re-translation.
+            // NULL-guarded coalesce(exists(l, x -> x = e), false): found
+            // → true (exists SHORT-CIRCUITS on the first hit — advice
+            // r11, replacing the full-scan size(filter(…)) > 0 form);
+            // absent-with-NULL-elements → exists' three-valued NULL →
+            // false via coalesce; either arg NULL → NULL via the guard;
+            // `=` inside the lambda applies normal binary coercion.
+            // CAVEAT (same class as the other CASE-splice emissions,
+            // VERDICT r11): the arguments are interpolated into both the
+            // guard and the body, so a NON-DETERMINISTIC needle
+            // (random(), uuid()) evaluates more than once; columns,
+            // literals and deterministic expressions dedupe in codegen.
+            // The 1-param lambda dodges the 1-based index shift; exists
+            // is in the higher-order passthrough set, so the emission is
+            // not re-captured on re-translation.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 2) {
               val (l, e) = (render(args(0)).trim, render(args(1)).trim)
               toks = toks.patch(i, lex(
                 s"(CASE WHEN ($l) IS NULL OR ($e) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-                  s"ELSE size(filter(($l), graft_lc -> graft_lc = ($e))) > 0 END)"),
+                  s"ELSE coalesce(exists(($l), graft_lc -> graft_lc = ($e)), false) END)"),
                 close - i + 1)
               changed = true
             }
@@ -3722,16 +3913,26 @@ object Translator {
                 .contains(id.upper.stripPrefix("TOSTARTOF")) =>
             // ClickHouse toStartOfX(d) → date_trunc('X', d); toStartOfWeek
             // default mode 0 starts SUNDAY (Spark/DuckDB week = Monday) →
-            // shifted trunc
+            // shifted trunc. r12: MONTH/QUARTER/YEAR return Date in
+            // ClickHouse → pre-wrapped CAST(… AS DATE) (also what
+            // rewriteDateTruncShape would produce — emitting it here
+            // keeps the fixpoint); DAY returns DateTime there → the
+            // CAST(… AS TIMESTAMP) argument shape opts OUT of the
+            // day-or-coarser DATE rewrite.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 1) {
               val d = render(args(0)).trim
               val unit = id.upper.stripPrefix("TOSTARTOF")
-              val repl =
-                if (unit == "WEEK")
+              val repl = unit match {
+                case "WEEK" =>
                   s"date_sub(CAST(date_trunc('WEEK', date_add($d, 1)) AS DATE), 1)"
-                else s"date_trunc('$unit', $d)"
+                case "MONTH" | "QUARTER" | "YEAR" =>
+                  s"CAST(date_trunc('$unit', $d) AS DATE)"
+                case "DAY" =>
+                  s"date_trunc('DAY', CAST(($d) AS TIMESTAMP))"
+                case _ => s"date_trunc('$unit', $d)"
+              }
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
@@ -4141,7 +4342,12 @@ object Translator {
               val r = render(args(1)).trim.toUpperCase
               (sig.headOption.exists(t => up(t) == "DATE") &&
                 sig.length == 2) ||
-                r.endsWith("::DATE") || r.matches("(?s).*AS\\s+DATE\\s*\\)\\s*$")
+                r.endsWith("::DATE") || r.matches("(?s).*AS\\s+DATE\\s*\\)\\s*$") ||
+                // r12 (VERDICT r11 #1): DATE-TYPED COLUMN inputs get the
+                // DATE result shape too — strict catalog resolution (the
+                // wrong shape on a name collision would be silent)
+                dateValuedSlice(args(1), 0, args(1).length - 1,
+                  isDateCol, strict = true)
             }
             val thirdIv: Option[(Long, Long)] =
               if (args.length == 3) intervalWidth(args(2)) else None
@@ -4957,8 +5163,8 @@ object Translator {
                       s"unix_seconds(date_trunc('$unit', CAST($a AS TIMESTAMP)))) DIV $w)"
                   val repl = part.value.toLowerCase match {
                     case "day" | "days" | "d" => s"datediff($b, $a)"
-                    case "month" | "months" => s"CAST(round(months_between(date_trunc('month', $b), date_trunc('month', $a))) AS BIGINT)"
-                    case "quarter" | "quarters" => s"(CAST(round(months_between(date_trunc('quarter', $b), date_trunc('quarter', $a))) AS BIGINT) DIV 3)"
+                    case "month" | "months" => s"CAST(round(months_between(date_trunc('month', CAST(($b) AS TIMESTAMP)), date_trunc('month', CAST(($a) AS TIMESTAMP)))) AS BIGINT)"
+                    case "quarter" | "quarters" => s"(CAST(round(months_between(date_trunc('quarter', CAST(($b) AS TIMESTAMP)), date_trunc('quarter', CAST(($a) AS TIMESTAMP)))) AS BIGINT) DIV 3)"
                     case "year" | "years" => s"(year($b) - year($a))"
                     case "decade" | "decades" => s"((year($b) DIV 10) - (year($a) DIV 10))"
                     // r10 (advisor fix): DuckDB counts century/millennium
@@ -4967,7 +5173,7 @@ object Translator {
                     // the old ceil form was inverted at every boundary
                     case "century" | "centuries" => s"((year($b) DIV 100) - (year($a) DIV 100))"
                     case "millennium" | "millennia" => s"((year($b) DIV 1000) - (year($a) DIV 1000))"
-                    case "week" | "weeks" => s"(datediff(date_trunc('week', $b), date_trunc('week', $a)) DIV 7)"
+                    case "week" | "weeks" => s"(datediff(date_trunc('week', CAST(($b) AS TIMESTAMP)), date_trunc('week', CAST(($a) AS TIMESTAMP))) DIV 7)"
                     case "hour" | "hours" => truncDiv("hour", 3600L)
                     case "minute" | "minutes" => truncDiv("minute", 60L)
                     case "second" | "seconds" => truncDiv("second", 1L)
@@ -5605,6 +5811,187 @@ object Translator {
         case _ => Seq(t)
       }
     }
+
+  // ---- division / modulo by zero (r12, VERDICT r11 #2) ------------------
+
+  /** DuckDB returns NULL for x/0 and x%0 where Spark's ANSI mode raises
+    * DIVIDE_BY_ZERO (SURVEY divergence register; the r8 blanket rewrite
+    * was rejected because try_divide on DECIMAL operands changes the
+    * result type). With catalog-typed column resolution in place, rewrite
+    * `a / b` → try_divide(a, b) and `a % b` → try_mod(a, b) ONLY when
+    *
+    *   - the divisor is not a provably non-zero INTEGER literal (a
+    *     constant divisor can never trip the error, and leaving it alone
+    *     keeps every internal constant-divisor emission byte-stable), and
+    *   - neither operand slice carries DECIMAL risk: a decimal literal
+    *     (`1.5` is DECIMAL(2,1) in both engines), a >19-digit integer
+    *     literal (DECIMAL(38,0)), a DECIMAL/NUMERIC cast, or an
+    *     identifier resolving to a DECIMAL-typed visible column
+    *     (conservative containment scan — a false positive just stays
+    *     the loud ANSI error, never a silent wrong answer).
+    *
+    * try_divide/try_mod carry the exact non-DECIMAL divide/mod result
+    * types (int/int → DOUBLE like duck; int%int → int), stay inside
+    * whole-stage codegen, and the emission contains no bare `/`/`%`, so
+    * the pass converges and the translate∘translate fixpoint holds. This
+    * pass runs LAST (before null-order injection) so every earlier pass's
+    * emission gets the same treatment in the same translate — dynamic
+    * divisors in internal emissions (x̄ = Σ/n guards, sem, jaccard) are
+    * value-identical under the try forms because each is already
+    * zero-guarded. Left operand extension walks the same-precedence
+    * multiplicative run (`a * b / c` → try_divide(a * b, c)) and absorbs
+    * window/FILTER suffixes, preserving left-associativity and grouping. */
+  private[dialect] def rewriteDivMod(toks0: Vector[Tok],
+      isDecimalCol: String => Boolean = _ => false): Vector[Tok] = {
+    var toks = toks0
+
+    def isPrimaryEndTok(t: Tok): Boolean = t match {
+      case _: Num | _: Str => true
+      case Punct(")") | Punct("]") => true
+      case id: Ident => !keywordLike(id.upper) && up(id) != "END"
+      case _ => false
+    }
+    // absorb `… OVER (…)` / `… OVER w` / `IGNORE|RESPECT NULLS` /
+    // `FILTER (WHERE …)` suffixes leftward: primaryStart on the trailing
+    // paren group of a window spec lands on OVER — walk back to the
+    // aggregate call so the whole windowed expression is one operand
+    def extendLeft(s0: Int): Int = {
+      var s = s0
+      var go = true
+      while (go && s > 0) {
+        go = false
+        val p = prevNonWs(toks, s)
+        if (p >= 0) toks(p) match {
+          case id: Ident
+              if Set("OVER", "NULLS", "IGNORE", "RESPECT", "FILTER")
+                .contains(id.upper) =>
+            s = p; go = true
+          case Punct(")") if s > 0 && (toks(s) match {
+                case id: Ident =>
+                  Set("OVER", "NULLS", "IGNORE", "RESPECT", "FILTER")
+                    .contains(id.upper)
+                case _ => false
+              }) =>
+            s = primaryStart(toks, p); go = true
+          case _ =>
+        }
+      }
+      s
+    }
+    // the full left operand: the maximal run of primaries joined by
+    // same-precedence multiplicative operators (* / % DIV //)
+    def mulRunStart(lEnd: Int): Int = {
+      var s = extendLeft(primaryStart(toks, lEnd))
+      var go = true
+      while (go && s > 0) {
+        go = false
+        val p = prevNonWs(toks, s)
+        val isMulOp = p >= 0 && (toks(p) match {
+          case Punct("*") | Punct("/") | Punct("%") | Punct("//") => true
+          case id: Ident => id.upper == "DIV"
+          case _ => false
+        })
+        if (isMulOp) {
+          val pp = prevNonWs(toks, p)
+          if (pp >= 0 && isPrimaryEndTok(toks(pp))) {
+            s = extendLeft(primaryStart(toks, pp))
+            go = true
+          }
+        }
+      }
+      s
+    }
+    // absorb a trailing OVER/FILTER window suffix on the RIGHT operand so
+    // `2 / sum(x) OVER (…)` keeps the window inside the divisor
+    def extendRight(e0: Int): Int = {
+      var e = e0
+      var go = true
+      while (go) {
+        go = false
+        val n = nextNonWs(toks, e)
+        if (n < toks.length) toks(n) match {
+          case id: Ident if id.upper == "OVER" =>
+            val nn = nextNonWs(toks, n)
+            if (nn < toks.length) {
+              e = if (toks(nn) == Punct("(")) matchParen(toks, nn) else nn
+              go = true
+            }
+          case id: Ident if id.upper == "FILTER" =>
+            val nn = nextNonWs(toks, n)
+            if (nn < toks.length && toks(nn) == Punct("(")) {
+              e = matchParen(toks, nn); go = true
+            }
+          case id: Ident if id.upper == "IGNORE" || id.upper == "RESPECT" =>
+            val nn = nextNonWs(toks, n)
+            if (nn < toks.length && up(toks(nn)) == "NULLS") { e = nn; go = true }
+          case _ =>
+        }
+      }
+      e
+    }
+    // DECIMAL-risk containment scan over an operand slice
+    def decimalRisk(from: Int, to: Int): Boolean =
+      toks.slice(from, to + 1).exists {
+        case n: Num =>
+          n.text.contains('.') ||
+            (n.text.forall(_.isDigit) && n.text.length > 19)
+        case id: Ident =>
+          id.upper == "DECIMAL" || id.upper == "NUMERIC" ||
+            isDecimalCol(id.text.toLowerCase(java.util.Locale.ROOT))
+        case _ => false
+      }
+    // (possibly parenthesized/signed) non-zero INTEGER literal divisor —
+    // can never divide by zero, leave the operator alone
+    def nonZeroIntLit(from: Int, to: Int): Boolean = {
+      val nw = toks.slice(from, to + 1).filterNot(isWs)
+      nw.count(_.isInstanceOf[Num]) == 1 && nw.forall {
+        case Punct("(") | Punct(")") | Punct("-") | Punct("+") => true
+        case n: Num =>
+          n.text.forall(_.isDigit) && n.text.length <= 19 &&
+            n.text.exists(_ != '0')
+        case _ => false
+      }
+    }
+
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case Punct(op) if (op == "/" || op == "%") && {
+              val lEnd = prevNonWs(toks, i)
+              val rStart = nextNonWs(toks, i)
+              lEnd >= 0 && rStart < toks.length &&
+                isPrimaryEndTok(toks(lEnd)) && !intervalEndsAt(toks, lEnd) &&
+                (toks(rStart) match {
+                  case Punct("(") | Punct("-") | Punct("+") => true
+                  case _: Num | _: Str => true
+                  case id: Ident =>
+                    !keywordLike(id.upper) &&
+                      !Set("CASE", "END", "INTERVAL", "EXISTS").contains(id.upper)
+                  case _ => false
+                })
+            } =>
+            val lEnd = prevNonWs(toks, i)
+            val rStart = nextNonWs(toks, i)
+            val rEnd = extendRight(primaryEnd(toks, rStart))
+            val lStart = mulRunStart(lEnd)
+            if (!nonZeroIntLit(rStart, rEnd) &&
+                !decimalRisk(lStart, lEnd) && !decimalRisk(rStart, rEnd)) {
+              val l = render(toks.slice(lStart, lEnd + 1)).trim
+              val r = render(toks.slice(rStart, rEnd + 1)).trim
+              val fn = if (op == "/") "try_divide" else "try_mod"
+              toks = toks.patch(lStart, lex(s"$fn($l, $r)"), rEnd - lStart + 1)
+              changed = true
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
 
   // ---- DuckDB default null order --------------------------------------
 

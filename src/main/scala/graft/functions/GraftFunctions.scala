@@ -115,6 +115,10 @@ object GraftFunctions {
       args => JsonMergePatchExpr(args(0), args(1))),
     ("graft_url_canon", "URL canonicalization: fragment/default-port/utm strip, lowercase scheme+host, sorted query params",
       args => UrlCanonicalize(args(0))),
+    ("graft_str_index", "DuckDB VARCHAR subscript: 1-based chars, negative from-end, out-of-range → ''",
+      args => StrIndexExpr(args(0), args(1))),
+    ("graft_str_slice", "DuckDB VARCHAR slice: inclusive 1-based char bounds, clamped, crossed → ''; Long.MaxValue end = open",
+      args => StrSliceExpr(args(0), args(1), args(2))),
     ("graft_int_round", "DuckDB int-cast rounding by INPUT type: double/float half-even, decimal/string half-away; loud on bad input",
       args => IntRoundExpr(args(0), tryMode = false)),
     ("graft_int_round_try", "graft_int_round's TRY twin: NULL on unparseable strings / NaN / inf",

@@ -333,7 +333,8 @@ class TranslatorSpec extends AnyFunSuite {
     assert(s.contains("__g_acc + CAST(__g_v AS DOUBLE)"))
     assert(s.contains("CASE WHEN size(filter((xs), __g_n -> __g_n IS NOT NULL)) = 0 THEN CAST(NULL AS DOUBLE)"))
     val a = t("SELECT list_avg(xs) FROM t")
-    assert(a.contains("/ size(filter((xs), __g_n -> __g_n IS NOT NULL))"))
+    assert(a.contains("try_divide(aggregate(filter((xs), __g_n -> __g_n IS NOT NULL)"))
+    assert(a.contains(", size(filter((xs), __g_n -> __g_n IS NOT NULL))))"))
     // nested argument survives (inner rewritten too)
     val n = t("SELECT list_sum(list_transform(xs, x -> x * 2)) FROM t")
     assert(n.contains("aggregate(filter((transform(xs, x -> x * 2))"))
@@ -675,13 +676,14 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT list_reverse_sort(l)") == "SELECT sort_array(l, false)")
     assert(t("SELECT strpos(s, 'x')") == "SELECT instr(s, 'x')")
     // r11: duck list_contains is not three-valued over NULL elements —
-    // a NULL-guarded size(filter(...)) reproduces the matrix with normal
-    // binary coercion (see rewriteArgShapeFns)
+    // a NULL-guarded coalesce(exists(...), false) reproduces the matrix
+    // with normal binary coercion and first-hit short-circuit (advice
+    // r11 — see rewriteArgShapeFns)
     assert(t("SELECT list_contains(l, 2), list_has(l, 3)") ==
       "SELECT (CASE WHEN (l) IS NULL OR (2) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-        "ELSE size(filter((l), graft_lc -> graft_lc = (2))) > 0 END), " +
+        "ELSE coalesce(exists((l), graft_lc -> graft_lc = (2)), false) END), " +
         "(CASE WHEN (l) IS NULL OR (3) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-        "ELSE size(filter((l), graft_lc -> graft_lc = (3))) > 0 END)")
+        "ELSE coalesce(exists((l), graft_lc -> graft_lc = (3)), false) END)")
     // vector kernels expand to double higher-order math
     val cos = t("SELECT list_cosine_similarity(a, b)")
     assert(cos.contains("zip_with(a, b") && cos.contains("sqrt"))
@@ -690,7 +692,7 @@ class TranslatorSpec extends AnyFunSuite {
 
   test("r7 widening: jaccard/hamming/trunc/even/isinf/isfinite rewrites") {
     assert(t("SELECT jaccard(a, b)") ==
-      "SELECT (CAST(size(array_intersect(split(a, ''), split(b, ''))) AS DOUBLE) / size(array_union(split(a, ''), split(b, ''))))")
+      "SELECT (try_divide(CAST(size(array_intersect(split(a, ''), split(b, ''))) AS DOUBLE), size(array_union(split(a, ''), split(b, '')))))")
     val hm = t("SELECT hamming(a, b)")
     assert(hm.contains("length(a) <> length(b)") && hm.contains("zip_with"))
     assert(t("SELECT mismatches(a, b)") == hm)
@@ -729,8 +731,11 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT countif(c) FROM t1") == "SELECT count_if(c) FROM t1")
     assert(t("SELECT multiIf(a, 1, b, 2, 3)") ==
       "SELECT (CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END)")
+    // r12: CH toStartOfMonth returns Date (pre-wrapped CAST keeps the
+    // rewriteDateTruncShape fixpoint); toStartOfDay returns DateTime —
+    // the CAST(… AS TIMESTAMP) arg opts out of the DATE-shape rewrite
     assert(t("SELECT toStartOfMonth(d), toStartOfDay(d)") ==
-      "SELECT date_trunc('MONTH', d), date_trunc('DAY', d)")
+      "SELECT CAST(date_trunc('MONTH', d) AS DATE), date_trunc('DAY', CAST((d) AS TIMESTAMP))")
     // CH toStartOfWeek mode 0 = SUNDAY start; Spark week truncs to Monday
     assert(t("SELECT toStartOfWeek(d)") ==
       "SELECT date_sub(CAST(date_trunc('WEEK', date_add(d, 1)) AS DATE), 1)")
@@ -741,7 +746,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT position('or' IN s)") == "SELECT position('or' IN s)")
     assert(t("SELECT arrayJoin(a), has(a, 1), indexOf(a, 2), arrayElement(a, -1)") ==
       "SELECT explode(a), (CASE WHEN (a) IS NULL OR (1) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-        "ELSE size(filter((a), graft_lc -> graft_lc = (1))) > 0 END), " +
+        "ELSE coalesce(exists((a), graft_lc -> graft_lc = (1)), false) END), " +
         "array_position(a, 2), try_element_at(a, -1)")
     assert(t("SELECT arrayStringConcat(a, ','), leftPad(s, 3, '0'), toUnixTimestamp(ts)") ==
       "SELECT array_join(a, ','), lpad(s, 3, '0'), unix_timestamp(ts)")
@@ -811,8 +816,9 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("r7 session 3: chsql alias batch (arithmetic forms, search, IPv4)") {
+    // divide's dynamic divisor takes the r12 try_divide NULL-on-zero form
     assert(t("SELECT plus(a, 1), minus(a, b), multiply(a, 2), divide(a, b)") ==
-      "SELECT ((a) + (1)), ((a) - (b)), ((a) * (2)), ((a) / (b))")
+      "SELECT ((a) + (1)), ((a) - (b)), ((a) * (2)), (try_divide((a), (b)))")
     assert(t("SELECT intDivOrZero(a, b)") ==
       "SELECT (CASE WHEN (b) = 0 THEN 0 ELSE (a) DIV (b) END)")
     assert(t("SELECT positionCaseInsensitive(h, n)") ==
@@ -1265,6 +1271,91 @@ class TranslatorSpec extends AnyFunSuite {
     // window ORDER BY is untouched (beyond the standing NULLS LAST inject)
     assert(t("SELECT sum(x) OVER (ORDER BY k) FROM t0") ==
       "SELECT sum(x) OVER (ORDER BY k NULLS LAST) FROM t0")
+  }
+
+  test("r12: date_trunc day-or-coarser gets DuckDB's DATE result shape") {
+    // duck's date_trunc returns DATE for day+ units REGARDLESS of input
+    // type (probed — even on TIMESTAMP); plural spellings are duck-legal
+    // but a silent NULL in Spark → normalized; decade/century/millennium
+    // (absent in Spark) emit duck's year-floor arithmetic (1998 → 1990 /
+    // 1900 / 1000, probed)
+    assert(t("SELECT date_trunc('month', ts)") ==
+      "SELECT CAST(date_trunc('MONTH', ts) AS DATE)")
+    assert(t("SELECT datetrunc('months', ts)") ==
+      "SELECT CAST(date_trunc('MONTH', ts) AS DATE)")
+    assert(t("SELECT date_trunc('decade', d)") ==
+      "SELECT make_date(year(d) - pmod(year(d), 10), 1, 1)")
+    assert(t("SELECT date_trunc('century', d)") ==
+      "SELECT make_date(year(d) - pmod(year(d), 100), 1, 1)")
+    // sub-day units are TIMESTAMP in both engines — passthrough
+    assert(t("SELECT date_trunc('hour', ts)") == "SELECT date_trunc('hour', ts)")
+    // already CAST-enclosed (the q50 declared form) → fixpoint skip
+    assert(t("SELECT CAST(date_trunc('month', x) AS DATE)") ==
+      "SELECT CAST(date_trunc('month', x) AS DATE)")
+    // day+ date_trunc is date-valued → DATE−DATE integer-days rewrite
+    assert(t("SELECT date_trunc('month', x) - date_trunc('month', y)") ==
+      "SELECT datediff(CAST(date_trunc('MONTH', x) AS DATE), CAST(date_trunc('MONTH', y) AS DATE))")
+  }
+
+  test("r12: / and % with fallible divisors take duck's NULL-on-zero try forms") {
+    assert(t("SELECT a / b FROM t0") == "SELECT try_divide(a, b) FROM t0")
+    assert(t("SELECT 1 / 0") == "SELECT try_divide(1, 0)")
+    // provably non-zero integer literal divisors stay native operators
+    assert(t("SELECT a % b, a % 3, a / 2 FROM t0") ==
+      "SELECT try_mod(a, b), a % 3, a / 2 FROM t0")
+    // left-associativity and multiplicative-run grouping preserved
+    assert(t("SELECT a * b / c FROM t0") == "SELECT try_divide(a * b, c) FROM t0")
+    assert(t("SELECT a / b / c FROM t0") ==
+      "SELECT try_divide(try_divide(a, b), c) FROM t0")
+    // window/FILTER suffixes stay inside the operand on either side
+    assert(t("SELECT sum(x) OVER (PARTITION BY g) / cnt FROM t0") ==
+      "SELECT try_divide(sum(x) OVER (PARTITION BY g), cnt) FROM t0")
+    assert(t("SELECT 2 / sum(x) OVER (PARTITION BY g) FROM t0") ==
+      "SELECT try_divide(2, sum(x) OVER (PARTITION BY g)) FROM t0")
+    // DECIMAL risk (literal or cast) keeps the loud ANSI operator — the
+    // r8 adjudication's type-shape concern, now scoped to exactly this
+    assert(t("SELECT a / 2.5, CAST(a AS DECIMAL(10,2)) / b FROM t0") ==
+      "SELECT a / 2.5, CAST(a AS DECIMAL(10,2)) / b FROM t0")
+  }
+
+  test("r12: catalog-typed resolution — strict date minus, string cols, decimal divide") {
+    val types = Translator.ColTypes(
+      isDateCol = (chain, strict) => chain match {
+        case "d1" | "t1.d1" => true // DATE in every defining table
+        case "amb" => !strict // DATE in one table, TIMESTAMP in another
+        case "t2.amb" => true // table-exact: DATE in t2
+        case _ => false
+      },
+      isStringCol = c => c == "s1" || c == "t1.s1",
+      isDecimalCol = c => c == "dec1")
+    def tt(sql: String) = Translator.translate(sql, _ => None, types).sql
+    // strict minus: unambiguous DATE column → integer days; a name that
+    // is non-DATE in some visible table stays untouched (advice r11 — a
+    // loose lookup silently datediff'd the TIMESTAMP twin)
+    assert(tt("SELECT d1 - d1 FROM t1") == "SELECT datediff(d1, d1) FROM t1")
+    assert(tt("SELECT amb - amb FROM t1") == "SELECT amb - amb FROM t1")
+    // the ± INTERVAL cast keeps the loose lookup (collision cost is a
+    // no-op CAST to TIMESTAMP)
+    assert(tt("SELECT amb + INTERVAL 1 DAY FROM t1")
+      .contains("CAST((amb) AS TIMESTAMP)"))
+    // qualified by a known table → exact resolution beats ambiguity
+    assert(tt("SELECT t2.amb - t2.amb FROM t2") ==
+      "SELECT datediff(t2.amb, t2.amb) FROM t2")
+    // time_bucket on a DATE-typed COLUMN now gets the DATE result shape
+    assert(tt("SELECT time_bucket(INTERVAL '7 days', d1) FROM t1")
+      .contains("AS DATE) FROM t1"))
+    // string-typed column subscripts/slices route through the r12 kernels
+    assert(tt("SELECT s1[2], s1[2:4], s1[3:] FROM t1") ==
+      "SELECT graft_str_index(s1, 2), graft_str_slice(s1, 2, 4), " +
+        "graft_str_slice(s1, 3, 9223372036854775807) FROM t1")
+    assert(tt("SELECT array_slice(s1, 2, 4) FROM t1") ==
+      "SELECT graft_str_slice(s1, 2, 4) FROM t1")
+    // literal NULL bounds fold straight to the typed NULL
+    assert(tt("SELECT s1[NULL:3] FROM t1") ==
+      "SELECT CAST(NULL AS STRING) FROM t1")
+    // DECIMAL-typed operand suppresses the try_divide rewrite
+    assert(tt("SELECT dec1 / n FROM t1") == "SELECT dec1 / n FROM t1")
+    assert(tt("SELECT n / dec1 FROM t1") == "SELECT n / dec1 FROM t1")
   }
 
   test("r10 batch 9: generate_series over dates becomes explode(sequence)") {

@@ -26,6 +26,35 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_str_index/graft_str_slice: duck VARCHAR subscript matrix") {
+    withFns {
+      import spark.implicits._
+      val df = Seq(("abcdef", 3L)).toDF("s", "k")
+      def one(e: String): Any =
+        df.select(expr(e)).head.get(0)
+      // probed duck matrix (r12): 1-based, negative from-end, '' out of
+      // range, clamped slice bounds, crossed → ''
+      assert(one("graft_str_index(s, 3)") == "c")
+      assert(one("graft_str_index(s, -2)") == "e")
+      assert(one("graft_str_index(s, 0)") == "")
+      assert(one("graft_str_index(s, 10)") == "")
+      assert(one("graft_str_index(s, -10)") == "")
+      assert(one("graft_str_index(s, CAST(NULL AS INT))") == null)
+      assert(one("graft_str_slice(s, 2, 4)") == "bcd")
+      assert(one("graft_str_slice(s, 4, 2)") == "")
+      assert(one("graft_str_slice(s, -3, -1)") == "def")
+      assert(one("graft_str_slice(s, -100, 2)") == "ab")
+      assert(one("graft_str_slice(s, 2, 100)") == "bcdef")
+      assert(one("graft_str_slice(s, 1, 9223372036854775807)") == "abcdef")
+      assert(one("graft_str_slice(s, CAST(NULL AS INT), 3)") == null)
+      // codepoint-aware character positions (duck counts characters)
+      assert(Seq("héllo").toDF("s").select(expr("graft_str_index(s, 2)"))
+        .head.get(0) == "é")
+      // dynamic (column) bounds through codegen
+      assert(one("graft_str_slice(s, k, k + 1)") == "cd")
+    }
+  }
+
   test("graft_upper/graft_lower are the DuckDB simple 1:1 case mappings") {
     withFns {
       import spark.implicits._

@@ -2034,4 +2034,43 @@ class OperatorsSpec extends SparkTestBase {
       spark.sql("DROP TABLE g_cow_wide")
     }
   }
+
+  test("r12 advice pin: no-op COW DML leaks no semijoin prune view") {
+    // advice r12 claimed a no-op UPDATE above the IN-list threshold leaks
+    // its graft_cow_affected_N temp view (filePrune before the matched==0
+    // early return). Adjudicated FALSE for UPDATE/DELETE — the prune is
+    // derived from the m > 0 split / computed after the early return —
+    // but the invariant deserves a pin: with the semijoin path forced,
+    // no-op and matched DMLs alike must leave the session catalog free of
+    // prune views once they return.
+    Engine.registerTables(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS g_cow_noop")
+    spark.sql("SELECT o_orderkey AS id, o_totalprice AS price " +
+        "FROM orders WHERE o_orderkey < 400")
+      .repartitionByRange(4, col("id")).write.format("parquet")
+      .saveAsTable("g_cow_noop")
+    def pruneViews(): Seq[String] =
+      spark.catalog.listTables().collect().toSeq.map(_.name)
+        .filter(_.startsWith("graft_cow_affected_"))
+    try {
+      spark.conf.set("graft.cow.inlist.max", "0")
+      // no-op UPDATE / DELETE: matched == 0 → early return, no view
+      assert(Engine.sql(spark,
+        "UPDATE g_cow_noop SET price = 0 WHERE id < 0").head.getLong(0) == 0L)
+      assert(pruneViews().isEmpty, s"no-op UPDATE leaked: ${pruneViews()}")
+      assert(Engine.sql(spark,
+        "DELETE FROM g_cow_noop WHERE id < 0").head.getLong(0) == 0L)
+      assert(pruneViews().isEmpty, s"no-op DELETE leaked: ${pruneViews()}")
+      // matched semijoin DML: view registered during the rewrite, dropped
+      // by the swap before the statement returns
+      assert(Engine.sql(spark,
+        "UPDATE g_cow_noop SET price = price + 1 WHERE id < 100")
+        .head.getLong(0) > 0L)
+      assert(Engine.lastCowPrune.get() == "semijoin")
+      assert(pruneViews().isEmpty, s"matched UPDATE leaked: ${pruneViews()}")
+    } finally {
+      spark.conf.unset("graft.cow.inlist.max")
+      spark.sql("DROP TABLE g_cow_noop")
+    }
+  }
 }
