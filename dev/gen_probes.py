@@ -396,6 +396,114 @@ def gen_map_probe(rng):
             "WHERE o_orderkey < 25 ORDER BY o_orderkey")
 
 
+"""Timestamp/timezone mode (r12, VERDICT r11 #5): the biggest unfuzzed
+surface — to_timestamp edge parses, AT TIME ZONE / timezone()
+compositions, epoch boundaries (negative epochs, fractional seconds),
+DST-crossing zone math over IANA zones incl. a half-hour offset,
+make_timestamp fractional edges, strptime/strftime round-trips, and
+timestamp interval arithmetic. Interval OUTPUTS are always serialized
+through extract(epoch FROM …) or date_diff (raw INTERVAL rendering is a
+known cross-engine rendering class); year-9999 overflow edges are
+excluded (duck wraps to a '10000-…' STRING where Spark errors — loud
+either way)."""
+
+TS_LITS = [
+    "2024-03-10 06:30:00",        # US DST spring-forward day
+    "2024-11-03 05:30:00",        # US DST fall-back day
+    "1969-12-31 23:59:59.25",     # negative fractional epoch
+    "2000-02-29 12:00:00",        # century leap day
+    "2024-01-31 12:00:00",        # month-end clamp source
+    "1997-05-28 03:04:05.123456", # full micros
+    "2038-01-19 03:14:07",        # 32-bit epoch boundary
+]
+TS_ZONES = ["UTC", "America/New_York", "Asia/Tokyo", "Europe/Berlin",
+            "Australia/Adelaide"]  # Adelaide: +9:30 half-hour offset
+TS_CAST_STRS = [
+    "2024-3-5 1:2:3",            # unpadded fields
+    "2024-03-05T10:00:00",       # ISO T separator
+    "2024-03-05",                # date-only
+    "2024-02-30 10:00:00",       # invalid day → NULL via TRY_CAST
+    "2024-03-05 10:00:00.5",     # fractional
+    "not a timestamp",
+]
+TS_FMTS = ["%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S.%f", "%d/%m/%Y %H:%M",
+           "%Y-%m-%d %H:%M:%S.%g"]
+
+
+def gen_ts(rng, depth):
+    """A timestamp-valued expression."""
+    r = rng.random()
+    if depth <= 0 or r < 0.30:
+        if rng.random() < 0.3:
+            return "ts"  # events.ts column (TIMESTAMP)
+        return f"TIMESTAMP '{rng.choice(TS_LITS)}'"
+    if r < 0.40:
+        z = rng.choice(TS_ZONES)
+        inner = gen_ts(rng, depth - 1)
+        if rng.random() < 0.5:
+            return f"timezone('{z}', {inner})"
+        return f"({inner} AT TIME ZONE '{z}')"
+    if r < 0.50:
+        ep = rng.choice([0, -1, 86400, -0.75, 1700000000.25, 951782400])
+        return f"to_timestamp({ep})"
+    if r < 0.60:
+        frac = rng.choice(["0.0", "59.999999", "0.5", "30.25", "59.5"])
+        y, m, d = rng.choice([(2024, 2, 29), (1969, 12, 31), (2001, 9, 9),
+                              (2024, 1, 31)])
+        return f"make_timestamp({y}, {m}, {d}, {rng.choice([0, 12, 23])}, {rng.choice([0, 59])}, {frac})"
+    if r < 0.65:
+        return f"make_timestamp({rng.choice([0, -750000, 1700000000123456, 951782400000000])})"
+    if r < 0.75:
+        # duck rejects a negative bare number in INTERVAL literals —
+        # spell negatives as subtraction
+        n = rng.choice([1, 2, 25, 3])
+        op = rng.choice(["+", "-"])
+        u = rng.choice(["MICROSECOND", "MILLISECOND", "SECOND", "MINUTE",
+                        "HOUR", "DAY", "MONTH"])
+        return f"({gen_ts(rng, depth - 1)} {op} INTERVAL {n} {u})"
+    if r < 0.80:
+        return (f"({gen_ts(rng, depth - 1)} - INTERVAL "
+                f"'{rng.choice(['90 minutes', '1 month 2 days', '36 hours'])}')")
+    if r < 0.85:
+        fmt = rng.choice(TS_FMTS[:2])
+        return f"strptime(strftime({gen_ts(rng, depth - 1)}, '{fmt}'), '{fmt}')"
+    if r < 0.90:
+        return f"TRY_CAST('{rng.choice(TS_CAST_STRS)}' AS TIMESTAMP)"
+    f = rng.choice(["greatest", "least"])
+    return f"{f}({gen_ts(rng, depth - 1)}, {gen_ts(rng, depth - 1)})"
+
+
+def gen_ts_probe(rng):
+    """One SELECT over events serializing ts expressions comparably."""
+    outs = []
+    for _ in range(rng.choice([2, 3])):
+        e = gen_ts(rng, rng.choice([1, 2]))
+        k = rng.random()
+        if k < 0.30:
+            outs.append(e)  # timestamp rendering itself
+        elif k < 0.45:
+            f = rng.choice(["epoch", "epoch_ms", "epoch_us"])
+            outs.append(f"CAST(round({f}({e})) AS BIGINT)" if f == "epoch"
+                        else f"{f}({e})")
+        elif k < 0.60:
+            u = rng.choice(["year", "month", "day", "hour", "minute",
+                            "second", "microsecond", "dayofweek", "week"])
+            outs.append(f"extract({u} FROM {e})")
+        elif k < 0.70:
+            outs.append(f"strftime({e}, '{rng.choice(TS_FMTS)}')")
+        elif k < 0.80:
+            u = rng.choice(["second", "minute", "hour", "day"])
+            outs.append(f"date_diff('{u}', {e}, {gen_ts(rng, 1)})")
+        elif k < 0.90:
+            outs.append(
+                f"CAST(extract(epoch FROM ({e} - {gen_ts(rng, 1)})) AS BIGINT)")
+        else:
+            outs.append(f"({e} < {gen_ts(rng, 1)})")
+    sel = ", ".join(f"{o} AS c{i}" for i, o in enumerate(outs))
+    return (f"SELECT event_id, {sel} FROM events "
+            f"WHERE event_id < 8 ORDER BY event_id")
+
+
 """Statement-level mode (r11, VERDICT r10 #4): correlated scalar
 subqueries, CTE chains (incl. recursive), and nested LATERAL — the
 statement surface the query mode's flat join/group shapes never
@@ -579,6 +687,10 @@ def main():
     if mode == "dml":
         for i in range(n):
             print(gen_dml(rng, i))
+        return
+    if mode == "ts":
+        for _ in range(n):
+            print(gen_ts_probe(rng))
         return
     for i in range(n):
         ty = rng.choice([INT, DBL, STR, DATE, BOOL])

@@ -23,11 +23,38 @@ ALLOWLIST = os.path.join(os.path.dirname(__file__), "probe_allowlist.json")
 
 
 def spark_side(sfdir, path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # GRAFT_GATE_JAVA=1 (r12): run DiffProbe straight from the compiled
+    # classes — no per-batch sbt spin-up (~4 min/batch → ~40 s/batch).
+    # Requires a current `sbt compile`; the sbt path stays the default
+    # because it guarantees compilation.
+    if os.environ.get("GRAFT_GATE_JAVA") == "1":
+        classes = os.path.join(repo, "target", "scala-2.13", "classes")
+        # Spark-on-JDK17 module opens (sbt adds these itself; a bare java
+        # without them fails DATE row decoding via sun.util.calendar with
+        # EXPRESSION_DECODING_FAILED)
+        opens = [f"--add-opens=java.base/{m}=ALL-UNNAMED" for m in [
+            "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+            "java.net", "java.nio", "java.util", "java.util.concurrent",
+            "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+            "sun.security.action", "sun.util.calendar"]]
+        out = subprocess.run(
+            ["java", "-XX:+IgnoreUnrecognizedVMOptions", *opens,
+             "-Dfile.encoding=UTF-8", "-Dspark.ui.enabled=false",
+             "-cp", "/opt/spark/jars/*:" + classes,
+             "graft.tools.DiffProbe", sfdir, path],
+            capture_output=True, text=True, cwd=repo)
+        lines = {}
+        for ln in out.stdout.splitlines():
+            if "\t" in ln:
+                idx = ln.split("\t", 1)[0]
+                if idx.isdigit():
+                    lines[int(idx)] = ln
+        return lines
     out = subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.tools.DiffProbe {sfdir} {path}"],
-        capture_output=True, text=True, cwd=os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))))
+        capture_output=True, text=True, cwd=repo)
     lines = {}
     for ln in out.stdout.splitlines():
         if ln.startswith("[info] ") and "\t" in ln:

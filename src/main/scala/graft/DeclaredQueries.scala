@@ -1668,6 +1668,42 @@ object DeclaredQueries {
         "o_orderpriority[CAST(o_orderkey % 3 AS INT)] AS dyn, " +
         "array_slice(o_orderpriority, 2, 4) AS asl " +
         "FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey"),
+    "q222_timestamp_tz" ->
+      // r12 (VERDICT r11 #5 — the seventh fuzz mode, `gen_probes.py ts`):
+      // pins the seven closed timestamp/timezone classes. Silent finds:
+      // extract(dayofweek) is 0=Sunday in duck (Spark's field is
+      // 1-based; extract spelling was unshifted — now the graft_dow
+      // kernel, since every SQL spelling re-captures); extract(second)
+      // is duck's BIGINT integer part and ms/us INCLUDE the seconds
+      // (pmod(graft_epoch_us, 60e6) grids); sub-day date_diff buckets
+      // with TRUNC-toward-zero division (ddh: 1969-12-31
+      // 23:59:59.999999 → 0 hours, not the floor-grid 1). Loud finds:
+      // AT TIME ZONE (→ timezone(z, x), naive flavor; the nested/
+      // to_timestamp TSTZ producers dispatch from_utc_timestamp — tzc);
+      // make_timestamp(micros) 1-arg (→ timestamp_micros); epoch family
+      // over non-literal INTERVALS (graft_epoch_us kernel: epi) with
+      // duck's trunc-toward-zero epoch_ms (epm = 0, not −1) and 30-day
+      // year-month months (epmo).
+      ("SELECT event_id, " +
+        "CAST(extract(dayofweek FROM ts) AS BIGINT) AS dw, " +
+        "CAST(extract(isodow FROM ts) AS BIGINT) AS idw, " +
+        "CAST(date_part('dow', ts) AS BIGINT) AS dp, " +
+        "extract(second FROM TIMESTAMP '1969-12-31 23:59:59.25') AS sec, " +
+        "extract(millisecond FROM ts) AS ms, " +
+        "extract(microsecond FROM TIMESTAMP '2024-01-01 10:20:59.250123') AS mus, " +
+        "date_diff('second', TIMESTAMP '1969-12-31 23:59:59.25', ts) AS dds, " +
+        "date_diff('hour', TIMESTAMP '1969-12-31 23:59:59.999999', ts) AS ddh, " +
+        "CAST((ts AT TIME ZONE 'America/New_York') AS TIMESTAMP) AS atz, " +
+        "timezone('UTC', timezone('Asia/Tokyo', ts)) AS tzc, " +
+        "make_timestamp(1700000000123456) AS mt1, " +
+        "make_timestamp(2024, 2, 29, 23, 59, 59.999999) AS mt6, " +
+        "CAST(epoch(ts) AS DOUBLE) AS ep, " +
+        "epoch_ms(TIMESTAMP '1969-12-31 23:59:59.999249') AS epm, " +
+        "epoch_us(ts - TIMESTAMP '2024-01-01 00:00:00') AS epi, " +
+        "CAST(epoch(INTERVAL '1 month 2 days') AS DOUBLE) AS epmo, " +
+        "CAST(to_timestamp(-0.75) AS TIMESTAMP) AS tts, " +
+        "strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f') AS rt " +
+        "FROM events WHERE event_id < 40 ORDER BY event_id"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -1211,6 +1211,42 @@ object Translator {
             toks = toks.patch(rStart, lex(s"CAST(($r) AS TIMESTAMP)"),
               rEnd - rStart + 1)
             changed = true
+          case id: Ident if id.upper == "AT" && {
+              // r12 ts fuzz: `x AT TIME ZONE 'z'` didn't parse (Spark has
+              // no AT TIME ZONE). Over a NAIVE timestamp it is exactly
+              // duck's timezone(z, x) two-arg form (probed identical:
+              // interpret x in z, render in the session zone) — emit that
+              // and let the TIMEZONE rewrite turn it into
+              // to_utc_timestamp. The TIMESTAMPTZ flavor inverts; the
+              // engine has no TSTZ type (documented posture, r10).
+              val n1 = nextNonWs(toks, i)
+              val n2 = if (n1 < toks.length) nextNonWs(toks, n1) else toks.length
+              val lEnd = prevNonWs(toks, i)
+              n1 < toks.length && n2 < toks.length && up(toks(n1)) == "TIME" &&
+                up(toks(n2)) == "ZONE" && nextNonWs(toks, n2) < toks.length &&
+                lEnd >= 0 && (toks(lEnd) match {
+                  case _: Str | _: Num => true
+                  case Punct(")") | Punct("]") => true
+                  case id2: Ident => !keywordLike(id2.upper)
+                  case _ => false
+                })
+            } =>
+            val n1 = nextNonWs(toks, i)
+            val n2 = nextNonWs(toks, n1)
+            val lEnd = prevNonWs(toks, i)
+            var lStart = primaryStart(toks, lEnd)
+            if (toks(lStart).isInstanceOf[Str]) {
+              val p = prevNonWs(toks, lStart)
+              if (p >= 0 && Set("TIMESTAMP", "DATE", "TIMESTAMPTZ")
+                  .contains(up(toks(p)))) lStart = p
+            }
+            val zStart = nextNonWs(toks, n2)
+            val zEnd = primaryEnd(toks, zStart)
+            val x = render(toks.slice(lStart, lEnd + 1)).trim
+            val z = render(toks.slice(zStart, zEnd + 1)).trim
+            toks = toks.patch(lStart, lex(s"timezone($z, $x)"),
+              zEnd - lStart + 1)
+            changed = true
           case Punct(op0) if Set("~~", "~~*", "!~~", "!~~*").contains(op0) =>
             // r10 batch 10: Postgres-spelling LIKE operators (probed on
             // duck: ~~ = LIKE, ~~* = ILIKE, !-prefixed = NOT forms)
@@ -1538,6 +1574,7 @@ object Translator {
     "DAYOFWEEK", "DAYOFMONTH", "DAYOFYEAR", "WEEKOFYEAR", "QUARTER",
     "DATEDIFF", "COUNT", "SIGN", "FACTORIAL",
     "BIT_COUNT", "GRAFT_BIT_COUNT", "GRAFT_INT_ROUND", "GRAFT_INT_ROUND_TRY",
+    "GRAFT_DOW", "GRAFT_EPOCH_US",
     "BIT_LENGTH", "OCTET_LENGTH",
     "DAMERAU_LEVENSHTEIN", "LEVENSHTEIN", "BPE_TOKEN_COUNT",
     "ASCII_CHAR_COUNT", "GCD", "LCM")
@@ -3954,7 +3991,7 @@ object Translator {
             if (args.length == 1) {
               val d = render(args(0)).trim
               toks = toks.patch(i,
-                lex(s"(((extract(DAYOFWEEK FROM $d) + 5) % 7) + 1)"), close - i + 1)
+                lex(s"(((graft_dow($d) + 6) % 7) + 1)"), close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "POSITION" && callOpen >= 0 && {
@@ -4658,13 +4695,30 @@ object Translator {
             } =>
             // r10 batch 8, probe-pinned: duck timezone(zone, ts) over a
             // NAIVE timestamp interprets ts in `zone` and renders it in
-            // the session zone (UTC) — exactly to_utc_timestamp. (The
-            // TIMESTAMPTZ flavor inverts; our engine has no separate
-            // TIMESTAMPTZ type, same documented posture as elsewhere.)
+            // the session zone (UTC) — exactly to_utc_timestamp. The
+            // TIMESTAMPTZ flavor INVERTS (convert the instant TO the
+            // zone); the engine has no TSTZ type, but the two common
+            // syntactic TSTZ producers are visible at token level (r12
+            // ts fuzz): a to_timestamp(…) argument and a NESTED
+            // timezone(…) argument (whose own emission computes the
+            // instant) — those dispatch to from_utc_timestamp,
+            // reproducing duck's nested-zone chains exactly. TSTZ values
+            // flowing through OTHER expressions (interval arithmetic,
+            // greatest, date_diff buckets) keep the naive reading —
+            // documented divergence class, allowlisted in the ts
+            // batches.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val tstzProducer = args(1).filterNot(isWs) match {
+              case v if v.length >= 2 && v.head.isInstanceOf[Ident] &&
+                  Set("TO_TIMESTAMP", "TIMEZONE").contains(up(v.head)) &&
+                  v(1) == Punct("(") => true
+              case _ => false
+            }
+            val (z, x) = (render(args(0)).trim, render(args(1)).trim)
             toks = toks.patch(i, lex(
-              s"to_utc_timestamp(CAST(${render(args(1)).trim} AS TIMESTAMP), ${render(args(0)).trim})"),
+              if (tstzProducer) s"from_utc_timestamp(CAST($x AS TIMESTAMP), $z)"
+              else s"to_utc_timestamp(CAST($x AS TIMESTAMP), $z)"),
               close - i + 1)
             changed = true
           case id: Ident if id.upper == "ARRAY_LENGTH" && callOpen >= 0 && {
@@ -5075,10 +5129,10 @@ object Translator {
           case ('Z', false) => () // duck prints '' (no tz name on naive ts)
           // ISO weekday Mon=1..Sun=7 (Spark dayofweek is Sun=1..Sat=7)
           case ('u', false) =>
-            sql("CAST(((extract(DAYOFWEEK FROM «TS») + 5) % 7) + 1 AS STRING)")
+            sql("CAST(((graft_dow(«TS») + 6) % 7) + 1 AS STRING)")
           // C weekday Sun=0..Sat=6
           case ('w', false) =>
-            sql("CAST(extract(DAYOFWEEK FROM «TS») - 1 AS STRING)")
+            sql("CAST(graft_dow(«TS») AS STRING)")
           case ('V', false) =>
             sql("lpad(CAST(weekofyear(«TS») AS STRING), 2, '0')")
           case ('G', false) =>
@@ -5086,9 +5140,9 @@ object Translator {
           // C-strftime week grids: %U Sunday-first, %W Monday-first —
           // (tm_yday + 7 - tm_wday) / 7 with 0-based yday/wday
           case ('U', false) =>
-            sql("lpad(CAST((dayofyear(«TS») + 7 - extract(DAYOFWEEK FROM «TS»)) DIV 7 AS STRING), 2, '0')")
+            sql("lpad(CAST((dayofyear(«TS») + 6 - graft_dow(«TS»)) DIV 7 AS STRING), 2, '0')")
           case ('W', false) =>
-            sql("lpad(CAST((dayofyear(«TS») + 6 - (extract(DAYOFWEEK FROM «TS») + 5) % 7) DIV 7 AS STRING), 2, '0')")
+            sql("lpad(CAST((dayofyear(«TS») + 6 - (graft_dow(«TS») + 6) % 7) DIV 7 AS STRING), 2, '0')")
           case _ => bad = true // duck errors on unknown specifiers — stay loud
         }
       } else { lit.append(p(i)); i += 1 }
@@ -5158,9 +5212,9 @@ object Translator {
                   // DIV shipped through r8 was a silent divergence (r9).
                   // Truncated values are exact multiples of the width,
                   // so DIV is exact in both directions.
-                  def truncDiv(unit: String, w: Long): String =
-                    s"((unix_seconds(date_trunc('$unit', CAST($b AS TIMESTAMP))) - " +
-                      s"unix_seconds(date_trunc('$unit', CAST($a AS TIMESTAMP)))) DIV $w)"
+                  def truncDiv(wUs: Long): String =
+                    s"((unix_micros(CAST($b AS TIMESTAMP)) DIV $wUs) - " +
+                      s"(unix_micros(CAST($a AS TIMESTAMP)) DIV $wUs))"
                   val repl = part.value.toLowerCase match {
                     case "day" | "days" | "d" => s"datediff($b, $a)"
                     case "month" | "months" => s"CAST(round(months_between(date_trunc('month', CAST(($b) AS TIMESTAMP)), date_trunc('month', CAST(($a) AS TIMESTAMP)))) AS BIGINT)"
@@ -5174,11 +5228,10 @@ object Translator {
                     case "century" | "centuries" => s"((year($b) DIV 100) - (year($a) DIV 100))"
                     case "millennium" | "millennia" => s"((year($b) DIV 1000) - (year($a) DIV 1000))"
                     case "week" | "weeks" => s"(datediff(date_trunc('week', CAST(($b) AS TIMESTAMP)), date_trunc('week', CAST(($a) AS TIMESTAMP))) DIV 7)"
-                    case "hour" | "hours" => truncDiv("hour", 3600L)
-                    case "minute" | "minutes" => truncDiv("minute", 60L)
-                    case "second" | "seconds" => truncDiv("second", 1L)
-                    case "millisecond" | "milliseconds" =>
-                      s"((unix_millis(CAST($b AS TIMESTAMP)) - unix_millis(CAST($a AS TIMESTAMP))))"
+                    case "hour" | "hours" => truncDiv(3600000000L)
+                    case "minute" | "minutes" => truncDiv(60000000L)
+                    case "second" | "seconds" => truncDiv(1000000L)
+                    case "millisecond" | "milliseconds" => truncDiv(1000L)
                     case "microsecond" | "microseconds" =>
                       s"((unix_micros(CAST($b AS TIMESTAMP)) - unix_micros(CAST($a AS TIMESTAMP))))"
                     case _ => ""
@@ -5191,6 +5244,20 @@ object Translator {
               }
             }
           }
+        case id: Ident if id.upper == "MAKE_TIMESTAMP" && {
+            // r12 ts fuzz: duck's 1-arg make_timestamp(micros) — Spark
+            // only has the 6-arg form (loud DATATYPE_MISMATCH before);
+            // timestamp_micros is the exact equivalent
+            val open = nextNonWs(toks, i)
+            open < toks.length && toks(open) == Punct("(") && {
+              val close = matchParen(toks, open)
+              splitTopLevel(toks.slice(open + 1, close)).length == 1
+            }
+          } =>
+          val open = nextNonWs(toks, i)
+          val close = matchParen(toks, open)
+          val e = render(toks.slice(open + 1, close)).trim
+          toks = toks.patch(i, lex(s"timestamp_micros($e)"), close - i + 1)
         case id: Ident if id.upper == "DATE_PART" || id.upper == "DATEPART" =>
           val open = nextNonWs(toks, i)
           if (open < toks.length && toks(open) == Punct("(")) {
@@ -5206,18 +5273,26 @@ object Translator {
                     // dayofweek directly — an emitted extract(DOW …) would
                     // be re-shifted by the EXTRACT rewrite below (r8)
                     case "dow" | "dayofweek" | "weekday" =>
-                      s"(extract(DAYOFWEEK FROM $e) - 1)"
+                      s"graft_dow($e)"
                     // DuckDB isodow is Monday=1..Sunday=7; Spark has no
                     // ISODOW field, and an emitted weekday() would be
                     // re-captured by the DuckDB weekday-ALIAS rewrite
                     // (Sunday=0) — dayofweek arithmetic instead (r8)
-                    case "isodow" => s"(((extract(DAYOFWEEK FROM $e) + 5) % 7) + 1)"
+                    case "isodow" => s"(((graft_dow($e) + 6) % 7) + 1)"
+                    // duck SECOND is the BIGINT integer part; MS/US
+                    // include the seconds (r12 ts fuzz)
+                    case "second" | "seconds" =>
+                      s"(pmod(graft_epoch_us($e), 60000000) DIV 1000000)"
+                    case "millisecond" | "milliseconds" =>
+                      s"(pmod(graft_epoch_us($e), 60000000) DIV 1000)"
+                    case "microsecond" | "microseconds" =>
+                      s"pmod(graft_epoch_us($e), 60000000)"
                     // DuckDB's epoch part is FRACTIONAL seconds (probe:
                     // …00.5 → 1704067200.5); Spark's extract has no epoch.
                     // Literal-interval args fold to their width (r10)
                     case "epoch" => intervalEpochMicros(args(1)) match {
                       case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
-                      case None => s"(unix_micros($e) / 1000000.0)"
+                      case None => s"(graft_epoch_us($e) / 1000000.0)"
                     }
                     case p => s"extract($p FROM $e)"
                   }
@@ -5239,17 +5314,30 @@ object Translator {
             val fi = nextNonWs(toks, open)
             val fromI = if (fi < close) nextNonWs(toks, fi) else close
             if (fi < close && fromI < close && up(toks(fromI)) == "FROM" &&
-                Set("EPOCH", "DOW", "ISODOW", "WEEKDAY").contains(up(toks(fi)))) {
+                Set("EPOCH", "DOW", "ISODOW", "WEEKDAY", "DAYOFWEEK",
+                  "SECOND", "SECONDS", "MILLISECOND", "MILLISECONDS",
+                  "MICROSECOND", "MICROSECONDS").contains(up(toks(fi)))) {
               val e = render(toks.slice(fromI + 1, close)).trim
               val repl = up(toks(fi)) match {
                 case "EPOCH" =>
                   intervalEpochMicros(toks.slice(fromI + 1, close)) match {
                     case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
-                    case None => s"(unix_micros($e) / 1000000.0)"
+                    case None => s"(graft_epoch_us($e) / 1000000.0)"
                   }
-                // duck's WEEKDAY extract field is the 0=Sunday form too
-                case "DOW" | "WEEKDAY" => s"(extract(DAYOFWEEK FROM $e) - 1)"
-                case "ISODOW" => s"(((extract(DAYOFWEEK FROM $e) + 5) % 7) + 1)"
+                // duck's WEEKDAY/DAYOFWEEK extract fields are 0=Sunday too
+                // (r12 ts fuzz: the DAYOFWEEK spelling passed through to
+                // Spark's 1-based field - a silent off-by-one)
+                case "DOW" | "WEEKDAY" | "DAYOFWEEK" => s"graft_dow($e)"
+                case "ISODOW" => s"(((graft_dow($e) + 6) % 7) + 1)"
+                // duck SECOND is the BIGINT integer part; MILLISECOND/
+                // MICROSECOND include the seconds (r12 ts fuzz - Spark's
+                // SECOND field is DECIMAL(8,6), MS/US fields don't exist)
+                case "SECOND" | "SECONDS" =>
+                  s"(pmod(graft_epoch_us($e), 60000000) DIV 1000000)"
+                case "MILLISECOND" | "MILLISECONDS" =>
+                  s"(pmod(graft_epoch_us($e), 60000000) DIV 1000)"
+                case "MICROSECOND" | "MICROSECONDS" =>
+                  s"pmod(graft_epoch_us($e), 60000000)"
               }
               toks = toks.patch(i, lex(repl), close - i + 1)
             }
@@ -5294,13 +5382,13 @@ object Translator {
               case "CENTURY" => s"(CAST(floor((year($e) - 1) / 100.0) AS BIGINT) + 1)"
               case "DECADE" => s"CAST(floor(year($e) / 10.0) AS BIGINT)"
               case "MILLENNIUM" => s"(CAST(floor((year($e) - 1) / 1000.0) AS BIGINT) + 1)"
-              case "WEEKDAY" => s"(extract(DAYOFWEEK FROM $e) - 1)"
+              case "WEEKDAY" => s"graft_dow($e)"
               // r10 batch 8: duck dayofweek() is the Postgres 0=Sunday
               // form where Spark's builtin is 1=Sunday — a SILENT
               // off-by-one through passthrough until now. The extract
               // spelling avoids self-recapture (this very rule).
-              case "DAYOFWEEK" => s"(extract(DAYOFWEEK FROM $e) - 1)"
-              case "ISODOW" => s"(((extract(DAYOFWEEK FROM $e) + 5) % 7) + 1)"
+              case "DAYOFWEEK" => s"graft_dow($e)"
+              case "ISODOW" => s"(((graft_dow($e) + 6) % 7) + 1)"
               // r10 batch 8, probe-pinned: duck julian(DATE '2000-01-01')
               // = 2451545.0 — a MIDNIGHT-aligned day count (the
               // astronomical JD would read .5 there), so the epoch
@@ -5311,7 +5399,7 @@ object Translator {
                 s"(CAST(unix_micros(CAST($e AS TIMESTAMP)) AS DOUBLE) / 86400000000.0 + 2440588.0)"
               case "YEARWEEK" => s"(extract(YEAROFWEEK FROM $e) * 100 + weekofyear($e))"
               case "ISOYEAR" => s"extract(YEAROFWEEK FROM $e)"
-              case "EPOCH_NS" => s"(unix_micros($e) * 1000)"
+              case "EPOCH_NS" => s"(graft_epoch_us($e) * 1000)"
             }
             toks = toks.patch(i, lex(repl), close - i + 1)
           }
@@ -5342,15 +5430,15 @@ object Translator {
             else id.upper match {
               case "EPOCH" => iv match {
                 case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
-                case None => s"(unix_micros($e) / 1000000.0)"
+                case None => s"(graft_epoch_us($e) / 1000000.0)"
               }
               case "EPOCH_MS" => iv match {
                 case Some(us) => s"CAST(${us / 1000L} AS BIGINT)"
-                case None => s"unix_millis($e)"
+                case None => s"(graft_epoch_us($e) DIV 1000)"
               }
               case "EPOCH_US" => iv match {
                 case Some(us) => s"CAST($us AS BIGINT)"
-                case None => s"unix_micros($e)"
+                case None => s"graft_epoch_us($e)"
               }
             }
             toks = toks.patch(i, lex(repl), close - i + 1)

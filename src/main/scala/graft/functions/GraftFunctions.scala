@@ -115,6 +115,10 @@ object GraftFunctions {
       args => JsonMergePatchExpr(args(0), args(1))),
     ("graft_url_canon", "URL canonicalization: fragment/default-port/utm strip, lowercase scheme+host, sorted query params",
       args => UrlCanonicalize(args(0))),
+    ("graft_dow", "DuckDB day-of-week: 0=Sunday..6=Saturday over timestamp/date (every SQL spelling is a re-capture trap)",
+      args => GraftDowExpr(args(0))),
+    ("graft_epoch_us", "micros since epoch for timestamp/date/interval (duck conventions: 30-day-month YM intervals)",
+      args => GraftEpochUsExpr(args(0))),
     ("graft_str_index", "DuckDB VARCHAR subscript: 1-based chars, negative from-end, out-of-range → ''",
       args => StrIndexExpr(args(0), args(1))),
     ("graft_str_slice", "DuckDB VARCHAR slice: inclusive 1-based char bounds, clamped, crossed → ''; Long.MaxValue end = open",

@@ -24,9 +24,22 @@ import org.apache.spark.sql.functions._
   * (`planesFor(n, 32)` clamped to [4, 12]) so bucket occupancy is what
   * production would see at each corpus size.
   *
+  * r12 (VERDICT r11 #4): a `minhash` mode measures p62 the same way —
+  * fixed increment = the p62 entry's own split (doc_id % 5 == 0),
+  * indexed corpus = the complement grown by the factors, copies beyond
+  * the first DECORRELATED textually (every token gets a per-copy
+  * suffix, so every 3-token shingle window re-hashes and buckets fill
+  * with genuinely new content; the increment keeps matching only the
+  * original copy and the pair count stays constant). Band sizing is the
+  * entry's own fixed (numHashes=64, bands=16, shingle=3) — minhash
+  * banding does not scale with corpus size in the entry either, so
+  * per-bucket occupancy genuinely rises with the factor (that cost is
+  * the claim under test).
+  *
   * Run: `sbt "runMain graft.tools.IncrementalGrowthProbe <sfDir>
-  * [factors=1,3,10,30] [iters=3]"`. Prints one line per factor:
-  * factor, corpus rows, planes, pair count, min/median seconds. */
+  * [factors=1,3,10,30] [iters=3] [mode=embedding|minhash]"`. Prints one
+  * line per factor: factor, corpus rows, (planes,) pair count,
+  * min/median seconds. */
 object IncrementalGrowthProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -34,8 +47,10 @@ object IncrementalGrowthProbe {
       if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
       else Seq(1, 3, 10, 30)
     val iters = if (args.length > 2) args(2).toInt else 3
+    val mode = if (args.length > 3) args(3) else "embedding"
     val spark = Engine.localSession()
     Engine.registerTables(spark, sfDir)
+    if (mode == "minhash") { minhashMode(spark, factors, iters); return }
     val base = spark.table("embeddings").select(col("vec_id"), col("embedding"))
     val nBase = base.count()
     // p63's fixed increment: elementwise-jittered copies of the base —
@@ -79,6 +94,50 @@ object IncrementalGrowthProbe {
       val ts = rs.map(_._2).sorted
       println(f"GROWTH f=$f%-3d corpus=$n%-7d planes=$p pairs=${rs.head._1}%-6d " +
         f"min=${ts.head}%.2fs median=${ts(ts.length / 2)}%.2fs")
+      spark.sql(s"DROP TABLE IF EXISTS $idx")
+      spark.sql(s"DROP TABLE IF EXISTS ${idx}_bands")
+    }
+    spark.stop()
+  }
+
+  private def minhashMode(spark: org.apache.spark.sql.SparkSession,
+      factors: Seq[Int], iters: Int): Unit = {
+    val docs = spark.table("documents").select(col("doc_id"), col("text"))
+    val corpusBase = docs.filter(col("doc_id") % 5 =!= 0)
+    val nBase = corpusBase.count()
+    def increment = docs.filter(col("doc_id") % 5 === 0)
+    def dropLeftoverBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    factors.foreach { f =>
+      val copies = (0 until f).map { k =>
+        if (k == 0) corpusBase
+        else corpusBase.select(
+          (col("doc_id") + k.toLong * 10000000L).as("doc_id"),
+          // per-copy token suffix: every 3-token shingle window hashes
+          // differently, so the copy is band-space-decorrelated from the
+          // original and from every other copy
+          regexp_replace(col("text"), lit(" "), lit(s"_$k ")).as("text"))
+      }
+      val corpus = copies.reduce(_ unionAll _)
+      val idx = s"graft_growth_mh_f$f"
+      Dedup.buildMinhashIndex(corpus, idx)
+      def run(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val pairs = Dedup.minhashPairsIncremental(increment, idx,
+          threshold = 0.5).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        dropLeftoverBlocks()
+        (pairs, t)
+      }
+      run() // warmup
+      val rs = (1 to iters).map(_ => run())
+      val ts = rs.map(_._2).sorted
+      println(f"GROWTH-MH f=$f%-3d corpus=${nBase * f}%-7d " +
+        f"pairs=${rs.head._1}%-6d min=${ts.head}%.2fs median=${ts(ts.length / 2)}%.2fs")
       spark.sql(s"DROP TABLE IF EXISTS $idx")
       spark.sql(s"DROP TABLE IF EXISTS ${idx}_bands")
     }

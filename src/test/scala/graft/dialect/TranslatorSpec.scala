@@ -306,14 +306,14 @@ class TranslatorSpec extends AnyFunSuite {
 
   test("date_part dow shifts to DuckDB's 0=Sunday; epoch family maps exactly") {
     assert(t("SELECT date_part('dow', d) FROM t") ==
-      "SELECT (extract(DAYOFWEEK FROM d) - 1) FROM t")
+      "SELECT graft_dow(d) FROM t")
     assert(t("SELECT date_part('year', d) FROM t") ==
       "SELECT extract(year FROM d) FROM t")
     // epoch() is FRACTIONAL seconds in DuckDB — unix_timestamp truncates
     assert(t("SELECT epoch(ts) FROM t") ==
-      "SELECT (unix_micros(ts) / 1000000.0) FROM t")
-    assert(t("SELECT epoch_ms(ts) FROM t") == "SELECT unix_millis(ts) FROM t")
-    assert(t("SELECT epoch_us(ts) FROM t") == "SELECT unix_micros(ts) FROM t")
+      "SELECT (graft_epoch_us(ts) / 1000000.0) FROM t")
+    assert(t("SELECT epoch_ms(ts) FROM t") == "SELECT (graft_epoch_us(ts) DIV 1000) FROM t")
+    assert(t("SELECT epoch_us(ts) FROM t") == "SELECT graft_epoch_us(ts) FROM t")
   }
 
   test("star REPLACE becomes EXCEPT plus appended aliases") {
@@ -343,7 +343,7 @@ class TranslatorSpec extends AnyFunSuite {
   test("date_diff / date_part / epoch mappings") {
     assert(t("SELECT date_diff('day', a, b)") == "SELECT datediff(b, a)")
     assert(t("SELECT date_part('year', ts)") == "SELECT extract(year FROM ts)")
-    assert(t("SELECT epoch(ts)") == "SELECT (unix_micros(ts) / 1000000.0)")
+    assert(t("SELECT epoch(ts)") == "SELECT (graft_epoch_us(ts) / 1000000.0)")
     // 2-arg Spark-native datediff untouched
     assert(t("SELECT datediff(b, a)") == "SELECT datediff(b, a)")
   }
@@ -740,7 +740,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT toStartOfWeek(d)") ==
       "SELECT date_sub(CAST(date_trunc('WEEK', date_add(d, 1)) AS DATE), 1)")
     assert(t("SELECT toYYYYMM(d)") == "SELECT (year(d) * 100 + month(d))")
-    assert(t("SELECT toDayOfWeek(d)") == "SELECT (((extract(DAYOFWEEK FROM d) + 5) % 7) + 1)")
+    assert(t("SELECT toDayOfWeek(d)") == "SELECT (((graft_dow(d) + 6) % 7) + 1)")
     // CH position(haystack, needle) → instr (same order); standard IN form untouched
     assert(t("SELECT position(h, n)") == "SELECT instr(h, n)")
     assert(t("SELECT position('or' IN s)") == "SELECT position('or' IN s)")
@@ -921,9 +921,9 @@ class TranslatorSpec extends AnyFunSuite {
       .contains("((a + b) >"))
     // DuckDB's fractional-seconds epoch part, both syntactic forms
     assert(t("SELECT extract(epoch FROM ts)") ==
-      "SELECT (unix_micros(ts) / 1000000.0)")
+      "SELECT (graft_epoch_us(ts) / 1000000.0)")
     assert(t("SELECT date_part('epoch', ts)") ==
-      "SELECT (unix_micros(ts) / 1000000.0)")
+      "SELECT (graft_epoch_us(ts) / 1000000.0)")
   }
 
   test("r7 session 3: FILTER on window aggregates becomes a CASE argument") {
@@ -1079,12 +1079,12 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT length(s)") == "SELECT length(s)")
     // extract dow is 0=Sunday in DuckDB (Spark's DOW is 1=Sunday — the
     // passthrough was a silent off-by-one); isodow has no Spark field
-    assert(t("SELECT extract(dow FROM d)") == "SELECT (extract(DAYOFWEEK FROM d) - 1)")
+    assert(t("SELECT extract(dow FROM d)") == "SELECT graft_dow(d)")
     assert(t("SELECT extract(isodow FROM d)") ==
-      "SELECT (((extract(DAYOFWEEK FROM d) + 5) % 7) + 1)")
+      "SELECT (((graft_dow(d) + 6) % 7) + 1)")
     assert(t("SELECT date_part('isodow', d)") ==
-      "SELECT (((extract(DAYOFWEEK FROM d) + 5) % 7) + 1)")
-    assert(t("SELECT date_part('dow', d)") == "SELECT (extract(DAYOFWEEK FROM d) - 1)")
+      "SELECT (((graft_dow(d) + 6) % 7) + 1)")
+    assert(t("SELECT date_part('dow', d)") == "SELECT graft_dow(d)")
     // regexp_full_match emission uses || so a NULL pattern stays NULL
     assert(t("SELECT regexp_full_match(s, p)") ==
       "SELECT rlike((s), '^(?:' || (p) || ')$')")
@@ -1176,7 +1176,7 @@ class TranslatorSpec extends AnyFunSuite {
     // epoch_ms: literal-integer arg is the INVERSE direction (ms -> ts)
     assert(t("SELECT epoch_ms(1709820309000)") ==
       "SELECT timestamp_millis(1709820309000)")
-    assert(t("SELECT epoch_ms(ts) FROM t") == "SELECT unix_millis(ts) FROM t")
+    assert(t("SELECT epoch_ms(ts) FROM t") == "SELECT (graft_epoch_us(ts) DIV 1000) FROM t")
   }
 
   test("r10 batch 9: regexp_matches flags and format alignment specs") {

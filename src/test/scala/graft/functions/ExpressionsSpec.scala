@@ -26,6 +26,31 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_dow/graft_epoch_us: duck day-of-week and epoch conventions") {
+    withFns {
+      import spark.implicits._
+      val df = Seq(1).toDF("x")
+      def one(e: String): Any = df.select(expr(e)).head.get(0)
+      // duck dow: 0=Sunday..6=Saturday (2024-03-10 was a Sunday)
+      assert(one("graft_dow(TIMESTAMP '2024-03-10 06:30:00')") == 0)
+      assert(one("graft_dow(DATE '2024-03-11')") == 1)
+      // pre-1970: 1969-12-31 was a Wednesday
+      assert(one("graft_dow(TIMESTAMP '1969-12-31 23:59:59.25')") == 3)
+      // epoch micros: timestamps, dates, both interval classes, and the
+      // mixed CalendarInterval (duck: 30-day months)
+      assert(one("graft_epoch_us(TIMESTAMP '1969-12-31 23:59:59.25')") == -750000L)
+      assert(one("graft_epoch_us(DATE '1969-12-30')") == -172800000000L)
+      assert(one("graft_epoch_us(INTERVAL '90' MINUTE)") == 5400000000L)
+      assert(one("graft_epoch_us(INTERVAL '1' MONTH)") == 2592000000000L)
+      assert(one("graft_epoch_us(make_interval(0, 1, 0, 2, 0, 0, 0))") ==
+        2592000000000L + 172800000000L)
+      // duck epoch_ms truncates toward zero: -751 us -> 0 ms (DIV 1000)
+      assert(df.select(expr(
+        "graft_epoch_us(TIMESTAMP '1969-12-31 23:59:59.999249') DIV 1000"))
+        .head.get(0) == 0L)
+    }
+  }
+
   test("graft_str_index/graft_str_slice: duck VARCHAR subscript matrix") {
     withFns {
       import spark.implicits._
