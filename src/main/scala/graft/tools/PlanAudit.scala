@@ -519,10 +519,16 @@ object PlanAudit {
                                 // INSERT + correlated UPDATE + DELETE =
                                 // 4 table rewrites), per-action floor
         "p18_salted_join",      // deliberate skew insurance: salt overhead
-        "p51_frame_dedup",      // digest-shuffle by design; DuckDB toy-scale floor
-        "p59_provenance_ledger",// 3-pass composite vs 1-pass oracle
+        "p51_frame_dedup",      // digest-shuffle by design — FloorProbe r12:
+                                // 6 stages / 6 tasks, flat at 4 partitions
+                                // (2.39 -> 2.71 s median): stage-depth floor
+        "p59_provenance_ledger",// 3-pass composite vs 1-pass oracle —
+                                // FloorProbe r12: 7 stages / 11 tasks, flat
+                                // (2.16 -> 2.10 s): per-pass floor, not fan-out
         "p21_sim_ann_ivf",      // declared query includes brute-force exact side
-        "q81_window_extras",    // many distinct window specs, per-stage floor
+        "q81_window_extras",    // many distinct window specs — FloorProbe r12:
+                                // 2 stages / 9 tasks, flat (1.41 -> 1.24 s
+                                // median): per-window-spec sort floor
         "q64_tpch_q9", "q130_tpch_q18_shape", "q131_tpch_q21_shape",
         "q144_tpch_q7_shape")   // floor DECOMPOSED by tools/FloorProbe (r11,
                                 // BASELINE round-11): partition-minimized
