@@ -24,6 +24,9 @@ def norm(v):
             return "NaN"
         if math.isinf(v):
             return "Infinity" if v > 0 else "-Infinity"
+        if abs(v) >= 1e15:
+            # canonical large-double form — mirrors DiffProbe.norm (r12)
+            return f"{v:.9e}"
         if v == math.floor(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6f}"

@@ -396,6 +396,118 @@ def gen_map_probe(rng):
             "WHERE o_orderkey < 25 ORDER BY o_orderkey")
 
 
+"""Numeric-edge mode (r12, eighth mode): the arithmetic surface the
+scalar mode's safe whitelist never stresses — bit operators, NaN/inf
+propagation (via CAST('nan'/'inf' AS DOUBLE) so both engines build the
+same specials), log/sqrt domain edges wrapped in abs()+1 guards (duck
+ERRORS on ln(0)/sqrt(-1) — bare forms would be loud noise, probed),
+negative-digit round, trunc/even, gcd/lcm/factorial(<=20; 21 overflows
+to HUGEINT in duck where Spark's factorial NULLs — documented, not
+generated), boundary literals at int32/2^53/int64 edges (overflow is a
+loud error in BOTH engines under ANSI). Doubles round(…, 4) like the
+scalar mode."""
+
+NUM_SPECIALS = ["CAST('nan' AS DOUBLE)", "CAST('inf' AS DOUBLE)",
+                "CAST('-infinity' AS DOUBLE)"]
+NUM_INTS = [0, 1, 2, 7, 255, 1024, 2147483647, -2147483648,
+            4503599627370496, 9007199254740993]
+
+
+def gen_num(rng, kind, depth):
+    """kind: 'i' integer-valued, 'd' double-valued."""
+    r = rng.random()
+    if depth <= 0:
+        if kind == 'i':
+            if rng.random() < 0.5:
+                return "o_orderkey"
+            return str(rng.choice(NUM_INTS))
+        if rng.random() < 0.15:
+            return rng.choice(NUM_SPECIALS)
+        if rng.random() < 0.5:
+            return "o_totalprice"
+        return rng.choice(["1e308", "1e-300", "0.5e0", "-2.75e0", "1.5e300"])
+    if kind == 'i':
+        if r < 0.20:
+            a, b = gen_num(rng, 'i', depth - 1), rng.choice([1, 2, 3, 7, 15])
+            op = rng.choice(["&", "|", "<<", ">>"])
+            sh = rng.choice([0, 1, 3, 7, 13]) if op in ("<<", ">>") else b
+            # duck errors on shifting NEGATIVE numbers — abs() the base
+            return f"(abs(({a}) % 1024) {op} {sh})" if op in ("<<", ">>") \
+                else f"(({a}) {op} {b})"
+        if r < 0.35:
+            return f"abs(({gen_num(rng, 'i', depth - 1)}) % 100000)"
+        if r < 0.45:
+            return f"gcd({gen_num(rng, 'i', depth - 1)} % 1000, {rng.choice([6, 15, 28])})"
+        if r < 0.50:
+            return f"lcm({gen_num(rng, 'i', depth - 1)} % 50, {rng.choice([4, 9])})"
+        if r < 0.58:
+            return (f"factorial(CAST(abs({gen_num(rng, 'i', depth - 1)}) "
+                    f"% {rng.choice([10, 21])} AS INTEGER))")
+        if r < 0.68:
+            return f"bit_count(CAST(({gen_num(rng, 'i', depth - 1)}) % 100000 AS BIGINT))"
+        if r < 0.78:
+            return f"sign({gen_num(rng, 'd', depth - 1)})"
+        if r < 0.88:
+            return f"(({gen_num(rng, 'i', depth - 1)}) // {rng.choice([3, 7, 100])})"
+        return f"(({gen_num(rng, 'i', depth - 1)}) % {rng.choice([97, 1000])})"
+    # double-valued
+    if r < 0.18:
+        a = gen_num(rng, 'd', depth - 1)
+        op = rng.choice(['+', '-', '*'])
+        # '*' keeps a literal factor (scalar-mode precedent: column*column
+        # magnitudes can't represent 4 decimals — cross-engine round() of
+        # the same double differs in the last printed digit)
+        b = rng.choice(["2e0", "0.5e0", "-3e0"]) if op == '*'             else rng.choice(["2e0", "0.5e0", "-3e0",
+                             gen_num(rng, 'd', depth - 1)])
+        return f"({a} {op} {b})"
+    if r < 0.28:
+        return f"round({gen_num(rng, 'd', depth - 1)}, {rng.choice([-2, -1, 0, 2, 4])})"
+    if r < 0.36:
+        return f"trunc({gen_num(rng, 'd', depth - 1)})"
+    if r < 0.42:
+        return f"even({gen_num(rng, 'd', depth - 1)})"
+    if r < 0.50:
+        return f"ln(abs({gen_num(rng, 'd', depth - 1)}) + 1)"
+    if r < 0.56:
+        return f"log10(abs({gen_num(rng, 'd', depth - 1)}) + 1)"
+    if r < 0.64:
+        return f"sqrt(abs({gen_num(rng, 'd', depth - 1)}))"
+    if r < 0.70:
+        return f"cbrt({gen_num(rng, 'd', depth - 1)})"
+    if r < 0.76:
+        # exponent 2 squares ~1e5-magnitude columns past 4-decimal double
+        # precision (the '*' literal-factor rule's rationale)
+        return f"power({gen_num(rng, 'd', depth - 1)}, {rng.choice([0, 1, -1])})"
+    if r < 0.82:
+        return f"atan2({gen_num(rng, 'd', depth - 1)}, {rng.choice(['1e0', '-1e0', '0e0'])})"
+    if r < 0.90:
+        f = rng.choice(["greatest", "least"])
+        return f"{f}({gen_num(rng, 'd', depth - 1)}, {gen_num(rng, 'd', depth - 1)})"
+    return f"exp(least({gen_num(rng, 'd', depth - 1)}, 700e0))"
+
+
+def gen_num_probe(rng):
+    outs = []
+    for _ in range(rng.choice([2, 3])):
+        kind = rng.choice(['i', 'd', 'b'])
+        if kind == 'b':
+            k = rng.random()
+            if k < 0.4:
+                outs.append(f"isnan({gen_num(rng, 'd', 1)})")
+            elif k < 0.7:
+                outs.append(f"isinf({gen_num(rng, 'd', 1)})")
+            else:
+                outs.append(f"({gen_num(rng, 'd', 1)} "
+                            f"{rng.choice(['<', '<=', '>', '='])} {gen_num(rng, 'd', 1)})")
+        elif kind == 'i':
+            outs.append(f"CAST({gen_num(rng, 'i', rng.choice([1, 2]))} AS BIGINT)")
+        else:
+            outs.append(f"round({gen_num(rng, 'd', rng.choice([1, 2]))}, 4)")
+    sel = ", ".join(f"{o} AS c{i}" for i, o in enumerate(outs))
+    return (f"SELECT o_orderkey, {sel} FROM orders "
+            f"WHERE o_orderkey < 6 ORDER BY o_orderkey")
+
+
 """Timestamp/timezone mode (r12, VERDICT r11 #5): the biggest unfuzzed
 surface — to_timestamp edge parses, AT TIME ZONE / timezone()
 compositions, epoch boundaries (negative epochs, fractional seconds),
@@ -691,6 +803,10 @@ def main():
     if mode == "ts":
         for _ in range(n):
             print(gen_ts_probe(rng))
+        return
+    if mode == "num":
+        for _ in range(n):
+            print(gen_num_probe(rng))
         return
     for i in range(n):
         ty = rng.choice([INT, DBL, STR, DATE, BOOL])

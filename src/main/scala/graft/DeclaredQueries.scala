@@ -1704,6 +1704,41 @@ object DeclaredQueries {
         "CAST(to_timestamp(-0.75) AS TIMESTAMP) AS tts, " +
         "strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f') AS rt " +
         "FROM events WHERE event_id < 40 ORDER BY event_id"),
+    "q223_numeric_edges" ->
+      // r12 (num fuzz, eighth mode): pins the numeric-edge closures.
+      // sign() is duck's INTEGER -1/0/1 with sign(NaN) = 0 (Spark's
+      // DOUBLE form made CAST(sign(nan) AS BIGINT) throw, and Spark
+      // orders NaN > 0 so the naive CASE said 1); trunc/even pass
+      // NaN/±inf/|x|≥2^53 through (floor/ceil return LONG — ANSI
+      // overflow before); `//` is the graft_intdiv kernel — exact
+      // trunc-toward-zero long division for integral pairs
+      // (9007199254740993//2 exact, -7//2 = -3), PLAIN DOUBLE division
+      // otherwise (7.5//2 = 3.75), NULL on zero (idiv_z NULL when
+      // 5 | o_orderkey; the old DIV swap was loud on doubles and
+      // ANSI-raised on zero); negative-digit round collapses NaN/±inf
+      // to 0 like duck; epoch() is DOUBLE-typed so a CAST BIGINT
+      // rounds half-EVEN (-39600.5 → -39600, was DECIMAL half-away
+      // -39601 — seed-21 find); bit ops and factorial (≤20) agree.
+      ("SELECT o_orderkey, " +
+        "CAST(sign(CAST('nan' AS DOUBLE)) AS BIGINT) AS sg_nan, " +
+        "CAST(sign(-2.5) AS BIGINT) AS sg_neg, " +
+        "round(trunc(1.5e300) - 1.5e300, 4) AS tr_huge, " +
+        "isnan(trunc(CAST('nan' AS DOUBLE))) AS tr_nan, " +
+        "isinf(even(CAST('inf' AS DOUBLE))) AS ev_inf, " +
+        "round(even(-0.5e0), 4) AS ev_neg, " +
+        "(o_orderkey // (o_orderkey % 5)) AS idiv_z, " +
+        "round(7.5e0 // 2, 4) AS idiv_d, " +
+        "(9007199254740993 // 2) AS idiv_big, " +
+        "(-7 // 2) AS idiv_neg, " +
+        "round(round(CAST('nan' AS DOUBLE), -2), 4) AS rnd_nan, " +
+        "round(round(CAST('-infinity' AS DOUBLE), -1), 4) AS rnd_inf, " +
+        "CAST((abs(o_orderkey % 1024) << 3) AS BIGINT) AS shl, " +
+        "CAST((255 >> 2) AS BIGINT) AS shr, " +
+        "CAST((o_orderkey & 5) AS BIGINT) AS band, " +
+        "CAST((o_orderkey | 9) AS BIGINT) AS bor, " +
+        "CAST(factorial(CAST(o_orderkey % 10 AS INTEGER)) AS BIGINT) AS fact, " +
+        "CAST(CAST(epoch(TIMESTAMP '2024-01-31 12:00:00' - make_timestamp(2024, 1, 31, 23, 0, 0.5)) AS DOUBLE) AS BIGINT) AS ep_he " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

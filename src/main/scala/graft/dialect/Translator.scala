@@ -986,13 +986,11 @@ object Translator {
           if (n < toks.length && toks(n) == Punct("(")) n else -1
         }
         toks(i) match {
-          case Punct("//") =>
-            val pad = Seq(
-              if (i > 0 && isWs(toks(i - 1))) None else Some(Ws(" ")),
-              Some(Ident("DIV")),
-              if (i + 1 < toks.length && isWs(toks(i + 1))) None else Some(Ws(" "))).flatten
-            toks = toks.patch(i, pad, 1)
-            changed = true
+          // `//` is handled by rewriteDivMod (last pass): duck's matrix
+          // is trunc-long-division for integral pairs but PLAIN DOUBLE
+          // division otherwise, NULL on zero either way (r12 num fuzz) —
+          // the old `//`→DIV swap was integral-only (loud on a double
+          // operand) and ANSI-raised on zero.
           case Punct("-") if {
               // DATE - DATE is INTEGER days in DuckDB but an INTERVAL in
               // Spark (r8 fuzz) — rewrite when BOTH operands are
@@ -1574,7 +1572,7 @@ object Translator {
     "DAYOFWEEK", "DAYOFMONTH", "DAYOFYEAR", "WEEKOFYEAR", "QUARTER",
     "DATEDIFF", "COUNT", "SIGN", "FACTORIAL",
     "BIT_COUNT", "GRAFT_BIT_COUNT", "GRAFT_INT_ROUND", "GRAFT_INT_ROUND_TRY",
-    "GRAFT_DOW", "GRAFT_EPOCH_US",
+    "GRAFT_DOW", "GRAFT_EPOCH_US", "GRAFT_SIGN",
     "BIT_LENGTH", "OCTET_LENGTH",
     "DAMERAU_LEVENSHTEIN", "LEVENSHTEIN", "BPE_TOKEN_COUNT",
     "ASCII_CHAR_COUNT", "GCD", "LCM")
@@ -4101,10 +4099,55 @@ object Translator {
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 1) {
               val x = render(args(0)).trim
-              val repl = s"CAST(CASE WHEN ($x) >= 0 THEN floor($x) ELSE ceil($x) END AS DOUBLE)"
+              // isnan/huge guards (r12 num fuzz): floor/ceil return LONG
+              // in Spark — |x| > 2^63 ANSI-overflowed and NaN/inf threw
+              // where duck passes them through; doubles at |x| >= 2^53
+              // are already integral
+              val repl = s"CAST(CASE WHEN isnan($x) OR abs($x) >= 9007199254740992e0 THEN ($x) " +
+                s"WHEN ($x) >= 0 THEN floor($x) ELSE ceil($x) END AS DOUBLE)"
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
             }
+          case id: Ident if id.upper == "SIGN" && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              splitTopLevel(toks.slice(callOpen + 1, close)).length == 1
+            } =>
+            // r12 num fuzz: duck sign() is an INTEGER -1/0/1 — and
+            // sign(NaN) = 0 — where Spark's returns DOUBLE ±1.0/NaN (a
+            // CAST of the NaN then ANSI-throws, and Spark orders NaN
+            // above zero so CASE comparisons mislabel it 1). Kernel
+            // emission: a CASE splice was non-idempotent (the int-cast
+            // rounding pass wrapped its head on re-translation);
+            // GRAFT_SIGN is integralFns-listed so CAST(sign(x) AS
+            // BIGINT) stays rounding-free.
+            val close = matchParen(toks, callOpen)
+            val x = render(toks.slice(callOpen + 1, close)).trim
+            toks = toks.patch(i, lex(s"graft_sign($x)"), close - i + 1)
+            changed = true
+          case id: Ident if id.upper == "ROUND" && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              val args = splitTopLevel(toks.slice(callOpen + 1, close))
+              args.length == 2 && (args(1).filterNot(isWs) match {
+                // bare negative integer literal only — the emission
+                // parenthesizes the digits, so re-translation no longer
+                // matches (fixpoint)
+                case Vector(Punct("-"), _: Num) => true
+                case _ => false
+              })
+            } =>
+            // r12 num fuzz: duck's NEGATIVE-digit round collapses
+            // NaN/±inf to 0 (probed: round('nan'::DOUBLE, -2) = 0,
+            // round('-infinity'::DOUBLE, -1) = 0) where Spark keeps the
+            // special — guard them; positive digits pass through (duck
+            // keeps NaN there)
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val (x, dgt) = (render(args(0)).trim, render(args(1)).trim)
+            toks = toks.patch(i, lex(
+              s"(CASE WHEN isnan($x) OR abs($x) = CAST('Infinity' AS DOUBLE) " +
+                s"THEN 0.0e0 ELSE round($x, ($dgt)) END)"),
+              close - i + 1)
+            changed = true
           case id: Ident if id.upper == "EVEN" && callOpen >= 0 =>
             // round away from zero to the next even (even(2.5)=4,
             // even(-2.5)=-4, even(3)=4, probed)
@@ -4112,7 +4155,12 @@ object Translator {
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 1) {
               val x = render(args(0)).trim
-              val repl = s"CAST(CASE WHEN ($x) >= 0 THEN ceil(($x) / 2) * 2 " +
+              // same isnan/huge guards as trunc (r12 num fuzz): ceil
+              // returns LONG; even(1.5e300)/even(inf) overflowed where
+              // duck passes through (|x| >= 2^53 doubles are integral
+              // with even spacing)
+              val repl = s"CAST(CASE WHEN isnan($x) OR abs($x) >= 9007199254740992e0 THEN ($x) " +
+                s"WHEN ($x) >= 0 THEN ceil(($x) / 2) * 2 " +
                 s"ELSE -(ceil(abs($x) / 2) * 2) END AS DOUBLE)"
               toks = toks.patch(i, lex(repl), close - i + 1)
               changed = true
@@ -5292,7 +5340,13 @@ object Translator {
                     // Literal-interval args fold to their width (r10)
                     case "epoch" => intervalEpochMicros(args(1)) match {
                       case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
-                      case None => s"(graft_epoch_us($e) / 1000000.0)"
+                      case None =>
+                      // CAST AS DOUBLE first: long / decimal-literal is
+                      // DECIMAL in Spark where duck epoch is DOUBLE — and
+                      // a later CAST(... AS BIGINT) would then round
+                      // half-AWAY (decimal rule) where duck's double
+                      // rounds half-even (r12 ts fuzz, seed 21)
+                      s"(CAST(graft_epoch_us($e) AS DOUBLE) / 1000000.0)"
                     }
                     case p => s"extract($p FROM $e)"
                   }
@@ -5322,7 +5376,13 @@ object Translator {
                 case "EPOCH" =>
                   intervalEpochMicros(toks.slice(fromI + 1, close)) match {
                     case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
-                    case None => s"(graft_epoch_us($e) / 1000000.0)"
+                    case None =>
+                      // CAST AS DOUBLE first: long / decimal-literal is
+                      // DECIMAL in Spark where duck epoch is DOUBLE — and
+                      // a later CAST(... AS BIGINT) would then round
+                      // half-AWAY (decimal rule) where duck's double
+                      // rounds half-even (r12 ts fuzz, seed 21)
+                      s"(CAST(graft_epoch_us($e) AS DOUBLE) / 1000000.0)"
                   }
                 // duck's WEEKDAY/DAYOFWEEK extract fields are 0=Sunday too
                 // (r12 ts fuzz: the DAYOFWEEK spelling passed through to
@@ -5430,7 +5490,13 @@ object Translator {
             else id.upper match {
               case "EPOCH" => iv match {
                 case Some(us) => s"CAST(${us / 1e6} AS DOUBLE)"
-                case None => s"(graft_epoch_us($e) / 1000000.0)"
+                case None =>
+                      // CAST AS DOUBLE first: long / decimal-literal is
+                      // DECIMAL in Spark where duck epoch is DOUBLE — and
+                      // a later CAST(... AS BIGINT) would then round
+                      // half-AWAY (decimal rule) where duck's double
+                      // rounds half-even (r12 ts fuzz, seed 21)
+                      s"(CAST(graft_epoch_us($e) AS DOUBLE) / 1000000.0)"
               }
               case "EPOCH_MS" => iv match {
                 case Some(us) => s"CAST(${us / 1000L} AS BIGINT)"
@@ -6047,7 +6113,7 @@ object Translator {
       var i = 0
       while (i < toks.length && !changed) {
         toks(i) match {
-          case Punct(op) if (op == "/" || op == "%") && {
+          case Punct(op) if (op == "/" || op == "%" || op == "//") && {
               val lEnd = prevNonWs(toks, i)
               val rStart = nextNonWs(toks, i)
               lEnd >= 0 && rStart < toks.length &&
@@ -6065,11 +6131,18 @@ object Translator {
             val rStart = nextNonWs(toks, i)
             val rEnd = extendRight(primaryEnd(toks, rStart))
             val lStart = mulRunStart(lEnd)
-            if (!nonZeroIntLit(rStart, rEnd) &&
-                !decimalRisk(lStart, lEnd) && !decimalRisk(rStart, rEnd)) {
+            // `//` ALWAYS takes the kernel (duck dispatches integral-vs-
+            // double semantics on operand types the token level can't
+            // see, and the kernel accepts decimal operands — duck's
+            // decimal // is double division too); / and % keep the
+            // literal/decimal skips
+            if (op == "//" || (!nonZeroIntLit(rStart, rEnd) &&
+                !decimalRisk(lStart, lEnd) && !decimalRisk(rStart, rEnd))) {
               val l = render(toks.slice(lStart, lEnd + 1)).trim
               val r = render(toks.slice(rStart, rEnd + 1)).trim
-              val fn = if (op == "/") "try_divide" else "try_mod"
+              val fn = if (op == "/") "try_divide"
+                else if (op == "//") "graft_intdiv"
+                else "try_mod"
               toks = toks.patch(lStart, lex(s"$fn($l, $r)"), rEnd - lStart + 1)
               changed = true
             }

@@ -115,6 +115,10 @@ object GraftFunctions {
       args => JsonMergePatchExpr(args(0), args(1))),
     ("graft_url_canon", "URL canonicalization: fragment/default-port/utm strip, lowercase scheme+host, sorted query params",
       args => UrlCanonicalize(args(0))),
+    ("graft_sign", "DuckDB sign(): INTEGER -1/0/1, sign(NaN) = 0",
+      args => SignExpr(args(0))),
+    ("graft_intdiv", "DuckDB // operator: trunc-toward-zero long division for integral pairs, plain double division otherwise, NULL on zero divisor",
+      args => IntDivExpr(args(0), args(1))),
     ("graft_dow", "DuckDB day-of-week: 0=Sunday..6=Saturday over timestamp/date (every SQL spelling is a re-capture trap)",
       args => GraftDowExpr(args(0))),
     ("graft_epoch_us", "micros since epoch for timestamp/date/interval (duck conventions: 30-day-month YM intervals)",

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** DuckDB's `//` operator (r12 num fuzz — probed matrix):
+  *
+  *   - both operands INTEGRAL → integer division TRUNCATED TOWARD ZERO
+  *     (-7 // 2 = -3), computed exactly on longs (no double round-trip:
+  *     9007199254740993 // 2 = 4503599627370496 exactly);
+  *   - any FLOAT/DOUBLE/DECIMAL operand → PLAIN double division
+  *     (probed: 7.5 // 2 = 3.75, 2.5 // 2 = 1.25 — duck's `//` is not
+  *     floor division outside the integer-integer case);
+  *   - divisor zero → NULL in every combination (5 // 0, 7.5e0 // 0,
+  *     2.5 // 0 all NULL).
+  *
+  * Replaces the r4 `//` → DIV emission, which was integral-only (a
+  * DOUBLE operand was a loud BINARY_OP_DIFF_TYPES) and raised
+  * DIVIDE_BY_ZERO under ANSI where duck answers NULL. */
+case class IntDivExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isNumeric(t: DataType): Boolean = t match {
+    case _: NumericType | NullType => true
+    case _ => false
+  }
+  private val integralPair = isIntegral(left.dataType) && isIntegral(right.dataType)
+  override def dataType: DataType =
+    if (integralPair) LongType else DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_intdiv"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isNumeric(left.dataType) && isNumeric(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_intdiv requires numeric operands, got " +
+        s"${left.dataType.simpleString} // ${right.dataType.simpleString}")
+  private def toD(v: Any): Double = v match {
+    case d: Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (integralPair) {
+      val d = b.asInstanceOf[Number].longValue()
+      if (d == 0L) null else a.asInstanceOf[Number].longValue() / d
+    } else {
+      val d = toD(b)
+      if (d == 0.0) null else toD(a) / d
+    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (integralPair)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""if ((long)($b) == 0L) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((long)($a)) / ((long)($b)); }
+           |""".stripMargin
+      })
+    else {
+      def asD(v: String, t: DataType): String = t match {
+        case _: DecimalType => s"$v.toDouble()"
+        case _ => s"(double)($v)"
+      }
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val bd = asD(b, right.dataType)
+        val ad = asD(a, left.dataType)
+        s"""if ($bd == 0.0) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $ad / $bd; }
+           |""".stripMargin
+      })
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntDivExpr =
+    copy(left = l, right = r)
+}
+
+/** DuckDB sign(): INTEGER -1/0/1 with sign(NaN) = 0 (probed). A SQL CASE
+  * emission was tried first (r12 num fuzz) and was non-idempotent: the
+  * int-cast rounding pass wrapped the CASE head on re-translation, and
+  * Spark orders NaN above zero so the naive CASE said 1. Kernel keeps
+  * the translate fixpoint (GRAFT_SIGN sits in integralFns) and the exact
+  * duck matrix. */
+case class SignExpr(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sign"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sign requires a numeric input, got ${other.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case d: java.lang.Double =>
+      if (d.isNaN) 0 else java.lang.Math.signum(d).toInt
+    case f: java.lang.Float =>
+      if (f.isNaN) 0 else java.lang.Math.signum(f.toDouble).toInt
+    case dec: Decimal => dec.toJavaBigDecimal.signum()
+    case n: Number => java.lang.Long.signum(n.longValue())
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case DoubleType | FloatType =>
+        defineCodeGen(ctx, ev, x =>
+          s"(Double.isNaN((double)($x)) ? 0 : (int) Math.signum((double)($x)))")
+      case _: DecimalType =>
+        defineCodeGen(ctx, ev, x => s"$x.toJavaBigDecimal().signum()")
+      case _ =>
+        defineCodeGen(ctx, ev, x => s"java.lang.Long.signum((long)($x))")
+    }
+  override protected def withNewChildInternal(c: Expression): SignExpr =
+    copy(child = c)
+}

@@ -15,8 +15,14 @@ import graft.engine.Engine
 object DiffProbe {
   def norm(v: Any): String = v match {
     case null => "NULL"
-    case d: Double => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
-      d.toLong.toString else f"$d%.6f"
+    case d: Double =>
+      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+      // r12 num fuzz: finite doubles beyond 1e15 — %.6f expands ~17
+      // significant digits then pads zeros while python's repr prints the
+      // shortest round-trip, so IDENTICAL doubles rendered differently;
+      // canonical 9-sig-digit scientific on both sides
+      else if (!d.isInfinite && !d.isNaN && math.abs(d) >= 1e15) f"$d%.9e"
+      else f"$d%.6f"
     case f: Float => norm(f.toDouble)
     case b: java.math.BigDecimal =>
       // integral decimals print exactly (duck's HUGEINT comes back as a

@@ -311,7 +311,7 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT extract(year FROM d) FROM t")
     // epoch() is FRACTIONAL seconds in DuckDB — unix_timestamp truncates
     assert(t("SELECT epoch(ts) FROM t") ==
-      "SELECT (graft_epoch_us(ts) / 1000000.0) FROM t")
+      "SELECT (CAST(graft_epoch_us(ts) AS DOUBLE) / 1000000.0) FROM t")
     assert(t("SELECT epoch_ms(ts) FROM t") == "SELECT (graft_epoch_us(ts) DIV 1000) FROM t")
     assert(t("SELECT epoch_us(ts) FROM t") == "SELECT graft_epoch_us(ts) FROM t")
   }
@@ -343,7 +343,7 @@ class TranslatorSpec extends AnyFunSuite {
   test("date_diff / date_part / epoch mappings") {
     assert(t("SELECT date_diff('day', a, b)") == "SELECT datediff(b, a)")
     assert(t("SELECT date_part('year', ts)") == "SELECT extract(year FROM ts)")
-    assert(t("SELECT epoch(ts)") == "SELECT (graft_epoch_us(ts) / 1000000.0)")
+    assert(t("SELECT epoch(ts)") == "SELECT (CAST(graft_epoch_us(ts) AS DOUBLE) / 1000000.0)")
     // 2-arg Spark-native datediff untouched
     assert(t("SELECT datediff(b, a)") == "SELECT datediff(b, a)")
   }
@@ -415,8 +415,12 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT to_hex(x)") == "SELECT hex(x)")
   }
 
-  test("// becomes DIV, ** becomes left-assoc power") {
-    assert(t("SELECT a // b FROM t") == "SELECT a DIV b FROM t")
+  test("// becomes graft_intdiv, ** becomes left-assoc power") {
+    // r12 num fuzz: duck's // is trunc-long-div only for integral pairs
+    // and PLAIN DOUBLE DIVISION otherwise, NULL on zero either way —
+    // the kernel dispatches on operand types (the old DIV swap was a
+    // loud BINARY_OP_DIFF_TYPES on a double operand)
+    assert(t("SELECT a // b FROM t") == "SELECT graft_intdiv(a, b) FROM t")
     assert(t("SELECT a ** 2 FROM t") == "SELECT power(a, 2) FROM t")
     // left-assoc (DuckDB: 2**2**3 = 64) and call/paren operands
     assert(t("SELECT 2 ** 2 ** 3") == "SELECT power(power(2, 2), 3)")
@@ -696,12 +700,17 @@ class TranslatorSpec extends AnyFunSuite {
     val hm = t("SELECT hamming(a, b)")
     assert(hm.contains("length(a) <> length(b)") && hm.contains("zip_with"))
     assert(t("SELECT mismatches(a, b)") == hm)
+    // r12 num fuzz: isnan/huge guards — floor/ceil return LONG, so
+    // |x| > 2^63 ANSI-overflowed and NaN/inf threw where duck passes
+    // them through
     assert(t("SELECT trunc(x)") ==
-      "SELECT CAST(CASE WHEN (x) >= 0 THEN floor(x) ELSE ceil(x) END AS DOUBLE)")
+      "SELECT CAST(CASE WHEN isnan(x) OR abs(x) >= 9007199254740992e0 THEN (x) " +
+        "WHEN (x) >= 0 THEN floor(x) ELSE ceil(x) END AS DOUBLE)")
     // 2-arg trunc (Spark's date form) passes through
     assert(t("SELECT trunc(d, 'MM')") == "SELECT trunc(d, 'MM')")
     assert(t("SELECT even(x)") ==
-      "SELECT CAST(CASE WHEN (x) >= 0 THEN ceil((x) / 2) * 2 ELSE -(ceil(abs(x) / 2) * 2) END AS DOUBLE)")
+      "SELECT CAST(CASE WHEN isnan(x) OR abs(x) >= 9007199254740992e0 THEN (x) " +
+        "WHEN (x) >= 0 THEN ceil((x) / 2) * 2 ELSE -(ceil(abs(x) / 2) * 2) END AS DOUBLE)")
     assert(t("SELECT isinf(x)") == "SELECT (abs(x) = CAST('Infinity' AS DOUBLE))")
     assert(t("SELECT isfinite(x)").contains("NOT isnan"))
     // fuzzy kernels + gcd/lcm are registered natives — passthrough
@@ -921,9 +930,9 @@ class TranslatorSpec extends AnyFunSuite {
       .contains("((a + b) >"))
     // DuckDB's fractional-seconds epoch part, both syntactic forms
     assert(t("SELECT extract(epoch FROM ts)") ==
-      "SELECT (graft_epoch_us(ts) / 1000000.0)")
+      "SELECT (CAST(graft_epoch_us(ts) AS DOUBLE) / 1000000.0)")
     assert(t("SELECT date_part('epoch', ts)") ==
-      "SELECT (graft_epoch_us(ts) / 1000000.0)")
+      "SELECT (CAST(graft_epoch_us(ts) AS DOUBLE) / 1000000.0)")
   }
 
   test("r7 session 3: FILTER on window aggregates becomes a CASE argument") {
