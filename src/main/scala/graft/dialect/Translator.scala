@@ -5546,10 +5546,18 @@ object Translator {
                   toks = toks.patch(i, lex(sql), close - i + 1)
                 case None => () // unknown specifier — duck errors; stay loud
               }
-            } else
-              // dynamic pattern: bare rename (documented divergence — the
-              // runtime pattern string is not translated)
-              toks = toks.patch(i, Seq(Ident("date_format")), 1)
+            } else if (args.length == 2) {
+              // DYNAMIC pattern (r12, closing the register entry): route
+              // through the graft_strftime runtime formatter — the old
+              // bare date_format rename fed duck %-patterns to the JDK
+              // formatter, a silent wrong answer. Standard (ts, fmt)
+              // argument order (the literal-order sniffing above needs a
+              // literal); unknown specifiers throw at runtime like duck.
+              val (ts, fmt) = (render(args(0)).trim, render(args(1)).trim)
+              toks = toks.patch(i, lex(
+                s"graft_strftime(CAST(($ts) AS TIMESTAMP), $fmt)"),
+                close - i + 1)
+            }
           }
         // ClickHouse splitByChar(sep, s) → split(s, quoted-sep) (args swap)
         case id: Ident if id.upper == "SPLITBYCHAR" =>

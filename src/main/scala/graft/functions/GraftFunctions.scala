@@ -117,6 +117,8 @@ object GraftFunctions {
       args => UrlCanonicalize(args(0))),
     ("graft_sign", "DuckDB sign(): INTEGER -1/0/1, sign(NaN) = 0",
       args => SignExpr(args(0))),
+    ("graft_strftime", "runtime DuckDB strftime for DYNAMIC %-patterns (literal patterns translate at rewrite time)",
+      args => StrftimeDynExpr(args(0), args(1))),
     ("graft_intdiv", "DuckDB // operator: trunc-toward-zero long division for integral pairs, plain double division otherwise, NULL on zero divisor",
       args => IntDivExpr(args(0), args(1))),
     ("graft_dow", "DuckDB day-of-week: 0=Sunday..6=Saturday over timestamp/date (every SQL spelling is a re-capture trap)",

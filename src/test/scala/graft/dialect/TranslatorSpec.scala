@@ -1282,6 +1282,17 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT sum(x) OVER (ORDER BY k NULLS LAST) FROM t0")
   }
 
+  test("r12: dynamic strftime patterns route through the runtime kernel") {
+    // literal patterns keep the rewrite-time JDK translation; a pattern
+    // EXPRESSION used to bare-rename to date_format (JDK semantics on a
+    // duck %-pattern — silent wrong). Duck itself rejects non-constant
+    // formats, so the kernel is a permissive superset with duck-pinned
+    // specifier semantics.
+    assert(t("SELECT strftime(ts, fmt_col) FROM t0") ==
+      "SELECT graft_strftime(CAST((ts) AS TIMESTAMP), fmt_col) FROM t0")
+    assert(t("SELECT strftime(ts, '%Y-%m')") == "SELECT date_format(ts, 'yyyy-MM')")
+  }
+
   test("r12: date_trunc day-or-coarser gets DuckDB's DATE result shape") {
     // duck's date_trunc returns DATE for day+ units REGARDLESS of input
     // type (probed — even on TIMESTAMP); plural spellings are duck-legal

@@ -51,6 +51,41 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_strftime: duck specifier semantics for dynamic patterns") {
+    withFns {
+      import spark.implicits._
+      // duck itself REJECTS non-constant strftime formats ("format must
+      // be a constant") — this kernel is a permissive superset whose
+      // outputs are pinned against duck's own LITERAL-pattern results
+      // (probed 2026-08-15); the old bare date_format rename fed duck
+      // %-patterns to the JDK formatter, a silent wrong answer
+      val df = Seq(1).toDF("x")
+      def f(ts: String, p: String): String =
+        df.select(expr(
+          s"graft_strftime(TIMESTAMP '$ts', '${p.replace("'", "''")}')"))
+          .head.getString(0)
+      val t1 = "2024-03-05 09:07:04.123456"
+      assert(f(t1, "%Y-%m-%d %H:%M:%S") == "2024-03-05 09:07:04")
+      assert(f(t1, "%-d/%-m/%y %I%p") == "5/3/24 09AM")
+      assert(f(t1, "%a %A %b %B") == "Tue Tuesday Mar March")
+      assert(f(t1, "%j %U %W %V %G %u %w") == "065 09 10 10 2024 2 2")
+      assert(f(t1, "%c|%x|%X|%T") ==
+        "2024-03-05 09:07:04|2024-03-05|09:07:04|09:07:04")
+      assert(f(t1, "%z[%Z] %%Y %n %f %g") ==
+        "+00[] %Y 123456000 123456 123")
+      val t2 = "2023-01-01 13:00:00"
+      assert(f(t2, "%a %u %w %U %W %V %G") == "Sun 7 0 01 00 52 2022")
+      assert(f(t2, "%I %p") == "01 PM")
+      // unknown specifier throws like duck's parser
+      val err = intercept[Exception] {
+        df.select(expr("graft_strftime(TIMESTAMP '2024-01-01', '%e')"))
+          .head.getString(0)
+      }
+      assert(err.getMessage.contains("unrecognized format specifier") ||
+        err.getCause != null)
+    }
+  }
+
   test("graft_str_index/graft_str_slice: duck VARCHAR subscript matrix") {
     withFns {
       import spark.implicits._
