@@ -1628,7 +1628,14 @@ object DeclaredQueries {
         "date_trunc('day', ots) AS d1, " +
         "date_trunc('hour', ots) AS h1, " +
         "time_bucket(INTERVAL '7 days', od) AS tb1, " +
-        "CAST(date_trunc('month', od) - DATE '1995-01-01' AS BIGINT) AS dd " +
+        "CAST(date_trunc('month', od) - DATE '1995-01-01' AS BIGINT) AS dd, " +
+        // r13 (VERDICT r12 #4): the user-written CAST(x AS TIMESTAMP)
+        // ARGUMENT spelling gets the DATE shape too (the r12 arg-shape
+        // skip is gone — internal emitters moved to an ENCLOSING
+        // CAST(… AS TIMESTAMP) sentinel, which is midnight-equivalent
+        // in both engines, pinned by mcs)
+        "date_trunc('month', CAST(ots AS TIMESTAMP)) AS mc, " +
+        "CAST(date_trunc('day', ots) AS TIMESTAMP) AS mcs " +
         "FROM g219_od ORDER BY o_orderkey"),
     "q220_div_mod_zero" ->
       // r12 (VERDICT r11 #2): DuckDB returns NULL for x/0 and x%0 where
@@ -1702,7 +1709,11 @@ object DeclaredQueries {
         "epoch_us(ts - TIMESTAMP '2024-01-01 00:00:00') AS epi, " +
         "CAST(epoch(INTERVAL '1 month 2 days') AS DOUBLE) AS epmo, " +
         "CAST(to_timestamp(-0.75) AS TIMESTAMP) AS tts, " +
-        "strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f') AS rt " +
+        "strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f') AS rt, " +
+        // r13: try_strptime literal forms → try_to_timestamp (NULL on
+        // the out-of-range date where strptime errors — duck's split)
+        "try_strptime('2024-02-30', '%Y-%m-%d') AS tsp_n, " +
+        "try_strptime('2024-3-5 1:2:3', '%Y-%m-%d %H:%M:%S') AS tsp_v " +
         "FROM events WHERE event_id < 40 ORDER BY event_id"),
     "q223_numeric_edges" ->
       // r12 (num fuzz, eighth mode): pins the numeric-edge closures.
@@ -1737,7 +1748,20 @@ object DeclaredQueries {
         "CAST((o_orderkey & 5) AS BIGINT) AS band, " +
         "CAST((o_orderkey | 9) AS BIGINT) AS bor, " +
         "CAST(factorial(CAST(o_orderkey % 10 AS INTEGER)) AS BIGINT) AS fact, " +
-        "CAST(CAST(epoch(TIMESTAMP '2024-01-31 12:00:00' - make_timestamp(2024, 1, 31, 23, 0, 0.5)) AS DOUBLE) AS BIGINT) AS ep_he " +
+        "CAST(CAST(epoch(TIMESTAMP '2024-01-31 12:00:00' - make_timestamp(2024, 1, 31, 23, 0, 0.5)) AS DOUBLE) AS BIGINT) AS ep_he, " +
+        // r13 (VERDICT r12 #5, allowlist −1): duck types -2147483648
+        // BIGINT so abs() is 2147483648 where Spark's INT literal
+        // ANSI-overflowed — graft_abs widens INT→LONG (the exact
+        // allowlisted num-mode shape is ab_mod)
+        "abs(-2147483648) AS ab_min, " +
+        "(abs(-2147483648) % 21) AS ab_mod, " +
+        "CAST(abs(3 - o_orderkey % 7) AS BIGINT) AS ab_col, " +
+        "round(abs(-5.5e0), 4) AS ab_d, " +
+        // r13 (r12 ADVICE, medium): negative-digit round on a DECIMAL
+        // operand skips the NaN guard so the result KEEPS duck's
+        // DECIMAL type (the 0.0e0 THEN branch coerced it to DOUBLE —
+        // silent precision loss past 2^53)
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), -2) AS BIGINT) AS rnd_dec " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where

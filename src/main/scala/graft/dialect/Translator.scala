@@ -124,7 +124,8 @@ object Translator {
     toks = rewritePosixClasses(toks)
     toks = rewriteJsonArrows(toks)
     toks = rewriteSplitLiteralSep(toks)
-    toks = rewriteArgShapeFns(toks, types.isCollectionCol, types.isDateCol)
+    toks = rewriteArgShapeFns(toks, types.isCollectionCol, types.isDateCol,
+      types.isDecimalCol)
     toks = rewriteFunctionNames(toks)
     toks = rewriteListAggs(toks)
     toks = rewriteInfoSchema(toks)
@@ -2879,13 +2880,20 @@ object Translator {
     * arithmetic (year − year%k, probed: century(2024) = 2000-01-01, NOT
     * the Gregorian 2001). Fixpoint: a call already enclosed in
     * CAST(… AS DATE) — our own emission or the user's explicit cast — is
-    * skipped, as is an argument that is itself a CAST(… AS TIMESTAMP)
-    * (the rewriteDateFns datediff grids emit that shape, and their
-    * TIMESTAMP result feeds unix_seconds). Residual: a user-written
-    * date_trunc('month', CAST(x AS TIMESTAMP)) keeps the TIMESTAMP shape
-    * (indistinguishable from the internal emission at token level —
-    * documented divergence). Sub-day units return TIMESTAMP in both
-    * engines and pass through. */
+    * skipped, as is one enclosed in CAST(… AS TIMESTAMP): that form is
+    * the INTERNAL-EMISSION SENTINEL (r13, VERDICT r12 #4) — the
+    * rewriteDateFns datediff grids and toStartOfDay pre-wrap their
+    * date_trunc calls in a no-op timestamp cast (folded by Catalyst's
+    * SimplifyCasts) so they keep the TIMESTAMP shape across a
+    * re-translate. A user-written enclosing CAST(… AS TIMESTAMP) is
+    * midnight-equivalent in both engines (duck casts its DATE result
+    * back up), so the skip is semantics-preserving there too. The r12
+    * argument-shape skip (CAST(x AS TIMESTAMP) as args(1)) is GONE —
+    * user spellings `date_trunc('month', CAST(x AS TIMESTAMP))` and
+    * `date_trunc('month', x::TIMESTAMP)` now both get the DATE shape
+    * (they diverged before: `::` rewrites to CAST only in the later
+    * rewriteCastFuncs pass — r12 ADVICE). Sub-day units return
+    * TIMESTAMP in both engines and pass through. */
   private[dialect] def rewriteDateTruncShape(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var changed = true
@@ -2920,20 +2928,11 @@ object Translator {
                   kk == 0 && q < toks.length && up(toks(q)) == "AS" && {
                     val r = nextNonWs(toks, q)
                     r < toks.length && toks(r).isInstanceOf[Ident] &&
-                      up(toks(r)) == "DATE"
+                      (up(toks(r)) == "DATE" || up(toks(r)) == "TIMESTAMP")
                   }
                 }
             }
-            val tsCastArg = args.length == 2 && {
-              val a = args(1).filterNot(isWs)
-              a.length >= 5 && a.head.isInstanceOf[Ident] &&
-                up(a.head) == "CAST" && a(1) == Punct("(") &&
-                a.last == Punct(")") && {
-                  val tl = a(a.length - 2)
-                  tl.isInstanceOf[Ident] && up(tl) == "TIMESTAMP"
-                }
-            }
-            if (unit.isDefined && !enclosedInDateCast && !tsCastArg) {
+            if (unit.isDefined && !enclosedInDateCast) {
               val arg = render(args(1)).trim
               val repl = unit.get match {
                 case Left(u) => s"CAST(date_trunc('$u', $arg) AS DATE)"
@@ -3116,7 +3115,8 @@ object Translator {
 
   private[dialect] def rewriteArgShapeFns(toks0: Vector[Tok],
       isCollectionCol: String => Boolean = _ => false,
-      isDateCol: (String, Boolean) => Boolean = (_, _) => false): Vector[Tok] = {
+      isDateCol: (String, Boolean) => Boolean = (_, _) => false,
+      isDecimalCol: String => Boolean = _ => false): Vector[Tok] = {
     var toks = toks0
     var changed = true
     var lambdaIx = 0 // unique per-rewrite index-lambda marker suffix
@@ -3952,8 +3952,9 @@ object Translator {
             // ClickHouse → pre-wrapped CAST(… AS DATE) (also what
             // rewriteDateTruncShape would produce — emitting it here
             // keeps the fixpoint); DAY returns DateTime there → the
-            // CAST(… AS TIMESTAMP) argument shape opts OUT of the
-            // day-or-coarser DATE rewrite.
+            // ENCLOSING CAST(… AS TIMESTAMP) sentinel opts out of the
+            // day-or-coarser DATE rewrite (r13; no-op cast, folded by
+            // SimplifyCasts).
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 1) {
@@ -3965,7 +3966,7 @@ object Translator {
                 case "MONTH" | "QUARTER" | "YEAR" =>
                   s"CAST(date_trunc('$unit', $d) AS DATE)"
                 case "DAY" =>
-                  s"date_trunc('DAY', CAST(($d) AS TIMESTAMP))"
+                  s"CAST(date_trunc('DAY', CAST(($d) AS TIMESTAMP)) AS TIMESTAMP)"
                 case _ => s"date_trunc('$unit', $d)"
               }
               toks = toks.patch(i, lex(repl), close - i + 1)
@@ -4124,6 +4125,22 @@ object Translator {
             val x = render(toks.slice(callOpen + 1, close)).trim
             toks = toks.patch(i, lex(s"graft_sign($x)"), close - i + 1)
             changed = true
+          case id: Ident if id.upper == "ABS" && callOpen >= 0 && {
+              val close = matchParen(toks, callOpen)
+              splitTopLevel(toks.slice(callOpen + 1, close)).length == 1
+            } =>
+            // r13 (VERDICT r12 #5, closing the num-mode allowlist
+            // residual): duck types `-2147483648` BIGINT where Spark
+            // types it INT and abs() ANSI-overflows — graft_abs widens
+            // BYTE/SHORT/INT one step so the type-min is representable,
+            // and throws on LONG min exactly where duck errors. The
+            // trunc/even/isinf guard emissions in THIS pass also get
+            // captured on rescan (double operands — Math.abs either
+            // way), which keeps the translate fixpoint.
+            val close = matchParen(toks, callOpen)
+            val x = render(toks.slice(callOpen + 1, close)).trim
+            toks = toks.patch(i, lex(s"graft_abs($x)"), close - i + 1)
+            changed = true
           case id: Ident if id.upper == "ROUND" && callOpen >= 0 && {
               val close = matchParen(toks, callOpen)
               val args = splitTopLevel(toks.slice(callOpen + 1, close))
@@ -4139,14 +4156,25 @@ object Translator {
             // NaN/±inf to 0 (probed: round('nan'::DOUBLE, -2) = 0,
             // round('-infinity'::DOUBLE, -1) = 0) where Spark keeps the
             // special — guard them; positive digits pass through (duck
-            // keeps NaN there)
+            // keeps NaN there). r13 (r12 ADVICE, medium): a DECIMAL
+            // operand can never be NaN/inf, and the 0.0e0 THEN branch
+            // coerced the whole CASE to DOUBLE — silent precision loss
+            // past 2^53 on round(decimal_col, -2). DECIMAL-risk operands
+            // skip the guard (digits parenthesized for the fixpoint).
+            // Residual: a MIXED double-column + decimal-literal operand
+            // is DOUBLE in duck but risk-flagged here, so a NaN flowing
+            // through that rare shape keeps Spark's NaN where duck
+            // collapses to 0 — the dec fuzz mode's territory.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             val (x, dgt) = (render(args(0)).trim, render(args(1)).trim)
-            toks = toks.patch(i, lex(
-              s"(CASE WHEN isnan($x) OR abs($x) = CAST('Infinity' AS DOUBLE) " +
-                s"THEN 0.0e0 ELSE round($x, ($dgt)) END)"),
-              close - i + 1)
+            val repl =
+              if (decimalRiskToks(args(0), isDecimalCol))
+                s"round($x, ($dgt))"
+              else
+                s"(CASE WHEN isnan($x) OR abs($x) = CAST('Infinity' AS DOUBLE) " +
+                  s"THEN 0.0e0 ELSE round($x, ($dgt)) END)"
+            toks = toks.patch(i, lex(repl), close - i + 1)
             changed = true
           case id: Ident if id.upper == "EVEN" && callOpen >= 0 =>
             // round away from zero to the next even (even(2.5)=4,
@@ -4785,7 +4813,8 @@ object Translator {
             toks = toks.patch(i,
               lex(s"size(${render(args(0)).trim})"), close - i + 1)
             changed = true
-          case id: Ident if id.upper == "STRPTIME" && callOpen >= 0 && {
+          case id: Ident if (id.upper == "STRPTIME" || id.upper == "TRY_STRPTIME") &&
+              callOpen >= 0 && {
               // only rewrite when every '%'-literal in the call scans
               // cleanly in parse mode — unknown or format-only specifiers
               // leave the call untranslated (duck errors there too)
@@ -4797,12 +4826,39 @@ object Translator {
               }
             } =>
             val close = matchParen(toks, callOpen)
-            toks = toks.zipWithIndex.map {
-              case (s: Str, j) if j > callOpen && j < close && s.value.contains("%") =>
-                Str("'" + strptimeToJava(s.value).replace("'", "''") + "'")
-              case (t, _) => t
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val fmtIsLiteral = args.length == 2 &&
+              (args(1).filterNot(isWs) match {
+                case Vector(s: Str) => s.value.contains("%")
+                case _ => false
+              })
+            val isTry = id.upper == "TRY_STRPTIME"
+            if (fmtIsLiteral) {
+              toks = toks.zipWithIndex.map {
+                case (s: Str, j) if j > callOpen && j < close && s.value.contains("%") =>
+                  Str("'" + strptimeToJava(s.value).replace("'", "''") + "'")
+                case (t, _) => t
+              }
+              // try_strptime → try_to_timestamp (r13): NULL on parse
+              // failure or out-of-range date, duck's split exactly
+              toks = toks.patch(i,
+                Seq(Ident(if (isTry) "try_to_timestamp" else "to_timestamp")), 1)
+            } else if (args.length == 2) {
+              // DYNAMIC pattern (r13, VERDICT r12 #3 — the strftime
+              // pair's parse direction): the old fall-through renamed to
+              // to_timestamp(s, fmt_expr), feeding duck %-patterns to
+              // the JDK formatter per row — a SILENT wrong answer. Route
+              // through the graft_strptime runtime kernel (duck itself
+              // rejects non-constant formats — permissive superset with
+              // duck-faithful probe-pinned semantics).
+              val (s0, fmt) = (render(args(0)).trim, render(args(1)).trim)
+              val fn = if (isTry) "graft_strptime_try" else "graft_strptime"
+              toks = toks.patch(i, lex(s"$fn($s0, $fmt)"), close - i + 1)
+            } else {
+              // 1- or 3+-arg forms (duck's list-of-formats) stay loud
+              toks = toks.patch(i,
+                Seq(Ident(if (isTry) "try_to_timestamp" else "to_timestamp")), 1)
             }
-            toks = toks.patch(i, Seq(Ident("to_timestamp")), 1)
             changed = true
           case id: Ident if id.upper == "NOCASE" && {
               // r10 batch 7: DuckDB's NOCASE collation — Spark 4 spells
@@ -5265,8 +5321,12 @@ object Translator {
                       s"(unix_micros(CAST($a AS TIMESTAMP)) DIV $wUs))"
                   val repl = part.value.toLowerCase match {
                     case "day" | "days" | "d" => s"datediff($b, $a)"
-                    case "month" | "months" => s"CAST(round(months_between(date_trunc('month', CAST(($b) AS TIMESTAMP)), date_trunc('month', CAST(($a) AS TIMESTAMP)))) AS BIGINT)"
-                    case "quarter" | "quarters" => s"(CAST(round(months_between(date_trunc('quarter', CAST(($b) AS TIMESTAMP)), date_trunc('quarter', CAST(($a) AS TIMESTAMP)))) AS BIGINT) DIV 3)"
+                    // the enclosing CAST(… AS TIMESTAMP) on each
+                    // date_trunc is the rewriteDateTruncShape internal-
+                    // emission sentinel (r13) — a re-translate must not
+                    // DATE-wrap these grid inputs
+                    case "month" | "months" => s"CAST(round(months_between(CAST(date_trunc('month', CAST(($b) AS TIMESTAMP)) AS TIMESTAMP), CAST(date_trunc('month', CAST(($a) AS TIMESTAMP)) AS TIMESTAMP))) AS BIGINT)"
+                    case "quarter" | "quarters" => s"(CAST(round(months_between(CAST(date_trunc('quarter', CAST(($b) AS TIMESTAMP)) AS TIMESTAMP), CAST(date_trunc('quarter', CAST(($a) AS TIMESTAMP)) AS TIMESTAMP))) AS BIGINT) DIV 3)"
                     case "year" | "years" => s"(year($b) - year($a))"
                     case "decade" | "decades" => s"((year($b) DIV 10) - (year($a) DIV 10))"
                     // r10 (advisor fix): DuckDB counts century/millennium
@@ -5275,7 +5335,7 @@ object Translator {
                     // the old ceil form was inverted at every boundary
                     case "century" | "centuries" => s"((year($b) DIV 100) - (year($a) DIV 100))"
                     case "millennium" | "millennia" => s"((year($b) DIV 1000) - (year($a) DIV 1000))"
-                    case "week" | "weeks" => s"(datediff(date_trunc('week', CAST(($b) AS TIMESTAMP)), date_trunc('week', CAST(($a) AS TIMESTAMP))) DIV 7)"
+                    case "week" | "weeks" => s"(datediff(CAST(date_trunc('week', CAST(($b) AS TIMESTAMP)) AS TIMESTAMP), CAST(date_trunc('week', CAST(($a) AS TIMESTAMP)) AS TIMESTAMP)) DIV 7)"
                     case "hour" | "hours" => truncDiv(3600000000L)
                     case "minute" | "minutes" => truncDiv(60000000L)
                     case "second" | "seconds" => truncDiv(1000000L)
@@ -6003,6 +6063,25 @@ object Translator {
     * zero-guarded. Left operand extension walks the same-precedence
     * multiplicative run (`a * b / c` → try_divide(a * b, c)) and absorbs
     * window/FILTER suffixes, preserving left-associativity and grouping. */
+  /** DECIMAL-risk containment scan over a token run (r12 rewriteDivMod,
+    * factored r13 — also scopes the negative-digit round() NaN guard):
+    * a DOTTED literal WITHOUT an exponent marker (`2.5` is DECIMAL(2,1)
+    * in duck; `2.5e0`/`1e3` are DOUBLE — the r12 scan over-flagged
+    * scientific literals, r12 ADVICE), a >19-digit integral (HUGEINT),
+    * a DECIMAL/NUMERIC type ident, or a catalog-typed DECIMAL column. */
+  private def decimalRiskToks(ts: Seq[Tok],
+      isDecimalCol: String => Boolean): Boolean =
+    ts.exists {
+      case n: Num =>
+        (n.text.contains('.') &&
+          !n.text.exists(c => c == 'e' || c == 'E')) ||
+          (n.text.forall(_.isDigit) && n.text.length > 19)
+      case id: Ident =>
+        id.upper == "DECIMAL" || id.upper == "NUMERIC" ||
+          isDecimalCol(id.text.toLowerCase(java.util.Locale.ROOT))
+      case _ => false
+    }
+
   private[dialect] def rewriteDivMod(toks0: Vector[Tok],
       isDecimalCol: String => Boolean = _ => false): Vector[Tok] = {
     var toks = toks0
@@ -6093,15 +6172,7 @@ object Translator {
     }
     // DECIMAL-risk containment scan over an operand slice
     def decimalRisk(from: Int, to: Int): Boolean =
-      toks.slice(from, to + 1).exists {
-        case n: Num =>
-          n.text.contains('.') ||
-            (n.text.forall(_.isDigit) && n.text.length > 19)
-        case id: Ident =>
-          id.upper == "DECIMAL" || id.upper == "NUMERIC" ||
-            isDecimalCol(id.text.toLowerCase(java.util.Locale.ROOT))
-        case _ => false
-      }
+      decimalRiskToks(toks.slice(from, to + 1), isDecimalCol)
     // (possibly parenthesized/signed) non-zero INTEGER literal divisor —
     // can never divide by zero, leave the operator alone
     def nonZeroIntLit(from: Int, to: Int): Boolean = {

@@ -117,8 +117,14 @@ object GraftFunctions {
       args => UrlCanonicalize(args(0))),
     ("graft_sign", "DuckDB sign(): INTEGER -1/0/1, sign(NaN) = 0",
       args => SignExpr(args(0))),
+    ("graft_abs", "DuckDB abs() with literal-typing parity: BYTE/SHORT/INT widen one step so the type-min is representable; LONG min errors loudly",
+      args => AbsWidthExpr(args(0))),
     ("graft_strftime", "runtime DuckDB strftime for DYNAMIC %-patterns (literal patterns translate at rewrite time)",
       args => StrftimeDynExpr(args(0), args(1))),
+    ("graft_strptime", "runtime DuckDB strptime for DYNAMIC %-patterns: lenient widths, %p on %H, %f=integer micros, ISO/C week grids; parse failure throws",
+      args => StrptimeDynExpr(args(0), args(1), tryMode = false)),
+    ("graft_strptime_try", "try_strptime flavor: NULL on parse failure or out-of-range date; bad format specifiers still throw",
+      args => StrptimeDynExpr(args(0), args(1), tryMode = true)),
     ("graft_intdiv", "DuckDB // operator: trunc-toward-zero long division for integral pairs, plain double division otherwise, NULL on zero divisor",
       args => IntDivExpr(args(0), args(1))),
     ("graft_dow", "DuckDB day-of-week: 0=Sunday..6=Saturday over timestamp/date (every SQL spelling is a re-capture trap)",

@@ -47,7 +47,12 @@ case class IntDivExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     if (integralPair) {
       val d = b.asInstanceOf[Number].longValue()
-      if (d == 0L) null else a.asInstanceOf[Number].longValue() / d
+      val n = a.asInstanceOf[Number].longValue()
+      // Long.MinValue / -1 wraps in Java two's complement; duck raises
+      // an out-of-range error for the pair (r12 ADVICE) — stay loud
+      if (d == -1L && n == Long.MinValue) throw new ArithmeticException(
+        "graft_intdiv: bigint out of range (-9223372036854775808 // -1 overflows; DuckDB errors too)")
+      if (d == 0L) null else n / d
     } else {
       val d = toD(b)
       if (d == 0.0) null else toD(a) / d
@@ -56,7 +61,10 @@ case class IntDivExpr(left: Expression, right: Expression)
     if (integralPair)
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""if ((long)($b) == 0L) { ${ev.isNull} = true; }
-           |else { ${ev.value} = ((long)($a)) / ((long)($b)); }
+           |else if ((long)($b) == -1L && (long)($a) == java.lang.Long.MIN_VALUE) {
+           |  throw new ArithmeticException(
+           |    "graft_intdiv: bigint out of range (-9223372036854775808 // -1 overflows; DuckDB errors too)");
+           |} else { ${ev.value} = ((long)($a)) / ((long)($b)); }
            |""".stripMargin
       })
     else {
@@ -110,5 +118,68 @@ case class SignExpr(child: Expression) extends
         defineCodeGen(ctx, ev, x => s"java.lang.Long.signum((long)($x))")
     }
   override protected def withNewChildInternal(c: Expression): SignExpr =
+    copy(child = c)
+}
+
+/** DuckDB abs() via literal-typing parity (r13, closing the r12 num-mode
+  * allowlist residual): duck's parser types `-2147483648` as BIGINT
+  * (integer literals get the narrowest fitting type ≥ INTEGER only up
+  * to int32 RANGE — past it they widen), so `abs(-2147483648)` is a
+  * BIGINT 2147483648 where Spark types the literal INT and its ANSI abs
+  * overflows loudly. Width-reading kernel (the BitCountWidth
+  * precedent): BYTE/SHORT/INT inputs return the next-wider type so the
+  * type-min is always representable; LONG keeps LONG with an explicit
+  * overflow throw at Long.MinValue (duck errors there too — probed:
+  * `abs(CAST(… AS BIGINT))` min is "Out of Range"). For a TYPED column
+  * at its type-min duck errors where this widens — permissive-superset,
+  * error-path only (the value duck would have produced on the next
+  * wider type is what we return). FLOAT/DOUBLE/DECIMAL pass through at
+  * their own type. */
+case class AbsWidthExpr(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = child.dataType match {
+    case ByteType | ShortType => IntegerType
+    case IntegerType => LongType
+    case other => other
+  }
+  override def prettyName: String = "graft_abs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_abs requires a numeric input, got ${other.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case d: java.lang.Double => java.lang.Math.abs(d.doubleValue())
+    case f: java.lang.Float => java.lang.Math.abs(f.floatValue())
+    case dec: Decimal => if (dec.toJavaBigDecimal.signum() < 0) -dec else dec
+    case b: java.lang.Byte => java.lang.Math.abs(b.toInt)
+    case s: java.lang.Short => java.lang.Math.abs(s.toInt)
+    case i: java.lang.Integer => java.lang.Math.abs(i.toLong)
+    case l: java.lang.Long =>
+      if (l.longValue() == Long.MinValue) throw new ArithmeticException(
+        "graft_abs: bigint out of range (abs(-9223372036854775808) overflows; DuckDB errors too)")
+      else java.lang.Math.abs(l.longValue())
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case DoubleType | FloatType =>
+        defineCodeGen(ctx, ev, x => s"java.lang.Math.abs($x)")
+      case _: DecimalType =>
+        defineCodeGen(ctx, ev,
+          x => s"(($x.toJavaBigDecimal().signum() < 0) ? $x.unary_$$minus() : $x)")
+      case ByteType | ShortType =>
+        defineCodeGen(ctx, ev, x => s"java.lang.Math.abs((int)($x))")
+      case IntegerType =>
+        defineCodeGen(ctx, ev, x => s"java.lang.Math.abs((long)($x))")
+      case _ =>
+        nullSafeCodeGen(ctx, ev, x =>
+          s"""if ((long)($x) == java.lang.Long.MIN_VALUE) {
+             |  throw new ArithmeticException(
+             |    "graft_abs: bigint out of range (abs(-9223372036854775808) overflows; DuckDB errors too)");
+             |}
+             |${ev.value} = java.lang.Math.abs((long)($x));
+             |""".stripMargin)
+    }
+  override protected def withNewChildInternal(c: Expression): AbsWidthExpr =
     copy(child = c)
 }

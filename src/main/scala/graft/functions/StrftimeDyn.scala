@@ -90,8 +90,15 @@ object StrftimeDyn {
     }
     var i = 0
     while (i < p.length) {
-      if (p.charAt(i) == '%' && i + 1 < p.length) {
-        val dash = p.charAt(i + 1) == '-' && i + 2 < p.length
+      if (p.charAt(i) == '%') {
+        // a trailing '%' or '%-' has no specifier — duck rejects both as
+        // parse errors; emitting them literally (pre-r13) was a silent
+        // permissive divergence (r12 ADVICE)
+        if (i + 1 >= p.length) throw new IllegalArgumentException(
+          "graft_strftime: trailing '%' without a format specifier (DuckDB errors on it too)")
+        val dash = p.charAt(i + 1) == '-'
+        if (dash && i + 2 >= p.length) throw new IllegalArgumentException(
+          "graft_strftime: trailing '%-' without a format specifier (DuckDB errors on it too)")
         val c = if (dash) p.charAt(i + 2) else p.charAt(i + 1)
         i += (if (dash) 3 else 2)
         spec(c, dash)

@@ -389,8 +389,19 @@ class TranslatorSpec extends AnyFunSuite {
     // fields also accept padded input, so this is a strict superset)
     assert(t("SELECT strptime(s, '%Y-%m-%d %H:%M:%S')")
       == "SELECT to_timestamp(s, 'yyyy-M-d H:m:s')")
-    // non-pattern args untouched
-    assert(t("SELECT strptime(s, fmt)") == "SELECT to_timestamp(s, fmt)")
+    // r13: a DYNAMIC format routes through the graft_strptime runtime
+    // kernel — the old to_timestamp(s, fmt) rename fed duck %-patterns
+    // to the JDK formatter per row, a silent wrong answer (duck itself
+    // rejects non-constant formats — permissive superset)
+    assert(t("SELECT strptime(s, fmt)") == "SELECT graft_strptime(s, fmt)")
+    assert(t("SELECT try_strptime(s, fmt)") == "SELECT graft_strptime_try(s, fmt)")
+    // r13: try_strptime with a literal pattern → try_to_timestamp (NULL
+    // on parse failure or out-of-range date, duck's strptime/try split)
+    assert(t("SELECT try_strptime(s, '%Y-%m-%d')")
+      == "SELECT try_to_timestamp(s, 'yyyy-M-d')")
+    // a %-literal that does NOT scan stays untranslated (duck errors on
+    // %e too — loud on both engines)
+    assert(t("SELECT strptime(s, '%Y-%e')") == "SELECT strptime(s, '%Y-%e')")
   }
 
   test("generate_series: table context -> range(±1 end), scalar -> sequence") {
@@ -424,7 +435,10 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT a ** 2 FROM t") == "SELECT power(a, 2) FROM t")
     // left-assoc (DuckDB: 2**2**3 = 64) and call/paren operands
     assert(t("SELECT 2 ** 2 ** 3") == "SELECT power(power(2, 2), 3)")
-    assert(t("SELECT (a + 1) ** abs(b)") == "SELECT power((a + 1), abs(b))")
+    // abs routes through graft_abs (r13: duck literal-typing parity —
+    // INT widens to LONG so abs(-2147483648) is 2147483648, not an
+    // ANSI overflow)
+    assert(t("SELECT (a + 1) ** abs(b)") == "SELECT power((a + 1), graft_abs(b))")
     // a directly-preceding unary minus is part of the base (-2**2 = 4);
     // a binary minus is not (a - 2**2)
     assert(t("SELECT -2 ** 2") == "SELECT power(-2, 2)")
@@ -704,14 +718,14 @@ class TranslatorSpec extends AnyFunSuite {
     // |x| > 2^63 ANSI-overflowed and NaN/inf threw where duck passes
     // them through
     assert(t("SELECT trunc(x)") ==
-      "SELECT CAST(CASE WHEN isnan(x) OR abs(x) >= 9007199254740992e0 THEN (x) " +
+      "SELECT CAST(CASE WHEN isnan(x) OR graft_abs(x) >= 9007199254740992e0 THEN (x) " +
         "WHEN (x) >= 0 THEN floor(x) ELSE ceil(x) END AS DOUBLE)")
     // 2-arg trunc (Spark's date form) passes through
     assert(t("SELECT trunc(d, 'MM')") == "SELECT trunc(d, 'MM')")
     assert(t("SELECT even(x)") ==
-      "SELECT CAST(CASE WHEN isnan(x) OR abs(x) >= 9007199254740992e0 THEN (x) " +
-        "WHEN (x) >= 0 THEN ceil((x) / 2) * 2 ELSE -(ceil(abs(x) / 2) * 2) END AS DOUBLE)")
-    assert(t("SELECT isinf(x)") == "SELECT (abs(x) = CAST('Infinity' AS DOUBLE))")
+      "SELECT CAST(CASE WHEN isnan(x) OR graft_abs(x) >= 9007199254740992e0 THEN (x) " +
+        "WHEN (x) >= 0 THEN ceil((x) / 2) * 2 ELSE -(ceil(graft_abs(x) / 2) * 2) END AS DOUBLE)")
+    assert(t("SELECT isinf(x)") == "SELECT (graft_abs(x) = CAST('Infinity' AS DOUBLE))")
     assert(t("SELECT isfinite(x)").contains("NOT isnan"))
     // fuzzy kernels + gcd/lcm are registered natives — passthrough
     assert(t("SELECT damerau_levenshtein(a, b), gcd(a, b), lcm(a, b)") ==
@@ -742,9 +756,10 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT (CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END)")
     // r12: CH toStartOfMonth returns Date (pre-wrapped CAST keeps the
     // rewriteDateTruncShape fixpoint); toStartOfDay returns DateTime —
-    // the CAST(… AS TIMESTAMP) arg opts out of the DATE-shape rewrite
+    // the ENCLOSING CAST(… AS TIMESTAMP) sentinel (r13) opts out of the
+    // DATE-shape rewrite
     assert(t("SELECT toStartOfMonth(d), toStartOfDay(d)") ==
-      "SELECT CAST(date_trunc('MONTH', d) AS DATE), date_trunc('DAY', CAST((d) AS TIMESTAMP))")
+      "SELECT CAST(date_trunc('MONTH', d) AS DATE), CAST(date_trunc('DAY', CAST((d) AS TIMESTAMP)) AS TIMESTAMP)")
     // CH toStartOfWeek mode 0 = SUNDAY start; Spark week truncs to Monday
     assert(t("SELECT toStartOfWeek(d)") ==
       "SELECT date_sub(CAST(date_trunc('WEEK', date_add(d, 1)) AS DATE), 1)")
@@ -1315,6 +1330,25 @@ class TranslatorSpec extends AnyFunSuite {
     // day+ date_trunc is date-valued → DATE−DATE integer-days rewrite
     assert(t("SELECT date_trunc('month', x) - date_trunc('month', y)") ==
       "SELECT datediff(CAST(date_trunc('MONTH', x) AS DATE), CAST(date_trunc('MONTH', y) AS DATE))")
+    // r13 (VERDICT r12 #4 + ADVICE): the r12 ARGUMENT-shape skip is
+    // gone — a user-written CAST(x AS TIMESTAMP) argument gets the DATE
+    // shape, and the `::TIMESTAMP` spelling behaves identically (the
+    // two diverged before: `::` rewrites to CAST only in the later
+    // rewriteCastFuncs pass)
+    assert(t("SELECT date_trunc('month', CAST(x AS TIMESTAMP))") ==
+      "SELECT CAST(date_trunc('MONTH', CAST(x AS TIMESTAMP)) AS DATE)")
+    assert(t("SELECT date_trunc('month', x::TIMESTAMP)") ==
+      "SELECT CAST(date_trunc('MONTH', x::TIMESTAMP) AS DATE)")
+    // internal-emission sentinel: an ENCLOSING CAST(… AS TIMESTAMP)
+    // opts out (it is midnight-equivalent in both engines — duck casts
+    // its DATE result back up)
+    assert(t("SELECT CAST(date_trunc('day', x) AS TIMESTAMP)") ==
+      "SELECT CAST(date_trunc('day', x) AS TIMESTAMP)")
+    // the datediff month-grid emission survives a re-translate intact
+    // (its date_trunc calls carry the sentinel)
+    val grid = t("SELECT date_diff('month', a, b) FROM ev")
+    assert(grid.contains("CAST(date_trunc('month', CAST((b) AS TIMESTAMP)) AS TIMESTAMP)"))
+    assert(t(grid) == grid)
   }
 
   test("r12: / and % with fallible divisors take duck's NULL-on-zero try forms") {
@@ -1336,6 +1370,22 @@ class TranslatorSpec extends AnyFunSuite {
     // r8 adjudication's type-shape concern, now scoped to exactly this
     assert(t("SELECT a / 2.5, CAST(a AS DECIMAL(10,2)) / b FROM t0") ==
       "SELECT a / 2.5, CAST(a AS DECIMAL(10,2)) / b FROM t0")
+    // r13 (r12 ADVICE): scientific literals are DOUBLE in duck, not
+    // DECIMAL — they no longer suppress the try forms
+    assert(t("SELECT a % 0.0e0, a / 2.5e0, b / 1e3 FROM t0") ==
+      "SELECT try_mod(a, 0.0e0), try_divide(a, 2.5e0), try_divide(b, 1e3) FROM t0")
+  }
+
+  test("r13: negative-digit round NaN guard is scoped away from DECIMAL operands") {
+    // the 0.0e0 THEN branch coerced a DECIMAL round to DOUBLE — silent
+    // precision loss past 2^53 (r12 ADVICE, medium); a decimal can
+    // never be NaN/inf, so DECIMAL-risk operands skip the guard (digits
+    // parenthesized for the fixpoint)
+    assert(t("SELECT round(CAST(a AS DECIMAL(30,4)), -2) FROM t0") ==
+      "SELECT round(CAST(a AS DECIMAL(30,4)), (-2)) FROM t0")
+    assert(t("SELECT round(a, -2) FROM t0") ==
+      "SELECT (CASE WHEN isnan(a) OR graft_abs(a) = CAST('Infinity' AS DOUBLE) " +
+        "THEN 0.0e0 ELSE round(a, (-2)) END) FROM t0")
   }
 
   test("r12: catalog-typed resolution — strict date minus, string cols, decimal divide") {

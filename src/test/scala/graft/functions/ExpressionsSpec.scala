@@ -86,6 +86,86 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_strptime: duck strptime semantics for dynamic patterns") {
+    withFns {
+      import spark.implicits._
+      // duck rejects non-constant strptime formats — permissive superset
+      // pinned against duck's LITERAL-pattern parses (probed 2026-08-15,
+      // two matrices; see StrptimeDyn's scaladoc for the full register)
+      val df = Seq(1).toDF("x")
+      def f(s: String, p: String): String =
+        df.select(expr(
+          s"CAST(graft_strptime('${s.replace("'", "''")}', '${p.replace("'", "''")}') AS STRING)"))
+          .head.getString(0)
+      def fTry(s: String, p: String): String =
+        df.select(expr(
+          s"CAST(graft_strptime_try('$s', '$p') AS STRING)")).head.getString(0)
+      def fails(s: String, p: String): Unit = {
+        val e = intercept[Exception](f(s, p))
+        assert(e.getMessage != null || e.getCause != null)
+      }
+      // lenient numeric widths, contiguous digits, multi-space runs
+      assert(f("2024-3-5", "%Y-%m-%d") == "2024-03-05 00:00:00")
+      assert(f("20240305", "%Y%m%d") == "2024-03-05 00:00:00")
+      assert(f("2024  01  02", "%Y %m %d") == "2024-01-02 00:00:00")
+      // %y pivot at 68; %-d parses like %d
+      assert(f("69", "%y") == "1969-01-01 00:00:00")
+      assert(f("68", "%y") == "2068-01-01 00:00:00")
+      assert(f("5/3/2024", "%-d/%-m/%Y") == "2024-03-05 00:00:00")
+      // %p applies to %H too; 12 AM = 00, 12 PM = 12; >12 with %p fails
+      assert(f("03 PM", "%H %p") == "1900-01-01 15:00:00")
+      assert(f("12 AM", "%I %p") == "1900-01-01 00:00:00")
+      assert(f("12 PM", "%I %p") == "1900-01-01 12:00:00")
+      fails("14 PM", "%H %p")
+      // %f is INTEGER MICROS (not a fraction); %g millis; %n nanos→round
+      assert(f("12:30:45.12", "%H:%M:%S.%f") == "1900-01-01 12:30:45.000012")
+      assert(f("12:30:45.123", "%H:%M:%S.%g") == "1900-01-01 12:30:45.123")
+      assert(f("2024-03-05 10:00:00.123456789", "%Y-%m-%d %H:%M:%S.%n") ==
+        "2024-03-05 10:00:00.123457")
+      // %j consumed + range-checked but IGNORED (duck quirk, probed)
+      assert(f("2024 366", "%Y %j") == "2024-01-01 00:00:00")
+      // month names: %b abbreviation ONLY, %B full, case-insensitive;
+      // %a consumed without validating against the date
+      assert(f("Mar 5 2024", "%b %d %Y") == "2024-03-05 00:00:00")
+      assert(f("mArCh 5 2024", "%B %d %Y") == "2024-03-05 00:00:00")
+      assert(f("Mon Mar 5 2024", "%a %b %d %Y") == "2024-03-05 00:00:00")
+      fails("March 5 2024", "%b %d %Y")
+      // ISO grid: %G selects it, %V/%u default to 1; explicit m/d wins
+      assert(f("2024 05 3", "%G %V %u") == "2024-01-31 00:00:00")
+      assert(f("2024", "%G") == "2024-01-01 00:00:00")
+      assert(f("2024 3", "%G %u") == "2024-01-03 00:00:00")
+      assert(f("2024-03-05 2023", "%Y-%m-%d %G") == "2024-03-05 00:00:00")
+      // C week grids: %U Sunday-first (+%w), %W Monday-first
+      assert(f("1900 10 3", "%Y %U %w") == "1900-03-14 00:00:00")
+      assert(f("1900 0 3", "%Y %U %w") == "1900-01-03 00:00:00")
+      assert(f("2024 10", "%Y %W") == "2024-03-04 00:00:00")
+      // %z/%Z shift to UTC (duck returns TIMESTAMPTZ; engine runs UTC)
+      assert(f("2024-03-05 10:00:00 +02", "%Y-%m-%d %H:%M:%S %z") ==
+        "2024-03-05 08:00:00")
+      assert(f("-0500", "%z") == "1900-01-01 05:00:00")
+      assert(f("10:30 PST", "%H:%M %Z") == "1900-01-01 18:30:00")
+      assert(f("10:30 Europe/Berlin", "%H:%M %Z") == "1900-01-01 09:30:00")
+      // composites and literal-% match
+      assert(f("2024-03-05 10:00:00", "%c") == "2024-03-05 10:00:00")
+      assert(f("10:00:00", "%T") == "1900-01-01 10:00:00")
+      assert(f("%", "%%") == "1900-01-01 00:00:00")
+      // loud errors: trailing input, field range, literal case, date
+      // out of range (conversion stage)
+      fails("2024-01-02xyz", "%Y-%m-%d")
+      fails("2024-13-05", "%Y-%m-%d")
+      fails("2024-02-30", "%Y-%m-%d")
+      fails("t14", "T%H")
+      assert(f("T14", "T%H") == "1900-01-01 14:00:00")
+      // try flavor: NULL on input failure, loud on bad FORMAT (duck's
+      // try_strptime keeps format errors loud too)
+      assert(fTry("2024-02-30", "%Y-%m-%d") == null)
+      assert(fTry("garbage", "%Y-%m-%d") == null)
+      assert(fTry("2024-03-05", "%Y-%m-%d") == "2024-03-05 00:00:00")
+      fails("2024", "%e")
+      intercept[Exception](fTry("2024", "%e"))
+    }
+  }
+
   test("graft_str_index/graft_str_slice: duck VARCHAR subscript matrix") {
     withFns {
       import spark.implicits._
