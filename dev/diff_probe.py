@@ -29,7 +29,13 @@ def norm(v):
             return f"{v:.9e}"
         if v == math.floor(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6f}"
+        # Java's %.6f (DiffProbe.norm) rounds the SHORTEST digits then
+        # pads, while python's %.6f expands the exact binary — identical
+        # doubles rendered differently once |v| has >11 integer digits
+        # (r13 dec fuzz, num probe 34: .898100 vs .898102). Mirror Java:
+        # HALF_UP on repr()'s shortest digits.
+        return str(decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
     if isinstance(v, datetime.timedelta):
         # intervals canonicalize to seconds on both sides (Spark returns
         # java.time.Duration, rendered as seconds there too)

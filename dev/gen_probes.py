@@ -486,6 +486,157 @@ def gen_num(rng, kind, depth):
     return f"exp(least({gen_num(rng, 'd', depth - 1)}, 700e0))"
 
 
+"""DECIMAL/HUGEINT mode (r13, ninth mode — VERDICT r12 #1): the exact-
+arithmetic surface the num mode's double-centric generator never
+stresses — decimal literals/casts at p/s boundaries, DECIMAL→DECIMAL
+downscale casts (duck TRUNCATES where Spark rounds HALF_UP — probed),
+greatest/least over decimals (duck converts to DOUBLE incl. its
+precision loss; HUGEINT stays exact), // and % over DECIMAL vs HUGEINT
+operands (duck's // is plain double division for DECIMAL pairs but
+exact INT128 trunc division for HUGEINT pairs — the HUGEINT→
+DECIMAL(38,0) type mapping must not erase that), round/trunc/floor/
+ceil result types, decimal aggregation (sum exact, avg → DOUBLE),
+>2⁶³ arithmetic through HUGEINT casts and bare >19-digit literals.
+Magnitude classes keep Spark's DECIMAL(38) precision-loss cap and
+duck's out-of-range errors out of reach (overflow is loud on BOTH
+sides with unmatchable messages — not a divergence, just noise).
+Division outputs serialize through round(…, 4); VARCHAR rendering is
+pinned only on scale-stable shapes (cast/round/trunc/abs)."""
+
+DEC_LITS = ["1.25", "-3.105", "0.07", "12345.6789", "0.5", "2.555",
+            "-0.125", "99999999.99"]
+HUGE_ATOMS = [
+    "CAST('99999999999999999999' AS HUGEINT)",
+    "CAST('-170141183460469231731687303715' AS HUGEINT)",
+    "CAST('4611686018427387904' AS HUGEINT)",
+    "99999999999999999999999",     # bare 23-digit literal: HUGEINT in duck
+    "CAST(o_orderkey AS HUGEINT)",
+]
+
+
+def gen_dec(rng, depth):
+    """A DECIMAL-valued expression of bounded magnitude (< ~1e9)."""
+    if depth <= 0:
+        r = rng.random()
+        if r < 0.35:
+            return f"CAST(o_totalprice AS DECIMAL({rng.choice(['18,2', '38,6', '12,0'])}))"
+        if r < 0.5:
+            return f"CAST(o_orderkey AS DECIMAL(10,0))"
+        if r < 0.9:
+            return rng.choice(DEC_LITS)
+        return f"CAST('{rng.choice(['1.255', '-1.256', '0.004999', '7'])}' AS DECIMAL(8,3))"
+    r = rng.random()
+    if r < 0.20:
+        op = rng.choice(["+", "-"])
+        return f"({gen_dec(rng, depth - 1)} {op} {gen_dec(rng, depth - 1)})"
+    if r < 0.28:
+        # literal second factor: keeps precision under Spark's 38-cap
+        # (precision loss rounds there where duck errors — both avoided)
+        return f"({gen_dec(rng, depth - 1)} * {rng.choice(['2', '-3', '0.5', '1.5'])})"
+    if r < 0.36:
+        return f"({gen_dec(rng, depth - 1)} % {rng.choice(['7', '2.5', '97'])})"
+    if r < 0.42:
+        s = rng.choice([0, 1, 2, 3])
+        return f"CAST({gen_dec(rng, depth - 1)} AS DECIMAL(38,{s}))"
+    if r < 0.48:
+        return f"TRY_CAST({gen_dec(rng, depth - 1)} AS DECIMAL(6,2))"
+    if r < 0.56:
+        return f"round({gen_dec(rng, depth - 1)}, {rng.choice([-2, -1, 0, 1, 2])})"
+    if r < 0.64:
+        f = rng.choice(["trunc", "floor", "ceil"])
+        return f"{f}({gen_dec(rng, depth - 1)})"
+    if r < 0.72:
+        return f"abs({gen_dec(rng, depth - 1)})"
+    if r < 0.78:
+        return f"(- {gen_dec(rng, depth - 1)})"
+    if r < 0.86:
+        f = rng.choice(["greatest", "least"])
+        return f"{f}({gen_dec(rng, depth - 1)}, {gen_dec(rng, depth - 1)})"
+    if r < 0.93:
+        return (f"coalesce(nullif({gen_dec(rng, depth - 1)}, "
+                f"{rng.choice(DEC_LITS)}), {rng.choice(DEC_LITS)})")
+    return (f"(CASE WHEN o_orderkey % {rng.choice([2, 3])} = 0 THEN "
+            f"{gen_dec(rng, depth - 1)} ELSE {gen_dec(rng, depth - 1)} END)")
+
+
+def gen_huge(rng, depth):
+    """A HUGEINT-valued expression (magnitudes kept under ~1e35)."""
+    if depth <= 0:
+        return rng.choice(HUGE_ATOMS)
+    r = rng.random()
+    if r < 0.25:
+        op = rng.choice(["+", "-"])
+        return f"({gen_huge(rng, depth - 1)} {op} {rng.choice(['1', '999', '1000000007'])})"
+    if r < 0.35:
+        return f"({gen_huge(rng, depth - 1)} * {rng.choice(['2', '-3', '7'])})"
+    if r < 0.50:
+        return f"({gen_huge(rng, depth - 1)} % {rng.choice(['97', '1000000007', '7'])})"
+    if r < 0.65:
+        return f"({gen_huge(rng, depth - 1)} // {rng.choice(['3', '1000000007', '-7'])})"
+    if r < 0.75:
+        return f"abs({gen_huge(rng, depth - 1)})"
+    if r < 0.82:
+        return f"(- {gen_huge(rng, depth - 1)})"
+    if r < 0.92:
+        f = rng.choice(["greatest", "least"])
+        return f"{f}({gen_huge(rng, depth - 1)}, {gen_huge(rng, depth - 1)})"
+    return (f"(CASE WHEN o_orderkey % 2 = 0 THEN {gen_huge(rng, depth - 1)} "
+            f"ELSE {gen_huge(rng, depth - 1)} END)")
+
+
+def gen_dec_probe(rng):
+    r = rng.random()
+    if r < 0.12:
+        # aggregate shape: sum exact, avg → duck DOUBLE vs Spark DECIMAL
+        e = gen_dec(rng, 1)
+        return (f"SELECT o_orderstatus, count(*) AS n, sum({e}) AS s, "
+                f"min({e}) AS mn, max({e}) AS mx, round(avg({e}), 3) AS av "
+                f"FROM orders WHERE o_orderkey < 500 "
+                f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    outs = []
+    for _ in range(rng.choice([2, 3])):
+        k = rng.random()
+        if k < 0.4:
+            e = gen_dec(rng, rng.choice([1, 2]))
+            kk = rng.random()
+            if kk < 0.3:
+                outs.append(e)  # decimal rendering itself
+            elif kk < 0.5:
+                outs.append(f"round({e}, 4)")
+            elif kk < 0.65:
+                # scale-stable shapes only: division never reaches here
+                outs.append(f"CAST(round({e}, 2) AS VARCHAR)")
+            elif kk < 0.8:
+                outs.append(f"CAST({e} AS BIGINT)")
+            else:
+                outs.append(f"({e} {rng.choice(['<', '<=', '>', '='])} "
+                            f"{gen_dec(rng, 1)})")
+        elif k < 0.6:
+            # division: duck DOUBLE vs Spark DECIMAL — serialize rounded
+            a, b = gen_dec(rng, 1), rng.choice(["7", "2.5", "-3", "0.25"])
+            if rng.random() < 0.5:
+                outs.append(f"round({a} / {b}, 4)")
+            else:
+                outs.append(f"round({a} // {b}, 4)")
+        else:
+            e = gen_huge(rng, rng.choice([1, 2]))
+            kk = rng.random()
+            if kk < 0.45:
+                outs.append(e)  # exact integral rendering
+            elif kk < 0.6:
+                outs.append(f"CAST({e} AS VARCHAR)")
+            elif kk < 0.7:
+                outs.append(f"TRY_CAST({e} AS BIGINT)")
+            elif kk < 0.8:
+                outs.append(f"sign({e})")
+            else:
+                outs.append(f"({e} {rng.choice(['<', '>', '='])} "
+                            f"{gen_huge(rng, 1)})")
+    sel = ", ".join(f"{o} AS c{i}" for i, o in enumerate(outs))
+    return (f"SELECT o_orderkey, {sel} FROM orders "
+            f"WHERE o_orderkey < 10 ORDER BY o_orderkey")
+
+
 def gen_num_probe(rng):
     outs = []
     for _ in range(rng.choice([2, 3])):
@@ -807,6 +958,10 @@ def main():
     if mode == "num":
         for _ in range(n):
             print(gen_num_probe(rng))
+        return
+    if mode == "dec":
+        for _ in range(n):
+            print(gen_dec_probe(rng))
         return
     for i in range(n):
         ty = rng.choice([INT, DBL, STR, DATE, BOOL])

@@ -64,11 +64,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_BENCH_TRACE=1: per-entry wall times on stderr (r13 —
+    // the only way to find a stalled entry inside the otherwise-silent
+    // warmup sweep)
+    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
     Engine.tableNames.foreach(t => spark.table(t).count())
-    ordered.foreach { case (_, fn) =>
+    ordered.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       dropLeftoverBlocks()
+      if (trace) System.err.println(
+        f"[bench-trace] warmup $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
     // min of N timed runs per query: a single measurement is hostage to a

@@ -1763,6 +1763,69 @@ object DeclaredQueries {
         // silent precision loss past 2^53)
         "CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), -2) AS BIGINT) AS rnd_dec " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q224_decimal_hugeint" ->
+      // r13 (dec fuzz, ninth mode — VERDICT r12 #1): pins the
+      // DECIMAL/HUGEINT closures. DECIMAL→DECIMAL downscale TRUNCATES
+      // like duck (2.555→(38,2)→2.55; Spark's HALF_UP said 2.56 — a
+      // silent wrong answer on every downscale tie), explicit casts via
+      // the graft_dec_cast kernel and COERCION-inserted casts (CASE
+      // branch unification at reduced scale) via the resolution-time
+      // DecDownscaleCast rule; bare DECIMAL is duck's (18,3) default
+      // (Spark's (10,0) silently truncated to integer); HUGEINT-spelled
+      // `//` is exact INT128-style trunc division at DECIMAL(38,0) —
+      // nested chains stay integral ((h//3)//3, and the sign probe is 0
+      // where double remainders said -1) — while DECIMAL-spelled `//`
+      // keeps duck's plain double division; greatest/least over
+      // decimals converts to DOUBLE like duck (including its >2^53
+      // precision loss: least of two 1e20-scale DECIMAL(38,0)s is the
+      // double 1e20); doubles render through duck's formatter (plain
+      // notation to 1e16, not Java's E-form at 1e7).
+      ("SELECT o_orderkey, " +
+        "CAST(2.555 AS DECIMAL(38,2)) AS dc_lit, " +
+        "TRY_CAST((-3.105 - 0.07) AS DECIMAL(6,2)) AS dc_try, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DECIMAL(38,1)) AS dc_col, " +
+        "(CASE WHEN o_orderkey % 3 = 0 THEN (-0.125 % 2.5) " +
+        "ELSE CAST(o_totalprice AS DECIMAL(38,2)) END) AS dc_case, " +
+        "CAST(o_totalprice AS DECIMAL) AS dc_bare, " +
+        // outer casts pin the column types against duck's HUGEINT (the
+        // driver compares schemas; the q223 convention) — values exact
+        "CAST((CAST('4611686018427387904' AS HUGEINT) // 3) // 3 AS BIGINT) AS hg_div2, " +
+        "CAST((99999999999999999999999 // -7) AS VARCHAR) AS hg_divneg, " +
+        "CAST(sign((CAST(o_orderkey AS HUGEINT) // -7) // 1000000007) AS BIGINT) AS hg_sign, " +
+        "CAST(CAST('99999999999999999999' AS HUGEINT) % 97 AS BIGINT) AS hg_mod, " +
+        "round(CAST(1.25 AS DECIMAL(38,1)) // 7, 4) AS dec_div, " +
+        "greatest(CAST(o_totalprice AS DECIMAL(12,0)), CAST(o_totalprice AS DECIMAL(18,2))) AS g_dec, " +
+        // (38,1), not (38,0): the scale-0 wide spellings are the HUGEINT
+        // images and take exact hugeint semantics (SURVEY register)
+        "least(CAST('99999999999999999999.5' AS DECIMAL(38,1)), " +
+        "CAST('99999999999999999998.5' AS DECIMAL(38,1))) AS l_big, " +
+        "CAST(greatest(CAST('99999999999999999999' AS HUGEINT), " +
+        "CAST('99999999999999999998' AS HUGEINT)) AS VARCHAR) AS g_huge, " +
+        "CAST(o_totalprice * 1000 AS VARCHAR) AS d_str, " +
+        "CAST(CAST('-170141183460469231731687303715' AS HUGEINT) // 3 AS VARCHAR) AS hg_str " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q225_decimal_agg" ->
+      // r13 (dec fuzz): decimal aggregation — sum/min/max stay exact
+      // DECIMAL (duck widens to (38,s), Spark to (p+10,s); values
+      // identical), while avg over DECIMAL (or HUGEINT) is duck's
+      // DOUBLE computed from the EXACT sum (probed: avg of 3×0.1
+      // DECIMAL(3,1) is 0.1 exactly — neither double accumulation nor
+      // double(sum)/n). Spark's DECIMAL avg rounds HALF_UP at scale
+      // s+4, a silent wrong answer in the 5th fractional digit caught
+      // on the fixture (246.7955 → .796 vs duck .7955 → .795 at
+      // round 3); the translator splits avg into
+      // CAST(try_divide(sum(x), count(x)) AS DOUBLE). The downscale
+      // cast inside the aggregate compounds per-row (sum over trunc vs
+      // HALF_UP diverged by 8+ units at 152 rows).
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "sum(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DECIMAL(38,1))) AS s_dn, " +
+        "min(abs(CAST(o_orderkey AS DECIMAL(10,0)))) AS mn_d, " +
+        "max(CAST(o_totalprice AS DECIMAL(18,2))) AS mx_d, " +
+        "round(avg(abs(CAST(o_orderkey AS DECIMAL(10,0)))), 3) AS av_d, " +
+        "round(avg(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS av_p, " +
+        "round(avg(CAST(o_orderkey AS HUGEINT)), 3) AS av_h " +
+        "FROM orders WHERE o_orderkey < 500 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

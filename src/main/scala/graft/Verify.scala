@@ -13,6 +13,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the r13 resolution rules (DecDownscaleCast, DoubleCastToDuckStr)
+      // must be active in the gate session — they fold coercion-inserted
+      // casts with duck semantics (q224's CASE branch)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parser.escapedStringLiterals", "true")

@@ -113,6 +113,7 @@ object Translator {
     toks = rewriteDateTruncShape(toks)
     toks = rewriteIntCastRounding(toks)
     toks = rewriteCastFuncs(toks)
+    toks = rewriteDecCast(toks, types.isDecimalCol)
     toks = rewriteStringAgg(toks)
     toks = rewriteAnyAll(toks)
     toks = rewriteWindowFilter(toks)
@@ -1573,7 +1574,8 @@ object Translator {
     "DAYOFWEEK", "DAYOFMONTH", "DAYOFYEAR", "WEEKOFYEAR", "QUARTER",
     "DATEDIFF", "COUNT", "SIGN", "FACTORIAL",
     "BIT_COUNT", "GRAFT_BIT_COUNT", "GRAFT_INT_ROUND", "GRAFT_INT_ROUND_TRY",
-    "GRAFT_DOW", "GRAFT_EPOCH_US", "GRAFT_SIGN",
+    "GRAFT_DOW", "GRAFT_EPOCH_US", "GRAFT_SIGN", "GRAFT_INTDIV_EXACT",
+    "GRAFT_ROUND_DBL",
     "BIT_LENGTH", "OCTET_LENGTH",
     "DAMERAU_LEVENSHTEIN", "LEVENSHTEIN", "BPE_TOKEN_COUNT",
     "ASCII_CHAR_COUNT", "GCD", "LCM")
@@ -1685,6 +1687,112 @@ object Translator {
                 s"CAST(graft_int_round(($l)) AS $ty)"),
                 tIdx - lStart + 1)
               changed = true
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** DuckDB casts to DECIMAL(p,s) dispatch rounding on the INPUT type
+    * (r13 dec fuzz — the ninth mode's first-batch headline): a DECIMAL
+    * source TRUNCATES extra scale digits (2.555→(38,2)→2.55) where
+    * Spark rounds HALF_UP (2.56) — a silent wrong answer on every
+    * downscale tie; DOUBLE sources round half-up on the exact BINARY
+    * value where Spark rounds the shortest decimal rendering. CAST and
+    * TRY_CAST (and their `::` suffix spellings) whose operand slice
+    * carries DECIMAL risk (the rewriteDivMod containment-scan
+    * convention — a dotted literal, DECIMAL/NUMERIC ident, or catalog
+    * DECIMAL column) become `graft_dec_cast[_try]((x), p, s)`, a
+    * type-dispatched codegen kernel. Non-risky operands keep Spark's
+    * Cast (those sources can only be double/int/string, where the
+    * HALF_UP forms already probe-match except the binary-vs-shortest
+    * knife edge, documented in the SURVEY register). A bare DECIMAL /
+    * NUMERIC target is duck's DECIMAL(18,3) (probed — Spark's default
+    * is (10,0)), rewritten for risky operands; DECIMAL(p) is (p,0) in
+    * both engines. Runs AFTER rewriteCastFuncs so toDecimal()'s emitted
+    * casts get the same treatment, and the emission is an opaque kernel
+    * call, so the translate∘translate fixpoint holds. */
+  private[dialect] def rewriteDecCast(toks0: Vector[Tok],
+      isDecimalCol: String => Boolean = _ => false): Vector[Tok] = {
+    var toks = toks0
+    // target type tokens → Some((p, s)) when a DECIMAL/NUMERIC target
+    def decTarget(tyToks: Seq[Tok]): Option[(Int, Int)] = {
+      val nw = tyToks.filterNot(isWs).toList
+      nw match {
+        case (t: Ident) :: Nil
+            if t.upper == "DECIMAL" || t.upper == "NUMERIC" =>
+          Some((18, 3)) // duck's bare-DECIMAL default
+        case (t: Ident) :: Punct("(") :: (pn: Num) :: Punct(")") :: Nil
+            if (t.upper == "DECIMAL" || t.upper == "NUMERIC") &&
+              pn.text.forall(_.isDigit) =>
+          Some((pn.text.toInt, 0))
+        case (t: Ident) :: Punct("(") :: (pn: Num) :: Punct(",") ::
+            (sn: Num) :: Punct(")") :: Nil
+            if (t.upper == "DECIMAL" || t.upper == "NUMERIC") &&
+              pn.text.forall(_.isDigit) && sn.text.forall(_.isDigit) =>
+          Some((pn.text.toInt, sn.text.toInt))
+        case _ => None
+      }
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case id: Ident if (id.upper == "CAST" || id.upper == "TRY_CAST") && {
+                val n = nextNonWs(toks, i)
+                n < toks.length && toks(n) == Punct("(")
+              } =>
+            val open = nextNonWs(toks, i)
+            val close = matchParen(toks, open)
+            var d = 0; var asIdx = -1
+            for (j <- open + 1 until close) {
+              d += depthDelta(toks(j))
+              if (d == 0 && asIdx < 0 && up(toks(j)) == "AS") asIdx = j
+            }
+            if (asIdx > 0) {
+              val srcToks = toks.slice(open + 1, asIdx)
+              decTarget(toks.slice(asIdx + 1, close)) match {
+                case Some((p, s))
+                    if decimalRiskToks(srcToks, isDecimalCol) =>
+                  val kernel = if (id.upper == "TRY_CAST") "graft_dec_cast_try"
+                    else "graft_dec_cast"
+                  toks = toks.patch(i,
+                    lex(s"$kernel((${render(srcToks).trim}), $p, $s)"),
+                    close - i + 1)
+                  changed = true
+                case _ =>
+              }
+            }
+          case Punct("::") =>
+            // x::DECIMAL(p,s) — Spark parses :: natively, so the suffix
+            // form survives to runtime unless rewritten here
+            val tIdx = nextNonWs(toks, i)
+            if (tIdx < toks.length && toks(tIdx).isInstanceOf[Ident] &&
+                (up(toks(tIdx)) == "DECIMAL" || up(toks(tIdx)) == "NUMERIC")) {
+              val after = nextNonWs(toks, tIdx)
+              val tyEnd =
+                if (after < toks.length && toks(after) == Punct("("))
+                  matchParen(toks, after)
+                else tIdx
+              val lEnd = prevNonWs(toks, i)
+              if (lEnd >= 0) {
+                val lStart = primaryStart(toks, lEnd)
+                val srcToks = toks.slice(lStart, lEnd + 1)
+                decTarget(toks.slice(tIdx, tyEnd + 1)) match {
+                  case Some((p, s))
+                      if decimalRiskToks(srcToks, isDecimalCol) =>
+                    toks = toks.patch(lStart,
+                      lex(s"graft_dec_cast((${render(srcToks).trim}), $p, $s)"),
+                      tyEnd - lStart + 1)
+                    changed = true
+                  case _ =>
+                }
+              }
             }
           case _ =>
         }
@@ -3129,6 +3237,73 @@ object Translator {
           if (n < toks.length && toks(n) == Punct("(")) n else -1
         }
         toks(i) match {
+          case id: Ident if Set("GREATEST", "LEAST").contains(id.upper) &&
+              callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                val inner = toks.slice(callOpen + 1, close)
+                // duck converts DECIMAL-bearing greatest/least to DOUBLE
+                // (r13 dec fuzz — probed: typeof(greatest(dec, dec)) =
+                // DOUBLE, including its >2^53 precision loss; HUGEINT
+                // pairs stay exact, so hugeint-only slices are skipped).
+                // Datetime-surface slices skip too: make_timestamp's
+                // fractional seconds are decimal-risk BY TOKEN but the
+                // value is a TIMESTAMP — the wrap broke analysis (ts
+                // fuzz regression caught by the r13 full-gate rerun)
+                !dtSurfaceToks(inner) &&
+                decimalRiskNonHugeToks(inner, isDecimalCol) && {
+                  // skip-if-wrapped: every arg already CAST(… AS DOUBLE)
+                  // means this is our own emission (fixpoint guard)
+                  val args = splitTopLevel(inner)
+                  !args.forall(argWrappedAsDouble)
+                }
+              } =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val wrapped = args.map { a =>
+              if (argWrappedAsDouble(a)) render(a).trim
+              else s"CAST((${render(a).trim}) AS DOUBLE)"
+            }
+            toks = toks.patch(i,
+              lex(s"${id.text}(${wrapped.mkString(", ")})"), close - i + 1)
+            changed = true
+          case id: Ident if (id.upper == "AVG" || id.upper == "MEAN") &&
+              callOpen >= 0 && {
+                val close = matchParen(toks, callOpen)
+                val inner = toks.slice(callOpen + 1, close)
+                // duck's avg over DECIMAL/HUGEINT returns DOUBLE computed
+                // from the EXACT sum (r13 dec fuzz — probed: avg of 3×0.1
+                // DECIMAL is 0.1 exactly, neither double-accumulation nor
+                // double(sum)/n); Spark's DECIMAL avg rounds HALF_UP at
+                // scale s+4, a silent wrong answer in the 5th fractional
+                // digit. sum/count split: Spark's decimal division keeps
+                // scale ≥ 6 and the exact sum, then one double conversion
+                // — within 1 ulp of duck's integer-division double
+                splitTopLevel(inner).length == 1 &&
+                  !dtSurfaceToks(inner) &&
+                  (decimalRiskNonHugeToks(inner, isDecimalCol) ||
+                    hugeintRiskToks(inner))
+              } =>
+            val close = matchParen(toks, callOpen)
+            val arg = render(toks.slice(callOpen + 1, close)).trim
+            // absorb FILTER (WHERE …) and OVER (…)|OVER w suffixes so
+            // both halves of the split carry them
+            var sfxEnd = close
+            var look = nextNonWs(toks, sfxEnd)
+            while (look < toks.length && (up(toks(look)) == "FILTER" ||
+                up(toks(look)) == "OVER")) {
+              val nn = nextNonWs(toks, look)
+              sfxEnd =
+                if (nn < toks.length && toks(nn) == Punct("(")) matchParen(toks, nn)
+                else nn
+              look = nextNonWs(toks, sfxEnd)
+            }
+            val sfx =
+              if (sfxEnd > close) " " + render(toks.slice(close + 1, sfxEnd + 1)).trim
+              else ""
+            toks = toks.patch(i, lex(
+              s"CAST(try_divide(sum($arg)$sfx, count($arg)$sfx) AS DOUBLE)"),
+              sfxEnd - i + 1)
+            changed = true
           case id: Ident if id.upper == "XOR" && callOpen >= 0 =>
             // or/and/not composition, NOT Spark's `^`: since r8 the `^`
             // OPERATOR rewrites to power() (DuckDB semantics), so an
@@ -3389,7 +3564,12 @@ object Translator {
             // breaking the translate∘translate fixpoint
             toks = toks.patch(i, lex(
               s"make_interval(0, $m, 0, CAST(round($rem DIV 86400000000) AS INT), 0, 0, " +
-                s"CAST($rem % 86400000000 AS DECIMAL(18,6)) / 1000000)"),
+                // graft_dec_cast, not CAST(… AS DECIMAL(18,6)): the rem
+                // slice can carry user decimal tokens, and a risky CAST
+                // in our own emission would be re-captured by
+                // rewriteDecCast on re-translation (fixpoint); the kernel
+                // is exact for this integral input
+                s"graft_dec_cast($rem % 86400000000, 18, 6) / 1000000)"),
               close - i + 1)
             changed = true
           case id: Ident if id.upper == "ARRAY_TO_STRING" && callOpen >= 0 && {
@@ -4144,36 +4324,45 @@ object Translator {
           case id: Ident if id.upper == "ROUND" && callOpen >= 0 && {
               val close = matchParen(toks, callOpen)
               val args = splitTopLevel(toks.slice(callOpen + 1, close))
-              args.length == 2 && (args(1).filterNot(isWs) match {
-                // bare negative integer literal only — the emission
-                // parenthesizes the digits, so re-translation no longer
-                // matches (fixpoint)
-                case Vector(Punct("-"), _: Num) => true
-                case _ => false
-              })
+              (args.length == 1 || args.length == 2) && {
+                if (decimalRiskToks(args(0), isDecimalCol))
+                  // DECIMAL operand: Spark's decimal round already
+                  // matches duck's exact half-away (r12-pinned); only
+                  // bare negative-literal digits need the parenthesized
+                  // re-emission (r13, r12 ADVICE: the old NaN guard
+                  // coerced DECIMAL results to DOUBLE)
+                  args.length == 2 && (args(1).filterNot(isWs) match {
+                    case Vector(Punct("-"), _: Num) => true
+                    case _ => false
+                  })
+                else
+                  // non-decimal → duck's FP round kernel, EXCEPT the
+                  // integral-marker shapes: round-as-identity over a DIV
+                  // or an integral-fn head — internal emissions rely on
+                  // the round( spelling for the int-cast-rounding skip,
+                  // and the value is already integral on both engines
+                  !roundIntegralMarker(args(0))
+              }
             } =>
-            // r12 num fuzz: duck's NEGATIVE-digit round collapses
-            // NaN/±inf to 0 (probed: round('nan'::DOUBLE, -2) = 0,
-            // round('-infinity'::DOUBLE, -1) = 0) where Spark keeps the
-            // special — guard them; positive digits pass through (duck
-            // keeps NaN there). r13 (r12 ADVICE, medium): a DECIMAL
-            // operand can never be NaN/inf, and the 0.0e0 THEN branch
-            // coerced the whole CASE to DOUBLE — silent precision loss
-            // past 2^53 on round(decimal_col, -2). DECIMAL-risk operands
-            // skip the guard (digits parenthesized for the fixpoint).
-            // Residual: a MIXED double-column + decimal-literal operand
-            // is DOUBLE in duck but risk-flagged here, so a NaN flowing
-            // through that rare shape keeps Spark's NaN where duck
-            // collapses to 0 — the dec fuzz mode's territory.
+            // r13 dec fuzz (num-mode probe 34): duck's round() over
+            // DOUBLE is `std::round(x·10^n)/10^n` — half-away on the FP
+            // PRODUCT — while Spark rounds the shortest decimal
+            // rendering via BigDecimal.HALF_UP; they disagree on every
+            // binary knife-edge (round(2.675e0, 2): duck 2.68, Spark
+            // 2.67; round(167634154485.89804, 4): duck ….8981, Spark
+            // ….8980). graft_round_dbl replicates duck bit-exactly and
+            // subsumes the r12 negative-digit NaN/±inf→0 guard (its
+            // negative branch returns 0 there, the positive branch
+            // passes the special through — both probed).
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
-            val (x, dgt) = (render(args(0)).trim, render(args(1)).trim)
+            val x = render(args(0)).trim
             val repl =
               if (decimalRiskToks(args(0), isDecimalCol))
-                s"round($x, ($dgt))"
-              else
-                s"(CASE WHEN isnan($x) OR abs($x) = CAST('Infinity' AS DOUBLE) " +
-                  s"THEN 0.0e0 ELSE round($x, ($dgt)) END)"
+                s"round($x, (${render(args(1)).trim}))"
+              else if (args.length == 2)
+                s"graft_round_dbl($x, ${render(args(1)).trim})"
+              else s"graft_round_dbl($x)"
             toks = toks.patch(i, lex(repl), close - i + 1)
             changed = true
           case id: Ident if id.upper == "EVEN" && callOpen >= 0 =>
@@ -4778,17 +4967,23 @@ object Translator {
             // ts fuzz): a to_timestamp(…) argument and a NESTED
             // timezone(…) argument (whose own emission computes the
             // instant) — those dispatch to from_utc_timestamp,
-            // reproducing duck's nested-zone chains exactly. TSTZ values
-            // flowing through OTHER expressions (interval arithmetic,
-            // greatest, date_diff buckets) keep the naive reading —
-            // documented divergence class, allowlisted in the ts
-            // batches.
+            // reproducing duck's nested-zone chains exactly. r13
+            // narrowed the residual class: date_diff now floor-grids
+            // TSTZ-flavored operands and chained AT TIME ZONE inverts
+            // via the containment scan below; what remains is the
+            // single pinned matrix cell (ts2.37) — a MIXED interval
+            // applied to a TSTZ value runs days-first in duck where
+            // naive runs months-first.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
-            val tstzProducer = args(1).filterNot(isWs) match {
-              case v if v.length >= 2 && v.head.isInstanceOf[Ident] &&
-                  Set("TO_TIMESTAMP", "TIMEZONE").contains(up(v.head)) &&
-                  v(1) == Punct("(") => true
+            // r13 (closing two allowlisted ts cells): CONTAINMENT scan,
+            // not a bare head match — a chained `(x AT TIME ZONE 'a') AT
+            // TIME ZONE 'b'` parenthesizes the inner producer, and duck
+            // COERCES mixed expressions to TSTZ anyway, so any producer
+            // in the slice means the operand is TSTZ-flavored
+            val tstzProducer = args(1).exists {
+              case t: Ident => Set("TO_TIMESTAMP", "TIMEZONE",
+                "TO_UTC_TIMESTAMP", "FROM_UTC_TIMESTAMP").contains(t.upper)
               case _ => false
             }
             val (z, x) = (render(args(0)).trim, render(args(1)).trim)
@@ -4834,15 +5029,23 @@ object Translator {
               })
             val isTry = id.upper == "TRY_STRPTIME"
             if (fmtIsLiteral) {
-              toks = toks.zipWithIndex.map {
-                case (s: Str, j) if j > callOpen && j < close && s.value.contains("%") =>
-                  Str("'" + strptimeToJava(s.value).replace("'", "''") + "'")
-                case (t, _) => t
-              }
+              // convert ONLY the format argument (r13 full-gate rerun):
+              // the old whole-call-range map also converted %-literals
+              // belonging to NESTED strftime/strptime calls inside
+              // args(0) — their own rewrite then saw a %-free pattern,
+              // fell through to the DYNAMIC kernel, and fed it an
+              // already-JDK literal (a runtime parse error) — and a
+              // legitimate '%' in the DATA string would have been
+              // corrupted the same way. Token-level reconstruction
+              // leaves args(0) byte-identical.
+              val fmtStr = args(1).filterNot(isWs).head.asInstanceOf[Str]
+              val jdk = Str("'" + strptimeToJava(fmtStr.value).replace("'", "''") + "'")
               // try_strptime → try_to_timestamp (r13): NULL on parse
               // failure or out-of-range date, duck's split exactly
-              toks = toks.patch(i,
-                Seq(Ident(if (isTry) "try_to_timestamp" else "to_timestamp")), 1)
+              val fn = if (isTry) "try_to_timestamp" else "to_timestamp"
+              val repl = Vector(Ident(fn), Punct("(")) ++ args(0) ++
+                Vector(Punct(","), Ws(" "), jdk, Punct(")"))
+              toks = toks.patch(i, repl, close - i + 1)
             } else if (args.length == 2) {
               // DYNAMIC pattern (r13, VERDICT r12 #3 — the strftime
               // pair's parse direction): the old fall-through renamed to
@@ -5316,9 +5519,37 @@ object Translator {
                   // DIV shipped through r8 was a silent divergence (r9).
                   // Truncated values are exact multiples of the width,
                   // so DIV is exact in both directions.
-                  def truncDiv(wUs: Long): String =
-                    s"((unix_micros(CAST($b AS TIMESTAMP)) DIV $wUs) - " +
-                      s"(unix_micros(CAST($a AS TIMESTAMP)) DIV $wUs))"
+                  //
+                  // r13 (closing three allowlisted ts cells): duck's
+                  // grids differ by FLAVOR — NAIVE timestamps truncate
+                  // each side toward zero (probed: ('minute', 23:59:59,
+                  // 00:00:30) = 0), but a TSTZ operand switches BOTH
+                  // sides to the session-calendar FLOOR grid (same
+                  // probe over to_timestamp() values = 1, and mixed
+                  // naive+TSTZ coerces to TSTZ). The two agree for
+                  // positive epochs; pre-epoch values diverge by one.
+                  // TSTZ producers are visible at token level here
+                  // (to_timestamp / timezone() — AT TIME ZONE has
+                  // already become timezone() by this pass).
+                  val tstz = (args(1) ++ args(2)).exists {
+                    case t: Ident => Set("TO_TIMESTAMP", "TIMEZONE",
+                      "TO_UTC_TIMESTAMP", "FROM_UTC_TIMESTAMP")
+                      .contains(t.upper)
+                    case _ => false
+                  }
+                  def gridDiv(wUs: Long): String =
+                    if (tstz) {
+                      // exact integer floor: subtract pmod (∈ [0, w))
+                      // then DIV — a double division would lose micros
+                      // past 2^53
+                      def f(e: String) =
+                        s"((unix_micros(CAST($e AS TIMESTAMP)) - " +
+                          s"pmod(unix_micros(CAST($e AS TIMESTAMP)), $wUs)) DIV $wUs)"
+                      s"(${f(b)} - ${f(a)})"
+                    } else
+                      s"((unix_micros(CAST($b AS TIMESTAMP)) DIV $wUs) - " +
+                        s"(unix_micros(CAST($a AS TIMESTAMP)) DIV $wUs))"
+                  def truncDiv(wUs: Long): String = gridDiv(wUs)
                   val repl = part.value.toLowerCase match {
                     case "day" | "days" | "d" => s"datediff($b, $a)"
                     // the enclosing CAST(… AS TIMESTAMP) on each
@@ -5866,6 +6097,15 @@ object Translator {
         case id: Ident if id.upper == "BLOB" || id.upper == "BYTEA" ||
             id.upper == "VARBINARY" => Ident("BINARY")
         case id: Ident if id.upper == "HUGEINT" => Ident("DECIMAL(38,0)")
+        // duck's bare DECIMAL/NUMERIC defaults to DECIMAL(18,3); Spark's
+        // default is (10,0) — a silent integer truncation (r13 dec fuzz).
+        // Risky operands were already rewritten to graft_dec_cast(x,18,3)
+        // by rewriteDecCast; this rename covers the rest (casts of double
+        // columns, DDL column types).
+        case id: Ident if (id.upper == "DECIMAL" || id.upper == "NUMERIC") && {
+          val n = nextNonWs(toks, i)
+          n >= toks.length || toks(n) != Punct("(")
+        } => Ident("DECIMAL(18,3)")
         case id: Ident if id.upper == "UTINYINT" => Ident("SMALLINT")
         case id: Ident if id.upper == "UINTEGER" => Ident("BIGINT")
         case id: Ident if id.upper == "UBIGINT" => Ident("DECIMAL(20,0)")
@@ -6082,6 +6322,132 @@ object Translator {
       case _ => false
     }
 
+  /** The token at `i` heads a `DECIMAL(38,0)` / `DECIMAL(20,0)`
+    * spelling — the HUGEINT/UBIGINT image types. After one translate the
+    * rename's single-token ident renders to text and RE-LEXES as the
+    * multi-token user spelling, so hugeint-ness must survive that round
+    * trip: the engine adopts ONE consistent rule (SURVEY register) —
+    * DECIMAL(38,0) and DECIMAL(20,0), however spelled, take HUGEINT
+    * semantics in `//` routing and greatest/least/avg dispatch; any
+    * other precision/scale is a DECIMAL spelling. */
+  private def headsHugeintImage(ts: Seq[Tok], i: Int): Boolean = {
+    val v = ts.toVector
+    def nn(j: Int): Int = {
+      var k = j + 1
+      while (k < v.length && isWs(v(k))) k += 1
+      k
+    }
+    val o = nn(i)
+    if (o >= v.length || v(o) != Punct("(")) return false
+    val p = nn(o)
+    if (p >= v.length) return false
+    val c1 = nn(p)
+    if (c1 >= v.length || v(c1) != Punct(",")) return false
+    val s = nn(c1)
+    if (s >= v.length) return false
+    val c2 = nn(s)
+    if (c2 >= v.length || v(c2) != Punct(")")) return false
+    (v(p), v(s)) match {
+      case (pn: Num, sn: Num) =>
+        (pn.text == "38" || pn.text == "20") && sn.text == "0"
+      case _ => false
+    }
+  }
+
+  /** DECIMAL risk EXCLUDING the hugeint spellings (r13 dec fuzz): dotted
+    * literals, DECIMAL/NUMERIC type idents that are NOT the
+    * DECIMAL(38,0)/(20,0) hugeint images, and catalog-typed DECIMAL
+    * columns. Distinguishes duck's DECIMAL operators (double semantics)
+    * from its HUGEINT ones (exact INT128). */
+  private def decimalRiskNonHugeToks(ts: Seq[Tok],
+      isDecimalCol: String => Boolean): Boolean =
+    ts.zipWithIndex.exists {
+      case (n: Num, _) =>
+        n.text.contains('.') && !n.text.exists(c => c == 'e' || c == 'E')
+      case (id: Ident, i) =>
+        ((id.upper == "DECIMAL" || id.upper == "NUMERIC") &&
+          !headsHugeintImage(ts, i)) ||
+          isDecimalCol(id.text.toLowerCase(java.util.Locale.ROOT))
+      case _ => false
+    }
+
+  /** Datetime-surface containment (r13): tokens proving a slice is
+    * timestamp/date/interval-valued — the greatest/least/avg DOUBLE
+    * dispatch must not fire there (duck's greatest(ts, ts) stays
+    * TIMESTAMP; a fractional-seconds literal inside make_timestamp is
+    * decimal-risk by token but not decimal-typed). Conservative in the
+    * safe direction: a false positive skips the wrap and keeps the
+    * pre-r13 behavior. */
+  private val dtSurfaceTokens = Set(
+    "TIMESTAMP", "TIMESTAMPTZ", "DATE", "DATETIME", "TIME", "INTERVAL",
+    "MAKE_TIMESTAMP", "MAKE_DATE", "TO_TIMESTAMP", "STRPTIME",
+    "TRY_STRPTIME", "GRAFT_STRPTIME", "GRAFT_STRPTIME_TRY", "TIMEZONE",
+    "AT", "EPOCH_MS", "DATE_TRUNC", "DATE_ADD", "DATE_SUB", "DATEADD",
+    "DATESUB", "TIMESTAMPADD", "TIMESTAMPDIFF", "LAST_DAY", "NOW",
+    "TODAY", "CURRENT_DATE", "CURRENT_TIMESTAMP", "TIME_BUCKET",
+    // emission spellings earlier passes may have produced by the time
+    // rewriteArgShapeFns runs (to_timestamp → timestamp_seconds etc.)
+    "TIMESTAMP_SECONDS", "TIMESTAMP_MILLIS", "TIMESTAMP_MICROS",
+    "TO_UTC_TIMESTAMP", "FROM_UTC_TIMESTAMP", "TO_DATE", "DATE_FORMAT",
+    "GREATEST", "LEAST") // nested greatest/least: dispatch on the flat args only
+  private def dtSurfaceToks(ts: Seq[Tok]): Boolean =
+    ts.exists {
+      case id: Ident => dtSurfaceTokens.contains(id.upper)
+      case _ => false
+    }
+
+  /** round() argument that is an integral-identity shape (r13): a DIV
+    * anywhere in the slice or an integral-fn head call. These rounds are
+    * the engine's own already-integral markers (the int-cast-rounding
+    * skip) — converting them to graft_round_dbl would break the
+    * translate∘translate fixpoint on emissions like
+    * `CAST(round($rem DIV 86400000000) AS INT)`, and the value is
+    * integral on both engines anyway. */
+  private def roundIntegralMarker(arg: Seq[Tok]): Boolean = {
+    if (arg.exists(t => up(t) == "DIV")) return true
+    val v = arg.toVector
+    val nw = v.zipWithIndex.filterNot { case (t, _) => isWs(t) }
+    nw.headOption match {
+      case Some((id: Ident, hi)) if integralFns.contains(id.upper) =>
+        val n = nextNonWs(v, hi)
+        n < v.length && v(n) == Punct("(") && matchParen(v, n) == nw.last._2
+      case _ => false
+    }
+  }
+
+  /** One greatest/least argument already shaped `CAST(… AS DOUBLE)` —
+    * the dec-fuzz double-wrap's own emission (fixpoint guard). */
+  private def argWrappedAsDouble(arg: Seq[Tok]): Boolean = {
+    val v = arg.toVector
+    val nw = v.zipWithIndex.filterNot { case (t, _) => isWs(t) }
+    if (nw.length < 5) return false
+    val (h, _) = nw.head
+    if (!(h.isInstanceOf[Ident] && up(h) == "CAST")) return false
+    val (o, oi) = nw(1)
+    if (o != Punct("(")) return false
+    if (matchParen(v, oi) != nw.last._2) return false
+    val beforeClose = nw(nw.length - 2)._1
+    beforeClose.isInstanceOf[Ident] && up(beforeClose) == "DOUBLE"
+  }
+
+  /** HUGEINT spelling containment (r13): a >19-digit integer literal
+    * (duck types those HUGEINT), a HUGEINT/UBIGINT ident (pre-rename
+    * passes), the rename's single-token DECIMAL(38,0)/DECIMAL(20,0)
+    * output, or the multi-token image spelling those render to on
+    * re-lex (see [[headsHugeintImage]] — user-spelled DECIMAL(38,0)
+    * deliberately takes hugeint semantics, the one consistent reading
+    * that survives translate∘translate). */
+  private def hugeintRiskToks(ts: Seq[Tok]): Boolean =
+    ts.zipWithIndex.exists {
+      case (n: Num, _) => n.text.forall(_.isDigit) && n.text.length > 19
+      case (id: Ident, i) =>
+        id.upper == "HUGEINT" || id.upper == "UBIGINT" ||
+          id.upper == "DECIMAL(38,0)" || id.upper == "DECIMAL(20,0)" ||
+          ((id.upper == "DECIMAL" || id.upper == "NUMERIC") &&
+            headsHugeintImage(ts, i))
+      case _ => false
+    }
+
   private[dialect] def rewriteDivMod(toks0: Vector[Tok],
       isDecimalCol: String => Boolean = _ => false): Vector[Tok] = {
     var toks = toks0
@@ -6210,19 +6576,39 @@ object Translator {
             val rStart = nextNonWs(toks, i)
             val rEnd = extendRight(primaryEnd(toks, rStart))
             val lStart = mulRunStart(lEnd)
-            // `//` ALWAYS takes the kernel (duck dispatches integral-vs-
+            // `//` ALWAYS takes a kernel (duck dispatches integral-vs-
             // double semantics on operand types the token level can't
             // see, and the kernel accepts decimal operands — duck's
             // decimal // is double division too); / and % keep the
-            // literal/decimal skips
+            // literal/decimal skips. r13 (dec fuzz): HUGEINT-SPELLED
+            // slices (>19-digit literal or the rename's single-token
+            // DECIMAL(38,0)) with no other DECIMAL risk route to the
+            // EXACT kernel — duck's HUGEINT // is exact INT128 trunc
+            // division where its DECIMAL // is plain double division,
+            // and the type mapping erases that distinction. A catalog
+            // DECIMAL column keeps the double path (its HUGEINT-vs-
+            // DECIMAL origin is unknowable — documented residual).
             if (op == "//" || (!nonZeroIntLit(rStart, rEnd) &&
                 !decimalRisk(lStart, lEnd) && !decimalRisk(rStart, rEnd))) {
-              val l = render(toks.slice(lStart, lEnd + 1)).trim
-              val r = render(toks.slice(rStart, rEnd + 1)).trim
+              val lToks = toks.slice(lStart, lEnd + 1)
+              val rToks = toks.slice(rStart, rEnd + 1)
               val fn = if (op == "/") "try_divide"
-                else if (op == "//") "graft_intdiv"
+                else if (op == "//") {
+                  val slice = lToks ++ rToks
+                  if (hugeintRiskToks(slice) &&
+                      !decimalRiskNonHugeToks(slice, isDecimalCol))
+                    "graft_intdiv_exact"
+                  else "graft_intdiv"
+                }
                 else "try_mod"
-              toks = toks.patch(lStart, lex(s"$fn($l, $r)"), rEnd - lStart + 1)
+              // token-level construction, NOT lex(render(…)): a lex
+              // round-trip flattens the hugeint rename's single-token
+              // DECIMAL(38,0) ident into the user multi-token spelling,
+              // mis-routing the OUTER links of nested // chains to the
+              // double kernel (r13 dec fuzz, probe: (h // 3) // 3)
+              val repl = Vector(Ident(fn), Punct("(")) ++ lToks ++
+                Vector(Punct(","), Ws(" ")) ++ rToks :+ Punct(")")
+              toks = toks.patch(lStart, repl, rEnd - lStart + 1)
               changed = true
             }
           case _ =>

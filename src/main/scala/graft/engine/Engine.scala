@@ -2227,6 +2227,14 @@ object Engine {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // extensions, not only runtime register(): the r13 dec-fuzz rules
+      // (DecDownscaleCast, DoubleCastToDuckStr) must run at RESOLUTION so
+      // coercion-inserted casts fold with duck semantics — runtime
+      // injection can only reach the optimizer batch, after folding.
+      // GRAFT_NO_EXTENSIONS=1 is a perf-bisection escape hatch (dev only).
+      .config("spark.sql.extensions",
+        if (sys.env.get("GRAFT_NO_EXTENSIONS").contains("1")) ""
+        else "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DuckDB's DOUBLE/FLOAT → VARCHAR rendering (r13 dec fuzz, probe 34):
+  * shortest round-trip digits, PLAIN decimal notation while the decimal
+  * exponent is in [-4, 15] (integral values keep a trailing ".0"), and
+  * `d[.ddd]e±XX` scientific outside it (two-digit minimum exponent,
+  * mantissa dot only when more than one digit). Spark's Cast uses Java's
+  * Double.toString, which flips to `1.23456785E7` at 1e7 — a silent
+  * rendering divergence in every double→string cast of large values.
+  * Probed matrix: 99999999.99→'99999999.99', 1e15→'1000000000000000.0',
+  * 1e16→'1e+16', 0.0001→'0.0001', 1.5e-5→'1.5e-05', 2.0→'2.0',
+  * -0.0→'0.0', nan→'nan', inf→'inf'. FLOAT uses float-shortest digits
+  * ('0.1', not the double expansion). Installed by the
+  * [[graft.plans.DoubleCastToDuckStr]] optimizer rule; constant-only
+  * casts fold before that rule runs and keep Spark's rendering
+  * (documented residual — every column-bearing path is covered). */
+case class DoubleStrExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_double_str"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_double_str requires a double or float input, got ${other.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any = a match {
+    case d: java.lang.Double => UTF8String.fromString(DoubleStr.fmt(d, isFloat = false))
+    case f: java.lang.Float =>
+      UTF8String.fromString(DoubleStr.fmt(f.doubleValue(), isFloat = true, f = f))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case FloatType => defineCodeGen(ctx, ev, x =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.DoubleStr.fmtFloat($x))")
+      case _ => defineCodeGen(ctx, ev, x =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.DoubleStr.fmtDouble($x))")
+    }
+  override protected def withNewChildInternal(c: Expression): DoubleStrExpr =
+    copy(child = c)
+}
+
+object DoubleStr {
+  def fmtDouble(d: Double): String = fmt(d, isFloat = false)
+  def fmtFloat(f: Float): String = fmt(f.toDouble, isFloat = true, f = f)
+
+  def fmt(d: Double, isFloat: Boolean, f: Float = 0f): String = {
+    if (java.lang.Double.isNaN(d)) return "nan"
+    if (d == Double.PositiveInfinity) return "inf"
+    if (d == Double.NegativeInfinity) return "-inf"
+    if (d == 0.0) return "0.0" // duck prints -0.0 as '0.0' (probed)
+    val neg = d < 0
+    // shortest round-trip digits at the value's own width: Java's
+    // toString is shortest for its type
+    val repr = if (isFloat) java.lang.Float.toString(Math.abs(f))
+      else java.lang.Double.toString(Math.abs(d))
+    // stripTrailingZeros: Java renders 1e16 as "1.0E16" — the mantissa
+    // zero would leak into the scientific form as "1.0e+16" (duck: 1e+16)
+    val bd = new java.math.BigDecimal(repr).stripTrailingZeros()
+    val digits = bd.unscaledValue().toString
+    val x = digits.length - 1 - bd.scale() // value = D[0].D[1:] * 10^x
+    val sb = new java.lang.StringBuilder(if (neg) "-" else "")
+    if (x >= -4 && x <= 15) {
+      if (x >= digits.length - 1) {
+        sb.append(digits)
+        var i = digits.length - 1
+        while (i < x) { sb.append('0'); i += 1 }
+        sb.append(".0")
+      } else if (x >= 0) {
+        sb.append(digits, 0, x + 1).append('.')
+          .append(digits, x + 1, digits.length)
+      } else {
+        sb.append("0.")
+        var i = -1
+        while (i > x) { sb.append('0'); i -= 1 }
+        sb.append(digits)
+      }
+    } else {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1)
+        sb.append('.').append(digits, 1, digits.length)
+      sb.append('e').append(if (x < 0) '-' else '+')
+      val ax = Math.abs(x)
+      if (ax < 10) sb.append('0')
+      sb.append(ax)
+    }
+    sb.toString
+  }
+}

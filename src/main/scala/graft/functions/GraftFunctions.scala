@@ -127,6 +127,22 @@ object GraftFunctions {
       args => StrptimeDynExpr(args(0), args(1), tryMode = true)),
     ("graft_intdiv", "DuckDB // operator: trunc-toward-zero long division for integral pairs, plain double division otherwise, NULL on zero divisor",
       args => IntDivExpr(args(0), args(1))),
+    ("graft_intdiv_exact", "DuckDB // over HUGEINT-spelled operands: exact INT128-style trunc division at DECIMAL(38,0); double fallback when a fractional operand shows the slice was not hugeint//hugeint",
+      args => IntDivExactExpr(args(0), args(1))),
+    ("graft_dec_cast", "DuckDB CAST to DECIMAL(p,s) by INPUT type: decimal downscale truncates, double rounds half-up on the exact binary value, string half-up; out-of-range errors",
+      args => DecCastExpr(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue(), tryMode = false)),
+    ("graft_dec_cast_try", "graft_dec_cast's TRY twin: NULL on out-of-range / unparseable / NaN / inf",
+      args => DecCastExpr(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue(), tryMode = true)),
+    ("graft_double_str", "DuckDB DOUBLE/FLOAT -> VARCHAR rendering: shortest digits, plain notation in exp [-4,15], e+NN outside",
+      args => DoubleStrExpr(args(0))),
+    ("graft_round_dbl", "DuckDB round() over doubles: std::round(x*10^n)/10^n half-away on the FP product; overflow/NaN -> input (positive n) or 0 (negative n)",
+      args => RoundDblExpr(args(0),
+        if (args.length > 1) args(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0))),
     ("graft_dow", "DuckDB day-of-week: 0=Sunday..6=Saturday over timestamp/date (every SQL spelling is a re-capture trap)",
       args => GraftDowExpr(args(0))),
     ("graft_epoch_us", "micros since epoch for timestamp/date/interval (duck conventions: 30-day-month YM intervals)",
@@ -223,7 +239,8 @@ object GraftFunctions {
     all.foreach { case (name, usage, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    Seq(graft.plans.DateTruncToDateCast, graft.plans.ProjectAfterTopK).foreach { r =>
+    Seq(graft.plans.DateTruncToDateCast, graft.plans.ProjectAfterTopK,
+        graft.plans.DoubleCastToDuckStr, graft.plans.DecDownscaleCast).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
@@ -268,6 +285,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.DateTruncToDateCast)
-    ext.injectOptimizerRule(_ => graft.plans.ProjectAfterTopK)
+    // preCBO, not the operator batch: ProjectAfterTopK moves a Project
+    // ABOVE the limit, and the operator fixed-point's own project
+    // push-down fights it — the plan wedges half-way
+    // (GlobalLimit(LocalLimit(Project(Sort)))) where neither the rule
+    // nor the TakeOrderedAndProject planner pattern matches
+    ext.injectPreCBORule(_ => graft.plans.ProjectAfterTopK)
+    // resolution-time, not optimizer-time: coercion-inserted casts around
+    // literal branches constant-fold before user optimizer rules run, and
+    // the fold must bake DUCK semantics (trunc downscale, duck double
+    // rendering) — r13 dec fuzz seed-21. GRAFT_NO_RESOLUTION_RULES=1 is a
+    // perf-bisection escape hatch (dev only).
+    if (!sys.env.get("GRAFT_NO_RESOLUTION_RULES").contains("1")) {
+      ext.injectResolutionRule(_ => graft.plans.DecDownscaleCast)
+      ext.injectResolutionRule(_ => graft.plans.DoubleCastToDuckStr)
+    }
   }
 }

@@ -84,6 +84,99 @@ case class IntDivExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** DuckDB's `//` for HUGEINT-SPELLED operands (r13 dec fuzz): duck's
+  * HUGEINT `//` is EXACT INT128 division truncated toward zero
+  * (99999999999999999999999 // -7 = -14285714285714285714285 exactly),
+  * while its DECIMAL `//` is plain double division — and the engine's
+  * HUGEINT → DECIMAL(38,0) type mapping erases that distinction at the
+  * type level, so the TRANSLATOR picks this kernel when an operand slice
+  * spells HUGEINT/UBIGINT or a >19-digit integer literal and carries no
+  * other DECIMAL risk ([[IntDivExpr]]'s double path was a silent
+  * precision loss past 2^53 there, and its fractional remainders
+  * propagated through nested `//` chains where duck's stay integral).
+  *
+  * Type-dispatched fallbacks keep mis-routed slices duck-faithful: a
+  * FLOAT/DOUBLE operand (an untyped column the token scan cannot see)
+  * or a scaled DECIMAL means duck would NOT have seen two hugeints —
+  * plain double division, exactly [[IntDivExpr]]'s non-integral arm.
+  * Exact arm: both operands integral or DECIMAL scale 0 → BigDecimal
+  * divideToIntegralValue (trunc toward zero), DECIMAL(38,0) result,
+  * divisor zero → NULL. |a // b| ≤ |a| < 10^38, so the result always
+  * fits. */
+case class IntDivExactExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isExactSide(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | NullType => true
+    case d: DecimalType => d.scale == 0
+    case _ => false
+  }
+  private def isNumeric(t: DataType): Boolean = t match {
+    case _: NumericType | NullType => true
+    case _ => false
+  }
+  private val exactPair = isExactSide(left.dataType) && isExactSide(right.dataType)
+  override def dataType: DataType =
+    if (exactPair) DecimalType(38, 0) else DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_intdiv_exact"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isNumeric(left.dataType) && isNumeric(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_intdiv_exact requires numeric operands, got " +
+        s"${left.dataType.simpleString} // ${right.dataType.simpleString}")
+  private def toD(v: Any): Double = v match {
+    case d: Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (exactPair) {
+      val r = IntDivExact.div(a, b)
+      if (r == null) null else Decimal(r, 38, 0)
+    } else {
+      val d = toD(b)
+      if (d == 0.0) null else toD(a) / d
+    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (exactPair)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("ideTmp")
+        s"""java.math.BigDecimal $tmp =
+           |  graft.functions.IntDivExact.div($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = org.apache.spark.sql.types.Decimal.apply($tmp, 38, 0); }
+           |""".stripMargin
+      })
+    else {
+      def asD(v: String, t: DataType): String = t match {
+        case _: DecimalType => s"$v.toDouble()"
+        case _ => s"(double)($v)"
+      }
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val bd = asD(b, right.dataType)
+        val ad = asD(a, left.dataType)
+        s"""if ($bd == 0.0) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $ad / $bd; }
+           |""".stripMargin
+      })
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntDivExactExpr =
+    copy(left = l, right = r)
+}
+
+object IntDivExact {
+  private def toJbd(v: Any): java.math.BigDecimal = v match {
+    case d: Decimal => d.toJavaBigDecimal
+    case n: Number => java.math.BigDecimal.valueOf(n.longValue())
+  }
+  /** trunc-toward-zero integral quotient; null on zero divisor. */
+  def div(a: Any, b: Any): java.math.BigDecimal = {
+    val d = toJbd(b)
+    if (d.signum() == 0) null
+    else toJbd(a).divideToIntegralValue(d).setScale(0)
+  }
+}
+
 /** DuckDB sign(): INTEGER -1/0/1 with sign(NaN) = 0 (probed). A SQL CASE
   * emission was tried first (r12 num fuzz) and was non-idempotent: the
   * int-cast rounding pass wrapped the CASE head on re-translation, and

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
@@ -493,6 +493,9 @@ object Dedup {
         .select(col("band.b").as("band_id"), col("band.h").as("band_hash"),
           col("id")),
       indexTable + "_bands", Seq("band_id", "band_hash"), numBuckets)
+    // r13: persist the geometry so maintainMinhashIndex can compare it
+    writeMeta(spark, indexTable, Map("num_hashes" -> numHashes.toLong,
+      "bands" -> bands.toLong, "shingle_size" -> shingleSize.toLong))
   }
 
   /** Incremental cross-corpus near-dup pairs (new_id, old_id, jaccard):
@@ -597,6 +600,9 @@ object Dedup {
       embBandSlices(sigDf, "id", planesPerBand, bands)
         .select(col("band_id"), col("band_bits"), col("id")),
       indexTable + "_bands", Seq("band_id", "band_bits"), numBuckets)
+    // r13: persist the geometry so maintainEmbeddingIndex can compare it
+    writeMeta(spark, indexTable, Map("planes_per_band" -> planesPerBand.toLong,
+      "bands" -> bands.toLong))
   }
 
   /** Incremental cross-corpus embedding near-dup pairs
@@ -633,6 +639,139 @@ object Dedup {
       .select(col("d1"), col("d2"),
         GraftFunctions.cosine_sim(col("v1"), col("v2")).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  // ---- occupancy-triggered index maintenance (r13, VERDICT r12 #2) ----
+  //
+  // The growth probes re-size band geometry PER CORPUS (planesFor), but a
+  // PERSISTED index is built once at a fixed geometry: a live embedding
+  // index whose corpus grows 30× without re-banding sees per-bucket
+  // occupancy grow ~30× and candidate work ~900× — degrading toward the
+  // quadratic the sizing rule exists to avoid. These ops measure bucket
+  // occupancy with ONE aggregation over the persisted band table, and
+  // when the p95 crosses the trigger, rebuild the band geometry FROM
+  // STORED VERIFY STATE ONLY — the embedding index re-signs its stored
+  // vectors, the minhash index re-signs its stored window-hash sets;
+  // NEITHER path reads corpus text (the p62 invariant PlanAudit asserts;
+  // the ops don't even take the corpus as an argument). Geometry is
+  // persisted in `<indexTable>_meta` (builds write it; pre-r13 indexes
+  // fall back to the caller's `currentPlanesPerBand`/current-geometry
+  // args).
+
+  /** One health/maintenance report: occupancy BEFORE any rebuild;
+    * `rebuilt` tells whether the geometry changed. */
+  case class IndexHealth(
+      items: Long, buckets: Long, p95Occupancy: Double, maxOccupancy: Long,
+      currentGeometry: Int, targetGeometry: Int, rebuilt: Boolean)
+
+  private def writeMeta(spark: SparkSession, table: String,
+      fields: Map[String, Long]): Unit = {
+    import spark.implicits._
+    Similarity.dropStaleWarehouseDir(spark, table + "_meta")
+    fields.toSeq.sortBy(_._1).toDF("k", "v")
+      .coalesce(1)
+      .write.format("parquet").mode("overwrite").saveAsTable(table + "_meta")
+  }
+
+  private def readMeta(spark: SparkSession, table: String): Map[String, Long] =
+    if (spark.catalog.tableExists(table + "_meta"))
+      spark.table(table + "_meta").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    else Map.empty
+
+  /** p95/max occupancy over a persisted band table — one aggregation,
+    * two shuffles of (key, count) rows, nothing driver-side but the
+    * 4-field summary. */
+  private def bandOccupancy(spark: SparkSession, bandsTable: String,
+      keyCols: Seq[String]): (Long, Double, Long) = {
+    val occ = spark.table(bandsTable)
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("buckets"),
+        expr("percentile_approx(n, 0.95, 10000)").as("p95"),
+        max(col("n")).as("mx"))
+      .head()
+    (occ.getLong(0), occ.getAs[Number](1).doubleValue(), occ.getLong(2))
+  }
+
+  /** Occupancy-triggered re-band of a persisted EMBEDDING index: when the
+    * p95 bucket occupancy exceeds `occupancyFactor × targetBucket` and
+    * the sizing rule (planesFor clamped to [4, min(12, 64/bands)], the
+    * growth probes' rule) asks for more planes than the index carries,
+    * re-sign the STORED vectors at the new width and rewrite the index +
+    * band tables. Zero corpus scans — the only inputs are the index's own
+    * tables. */
+  def maintainEmbeddingIndex(spark: SparkSession, indexTable: String,
+      bands: Int = 4, targetBucket: Int = 32, occupancyFactor: Double = 4.0,
+      currentPlanesPerBand: Int = 12, numBuckets: Int = 16): IndexHealth = {
+    GraftFunctions.register(spark)
+    val meta = readMeta(spark, indexTable)
+    val pCur = meta.getOrElse("planes_per_band", currentPlanesPerBand.toLong).toInt
+    val bandsCur = meta.getOrElse("bands", bands.toLong).toInt
+    val (buckets, p95, mx) =
+      bandOccupancy(spark, indexTable + "_bands", Seq("band_id", "band_bits"))
+    val n = spark.table(indexTable).count()
+    val pMax = math.min(12, 64 / bands)
+    val pNew = math.max(4, math.min(Similarity.planesFor(math.max(1, n),
+      targetBucket), pMax))
+    val trigger = p95 > occupancyFactor * targetBucket && pNew > pCur
+    if (trigger) {
+      // re-sign from the index's own stored vectors; localCheckpoint cuts
+      // the lineage so overwriting the table we just read is safe
+      val sigDf = spark.table(indexTable).select(col("id"), col("v"))
+        .withColumn("sig",
+          Similarity.hyperplaneSignature(col("v"), pNew * bands))
+        .localCheckpoint()
+      sigDf.write.format("parquet").mode("overwrite").saveAsTable(indexTable)
+      Partitioning.writeBucketed(
+        embBandSlices(sigDf, "id", pNew, bands)
+          .select(col("band_id"), col("band_bits"), col("id")),
+        indexTable + "_bands", Seq("band_id", "band_bits"), numBuckets)
+      writeMeta(spark, indexTable,
+        Map("planes_per_band" -> pNew.toLong, "bands" -> bands.toLong))
+    }
+    IndexHealth(n, buckets, p95, mx, pCur, pNew, trigger)
+  }
+
+  /** Occupancy-triggered re-band of a persisted MINHASH index: when the
+    * p95 band-bucket occupancy exceeds the trigger, re-sign the STORED
+    * window-hash sets (`sh`) at the caller's new (numHashes, bands)
+    * geometry and rewrite the band table — the verify-state table
+    * (id, sh, nsh) is geometry-independent and is NOT rewritten. More
+    * hashes per band (numHashes/bands) lowers the random-collision rate,
+    * shrinking hot buckets; duplicate-grade pairs (the fixture contract)
+    * keep recall ≈ 1 at any r. Zero corpus scans. */
+  def maintainMinhashIndex(spark: SparkSession, indexTable: String,
+      numHashes: Int = 128, bands: Int = 16, targetBucket: Int = 32,
+      occupancyFactor: Double = 4.0, numBuckets: Int = 16): IndexHealth = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(spark)
+    val meta = readMeta(spark, indexTable)
+    val rCur = meta.get("num_hashes").map(_.toInt).getOrElse(64) /
+      math.max(1, meta.get("bands").map(_.toInt).getOrElse(16))
+    val rNew = numHashes / bands
+    val (buckets, p95, mx) =
+      bandOccupancy(spark, indexTable + "_bands", Seq("band_id", "band_hash"))
+    val n = spark.table(indexTable).count()
+    val trigger = p95 > occupancyFactor * targetBucket && rNew > rCur
+    if (trigger) {
+      val r = numHashes / bands
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("b"),
+          xxhash64(slice(col("sig"), lit(b * r + 1), lit(r))).as("h"))
+      }
+      val rebanded = spark.table(indexTable).select(col("id"), col("sh"))
+        .withColumn("sig",
+          GraftFunctions.minhash_from_hashes(col("sh"), numHashes))
+        .select(col("id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("band.b").as("band_id"), col("band.h").as("band_hash"),
+          col("id"))
+        .localCheckpoint()
+      Partitioning.writeBucketed(rebanded, indexTable + "_bands",
+        Seq("band_id", "band_hash"), numBuckets)
+      writeMeta(spark, indexTable,
+        Map("num_hashes" -> numHashes.toLong, "bands" -> bands.toLong))
+    }
+    IndexHealth(n, buckets, p95, mx, rCur, rNew, trigger)
   }
 
   /** C4-style line-level dedup: every later occurrence of a line that

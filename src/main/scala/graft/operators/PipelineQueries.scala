@@ -931,6 +931,56 @@ object PipelineQueries {
           round(col("cosine") * 1000000).cast("bigint").as("cos_micro"))
         .orderBy("d1", "d2")
     }),
+    // r13 (VERDICT r12 #2): occupancy-triggered embedding-index
+    // maintenance — build at a DELIBERATELY STALE geometry (4 planes per
+    // band, what the sizing rule picks for a corpus 2^5× smaller), let
+    // maintainEmbeddingIndex measure occupancy and re-band from the
+    // index's own stored vectors (zero corpus scans — the op never sees
+    // the embeddings table), then run p63's planted-copy increment
+    // against the MAINTAINED index. Oracle = p63's exact-cosine pair
+    // set: the planted copies are duplicate-grade (cosine ≥ 0.99), so
+    // LSH recall is 1.0 at both the stale and rebuilt geometries — the
+    // oracle pins that maintenance preserves the pair contract while the
+    // spec pins the occupancy/geometry mechanics.
+    "p65_embedding_index_maint" -> q((s, dir) => {
+      val base = s.table("embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) + lit(0.01) * ((i + 1) % 2))).cast("float"))
+          .as("embedding"))
+      val idx = "graft_embmaint_" + dirKey(dir)
+      if (!s.catalog.tableExists(idx))
+        Dedup.buildEmbeddingIndex(base, idx, planesPerBand = 4, bands = 5)
+      // occupancyFactor 0: always-rebuild-when-undersized, so the entry
+      // is deterministic at every sf (the sizing rule's pNew > 4 at any
+      // fixture size); a second run finds meta at pNew and no-ops
+      Dedup.maintainEmbeddingIndex(s, idx, bands = 5, targetBucket = 32,
+        occupancyFactor = 0.0, currentPlanesPerBand = 4)
+      val p = s.table(idx + "_meta").filter(col("k") === "planes_per_band")
+        .head().getLong(1).toInt
+      Dedup.embeddingPairsIncremental(planted, idx, minCosine = 0.99,
+          planesPerBand = p, bands = 5)
+        .select(col("d2").as("d1"), col("d1").as("d2"),
+          round(col("cosine") * 1000000).cast("bigint").as("cos_micro"))
+        .orderBy("d1", "d2")
+    }),
+    // r13: the minhash twin — re-band the stored window-hash sets at
+    // (128, 16) (r 4 → 8 halves random band collisions) and run p62's
+    // increment at the maintained geometry; oracle = p62's exact-Jaccard
+    // pair set (duplicate-grade fixture pairs keep recall 1 at any r).
+    "p66_minhash_index_maint" -> q((s, dir) => {
+      val docs = s.table("documents")
+      val idx = "graft_mhmaint_" + dirKey(dir)
+      if (!s.catalog.tableExists(idx))
+        Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), idx)
+      Dedup.maintainMinhashIndex(s, idx, numHashes = 128, bands = 16,
+        targetBucket = 1, occupancyFactor = 0.0)
+      Dedup.minhashPairsIncremental(docs.filter(col("doc_id") % 5 === 0),
+          idx, threshold = 0.5, numHashes = 128, bands = 16)
+        .select(col("d1"), col("d2"),
+          round(col("jaccard") * 10000).cast("bigint").as("jac_bp"))
+        .orderBy("d1", "d2")
+    }),
     // ---- URL canonicalization + URL-level dedup (r10): the cosmetic-
     // variant collapse a crawler pipeline runs before any content
     // hashing. Raw URLs are synthesized deterministically from doc_id
@@ -1632,6 +1682,28 @@ object PipelineQueries {
         "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) " +
         "/ (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine FROM v a JOIN v b ON a.vec_id < 1000000 AND b.vec_id >= 1000000) " +
         "SELECT d1, d2, CAST(round(cosine * 1000000) AS BIGINT) AS cos_micro FROM p WHERE cosine >= 0.99 ORDER BY d1, d2"),
+    // p65 (r13): maintenance preserves the pair contract — the oracle is
+    // exactly p63's exact-cosine cross pair set (geometry-independent at
+    // duplicate-grade similarity).
+    "p65_embedding_index_maint" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+        "pl AS (SELECT vec_id + 1000000 AS vec_id, " +
+        "list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] * (1 + 0.01*(i%2)) AS FLOAT)) AS embedding FROM base), " +
+        "c AS (SELECT * FROM base UNION ALL SELECT * FROM pl), " +
+        "v AS (SELECT vec_id, embedding, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nsq FROM c), " +
+        "p AS (SELECT a.vec_id AS d1, b.vec_id AS d2, " +
+        "list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) " +
+        "/ (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine FROM v a JOIN v b ON a.vec_id < 1000000 AND b.vec_id >= 1000000) " +
+        "SELECT d1, d2, CAST(round(cosine * 1000000) AS BIGINT) AS cos_micro FROM p WHERE cosine >= 0.99 ORDER BY d1, d2"),
+    // p66 (r13): p62's exact-Jaccard oracle, unchanged by the re-band.
+    "p66_minhash_index_maint" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct(list_transform(range(0, len(tk)-2), i -> array_to_string(list_slice(tk, i+1, i+3), ' '))) END AS sh FROM t), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS j " +
+        "FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0) " +
+        "SELECT d1, d2, CAST(round(j * 10000) AS BIGINT) AS jac_bp FROM p WHERE j >= 0.5 ORDER BY d1, d2"),
     // p58 (r7 session 3): same construction in SQL.
     "p58_modality_audit" ->
       ("WITH v AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 3 " +

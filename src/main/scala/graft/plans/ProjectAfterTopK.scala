@@ -29,6 +29,17 @@ object ProjectAfterTopK extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // wedged shape (r13): Spark's own PushProjectionThroughLimitAndOffset
+    // is this rule's inverse — when both run (extensions sessions inject
+    // us at preCBO, Spark pushes back later), the plan settles at
+    // GlobalLimit(LocalLimit(Project(Sort))). Lift the Project above the
+    // limits again; we run in the LAST optimizer batch (User Provided /
+    // preCBO re-entry), so nothing re-pushes afterwards. Deterministic
+    // projections are row-wise, so relocating across the limit cannot
+    // change values.
+    case GlobalLimit(gLim, LocalLimit(lLim, Project(list, s: Sort)))
+        if s.global && list.exists(isMovable) && list.forall(_.deterministic) =>
+      Project(list, GlobalLimit(gLim, LocalLimit(lLim, s)))
     case gl @ GlobalLimit(gLim, LocalLimit(lLim, Sort(order, true, Project(list, child), hint))) =>
       val (moved, kept) = list.partition(isMovable)
       val keptOut = AttributeSet(kept.map(_.toAttribute))

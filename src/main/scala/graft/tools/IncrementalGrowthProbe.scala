@@ -51,6 +51,7 @@ object IncrementalGrowthProbe {
     val spark = Engine.localSession()
     Engine.registerTables(spark, sfDir)
     if (mode == "minhash") { minhashMode(spark, factors, iters); return }
+    if (mode == "maint") { maintMode(spark, factors, iters); return }
     val base = spark.table("embeddings").select(col("vec_id"), col("embedding"))
     val nBase = base.count()
     // p63's fixed increment: elementwise-jittered copies of the base —
@@ -140,6 +141,72 @@ object IncrementalGrowthProbe {
         f"pairs=${rs.head._1}%-6d min=${ts.head}%.2fs median=${ts(ts.length / 2)}%.2fs")
       spark.sql(s"DROP TABLE IF EXISTS $idx")
       spark.sql(s"DROP TABLE IF EXISTS ${idx}_bands")
+    }
+    spark.stop()
+  }
+
+  /** r13 (VERDICT r12 #2): the STALE-GEOMETRY counterfactual the r11/r12
+    * growth rows sized away. Build the index at the f=1 geometry, grow
+    * the DECORRELATED corpus by each factor WITHOUT re-banding, measure
+    * the increment, then run [[Dedup.maintainEmbeddingIndex]] (the
+    * production occupancy trigger, default thresholds) and measure
+    * again — the stale-vs-rebuilt delta is the cost the maintenance op
+    * exists to reclaim. Pair counts must match before/after (the re-band
+    * preserves the contract; duplicate-grade pairs survive any
+    * geometry). */
+  private def maintMode(spark: org.apache.spark.sql.SparkSession,
+      factors: Seq[Int], iters: Int): Unit = {
+    val base = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    val nBase = base.count()
+    val pStale = math.max(4, math.min(Similarity.planesFor(nBase, 32), 12))
+    def planted = base.select((col("vec_id") + 10000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + lit(0.01) * ((i + 1) % 2))).cast("float"))
+        .as("embedding"))
+    def dropLeftoverBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    factors.foreach { f =>
+      val copies = (0 until f).map { k =>
+        if (k == 0) base
+        else base.select((col("vec_id") + k.toLong * 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when((i * (k + 2)) % 5 < 2, -x).otherwise(x).cast("float"))
+            .as("embedding"))
+      }
+      val corpus = copies.reduce(_ unionAll _)
+      val idx = s"graft_maint_idx_f$f"
+      // the index keeps the f=1 geometry — the live-index-that-grew shape
+      Dedup.buildEmbeddingIndex(corpus, idx, planesPerBand = pStale, bands = 5)
+      def run(p: Int): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val pairs = Dedup.embeddingPairsIncremental(planted, idx,
+          minCosine = 0.99, planesPerBand = p, bands = 5).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        dropLeftoverBlocks()
+        (pairs, t)
+      }
+      run(pStale) // warmup
+      val staleRs = (1 to iters).map(_ => run(pStale))
+      val staleTs = staleRs.map(_._2).sorted
+      val tM0 = System.nanoTime()
+      val h = Dedup.maintainEmbeddingIndex(spark, idx, bands = 5)
+      val tMaint = (System.nanoTime() - tM0) / 1e9
+      val pNow = h.targetGeometry
+      if (h.rebuilt) run(pNow) // warmup on the new layout
+      val newRs = (1 to iters).map(_ => run(if (h.rebuilt) pNow else pStale))
+      val newTs = newRs.map(_._2).sorted
+      println(f"MAINT f=$f%-3d corpus=${nBase * f}%-7d pStale=$pStale " +
+        f"p95=${h.p95Occupancy}%.0f staleMed=${staleTs(staleTs.length / 2)}%.2fs " +
+        f"rebuilt=${h.rebuilt} pNew=$pNow maint=${tMaint}%.2fs " +
+        f"newMed=${newTs(newTs.length / 2)}%.2fs " +
+        f"pairsStale=${staleRs.head._1} pairsNew=${newRs.head._1}")
+      spark.sql(s"DROP TABLE IF EXISTS $idx")
+      spark.sql(s"DROP TABLE IF EXISTS ${idx}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${idx}_meta")
     }
     spark.stop()
   }

@@ -435,7 +435,7 @@ object PlanAudit {
     // below pins the reason: all lineitem scans carry pairwise-distinct
     // column sets; if two ever unify, reuse becomes available and this
     // flags for revisit.
-    {
+    locally {
       import org.apache.spark.sql.execution.FileSourceScanExec
       // distinctness is over (pruned columns, pushed filter SHAPE): l1/l3
       // read the same three columns but l1 carries join-side isnotnull
@@ -459,12 +459,56 @@ object PlanAudit {
           s"filters) — ReuseExchange is now reachable, revisit: $liScans")
       }
     }
+    // r13 (VERDICT r12 #2): the maintenance rebuild path must read ONLY
+    // the index's own tables — never corpus text/vectors (the p62
+    // zero-corpus-scan invariant, extended to re-banding). Build a
+    // stale-geometry index, force the trigger, and assert no SQL
+    // execution during the rebuild scanned a corpus parquet.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val idx = "graft_audit_maint"
+      Seq(idx, idx + "_bands", idx + "_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.Dedup.buildEmbeddingIndex(
+        spark.table("embeddings").select(col("vec_id"), col("embedding")),
+        idx, planesPerBand = 4, bands = 5)
+      val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      val l2 = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          e match {
+            case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+              plans.add(s.physicalPlanDescription); ()
+            case _ =>
+          }
+      }
+      spark.sparkContext.addSparkListener(l2)
+      val h = graft.operators.Dedup.maintainEmbeddingIndex(spark, idx,
+        bands = 5, targetBucket = 1, occupancyFactor = 0.0)
+      val dl = System.nanoTime() + 3_000_000_000L
+      while (System.nanoTime() < dl && plans.isEmpty) Thread.sleep(20)
+      Thread.sleep(300) // drain the async listener bus tail
+      spark.sparkContext.removeSparkListener(l2)
+      import scala.jdk.CollectionConverters._
+      val corpusScans = plans.asScala.filter(p =>
+        p.contains("embeddings.parquet") || p.contains("documents.parquet"))
+      if (h.rebuilt && corpusScans.isEmpty)
+        println(s"PLAN OK   index maintenance rebuild scans index tables only " +
+          s"(${plans.size} executions, geometry ${h.currentGeometry} -> ${h.targetGeometry}, " +
+          f"p95 occupancy ${h.p95Occupancy}%.0f)")
+      else {
+        failures += 1
+        println(s"PLAN BAD  maintenance rebuilt=${h.rebuilt}; corpus scans " +
+          s"during rebuild: ${corpusScans.size}")
+      }
+      Seq(idx, idx + "_bands", idx + "_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     // r8 (VERDICT r7 #1): sf≈1 bench-coverage guard. The 2× contract is
     // only MEASURED for entries with a baseline row; this fails loudly
     // when the declared-query set and the sf≈1 artifacts diverge, so new
     // entries can't drift in unmeasured. Skip list = the five O(n²)
     // brute-force pair-set oracles (documented in dev/duckdb_bench.py).
-    {
+    locally {
       def keysOf(path: String): Set[String] = {
         val txt = scala.io.Source.fromFile(path).mkString
         // {"queries":{"name":1.23,...}} — names are the quoted keys of the
@@ -482,7 +526,9 @@ object PlanAudit {
         "p05_dedup_embedding", "p39_semantic_clusters", "p44_multimodal_neardup",
         // r9: the incremental oracles brute-force the cross pair set —
         // O(increment × corpus), sf0.01-only like the p03/p04/p05 family
-        "p62_minhash_incremental", "p63_embedding_incremental")
+        "p62_minhash_incremental", "p63_embedding_incremental",
+        // r13: the maintenance twins share those same O(n²) oracles
+        "p65_embedding_index_maint", "p66_minhash_index_maint")
       val gate = SparkEntry.queries.keySet
       val sparkMissing = gate -- keysOf("dev/bench_sf1.json")
       val duckMissing = gate -- keysOf("dev/duckdb_baseline_sf1.json") -- duckSkip
@@ -502,7 +548,7 @@ object PlanAudit {
     // all-broadcast TPC-H per-stage scheduling-floor shapes, composite
     // multi-pass ops whose oracle is a single pass). A new name here means
     // an edit regressed a query's scale posture — triage before shipping.
-    {
+    locally {
       def valuesOf(path: String): Map[String, Double] = {
         val txt = scala.io.Source.fromFile(path).mkString
         val qStart = txt.indexOf("\"queries\"")
@@ -556,7 +602,7 @@ object PlanAudit {
     // r8 (VERDICT r7 #4): the q178 5-statement ALTER chain must coalesce
     // into at most ONE full-table rewrite (metadata-only ADDs pay zero) —
     // at 100 TB each uncoalesced statement is a full corpus pass.
-    {
+    locally {
       val before = Engine.swapCount.get()
       SparkEntry.queries("q178_alter_table")(spark, sfDir).collect()
       val rewrites = Engine.swapCount.get() - before
@@ -574,7 +620,7 @@ object PlanAudit {
     // (least/greatest guards in PipelineQueries) — if an edit breaks the
     // symmetry, column pruning silently re-diverges the subtrees into two
     // corpus scans, and this catches it.
-    {
+    locally {
       val p54 = SparkEntry.queries("p54_tfidf_terms")(spark, sfDir)
       // collect(), not a noop write: write() builds a SEPARATE
       // QueryExecution, leaving this one un-executed (isFinalPlan=false,
@@ -598,7 +644,7 @@ object PlanAudit {
     // the old side lives entirely in the persisted band index. The plan
     // must therefore contain ZERO `documents` file scans (the increment's
     // scan happened eagerly before plan time) and read the index table.
-    {
+    locally {
       val df = SparkEntry.queries("p62_minhash_incremental")(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       val docScans = plan.linesIterator.count(l =>
@@ -620,7 +666,7 @@ object PlanAudit {
     // join must shuffle ONLY the increment side: the index side's join
     // subtree contains zero exchanges — its bucket layout already
     // satisfies the join's distribution.
-    {
+    locally {
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
       import org.apache.spark.sql.execution.joins.BaseJoinExec
@@ -668,7 +714,7 @@ object PlanAudit {
     // holding matched rows and link the rest forward — at 100 TB the
     // alternative is one full corpus rewrite per DML statement. A
     // no-match UPDATE must pay ZERO rewrites (probe scan only).
-    {
+    locally {
       Engine.sql(spark, "DROP TABLE IF EXISTS g_cow_audit")
       // range-partitioned: files hold contiguous id ranges, so both a
       // selective (1-file) and a broad-but-partial (many-file) predicate

@@ -14,6 +14,10 @@ object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      // match Engine.localSession: the r13 resolution rules
+      // (DecDownscaleCast, DoubleCastToDuckStr) must fold literals with
+      // duck semantics in specs exactly as in production sessions
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parser.escapedStringLiterals", "true")

@@ -1376,16 +1376,26 @@ class TranslatorSpec extends AnyFunSuite {
       "SELECT try_mod(a, 0.0e0), try_divide(a, 2.5e0), try_divide(b, 1e3) FROM t0")
   }
 
-  test("r13: negative-digit round NaN guard is scoped away from DECIMAL operands") {
-    // the 0.0e0 THEN branch coerced a DECIMAL round to DOUBLE — silent
-    // precision loss past 2^53 (r12 ADVICE, medium); a decimal can
-    // never be NaN/inf, so DECIMAL-risk operands skip the guard (digits
-    // parenthesized for the fixpoint)
+  test("r13: round dispatch — DECIMAL keeps Spark round, doubles take duck's FP kernel") {
+    // DECIMAL operand: Spark's decimal round matches duck's exact
+    // half-away, and the r12 0.0e0 NaN guard coerced the result to
+    // DOUBLE — silent precision loss past 2^53 (r12 ADVICE, medium);
+    // DECIMAL-risk operands keep plain round with parenthesized digits
     assert(t("SELECT round(CAST(a AS DECIMAL(30,4)), -2) FROM t0") ==
       "SELECT round(CAST(a AS DECIMAL(30,4)), (-2)) FROM t0")
+    // non-decimal: graft_round_dbl is duck's std::round(x·10^n)/10^n on
+    // the FP product (r13 dec fuzz) — its negative branch returns 0 for
+    // NaN/±inf, subsuming the r12 CASE guard
     assert(t("SELECT round(a, -2) FROM t0") ==
-      "SELECT (CASE WHEN isnan(a) OR graft_abs(a) = CAST('Infinity' AS DOUBLE) " +
-        "THEN 0.0e0 ELSE round(a, (-2)) END) FROM t0")
+      "SELECT graft_round_dbl(a, -2) FROM t0")
+    assert(t("SELECT round(a, 4) FROM t0") ==
+      "SELECT graft_round_dbl(a, 4) FROM t0")
+    assert(t("SELECT round(a) FROM t0") ==
+      "SELECT graft_round_dbl(a) FROM t0")
+    // integral-marker shapes keep the round( spelling (the engine's own
+    // already-integral marker for the int-cast-rounding skip)
+    assert(t("SELECT CAST(round(a DIV 7) AS INT) FROM t0") ==
+      "SELECT CAST(round(a DIV 7) AS INT) FROM t0")
   }
 
   test("r12: catalog-typed resolution — strict date minus, string cols, decimal divide") {
@@ -1426,6 +1436,110 @@ class TranslatorSpec extends AnyFunSuite {
     // DECIMAL-typed operand suppresses the try_divide rewrite
     assert(tt("SELECT dec1 / n FROM t1") == "SELECT dec1 / n FROM t1")
     assert(tt("SELECT n / dec1 FROM t1") == "SELECT n / dec1 FROM t1")
+  }
+
+  test("r13 dec fuzz: hugeint-spelled // routes to the exact kernel, decimal-spelled stays double") {
+    // HUGEINT cast spelling → exact INT128-style kernel
+    val h = t("SELECT CAST('99999999999999999999' AS HUGEINT) // 3 FROM t")
+    assert(h.contains("graft_intdiv_exact("), h)
+    // nested chains keep the exact kernel on the OUTER link too (the
+    // lex round-trip used to flatten the rename's single-token
+    // DECIMAL(38,0) into the user spelling and mis-route to double)
+    val nested = t("SELECT (CAST(x AS HUGEINT) // 3) // 3 FROM t")
+    assert(nested.indexOf("graft_intdiv_exact(") >= 0 &&
+      nested.indexOf("graft_intdiv_exact(",
+        nested.indexOf("graft_intdiv_exact(") + 1) > 0, nested)
+    assert(!nested.contains("graft_intdiv("), nested)
+    // >19-digit bare literal is HUGEINT in duck
+    assert(t("SELECT 99999999999999999999999 // -7")
+      .contains("graft_intdiv_exact("))
+    // DECIMAL(38,0) is the HUGEINT image: exact semantics, however
+    // spelled (the one reading that survives translate∘translate —
+    // SURVEY register); any other precision keeps duck's double //
+    assert(t("SELECT CAST(x AS DECIMAL(38,0)) // 3 FROM t")
+      .contains("graft_intdiv_exact("))
+    assert(t("SELECT CAST(x AS DECIMAL(38,1)) // 3 FROM t")
+      .contains("graft_intdiv(") )
+    // dotted-literal risk alongside a hugeint operand → double too
+    assert(t("SELECT CAST(x AS HUGEINT) // 2.5 FROM t")
+      .contains("graft_intdiv("))
+    // idempotence of both emissions
+    for (q <- Seq(h, nested)) assert(t(q) == q, s"not idempotent: $q")
+  }
+
+  test("r13 dec fuzz: risky DECIMAL-target casts take the graft_dec_cast kernel") {
+    // decimal literal operand, explicit CAST
+    assert(t("SELECT CAST(2.555 AS DECIMAL(38,2))") ==
+      "SELECT graft_dec_cast((2.555), 38, 2)")
+    // TRY_CAST twin
+    assert(t("SELECT TRY_CAST((-3.105 - 0.07) AS DECIMAL(6,2))") ==
+      "SELECT graft_dec_cast_try(((-3.105 - 0.07)), 6, 2)")
+    // :: suffix spelling (Spark parses :: natively — must be rewritten)
+    assert(t("SELECT 2.555::DECIMAL(8,1)") ==
+      "SELECT graft_dec_cast((2.555), 8, 1)")
+    // bare DECIMAL target is duck's (18,3) default
+    assert(t("SELECT CAST(1.5 AS DECIMAL)") ==
+      "SELECT graft_dec_cast((1.5), 18, 3)")
+    // non-risky operand (plain column) keeps the native Cast…
+    assert(t("SELECT CAST(price AS DECIMAL(18,2)) FROM t") ==
+      "SELECT CAST(price AS DECIMAL(18,2)) FROM t")
+    // …and a bare-DECIMAL target still gets duck's default via the
+    // type-name rename
+    assert(t("SELECT CAST(price AS DECIMAL) FROM t") ==
+      "SELECT CAST(price AS DECIMAL(18,3)) FROM t")
+    // idempotence
+    val q = t("SELECT CAST(CAST(1.256 AS DECIMAL(8,3)) AS DECIMAL(8,1))")
+    assert(t(q) == q, s"not idempotent: $q")
+  }
+
+  test("r13 dec fuzz: greatest/least over decimals wrap args in CAST AS DOUBLE") {
+    val g = t("SELECT greatest(CAST(a AS DECIMAL(12,0)), 1.25) FROM t")
+    assert(g == "SELECT greatest(CAST((CAST(a AS DECIMAL(12,0))) AS DOUBLE), " +
+      "CAST((1.25) AS DOUBLE)) FROM t", g)
+    assert(t(g) == g, s"not idempotent: $g")
+    // hugeint-only operands stay exact (duck keeps HUGEINT for those)
+    val h = t("SELECT least(CAST(a AS HUGEINT), CAST(b AS HUGEINT)) FROM t")
+    assert(!h.contains("AS DOUBLE"), h)
+    // non-decimal args untouched
+    assert(t("SELECT greatest(a, b) FROM t") == "SELECT greatest(a, b) FROM t")
+  }
+
+  test("r13 dec fuzz: avg over decimal/hugeint splits into sum/count at DOUBLE") {
+    val a = t("SELECT avg(CAST(v AS DECIMAL(18,2))) FROM t")
+    assert(a == "SELECT CAST(try_divide(sum(CAST(v AS DECIMAL(18,2))), " +
+      "count(CAST(v AS DECIMAL(18,2)))) AS DOUBLE) FROM t", a)
+    assert(t(a) == a, s"not idempotent: $a")
+    // DISTINCT carries through to both halves
+    val d = t("SELECT avg(DISTINCT CAST(v AS DECIMAL(4,1))) FROM t")
+    assert(d.contains("sum(DISTINCT") && d.contains("count(DISTINCT"), d)
+    // window suffix is replicated on both halves
+    val w = t("SELECT avg(CAST(v AS DECIMAL(4,1))) OVER (PARTITION BY g) FROM t")
+    assert(w.contains("sum(CAST(v AS DECIMAL(4,1))) OVER (PARTITION BY g)") &&
+      w.contains("count(CAST(v AS DECIMAL(4,1))) OVER (PARTITION BY g)"), w)
+    // FILTER suffix too
+    val f = t("SELECT avg(CAST(v AS DECIMAL(4,1))) FILTER (WHERE v > 0) FROM t")
+    assert(f.contains("sum(CAST(v AS DECIMAL(4,1))) FILTER (WHERE v > 0)") &&
+      f.contains("count(CAST(v AS DECIMAL(4,1))) FILTER (WHERE v > 0)"), f)
+    // hugeint input also (duck's avg(HUGEINT) is DOUBLE)
+    assert(t("SELECT avg(CAST(v AS HUGEINT)) FROM t").contains("try_divide("))
+    // plain double/int avg untouched
+    assert(t("SELECT avg(v) FROM t") == "SELECT avg(v) FROM t")
+  }
+
+  test("r13: TSTZ-flavored date_diff floors, chained AT TIME ZONE inverts") {
+    // duck's sub-day date_diff grids differ by FLAVOR: naive truncates
+    // each side toward zero, TSTZ floors on the session calendar (they
+    // agree for positive epochs; pre-epoch values diverge by one) —
+    // to_timestamp()/timezone() producers are visible at token level
+    val f = t("SELECT date_diff('minute', to_timestamp(-1), ts) FROM events")
+    assert(f.contains("pmod("), f)
+    val n = t("SELECT date_diff('minute', a, b) FROM events")
+    assert(!n.contains("pmod("), n)
+    // chained AT TIME ZONE: the parenthesized inner producer makes the
+    // outer operand TSTZ-flavored → inverse dispatch (from_utc)
+    val c = t("SELECT (x AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo' FROM t")
+    assert(c.contains("from_utc_timestamp(") && c.contains("to_utc_timestamp("), c)
+    assert(t(c) == c, s"not idempotent: $c")
   }
 
   test("r10 batch 9: generate_series over dates becomes explode(sequence)") {

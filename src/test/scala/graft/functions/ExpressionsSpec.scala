@@ -915,4 +915,89 @@ class ExpressionsSpec extends SparkTestBase {
         == """{"a":2,"b":1}""")
     }
   }
+
+  test("graft_dec_cast pins duck's input-type-dispatched decimal cast (r13)") {
+    withFns {
+      import spark.implicits._
+      val df = Seq(1).toDF("x")
+      def s(e: String): String = df.select(expr(s"CAST($e AS STRING)")).head.getString(0)
+      // DECIMAL source downscale TRUNCATES (duck probe matrix)
+      assert(s("graft_dec_cast(CAST(1.256 AS DECIMAL(8,3)), 8, 1)") == "1.2")
+      assert(s("graft_dec_cast(CAST(-1.256 AS DECIMAL(8,3)), 8, 1)") == "-1.2")
+      assert(s("graft_dec_cast(CAST(2.5 AS DECIMAL(4,1)), 8, 0)") == "2")
+      assert(s("graft_dec_cast(CAST(3.5 AS DECIMAL(4,1)), 8, 0)") == "3")
+      // upscale is exact and keeps duck's trailing-zero rendering
+      assert(s("graft_dec_cast(CAST(1.5 AS DECIMAL(4,1)), 6, 3)") == "1.500")
+      // DOUBLE source: duck's FP-product rounding — 0.145·100 is
+      // 14.499999… (→ 0.14, Spark's shortest HALF_UP says 0.15) while
+      // 2.675·100 IEEE-rounds UP to 267.5 (→ 2.68, exact-binary
+      // expansion would say 2.67; queries9 probe 5)
+      assert(s("graft_dec_cast(CAST(0.145 AS DOUBLE), 8, 2)") == "0.14")
+      assert(s("graft_dec_cast(CAST(2.675 AS DOUBLE), 10, 2)") == "2.68")
+      assert(s("graft_dec_cast(CAST(2.5 AS DOUBLE), 8, 0)") == "3")
+      assert(s("graft_dec_cast(CAST(-2.5 AS DOUBLE), 8, 0)") == "-3")
+      // VARCHAR source: parse + HALF_UP (duck: '1.255' → 1.26)
+      assert(s("graft_dec_cast('1.255', 8, 2)") == "1.26")
+      // integral exact
+      assert(s("graft_dec_cast(7, 4, 2)") == "7.00")
+      // out-of-range: loud on the plain form, NULL on the try twin
+      intercept[Exception] {
+        df.select(expr("graft_dec_cast(CAST(999.99 AS DECIMAL(5,2)), 4, 2)")).collect()
+      }
+      assert(df.select(expr("graft_dec_cast_try(CAST(999.99 AS DECIMAL(5,2)), 4, 2)"))
+        .head.isNullAt(0))
+      assert(df.select(expr("graft_dec_cast_try(CAST('nan' AS DOUBLE), 8, 2)"))
+        .head.isNullAt(0))
+      assert(df.select(expr("graft_dec_cast_try('abc', 8, 2)")).head.isNullAt(0))
+    }
+  }
+
+  test("graft_intdiv_exact: INT128-scale trunc division, duck's hugeint // (r13)") {
+    withFns {
+      import spark.implicits._
+      val df = Seq(1).toDF("x")
+      def s(e: String): String = df.select(expr(s"CAST($e AS STRING)")).head.getString(0)
+      // exact past 2^53 (the double path lost these digits)
+      assert(s("graft_intdiv_exact(CAST('99999999999999999999999' AS DECIMAL(38,0)), -7)")
+        == "-14285714285714285714285")
+      assert(s("graft_intdiv_exact(CAST('4611686018427387904' AS DECIMAL(38,0)), 3)")
+        == "1537228672809129301")
+      // trunc toward zero, duck convention
+      assert(s("graft_intdiv_exact(-10, 3)") == "-3")
+      assert(s("graft_intdiv_exact(7, -7)") == "-1")
+      // zero divisor → NULL
+      assert(df.select(expr("graft_intdiv_exact(5, 0)")).head.isNullAt(0))
+      // fractional operand means the slice was not hugeint//hugeint —
+      // plain double division like duck's DECIMAL //
+      assert(df.select(expr("graft_intdiv_exact(CAST(7.5 AS DOUBLE), 2)"))
+        .head.getDouble(0) == 3.75)
+    }
+  }
+
+  test("graft_double_str pins duck's double→varchar rendering matrix (r13)") {
+    withFns {
+      import spark.implicits._
+      val df = Seq(1).toDF("x")
+      def s(e: String): String =
+        df.select(expr(s"graft_double_str(CAST($e AS DOUBLE))")).head.getString(0)
+      assert(s("99999999.99") == "99999999.99")
+      assert(s("12345678.5") == "12345678.5") // Spark's cast says 1.23456785E7
+      assert(s("1e15") == "1000000000000000.0")
+      assert(s("1e16") == "1e+16")
+      assert(s("1e20") == "1e+20")
+      assert(s("0.0001") == "0.0001")
+      assert(s("1.5e-5") == "1.5e-05")
+      assert(s("2.0") == "2.0")
+      assert(s("-12345678.5") == "-12345678.5")
+      assert(s("-0.0") == "0.0")
+      assert(s("'nan'") == "nan")
+      assert(s("'inf'") == "inf")
+      assert(s("'-inf'") == "-inf")
+      // float width uses float-shortest digits
+      assert(df.select(expr("graft_double_str(CAST(0.1 AS FLOAT))"))
+        .head.getString(0) == "0.1")
+      assert(df.select(expr("graft_double_str(CAST(1e38 AS FLOAT))"))
+        .head.getString(0) == "1e+38")
+    }
+  }
 }

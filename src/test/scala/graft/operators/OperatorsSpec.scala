@@ -1912,6 +1912,85 @@ class OperatorsSpec extends SparkTestBase {
     spark.sql("DROP TABLE sp_emb_idx")
   }
 
+  test("r13: occupancy-triggered index maintenance re-bands from stored state only") {
+    Engine.registerTables(spark, sfDir)
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + lit(0.01) * ((i + 1) % 2))).cast("float"))
+        .as("embedding"))
+    spark.sql("DROP TABLE IF EXISTS sp_maint_idx")
+    spark.sql("DROP TABLE IF EXISTS sp_maint_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS sp_maint_idx_meta")
+    // deliberately STALE geometry: 4 planes per band for this corpus
+    Dedup.buildEmbeddingIndex(emb, "sp_maint_idx", planesPerBand = 4, bands = 5)
+    // meta persisted by the build
+    assert(spark.table("sp_maint_idx_meta").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("planes_per_band" -> 4L, "bands" -> 5L))
+    val before = Dedup.embeddingPairsIncremental(planted, "sp_maint_idx",
+        minCosine = 0.99, planesPerBand = 4, bands = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no-trigger path: occupancy below the (huge) threshold → untouched
+    val calm = Dedup.maintainEmbeddingIndex(spark, "sp_maint_idx", bands = 5,
+      targetBucket = 32, occupancyFactor = 1e9)
+    assert(!calm.rebuilt && calm.currentGeometry == 4 &&
+      calm.items == emb.count() && calm.buckets > 0 && calm.p95Occupancy > 0)
+    // trigger path: factor 0 forces the rebuild at the sizing rule's p
+    val h = Dedup.maintainEmbeddingIndex(spark, "sp_maint_idx", bands = 5,
+      targetBucket = 1, occupancyFactor = 0.0)
+    assert(h.rebuilt && h.targetGeometry > 4, h)
+    assert(spark.table("sp_maint_idx_meta").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+      .apply("planes_per_band") == h.targetGeometry.toLong)
+    // occupancy actually dropped: wider bands → more, smaller buckets
+    val (b2, p95b, _) = {
+      val occ = spark.table("sp_maint_idx_bands")
+        .groupBy("band_id", "band_bits").count()
+        .agg(count(lit(1)), expr("percentile_approx(count, 0.95, 10000)"), max("count"))
+        .head()
+      (occ.getLong(0), occ.getAs[Number](1).doubleValue(), occ.getLong(2))
+    }
+    assert(b2 > calm.buckets, s"buckets $b2 !> ${calm.buckets}")
+    assert(p95b < calm.p95Occupancy, s"p95 $p95b !< ${calm.p95Occupancy}")
+    // the pair CONTRACT is preserved across the re-band (duplicate-grade
+    // planted copies: recall 1.0 at both geometries)
+    val after = Dedup.embeddingPairsIncremental(planted, "sp_maint_idx",
+        minCosine = 0.99, planesPerBand = h.targetGeometry, bands = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before,
+      s"missing=${before.diff(after).take(5)} extra=${after.diff(before).take(5)}")
+    // idempotent: second call sees the new geometry and no-ops
+    val again = Dedup.maintainEmbeddingIndex(spark, "sp_maint_idx", bands = 5,
+      targetBucket = 1, occupancyFactor = 0.0)
+    assert(!again.rebuilt && again.currentGeometry == h.targetGeometry)
+    spark.sql("DROP TABLE sp_maint_idx")
+    spark.sql("DROP TABLE sp_maint_idx_bands")
+    spark.sql("DROP TABLE sp_maint_idx_meta")
+
+    // minhash twin: re-band (64,16) → (128,16) from the stored hash sets
+    val docs = spark.table("documents")
+    spark.sql("DROP TABLE IF EXISTS sp_maint_mh")
+    spark.sql("DROP TABLE IF EXISTS sp_maint_mh_bands")
+    spark.sql("DROP TABLE IF EXISTS sp_maint_mh_meta")
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 3 =!= 0), "sp_maint_mh")
+    val mhBefore = Dedup.minhashPairsIncremental(
+        docs.filter(col("doc_id") % 3 === 0), "sp_maint_mh", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.maintainMinhashIndex(spark, "sp_maint_mh",
+      numHashes = 128, bands = 16, targetBucket = 1, occupancyFactor = 0.0)
+    assert(mh.rebuilt && mh.currentGeometry == 4 && mh.targetGeometry == 8, mh)
+    val mhAfter = Dedup.minhashPairsIncremental(
+        docs.filter(col("doc_id") % 3 === 0), "sp_maint_mh", threshold = 0.5,
+        numHashes = 128, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhAfter == mhBefore,
+      s"missing=${mhBefore.diff(mhAfter).take(5)} extra=${mhAfter.diff(mhBefore).take(5)}")
+    spark.sql("DROP TABLE sp_maint_mh")
+    spark.sql("DROP TABLE sp_maint_mh_bands")
+    spark.sql("DROP TABLE sp_maint_mh_meta")
+  }
+
   test("r9: copy-on-write DML rewrites only the files holding matched rows") {
     Engine.registerTables(spark, sfDir)
     spark.sql("DROP TABLE IF EXISTS g_cow_t")

@@ -97,4 +97,38 @@ class PlansSpec extends SparkTestBase {
       assert(!outer.contains("rand("), s"nondeterministic alias moved:\n$opt")
     }
   }
+
+  test("DecDownscaleCast: coercion-inserted decimal downcasts truncate like duck (r13)") {
+    withRule {
+      // resolution-time rule (session extensions): the CASE unifies the
+      // literal branch at scale 2, and the fold must TRUNC (-0.125 →
+      // -0.12), not Spark's HALF_UP (-0.13) — r13 dec fuzz seed-21
+      graft.engine.Engine.registerTables(spark, sfDir)
+      val v = spark.sql(
+        "SELECT CAST(CASE WHEN o_orderkey % 3 = 0 THEN CAST(-0.125 AS DECIMAL(6,3)) % CAST(2.5 AS DECIMAL(2,1)) " +
+          "ELSE CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,2)) END AS STRING) AS c " +
+          "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey LIMIT 1")
+        .head.getString(0)
+      assert(v == "-0.12", s"coercion downscale not trunc: $v")
+      // explicit API-level downscale cast too (no translator in this path)
+      val e = spark.sql("SELECT CAST(CAST(2.555 AS DECIMAL(6,3)) AS DECIMAL(6,2))")
+        .head.getDecimal(0).toPlainString
+      assert(e == "2.55", s"explicit downscale not trunc: $e")
+    }
+  }
+
+  test("DoubleCastToDuckStr: double→string renders duck's plain form (r13)") {
+    withRule {
+      graft.engine.Engine.registerTables(spark, sfDir)
+      // column-bearing: the rule rewrites the Cast before execution
+      val v = spark.sql(
+        "SELECT CAST(CAST(o_totalprice AS DOUBLE) * 0 + 12345678.5 AS STRING) AS s " +
+          "FROM orders LIMIT 1").head.getString(0)
+      assert(v == "12345678.5", s"double rendering not duck-form: $v")
+      // resolution placement folds literal-only casts with duck form too
+      val lit = spark.sql("SELECT CAST(CAST(12345678.5 AS DOUBLE) AS STRING)")
+        .head.getString(0)
+      assert(lit == "12345678.5", s"literal fold not duck-form: $lit")
+    }
+  }
 }
