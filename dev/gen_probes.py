@@ -593,6 +593,26 @@ def gen_dec_probe(rng):
                 f"min({e}) AS mn, max({e}) AS mx, round(avg({e}), 3) AS av "
                 f"FROM orders WHERE o_orderkey < 500 "
                 f"GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    if r < 0.17:
+        # window avg over decimals: the sum/count split must replicate
+        # the OVER suffix on both halves
+        e = gen_dec(rng, 1)
+        return (f"SELECT o_orderkey, round(avg({e}) OVER "
+                f"(PARTITION BY o_orderstatus), 3) AS w FROM orders "
+                f"WHERE o_orderkey < 60 ORDER BY o_orderkey")
+    if r < 0.22:
+        # double → HUGEINT cast rounds half-EVEN (int-round dispatch);
+        # decimal → HUGEINT rounds half-away; plus hugeint / (duck:
+        # DOUBLE division even for hugeints)
+        k = rng.random()
+        if k < 0.4:
+            v = rng.choice(["2.5", "3.5", "-2.5", "0.145", "2.675"])
+            return (f"SELECT o_orderkey, CAST(CAST({v} AS DOUBLE) AS HUGEINT) AS a, "
+                    f"CAST({v} AS HUGEINT) AS b FROM orders "
+                    f"WHERE o_orderkey < 4 ORDER BY o_orderkey")
+        return (f"SELECT o_orderkey, round({gen_huge(rng, 1)} / "
+                f"{rng.choice(['7', '1000000007'])}, 4) AS q FROM orders "
+                f"WHERE o_orderkey < 4 ORDER BY o_orderkey")
     outs = []
     for _ in range(rng.choice([2, 3])):
         k = rng.random()

@@ -1115,9 +1115,26 @@ object Translator {
               } else None
             (mixed, exprIv) match {
               case (Some((m, us)), _) =>
-                toks = toks.patch(lStart, lex(
-                  s"(($lNew $op0 INTERVAL $m MONTH) $op0 INTERVAL $us MICROSECOND)"),
-                  rEnd - lStart + 1)
+                // r13 (closing the last allowlisted ts cell): duck's
+                // TSTZ SUBTRACT applies interval components in REVERSE
+                // order (micros → days → months, the exact inverse of
+                // add, so t + i - i == t) while naive subtract and every
+                // add go months-first (probed: TSTZ Dec 31 − '1 mon
+                // 2 days' = Nov 29 = (−2d, −1mo); naive = Nov 28; TSTZ
+                // ADD Jan 30 + '1 mon 2 days' = Mar 2 = months-first).
+                // TSTZ producers are token-visible in the left slice.
+                val tstzLeft = toks.slice(lStart, lEnd + 1).exists {
+                  case t: Ident => Set("TO_TIMESTAMP", "TIMEZONE",
+                    "TO_UTC_TIMESTAMP", "FROM_UTC_TIMESTAMP")
+                    .contains(t.upper)
+                  case _ => false
+                }
+                val emission =
+                  if (op0 == "-" && tstzLeft)
+                    s"(($lNew - INTERVAL $us MICROSECOND) - INTERVAL $m MONTH)"
+                  else
+                    s"(($lNew $op0 INTERVAL $m MONTH) $op0 INTERVAL $us MICROSECOND)"
+                toks = toks.patch(lStart, lex(emission), rEnd - lStart + 1)
                 changed = true
               case (_, Some(fn)) =>
                 toks = toks.patch(lStart, lex(s"($lNew $op0 $fn)"),

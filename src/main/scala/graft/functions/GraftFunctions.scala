@@ -139,6 +139,10 @@ object GraftFunctions {
         args(2).eval().asInstanceOf[Number].intValue(), tryMode = true)),
     ("graft_double_str", "DuckDB DOUBLE/FLOAT -> VARCHAR rendering: shortest digits, plain notation in exp [-4,15], e+NN outside",
       args => DoubleStrExpr(args(0))),
+    ("graft_floor_dbl", "DuckDB floor() over doubles: DOUBLE result (Spark's LONG renders '-3' where duck renders '-3.0')",
+      args => FloorCeilDblExpr(args(0), isCeil = false)),
+    ("graft_ceil_dbl", "DuckDB ceil() over doubles: DOUBLE result",
+      args => FloorCeilDblExpr(args(0), isCeil = true)),
     ("graft_round_dbl", "DuckDB round() over doubles: std::round(x*10^n)/10^n half-away on the FP product; overflow/NaN -> input (positive n) or 0 (negative n)",
       args => RoundDblExpr(args(0),
         if (args.length > 1) args(1)
@@ -240,7 +244,8 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
     Seq(graft.plans.DateTruncToDateCast, graft.plans.ProjectAfterTopK,
-        graft.plans.DoubleCastToDuckStr, graft.plans.DecDownscaleCast).foreach { r =>
+        graft.plans.DoubleCastToDuckStr, graft.plans.DecDownscaleCast,
+        graft.plans.FloorCeilToDbl).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
@@ -299,6 +304,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     if (!sys.env.get("GRAFT_NO_RESOLUTION_RULES").contains("1")) {
       ext.injectResolutionRule(_ => graft.plans.DecDownscaleCast)
       ext.injectResolutionRule(_ => graft.plans.DoubleCastToDuckStr)
+      ext.injectResolutionRule(_ => graft.plans.FloorCeilToDbl)
     }
   }
 }

@@ -1542,6 +1542,20 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t(c) == c, s"not idempotent: $c")
   }
 
+  test("r13: TSTZ mixed-interval subtract applies micros before months") {
+    // duck's TSTZ subtract is the exact inverse of add (micros → days →
+    // months); naive subtract and all adds go months-first — probed:
+    // TSTZ Dec 31 − '1 mon 2 days' = Nov 29, naive = Nov 28
+    val z = t("SELECT timezone('UTC', x) - INTERVAL '1 month 2 days' FROM t")
+    assert(z.contains("INTERVAL 172800000000 MICROSECOND) - INTERVAL 1 MONTH"), z)
+    val n = t("SELECT x - INTERVAL '1 month 2 days' FROM t")
+    assert(n.contains("INTERVAL 1 MONTH) - INTERVAL 172800000000 MICROSECOND"), n)
+    // add keeps months-first even on TSTZ
+    val a = t("SELECT timezone('UTC', x) + INTERVAL '1 month 2 days' FROM t")
+    assert(a.contains("INTERVAL 1 MONTH) + INTERVAL 172800000000 MICROSECOND"), a)
+    for (q <- Seq(z, n, a)) assert(t(q) == q, s"not idempotent: $q")
+  }
+
   test("r10 batch 9: generate_series over dates becomes explode(sequence)") {
     assert(t("SELECT * FROM generate_series(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY) AS t(d)") ==
       "SELECT * FROM explode(sequence(CAST(DATE '2024-01-01' AS TIMESTAMP), CAST(DATE '2024-01-04' AS TIMESTAMP), INTERVAL 1 DAY)) AS t(d)")

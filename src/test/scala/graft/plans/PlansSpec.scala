@@ -117,6 +117,23 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("FloorCeilToDbl: floor/ceil over doubles stay DOUBLE like duck (r13)") {
+    withRule {
+      graft.engine.Engine.registerTables(spark, sfDir)
+      // duck renders ceil(double) as '-3.0' through string surfaces;
+      // Spark's LONG result rendered '-3'
+      val v = spark.sql(
+        "SELECT CAST(ceil(CAST(o_totalprice AS DOUBLE) * 0 - 2.5) AS STRING) AS s " +
+          "FROM orders LIMIT 1").head.getString(0)
+      assert(v == "-2.0", s"ceil(double) not duck-typed: $v")
+      val f = spark.sql("SELECT floor(CAST(1.5 AS DOUBLE))").head
+      assert(f.schema.head.dataType.typeName == "double", f.schema.treeString)
+      // DECIMAL floor keeps Spark's DECIMAL(p,0) (matches duck)
+      val d = spark.sql("SELECT floor(CAST(1.5 AS DECIMAL(4,1)))").head
+      assert(d.schema.head.dataType.typeName.startsWith("decimal"), d.schema.treeString)
+    }
+  }
+
   test("DoubleCastToDuckStr: double→string renders duck's plain form (r13)") {
     withRule {
       graft.engine.Engine.registerTables(spark, sfDir)
