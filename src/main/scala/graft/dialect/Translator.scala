@@ -1335,14 +1335,22 @@ object Translator {
               toks = toks.patch(i, Seq(Ident("RLIKE"), Ws(" "),
                 Str(sparkStrLit("^(?:" + globToRegex(raw) + ")$"))), n - i + 1)
             } else {
+              // '~' as the explicit escape char, not backslash: the
+              // ESCAPE clause marks the pattern so the r13 LIKE-backslash
+              // pass (duck has no default escape) leaves this DELIBERATE
+              // escaping alone, and a backslash escape would round-trip
+              // through encodeStrLiterals' chr(92) — not a literal, which
+              // ESCAPE requires
               val pat = raw.flatMap {
                 case '*' => "%"
                 case '?' => "_"
-                case '%' => "\\%"
-                case '_' => "\\_"
+                case '%' => "~%"
+                case '_' => "~_"
+                case '~' => "~~"
                 case c => c.toString
               }
-              toks = toks.patch(i, Seq(Ident("LIKE"), Ws(" "), Str(sparkStrLit(pat))), n - i + 1)
+              toks = toks.patch(i, Seq(Ident("LIKE"), Ws(" "), Str(sparkStrLit(pat)),
+                Ws(" "), Ident("ESCAPE"), Ws(" "), Str("'~'")), n - i + 1)
             }
             changed = true
           case id: Ident if id.upper == "SIMILAR" && {
@@ -5080,6 +5088,88 @@ object Translator {
                 Seq(Ident(if (isTry) "try_to_timestamp" else "to_timestamp")), 1)
             }
             changed = true
+          case id: Ident if Set("PARSE_PATH", "PARSE_FILENAME",
+              "PARSE_DIRNAME").contains(id.upper) && callOpen >= 0 => {
+            // r13 string scout (loud UNRESOLVED_ROUTINE before): duck's
+            // path parsers, probed matrix — parse_path keeps a rooted
+            // leading separator as its own '/' element and drops empties
+            // ('/a/b/c.txt' → ['/','a','b','c.txt'], 'a//b/' → ['a','b'],
+            // '' → [], '/' → ['/']); parse_filename is the last
+            // component ('' after a trailing slash), trim_extension=true
+            // strips the final .ext only ('c.tar.gz' → 'c.tar');
+            // parse_dirname is the TOP-level directory ('/'-rooted → '/',
+            // 'a/b/c' → 'a', separator-free → ''). Default separator
+            // class is duck's both_slash; the 'system'/'forward_slash'
+            // literals map to '/' on this platform, 'backslash' to '\'.
+            // Verbatim literals (escapedStringLiterals=true) keep the
+            // regex char class exact.
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val p = if (args.nonEmpty) render(args(0)).trim else ""
+            // regex class vs one-char literals: VERBATIM string literals
+            // (escapedStringLiterals=true) mean the REGEX text needs its
+            // backslash doubled ('[/\\]') while the one-character
+            // comparison literal is a single '\'. Plain OR comparisons,
+            // not IN — the IN-list rewrite would re-capture the emission.
+            // root chars compare as ASCII CODES: a bare '\' literal
+            // round-trips through encodeStrLiterals' chr(92), which the
+            // CHR rename re-captures on re-translation; ascii() compares
+            // are capture-proof
+            def sepClass(a: Option[Seq[Tok]]): Option[(String, Seq[Int])] =
+              a.map(_.filterNot(isWs)) match {
+                case None => Some(("[/\\\\]", Seq(47, 92)))
+                case Some(Vector(s: Str)) => s.value match {
+                  case "both_slash" => Some(("[/\\\\]", Seq(47, 92)))
+                  case "system" | "forward_slash" => Some(("/", Seq(47)))
+                  case "backslash" => Some(("\\\\", Seq(92)))
+                  case _ => None
+                }
+                case _ => None
+              }
+            def rootPred(roots: Seq[Int]): String =
+              roots.map(r => s"ascii(substr($p, 1, 1)) = $r")
+                .mkString("(", " OR ", ")")
+            val repl: Option[String] = id.upper match {
+              // capture-proof spellings only: concat() would take the
+              // STRING-concat rewrite, element_at() the duck map-subscript
+              // form — array_insert/get/regexp survive every later pass
+              case "PARSE_PATH" if args.length <= 2 && args.nonEmpty =>
+                sepClass(args.lift(1)).map { case (re, roots) =>
+                  s"(CASE WHEN ${rootPred(roots)} " +
+                    s"THEN array_insert(filter(split($p, '$re'), __gpp -> __gpp <> ''), 1, substr($p, 1, 1)) " +
+                    s"ELSE filter(split($p, '$re'), __gpp -> __gpp <> '') END)"
+                }
+              case "PARSE_FILENAME" if args.nonEmpty && args.length <= 3 =>
+                // optional trim_extension boolean, optional separator
+                val (trim, sepArg) = args.map(_.filterNot(isWs)).toList match {
+                  case _ :: Vector(b: Ident) :: rest
+                      if Set("TRUE", "FALSE").contains(b.upper) =>
+                    (b.upper == "TRUE", rest.headOption.map(_.toSeq))
+                  case _ :: rest => (false, rest.headOption.map(_.toSeq))
+                  case _ => (false, None)
+                }
+                sepClass(sepArg).map { case (re, _) =>
+                  // the last run of non-separator characters ('' after a
+                  // trailing slash, duck-probed)
+                  val cls = if (re.startsWith("[")) re.init.tail else re
+                  val base = s"regexp_extract($p, '[^$cls]*$$', 0)"
+                  if (trim) s"regexp_replace($base, '\\.[^.]*$$', '')"
+                  else base
+                }
+              case "PARSE_DIRNAME" if args.length <= 2 && args.nonEmpty =>
+                sepClass(args.lift(1)).map { case (re, roots) =>
+                  s"(CASE WHEN ${rootPred(roots)} THEN substr($p, 1, 1) " +
+                    s"WHEN $p RLIKE '$re' THEN " +
+                    s"get(filter(split($p, '$re'), __gpd -> __gpd <> ''), 0) " +
+                    s"ELSE '' END)"
+                }
+              case _ => None
+            }
+            repl.foreach { r =>
+              toks = toks.patch(i, lex(r), close - i + 1)
+              changed = true
+            }
+          }
           case id: Ident if id.upper == "NOCASE" && {
               // r10 batch 7: DuckDB's NOCASE collation — Spark 4 spells
               // the case-insensitive UTF8 collation UTF8_LCASE
@@ -5087,6 +5177,26 @@ object Translator {
               p >= 0 && up(toks(p)) == "COLLATE"
             } =>
             toks = toks.updated(i, Ident("UTF8_LCASE"))
+            changed = true
+          case id: Ident if id.upper == "SPLIT_PART" && callOpen >= 0 && {
+              // r13 string scout: EMPTY separator — duck splits into
+              // CHARACTERS ('a,b,c','',2 → ','; negative n from the end;
+              // out-of-range and NULL input → '') where Spark returns
+              // the whole string. Literal-empty-sep only.
+              val close = matchParen(toks, callOpen)
+              val args = splitTopLevel(toks.slice(callOpen + 1, close))
+              args.length == 3 && (args(1).filterNot(isWs) match {
+                case Vector(s: Str) => s.value.isEmpty
+                case _ => false
+              })
+            } =>
+            val close = matchParen(toks, callOpen)
+            val args = splitTopLevel(toks.slice(callOpen + 1, close))
+            val (s0, n0) = (render(args(0)).trim, render(args(2)).trim)
+            toks = toks.patch(i, lex(
+              s"(CASE WHEN ($n0) = 0 THEN '' " +
+                s"ELSE coalesce(try_element_at(split($s0, ''), $n0), '') END)"),
+              close - i + 1)
             changed = true
           case id: Ident if id.upper == "SPLIT_PART" && callOpen >= 0 && {
               val close = matchParen(toks, callOpen)
@@ -5127,6 +5237,34 @@ object Translator {
             toks = toks.patch(i, lex(
               s"substr(($s0), $st, $p - $st)"), close - i + 1)
             changed = true
+          case id: Ident if (id.upper == "LIKE" || id.upper == "ILIKE") &&
+              callOpen < 0 && {
+                // r13 string scout: duck's LIKE has NO default escape —
+                // backslash is an ordinary character ('a_c' LIKE 'a\_c'
+                // is FALSE there; Spark's \_ escapes the wildcard, TRUE).
+                // For literal patterns CONTAINING a backslash, append an
+                // ESCAPE clause with a character absent from the pattern:
+                // backslash turns ordinary, %/_ stay wildcards, and the
+                // clause marks the pattern processed (fixpoint). Dynamic
+                // patterns keep Spark's escape — documented residual.
+                val rStart = nextNonWs(toks, i)
+                rStart < toks.length && (toks(rStart) match {
+                  case s: Str => s.value.contains("\\") && {
+                    val after = nextNonWs(toks, rStart)
+                    !(after < toks.length && up(toks(after)) == "ESCAPE")
+                  }
+                  case _ => false
+                })
+              } =>
+            val rStart = nextNonWs(toks, i)
+            val pat = toks(rStart).asInstanceOf[Str].value
+            Seq('~', '^', '@', '#', '!', '&').find(c => !pat.contains(c)) match {
+              case Some(c) =>
+                toks = toks.patch(rStart, Seq(toks(rStart), Ws(" "),
+                  Ident("ESCAPE"), Ws(" "), Str(s"'$c'")), 1)
+                changed = true
+              case None => () // pattern holds every candidate — stay Spark
+            }
           case id: Ident if id.upper == "ILIKE" && callOpen < 0 && {
               // r10 fuzz batch 6: DuckDB ILIKE folds with the SIMPLE case
               // mapping ('İSTANBUL' ILIKE 'istanbul' is true); Spark's

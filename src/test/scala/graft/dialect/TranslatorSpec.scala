@@ -447,11 +447,12 @@ class TranslatorSpec extends AnyFunSuite {
 
   test("GLOB becomes LIKE with translated pattern; SIMILAR TO becomes anchored RLIKE") {
     assert(t("SELECT * FROM t WHERE x GLOB 'ab*c?'")
-      == "SELECT * FROM t WHERE x LIKE 'ab%c_'")
-    // literal % / _ in a glob are escaped for LIKE (single backslash —
-    // verbatim literals since r10)
+      == "SELECT * FROM t WHERE x LIKE 'ab%c_' ESCAPE '~'")
+    // literal % / _ in a glob escape via '~' (r13: an explicit ESCAPE
+    // clause marks deliberate escaping for the LIKE-backslash pass, and
+    // a backslash escape would re-encode to chr(92) — not a literal)
     assert(t("SELECT * FROM t WHERE x GLOB 'a%b_c*'")
-      == "SELECT * FROM t WHERE x LIKE 'a\\%b\\_c%'")
+      == "SELECT * FROM t WHERE x LIKE 'a~%b~_c%' ESCAPE '~'")
     assert(t("SELECT * FROM t WHERE x SIMILAR TO 'S[0-9]+'")
       == "SELECT * FROM t WHERE x RLIKE '^(?:S[0-9]+)$'")
     assert(t("SELECT * FROM t WHERE x NOT SIMILAR TO 'a.b'")
@@ -1251,7 +1252,7 @@ class TranslatorSpec extends AnyFunSuite {
     // GLOB with a character class routes through an anchored regex;
     // plain patterns keep LIKE
     assert(t("SELECT 'abc' GLOB '[ab]bc'") == "SELECT 'abc' RLIKE '^(?:[ab]bc)$'")
-    assert(t("SELECT 'abc' GLOB 'a*'") == "SELECT 'abc' LIKE 'a%'")
+    assert(t("SELECT 'abc' GLOB 'a*'") == "SELECT 'abc' LIKE 'a%' ESCAPE '~'")
     assert(t("SELECT x GLOB '[!a]*.txt' FROM t0") ==
       "SELECT x RLIKE '^(?:[^a].*\\.txt)$' FROM t0")
     // SIMILAR TO is a PURE regex in duck (probed: % is NOT a wildcard)
@@ -1554,6 +1555,28 @@ class TranslatorSpec extends AnyFunSuite {
     val a = t("SELECT timezone('UTC', x) + INTERVAL '1 month 2 days' FROM t")
     assert(a.contains("INTERVAL 1 MONTH) + INTERVAL 172800000000 MICROSECOND"), a)
     for (q <- Seq(z, n, a)) assert(t(q) == q, s"not idempotent: $q")
+  }
+
+  test("r13 string scout: LIKE backslash, split_part empty sep, parse_path family") {
+    // duck's LIKE has no default escape — a literal pattern containing a
+    // backslash gets an ESCAPE clause with an absent character, so Spark
+    // treats the backslash as ordinary like duck does
+    val l = t("SELECT 'a_c' LIKE 'a\\_c'")
+    assert(l.contains("ESCAPE '~'"), l)
+    assert(t(l) == l, s"not idempotent: $l")
+    // no backslash → untouched; explicit ESCAPE → untouched
+    assert(t("SELECT x LIKE 'a_c' FROM t") == "SELECT x LIKE 'a_c' FROM t")
+    assert(t("SELECT x LIKE 'a\\_c' ESCAPE 'z' FROM t") ==
+      "SELECT x LIKE 'a\\_c' ESCAPE 'z' FROM t")
+    // empty separator splits into characters (duck), OOR/NULL → ''
+    val sp = t("SELECT split_part(s, '', 2) FROM t")
+    assert(sp.contains("try_element_at(split(s, ''), 2)"), sp)
+    assert(t(sp) == sp, s"not idempotent: $sp")
+    // parse_path family resolves loudly before — capture-proof emissions
+    val pp = t("SELECT parse_path(p), parse_filename(p, true), parse_dirname(p) FROM t")
+    assert(pp.contains("array_insert(") && pp.contains("regexp_extract(") &&
+      pp.contains("get(filter("), pp)
+    assert(t(pp) == pp, s"not idempotent: $pp")
   }
 
   test("r10 batch 9: generate_series over dates becomes explode(sequence)") {
