@@ -944,6 +944,153 @@ def gen_dml(rng, i):
     return "; ".join(stmts)
 
 
+"""String/unicode mode (r14, tenth mode — VERDICT r13 #2): the largest
+remaining unfuzzed surface. The r13 scout (32 hand probes) found 7
+divergent cells and closed 4; this generator randomizes the same
+families — multi-byte/emoji/combining-char length grids, case mapping
+(Unicode vs ASCII-only paths), trim charsets, pad/repeat/substr index
+edges, split_part/string_split, LIKE/ILIKE/GLOB patterns with escapes,
+printf/format specs, base64/hex, levenshtein/jaro_winkler/hamming,
+nfc_normalize/strip_accents, md5/sha256, parse_path family, and
+regexp_* — composed to bounded depth over unicode-rich atoms plus the
+fixture's string columns. Deliberately AVOIDED (adjudicated permissive
+supersets / loud-on-both classes the allowlist already documents):
+rpad/lpad with EMPTY pad, overlay(PLACING), dynamic (column-valued)
+LIKE patterns, hamming on unequal lengths, to_base beyond [2,36]."""
+
+# unicode-rich atoms: 1/2/3/4-byte codepoints, combining marks (é as
+# e+U+0301 vs precomposed), case-mapping landmines (ß→SS, İ, final
+# sigma), pattern metacharacters, path shapes
+STR_LITS = [
+    "héllo😀", "straße", "İstanbul", "ΣΊΣΥΦΟΣ", "café", "café",
+    "", " a b ", "abc", "ABCdef", "100% sure_thing", "/a/b/c.txt",
+    "a,b,,c", "xxaxx", "MiXeD", "ﬁne", "ǅungla", "ab😀c😀", "  ",
+    "tab\there", "über", "ÑOÑO",
+]
+STR_COLS = ["o_orderpriority", "o_orderstatus"]
+
+
+def str_lit(rng):
+    return "'" + rng.choice(STR_LITS) + "'"
+
+
+def gen_str_expr(rng, depth):
+    """A VARCHAR-valued expression of bounded depth."""
+    if depth <= 0:
+        return rng.choice(STR_COLS) if rng.random() < 0.35 else str_lit(rng)
+    a = lambda: gen_str_expr(rng, depth - 1)
+    k = rng.random()
+    if k < 0.10:
+        return f"upper({a()})" if rng.random() < 0.5 else f"lower({a()})"
+    if k < 0.16:
+        fn = rng.choice(["trim", "ltrim", "rtrim"])
+        if rng.random() < 0.5:
+            return f"{fn}({a()})"
+        return f"{fn}({a()}, '{rng.choice(['x', ' ', 'xy', 'é', '😀'])}')"
+    if k < 0.22:
+        return (f"substr({a()}, {rng.choice([-3, -1, 0, 1, 2, 5])}, "
+                f"{rng.choice([0, 1, 2, 3, 10])})")
+    if k < 0.27:
+        fn = rng.choice(["left", "right"])
+        return f"{fn}({a()}, {rng.choice([-2, -1, 0, 1, 2, 7])})"
+    if k < 0.33:
+        # pad chars NONEMPTY (rpad-empty is an adjudicated superset)
+        fn = rng.choice(["lpad", "rpad"])
+        return f"{fn}({a()}, {rng.choice([0, 2, 5, 9])}, '{rng.choice(['x', 'xy', 'é'])}')"
+    if k < 0.38:
+        return f"repeat({a()}, {rng.choice([-1, 0, 1, 3])})"
+    if k < 0.44:
+        return f"replace({a()}, '{rng.choice(['a', 'b', 'é', ' '])}', '{rng.choice(['', 'X', '😀'])}')"
+    if k < 0.48:
+        return f"translate({a()}, '{rng.choice(['abc', 'aé'])}', '{rng.choice(['xy', 'XYZ', ''])}')"
+    if k < 0.54:
+        return f"reverse({a()})"
+    if k < 0.60:
+        return f"({a()} || {a()})" if rng.random() < 0.5 else \
+            f"concat({a()}, {a()}, {a()})"
+    if k < 0.65:
+        return (f"split_part({a()}, '{rng.choice([',', ' ', '', 'é'])}', "
+                f"{rng.choice([1, 2, -1, 5])})")
+    if k < 0.70:
+        return f"nfc_normalize({a()})" if rng.random() < 0.5 else \
+            f"strip_accents({a()})"
+    if k < 0.74:
+        return f"md5({a()})"
+    if k < 0.79:
+        # BLOB casts take ASCII-only inputs: duck 1.0.0's STRING->BLOB
+        # conversion ERRORS on non-ascii bytes (adjudicated superset —
+        # the engine passes UTF-8 through)
+        if rng.random() < 0.5:
+            return f"to_base64(CAST('{rng.choice(['hi', 'abc', 'AB cd', ''])}' AS BLOB))"
+        return f"hex({a()})"
+    if k < 0.84:
+        return (f"regexp_replace({a()}, '{rng.choice(['[a-z]+', 'é', chr(92) + 'd'])}', "
+                f"'{rng.choice(['*', '', 'X'])}')")
+    if k < 0.88:
+        return (f"regexp_extract({a()}, '{rng.choice(['([a-z]+)', '(.)(.)'])}', "
+                f"{rng.choice([0, 1])})")
+    if k < 0.93:
+        fmt = rng.choice(["%s|%s", "%5s.", "%d:%s", "%x"])
+        if "%d" in fmt:
+            return f"printf('{fmt}', {rng.choice([0, 42, -7])}, {a()})"
+        if fmt == "%x":
+            return f"printf('{fmt}', {rng.choice([255, 4095])})"
+        if fmt == "%5s.":
+            return f"printf('{fmt}', {a()})"
+        return f"printf('{fmt}', {a()}, {a()})"
+    return (f"array_to_string(string_split({a()}, "
+            f"'{rng.choice([',', ' ', 'é'])}'), ';')")
+
+
+def gen_str_measure(rng):
+    """An INT/DOUBLE/BOOL measure over string expressions."""
+    a = lambda: gen_str_expr(rng, rng.choice([1, 2]))
+    k = rng.random()
+    if k < 0.22:
+        # octet_length is EXCLUDED: duck 1.0.0 has no VARCHAR overload
+        # (errors) while the engine accepts it — adjudicated superset
+        fn = rng.choice(["length", "strlen", "bit_length"])
+        return f"{fn}({a()})"
+    if k < 0.32:
+        fn = rng.choice(["ascii", "unicode"])
+        return f"{fn}({a()})"
+    if k < 0.44:
+        fn = rng.choice(["strpos", "instr"])
+        return f"{fn}({a()}, '{rng.choice(['a', 'é', '', 'b c'])}')"
+    if k < 0.56:
+        return f"levenshtein({a()}, {a()})"
+    if k < 0.64:
+        return f"round(jaro_winkler_similarity({a()}, {a()}), 4)"
+    if k < 0.72:
+        fn = rng.choice(["contains", "starts_with", "ends_with", "prefix",
+                         "suffix"])
+        return f"CAST({fn}({a()}, '{rng.choice(['a', 'A', 'é', ''])}') AS INT)"
+    if k < 0.86:
+        # LITERAL patterns only (dynamic patterns keep Spark's backslash
+        # escape — documented residual); backslash class goes through the
+        # ESCAPE-clause rewrite
+        op = rng.choice(["LIKE", "ILIKE", "NOT LIKE", "GLOB"])
+        if op == "GLOB":
+            pat = rng.choice(["*a*", "a?c", "[abc]*", "*"])
+        else:
+            pat = rng.choice(["%a%", "A%", "_b_", "100\\%%", "a\\_c", "%é%",
+                              "%😀%"])
+        return f"CAST(({a()} {op} '{pat}') AS INT)"
+    return f"length(parse_filename('{rng.choice(['/a/b/c.txt', 'x/y.tar.gz', '/n.v'])}'))"
+
+
+def gen_str_probe(rng):
+    outs = []
+    for _ in range(rng.choice([2, 3])):
+        if rng.random() < 0.55:
+            outs.append(gen_str_expr(rng, rng.choice([1, 2, 3])))
+        else:
+            outs.append(gen_str_measure(rng))
+    sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(outs))
+    return (f"SELECT o_orderkey, {sel} FROM orders "
+            f"WHERE o_orderkey < 8 ORDER BY o_orderkey")
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
@@ -982,6 +1129,10 @@ def main():
     if mode == "dec":
         for _ in range(n):
             print(gen_dec_probe(rng))
+        return
+    if mode == "str":
+        for _ in range(n):
+            print(gen_str_probe(rng))
         return
     for i in range(n):
         ty = rng.choice([INT, DBL, STR, DATE, BOOL])

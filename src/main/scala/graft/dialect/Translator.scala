@@ -114,6 +114,7 @@ object Translator {
     toks = rewriteIntCastRounding(toks)
     toks = rewriteCastFuncs(toks)
     toks = rewriteDecCast(toks, types.isDecimalCol)
+    toks = rewriteDecCompare(toks)
     toks = rewriteStringAgg(toks)
     toks = rewriteAnyAll(toks)
     toks = rewriteWindowFilter(toks)
@@ -1122,13 +1123,10 @@ object Translator {
                 // add go months-first (probed: TSTZ Dec 31 − '1 mon
                 // 2 days' = Nov 29 = (−2d, −1mo); naive = Nov 28; TSTZ
                 // ADD Jan 30 + '1 mon 2 days' = Mar 2 = months-first).
-                // TSTZ producers are token-visible in the left slice.
-                val tstzLeft = toks.slice(lStart, lEnd + 1).exists {
-                  case t: Ident => Set("TO_TIMESTAMP", "TIMEZONE",
-                    "TO_UTC_TIMESTAMP", "FROM_UTC_TIMESTAMP")
-                    .contains(t.upper)
-                  case _ => false
-                }
+                // TSTZ producers are token-visible in the left slice
+                // (r14: CASE-condition regions masked — see
+                // tstzProducerToks).
+                val tstzLeft = tstzProducerToks(toks.slice(lStart, lEnd + 1))
                 val emission =
                   if (op0 == "-" && tstzLeft)
                     s"(($lNew - INTERVAL $us MICROSECOND) - INTERVAL $m MONTH)"
@@ -1603,6 +1601,7 @@ object Translator {
     "GRAFT_ROUND_DBL",
     "BIT_LENGTH", "OCTET_LENGTH",
     "DAMERAU_LEVENSHTEIN", "LEVENSHTEIN", "BPE_TOKEN_COUNT",
+    "GRAFT_LEVENSHTEIN", "GRAFT_MISMATCHES",
     "ASCII_CHAR_COUNT", "GCD", "LCM")
   private[dialect] def rewriteIntCastRounding(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
@@ -1817,6 +1816,143 @@ object Translator {
                     changed = true
                   case _ =>
                 }
+              }
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    toks
+  }
+
+  /** DECIMAL(38,·)-mix comparison pre-widen (r14, VERDICT r13 #4 —
+    * closing the dec3.18 allowlist cell). Spark's comparison coercion
+    * for DECIMAL(38,s1) vs DECIMAL(38,s2) caps the common type at
+    * precision 38 and REDUCES the scale to min(s1,s2) — the compare
+    * sees truncated values — where duck compares cross-scale exactly.
+    * Catalyst does not expose coercion provenance, so the closure is
+    * token-level: when BOTH operand slices of a comparison carry a
+    * visible precision-38 spelling (`DECIMAL(38,s)` type or
+    * `graft_dec_cast(…, 38, s)` emission — this pass runs after
+    * rewriteDecCast) with DIFFERING max scales, wrap EACH side in
+    * `graft_dec_cast((side), 38, smax)` — upscale is exact, both sides
+    * then meet at the same type and no coercion fires. Values with more
+    * than 38−smax integer digits overflow LOUDLY where duck would
+    * compare silently (documented residual — trades a silent wrong
+    * answer for an error on a magnitude the fixture never reaches).
+    * Fixpoint-safe: after the wrap both sides' max scale is smax. */
+  private[dialect] def rewriteDecCompare(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    val cmpOps = Set("<", ">", "<=", ">=", "=", "<>", "!=", "==")
+    // expression boundaries at comparison precedence (walking outward)
+    val boundIds = Set("AND", "OR", "NOT", "WHERE", "THEN", "WHEN", "ELSE",
+      "END", "CASE", "ON", "HAVING", "SELECT", "FROM", "GROUP", "ORDER",
+      "LIMIT", "OFFSET", "JOIN", "UNION", "INTERSECT", "EXCEPT", "BY",
+      "AS", "IS", "IN", "LIKE", "ILIKE", "GLOB", "BETWEEN", "ESCAPE",
+      "ASC", "DESC", "NULLS", "OVER", "PARTITION", "DISTINCT", "ALL",
+      "ANY", "SOME", "EXISTS", "RETURNING", "SET", "VALUES", "QUALIFY",
+      "WINDOW", "SEMI", "ANTI", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+      "USING", "FILTER")
+    def leftBound(i: Int): Int = {
+      var j = i - 1; var depth = 0; var start = i
+      var go = true
+      while (go && j >= 0) {
+        toks(j) match {
+          case Punct(")") => depth += 1; start = j
+          case Punct("(") =>
+            if (depth == 0) go = false else { depth -= 1; start = j }
+          case Punct(",") | Punct(";") if depth == 0 => go = false
+          case Punct(p) if depth == 0 && cmpOps(p) => go = false
+          case id: Ident if depth == 0 && boundIds(id.upper) => go = false
+          case t if isWs(t) => // skip, don't move start
+          case _ => start = j
+        }
+        if (go) j -= 1
+      }
+      start
+    }
+    def rightBound(i: Int): Int = {
+      var j = i + 1; var depth = 0; var end = i
+      var go = true
+      while (go && j < toks.length) {
+        toks(j) match {
+          case Punct("(") => depth += 1; end = j
+          case Punct(")") =>
+            if (depth == 0) go = false else { depth -= 1; end = j }
+          case Punct(",") | Punct(";") if depth == 0 => go = false
+          case Punct(p) if depth == 0 && cmpOps(p) => go = false
+          case id: Ident if depth == 0 && boundIds(id.upper) => go = false
+          case t if isWs(t) =>
+          case _ => end = j
+        }
+        if (go) j += 1
+      }
+      end
+    }
+    // all scales of precision-38 spellings visible in a slice
+    def dec38Scales(from: Int, to: Int): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var j = from
+      while (j <= to) {
+        toks(j) match {
+          case id: Ident if id.upper == "DECIMAL" || id.upper == "NUMERIC" =>
+            val o = nextNonWs(toks, j)
+            if (o <= to && toks(o) == Punct("(")) {
+              val pTok = nextNonWs(toks, o)
+              val c = nextNonWs(toks, pTok)
+              val sTok = nextNonWs(toks, c)
+              (toks.lift(pTok), toks.lift(c), toks.lift(sTok)) match {
+                case (Some(p: Num), Some(Punct(",")), Some(s: Num))
+                    if p.text == "38" => out += s.text.toInt
+                case _ =>
+              }
+            }
+          case id: Ident
+              if id.upper == "GRAFT_DEC_CAST" ||
+                id.upper == "GRAFT_DEC_CAST_TRY" =>
+            val o = nextNonWs(toks, j)
+            if (o <= to && toks(o) == Punct("(")) {
+              val close = matchParen(toks, o)
+              if (close <= to) {
+                val sTok = prevNonWs(toks, close)
+                val c1 = prevNonWs(toks, sTok)
+                val pTok = prevNonWs(toks, c1)
+                (toks.lift(pTok), toks.lift(c1), toks.lift(sTok)) match {
+                  case (Some(p: Num), Some(Punct(",")), Some(s: Num))
+                      if p.text == "38" => out += s.text.toInt
+                  case _ =>
+                }
+              }
+            }
+          case _ =>
+        }
+        j += 1
+      }
+      out.toSeq
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < toks.length && !changed) {
+        toks(i) match {
+          case Punct(op) if cmpOps(op) =>
+            val (ls, rs) = (leftBound(i), rightBound(i))
+            val (lEnd, rStart) = (prevNonWs(toks, i), nextNonWs(toks, i))
+            if (ls <= lEnd && rStart <= rs) {
+              val sl = dec38Scales(ls, lEnd)
+              val sr = dec38Scales(rStart, rs)
+              if (sl.nonEmpty && sr.nonEmpty && sl.max != sr.max) {
+                val smax = math.max(sl.max, sr.max)
+                val lTxt = render(toks.slice(ls, lEnd + 1)).trim
+                val rTxt = render(toks.slice(rStart, rs + 1)).trim
+                // right first so left indices stay valid
+                toks = toks.patch(rStart,
+                  lex(s"graft_dec_cast(($rTxt), 38, $smax)"), rs - rStart + 1)
+                toks = toks.patch(ls,
+                  lex(s"graft_dec_cast(($lTxt), 38, $smax)"), lEnd - ls + 1)
+                changed = true
               }
             }
           case _ =>
@@ -2759,7 +2895,10 @@ object Translator {
     "TO_BASE64" -> "base64",
     "BASE64" -> "base64",
     "FROM_BASE64" -> "unbase64",
-    "EDITDIST3" -> "levenshtein",
+    // duck's levenshtein counts BYTES; Spark's builtin counts chars —
+    // the byte kernel closes every non-ASCII cell (r14 str fuzz)
+    "EDITDIST3" -> "graft_levenshtein",
+    "LEVENSHTEIN" -> "graft_levenshtein",
     // both pad the shorter list with NULL to the longest (probe-verified)
     "LIST_ZIP" -> "arrays_zip",
     // codepoint of the first character in both engines
@@ -4284,17 +4423,17 @@ object Translator {
               changed = true
             }
           case id: Ident if (id.upper == "HAMMING" || id.upper == "MISMATCHES") && callOpen >= 0 =>
-            // DuckDB hamming/mismatches: positionwise differing-char count,
-            // ERROR on unequal lengths → NULL here (error-path divergence
-            // only; equal-length inputs agree)
+            // DuckDB hamming/mismatches: positionwise differing-BYTE
+            // count (r14 str fuzz: 'éa' vs 'Xa' errors in duck — 3 vs 2
+            // BYTES — where the old char-split emission compared 2-char
+            // strings), ERROR on unequal byte lengths → NULL here
+            // (error-path divergence only; equal-byte-length inputs agree)
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 2) {
               val (a, b) = (render(args(0)).trim, render(args(1)).trim)
-              val repl = s"(CASE WHEN length($a) <> length($b) THEN CAST(NULL AS BIGINT) " +
-                s"ELSE CAST(size(filter(zip_with(split($a, ''), split($b, ''), " +
-                s"(__gh_x, __gh_y) -> __gh_x <> __gh_y), __gh_v -> __gh_v)) AS BIGINT) END)"
-              toks = toks.patch(i, lex(repl), close - i + 1)
+              toks = toks.patch(i,
+                lex(s"graft_mismatches(($a), ($b))"), close - i + 1)
               changed = true
             }
           case id: Ident if id.upper == "TRUNC" && callOpen >= 0 =>
@@ -5005,12 +5144,9 @@ object Translator {
             // not a bare head match — a chained `(x AT TIME ZONE 'a') AT
             // TIME ZONE 'b'` parenthesizes the inner producer, and duck
             // COERCES mixed expressions to TSTZ anyway, so any producer
-            // in the slice means the operand is TSTZ-flavored
-            val tstzProducer = args(1).exists {
-              case t: Ident => Set("TO_TIMESTAMP", "TIMEZONE",
-                "TO_UTC_TIMESTAMP", "FROM_UTC_TIMESTAMP").contains(t.upper)
-              case _ => false
-            }
+            // in the slice means the operand is TSTZ-flavored (r14:
+            // CASE-condition regions masked — see tstzProducerToks)
+            val tstzProducer = tstzProducerToks(args(1))
             val (z, x) = (render(args(0)).trim, render(args(1)).trim)
             toks = toks.patch(i, lex(
               if (tstzProducer) s"from_utc_timestamp(CAST($x AS TIMESTAMP), $z)"
@@ -5265,6 +5401,59 @@ object Translator {
                 changed = true
               case None => () // pattern holds every candidate — stay Spark
             }
+          case id: Ident if (id.upper == "LIKE" || id.upper == "ILIKE") && {
+                // (no callOpen guard: `LIKE (p || '%')` has a paren right
+                // after the keyword and would read as a call)
+                // r14 (VERDICT r13 #5 — the dynamic-pattern residual):
+                // duck's LIKE has NO default escape, so a backslash IN A
+                // COLUMN-VALUED pattern is an ordinary character where
+                // Spark's default escape consumes it. Switch the escape
+                // char to '~' (backslash becomes ordinary — duck's
+                // reading; %/_ stay wildcards) and neutralize any '~' the
+                // runtime pattern carries by doubling it
+                // (replace(p,'~','~~') → a literal '~', duck's reading
+                // again). No backslash appears in the emission — ESCAPE
+                // requires a string LITERAL and the backslash-literal
+                // hop pass would otherwise turn it into chr(92). The
+                // ESCAPE clause marks the pattern processed (fixpoint);
+                // a user-written ESCAPE skips the rewrite (both engines
+                // honor it identically).
+                val rStart = nextNonWs(toks, i)
+                rStart < toks.length && (toks(rStart) match {
+                  case _: Str => false // literal: previous arm owns it
+                  case Punct("(") => true
+                  case id2: Ident => !keywordLike(id2.upper)
+                  case _ => false
+                }) && {
+                  // pattern operand incl. || chains and call parens
+                  var rEnd = primaryEnd(toks, rStart)
+                  var ext = true
+                  while (ext) {
+                    val n = nextNonWs(toks, rEnd)
+                    if (n < toks.length && toks(n) == Punct("||") &&
+                      nextNonWs(toks, n) < toks.length)
+                      rEnd = primaryEnd(toks, nextNonWs(toks, n))
+                    else ext = false
+                  }
+                  val after = nextNonWs(toks, rEnd)
+                  !(after < toks.length && up(toks(after)) == "ESCAPE")
+                }
+              } =>
+            val rStart = nextNonWs(toks, i)
+            var rEnd = primaryEnd(toks, rStart)
+            var ext = true
+            while (ext) {
+              val n = nextNonWs(toks, rEnd)
+              if (n < toks.length && toks(n) == Punct("||") &&
+                nextNonWs(toks, n) < toks.length)
+                rEnd = primaryEnd(toks, nextNonWs(toks, n))
+              else ext = false
+            }
+            val p0 = render(toks.slice(rStart, rEnd + 1)).trim
+            toks = toks.patch(rStart,
+              lex(s"replace(($p0), '~', '~~') ESCAPE '~'"),
+              rEnd - rStart + 1)
+            changed = true
           case id: Ident if id.upper == "ILIKE" && callOpen < 0 && {
               // r10 fuzz batch 6: DuckDB ILIKE folds with the SIMPLE case
               // mapping ('İSTANBUL' ILIKE 'istanbul' is true); Spark's
@@ -5686,12 +5875,10 @@ object Translator {
                   // TSTZ producers are visible at token level here
                   // (to_timestamp / timezone() — AT TIME ZONE has
                   // already become timezone() by this pass).
-                  val tstz = (args(1) ++ args(2)).exists {
-                    case t: Ident => Set("TO_TIMESTAMP", "TIMEZONE",
-                      "TO_UTC_TIMESTAMP", "FROM_UTC_TIMESTAMP")
-                      .contains(t.upper)
-                    case _ => false
-                  }
+                  // per-arg, not concatenated: a WHEN..THEN region must
+                  // not mask across the argument boundary (r14)
+                  val tstz = tstzProducerToks(args(1)) ||
+                    tstzProducerToks(args(2))
                   def gridDiv(wUs: Long): String =
                     if (tstz) {
                       // exact integer floor: subtract pmod (∈ [0, w))
@@ -6551,6 +6738,41 @@ object Translator {
       case _ => false
     }
 
+  /** TSTZ-producer containment scan with CASE-condition masking (r14,
+    * r13 ADVICE low #3). The three TSTZ dispatch sites (mixed-interval
+    * subtract order, AT TIME ZONE direction, date_diff grid flavor)
+    * scan their operand slice for a producer because duck COERCES mixed
+    * operands to TSTZ and chained producers parenthesize — but a
+    * producer inside a CASE's WHEN..THEN CONDITION region does not
+    * flavor the CASE's value (duck types the CASE from its branch
+    * values), so `CASE WHEN to_timestamp(s) > t THEN naive_a ELSE
+    * naive_b END - INTERVAL '1 mon 2 days'` keeps naive months-first
+    * semantics. Producers in THEN/ELSE branches still flavor the value
+    * (coercion) and stay containment-matched. */
+  private[dialect] def tstzProducerToks(ts: Seq[Tok]): Boolean = {
+    val producers = Set("TO_TIMESTAMP", "TIMEZONE",
+      "TO_UTC_TIMESTAMP", "FROM_UTC_TIMESTAMP")
+    var depth = 0
+    var condDepths = List.empty[Int] // paren depths of open WHEN..THEN regions
+    var i = 0
+    var found = false
+    while (i < ts.length && !found) {
+      ts(i) match {
+        case Punct("(") => depth += 1
+        case Punct(")") => depth -= 1
+        case id: Ident if id.upper == "WHEN" => condDepths ::= depth
+        case id: Ident if id.upper == "THEN" &&
+            condDepths.headOption.contains(depth) =>
+          condDepths = condDepths.tail
+        case id: Ident if condDepths.isEmpty && producers(id.upper) =>
+          found = true
+        case _ =>
+      }
+      i += 1
+    }
+    found
+  }
+
   /** round() argument that is an integral-identity shape (r13): a DIV
     * anywhere in the slice or an integral-fn head call. These rounds are
     * the engine's own already-integral markers (the int-cast-rounding
@@ -6594,7 +6816,14 @@ object Translator {
     * that survives translate∘translate). */
   private def hugeintRiskToks(ts: Seq[Tok]): Boolean =
     ts.zipWithIndex.exists {
-      case (n: Num, _) => n.text.forall(_.isDigit) && n.text.length > 19
+      // >19 digits is always HUGEINT; exactly 19 digits is HUGEINT when
+      // above BIGINT max 9223372036854775807 (string compare at equal
+      // length — r14, r13 ADVICE: length-only classification routed
+      // 9223372036854775808..9999999999999999999 to the double kernel
+      // with silent precision loss past 2^53)
+      case (n: Num, _) => n.text.forall(_.isDigit) &&
+        (n.text.length > 19 ||
+          (n.text.length == 19 && n.text > "9223372036854775807"))
       case (id: Ident, i) =>
         id.upper == "HUGEINT" || id.upper == "UBIGINT" ||
           id.upper == "DECIMAL(38,0)" || id.upper == "DECIMAL(20,0)" ||

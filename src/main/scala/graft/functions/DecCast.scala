@@ -9,19 +9,25 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DuckDB's CAST(x AS DECIMAL(p,s)), dispatched on the INPUT type (r13
-  * dec fuzz mode — probed matrix; Spark's Cast applies HALF_UP to every
-  * source, a silent wrong answer on any downscale tie):
+  * dec fuzz mode — probed matrix):
   *
-  *  - DECIMAL → DECIMAL downscale TRUNCATES toward zero (probed:
-  *    1.256→(8,1)→1.2, 2.555→(38,2)→2.55, -1.25→(8,1)→-1.2, 3.5→(8,0)→3
-  *    — while Spark rounds HALF_UP: 1.3, 2.56, -1.3, 4);
-  *  - DOUBLE/FLOAT → DECIMAL is duck's round() FP algorithm:
-  *    std::round(x·10^s) half away from zero on the FLOATING-POINT
-  *    product, the integral double then converting exactly (probed:
-  *    2.5e0→(8,0)→3, -2.5e0→-3, and the knife edges 2.675e0→(10,2)→2.68
-  *    — the product 267.5 after IEEE rounding — vs 0.145e0→0.14 — the
-  *    product 14.499999…; Spark's shortest-rendering HALF_UP says 2.67
-  *    and 0.15 there); NaN/inf error (try: NULL);
+  *  - DECIMAL → DECIMAL downscale: **version-sensitive** (r14, VERDICT
+  *    r13 #1). DuckDB ≤1.0.0 TRUNCATES toward zero (probed on the dev
+  *    replica: 1.256→(8,1)→1.2, 2.555→(38,2)→2.55); DuckDB ≥1.1 ROUNDS
+  *    half away from zero (1.3, 2.56) — the DRIVER's oracle is a newer
+  *    DuckDB (CORRECTNESS_r13 hash evidence: the engine matched 1.0.0
+  *    bit-for-bit and the driver disagreed on exactly the
+  *    downscale-dense entries). Default follows the driver (HALF_UP =
+  *    half away from zero); `spark.graft.decimalDownscaleTruncate=true`
+  *    restores the 1.0.0 replica behavior for local probe-gate work.
+  *    The mode is baked into the expression at PLAN time on the driver
+  *    so it serializes to executors;
+  *  - DOUBLE/FLOAT → DECIMAL scales, adds duck's signed ABSOLUTE 1e-9
+  *    epsilon, then rounds half away from zero on the FLOATING-POINT
+  *    product (duck's DoubleToDecimalCast; distinct from its round(),
+  *    which has no epsilon — re-probed r14: 0.145e0→(8,2)→0.15 via the
+  *    epsilon while round(0.145e0,2)→0.14; 2.675e0→(10,2)→2.68 via IEEE;
+  *    0.144999999e0→0.14); NaN/inf error (try: NULL);
   *  - VARCHAR parses then rounds HALF UP (probed '1.255'→(8,2)→1.26);
   *  - integral/boolean inputs convert exactly.
   *
@@ -32,7 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * carries DECIMAL risk (the rewriteDivMod containment-scan convention);
   * a false positive lands on a non-decimal input branch here, each of
   * which reproduces duck's semantics for that source type. */
-case class DecCastExpr(child: Expression, p: Int, s: Int, tryMode: Boolean)
+case class DecCastExpr(child: Expression, p: Int, s: Int, tryMode: Boolean,
+    trunc: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = DecimalType(p, s)
   override def prettyName: String =
@@ -45,14 +52,20 @@ case class DecCastExpr(child: Expression, p: Int, s: Int, tryMode: Boolean)
       s"${prettyName} requires a numeric, string or boolean input, got ${other.simpleString}")
   }
   override def nullSafeEval(a: Any): Any = {
-    val r = DecCast.cast(a, p, s, tryMode)
+    val r = DecCast.cast(a, p, s, tryMode, trunc)
     if (r == null) null else Decimal(r, p, s)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val tmp = ctx.freshName("dcTmp")
-      s"""java.math.BigDecimal $tmp = graft.functions.DecCast.cast($a, $p, $s, $tryMode);
-         |if ($tmp == null) { ${ev.isNull} = true; }
+      // ${ev.isNull} is only DECLARED when nullable — see IntRoundExpr
+      // (r14 FallbackAudit): referencing it otherwise makes the whole
+      // projection silently interpreted. null is impossible on the
+      // !tryMode path (cast() throws), so guard on nullability.
+      val onNull = if (nullable) s"${ev.isNull} = true;"
+        else "throw new IllegalStateException(\"graft_dec_cast: unexpected null\");"
+      s"""java.math.BigDecimal $tmp = graft.functions.DecCast.cast($a, $p, $s, $tryMode, $trunc);
+         |if ($tmp == null) { $onNull }
          |else { ${ev.value} = org.apache.spark.sql.types.Decimal.apply($tmp, $p, $s); }
          |""".stripMargin
     })
@@ -61,12 +74,26 @@ case class DecCastExpr(child: Expression, p: Int, s: Int, tryMode: Boolean)
 }
 
 object DecCast {
+  /** Oracle-version register (SURVEY §2.12, r14): the DRIVER's DuckDB
+    * oracle (≥1.1) ROUNDS decimal→decimal downscales; the dev replica
+    * (1.0.0) truncated. Default follows the driver. Read at PLAN time
+    * on the driver by every DecCastExpr construction site (translator
+    * function builder + DecDownscaleCast rule) so the mode serializes
+    * with the expression. */
+  def truncMode: Boolean = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    (try conf.getConfString("spark.graft.decimalDownscaleTruncate")
+     catch { case _: java.util.NoSuchElementException => "false" }) == "true"
+  }
+
   /** null return = tryMode swallow; throws when !tryMode (duck's loud
     * Conversion Error posture). */
-  def cast(a: Any, p: Int, s: Int, tryMode: Boolean): JBigDecimal = a match {
+  def cast(a: Any, p: Int, s: Int, tryMode: Boolean, trunc: Boolean): JBigDecimal = a match {
     case dec: Decimal =>
-      // DECIMAL → DECIMAL: duck truncates extra scale digits
-      fit(dec.toJavaBigDecimal.setScale(s, RoundingMode.DOWN), p, s, tryMode)
+      // DECIMAL → DECIMAL: duck ≥1.1 rounds half away from zero
+      // (HALF_UP); ≤1.0.0 truncated (trunc=true, replica mode)
+      fit(dec.toJavaBigDecimal.setScale(s,
+        if (trunc) RoundingMode.DOWN else RoundingMode.HALF_UP), p, s, tryMode)
     case d: java.lang.Double => fp(d, p, s, tryMode)
     case f: java.lang.Float => fp(f.doubleValue(), p, s, tryMode)
     case str: UTF8String =>
@@ -94,15 +121,22 @@ object DecCast {
       throw new ArithmeticException(
         s"""Casting value "$d" to type DECIMAL($p,$s) failed: value is out of range""")
     }
-    // duck's double→DECIMAL is the SAME FP algorithm as its round()
-    // (r13 full-gate rerun, queries9 probe 5): std::round(x·10^s) on the
-    // FLOATING-POINT product, half away from zero, then the integral
-    // double converts exactly. 2.675e0→(10,2)→2.68 because 2.675·100
-    // rounds UP to 267.5 in IEEE — both the exact-binary expansion
-    // (2.67) and Spark's shortest-rendering HALF_UP disagree with duck
-    // on knife edges like this.
-    val prod = d * Math.pow(10, s.toDouble)
-    if (java.lang.Double.isInfinite(prod)) {
+    // duck's double→DECIMAL is NOT its round(): it scales, then adds a
+    // SIGNED ABSOLUTE 1e-9 epsilon before rounding half away from zero
+    // (duckdb cast_operators.cpp DoubleToDecimalCast, "fix floating
+    // point issues", issue 3091 — present in 1.0.0 and current master;
+    // re-probed r14 after the r13 pin wrongly reused the round()
+    // algorithm: CAST(0.145e0 AS DECIMAL(8,2)) is 0.15 in duck — the
+    // product 14.499999999999998 lands within 1e-9 of the boundary and
+    // the epsilon rescues it — while round(0.145e0, 2) is 0.14;
+    // CAST(0.144999999e0 ...) stays 0.14, the epsilon is absolute).
+    // 2.675e0→(10,2)→2.68 as before (the product IEEE-rounds up to
+    // 267.50000000000006). Range check precedes the rounding like duck's
+    // (on the epsilon-adjusted product vs 10^p).
+    val prod0 = d * Math.pow(10, s.toDouble)
+    val prod = prod0 + (if (prod0 < 0) -1e-9 else 1e-9)
+    if (java.lang.Double.isInfinite(prod) ||
+        prod <= -Math.pow(10, p.toDouble) || prod >= Math.pow(10, p.toDouble)) {
       if (tryMode) return null
       throw new ArithmeticException(
         s"""Casting value "$d" to type DECIMAL($p,$s) failed: value is out of range""")

@@ -54,15 +54,26 @@ object DoubleStr {
     if (java.lang.Double.isNaN(d)) return "nan"
     if (d == Double.PositiveInfinity) return "inf"
     if (d == Double.NegativeInfinity) return "-inf"
-    if (d == 0.0) return "0.0" // duck prints -0.0 as '0.0' (probed)
+    // signed zero: a TRUE double -0.0 renders '-0.0' in duck (r14
+    // 20k-render sweep; the r13 '0.0' pin probed the LITERAL -0.0,
+    // which reaches DOUBLE via DECIMAL and loses the sign)
+    if (d == 0.0) {
+      return if (java.lang.Double.doubleToRawLongBits(d) != 0L) "-0.0" else "0.0"
+    }
     val neg = d < 0
-    // shortest round-trip digits at the value's own width: Java's
-    // toString is shortest for its type
+    // shortest round-trip digits at the value's own width. Java's
+    // toString is only GUARANTEED shortest on JDK 19+ (JDK-4511638) —
+    // on this JDK 17 ~0.3% of doubles (mostly 1e17–1e19) render one
+    // digit long (r13 ADVICE, verified vs duck: Java
+    // '-2.6814475343671142e+18' vs duck '-2.681447534367114e+18'), so
+    // the repr is minimized below by dropping trailing significand
+    // digits while the result still round-trips to the same value.
     val repr = if (isFloat) java.lang.Float.toString(Math.abs(f))
       else java.lang.Double.toString(Math.abs(d))
     // stripTrailingZeros: Java renders 1e16 as "1.0E16" — the mantissa
     // zero would leak into the scientific form as "1.0e+16" (duck: 1e+16)
-    val bd = new java.math.BigDecimal(repr).stripTrailingZeros()
+    val bd = shorten(new java.math.BigDecimal(repr).stripTrailingZeros(),
+      if (isFloat) Math.abs(f).toDouble else Math.abs(d), isFloat)
     val digits = bd.unscaledValue().toString
     val x = digits.length - 1 - bd.scale() // value = D[0].D[1:] * 10^x
     val sb = new java.lang.StringBuilder(if (neg) "-" else "")
@@ -91,5 +102,42 @@ object DoubleStr {
       sb.append(ax)
     }
     sb.toString
+  }
+
+  /** Drop significand digits while a shorter decimal still parses back
+    * to the same value, choosing the round-tripping candidate closest to
+    * the exact binary value (Ryu's selection rule). One pass usually
+    * no-ops — Java's repr is already shortest for >99% of values — so
+    * the common-path cost is three BigDecimal rounds + parses. */
+  private def shorten(bd0: java.math.BigDecimal, abs: Double,
+      isFloat: Boolean): java.math.BigDecimal = {
+    def trips(c: java.math.BigDecimal): Boolean =
+      if (isFloat) java.lang.Float.parseFloat(c.toString) == abs.toFloat
+      else java.lang.Double.parseDouble(c.toString) == abs
+    val exact = new java.math.BigDecimal(abs) // exact binary expansion
+    var bd = bd0
+    var improved = true
+    while (improved && bd.precision() > 1) {
+      improved = false
+      val p = bd.precision() - 1
+      val cands = Seq(java.math.RoundingMode.HALF_EVEN,
+          java.math.RoundingMode.FLOOR, java.math.RoundingMode.CEILING)
+        .map(m => bd.round(new java.math.MathContext(p, m)))
+        .distinct.filter(trips)
+      if (cands.nonEmpty) {
+        bd = cands.minBy(_.subtract(exact).abs()).stripTrailingZeros()
+        improved = true
+      }
+    }
+    // closest-at-final-precision (Ryu's second rule): Java's repr
+    // guarantees round-trip, not closeness — when a same-precision
+    // NEIGHBOR also round-trips (both inside the double's half-ulp
+    // interval), duck emits the one closest to the exact value (r14
+    // sweep: -3.6769268034656067e+25 where Java said …66e+25)
+    val ulp = java.math.BigDecimal.valueOf(1L, bd.scale())
+    val best = Seq(bd, bd.add(ulp), bd.subtract(ulp))
+      .filter(c => c.precision() <= bd.precision() && c.signum() > 0 && trips(c))
+      .minBy(_.subtract(exact).abs())
+    best.stripTrailingZeros()
   }
 }

@@ -91,12 +91,18 @@ object GraftFunctions {
     ("graft_list_distinct", "DuckDB list_distinct/array_distinct: distinct NON-NULL elements, first-occurrence order",
       args => org.apache.spark.sql.catalyst.expressions.ArrayDistinct(
         new org.apache.spark.sql.catalyst.expressions.ArrayCompact(args(0)))),
-    ("damerau_levenshtein", "true (unrestricted) Damerau-Levenshtein distance",
+    ("damerau_levenshtein", "true (unrestricted) Damerau-Levenshtein distance over UTF-8 BYTES (duck semantics, r14)",
       args => DamerauLevenshtein(args(0), args(1))),
-    ("jaro_similarity", "Jaro similarity (0.0 when either side empty)",
+    ("jaro_similarity", "Jaro similarity over UTF-8 BYTES (0.0 when either side empty)",
       args => JaroSimilarity(args(0), args(1))),
-    ("jaro_winkler_similarity", "Jaro-Winkler (prefix cap 4, boost above 0.7)",
+    ("jaro_winkler_similarity", "Jaro-Winkler over UTF-8 BYTES (prefix cap 4, boost above 0.7)",
       args => JaroWinklerSimilarity(args(0), args(1))),
+    ("graft_levenshtein", "duck's levenshtein/editdist3: classic DP over UTF-8 BYTES (Spark's builtin counts chars — diverges on every non-ASCII input, r14 str fuzz)",
+      args => GraftLevenshtein(args(0), args(1))),
+    ("graft_mismatches", "duck's mismatches/hamming: positionwise differing-BYTE count; NULL on unequal byte lengths (duck errors there)",
+      args => MismatchesExpr(args(0), args(1))),
+    ("graft_reverse", "duck's reverse over VARCHAR: grapheme-cluster reversal (combining marks stay on their base)",
+      args => GraphemeReverseExpr(args(0))),
     ("gcd", "integer gcd, absolute-value semantics",
       args => GcdExpr(args(0), args(1))),
     ("gamma", "DuckDB gamma(x): exact for integer args, Lanczos otherwise; zero/negative-integer errors loudly",
@@ -129,14 +135,16 @@ object GraftFunctions {
       args => IntDivExpr(args(0), args(1))),
     ("graft_intdiv_exact", "DuckDB // over HUGEINT-spelled operands: exact INT128-style trunc division at DECIMAL(38,0); double fallback when a fractional operand shows the slice was not hugeint//hugeint",
       args => IntDivExactExpr(args(0), args(1))),
-    ("graft_dec_cast", "DuckDB CAST to DECIMAL(p,s) by INPUT type: decimal downscale truncates, double rounds half-up on the exact binary value, string half-up; out-of-range errors",
+    ("graft_dec_cast", "DuckDB CAST to DECIMAL(p,s) by INPUT type: decimal downscale rounds half-away (>=1.1 driver oracle; conf-switchable to 1.0.0 truncate), double takes duck's FP-product rounding, string half-up; out-of-range errors",
       args => DecCastExpr(args(0),
         args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue(), tryMode = false)),
+        args(2).eval().asInstanceOf[Number].intValue(), tryMode = false,
+        trunc = DecCast.truncMode)),
     ("graft_dec_cast_try", "graft_dec_cast's TRY twin: NULL on out-of-range / unparseable / NaN / inf",
       args => DecCastExpr(args(0),
         args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue(), tryMode = true)),
+        args(2).eval().asInstanceOf[Number].intValue(), tryMode = true,
+        trunc = DecCast.truncMode)),
     ("graft_double_str", "DuckDB DOUBLE/FLOAT -> VARCHAR rendering: shortest digits, plain notation in exp [-4,15], e+NN outside",
       args => DoubleStrExpr(args(0))),
     ("graft_floor_dbl", "DuckDB floor() over doubles: DOUBLE result (Spark's LONG renders '-3' where duck renders '-3.0')",
@@ -245,7 +253,7 @@ object GraftFunctions {
     }
     Seq(graft.plans.DateTruncToDateCast, graft.plans.ProjectAfterTopK,
         graft.plans.DoubleCastToDuckStr, graft.plans.DecDownscaleCast,
-        graft.plans.FloorCeilToDbl).foreach { r =>
+        graft.plans.FloorCeilToDbl, graft.plans.StringReverseGrapheme).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
@@ -305,6 +313,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectResolutionRule(_ => graft.plans.DecDownscaleCast)
       ext.injectResolutionRule(_ => graft.plans.DoubleCastToDuckStr)
       ext.injectResolutionRule(_ => graft.plans.FloorCeilToDbl)
+      // type-dispatched: string reverse → grapheme clusters (r14)
+      ext.injectResolutionRule(_ => graft.plans.StringReverseGrapheme)
     }
   }
 }

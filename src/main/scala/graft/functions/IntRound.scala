@@ -44,8 +44,17 @@ case class IntRoundExpr(child: Expression, tryMode: Boolean)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val tmp = ctx.freshName("irTmp")
+      // when nullable=false (non-null child, !tryMode) nullSafeCodeGen
+      // never DECLARES ${ev.isNull} — referencing it emits uncompilable
+      // Java and janino's failure silently drops the WHOLE projection to
+      // interpreted execution (r14 FallbackAudit root cause, the "is not
+      // an rvalue" class: 100 events/22 entries at HEAD~). The kernel
+      // cannot return null on that path (round() throws instead), so
+      // guard the assignment on nullability.
+      val onNull = if (nullable) s"${ev.isNull} = true;"
+        else "throw new IllegalStateException(\"graft_int_round: unexpected null\");"
       s"""java.math.BigDecimal $tmp = graft.functions.IntRound.round($a, $tryMode);
-         |if ($tmp == null) { ${ev.isNull} = true; }
+         |if ($tmp == null) { $onNull }
          |else { ${ev.value} = org.apache.spark.sql.types.Decimal.apply($tmp, 38, 0); }
          |""".stripMargin
     })

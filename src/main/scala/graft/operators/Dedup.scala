@@ -491,7 +491,9 @@ object Dedup {
     Partitioning.writeBucketed(
       scanned.select(col("id"), explode(col("bands")).as("band"))
         .select(col("band.b").as("band_id"), col("band.h").as("band_hash"),
-          col("id")),
+          col("id"))
+        // r14: geometry rides WITH the keys it bakes (crash atomicity)
+        .withColumn("nh", lit(numHashes)).withColumn("nb", lit(bands)),
       indexTable + "_bands", Seq("band_id", "band_hash"), numBuckets)
     // r13: persist the geometry so maintainMinhashIndex can compare it
     writeMeta(spark, indexTable, Map("num_hashes" -> numHashes.toLong,
@@ -510,8 +512,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = newDocs.sparkSession
     GraftFunctions.register(spark)
+    val bandsTable = indexTable + "_bands"
+    // r14: probe geometry comes from the band table itself when embedded
+    // (post-maintenance the stored geometry may differ from the caller's
+    // build-time args; probing at the wrong width would silently miss
+    // every candidate)
+    val (nhEff, bandsEff) = bandTableGeometry(spark, bandsTable, "nh", "nb")
+      .getOrElse((numHashes, bands))
     val newScanned =
-      minhashScan(newDocs, numHashes, bands, shingleSize, textCol, idCol)
+      minhashScan(newDocs, nhEff, bandsEff, shingleSize, textCol, idCol)
         .localCheckpoint()
     val newBanded = newScanned
       .select(col("id").as("nid"), explode(col("bands")).as("band"))
@@ -521,7 +530,6 @@ object Dedup {
     // explode, and the bucket layout satisfies the join's distribution so
     // the index side never shuffles. Falls back to exploding the r9
     // array-column layout for indexes persisted before the change.
-    val bandsTable = indexTable + "_bands"
     val oldBanded =
       if (spark.catalog.tableExists(bandsTable))
         spark.table(bandsTable)
@@ -598,7 +606,9 @@ object Dedup {
     sigDf.write.format("parquet").mode("overwrite").saveAsTable(indexTable)
     Partitioning.writeBucketed(
       embBandSlices(sigDf, "id", planesPerBand, bands)
-        .select(col("band_id"), col("band_bits"), col("id")),
+        .select(col("band_id"), col("band_bits"), col("id"))
+        // r14: geometry rides WITH the keys it bakes (crash atomicity)
+        .withColumn("pp", lit(planesPerBand)).withColumn("nb", lit(bands)),
       indexTable + "_bands", Seq("band_id", "band_bits"), numBuckets)
     // r13: persist the geometry so maintainEmbeddingIndex can compare it
     writeMeta(spark, indexTable, Map("planes_per_band" -> planesPerBand.toLong,
@@ -616,20 +626,24 @@ object Dedup {
       "need 1 <= planesPerBand * bands <= 64")
     val spark = newEmb.sparkSession
     GraftFunctions.register(spark)
+    val bandsTable = indexTable + "_bands"
+    // r14: probe geometry from the band table itself when embedded —
+    // post-maintenance indexes carry a different width than the build
+    val (ppEff, bandsEff) = bandTableGeometry(spark, bandsTable, "pp", "nb")
+      .getOrElse((planesPerBand, bands))
     val newScanned = newEmb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig",
-        Similarity.hyperplaneSignature(col("v"), planesPerBand * bands))
+        Similarity.hyperplaneSignature(col("v"), ppEff * bandsEff))
       .localCheckpoint()
     val idx = spark.table(indexTable)
     // r10 layout: pre-exploded bucketed band table (zero index-side
     // explode/shuffle); falls back to slicing the r9 layout's sig column
-    val bandsTable = indexTable + "_bands"
     val oldBanded =
       if (spark.catalog.tableExists(bandsTable))
         spark.table(bandsTable)
           .select(col("id").as("oid"), col("band_id"), col("band_bits"))
-      else embBandSlices(idx, "oid", planesPerBand, bands)
-    val cand = oldBanded.join(embBandSlices(newScanned, "nid", planesPerBand, bands),
+      else embBandSlices(idx, "oid", ppEff, bandsEff)
+    val cand = oldBanded.join(embBandSlices(newScanned, "nid", ppEff, bandsEff),
         Seq("band_id", "band_bits"))
       .select(col("nid").as("d1"), col("oid").as("d2"))
       .dropDuplicates("d1", "d2")
@@ -679,6 +693,26 @@ object Dedup {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     else Map.empty
 
+  /** Geometry embedded in the band table ITSELF (r14, r13 ADVICE low:
+    * the rebuild's three writes are not atomic — a crash between the
+    * index overwrite and the band rewrite left sigs at the new width
+    * while bands/meta described the old geometry, silently losing
+    * recall). The band table is the artifact whose KEYS bake the
+    * geometry, so two constant columns written with it make the pair
+    * atomic by construction: whichever band table a crash leaves behind
+    * describes itself, queries derive probe geometry from it, and every
+    * crash point yields a self-consistent (possibly pre-rebuild) view.
+    * `_meta` stays as a convenience cache written last; pre-r14 band
+    * tables (no geometry columns) return None and fall back to
+    * meta/caller args. Cost: two RLE-dictionary parquet columns ≈ 0. */
+  private def bandTableGeometry(spark: SparkSession, bandsTable: String,
+      c1: String, c2: String): Option[(Int, Int)] =
+    if (spark.catalog.tableExists(bandsTable) &&
+        spark.table(bandsTable).columns.contains(c1))
+      spark.table(bandsTable).select(col(c1), col(c2)).limit(1).collect()
+        .headOption.map(r => (r.getInt(0), r.getInt(1)))
+    else None
+
   /** p95/max occupancy over a persisted band table — one aggregation,
     * two shuffles of (key, count) rows, nothing driver-side but the
     * 4-field summary. */
@@ -705,8 +739,12 @@ object Dedup {
       currentPlanesPerBand: Int = 12, numBuckets: Int = 16): IndexHealth = {
     GraftFunctions.register(spark)
     val meta = readMeta(spark, indexTable)
-    val pCur = meta.getOrElse("planes_per_band", currentPlanesPerBand.toLong).toInt
-    val bandsCur = meta.getOrElse("bands", bands.toLong).toInt
+    // geometry authority order (r14): the band table's own embedded
+    // columns (atomic with its keys) > the _meta cache > caller args
+    val pCur = bandTableGeometry(spark, indexTable + "_bands", "pp", "nb")
+      .map(_._1)
+      .getOrElse(
+        meta.getOrElse("planes_per_band", currentPlanesPerBand.toLong).toInt)
     val (buckets, p95, mx) =
       bandOccupancy(spark, indexTable + "_bands", Seq("band_id", "band_bits"))
     val n = spark.table(indexTable).count()
@@ -721,11 +759,18 @@ object Dedup {
         .withColumn("sig",
           Similarity.hyperplaneSignature(col("v"), pNew * bands))
         .localCheckpoint()
-      sigDf.write.format("parquet").mode("overwrite").saveAsTable(indexTable)
+      // band table FIRST (r14 crash-atomicity): it carries its own
+      // geometry, so a crash at any point leaves a self-consistent view
+      // — old bands+old geometry before this write commits, new after.
+      // The index's sig column (below) is only the r9-layout fallback;
+      // queries sign probes at the band table's geometry and verify
+      // with `v`, never the stored sig.
       Partitioning.writeBucketed(
         embBandSlices(sigDf, "id", pNew, bands)
-          .select(col("band_id"), col("band_bits"), col("id")),
+          .select(col("band_id"), col("band_bits"), col("id"))
+          .withColumn("pp", lit(pNew)).withColumn("nb", lit(bands)),
         indexTable + "_bands", Seq("band_id", "band_bits"), numBuckets)
+      sigDf.write.format("parquet").mode("overwrite").saveAsTable(indexTable)
       writeMeta(spark, indexTable,
         Map("planes_per_band" -> pNew.toLong, "bands" -> bands.toLong))
     }
@@ -746,8 +791,11 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(spark)
     val meta = readMeta(spark, indexTable)
-    val rCur = meta.get("num_hashes").map(_.toInt).getOrElse(64) /
-      math.max(1, meta.get("bands").map(_.toInt).getOrElse(16))
+    // geometry authority order (r14): band-table-embedded > meta > default
+    val rCur = bandTableGeometry(spark, indexTable + "_bands", "nh", "nb")
+      .map { case (nh, nb) => nh / math.max(1, nb) }
+      .getOrElse(meta.get("num_hashes").map(_.toInt).getOrElse(64) /
+        math.max(1, meta.get("bands").map(_.toInt).getOrElse(16)))
     val rNew = numHashes / bands
     val (buckets, p95, mx) =
       bandOccupancy(spark, indexTable + "_bands", Seq("band_id", "band_hash"))
@@ -765,6 +813,10 @@ object Dedup {
         .select(col("id"), explode(array(bandStructs: _*)).as("band"))
         .select(col("band.b").as("band_id"), col("band.h").as("band_hash"),
           col("id"))
+        // r14: geometry rides WITH the keys (crash atomicity — the
+        // verify-state table is geometry-independent, so the band table
+        // is the ONLY artifact the rebuild replaces, one atomic write)
+        .withColumn("nh", lit(numHashes)).withColumn("nb", lit(bands))
         .localCheckpoint()
       Partitioning.writeBucketed(rebanded, indexTable + "_bands",
         Seq("band_id", "band_hash"), numBuckets)

@@ -196,6 +196,24 @@ object PipelineQueries {
       annRecallAudit(s, corpus, k = 20, minHits = 18,
         qv => Similarity.ivfTopKIndexed(s, idx, qv, 20, nprobe = 4))
     }),
+    // r14 (VERDICT r13 #7): IVF-index maintenance — build at a
+    // DELIBERATELY STALE geometry (4 centroids; the sizing rule asks for
+    // √n at every sf), let maintainIvfIndex measure bucket occupancy and
+    // re-cluster from the index's OWN stored vectors (zero corpus scans
+    // — the op never sees the embeddings table), then run p21's
+    // recall@20 audit through the MAINTAINED index. Oracle = the shared
+    // exact brute-force top-k (geometry-independent); the spec pins the
+    // occupancy/geometry/generation mechanics.
+    "p67_ivf_index_maint" -> q((s, dir) => {
+      val corpus = annAuditCorpus(s)
+      val idx = "graft_ivfmaint_" + dirKey(dir)
+      if (!s.catalog.tableExists(idx))
+        Similarity.buildIvfIndex(corpus, idx, nCentroids = 4, numBuckets = 8)
+      Similarity.maintainIvfIndex(s, idx, targetBucket = 1,
+        occupancyFactor = 0.0, numBuckets = 8)
+      annRecallAudit(s, corpus, k = 20, minHits = 18,
+        qv => Similarity.ivfTopKIndexed(s, idx, qv, 20, nprobe = 4))
+    }),
     // ---- text analysis ----
     "p10_text_tokens" -> q((s, _) =>
       s.table("documents").select(col("doc_id"),
@@ -1752,6 +1770,9 @@ object PipelineQueries {
     // from |ANN ∩ exact| and a drop below 18/20 reddens the row).
     "p09_sim_ann_lsh" -> annAuditOracleSql,
     "p21_sim_ann_ivf" -> annAuditOracleSql,
+    // r14: the maintained-IVF audit shares the exact side — maintenance
+    // must preserve the recall contract while changing the geometry
+    "p67_ivf_index_maint" -> annAuditOracleSql,
   )
 
   /** Shared oracle for the p09/p21 recall audits (the exact side is

@@ -239,14 +239,99 @@ object Similarity {
     // pre-r9 behavior, exposed for the recall-margin comparison spec
     val cents: Array[(Int, Array[Float])] =
       trainCentroids(emb, k, idCol, vecCol, trainIters).zipWithIndex.map(_.swap)
+    // gen 0 stamps (r14): the centroid set and the cid assignments must
+    // stay a CONSISTENT pair across maintenance rebuilds — see
+    // maintainIvfIndex's crash-ordering contract
     val assigned = assignToCentroids(emb, cents.map(_._2), vecCol)
+      .withColumn("gen", lit(0))
     dropStaleWarehouseDir(spark, indexTable)
     dropStaleWarehouseDir(spark, indexTable + "_centroids")
     Partitioning.writeBucketed(assigned, indexTable, Seq("cid"), numBuckets)
     import spark.implicits._
-    cents.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("cid", "centroid")
+    cents.toSeq.map { case (i, v) => (i, v.toSeq, 0) }
+      .toDF("cid", "centroid", "gen")
       .write.format("parquet").mode("overwrite")
       .saveAsTable(indexTable + "_centroids")
+  }
+
+  /** Occupancy-triggered re-cluster of a persisted IVF index (r14,
+    * VERDICT r13 #7 — the third member of the maintenance family
+    * p65/p66 opened): the centroid count is sized at build time
+    * ([[centroidsFor]] = √n), so a corpus growing past the build size
+    * packs buckets and per-probe work degrades linearly toward the scan
+    * the index exists to avoid. Measures per-centroid occupancy with ONE
+    * aggregation over the index table; past the trigger (p95 >
+    * occupancyFactor × targetBucket AND the sizing rule asks for more
+    * centroids), re-trains spherical k-means FROM THE INDEX'S OWN STORED
+    * VECTORS (the bounded hash-sample — zero corpus scans, the p62
+    * invariant) and re-assigns the stored vectors.
+    *
+    * Crash-ordering contract (the p65 ADVICE fix, IVF edition): the
+    * centroid set and the cid assignments must describe the same
+    * clustering, so each rebuild (1) APPENDS the new centroids under
+    * gen+1 — old rows stay, (2) overwrites the index with gen+1-stamped
+    * assignments (saveAsTable commit = the atomic switch), (3) prunes
+    * old centroid generations (best-effort; leftovers are filtered by
+    * the query path, which selects centroids at the INDEX's generation).
+    * A crash at any point leaves some complete (gen, centroids,
+    * assignments) triple readable. */
+  def maintainIvfIndex(
+      spark: SparkSession,
+      indexTable: String,
+      targetBucket: Int = 64,
+      occupancyFactor: Double = 4.0,
+      numBuckets: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainIters: Int = 8): Dedup.IndexHealth = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val idx = spark.table(indexTable)
+    val genCur: Int =
+      if (idx.columns.contains("gen")) idx.select(col("gen")).head.getInt(0)
+      else 0
+    val kCur = {
+      val c = spark.table(indexTable + "_centroids")
+      (if (c.columns.contains("gen")) c.filter(col("gen") === genCur) else c)
+        .count().toInt
+    }
+    val occ = idx.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("buckets"),
+        expr("percentile_approx(n, 0.95, 10000)").as("p95"),
+        max(col("n")).as("mx"))
+      .head()
+    val (buckets, p95, mx) =
+      (occ.getLong(0), occ.getAs[Number](1).doubleValue(), occ.getLong(2))
+    val n = idx.count()
+    val kNew = centroidsFor(math.max(1L, n))
+    val trigger = p95 > occupancyFactor * targetBucket && kNew > kCur
+    if (trigger) {
+      // stored vectors only; localCheckpoint cuts lineage before the
+      // overwrite of the table we read
+      val stored = idx.select(col(idCol), col(vecCol)).localCheckpoint()
+      val cents = trainCentroids(stored, kNew, idCol, vecCol, trainIters)
+      val genNew = genCur + 1
+      val centTable = indexTable + "_centroids"
+      // pre-r14 centroid tables lack gen — rewrite in place once (tiny)
+      if (!spark.table(centTable).columns.contains("gen"))
+        spark.table(centTable).withColumn("gen", lit(genCur))
+          .localCheckpoint()
+          .write.format("parquet").mode("overwrite").saveAsTable(centTable)
+      // (1) append the new generation's centroids
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq, genNew) }.toSeq
+        .toDF("cid", "centroid", "gen")
+        .write.format("parquet").mode("append").saveAsTable(centTable)
+      // (2) switch the assignments — the atomic commit point
+      Partitioning.writeBucketed(
+        assignToCentroids(stored, cents, vecCol).withColumn("gen", lit(genNew)),
+        indexTable, Seq("cid"), numBuckets)
+      // (3) prune old generations (best-effort; loud-if-crashed, never
+      // silent — the query path keys on the index's gen)
+      spark.table(centTable).filter(col("gen") === genNew)
+        .localCheckpoint()
+        .write.format("parquet").mode("overwrite").saveAsTable(centTable)
+    }
+    Dedup.IndexHealth(n, buckets, p95, mx, kCur, kNew, trigger)
   }
 
   /** Single-kernel assignment (r10, VERDICT r9 #6): the centroid matrix
@@ -295,8 +380,22 @@ object Similarity {
       val den = math.sqrt(na) * math.sqrt(nb)
       if (den == 0.0) -2.0 else dot / den
     }
-    val probes = spark.table(indexTable + "_centroids").collect()
-      .map(r => (r.getInt(0), cos(queryVec, r.getSeq[Float](1).toArray)))
+    // generation-consistent centroid view (r14): score only the rows of
+    // the generation the INDEX carries — a crash mid-maintenance can
+    // leave extra centroid generations behind, never a mixed pair
+    val centRows0 = spark.table(indexTable + "_centroids").collect()
+    val centHasGen = spark.table(indexTable + "_centroids")
+      .columns.contains("gen")
+    val centRows = if (centHasGen) {
+      val idxDf = spark.table(indexTable)
+      val g = if (idxDf.columns.contains("gen"))
+        idxDf.select(col("gen")).head.getInt(0)
+      else centRows0.map(_.getAs[Int]("gen")).min // pre-r14 index: oldest gen
+      centRows0.filter(_.getAs[Int]("gen") == g)
+    } else centRows0
+    val probes = centRows
+      .map(r => (r.getAs[Int]("cid"),
+        cos(queryVec, r.getAs[scala.collection.Seq[Float]]("centroid").toArray)))
       .sortBy { case (cid, c) => (-c, cid) }
       .take(nprobe).map(_._1)
     val s2 = indexScanSession(spark)

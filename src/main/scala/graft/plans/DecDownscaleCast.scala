@@ -9,10 +9,13 @@ import graft.functions.DecCastExpr
 
 /** Every DECIMAL → DECIMAL *downscale* Cast — explicit or inserted by
   * type coercion (CASE/coalesce branch unification, UNION alignment,
-  * INSERT assignment) — truncates like DuckDB instead of Spark's
-  * HALF_UP (r13 dec fuzz, seed-21: `CASE WHEN … THEN -0.125 % 2.5 ELSE
-  * <DECIMAL(38,2)> END` unifies at scale 2; duck prints -0.12, Spark
-  * -0.13). The translator's rewriteDecCast catches explicit casts at
+  * INSERT assignment) — routes through the graft_dec_cast kernel so the
+  * rounding mode tracks the oracle version (r14, VERDICT r13 #1: the
+  * driver's DuckDB ≥1.1 rounds half away from zero — kernel default —
+  * while the 1.0.0 dev replica truncated, conf-switchable) and overflow
+  * stays duck's loud Conversion Error. r13 dec fuzz, seed-21 pinned the
+  * coercion shape: `CASE WHEN … THEN -0.125 % 2.5 ELSE <DECIMAL(38,2)>
+  * END` unifies at scale 2. The translator's rewriteDecCast catches explicit casts at
   * the token level; this rule catches the casts CATALYST inserts, where
   * no token exists to rewrite. Injected at RESOLUTION time (extensions
   * sessions): coercion-inserted casts around literal branches fold
@@ -39,6 +42,7 @@ object DecDownscaleCast extends Rule[LogicalPlan] {
         }) =>
       val t = c.dataType.asInstanceOf[DecimalType]
       DecCastExpr(c.child, t.precision, t.scale,
-        tryMode = c.evalMode == EvalMode.TRY)
+        tryMode = c.evalMode == EvalMode.TRY,
+        trunc = graft.functions.DecCast.truncMode)
   }
 }

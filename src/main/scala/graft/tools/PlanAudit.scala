@@ -503,6 +503,48 @@ object PlanAudit {
       Seq(idx, idx + "_bands", idx + "_meta")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
+    // r14 (VERDICT r13 #7): the IVF maintenance twin — same
+    // zero-corpus-scan contract (re-cluster + re-assign read ONLY the
+    // index's own tables)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val idx = "graft_audit_ivfmaint"
+      Seq(idx, idx + "_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.Similarity.buildIvfIndex(
+        spark.table("embeddings").select(col("vec_id"), col("embedding")),
+        idx, nCentroids = 4, numBuckets = 8)
+      val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      val l3 = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          e match {
+            case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+              plans.add(s.physicalPlanDescription); ()
+            case _ =>
+          }
+      }
+      spark.sparkContext.addSparkListener(l3)
+      val h = graft.operators.Similarity.maintainIvfIndex(spark, idx,
+        targetBucket = 1, occupancyFactor = 0.0)
+      val dl = System.nanoTime() + 3_000_000_000L
+      while (System.nanoTime() < dl && plans.isEmpty) Thread.sleep(20)
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(l3)
+      import scala.jdk.CollectionConverters._
+      val corpusScans = plans.asScala.filter(p =>
+        p.contains("embeddings.parquet") || p.contains("documents.parquet"))
+      if (h.rebuilt && corpusScans.isEmpty)
+        println(s"PLAN OK   IVF maintenance re-clusters from index tables only " +
+          s"(${plans.size} executions, centroids ${h.currentGeometry} -> ${h.targetGeometry}, " +
+          f"p95 occupancy ${h.p95Occupancy}%.0f)")
+      else {
+        failures += 1
+        println(s"PLAN BAD  IVF maintenance rebuilt=${h.rebuilt}; corpus scans " +
+          s"during rebuild: ${corpusScans.size}")
+      }
+      Seq(idx, idx + "_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     // r8 (VERDICT r7 #1): sf≈1 bench-coverage guard. The 2× contract is
     // only MEASURED for entries with a baseline row; this fails loudly
     // when the declared-query set and the sf≈1 artifacts diverge, so new

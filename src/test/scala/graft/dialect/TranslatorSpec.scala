@@ -712,8 +712,10 @@ class TranslatorSpec extends AnyFunSuite {
   test("r7 widening: jaccard/hamming/trunc/even/isinf/isfinite rewrites") {
     assert(t("SELECT jaccard(a, b)") ==
       "SELECT (try_divide(CAST(size(array_intersect(split(a, ''), split(b, ''))) AS DOUBLE), size(array_union(split(a, ''), split(b, '')))))")
+    // r14: byte-based kernel (duck counts differing BYTES and errors on
+    // unequal byte lengths — the r7 char-split emission compared chars)
     val hm = t("SELECT hamming(a, b)")
-    assert(hm.contains("length(a) <> length(b)") && hm.contains("zip_with"))
+    assert(hm == "SELECT graft_mismatches((a), (b))", hm)
     assert(t("SELECT mismatches(a, b)") == hm)
     // r12 num fuzz: isnan/huge guards — floor/ceil return LONG, so
     // |x| > 2^63 ANSI-overflowed and NaN/inf threw where duck passes
@@ -1454,6 +1456,15 @@ class TranslatorSpec extends AnyFunSuite {
     // >19-digit bare literal is HUGEINT in duck
     assert(t("SELECT 99999999999999999999999 // -7")
       .contains("graft_intdiv_exact("))
+    // r14 (r13 ADVICE): 19-digit literals ABOVE bigint max are HUGEINT
+    // too (9223372036854775808..9999999999999999999); at or below stay
+    // BIGINT and keep the long-division kernel
+    assert(t("SELECT 9223372036854775808 // 3")
+      .contains("graft_intdiv_exact("))
+    assert(t("SELECT 9999999999999999999 // 7")
+      .contains("graft_intdiv_exact("))
+    assert(t("SELECT 9223372036854775807 // 3")
+      .contains("graft_intdiv(") )
     // DECIMAL(38,0) is the HUGEINT image: exact semantics, however
     // spelled (the one reading that survives translate∘translate —
     // SURVEY register); any other precision keeps duck's double //
@@ -1466,6 +1477,48 @@ class TranslatorSpec extends AnyFunSuite {
       .contains("graft_intdiv("))
     // idempotence of both emissions
     for (q <- Seq(h, nested)) assert(t(q) == q, s"not idempotent: $q")
+  }
+
+  test("r14: dynamic LIKE patterns neutralize Spark's default backslash escape") {
+    // duck's LIKE has no default escape — a backslash in a column-valued
+    // pattern is ordinary; the rewrite flips the escape char to '~'
+    // (neutralizing runtime '~'s by doubling) and the ESCAPE clause is
+    // the processed marker (fixpoint)
+    val d = t("SELECT x LIKE (p || '%') FROM t")
+    assert(d.contains("replace(((p || '%')), '~', '~~') ESCAPE '~'"), d)
+    assert(t(d) == d, s"not idempotent: ${t(d)}")
+    // user-written ESCAPE skips the rewrite (both engines honor it)
+    val e = t("SELECT x LIKE p ESCAPE '!' FROM t")
+    assert(!e.contains("replace("), e)
+    // literal patterns keep the r13 char-class ESCAPE path
+    val l = t("SELECT x LIKE 'a\\_c' FROM t")
+    assert(l.contains("ESCAPE") && !l.contains("replace("), l)
+    // NOT LIKE and bare-ident dynamic patterns too
+    val n = t("SELECT x NOT LIKE p FROM t")
+    assert(n.contains("NOT LIKE replace((p), '~', '~~') ESCAPE '~'"), n)
+  }
+
+  test("r14: DECIMAL(38,s)-mix comparisons pre-widen both sides (dec3.18)") {
+    // Spark's comparison coercion at the p=38 cap reduces scale (compares
+    // truncated values) where duck compares exactly — both sides wrap to
+    // the max scale, meeting at one type with no coercion
+    val c = t("SELECT CAST(a AS DECIMAL(38,1)) < CAST(b AS DECIMAL(38,6)) FROM t")
+    assert("graft_dec_cast\\(\\(".r.findAllIn(c).size == 2, c)
+    assert(", 38, 6\\)".r.findAllIn(c).size == 2, c)
+    // idempotent (fixpoint): both sides now show max scale 6
+    assert(t(c) == c, s"not idempotent: ${t(c)}")
+    // equal scales: untouched
+    val eq = t("SELECT CAST(a AS DECIMAL(38,2)) >= CAST(b AS DECIMAL(38,2)) FROM t")
+    assert(!eq.contains("38, 2)), 38,"), eq)
+    // sub-38 precision never reaches the cap: untouched
+    val p20 = t("SELECT CAST(a AS DECIMAL(20,1)) < CAST(b AS DECIMAL(20,6)) FROM t")
+    assert(p20 == "SELECT CAST(a AS DECIMAL(20,1)) < CAST(b AS DECIMAL(20,6)) FROM t", p20)
+    // boundary keywords fence the operand walk (the WHEN condition ends
+    // at THEN; the comparison inside stays scoped)
+    val cse = t("SELECT CASE WHEN CAST(a AS DECIMAL(38,1)) = CAST(b AS DECIMAL(38,6)) " +
+      "THEN 1 ELSE 0 END FROM t")
+    assert(cse.contains("38, 6)"), cse)
+    assert(cse.contains("THEN 1 ELSE 0 END"), cse)
   }
 
   test("r13 dec fuzz: risky DECIMAL-target casts take the graft_dec_cast kernel") {

@@ -1960,6 +1960,15 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == before,
       s"missing=${before.diff(after).take(5)} extra=${after.diff(before).take(5)}")
+    // r14 (r13 ADVICE low #4): the band table embeds its own geometry,
+    // so a caller still passing the BUILD-time args after maintenance
+    // re-banded gets full recall — probe geometry is derived from the
+    // stored table, not trusted from the args
+    val staleArgs = Dedup.embeddingPairsIncremental(planted, "sp_maint_idx",
+        minCosine = 0.99, planesPerBand = 4, bands = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staleArgs == before,
+      s"stale-arg probe lost recall: missing=${before.diff(staleArgs).take(5)}")
     // idempotent: second call sees the new geometry and no-ops
     val again = Dedup.maintainEmbeddingIndex(spark, "sp_maint_idx", bands = 5,
       targetBucket = 1, occupancyFactor = 0.0)
@@ -1967,6 +1976,47 @@ class OperatorsSpec extends SparkTestBase {
     spark.sql("DROP TABLE sp_maint_idx")
     spark.sql("DROP TABLE sp_maint_idx_bands")
     spark.sql("DROP TABLE sp_maint_idx_meta")
+
+    // r14 IVF member of the family: occupancy-triggered re-cluster from
+    // stored vectors; generation stamps keep the (centroids, assignments)
+    // pair consistent across the rebuild
+    locally {
+      val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+      Seq("sp_maint_ivf", "sp_maint_ivf_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // deliberately STALE: 4 centroids where the sizing rule wants √n
+      Similarity.buildIvfIndex(emb, "sp_maint_ivf", nCentroids = 4, numBuckets = 8)
+      val calmIvf = Similarity.maintainIvfIndex(spark, "sp_maint_ivf",
+        targetBucket = 32, occupancyFactor = 1e9)
+      assert(!calmIvf.rebuilt && calmIvf.currentGeometry == 4 &&
+        calmIvf.items == emb.count() && calmIvf.buckets > 0)
+      val hv = Similarity.maintainIvfIndex(spark, "sp_maint_ivf",
+        targetBucket = 1, occupancyFactor = 0.0)
+      assert(hv.rebuilt && hv.targetGeometry > 4, hv)
+      // generation advanced consistently on BOTH tables, old gens pruned
+      assert(spark.table("sp_maint_ivf").select(col("gen")).head.getInt(0) == 1)
+      val centGens = spark.table("sp_maint_ivf_centroids")
+        .select(col("gen")).distinct().collect().map(_.getInt(0)).toSet
+      assert(centGens == Set(1), centGens)
+      assert(spark.table("sp_maint_ivf_centroids").count() == hv.targetGeometry)
+      // occupancy dropped: more centroids → smaller buckets
+      val p95b = spark.table("sp_maint_ivf").groupBy("cid").count()
+        .agg(expr("percentile_approx(count, 0.95, 10000)")).head
+        .getAs[Number](0).doubleValue()
+      assert(p95b < calmIvf.p95Occupancy, s"$p95b !< ${calmIvf.p95Occupancy}")
+      // query path stays exact-at-the-top: the nearest vector to any
+      // probe is itself, found through the maintained index
+      val qv = emb.filter(col("vec_id") === 3L).head.getSeq[Float](1).toArray
+      val top = Similarity.ivfTopKIndexed(spark, "sp_maint_ivf", qv, 1)
+        .head.getLong(0)
+      assert(top == 3L, s"self-lookup through maintained IVF: $top")
+      // idempotent: second call sees the new geometry and no-ops
+      val againIvf = Similarity.maintainIvfIndex(spark, "sp_maint_ivf",
+        targetBucket = 1, occupancyFactor = 0.0)
+      assert(!againIvf.rebuilt && againIvf.currentGeometry == hv.targetGeometry)
+      Seq("sp_maint_ivf", "sp_maint_ivf_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+    }
 
     // minhash twin: re-band (64,16) → (128,16) from the stored hash sets
     val docs = spark.table("documents")
@@ -1986,6 +2036,13 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mhAfter == mhBefore,
       s"missing=${mhBefore.diff(mhAfter).take(5)} extra=${mhAfter.diff(mhBefore).take(5)}")
+    // r14: stale build-time args (default 64/16) after the re-band —
+    // the band table's embedded geometry must win
+    val mhStale = Dedup.minhashPairsIncremental(
+        docs.filter(col("doc_id") % 3 === 0), "sp_maint_mh", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhStale == mhBefore,
+      s"stale-arg probe lost recall: missing=${mhBefore.diff(mhStale).take(5)}")
     spark.sql("DROP TABLE sp_maint_mh")
     spark.sql("DROP TABLE sp_maint_mh_bands")
     spark.sql("DROP TABLE sp_maint_mh_meta")

@@ -98,22 +98,31 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
-  test("DecDownscaleCast: coercion-inserted decimal downcasts truncate like duck (r13)") {
+  test("DecDownscaleCast: coercion-inserted decimal downcasts round half-away like the driver's duck (r14)") {
     withRule {
       // resolution-time rule (session extensions): the CASE unifies the
-      // literal branch at scale 2, and the fold must TRUNC (-0.125 →
-      // -0.12), not Spark's HALF_UP (-0.13) — r13 dec fuzz seed-21
+      // literal branch at scale 2. r14 re-pin (VERDICT r13 #1): the
+      // driver's DuckDB ≥1.1 ROUNDS half away from zero (-0.125 →
+      // -0.13); the 1.0.0 replica truncated (-0.12), reachable via
+      // spark.graft.decimalDownscaleTruncate=true
       graft.engine.Engine.registerTables(spark, sfDir)
-      val v = spark.sql(
+      val caseSql =
         "SELECT CAST(CASE WHEN o_orderkey % 3 = 0 THEN CAST(-0.125 AS DECIMAL(6,3)) % CAST(2.5 AS DECIMAL(2,1)) " +
           "ELSE CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,2)) END AS STRING) AS c " +
-          "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey LIMIT 1")
-        .head.getString(0)
-      assert(v == "-0.12", s"coercion downscale not trunc: $v")
+          "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey LIMIT 1"
+      val v = spark.sql(caseSql).head.getString(0)
+      assert(v == "-0.13", s"coercion downscale not half-away: $v")
       // explicit API-level downscale cast too (no translator in this path)
       val e = spark.sql("SELECT CAST(CAST(2.555 AS DECIMAL(6,3)) AS DECIMAL(6,2))")
         .head.getDecimal(0).toPlainString
-      assert(e == "2.55", s"explicit downscale not trunc: $e")
+      assert(e == "2.56", s"explicit downscale not half-away: $e")
+      // replica truncate mode behind the conf switch
+      spark.conf.set("spark.graft.decimalDownscaleTruncate", "true")
+      try {
+        assert(spark.sql(caseSql).head.getString(0) == "-0.12")
+        assert(spark.sql("SELECT CAST(CAST(2.555 AS DECIMAL(6,3)) AS DECIMAL(6,2))")
+          .head.getDecimal(0).toPlainString == "2.55")
+      } finally spark.conf.set("spark.graft.decimalDownscaleTruncate", "false")
     }
   }
 
