@@ -15,8 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * rendering divergence in every double→string cast of large values.
   * Probed matrix: 99999999.99→'99999999.99', 1e15→'1000000000000000.0',
   * 1e16→'1e+16', 0.0001→'0.0001', 1.5e-5→'1.5e-05', 2.0→'2.0',
-  * -0.0→'0.0', nan→'nan', inf→'inf'. FLOAT uses float-shortest digits
-  * ('0.1', not the double expansion). Installed by the
+  * -0.0→'0.0', nan→'nan', inf→'inf'. FLOAT takes duck's Grisu3-binary32
+  * digits ([[Grisu32]]): float-shortest when grisu certifies (~99.3% of
+  * values) and the widened DOUBLE's shortest digits on certification
+  * failure (duck '3809327.75' where float-shortest says '3809327.8' —
+  * 160k-render sweeps match duck bit-for-bit). Installed by the
   * [[graft.plans.DoubleCastToDuckStr]] optimizer rule; constant-only
   * casts fold before that rule runs and keep Spark's rendering
   * (documented residual — every column-bearing path is covered). */
@@ -61,6 +64,22 @@ object DoubleStr {
       return if (java.lang.Double.doubleToRawLongBits(d) != 0L) "-0.0" else "0.0"
     }
     val neg = d < 0
+    if (isFloat) {
+      // duck's FLOAT path is fmt's grisu3-binary32: float-shortest when
+      // certification succeeds (~99.3% of values), otherwise the digits
+      // of the WIDENED DOUBLE (r14 sweep — 283/40k random floats take
+      // the fallback; rendering plain float-shortest mismatched exactly
+      // those, e.g. duck '3809327.75' vs shortest '3809327.8')
+      Grisu32.shortest(Math.abs(f)) match {
+        case Some((digits, pexp)) =>
+          return layout(neg, digits, digits.length - 1 + pexp)
+        case None =>
+          return fmt(Math.abs(f).toDouble, isFloat = false) match {
+            case s if neg => "-" + s
+            case s => s
+          }
+      }
+    }
     // shortest round-trip digits at the value's own width. Java's
     // toString is only GUARANTEED shortest on JDK 19+ (JDK-4511638) —
     // on this JDK 17 ~0.3% of doubles (mostly 1e17–1e19) render one
@@ -68,14 +87,22 @@ object DoubleStr {
     // '-2.6814475343671142e+18' vs duck '-2.681447534367114e+18'), so
     // the repr is minimized below by dropping trailing significand
     // digits while the result still round-trips to the same value.
-    val repr = if (isFloat) java.lang.Float.toString(Math.abs(f))
-      else java.lang.Double.toString(Math.abs(d))
+    // (isFloat never reaches here — the grisu branch above returns for
+    // every float, its fallback re-entering with isFloat=false)
+    val repr = java.lang.Double.toString(Math.abs(d))
     // stripTrailingZeros: Java renders 1e16 as "1.0E16" — the mantissa
     // zero would leak into the scientific form as "1.0e+16" (duck: 1e+16)
     val bd = shorten(new java.math.BigDecimal(repr).stripTrailingZeros(),
-      if (isFloat) Math.abs(f).toDouble else Math.abs(d), isFloat)
+      Math.abs(d), isFloat = false)
     val digits = bd.unscaledValue().toString
     val x = digits.length - 1 - bd.scale() // value = D[0].D[1:] * 10^x
+    layout(neg, digits, x)
+  }
+
+  /** duck's layout over (digits, scientific exponent x): plain decimal
+    * notation while x ∈ [-4, 15] (integral values keep a trailing
+    * ".0"), `d[.ddd]e±XX` outside (two-digit minimum exponent). */
+  private def layout(neg: Boolean, digits: String, x: Int): String = {
     val sb = new java.lang.StringBuilder(if (neg) "-" else "")
     if (x >= -4 && x <= 15) {
       if (x >= digits.length - 1) {

@@ -27,19 +27,35 @@ object DoubleRenderProbe {
         emitted += 1
       }
     }
+    // FLOAT lines too (r14): `F<bits>\t<render>` — duck renders floats
+    // at float-shortest digits; the same JDK-17 long-render and
+    // closest-candidate classes apply at 24-bit significands
+    def emitF(f: Float): Unit = {
+      if (!f.isNaN && !f.isInfinite) {
+        sb.append('F')
+          .append(java.lang.Float.floatToRawIntBits(f)).append('\t')
+          .append(graft.functions.DoubleStr.fmtFloat(f)).append('\n')
+      }
+    }
     // knife edges first: the advice's verified example + powers-of-ten
     // boundaries of the plain/scientific switch
     emit(-2.6814475343671142e18)
     Seq(1e-5, 1e-4, 1.0, 1e15, 1e16, 0.1, 2.0, -0.0, 1e17, 123456789e10,
       4.35e-18, 9.999999999999999e15).foreach(emit)
+    Seq(0.1f, 1e15f, 1e16f, 3.4e38f, 1.5e-5f).foreach(emitF)
     while (emitted < n) {
-      (emitted % 3) match {
+      (emitted % 4) match {
         // the JDK-4511638 problem band: 1e17–1e19 magnitudes
         case 0 => emit((rnd.nextDouble() - 0.5) * 2e19)
         // general magnitude sweep
         case 1 => emit((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(40) - 20))
         // uniform bit patterns (subnormals, extremes)
-        case _ => emit(java.lang.Double.longBitsToDouble(rnd.nextLong()))
+        case 2 => emit(java.lang.Double.longBitsToDouble(rnd.nextLong()))
+        // float lane: uniform float bits (emitF doesn't bump `emitted`,
+        // so pair it with a double to keep the loop total-bounded)
+        case _ =>
+          emitF(java.lang.Float.intBitsToFloat(rnd.nextInt()))
+          emit((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(12)))
       }
     }
     print(sb)

@@ -1047,6 +1047,16 @@ class ExpressionsSpec extends SparkTestBase {
       // the kernel minimizes digits itself. The advice's verified-vs-duck
       // example:
       assert(s("-2.6814475343671142e18") == "-2.681447534367114e+18")
+      // r14 float path = duck's Grisu3-binary32 (double-conversion
+      // semantics, fitted to 0/160k mismatches): float-shortest when
+      // grisu certifies, the WIDENED double's shortest digits on
+      // certification failure — duck is deliberately non-minimal there
+      assert(df.select(expr("graft_double_str(CAST(3809327.75 AS FLOAT))"))
+        .head.getString(0) == "3809327.75") // shortest would be 3809327.8
+      assert(df.select(expr("graft_double_str(CAST(862008768 AS FLOAT))"))
+        .head.getString(0) == "862008768.0") // shortest would be 86200877e1
+      assert(df.select(expr("graft_double_str(CAST(123.456 AS FLOAT))"))
+        .head.getString(0) == "123.456") // grisu-certified shortest
     }
   }
 
