@@ -1919,6 +1919,24 @@ object DeclaredQueries {
         "(o_orderpriority ILIKE ('%urgent' || '%')) AS dl_i, " +
         "('100%' LIKE ('100' || chr(92) || '%')) AS dl_pc " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q234_float_render" ->
+      // r14 (render sweep, second half): FLOAT->VARCHAR is duck's
+      // Grisu3-binary32 — float-shortest when grisu certifies, the
+      // WIDENED DOUBLE's shortest digits on certification failure
+      // (3809327.75 stays '3809327.75' where plain float-shortest says
+      // '3809327.8'; 862008768 keeps all 9 digits). Fitted to 0/160k
+      // mismatches vs the 1.0.0 replica; this entry is the driver-side
+      // witness that the newer oracle kept the algorithm.
+      ("SELECT o_orderkey, " +
+        "CAST(CAST(0.1 AS FLOAT) AS VARCHAR) AS f_short, " +
+        "CAST(CAST(3809327.75 AS FLOAT) AS VARCHAR) AS f_fb1, " +
+        "CAST(CAST(862008768 AS FLOAT) AS VARCHAR) AS f_fb2, " +
+        "CAST(CAST(33279.0625 AS FLOAT) AS VARCHAR) AS f_fb3, " +
+        "CAST(CAST(123.456 AS FLOAT) AS VARCHAR) AS f_cert, " +
+        "CAST(CAST(1.5e-5 AS FLOAT) AS VARCHAR) AS f_exp, " +
+        "CAST(CAST(3.4028235e38 AS FLOAT) AS VARCHAR) AS f_max, " +
+        "CAST(CAST(o_totalprice AS FLOAT) AS VARCHAR) AS f_col " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -614,6 +614,8 @@ object PlanAudit {
         "p62_minhash_incremental", "p63_embedding_incremental",
         // r13: the maintenance twins share those same O(n²) oracles
         "p65_embedding_index_maint", "p66_minhash_index_maint")
+      // (p67 is NOT skipped: its annAudit oracle is p21's, which runs
+      // at sf1 in 0.34 s — measured r14)
       val gate = SparkEntry.queries.keySet
       val sparkMissing = gate -- keysOf("dev/bench_sf1.json")
       val duckMissing = gate -- keysOf("dev/duckdb_baseline_sf1.json") -- duckSkip
@@ -657,6 +659,10 @@ object PlanAudit {
                                 // FloorProbe r12: 7 stages / 11 tasks, flat
                                 // (2.16 -> 2.10 s): per-pass floor, not fan-out
         "p21_sim_ann_ivf",      // declared query includes brute-force exact side
+        "p67_ivf_index_maint",  // r14: FOUR deliberate passes in the timed
+                                // window (stale build + occupancy + forced
+                                // re-cluster + p21's recall audit) vs an
+                                // oracle computing only the exact side
         "q81_window_extras",    // many distinct window specs — FloorProbe r12:
                                 // 2 stages / 9 tasks, flat (1.41 -> 1.24 s
                                 // median): per-window-spec sort floor
