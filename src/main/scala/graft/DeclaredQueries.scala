@@ -1937,6 +1937,24 @@ object DeclaredQueries {
         "CAST(CAST(3.4028235e38 AS FLOAT) AS VARCHAR) AS f_max, " +
         "CAST(CAST(o_totalprice AS FLOAT) AS VARCHAR) AS f_col " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q235_nested_types" ->
+      // r14 (nested-types scout): duck's len() works on LISTS including
+      // LAMBDA VARIABLES (type-dispatched graft_len kernel — the
+      // shape-based size() rewrite cannot see a lambda var's type),
+      // unnest(.., recursive := false) is plain unnest, deep
+      // struct/list/map subscript chains, flatten, struct-typed sort.
+      ("SELECT o_orderkey, " +
+        "array_to_string(list_transform([[1,2],[3]], x -> len(x)), ',') AS lam_len, " +
+        "len([o_orderkey, 1, 2]) AS col_len, " +
+        "{'s': {'t': {'u': o_orderkey}}}.s.t.u AS deep, " +
+        "array_to_string(flatten([[1,2],[3],[]]), ',') AS flat, " +
+        "[{'a': 1, 'b': 'x'}, {'a': 2, 'b': 'y'}][1].a AS arr_st, " +
+        // duck's map subscript returns the LIST of matching values (here
+        // a list-of-lists) — flatten before serializing for the
+        // comparator (both engines agree on the wrapper semantics)
+        "array_to_string(flatten(MAP {'a': [1,2]}['a']), ';') AS map_el, " +
+        "array_to_string([x FOR x IN [[1,2],[3]] IF len(x) = 2][1], ';') AS compr " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -1597,6 +1597,7 @@ object Translator {
     "DAYOFWEEK", "DAYOFMONTH", "DAYOFYEAR", "WEEKOFYEAR", "QUARTER",
     "DATEDIFF", "COUNT", "SIGN", "FACTORIAL",
     "BIT_COUNT", "GRAFT_BIT_COUNT", "GRAFT_INT_ROUND", "GRAFT_INT_ROUND_TRY",
+    "GRAFT_LEN",
     "GRAFT_DOW", "GRAFT_EPOCH_US", "GRAFT_SIGN", "GRAFT_INTDIV_EXACT",
     "GRAFT_ROUND_DBL",
     "BIT_LENGTH", "OCTET_LENGTH",
@@ -3628,6 +3629,19 @@ object Translator {
               toks = toks.patch(i,
                 lex(s"size(${render(args(0)).trim})"), close - i + 1)
               changed = true
+            } else if (args.length == 1 && (args(0).filterNot(isWs) match {
+              // r14 nested scout: a BARE identifier the shape scan cannot
+              // classify — above all a LAMBDA VARIABLE (`x -> len(x)` over
+              // list elements) — takes the type-dispatched kernel; string
+              // literals/calls keep Spark's native length (pinned
+              // emissions unchanged)
+              case Vector(a: Ident) => !keywordLike(a.upper) &&
+                !isCollectionCol(a.text.toLowerCase)
+              case _ => false
+            })) {
+              toks = toks.patch(i,
+                lex(s"graft_len(${render(args(0)).trim})"), close - i + 1)
+              changed = true
             }
           case id: Ident if (id.upper == "SUBSTR" || id.upper == "SUBSTRING") &&
               callOpen >= 0 && {
@@ -3991,6 +4005,14 @@ object Translator {
                   .startsWith("RECURSIVE:=TRUE")) {
               toks = toks.patch(i, lex(
                 s"explode(flatten(${render(args(0)).trim}))"), close - i + 1)
+              changed = true
+            } else if (args.length == 2 &&
+                render(args(1)).trim.toUpperCase.replaceAll("\\s+", "")
+                  .startsWith("RECURSIVE:=FALSE")) {
+              // r14 nested scout: the explicit non-recursive spelling is
+              // plain unnest — drop the flag (duck's default)
+              toks = toks.patch(i, lex(
+                s"unnest(${render(args(0)).trim})"), close - i + 1)
               changed = true
             }
           case id: Ident if Set("PLUS", "MINUS", "MULTIPLY", "DIVIDE",

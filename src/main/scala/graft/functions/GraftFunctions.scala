@@ -103,6 +103,8 @@ object GraftFunctions {
       args => MismatchesExpr(args(0), args(1))),
     ("graft_reverse", "duck's reverse over VARCHAR: grapheme-cluster reversal (combining marks stay on their base)",
       args => GraphemeReverseExpr(args(0))),
+    ("graft_len", "duck's len()/length(): TYPE-dispatched — chars for strings, bytes for blobs, element count for lists/maps (the lambda-variable case shape scans cannot classify)",
+      args => LenDispatchExpr(args(0))),
     ("gcd", "integer gcd, absolute-value semantics",
       args => GcdExpr(args(0), args(1))),
     ("gamma", "DuckDB gamma(x): exact for integer args, Lanczos otherwise; zero/negative-integer errors loudly",

@@ -78,8 +78,8 @@ class TranslatorSpec extends AnyFunSuite {
   test("ClickHouse intDiv/modulo/empty/notEmpty and *UTF8 aliases") {
     assert(t("SELECT intDiv(a, b + 1)") == "SELECT ((a) DIV (b + 1))")
     assert(t("SELECT modulo(a, 3)") == "SELECT ((a) % (3))")
-    assert(t("SELECT empty(s)") == "SELECT (length(s) = 0)")
-    assert(t("SELECT notEmpty(s)") == "SELECT (length(s) <> 0)")
+    assert(t("SELECT empty(s)") == "SELECT (graft_len(s) = 0)")
+    assert(t("SELECT notEmpty(s)") == "SELECT (graft_len(s) <> 0)")
     // r7 (ADVICE): empty/notEmpty on a syntactic collection expression
     // dispatches to size() (Spark's length() rejects arrays/maps)
     assert(t("SELECT empty([1, 2])") == "SELECT (size(array(1, 2)) = 0)")
@@ -665,7 +665,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT dayname(d), monthname(d) FROM t")
       == "SELECT date_format(d, 'EEEE'), date_format(d, 'MMMM') FROM t")
     assert(t("SELECT unicode(s), ord(s) FROM t")
-      == "SELECT (CASE WHEN length(s) = 0 THEN -1 ELSE ascii(s) END), (CASE WHEN length(s) = 0 THEN -1 ELSE ascii(s) END) FROM t")
+      == "SELECT (CASE WHEN graft_len(s) = 0 THEN -1 ELSE ascii(s) END), (CASE WHEN graft_len(s) = 0 THEN -1 ELSE ascii(s) END) FROM t")
     assert(t("SELECT list_zip(a, b) FROM t")
       == "SELECT arrays_zip(a, b) FROM t")
   }
@@ -785,9 +785,9 @@ class TranslatorSpec extends AnyFunSuite {
     // probe-pinned: left('ab',-5)='', right('ab',-5)='', left('hello',-2)
     // ='hel', right('hello',-2)='llo', 0 -> '', n>len -> whole string
     val lf = t("SELECT left(s, n)")
-    assert(lf == "SELECT substring(s, 1, CASE WHEN (n) >= 0 THEN (n) ELSE greatest(0, length(s) + (n)) END)")
+    assert(lf == "SELECT substring(s, 1, CASE WHEN (n) >= 0 THEN (n) ELSE greatest(0, graft_len(s) + (n)) END)")
     val rt = t("SELECT right(s, n)")
-    assert(rt == "SELECT substring(s, CASE WHEN (n) >= 0 THEN greatest(1, length(s) - (n) + 1) ELSE 1 - (n) END)")
+    assert(rt == "SELECT substring(s, CASE WHEN (n) >= 0 THEN greatest(1, graft_len(s) - (n) + 1) ELSE 1 - (n) END)")
     // join keywords are untouched
     assert(t("SELECT * FROM a LEFT JOIN b USING (k)") ==
       "SELECT * FROM a LEFT JOIN b USING (k)")
@@ -1103,7 +1103,7 @@ class TranslatorSpec extends AnyFunSuite {
     // length()/len() on a list literal → size; strings untouched
     assert(t("SELECT length([1,2])") == "SELECT size(array(1,2))")
     assert(t("SELECT len([1,2])") == "SELECT size(array(1,2))")
-    assert(t("SELECT length(s)") == "SELECT length(s)")
+    assert(t("SELECT graft_len(s)") == "SELECT graft_len(s)")
     // extract dow is 0=Sunday in DuckDB (Spark's DOW is 1=Sunday — the
     // passthrough was a silent off-by-one); isodow has no Spark field
     assert(t("SELECT extract(dow FROM d)") == "SELECT graft_dow(d)")
