@@ -1091,6 +1091,132 @@ def gen_str_probe(rng):
             f"WHERE o_orderkey < 8 ORDER BY o_orderkey")
 
 
+"""Nested-types mode (r15, eleventh mode — VERDICT r14 #2): deep
+compositions over lists-of-lists, lists-of-structs, maps-of-lists and
+nested structs — the surface the flat list/map modes (r11) never
+stress. Families: deep subscript/dot chains, struct ordering inside
+list_sort, nested equality/comparison (incl. ORDER BY and GROUP BY on
+nested keys), comprehensions over nested lists, flatten/reduce/zip,
+map-of-list subscripts (duck's LIST-wrapper semantics), to_json over
+nested shapes, struct_pack/struct_insert round-trips. Deliberately
+AVOIDED (adjudicated duck-1.0.0-error supersets, allowlisted r14,
+driver sentinels q248/q249): nested list_distinct, greatest/least over
+lists; plus list_resize over nested elements (1.0.0 has no overload)."""
+
+NLI_LITS = [
+    "[[1, 2], [3]]", "[[1], [], [4, 5]]", "[[]]", "[[-1, 0], [2]]",
+    "[[5, 1], [5, 1], [2]]", "[[9, 8, 7]]",
+]
+LST_LITS = [
+    "[{'k': 2, 'v': 'b'}, {'k': 1, 'v': 'a'}]",
+    "[{'k': 1, 'v': 'a'}, {'k': 1, 'v': 'b'}, {'k': 0, 'v': 'c'}]",
+    "[{'k': 3, 'v': 'z'}]",
+]
+MLI_LITS = [
+    "MAP {'a': [1, 2], 'b': [3]}", "MAP {'a': [], 'b': [7, 8]}",
+    "MAP {'q': [0]}",
+]
+DEEP_LITS = [
+    "{'s': {'t': {'u': 7}}}", "{'s': {'t': {'u': -1}}}",
+]
+
+
+def gen_nli(rng, depth):
+    """A LIST-of-LIST-of-INT expression of bounded depth."""
+    if depth <= 0:
+        if rng.random() < 0.3:
+            return f"[[o_orderkey % 5, 1], [{rng.choice([2, 6])}]]"
+        return rng.choice(NLI_LITS)
+    a = lambda: gen_nli(rng, depth - 1)
+    r = rng.random()
+    if r < 0.14:
+        return f"list_sort({a()})"
+    if r < 0.24:
+        return f"list_reverse_sort({a()})"
+    if r < 0.38:
+        return f"list_concat({a()}, {a()})"
+    if r < 0.50:
+        s = rng.choice([1, 2, -1])
+        return f"list_slice({a()}, {s}, {s + rng.choice([0, 1])})"
+    if r < 0.62:
+        return f"list_filter({a()}, x -> len(x) = {rng.choice([0, 1, 2])})"
+    if r < 0.74:
+        return f"list_transform({a()}, x -> list_append(x, {rng.choice([0, 9])}))"
+    if r < 0.86:
+        return f"list_append({a()}, [{rng.choice([6, 42])}])"
+    return f"[x FOR x IN {a()} IF len(x) >= {rng.choice([1, 2])}]"
+
+
+def gen_nest_scalar(rng):
+    """A scalar (or flat-list) measure over a nested expression."""
+    nli = lambda: gen_nli(rng, rng.choice([1, 2]))
+    lst = lambda: rng.choice(LST_LITS)
+    mli = lambda: rng.choice(MLI_LITS)
+    r = rng.random()
+    if r < 0.08:
+        return f"len({nli()})"
+    if r < 0.16:
+        return f"len(flatten({nli()}))"
+    if r < 0.22:
+        return f"list_sum(flatten({nli()}))"
+    if r < 0.28:
+        return f"({nli()})[{rng.choice([1, 2, -1])}][{rng.choice([1, -1])}]"
+    if r < 0.34:
+        return f"list_position({nli()}, {rng.choice(['[2, 6]', '[3]', '[]'])})"
+    if r < 0.40:
+        return f"CAST(list_contains({nli()}, {rng.choice(['[1, 2]', '[3]'])}) AS INT)"
+    if r < 0.46:
+        return f"CAST(({nli()} {rng.choice(['=', '<', '>=', '<>'])} {nli()}) AS INT)"
+    if r < 0.52:
+        return f"({lst()})[{rng.choice([1, 2, -1])}].{rng.choice(['k', 'v'])}"
+    if r < 0.58:
+        return f"array_to_string(list_transform(list_sort({lst()}), s -> s.v), ',')"
+    if r < 0.63:
+        return f"array_to_string([s.v FOR s IN {lst()} IF s.k >= 1], ';')"
+    if r < 0.68:
+        return f"array_to_string(flatten({mli()}['{rng.choice(['a', 'b', 'q'])}']), ',')"
+    if r < 0.73:
+        return f"array_to_string(map_keys({mli()}), ',')"
+    if r < 0.78:
+        return f"cardinality({mli()})"
+    if r < 0.83:
+        d = rng.choice(DEEP_LITS)
+        return f"({d}).s.t.u" if rng.random() < 0.5 else \
+            f"struct_pack(a := {nli()}).a[1][1]"
+    if r < 0.88:
+        return f"to_json({rng.choice(DEEP_LITS + LST_LITS)})"
+    if r < 0.94:
+        # list_append guarantees a NON-empty reduce input (duck errors on
+        # empty — loud on both engines, but with different classes)
+        return (f"list_reduce(list_append({nli()}, [0]), (acc, x) -> list_concat(acc, x))"
+                if rng.random() < 0.5 else f"flatten({nli()})")
+    # duck's map_entries structs are named key/value
+    return f"map_entries({mli()})[1].{rng.choice(['key', 'value'])}"
+
+
+def gen_nest_probe(rng):
+    r = rng.random()
+    if r < 0.12:
+        # nested GROUP BY key (list-of-int derived from a column)
+        return ("SELECT [o_orderkey % 3, CAST(o_orderkey < 10 AS INT)] AS g, "
+                "count(*) AS c, CAST(sum(o_orderkey) AS BIGINT) AS s "
+                "FROM orders WHERE o_orderkey < 25 GROUP BY g ORDER BY g")
+    if r < 0.2:
+        # ORDER BY a nested expression
+        e = gen_nli(rng, 1)
+        return (f"SELECT o_orderkey, {e} AS e FROM orders "
+                "WHERE o_orderkey < 12 ORDER BY e, o_orderkey")
+    outs = []
+    for _ in range(rng.choice([1, 2])):
+        if rng.random() < 0.45:
+            outs.append(gen_nli(rng, rng.choice([1, 2])))
+        else:
+            outs.append(gen_nest_scalar(rng))
+    sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(outs))
+    return (f"SELECT o_orderkey, {sel} FROM orders "
+            f"WHERE o_orderkey < 25 ORDER BY o_orderkey")
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
@@ -1133,6 +1259,10 @@ def main():
     if mode == "str":
         for _ in range(n):
             print(gen_str_probe(rng))
+        return
+    if mode == "nest":
+        for _ in range(n):
+            print(gen_nest_probe(rng))
         return
     for i in range(n):
         ty = rng.choice([INT, DBL, STR, DATE, BOOL])

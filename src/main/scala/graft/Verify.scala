@@ -17,11 +17,12 @@ object Verify {
       // must be active in the gate session — they fold coercion-inserted
       // casts with duck semantics (q224's CASE branch)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      // dev-only replica hook (r14): SPARK_GRAFT_DEC_TRUNC=true pins the
-      // decimal->decimal downscale to DuckDB 1.0.0's truncate so the
-      // local 1.0.0 oracle replica stays bit-comparable; the driver
-      // never sets it, so driver runs take the >=1.1 rounding default
-      .config("spark.graft.decimalDownscaleTruncate",
+      // dev-only replica hook (r14/r15): SPARK_GRAFT_DEC_TRUNC=true pins
+      // BOTH version-sensitive decimal surfaces (downscale → truncate,
+      // double→decimal → 1e-9-epsilon) to the local DuckDB 1.0.0 oracle
+      // replica so it stays bit-comparable; the driver never sets it, so
+      // driver runs take the r15 defaults (half-even, nearbyint)
+      .config("spark.graft.replicaMode",
         sys.env.getOrElse("SPARK_GRAFT_DEC_TRUNC", "false"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1833,12 +1833,14 @@ object Translator {
     * precision 38 and REDUCES the scale to min(s1,s2) — the compare
     * sees truncated values — where duck compares cross-scale exactly.
     * Catalyst does not expose coercion provenance, so the closure is
-    * token-level: when BOTH operand slices of a comparison carry a
-    * visible precision-38 spelling (`DECIMAL(38,s)` type or
-    * `graft_dec_cast(…, 38, s)` emission — this pass runs after
-    * rewriteDecCast) with DIFFERING max scales, wrap EACH side in
-    * `graft_dec_cast((side), 38, smax)` — upscale is exact, both sides
-    * then meet at the same type and no coercion fires. Values with more
+    * token-level: when BOTH operand slices of a comparison are HEADED
+    * by a precision-38 producer (a `CAST(… AS DECIMAL(38,s))` /
+    * `graft_dec_cast(…, 38, s)` spanning the whole slice — this pass
+    * runs after rewriteDecCast; r15 ADVICE fix: a merely *visible*
+    * inner spelling under a type-changing wrapper no longer fires) with
+    * DIFFERING scales, wrap EACH side in `graft_dec_cast((side), 38,
+    * smax)` — upscale is exact, both sides then meet at the same type
+    * and no coercion fires. Values with more
     * than 38−smax integer digits overflow LOUDLY where duck would
     * compare silently (documented residual — trades a silent wrong
     * answer for an error on a magnitude the fixture never reaches).
@@ -1891,46 +1893,80 @@ object Translator {
       }
       end
     }
-    // all scales of precision-38 spellings visible in a slice
-    def dec38Scales(from: Int, to: Int): Seq[Int] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var j = from
-      while (j <= to) {
-        toks(j) match {
-          case id: Ident if id.upper == "DECIMAL" || id.upper == "NUMERIC" =>
-            val o = nextNonWs(toks, j)
-            if (o <= to && toks(o) == Punct("(")) {
-              val pTok = nextNonWs(toks, o)
-              val c = nextNonWs(toks, pTok)
-              val sTok = nextNonWs(toks, c)
-              (toks.lift(pTok), toks.lift(c), toks.lift(sTok)) match {
-                case (Some(p: Num), Some(Punct(",")), Some(s: Num))
-                    if p.text == "38" => out += s.text.toInt
+    // the scale of a precision-38 spelling ONLY when it is the
+    // operand's HEAD producer — the outermost expression covering the
+    // whole slice (r15, ADVICE r14 #3: keying on any *visible* spelling
+    // wrapped DOUBLE-typed operands like `CAST(CAST(a AS DECIMAL(38,6))
+    // AS DOUBLE)` in a rounding DECIMAL compare, flipping knife-edge
+    // results and raising loud errors past 1e32 where duck compares
+    // silently). Recognized heads: CAST/TRY_CAST(… AS DECIMAL(38,s))
+    // spanning the slice, graft_dec_cast[_try]((…), 38, s) spanning the
+    // slice (this pass runs after rewriteDecCast), a trailing
+    // `:: DECIMAL(38,s)` suffix at depth 0, and any of these wrapped in
+    // redundant outer parens. Anything else — arithmetic over casts,
+    // intervening type-changing wrappers — returns None and the compare
+    // is left to Spark's coercion (the pre-r14 documented divergence,
+    // strictly safer than a wrong rewrite).
+    def dec38HeadScale(from0: Int, to0: Int): Option[Int] = {
+      var from = from0
+      var to = to0
+      // strip redundant outer parens covering the whole slice
+      var stripping = true
+      while (stripping) {
+        val f = if (isWs(toks(from))) nextNonWs(toks, from) else from
+        val t = if (isWs(toks(to))) prevNonWs(toks, to) else to
+        if (f < t && toks(f) == Punct("(") && matchParen(toks, f) == t) {
+          from = f + 1; to = t - 1
+        } else { from = f; to = t; stripping = false }
+      }
+      if (from > to) return None
+      // (a trailing `::DECIMAL(38,s)` suffix is NOT recognized: `::`
+      // binds to the preceding primary, not the slice, so head-ness
+      // can't be decided without a precedence walk — and rewriteDecCast
+      // already kernel-izes every risky `::` spelling. Conservative
+      // None → Spark coercion, the documented pre-r14 divergence.)
+      toks(from) match {
+        case id: Ident if id.upper == "CAST" || id.upper == "TRY_CAST" =>
+          val o = nextNonWs(toks, from)
+          if (o <= to && toks(o) == Punct("(") && matchParen(toks, o) == to) {
+            // the AS at depth 1 inside the covering paren
+            var d = 0; var asIdx = -1
+            for (j <- (o + 1) until to) {
+              toks(j) match {
+                case Punct("(") => d += 1
+                case Punct(")") => d -= 1
                 case _ =>
               }
+              if (d == 0 && asIdx < 0 && up(toks(j)) == "AS") asIdx = j
             }
-          case id: Ident
-              if id.upper == "GRAFT_DEC_CAST" ||
-                id.upper == "GRAFT_DEC_CAST_TRY" =>
-            val o = nextNonWs(toks, j)
-            if (o <= to && toks(o) == Punct("(")) {
-              val close = matchParen(toks, o)
-              if (close <= to) {
-                val sTok = prevNonWs(toks, close)
-                val c1 = prevNonWs(toks, sTok)
-                val pTok = prevNonWs(toks, c1)
-                (toks.lift(pTok), toks.lift(c1), toks.lift(sTok)) match {
-                  case (Some(p: Num), Some(Punct(",")), Some(s: Num))
-                      if p.text == "38" => out += s.text.toInt
-                  case _ =>
-                }
+            if (asIdx > 0)
+              toks.slice(asIdx + 1, to).filterNot(isWs).toList match {
+                case (t: Ident) :: Punct("(") :: (pn: Num) :: Punct(",") ::
+                    (sn: Num) :: Punct(")") :: Nil
+                    if (t.upper == "DECIMAL" || t.upper == "NUMERIC") &&
+                      pn.text == "38" && sn.text.forall(_.isDigit) =>
+                  return Some(sn.text.toInt)
+                case _ =>
               }
+          }
+          None
+        case id: Ident
+            if id.upper == "GRAFT_DEC_CAST" ||
+              id.upper == "GRAFT_DEC_CAST_TRY" =>
+          val o = nextNonWs(toks, from)
+          if (o <= to && toks(o) == Punct("(") && matchParen(toks, o) == to) {
+            val sTok = prevNonWs(toks, to)
+            val c1 = prevNonWs(toks, sTok)
+            val pTok = prevNonWs(toks, c1)
+            (toks.lift(pTok), toks.lift(c1), toks.lift(sTok)) match {
+              case (Some(p: Num), Some(Punct(",")), Some(s: Num))
+                  if p.text == "38" => return Some(s.text.toInt)
+              case _ =>
             }
-          case _ =>
-        }
-        j += 1
+          }
+          None
+        case _ => None
       }
-      out.toSeq
     }
     var changed = true
     while (changed) {
@@ -1942,10 +1978,10 @@ object Translator {
             val (ls, rs) = (leftBound(i), rightBound(i))
             val (lEnd, rStart) = (prevNonWs(toks, i), nextNonWs(toks, i))
             if (ls <= lEnd && rStart <= rs) {
-              val sl = dec38Scales(ls, lEnd)
-              val sr = dec38Scales(rStart, rs)
-              if (sl.nonEmpty && sr.nonEmpty && sl.max != sr.max) {
-                val smax = math.max(sl.max, sr.max)
+              val sl = dec38HeadScale(ls, lEnd)
+              val sr = dec38HeadScale(rStart, rs)
+              if (sl.nonEmpty && sr.nonEmpty && sl.get != sr.get) {
+                val smax = math.max(sl.get, sr.get)
                 val lTxt = render(toks.slice(ls, lEnd + 1)).trim
                 val rTxt = render(toks.slice(rStart, rs + 1)).trim
                 // right first so left indices stay valid

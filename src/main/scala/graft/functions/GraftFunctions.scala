@@ -137,16 +137,16 @@ object GraftFunctions {
       args => IntDivExpr(args(0), args(1))),
     ("graft_intdiv_exact", "DuckDB // over HUGEINT-spelled operands: exact INT128-style trunc division at DECIMAL(38,0); double fallback when a fractional operand shows the slice was not hugeint//hugeint",
       args => IntDivExactExpr(args(0), args(1))),
-    ("graft_dec_cast", "DuckDB CAST to DECIMAL(p,s) by INPUT type: decimal downscale rounds half-away (>=1.1 driver oracle; conf-switchable to 1.0.0 truncate), double takes duck's FP-product rounding, string half-up; out-of-range errors",
+    ("graft_dec_cast", "DuckDB CAST to DECIMAL(p,s) by INPUT type: decimal downscale rounds per the conf'd policy (r15 default half-even; away/trunc switchable), double takes the conf'd FP model (r15 default nearbyint on the product), string half-away; out-of-range errors",
       args => DecCastExpr(args(0),
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue(), tryMode = false,
-        trunc = DecCast.truncMode)),
+        mode = DecCast.downscaleMode, fpMode = DecCast.fpCastMode)),
     ("graft_dec_cast_try", "graft_dec_cast's TRY twin: NULL on out-of-range / unparseable / NaN / inf",
       args => DecCastExpr(args(0),
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue(), tryMode = true,
-        trunc = DecCast.truncMode)),
+        mode = DecCast.downscaleMode, fpMode = DecCast.fpCastMode)),
     ("graft_double_str", "DuckDB DOUBLE/FLOAT -> VARCHAR rendering: shortest digits, plain notation in exp [-4,15], e+NN outside",
       args => DoubleStrExpr(args(0))),
     ("graft_floor_dbl", "DuckDB floor() over doubles: DOUBLE result (Spark's LONG renders '-3' where duck renders '-3.0')",

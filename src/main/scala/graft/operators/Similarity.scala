@@ -270,11 +270,19 @@ object Similarity {
     * centroid set and the cid assignments must describe the same
     * clustering, so each rebuild (1) APPENDS the new centroids under
     * gen+1 — old rows stay, (2) overwrites the index with gen+1-stamped
-    * assignments (saveAsTable commit = the atomic switch), (3) prunes
-    * old centroid generations (best-effort; leftovers are filtered by
-    * the query path, which selects centroids at the INDEX's generation).
-    * A crash at any point leaves some complete (gen, centroids,
-    * assignments) triple readable. */
+    * assignments (saveAsTable commit = the atomic switch). The centroid
+    * table is APPEND-ONLY after the one-time legacy gen-column
+    * migration (r15, ADVICE r14 #4: the previous step-(3) prune
+    * overwrote the table in place — a crash mid-prune could drop every
+    * generation, live one included). Old generations are never removed:
+    * the query path and the occupancy reader both select centroids at
+    * the INDEX's generation, and accumulation is bounded by geometry —
+    * a rebuild fires only when the √n sizing rule asks for MORE
+    * centroids after ≥occupancyFactor× bucket packing, so past
+    * generations form a decaying geometric tail of the live k (≤ ~1×
+    * live size at 4× growth per rebuild, √n rows each). A crash at any
+    * point leaves some complete (gen, centroids, assignments) triple
+    * readable — with no window excepted. */
   def maintainIvfIndex(
       spark: SparkSession,
       indexTable: String,
@@ -287,8 +295,11 @@ object Similarity {
     GraftFunctions.register(spark)
     import spark.implicits._
     val idx = spark.table(indexTable)
+    // headOption: a zero-row index (empty build input) reads as gen 0
+    // instead of throwing (r15, ADVICE r14 #4)
     val genCur: Int =
-      if (idx.columns.contains("gen")) idx.select(col("gen")).head.getInt(0)
+      if (idx.columns.contains("gen"))
+        idx.select(col("gen")).head(1).headOption.map(_.getInt(0)).getOrElse(0)
       else 0
     val kCur = {
       val c = spark.table(indexTable + "_centroids")
@@ -321,15 +332,12 @@ object Similarity {
       cents.zipWithIndex.map { case (v, i) => (i, v.toSeq, genNew) }.toSeq
         .toDF("cid", "centroid", "gen")
         .write.format("parquet").mode("append").saveAsTable(centTable)
-      // (2) switch the assignments — the atomic commit point
+      // (2) switch the assignments — the atomic commit point. No prune
+      // step: the centroid table stays append-only (see the contract
+      // above), old generations are dead weight the readers filter out.
       Partitioning.writeBucketed(
         assignToCentroids(stored, cents, vecCol).withColumn("gen", lit(genNew)),
         indexTable, Seq("cid"), numBuckets)
-      // (3) prune old generations (best-effort; loud-if-crashed, never
-      // silent — the query path keys on the index's gen)
-      spark.table(centTable).filter(col("gen") === genNew)
-        .localCheckpoint()
-        .write.format("parquet").mode("overwrite").saveAsTable(centTable)
     }
     Dedup.IndexHealth(n, buckets, p95, mx, kCur, kNew, trigger)
   }
@@ -388,9 +396,12 @@ object Similarity {
       .columns.contains("gen")
     val centRows = if (centHasGen) {
       val idxDf = spark.table(indexTable)
-      val g = if (idxDf.columns.contains("gen"))
-        idxDf.select(col("gen")).head.getInt(0)
-      else centRows0.map(_.getAs[Int]("gen")).min // pre-r14 index: oldest gen
+      val idxGen = if (idxDf.columns.contains("gen"))
+        idxDf.select(col("gen")).head(1).headOption.map(_.getInt(0))
+      else None
+      val g = idxGen.getOrElse(
+        // pre-r14 (or zero-row) index: oldest centroid gen
+        centRows0.map(_.getAs[Int]("gen")).min)
       centRows0.filter(_.getAs[Int]("gen") == g)
     } else centRows0
     val probes = centRows

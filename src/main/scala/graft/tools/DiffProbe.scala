@@ -73,12 +73,14 @@ object DiffProbe {
   def main(args: Array[String]): Unit = {
     val (sfDir, file) = (args(0), args(1))
     val spark = Engine.localSession("4")
-    // REPLICA mode (r14): this harness diffs against the LOCAL DuckDB
-    // 1.0.0, which truncates decimal->decimal downscales; the driver's
-    // newer oracle rounds (the engine's default). Pin the kernel to the
-    // replica here so 1.0.0-adjudicated probe batches stay comparable —
-    // the driver-facing rounding default is covered by the q224 family.
-    spark.conf.set("spark.graft.decimalDownscaleTruncate", "true")
+    // REPLICA mode (r14/r15): this harness diffs against the LOCAL
+    // DuckDB 1.0.0, which truncates decimal->decimal downscales and
+    // epsilon-rounds double->decimal; the driver's newer oracle differs
+    // on both (r15 defaults: half-even, nearbyint). Pin the kernel to
+    // the replica here so 1.0.0-adjudicated probe batches stay
+    // comparable — the driver-facing defaults are covered by the
+    // q224/q236-q247 fingerprint family.
+    spark.conf.set("spark.graft.replicaMode", "true")
     Engine.registerTables(spark, sfDir)
     val qs = scala.io.Source.fromFile(file).getLines()
       .map(_.trim).filter(q => q.nonEmpty && !q.startsWith("#")).toSeq

