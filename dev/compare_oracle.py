@@ -18,6 +18,11 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Driver sentinels (r15): entries whose oracle SQL ERRORS on the local
+# DuckDB 1.0.0 replica BY DESIGN — they exist to measure the driver's
+# newer oracle (VERDICT r14 #7).
+SENTINELS = {"q252_list_distinct_nested", "q253_greatest_list"}
+
 def norm_val(v):
     if v is None:
         return "NULL"
@@ -83,6 +88,16 @@ def main(sfdir, outdir):
             o_types = [str(t) for t in rel.types]
             o_rows = rel.fetchall()
         except Exception as e:
+            if name in SENTINELS:
+                # r15 driver sentinels: these entries deliberately use
+                # surface the LOCAL duck 1.0.0 cannot run (nested
+                # list_distinct, greatest over lists) to measure whether
+                # the DRIVER's newer oracle fixed them. A local ORAERR
+                # is the expected 1.0.0 outcome, not a failure.
+                print(f"SENTINEL {name}: local 1.0.0 oracle errors as expected "
+                      f"({str(e).splitlines()[0][:80]})")
+                ok += 1
+                continue
             print(f"ORAERR   {name}: {e}")
             fail += 1
             continue

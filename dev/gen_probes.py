@@ -1107,6 +1107,14 @@ NLI_LITS = [
     "[[1, 2], [3]]", "[[1], [], [4, 5]]", "[[]]", "[[-1, 0], [2]]",
     "[[5, 1], [5, 1], [2]]", "[[9, 8, 7]]",
 ]
+# NULL-bearing atoms (r15 nested-NULL closure): inner NULLs exercise
+# duck's context-sensitive comparison semantics — 3VL in value context,
+# NULL-high total order in filter/join/CASE (Select) context — and the
+# NULL-high list_sort element order. EXCLUDED from ORDER BY probe shapes
+# (row-level ORDER BY with inner NULLs is the documented residual).
+NLI_NULL_LITS = NLI_LITS + [
+    "[[1, NULL], [2]]", "[[NULL]]", "[NULL, [1, 2]]", "[[1, NULL], [1, 2]]",
+]
 LST_LITS = [
     "[{'k': 2, 'v': 'b'}, {'k': 1, 'v': 'a'}]",
     "[{'k': 1, 'v': 'a'}, {'k': 1, 'v': 'b'}, {'k': 0, 'v': 'c'}]",
@@ -1121,13 +1129,13 @@ DEEP_LITS = [
 ]
 
 
-def gen_nli(rng, depth):
+def gen_nli(rng, depth, nulls=False):
     """A LIST-of-LIST-of-INT expression of bounded depth."""
     if depth <= 0:
         if rng.random() < 0.3:
             return f"[[o_orderkey % 5, 1], [{rng.choice([2, 6])}]]"
-        return rng.choice(NLI_LITS)
-    a = lambda: gen_nli(rng, depth - 1)
+        return rng.choice(NLI_NULL_LITS if nulls else NLI_LITS)
+    a = lambda: gen_nli(rng, depth - 1, nulls)
     r = rng.random()
     if r < 0.14:
         return f"list_sort({a()})"
@@ -1194,15 +1202,68 @@ def gen_nest_scalar(rng):
     return f"map_entries({mli()})[1].{rng.choice(['key', 'value'])}"
 
 
+def gen_nest_null_probe(rng):
+    """Context-sensitive comparison probes over NULL-bearing nests (r15
+    closure): value-context 3VL (projected booleans, IS NULL), Select-
+    context total order (WHERE / CASE WHEN / join ON), list_contains
+    nulls-equal matching, list_sort NULL-high element order."""
+    a = lambda: gen_nli(rng, rng.choice([0, 1]), nulls=True)
+    op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+    r = rng.random()
+    if r < 0.2:
+        # value context: project the 3VL result (serialize the unknown)
+        return (f"SELECT o_orderkey, CAST(({a()} {op} {a()}) AS VARCHAR) AS e "
+                "FROM orders WHERE o_orderkey < 8 ORDER BY o_orderkey")
+    if r < 0.35:
+        # Select context: CASE WHEN
+        return (f"SELECT o_orderkey, CASE WHEN {a()} {op} {a()} THEN 1 ELSE 0 END AS c "
+                "FROM orders WHERE o_orderkey < 8 ORDER BY o_orderkey")
+    if r < 0.5:
+        # Select context: WHERE (count the surviving rows)
+        return (f"SELECT count(*) AS n FROM orders "
+                f"WHERE ({a()} {op} {a()}) AND o_orderkey < 8")
+    if r < 0.62:
+        return (f"SELECT o_orderkey, CAST(list_contains({a()}, "
+                f"{rng.choice(['[1, NULL]', '[1, 2]', '[NULL]', '[]'])}) AS INT) AS c "
+                "FROM orders WHERE o_orderkey < 8 ORDER BY o_orderkey")
+    if r < 0.78:
+        dirs = rng.choice(["", ", 'DESC'", ", 'ASC', 'NULLS FIRST'",
+                           ", 'DESC', 'NULLS FIRST'"])
+        return (f"SELECT o_orderkey, array_to_string(list_transform("
+                f"list_sort({a()}{dirs}), x -> coalesce(array_to_string("
+                f"list_transform(x, e -> coalesce(e, -99)), '+'), 'N')), ';') AS s "
+                "FROM orders WHERE o_orderkey < 8 ORDER BY o_orderkey")
+    if r < 0.9:
+        # Select context: join ON nested equality with inner NULLs
+        return ("SELECT a.k AS ak, b.k AS bk FROM "
+                "(SELECT o_orderkey AS k, [o_orderkey % 3, CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 1 END] AS g "
+                "FROM orders WHERE o_orderkey < 8) a JOIN "
+                "(SELECT o_orderkey AS k, [o_orderkey % 3, CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 1 END] AS g "
+                f"FROM orders WHERE o_orderkey < 8) b ON a.g {rng.choice(['=', '<'])} b.g AND a.k <= b.k "
+                "ORDER BY ak, bk")
+    # map comparisons (duck: entry-list walk, order-sensitive)
+    m = lambda: rng.choice(["MAP {'a': 1, 'b': 2}", "MAP {'b': 2, 'a': 1}",
+                            "MAP {'a': 1}", "MAP {'a': o_orderkey % 2}",
+                            "MAP {'a': NULL}"])
+    if rng.random() < 0.5:
+        return (f"SELECT o_orderkey, CAST(({m()} {rng.choice(['=', '<'])} {m()}) AS VARCHAR) AS e "
+                "FROM orders WHERE o_orderkey < 8 ORDER BY o_orderkey")
+    return (f"SELECT o_orderkey, CASE WHEN {m()} = {m()} THEN 1 ELSE 0 END AS c "
+            "FROM orders WHERE o_orderkey < 8 ORDER BY o_orderkey")
+
+
 def gen_nest_probe(rng):
     r = rng.random()
-    if r < 0.12:
+    if r < 0.25:
+        return gen_nest_null_probe(rng)
+    if r < 0.33:
         # nested GROUP BY key (list-of-int derived from a column)
         return ("SELECT [o_orderkey % 3, CAST(o_orderkey < 10 AS INT)] AS g, "
                 "count(*) AS c, CAST(sum(o_orderkey) AS BIGINT) AS s "
                 "FROM orders WHERE o_orderkey < 25 GROUP BY g ORDER BY g")
-    if r < 0.2:
-        # ORDER BY a nested expression
+    if r < 0.4:
+        # ORDER BY a nested expression (NULL-FREE atoms: row-level
+        # ordering with inner NULLs is the documented residual)
         e = gen_nli(rng, 1)
         return (f"SELECT o_orderkey, {e} AS e FROM orders "
                 "WHERE o_orderkey < 12 ORDER BY e, o_orderkey")

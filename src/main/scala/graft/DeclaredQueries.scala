@@ -2102,6 +2102,110 @@ object DeclaredQueries {
         "CAST('2.555' AS DECIMAL(8,2)) AS s_odd, " +
         "CAST('-1.2345' AS DECIMAL(8,3)) AS s_neg " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    // ---- r15 nested-NULL closures (eleventh fuzz mode) + driver
+    // sentinels. Duck's nested comparisons are CONTEXT-SENSITIVE
+    // (probed on 1.0.0, reproduced by plans/NestedCompare +
+    // functions/NestedCmp): VALUE context = three-valued lexicographic
+    // walk (stops UNKNOWN at the first NULL), SELECT context
+    // (filter/join/CASE predicates) = NULL-high total order with
+    // Spark-native equality, constant-folded filter conditions = the
+    // 3VL path again. Single-class entries so the driver's newer duck
+    // localizes any drift per class.
+    "q248_nested_cmp_3vl" ->
+      // VALUE context: projected booleans keep duck's Execute walk —
+      // [1,NULL]=[1,NULL] is NULL (Spark native said true), an earlier
+      // decisive position wins, length decides without touching NULLs
+      ("SELECT o_orderkey, " +
+        "CAST(([1, NULL] = [1, NULL]) AS VARCHAR) AS eq_u, " +
+        "CAST(([NULL, 1] = [NULL, 2]) AS VARCHAR) AS eq_u2, " +
+        "CAST(([1, NULL] = [2, NULL]) AS VARCHAR) AS eq_f, " +
+        "CAST(([1] < [1, NULL]) AS VARCHAR) AS lt_t, " +
+        "CAST(({'a': 1, 'b': NULL} < {'a': 2, 'b': 3}) AS VARCHAR) AS st_t, " +
+        "CAST(({'a': [1, NULL]} = {'a': [1, NULL]}) AS VARCHAR) AS st_u, " +
+        "CAST(([o_orderkey % 3, NULL] = [o_orderkey % 3, NULL]) AS VARCHAR) AS eq_col " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q249_map_compare" ->
+      // MAP comparisons (Spark refuses them outright; duck compares the
+      // ENTRY LISTS order-sensitively — MAP{'a':1,'b':2} != MAP{'b':2,
+      // 'a':1} — with NULL values going UNKNOWN in value context)
+      ("SELECT o_orderkey, " +
+        "CAST((MAP {'a': 1, 'b': 2} = MAP {'b': 2, 'a': 1}) AS VARCHAR) AS mp_ord, " +
+        "CAST((MAP {'a': 1} = MAP {'a': 2}) AS VARCHAR) AS mp_f, " +
+        "CAST((MAP {'a': 1, 'b': 9} < MAP {'b': 0}) AS VARCHAR) AS mp_lt, " +
+        "CAST((MAP {'a': 1} < MAP {'a': 1, 'b': 2}) AS VARCHAR) AS mp_pre, " +
+        "CAST((MAP {'a': NULL} = MAP {'a': NULL}) AS VARCHAR) AS mp_u, " +
+        "CAST((MAP {'a': 1} IS NOT DISTINCT FROM MAP {'a': 1}) AS VARCHAR) AS mp_ds, " +
+        "CAST((MAP {'m': o_orderkey % 2} = MAP {'m': 0}) AS VARCHAR) AS mp_col, " +
+        "CASE WHEN MAP {'m': o_orderkey % 2} = MAP {'m': 0} THEN 1 ELSE 0 END AS mp_case " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q250_nested_select_ctx" ->
+      // SELECT context: CASE predicates match NULLs-equal / rank inner
+      // NULLs HIGH; list_contains matches entries NULLs-equal; every
+      // list_sort spelling orders elements by the NULL-high total order
+      // (the graft_list_sort kernel; Spark's array_sort ranked them low)
+      ("SELECT o_orderkey, " +
+        "CASE WHEN [o_orderkey % 2, NULL] = [0, NULL] THEN 1 ELSE 0 END AS cs_tot, " +
+        "CASE WHEN [0, 1] < [o_orderkey % 2, NULL] THEN 1 ELSE 0 END AS cs_lt, " +
+        "CAST(list_contains([[1, NULL]], [1, NULL]) AS INT) AS lc_t, " +
+        "array_to_string(list_transform(list_sort([[1, NULL], [NULL], [1, 2]]), " +
+        "x -> array_to_string(list_transform(x, e -> coalesce(e, -99)), '+')), ';') AS ls_n " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q251_nested_fold_where" ->
+      // the CONSTANT-vs-column filter split: duck's optimizer folds a
+      // fully-constant WHERE comparison with the 3VL path (0 rows
+      // survive) while the column-dependent twin runs the Select path's
+      // NULL-high total order (all 40 survive)
+      ("SELECT (SELECT count(*) FROM orders " +
+        "WHERE ([NULL, 5] > [9, 1]) AND o_orderkey < 40) AS n_fold, " +
+        "(SELECT count(*) FROM orders " +
+        "WHERE ([NULL, 5 + o_orderkey * 0] > [9, 1]) AND o_orderkey < 40) AS n_sel"),
+    "q252_list_distinct_nested" ->
+      // DRIVER SENTINEL (VERDICT r14 #7): duck 1.0.0 ERRORS on nested
+      // list_distinct ("Unimplemented type for histogram") — the engine
+      // accepts (allowlisted permissive superset). The driver's newer
+      // duck may have implemented it: green = semantics match and the
+      // allowlist line flips to a closure; err = still unimplemented
+      // (evidence either way, deliberately spent on one row).
+      ("SELECT o_orderkey, " +
+        "array_to_string(list_transform(list_sort(list_distinct(" +
+        "[[1, 2], [1, 2], [3], [1, 2]])), x -> array_to_string(x, '+')), ';') AS ld " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q253_greatest_list" ->
+      // DRIVER SENTINEL (VERDICT r14 #7): greatest/least over LISTs —
+      // duck 1.0.0 has no overload (Binder Error), the engine compares
+      // lexicographically (allowlisted superset). Same instrument
+      // contract as q252.
+      ("SELECT o_orderkey, " +
+        "array_to_string(greatest([1, 2], [1, 3]), ',') AS g_l, " +
+        "array_to_string(least([o_orderkey % 3, 9], [1, 0]), ',') AS l_c " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    // ---- r15 version-drift canaries (VERDICT r14 #4): the decimal and
+    // double->decimal casts have BOTH drifted between the 1.0.0 replica
+    // and the driver's newer oracle; these pin the other surfaces the
+    // public release notes flag as changed-after-1.0 so any drift shows
+    // up as a LOCALIZED red, not a fuzz-batch mystery.
+    "q254_hugeint_double" ->
+      // HUGEINT->DOUBLE conversion rounding (1.1 reworked int128->double
+      // to correctly-rounded; the probed 1.0.0 cells already agree with
+      // correct rounding, so green = no drift on either side)
+      ("SELECT o_orderkey, " +
+        "CAST(CAST(CAST('12345678901234567890123456789' AS HUGEINT) AS DOUBLE) AS VARCHAR) AS h1, " +
+        "CAST(CAST(CAST('18446744073709551615' AS HUGEINT) AS DOUBLE) AS VARCHAR) AS h2, " +
+        "CAST(CAST(CAST('9007199254740993' AS HUGEINT) AS DOUBLE) AS VARCHAR) AS h3, " +
+        "CAST(CAST(o_orderkey AS HUGEINT) AS DOUBLE) AS h4 " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
+    "q255_json_render" ->
+      // to_json over nested shapes: compact rendering, DOUBLE trailing
+      // .0, quote escaping, and NULL FIELDS KEPT ("n":null — Spark's
+      // default drops them; the engine pins duck's form). Outer VARCHAR
+      // casts pin the column type against duck's JSON (q223 convention).
+      ("SELECT o_orderkey, " +
+        "CAST(to_json({'a': [1, 2], 'b': {'c': 'd'}}) AS VARCHAR) AS j1, " +
+        "CAST(to_json([1.5, 2.0]) AS VARCHAR) AS j2, " +
+        "CAST(to_json(MAP {'k': 1}) AS VARCHAR) AS j3, " +
+        "CAST(to_json({'s': 'qu\"ote', 'n': NULL}) AS VARCHAR) AS j4, " +
+        "CAST(to_json({'k': o_orderkey % 3}) AS VARCHAR) AS j5 " +
+        "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q190_index_lambdas" ->
       // two-parameter lambdas: DuckDB's element index is 1-BASED where
       // Spark's is 0-based — the translator renames the index param and

@@ -2702,8 +2702,17 @@ object Translator {
                 val distinct = valueExpr.toUpperCase.startsWith("DISTINCT ")
                 val ve = if (distinct) valueExpr.drop(9).trim else valueExpr
                 if (!key.toUpperCase.contains("NULLS")) {
+                  // array_sort here is recaptured into graft_list_sort
+                  // by the sort handler (r15) — duck's within-group
+                  // ORDER BY puts NULL keys LAST in BOTH directions
+                  // (default_null_order): asc falls out of the kernel's
+                  // NULL-high field order; desc sorts ascending on a
+                  // leading (k IS NOT NULL) flag (NULL-key group first)
+                  // and reverses, landing the NULL keys at the end
                   val sorted =
-                    s"array_sort(collect_list(named_struct('k', ($key), 'v', ($ve))))"
+                    if (desc)
+                      s"array_sort(collect_list(named_struct('kn', ($key) IS NOT NULL, 'k', ($key), 'v', ($ve))))"
+                    else s"array_sort(collect_list(named_struct('k', ($key), 'v', ($ve))))"
                   val body = if (desc) s"reverse($sorted)" else sorted
                   val projected = s"transform($body, __g_s -> __g_s.v)"
                   toks = toks.patch(i,
@@ -2789,7 +2798,10 @@ object Translator {
     // turning duck's loud unknown-specifier error into silent garbage
     "STARTS_WITH" -> "startswith",
     "ENDS_WITH" -> "endswith",
-    "LIST_SORT" -> "array_sort",
+    // LIST_SORT is NOT name-mapped (r15): all sort spellings route
+    // through the graft_list_sort kernel in rewriteArgShapeFns — duck
+    // ranks inner NULLs HIGH inside nested elements where Spark's
+    // array_sort ranks them low
     "LIST_REVERSE" -> "reverse",
     "ARRAY_TO_STRING" -> "array_join",
     "COUNTIF" -> "count_if",
@@ -3397,6 +3409,7 @@ object Translator {
     "SPLIT", "STRING_SPLIT", "STRING_SPLIT_REGEX", "STRING_TO_ARRAY",
     "REGEXP_SPLIT_TO_ARRAY", "SEQUENCE", "RANGE", "GENERATE_SERIES",
     "ARRAY_DISTINCT", "LIST_DISTINCT", "ARRAY_SORT", "LIST_SORT",
+    "GRAFT_LIST_SORT",
     "SORT_ARRAY", "TRANSFORM", "LIST_TRANSFORM", "FILTER", "LIST_FILTER",
     "SLICE", "LIST_SLICE", "ARRAY_SLICE", "FLATTEN", "MAP_KEYS",
     "MAP_VALUES", "SHUFFLE", "ARRAY_REPEAT", "COLLECT_LIST",
@@ -3616,7 +3629,13 @@ object Translator {
             // r11, replacing the full-scan size(filter(…)) > 0 form);
             // absent-with-NULL-elements → exists' three-valued NULL →
             // false via coalesce; either arg NULL → NULL via the guard;
-            // `=` inside the lambda applies normal binary coercion.
+            // the lambda compares with `<=>` (r15 nested-NULL scout):
+            // duck matches entries by NULLS-EQUAL total equality —
+            // list_contains([[1,NULL]], [1,NULL]) is TRUE — where a
+            // plain `=` is three-valued over inner NULLs (the
+            // NestedCompare rule makes `=` duck-3VL, which would skip
+            // the match); `<=>` also equates NaN like duck and applies
+            // the same binary coercion.
             // CAVEAT (same class as the other CASE-splice emissions,
             // VERDICT r11): the arguments are interpolated into both the
             // guard and the body, so a NON-DETERMINISTIC needle
@@ -3631,7 +3650,7 @@ object Translator {
               val (l, e) = (render(args(0)).trim, render(args(1)).trim)
               toks = toks.patch(i, lex(
                 s"(CASE WHEN ($l) IS NULL OR ($e) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-                  s"ELSE coalesce(exists(($l), graft_lc -> graft_lc = ($e)), false) END)"),
+                  s"ELSE coalesce(exists(($l), graft_lc -> graft_lc <=> ($e)), false) END)"),
                 close - i + 1)
               changed = true
             }
@@ -3980,27 +3999,28 @@ object Translator {
               }
             }
           case id: Ident if (id.upper == "LIST_SORT" || id.upper == "ARRAY_SORT") && callOpen >= 0 =>
-            // DuckDB 2/3-arg order forms (probe-pinned: default and 'ASC'
-            // are NULLS LAST; 'DESC' keeps NULLS LAST): four (dir, nulls)
-            // combinations map onto array_sort / sort_array / reverse
+            // DuckDB 1/2/3-arg order forms (probe-pinned: default and
+            // 'ASC' are NULLS LAST; 'DESC' keeps NULLS LAST) → the
+            // graft_list_sort kernel (r15): one pinned semantics for
+            // flat AND nested element types — duck ranks inner NULLs
+            // HIGH where the previous array_sort/sort_array emissions
+            // kept Spark's NULL-low element ordering. A 2-arg form
+            // whose second arg is NOT a string literal is Spark's
+            // array_sort(l, lambda) comparator spelling — left alone.
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
-            if (args.length >= 2 && args.length <= 3) {
+            if (args.length >= 1 && args.length <= 3) {
               val lits = args.tail.map(_.filterNot(isWs)).flatMap {
                 case Vector(s: Str) => Some(s.value.toUpperCase.trim)
                 case _ => None
               }
               if (lits.length == args.length - 1) {
                 val l = render(args(0)).trim
-                val desc = lits.head.startsWith("DESC")
+                val desc = lits.headOption.exists(_.startsWith("DESC"))
                 val nullsFirst = lits.lift(1).exists(_.contains("FIRST"))
-                val repl = (desc, nullsFirst) match {
-                  case (false, false) => s"array_sort($l)"
-                  case (true, false) => s"sort_array($l, false)"
-                  case (false, true) => s"sort_array($l, true)"
-                  case (true, true) => s"reverse(array_sort($l))"
-                }
-                toks = toks.patch(i, lex(repl), close - i + 1)
+                toks = toks.patch(i,
+                  lex(s"graft_list_sort($l, $desc, $nullsFirst)"),
+                  close - i + 1)
                 changed = true
               }
             }
@@ -4282,12 +4302,15 @@ object Translator {
               changed = true
             }
           case id: Ident if (id.upper == "LIST_REVERSE_SORT" || id.upper == "ARRAY_REVERSE_SORT") && callOpen >= 0 =>
-            // DuckDB list_reverse_sort: descending, NULLs last — exactly
-            // Spark sort_array(l, false) (probe: [3,NULL,1] -> [3,1,NULL])
+            // DuckDB list_reverse_sort: descending, NULLs last (probe:
+            // [3,NULL,1] -> [3,1,NULL]) → the graft_list_sort kernel
+            // (r15, duck's NULL-high element order for nested elements)
             val close = matchParen(toks, callOpen)
             val args = splitTopLevel(toks.slice(callOpen + 1, close))
             if (args.length == 1) {
-              toks = toks.patch(i, lex(s"sort_array(${render(args(0)).trim}, false)"), close - i + 1)
+              toks = toks.patch(i,
+                lex(s"graft_list_sort(${render(args(0)).trim}, true, false)"),
+                close - i + 1)
               changed = true
             }
           case id: Ident if Set("LIST_COSINE_SIMILARITY", "LIST_INNER_PRODUCT",

@@ -147,6 +147,10 @@ object GraftFunctions {
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue(), tryMode = true,
         mode = DecCast.downscaleMode, fpMode = DecCast.fpCastMode)),
+    ("graft_list_sort", "DuckDB list_sort/array_sort/list_reverse_sort: elements by the NULL-HIGH total order (inner NULLs rank above every value — Spark sorts them below), top-level NULL entries placed by the NULLS FIRST/LAST flag",
+      args => ListSortExpr(args(0),
+        args(1).eval().asInstanceOf[Boolean],
+        args(2).eval().asInstanceOf[Boolean])),
     ("graft_double_str", "DuckDB DOUBLE/FLOAT -> VARCHAR rendering: shortest digits, plain notation in exp [-4,15], e+NN outside",
       args => DoubleStrExpr(args(0))),
     ("graft_floor_dbl", "DuckDB floor() over doubles: DOUBLE result (Spark's LONG renders '-3' where duck renders '-3.0')",
@@ -255,7 +259,8 @@ object GraftFunctions {
     }
     Seq(graft.plans.DateTruncToDateCast, graft.plans.ProjectAfterTopK,
         graft.plans.DoubleCastToDuckStr, graft.plans.DecDownscaleCast,
-        graft.plans.FloorCeilToDbl, graft.plans.StringReverseGrapheme).foreach { r =>
+        graft.plans.FloorCeilToDbl, graft.plans.StringReverseGrapheme,
+        graft.plans.NestedCompare).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
@@ -317,6 +322,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectResolutionRule(_ => graft.plans.FloorCeilToDbl)
       // type-dispatched: string reverse → grapheme clusters (r14)
       ext.injectResolutionRule(_ => graft.plans.StringReverseGrapheme)
+      // nested-type comparisons → duck's three-valued walk (r15); must
+      // run at resolution so map compares rewrite before CheckAnalysis
+      // refuses them and foldable nested compares fold with duck 3VL
+      ext.injectResolutionRule(_ => graft.plans.NestedCompare)
     }
   }
 }

@@ -659,10 +659,6 @@ object PlanAudit {
                                 // FloorProbe r12: 7 stages / 11 tasks, flat
                                 // (2.16 -> 2.10 s): per-pass floor, not fan-out
         "p21_sim_ann_ivf",      // declared query includes brute-force exact side
-        "p67_ivf_index_maint",  // r14: FOUR deliberate passes in the timed
-                                // window (stale build + occupancy + forced
-                                // re-cluster + p21's recall audit) vs an
-                                // oracle computing only the exact side
         "q81_window_extras",    // many distinct window specs — FloorProbe r12:
                                 // 2 stages / 9 tasks, flat (1.41 -> 1.24 s
                                 // median): per-window-spec sort floor
@@ -675,16 +671,29 @@ object PlanAudit {
                                 // partitions (parallelism-bound: the 32-way
                                 // fan-out is earning its keep). Shipped
                                 // tuning kept on measurement, not prose.
+      // r15 (VERDICT r14 #6): index-MAINTENANCE audits get their own
+      // reporting lane — each deliberately times multiple passes (stale
+      // build + occupancy measure + forced re-geometry + recall audit)
+      // inside one window against a single-pass oracle, so they would
+      // permanently squat in the weak set and dull it as an anomaly
+      // detector. They are reported, never weak-listed.
+      val maintLane = Set("p65_embedding_index_maint",
+        "p66_minhash_index_maint", "p67_ivf_index_maint")
       val sv = valuesOf("dev/bench_sf1.json")
       val dv = valuesOf("dev/duckdb_baseline_sf1.json")
-      val weak = sv.keySet.intersect(dv.keySet).toSeq
+      val common = sv.keySet.intersect(dv.keySet)
+      common.intersect(maintLane).toSeq.sorted.foreach(k =>
+        println(f"          maint: $k%-28s spark=${sv(k)}%6.2f " +
+          f"duck=${dv(k)}%6.2f ratio=${sv(k) / dv(k)}%5.1f  (multi-pass audit lane)"))
+      val weak = common.diff(maintLane).toSeq
         .filter(k => sv(k) > 1.0 && dv(k) > 0 && sv(k) / dv(k) > 2).sorted
       weak.foreach(k => println(f"          weak: $k%-28s spark=${sv(k)}%6.2f " +
         f"duck=${dv(k)}%6.2f ratio=${sv(k) / dv(k)}%5.1f" +
         (if (byDesign(k)) "  (by design)" else "  <-- NEW")))
       val newEntrants = weak.filterNot(byDesign)
       if (newEntrants.isEmpty)
-        println(s"PLAN OK   weak set: ${weak.size} entries, all known-by-design")
+        println(s"PLAN OK   weak set: ${weak.size} entries, all known-by-design " +
+          s"(maint lane: ${common.intersect(maintLane).size} reported separately)")
       else {
         failures += 1
         println(s"PLAN BAD  weak set has unlisted entrants: $newEntrants")

@@ -649,10 +649,14 @@ class TranslatorSpec extends AnyFunSuite {
   }
 
   test("ordered array_agg/list sorts after collecting, key in a struct") {
+    // r15: the emitted array_sort is recaptured into the
+    // graft_list_sort kernel (duck's NULL keys sort LAST in BOTH
+    // directions: asc via the kernel's NULL-high field order, desc via
+    // the leading (k IS NOT NULL) flag + reverse)
     assert(t("SELECT array_agg(x ORDER BY k) FROM t GROUP BY g")
-      == "SELECT transform(array_sort(collect_list(named_struct('k', (k), 'v', (x)))), __g_s -> __g_s.v) FROM t GROUP BY g")
+      == "SELECT transform(graft_list_sort(collect_list(named_struct('k', (k), 'v', (x))), false, false), __g_s -> __g_s.v) FROM t GROUP BY g")
     assert(t("SELECT list(x ORDER BY k DESC) FROM t GROUP BY g")
-      == "SELECT transform(reverse(array_sort(collect_list(named_struct('k', (k), 'v', (x))))), __g_s -> __g_s.v) FROM t GROUP BY g")
+      == "SELECT transform(reverse(graft_list_sort(collect_list(named_struct('kn', (k) IS NOT NULL, 'k', (k), 'v', (x))), false, false)), __g_s -> __g_s.v) FROM t GROUP BY g")
     // unordered forms keep the plain rename; multi-key / NULLS forms are
     // left untouched for Spark to reject loudly
     assert(t("SELECT array_agg(x) FROM t GROUP BY g")
@@ -692,7 +696,7 @@ class TranslatorSpec extends AnyFunSuite {
 
   test("r7 widening: sha256, list_reverse_sort, vector fns, format, strpos") {
     assert(t("SELECT sha256(s)") == "SELECT sha2(s, 256)")
-    assert(t("SELECT list_reverse_sort(l)") == "SELECT sort_array(l, false)")
+    assert(t("SELECT list_reverse_sort(l)") == "SELECT graft_list_sort(l, true, false)")
     assert(t("SELECT strpos(s, 'x')") == "SELECT instr(s, 'x')")
     // r11: duck list_contains is not three-valued over NULL elements —
     // a NULL-guarded coalesce(exists(...), false) reproduces the matrix
@@ -700,9 +704,9 @@ class TranslatorSpec extends AnyFunSuite {
     // r11 — see rewriteArgShapeFns)
     assert(t("SELECT list_contains(l, 2), list_has(l, 3)") ==
       "SELECT (CASE WHEN (l) IS NULL OR (2) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-        "ELSE coalesce(exists((l), graft_lc -> graft_lc = (2)), false) END), " +
+        "ELSE coalesce(exists((l), graft_lc -> graft_lc <=> (2)), false) END), " +
         "(CASE WHEN (l) IS NULL OR (3) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-        "ELSE coalesce(exists((l), graft_lc -> graft_lc = (3)), false) END)")
+        "ELSE coalesce(exists((l), graft_lc -> graft_lc <=> (3)), false) END)")
     // vector kernels expand to double higher-order math
     val cos = t("SELECT list_cosine_similarity(a, b)")
     assert(cos.contains("zip_with(a, b") && cos.contains("sqrt"))
@@ -773,7 +777,7 @@ class TranslatorSpec extends AnyFunSuite {
     assert(t("SELECT position('or' IN s)") == "SELECT position('or' IN s)")
     assert(t("SELECT arrayJoin(a), has(a, 1), indexOf(a, 2), arrayElement(a, -1)") ==
       "SELECT explode(a), (CASE WHEN (a) IS NULL OR (1) IS NULL THEN CAST(NULL AS BOOLEAN) " +
-        "ELSE coalesce(exists((a), graft_lc -> graft_lc = (1)), false) END), " +
+        "ELSE coalesce(exists((a), graft_lc -> graft_lc <=> (1)), false) END), " +
         "array_position(a, 2), try_element_at(a, -1)")
     assert(t("SELECT arrayStringConcat(a, ','), leftPad(s, 3, '0'), toUnixTimestamp(ts)") ==
       "SELECT array_join(a, ','), lpad(s, 3, '0'), unix_timestamp(ts)")
@@ -905,16 +909,18 @@ class TranslatorSpec extends AnyFunSuite {
     val sl = t("SELECT l[2:6:2]")
     assert(sl.contains("sequence") && sl.contains("try_element_at") &&
       sl.contains("slice(l, 1, 0)"))
-    assert(t("SELECT list_sort(l, 'DESC')") == "SELECT sort_array(l, false)")
-    assert(t("SELECT list_sort(l, 'ASC')") == "SELECT array_sort(l)")
+    // r15: every sort spelling routes through the graft_list_sort kernel
+    // (duck ranks inner NULLs HIGH inside nested elements; top-level
+    // NULL placement rides the flag)
+    assert(t("SELECT list_sort(l, 'DESC')") == "SELECT graft_list_sort(l, true, false)")
+    assert(t("SELECT list_sort(l, 'ASC')") == "SELECT graft_list_sort(l, false, false)")
     assert(t("SELECT list_sort(l, 'ASC', 'NULLS FIRST')") ==
-      "SELECT sort_array(l, true)")
+      "SELECT graft_list_sort(l, false, true)")
     assert(t("SELECT list_sort(l, 'DESC', 'NULLS FIRST')") ==
-      "SELECT reverse(array_sort(l))")
+      "SELECT graft_list_sort(l, true, true)")
     assert(t("SELECT unnest(x, recursive := true)") ==
       "SELECT explode(flatten(x))")
-    // plain forms unchanged
-    assert(t("SELECT list_sort(l)") == "SELECT array_sort(l)")
+    assert(t("SELECT list_sort(l)") == "SELECT graft_list_sort(l, false, false)")
     assert(t("SELECT unnest(x)") == "SELECT explode(x)")
   }
 

@@ -130,6 +130,56 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("NestedCompare: duck's context-sensitive nested comparison semantics (r15)") {
+    withRule {
+      graft.engine.Engine.registerTables(spark, sfDir)
+      def one(sql: String): org.apache.spark.sql.Row =
+        graft.engine.Engine.sql(spark, sql).head
+      // VALUE context: three-valued walk — unknown at the first NULL
+      // even when a later position could decide; decisive earlier
+      // position wins; length decides without touching NULLs
+      val v = one("SELECT ([1, NULL] = [1, NULL]) AS a, ([NULL, 1] = [NULL, 2]) AS b, " +
+        "([1, NULL] = [2, NULL]) AS c, ([1] < [1, NULL]) AS d, " +
+        "({'a': [1, NULL]} = {'a': [1, NULL]}) AS e")
+      assert(v.isNullAt(0) && v.isNullAt(1) && !v.getBoolean(2) &&
+        v.getBoolean(3) && v.isNullAt(4), v.toString)
+      // MAP comparisons: order-sensitive entry-list walk (Spark native
+      // refuses maps outright)
+      val m = one("SELECT (MAP {'a': 1, 'b': 2} = MAP {'b': 2, 'a': 1}) AS a, " +
+        "(MAP {'a': 1, 'b': 9} < MAP {'b': 0}) AS b, " +
+        "(MAP {'a': 1} IS NOT DISTINCT FROM MAP {'a': 1}) AS c")
+      assert(!m.getBoolean(0) && m.getBoolean(1) && m.getBoolean(2), m.toString)
+      // SELECT context: CASE predicates match NULLs-equal and rank
+      // inner NULLs HIGH
+      val s = one("SELECT CASE WHEN [1, NULL] = [1, NULL] THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN [0, 1] < [0, NULL] THEN 1 ELSE 0 END AS b")
+      assert(s.getInt(0) == 1 && s.getInt(1) == 1, s.toString)
+      // fold split: constant WHERE folds 3VL (0 rows), column-dependent
+      // twin takes the Select path (all rows)
+      assert(one("SELECT count(*) AS n FROM orders WHERE ([NULL, 5] > [9, 1]) " +
+        "AND o_orderkey < 8").getLong(0) == 0L)
+      assert(one("SELECT count(*) AS n FROM orders " +
+        "WHERE ([NULL, 5 + o_orderkey * 0] > [9, 1]) AND o_orderkey < 8").getLong(0) == 8L)
+      // list_contains matches entries NULLs-equal; list_sort ranks
+      // inner NULLs high
+      val c = one("SELECT list_contains([[1, NULL]], [1, NULL]) AS a, " +
+        "array_to_string(list_transform(list_sort([[1, NULL], [NULL], [1, 2]]), " +
+        "x -> array_to_string(list_transform(x, e -> coalesce(e, -9)), '+')), ';') AS b")
+      assert(c.getBoolean(0) && c.getString(1) == "1+2;1+-9;-9", c.toString)
+      // SCALE: a join keyed on nested equality keeps an equi-join plan
+      // (native EqualTo = duck's Select semantics) — no nested-loop
+      val j = graft.engine.Engine.sql(spark,
+        "SELECT a.k AS ak FROM (SELECT o_orderkey AS k, [o_orderkey % 3, NULL] AS g " +
+          "FROM orders WHERE o_orderkey < 8) a JOIN " +
+          "(SELECT o_orderkey AS k, [o_orderkey % 3, NULL] AS g " +
+          "FROM orders WHERE o_orderkey < 8) b ON a.g = b.g")
+      val phys = j.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+        s"nested-keyed join lost its equi shape:\n$phys")
+      assert(j.count() > 8, "nested-keyed join should match nulls-equal")
+    }
+  }
+
   test("FloorCeilToDbl: floor/ceil over doubles stay DOUBLE like duck (r13)") {
     withRule {
       graft.engine.Engine.registerTables(spark, sfDir)
