@@ -1278,6 +1278,101 @@ def gen_nest_probe(rng):
             f"WHERE o_orderkey < 25 ORDER BY o_orderkey")
 
 
+"""Window-frame mode (r15, twelfth mode): the window surface has pinned
+declared entries (EXCLUDE, FILTER, named windows, RANGE interval
+frames) but never had a dedicated randomized generator. Families:
+ROWS/RANGE/GROUPS frames with every bound combination, frame-sensitive
+aggregates over each, ranking/navigation functions (lead/lag defaults,
+nth_value, ntile), IGNORE NULLS variants, EXCLUDE clauses on RANGE
+frames (the pinned translatable class), expression-valued PARTITION/
+ORDER keys, and multiple windows per probe. DETERMINISM: every ORDER BY
+inside a window spec is made total (o_orderkey tiebreak) so both
+engines agree on peer sets; probe output is projected per row and
+sorted by the probe's outer ORDER BY. Deliberately AVOIDED (documented
+residuals / loud classes): EXCLUDE GROUP/TIES on ROWS frames (loud),
+RANGE with expression offsets over non-numeric keys beyond the pinned
+interval class, and DISTINCT inside window aggregates (both loud)."""
+
+WIN_AGGS = ["sum", "min", "max", "count", "avg"]
+
+
+def gen_win_frame(rng):
+    # GROUPS mode is EXCLUDED: Spark has no GROUPS frames (known gap,
+    # r15 win-mode scout — duck supports them; loud on the engine)
+    unit = rng.choice(["ROWS", "RANGE"])
+    lo = rng.choice(["UNBOUNDED PRECEDING", "3 PRECEDING", "1 PRECEDING",
+                     "CURRENT ROW"])
+    hi = rng.choice(["CURRENT ROW", "1 FOLLOWING", "2 FOLLOWING",
+                     "UNBOUNDED FOLLOWING"])
+    # a frame's low bound must not be after its high bound
+    order = ["UNBOUNDED PRECEDING", "3 PRECEDING", "1 PRECEDING",
+             "CURRENT ROW", "1 FOLLOWING", "2 FOLLOWING",
+             "UNBOUNDED FOLLOWING"]
+    if order.index(lo) > order.index(hi):
+        lo = "UNBOUNDED PRECEDING"
+    return unit, f"{unit} BETWEEN {lo} AND {hi}"
+
+
+def gen_win_probe(rng):
+    part = rng.choice(["o_orderstatus", "o_orderpriority",
+                       "o_orderkey % 3", "o_custkey % 4"])
+    okey = rng.choice(["o_custkey % 5", "o_orderkey % 7", "o_custkey % 3"])
+    r = rng.random()
+    outs = []
+    if r < 0.45:
+        for _ in range(rng.choice([1, 2])):
+            agg = rng.choice(WIN_AGGS)
+            v = rng.choice(["o_orderkey % 11", "o_custkey % 13", "1"])
+            unit, fr = gen_win_frame(rng)
+            # ROWS frames need a TOTAL order (tied peers would make the
+            # row sequence engine-dependent); RANGE offset frames demand
+            # a SINGLE numeric key and are peer-set-deterministic
+            ob = f"{okey}, o_orderkey" if unit == "ROWS" else okey
+            spec = f"PARTITION BY {part} ORDER BY {ob} {fr}"
+            e = f"{agg}({v}) OVER ({spec})"
+            if agg == "avg":
+                e = f"round({e}, 4)"
+            outs.append(e)
+    elif r < 0.62:
+        fn = rng.choice([
+            "row_number()", "rank()", "dense_rank()", "ntile(3)",
+            f"lead(o_orderkey % 9, {rng.choice([1, 2])}, -1)",
+            f"lag(o_orderkey % 9, {rng.choice([1, 2])}, -1)",
+            "first_value(o_orderkey % 9)", "last_value(o_orderkey % 9)",
+            "nth_value(o_orderkey % 9, 2)"])
+        spec = f"PARTITION BY {part} ORDER BY {okey}, o_orderkey"
+        if fn.startswith(("first_value", "last_value", "nth_value")):
+            # total order → ROWS frames are deterministic
+            unit, fr = gen_win_frame(rng)
+            spec += " " + fr.replace("RANGE", "ROWS")
+        outs.append(f"{fn} OVER ({spec})")
+    elif r < 0.78:
+        # IGNORE NULLS navigation over a NULL-bearing value
+        v = "(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 9 END)"
+        fn = rng.choice(["first_value", "last_value",
+                         "lead", "lag"])
+        arg = v if fn in ("first_value", "last_value") else f"{v}, 1, -1"
+        fr = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING" \
+            if fn in ("first_value", "last_value") else ""
+        outs.append(f"{fn}({arg} IGNORE NULLS) OVER (PARTITION BY {part} "
+                    f"ORDER BY o_orderkey {fr})")
+    else:
+        # EXCLUDE on a RANGE frame — SUBTRACTABLE aggregates only (the
+        # r8 closure rewrites EXCLUDE via frame subtraction; min/max
+        # have no subtraction identity and stay LOUD — documented
+        # residual, r15 win-mode find)
+        agg = rng.choice(["sum", "count", "avg"])
+        ex = rng.choice(["EXCLUDE CURRENT ROW", "EXCLUDE GROUP",
+                         "EXCLUDE TIES"])
+        lo = rng.choice(["UNBOUNDED PRECEDING", "1 PRECEDING"])
+        hi = rng.choice(["CURRENT ROW", "1 FOLLOWING", "UNBOUNDED FOLLOWING"])
+        outs.append(f"{agg}(o_orderkey % 11) OVER (PARTITION BY {part} "
+                    f"ORDER BY {okey} RANGE BETWEEN {lo} AND {hi} {ex})")
+    sel = ", ".join(f"{e} AS w{i}" for i, e in enumerate(outs))
+    return (f"SELECT o_orderkey, {sel} FROM orders "
+            f"WHERE o_orderkey < 60 ORDER BY o_orderkey")
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
@@ -1324,6 +1419,10 @@ def main():
     if mode == "nest":
         for _ in range(n):
             print(gen_nest_probe(rng))
+        return
+    if mode == "win":
+        for _ in range(n):
+            print(gen_win_probe(rng))
         return
     for i in range(n):
         ty = rng.choice([INT, DBL, STR, DATE, BOOL])

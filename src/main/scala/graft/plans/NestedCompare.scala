@@ -163,17 +163,40 @@ object NestedCompare extends Rule[LogicalPlan] {
     case other => rewriteValue(other)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f: Filter =>
-      f.copy(condition = rewriteSelect(f.condition, foldCtx = true))
-    case j: Join if j.condition.isDefined =>
-      j.copy(condition = j.condition.map(rewriteSelect(_, foldCtx = true)))
-    // mapExpressions, not transformExpressions: rewriteValue recurses
-    // itself with context tracking — a blanket transform would re-visit
-    // CASE predicates OUTSIDE their Select context and flip them to 3VL.
-    // No e.resolved pre-guard: EqualTo over maps is UNRESOLVED by
-    // definition (its own type-check refuses maps) — the per-case
-    // l.resolved/r.resolved guards are the correct gate.
-    case other => other.mapExpressions(rewriteValue)
+  /** Cheap allocation-free pre-scan: does ANY expression in the plan
+    * carry a comparison/IN over a rewrite-eligible nested operand? The
+    * analyzer invokes resolution rules to fixpoint on EVERY query —
+    * without this gate the context-tracking rewrite rebuilds each
+    * CASE/Filter/Join tree per iteration, a measurable diffuse tax on
+    * the 300 sub-second relational entries (quiet-sweep A/B, r15). */
+  private def hasCandidate(plan: LogicalPlan): Boolean = {
+    var found = false
+    plan.foreach { node =>
+      if (!found) node.expressions.foreach { root =>
+        if (!found) root.foreach {
+          case c: BinaryComparison
+              if c.left.resolved && needs(c.left.dataType) => found = true
+          case In(v, _) if v.resolved && needs(v.dataType) => found = true
+          case _ =>
+        }
+      }
+    }
+    found
   }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!hasCandidate(plan)) plan
+    else plan.transformUp {
+      case f: Filter =>
+        f.copy(condition = rewriteSelect(f.condition, foldCtx = true))
+      case j: Join if j.condition.isDefined =>
+        j.copy(condition = j.condition.map(rewriteSelect(_, foldCtx = true)))
+      // mapExpressions, not transformExpressions: rewriteValue recurses
+      // itself with context tracking — a blanket transform would re-visit
+      // CASE predicates OUTSIDE their Select context and flip them to 3VL.
+      // No e.resolved pre-guard: EqualTo over maps is UNRESOLVED by
+      // definition (its own type-check refuses maps) — the per-case
+      // l.resolved/r.resolved guards are the correct gate.
+      case other => other.mapExpressions(rewriteValue)
+    }
 }
