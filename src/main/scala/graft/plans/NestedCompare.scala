@@ -63,6 +63,28 @@ object NestedCompare extends Rule[LogicalPlan] {
   }
   private def needs(dt: DataType): Boolean =
     isNested(dt) && (hasMap(dt) || nullableLeaf(dt))
+  /** duck widens numerically-mismatched nested comparison operands
+    * (`[1.5] < [CAST('nan' AS DOUBLE)]` — decimal array vs double
+    * array — binds at double); Spark refuses with BINARY_OP_DIFF_TYPES.
+    * Insert the widening casts so the comparison binds like duck; the
+    * recursive wider-type computation is Spark's own (it already
+    * handles arrays/structs for CASE/IN — just not for comparisons). */
+  private def widenMismatch(c: BinaryComparison): Option[Expression] = {
+    val (l, r) = (c.left, c.right)
+    if (!(l.resolved && r.resolved && isNested(l.dataType) && isNested(r.dataType) &&
+        !DataType.equalsStructurally(l.dataType, r.dataType, ignoreNullability = true)))
+      return None
+    org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findWiderTypeForTwo(l.dataType, r.dataType)
+      .filter(w => Cast.canCast(l.dataType, w) && Cast.canCast(r.dataType, w))
+      .map { w =>
+        c.withNewChildren(Seq(
+          if (DataType.equalsStructurally(l.dataType, w, ignoreNullability = true)) l
+          else Cast(l, w),
+          if (DataType.equalsStructurally(r.dataType, w, ignoreNullability = true)) r
+          else Cast(r, w)))
+      }
+  }
   private def ready(l: Expression, r: Expression): Boolean =
     l.resolved && r.resolved && needs(l.dataType) &&
       DataType.equalsStructurally(l.dataType, r.dataType, ignoreNullability = true)
@@ -78,6 +100,8 @@ object NestedCompare extends Rule[LogicalPlan] {
     * `CASE WHEN [NULL,5] > [9,1]` keeps total semantics even inside a
     * WHERE, while the same comparison BARE in the WHERE folds 3VL). */
   private def rewriteValue(e: Expression): Expression = e match {
+    case c: BinaryComparison if widenMismatch(c).isDefined =>
+      rewriteValue(widenMismatch(c).get)
     case cw: CaseWhen =>
       cw.copy(
         branches = cw.branches.map { case (c, v) =>
@@ -121,6 +145,8 @@ object NestedCompare extends Rule[LogicalPlan] {
     * false through CASE/IF predicates (duck's case executor Selects its
     * conditions even inside a folded filter — probed). */
   private def rewriteSelect(e: Expression, foldCtx: Boolean): Expression = e match {
+    case c: BinaryComparison if widenMismatch(c).isDefined =>
+      rewriteSelect(widenMismatch(c).get, foldCtx)
     case And(a, b) => And(rewriteSelect(a, foldCtx), rewriteSelect(b, foldCtx))
     case Or(a, b) => Or(rewriteSelect(a, foldCtx), rewriteSelect(b, foldCtx))
     case Not(x) => Not(rewriteSelect(x, foldCtx))
@@ -175,7 +201,12 @@ object NestedCompare extends Rule[LogicalPlan] {
       if (!found) node.expressions.foreach { root =>
         if (!found) root.foreach {
           case c: BinaryComparison
-              if c.left.resolved && needs(c.left.dataType) => found = true
+              if c.left.resolved && (needs(c.left.dataType) ||
+                (c.right.resolved && isNested(c.left.dataType) &&
+                  isNested(c.right.dataType) &&
+                  !DataType.equalsStructurally(
+                    c.left.dataType, c.right.dataType, ignoreNullability = true))) =>
+            found = true
           case In(v, _) if v.resolved && needs(v.dataType) => found = true
           case _ =>
         }
