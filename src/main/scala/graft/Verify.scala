@@ -21,7 +21,8 @@ object Verify {
       // BOTH version-sensitive decimal surfaces (downscale → truncate,
       // double→decimal → 1e-9-epsilon) to the local DuckDB 1.0.0 oracle
       // replica so it stays bit-comparable; the driver never sets it, so
-      // driver runs take the r15 defaults (half-even, nearbyint)
+      // driver runs take the r16 MEASURED defaults (trunc, render —
+      // VERDICT r15 #1: read off the q236-q247 fingerprint)
       .config("spark.graft.replicaMode",
         sys.env.getOrElse("SPARK_GRAFT_DEC_TRUNC", "false"))
       .config("spark.sql.shuffle.partitions", cpus)

@@ -40,6 +40,18 @@ import org.apache.spark.sql.types._
 object NestedCmp {
   val OpEq = 0; val OpNe = 1; val OpLt = 2; val OpLe = 3; val OpGt = 4; val OpGe = 5
 
+  /** Leaf-type interpreted orderings, cached per DataType (ADVICE r15:
+    * getInterpretedOrdering allocates an ordering per call, and the
+    * comparator runs per leaf per row in filter/join/list_sort hot
+    * paths). Bounded by the number of distinct leaf types a query
+    * touches; ConcurrentHashMap because expressions evaluate on
+    * executor task threads concurrently. */
+  private val orderingCache =
+    new java.util.concurrent.ConcurrentHashMap[DataType, Ordering[Any]]()
+  private def leafOrdering(dt: DataType): Ordering[Any] =
+    orderingCache.computeIfAbsent(dt,
+      t => TypeUtils.getInterpretedOrdering(t).asInstanceOf[Ordering[Any]])
+
   /** Duck's three-valued comparison: -1/0/1, or null = UNKNOWN. */
   def cmp3(dt: DataType, a: Any, b: Any): java.lang.Integer = {
     if (a == null || b == null) return null
@@ -93,8 +105,7 @@ object NestedCmp {
         }
         Integer.compare(x.numElements(), y.numElements())
       case _ =>
-        Integer.valueOf(Integer.signum(
-          TypeUtils.getInterpretedOrdering(dt).compare(a, b)))
+        Integer.valueOf(Integer.signum(leafOrdering(dt).compare(a, b)))
     }
   }
 
@@ -147,7 +158,7 @@ object NestedCmp {
         }
         Integer.compare(x.numElements(), y.numElements())
       case _ =>
-        Integer.signum(TypeUtils.getInterpretedOrdering(dt).compare(a, b))
+        Integer.signum(leafOrdering(dt).compare(a, b))
     }
   }
 

@@ -268,8 +268,12 @@ object Similarity {
     *
     * Crash-ordering contract (the p65 ADVICE fix, IVF edition): the
     * centroid set and the cid assignments must describe the same
-    * clustering, so each rebuild (1) APPENDS the new centroids under
-    * gen+1 — old rows stay, (2) overwrites the index with gen+1-stamped
+    * clustering, so each rebuild (1) APPENDS the new centroids under a
+    * generation strictly greater than ANY existing centroid generation
+    * (orphan-aware, ADVICE r15: a crash between centroid append and
+    * assignment commit leaves orphan rows one gen up; a retry must not
+    * reuse that number) — old rows stay, (2) overwrites the index with
+    * the same new-gen-stamped
     * assignments (saveAsTable commit = the atomic switch). The centroid
     * table is APPEND-ONLY after the one-time legacy gen-column
     * migration (r15, ADVICE r14 #4: the previous step-(3) prune
@@ -321,13 +325,22 @@ object Similarity {
       // overwrite of the table we read
       val stored = idx.select(col(idCol), col(vecCol)).localCheckpoint()
       val cents = trainCentroids(stored, kNew, idCol, vecCol, trainIters)
-      val genNew = genCur + 1
       val centTable = indexTable + "_centroids"
       // pre-r14 centroid tables lack gen — rewrite in place once (tiny)
       if (!spark.table(centTable).columns.contains("gen"))
         spark.table(centTable).withColumn("gen", lit(genCur))
           .localCheckpoint()
           .write.format("parquet").mode("overwrite").saveAsTable(centTable)
+      // ADVICE r15: a crash AFTER the gen+1 centroid append but BEFORE
+      // the assignment commit leaves orphan gen+1 centroid rows; a
+      // retry that derived genNew from the index gen alone would append
+      // a SECOND gen+1 batch — duplicate cids with divergent vectors at
+      // the generation about to go live. Derive genNew past any orphan
+      // generations instead: the orphans stay dead (no index gen ever
+      // points at them) and the retry commits a clean new generation.
+      val maxCentGen = spark.table(centTable)
+        .agg(coalesce(max(col("gen")), lit(genCur))).head().getInt(0)
+      val genNew = math.max(genCur, maxCentGen) + 1
       // (1) append the new generation's centroids
       cents.zipWithIndex.map { case (v, i) => (i, v.toSeq, genNew) }.toSeq
         .toDF("cid", "centroid", "gen")

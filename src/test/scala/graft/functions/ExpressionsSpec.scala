@@ -941,15 +941,14 @@ class ExpressionsSpec extends SparkTestBase {
       import spark.implicits._
       val df = Seq(1).toDF("x")
       def s(e: String): String = df.select(expr(s"CAST($e AS STRING)")).head.getString(0)
-      // DECIMAL source downscale ROUNDS half to EVEN (r15 default —
-      // VERDICT r14 #1: the driver rejected both the replica's truncate
-      // and r14's half-away; half-even is the one simple policy
-      // consistent with both rounds of driver evidence. away/trunc stay
-      // behind the three-way conf, fingerprinted by q236-q241.)
-      assert(s("graft_dec_cast(CAST(1.256 AS DECIMAL(8,3)), 8, 1)") == "1.3")
-      assert(s("graft_dec_cast(CAST(-1.256 AS DECIMAL(8,3)), 8, 1)") == "-1.3")
+      // DECIMAL source downscale TRUNCATES toward zero (r16 default —
+      // MEASURED: the r15 q236-q241 fingerprint came back R G R R R R,
+      // the pre-registered truncate signature, unique in the candidate
+      // table. even/away stay behind the three-way conf.)
+      assert(s("graft_dec_cast(CAST(1.256 AS DECIMAL(8,3)), 8, 1)") == "1.2")
+      assert(s("graft_dec_cast(CAST(-1.256 AS DECIMAL(8,3)), 8, 1)") == "-1.2")
       assert(s("graft_dec_cast(CAST(2.5 AS DECIMAL(4,1)), 8, 0)") == "2")
-      assert(s("graft_dec_cast(CAST(3.5 AS DECIMAL(4,1)), 8, 0)") == "4")
+      assert(s("graft_dec_cast(CAST(3.5 AS DECIMAL(4,1)), 8, 0)") == "3")
       assert(s("graft_dec_cast(CAST(-2.5 AS DECIMAL(4,1)), 8, 0)") == "-2")
       assert(s("graft_dec_cast(CAST(1.24 AS DECIMAL(8,3)), 8, 1)") == "1.2")
       // r14's half-away behind the conf
@@ -957,6 +956,13 @@ class ExpressionsSpec extends SparkTestBase {
       try {
         assert(s("graft_dec_cast(CAST(2.5 AS DECIMAL(4,1)), 8, 0)") == "3")
         assert(s("graft_dec_cast(CAST(-2.5 AS DECIMAL(4,1)), 8, 0)") == "-3")
+      } finally spark.conf.unset("spark.graft.decimalDownscaleMode")
+      // r15's half-even behind the conf
+      spark.conf.set("spark.graft.decimalDownscaleMode", "even")
+      try {
+        assert(s("graft_dec_cast(CAST(1.256 AS DECIMAL(8,3)), 8, 1)") == "1.3")
+        assert(s("graft_dec_cast(CAST(2.5 AS DECIMAL(4,1)), 8, 0)") == "2")
+        assert(s("graft_dec_cast(CAST(3.5 AS DECIMAL(4,1)), 8, 0)") == "4")
       } finally spark.conf.unset("spark.graft.decimalDownscaleMode")
       // 1.0.0-replica truncate mode behind the legacy conf switch
       spark.conf.set("spark.graft.decimalDownscaleTruncate", "true")
@@ -967,19 +973,39 @@ class ExpressionsSpec extends SparkTestBase {
       } finally spark.conf.set("spark.graft.decimalDownscaleTruncate", "false")
       // upscale is exact and keeps duck's trailing-zero rendering
       assert(s("graft_dec_cast(CAST(1.5 AS DECIMAL(4,1)), 6, 3)") == "1.500")
-      // DOUBLE source, r15 default NEARBYINT: round half to even on the
-      // bare FP product — no epsilon (VERDICT r14 #2: the driver
-      // rejected the 1.0.0-replica epsilon model on first contact):
-      // 0.145·100 = 14.499999999999998 → 0.14 (no longer rescued);
-      // 2.675·100 IEEE-rounds to exactly 267.5 and the tie goes to the
-      // even 268 → 2.68; exact ties go even (2.5 → 2)
-      assert(s("graft_dec_cast(CAST(0.145 AS DOUBLE), 8, 2)") == "0.14")
+      // DOUBLE source, r16 default RENDER (MEASURED — VERDICT r15 #1b:
+      // the only model consistent with the full q242-q247 driver
+      // vector): shortest-decimal-string render, then the VARCHAR
+      // half-away parse on the first excess digit. 0.145 renders
+      // "0.145" → 0.15 (the exact binary value is 0.1449999… but duck
+      // parses the RENDERED string); 15.085 → "15.085" → 15.09 (the FP
+      // product 1508.4999… would say 15.08); exact ties go AWAY
+      // (2.5 → 3, 0.125 → 0.13); the sub-half control 0.144999999
+      // renders all its digits and stays 0.14
+      assert(s("graft_dec_cast(CAST(0.145 AS DOUBLE), 8, 2)") == "0.15")
       assert(s("graft_dec_cast(CAST(0.144999999 AS DOUBLE), 8, 2)") == "0.14")
       assert(s("graft_dec_cast(CAST(2.675 AS DOUBLE), 10, 2)") == "2.68")
+      assert(s("graft_dec_cast(CAST(15.085 AS DOUBLE), 10, 2)") == "15.09")
+      assert(s("graft_dec_cast(CAST(31.415 AS DOUBLE), 10, 2)") == "31.42")
+      assert(s("graft_dec_cast(CAST(2.5 AS DOUBLE), 8, 0)") == "3")
+      assert(s("graft_dec_cast(CAST(-2.5 AS DOUBLE), 8, 0)") == "-3")
+      assert(s("graft_dec_cast(CAST(4.5 AS DOUBLE), 8, 0)") == "5")
+      assert(s("graft_dec_cast(CAST(0.125 AS DOUBLE), 8, 2)") == "0.13")
+      // FLOAT source renders at FLOAT width (grisu3-binary32 digits)
+      assert(s("graft_dec_cast(CAST(0.145 AS FLOAT), 8, 2)") == "0.15")
+      // capacity edge survives: 99.99 renders "99.99", fits (4,2)
+      assert(s("graft_dec_cast(CAST(99.99 AS DOUBLE), 4, 2)") == "99.99")
+      // r15's nearbyint behind the conf: half-even on the bare FP
+      // product (0.145·100 = 14.499999999999998 → 0.14; ties even)
+      spark.conf.set("spark.graft.doubleDecCastMode", "nearbyint")
+      try {
+        assert(s("graft_dec_cast(CAST(0.145 AS DOUBLE), 8, 2)") == "0.14")
+        assert(s("graft_dec_cast(CAST(2.675 AS DOUBLE), 10, 2)") == "2.68")
+        assert(s("graft_dec_cast(CAST(2.5 AS DOUBLE), 8, 0)") == "2")
+        assert(s("graft_dec_cast(CAST(-2.5 AS DOUBLE), 8, 0)") == "-2")
+        assert(s("graft_dec_cast(CAST(0.125 AS DOUBLE), 8, 2)") == "0.12")
+      } finally spark.conf.unset("spark.graft.doubleDecCastMode")
       assert(s("graft_round_dbl(CAST(0.145 AS DOUBLE), 2)") == "0.14")
-      assert(s("graft_dec_cast(CAST(2.5 AS DOUBLE), 8, 0)") == "2")
-      assert(s("graft_dec_cast(CAST(-2.5 AS DOUBLE), 8, 0)") == "-2")
-      assert(s("graft_dec_cast(CAST(0.125 AS DOUBLE), 8, 2)") == "0.12")
       // 1.0.0-replica epsilon model behind the conf (replicaMode pins
       // both surfaces; the dedicated conf pins just this one)
       spark.conf.set("spark.graft.doubleDecCastMode", "epsilon")

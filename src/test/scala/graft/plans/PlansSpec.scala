@@ -98,27 +98,33 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
-  test("DecDownscaleCast: coercion-inserted decimal downcasts round half-even (r15 default)") {
+  test("DecDownscaleCast: coercion-inserted decimal downcasts truncate (r16 default)") {
     withRule {
       // resolution-time rule (session extensions): the CASE unifies the
-      // literal branch at scale 2. r15 re-pin (VERDICT r14 #1): the
-      // driver rejected both truncate (r13) and half-away (r14); the
-      // default is now half-EVEN (-0.125 → -0.12 — this cell is exactly
-      // where away and even disagree), with away/trunc conf-switchable
+      // literal branch at scale 2. r16 re-pin (VERDICT r15 #1a —
+      // MEASURED): the q236-q241 fingerprint vector uniquely matched
+      // the TRUNCATE row; -0.125 → -0.12 under truncate too (toward
+      // zero), 2.555 → 2.55 is the cell where truncate and every
+      // rounding policy disagree. even/away stay conf-switchable.
       graft.engine.Engine.registerTables(spark, sfDir)
       val caseSql =
         "SELECT CAST(CASE WHEN o_orderkey % 3 = 0 THEN CAST(-0.125 AS DECIMAL(6,3)) % CAST(2.5 AS DECIMAL(2,1)) " +
           "ELSE CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,2)) END AS STRING) AS c " +
           "FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey LIMIT 1"
       val v = spark.sql(caseSql).head.getString(0)
-      assert(v == "-0.12", s"coercion downscale not half-even: $v")
+      assert(v == "-0.12", s"coercion downscale not truncate: $v")
       // explicit API-level downscale cast too (no translator in this path)
       val e = spark.sql("SELECT CAST(CAST(2.555 AS DECIMAL(6,3)) AS DECIMAL(6,2))")
         .head.getDecimal(0).toPlainString
-      assert(e == "2.56", s"explicit downscale not half-even: $e")
+      assert(e == "2.55", s"explicit downscale not truncate: $e")
       // r14's half-away behind the mode conf (-0.125 → -0.13)
       spark.conf.set("spark.graft.decimalDownscaleMode", "away")
       try assert(spark.sql(caseSql).head.getString(0) == "-0.13")
+      finally spark.conf.unset("spark.graft.decimalDownscaleMode")
+      // r15's half-even behind the mode conf (2.555 → 2.56)
+      spark.conf.set("spark.graft.decimalDownscaleMode", "even")
+      try assert(spark.sql("SELECT CAST(CAST(2.555 AS DECIMAL(6,3)) AS DECIMAL(6,2))")
+        .head.getDecimal(0).toPlainString == "2.56")
       finally spark.conf.unset("spark.graft.decimalDownscaleMode")
       // replica truncate mode behind the legacy conf switch
       spark.conf.set("spark.graft.decimalDownscaleTruncate", "true")
