@@ -38,10 +38,16 @@ object Components {
     var edges = pairs.toDF("a", "b")
       .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
       .filter($"u" =!= $"v").distinct().localCheckpoint()
+    // edge count carried across rounds (r16, guide §1/§2.4): the
+    // convergence guard used to re-count the PREVIOUS round's frame every
+    // round — one whole Spark job per round for a number already known
+    var edgeCount = edges.count()
+    val trace = sys.env.get("GRAFT_CC_TRACE").contains("1")
 
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       // large-star: for each u over BOTH orientations, link every strictly
       // larger neighbor to the neighborhood min (incl. u). The min is
       // computed by a groupBy and JOINED back per edge — a giant component
@@ -50,9 +56,15 @@ object Components {
         .unionByName(edges.select($"v".as("u"), $"u".as("v")))
       val mins = both.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"mn", $"u").as("m"))
+      // NO distinct() on the large-star output (r16, guide §2.4): the
+      // small-star mins are duplicate-insensitive and the round's final
+      // distinct removes survivors, so the mid-round distinct bought
+      // nothing but a full extra Exchange per round. Duplicate multiplicity
+      // is bounded: each (v,m) pair can arise once per distinct u-neighbor
+      // of v — the same bound the edge list itself obeys.
       val largeStar = both.join(mins, "u").filter($"v" > $"u")
         .select(least($"v", $"m").as("u"), greatest($"v", $"m").as("v"))
-        .filter($"u" =!= $"v").distinct()
+        .filter($"u" =!= $"v")
       // small-star: link every neighbor <= u (and u itself) to the min
       val smallBoth = largeStar.select($"u", $"v")
         .unionByName(largeStar.select($"v".as("u"), $"u".as("v")))
@@ -63,13 +75,20 @@ object Components {
         .select(least($"v", $"m").as("u"), greatest($"v", $"m").as("v"))
         .unionByName(mins2.select(least($"u", $"m").as("u"), greatest($"u", $"m").as("v")))
         .filter($"u" =!= $"v").distinct().localCheckpoint()
-      // cheap count guard first: an un-converged round almost always changes
-      // the edge count, and the exact exceptAll fixpoint test costs two
-      // shuffles — only pay it when the counts agree
-      converged = smallStar.count() == edges.count() &&
-        smallStar.exceptAll(edges).isEmpty && edges.exceptAll(smallStar).isEmpty
+      // cheap count guard first (the count reads the blocks the checkpoint
+      // just materialized): an un-converged round almost always changes the
+      // edge count. When the counts DO agree, ONE exceptAll suffices —
+      // both frames are distinct sets, so |A| = |B| with A\B = ∅ already
+      // implies A = B (the second exceptAll was a redundant pair of
+      // shuffles at exactly the round that decides).
+      val newCount = smallStar.count()
+      converged = newCount == edgeCount && smallStar.exceptAll(edges).isEmpty
       edges = smallStar
+      edgeCount = newCount
       round += 1
+      if (trace) System.err.println(
+        f"[cc-trace] round $round: edges=$newCount converged=$converged " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3fs")
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
 

@@ -715,16 +715,23 @@ object Dedup {
 
   /** p95/max occupancy over a persisted band table — one aggregation,
     * two shuffles of (key, count) rows, nothing driver-side but the
-    * 4-field summary. */
+    * 5-field summary. `totalRows` (sum of bucket sizes = the band
+    * table's row count) rides the same job (r16, guide §1.2): both
+    * maintenance ops used to pay a SECOND full-scan count() for the
+    * indexed-item count, which is just totalRows / bands — every id
+    * emits exactly one band row per band, by construction of both
+    * build paths. */
   private def bandOccupancy(spark: SparkSession, bandsTable: String,
-      keyCols: Seq[String]): (Long, Double, Long) = {
+      keyCols: Seq[String]): (Long, Double, Long, Long) = {
     val occ = spark.table(bandsTable)
       .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("buckets"),
         expr("percentile_approx(n, 0.95, 10000)").as("p95"),
-        max(col("n")).as("mx"))
+        max(col("n")).as("mx"),
+        sum(col("n")).as("total"))
       .head()
-    (occ.getLong(0), occ.getAs[Number](1).doubleValue(), occ.getLong(2))
+    (occ.getLong(0), occ.getAs[Number](1).doubleValue(), occ.getLong(2),
+      if (occ.isNullAt(3)) 0L else occ.getLong(3))
   }
 
   /** Occupancy-triggered re-band of a persisted EMBEDDING index: when the
@@ -738,16 +745,23 @@ object Dedup {
       bands: Int = 4, targetBucket: Int = 32, occupancyFactor: Double = 4.0,
       currentPlanesPerBand: Int = 12, numBuckets: Int = 16): IndexHealth = {
     GraftFunctions.register(spark)
-    val meta = readMeta(spark, indexTable)
+    // lazy (r16): the meta read is a Spark job; the band table's embedded
+    // geometry is the authority (r14) and answers on every post-r14 index,
+    // so only pre-r14 layouts pay for the fallback read
+    lazy val meta = readMeta(spark, indexTable)
     // geometry authority order (r14): the band table's own embedded
     // columns (atomic with its keys) > the _meta cache > caller args
-    val pCur = bandTableGeometry(spark, indexTable + "_bands", "pp", "nb")
-      .map(_._1)
+    val storedGeom = bandTableGeometry(spark, indexTable + "_bands", "pp", "nb")
+    val pCur = storedGeom.map(_._1)
       .getOrElse(
         meta.getOrElse("planes_per_band", currentPlanesPerBand.toLong).toInt)
-    val (buckets, p95, mx) =
+    // item count = band rows / STORED band count (caller `bands` is the
+    // target geometry; the table's own nb describes what's on disk)
+    val nbCur = storedGeom.map(_._2)
+      .getOrElse(meta.getOrElse("bands", bands.toLong).toInt)
+    val (buckets, p95, mx, bandRows) =
       bandOccupancy(spark, indexTable + "_bands", Seq("band_id", "band_bits"))
-    val n = spark.table(indexTable).count()
+    val n = bandRows / math.max(1, nbCur)
     val pMax = math.min(12, 64 / bands)
     val pNew = math.max(4, math.min(Similarity.planesFor(math.max(1, n),
       targetBucket), pMax))
@@ -790,16 +804,21 @@ object Dedup {
       occupancyFactor: Double = 4.0, numBuckets: Int = 16): IndexHealth = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(spark)
-    val meta = readMeta(spark, indexTable)
+    // lazy (r16): see maintainEmbeddingIndex — band-table geometry is the
+    // authority, the meta job only runs on pre-r14 layouts
+    lazy val meta = readMeta(spark, indexTable)
     // geometry authority order (r14): band-table-embedded > meta > default
-    val rCur = bandTableGeometry(spark, indexTable + "_bands", "nh", "nb")
+    val storedGeom = bandTableGeometry(spark, indexTable + "_bands", "nh", "nb")
+    val rCur = storedGeom
       .map { case (nh, nb) => nh / math.max(1, nb) }
       .getOrElse(meta.get("num_hashes").map(_.toInt).getOrElse(64) /
         math.max(1, meta.get("bands").map(_.toInt).getOrElse(16)))
+    val nbCur = storedGeom.map(_._2)
+      .getOrElse(meta.get("bands").map(_.toInt).getOrElse(16))
     val rNew = numHashes / bands
-    val (buckets, p95, mx) =
+    val (buckets, p95, mx, bandRows) =
       bandOccupancy(spark, indexTable + "_bands", Seq("band_id", "band_hash"))
-    val n = spark.table(indexTable).count()
+    val n = bandRows / math.max(1, nbCur)
     val trigger = p95 > occupancyFactor * targetBucket && rNew > rCur
     if (trigger) {
       val r = numHashes / bands

@@ -50,11 +50,16 @@ object PipelineQueries {
   /** Recall@k audit over the planted corpus: one exact brute-force job for
     * all probes (cross join against the broadcast 5-row probe frame,
     * windowed top-k — the same cosine kernel the oracle mirrors), then the
-    * index path per probe. Driver-side data is O(probes * k) rows — the
-    * same bounded-collect class as the IVF centroid probe. Output per
-    * probe: (query_id, exact_topk CSV in rank order, recall_ok). */
+    * index path for ALL probes as one batched job (r16, guide §1.2: the
+    * per-probe loop ran 3 sequential driver-round-trip jobs per probe —
+    * `annMany` returns one union plan tagged (query_id, vec_id), so the
+    * bucket-pruned branches run concurrently inside a single job).
+    * Driver-side data is O(probes * k) rows — the same bounded-collect
+    * class as the IVF centroid probe. Output per probe:
+    * (query_id, exact_topk CSV in rank order, recall_ok). */
   private def annRecallAudit(s: SparkSession, corpus: DataFrame, k: Int,
-      minHits: Int, ann: Array[Float] => DataFrame): DataFrame = {
+      minHits: Int,
+      annMany: Seq[(Long, Array[Float])] => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val probes = s.table("embeddings").filter(col("vec_id") < 5)
@@ -71,10 +76,13 @@ object PipelineQueries {
       .collect()
       .groupBy(_.getLong(0))
       .map { case (qid, rows) => qid -> rows.sortBy(_.getInt(2)).map(_.getLong(1)) }
-    val out = probes.map { case (qid, qv) =>
+    val found: Map[Long, Set[Long]] =
+      annMany(probes.toSeq).select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+    val out = probes.map { case (qid, _) =>
       val exactIds = exact.getOrElse(qid, Array.empty[Long])
-      val found = ann(qv).select(col("vec_id")).collect().map(_.getLong(0)).toSet
-      val hits = exactIds.count(found.contains)
+      val hits = exactIds.count(found.getOrElse(qid, Set.empty).contains)
       (qid, exactIds.mkString(","), hits >= minHits)
     }.toSeq
     out.toDF("query_id", s"exact_top$k", "recall_ok").orderBy("query_id")
@@ -183,7 +191,10 @@ object PipelineQueries {
       if (!s.catalog.tableExists(idx))
         Similarity.buildAnnIndex(corpus, idx, planes = 4, numBuckets = 8)
       annRecallAudit(s, corpus, k = 20, minHits = 18,
-        qv => Similarity.annTopKIndexed(s, idx, qv, 20, planes = 4, probes = 4))
+        qs => qs.map { case (qid, qv) =>
+          Similarity.annTopKIndexed(s, idx, qv, 20, planes = 4, probes = 4)
+            .select(lit(qid).as("query_id"), col("vec_id"))
+        }.reduce(_ unionByName _))
     }),
     // IVF-flat twin of p09's audit: centroid-bucketed index built once per
     // data dir, probes chosen driver-side from the tiny centroids table.
@@ -194,7 +205,7 @@ object PipelineQueries {
       if (!s.catalog.tableExists(idx))
         Similarity.buildIvfIndex(corpus, idx, nCentroids = 16, numBuckets = 8)
       annRecallAudit(s, corpus, k = 20, minHits = 18,
-        qv => Similarity.ivfTopKIndexed(s, idx, qv, 20, nprobe = 4))
+        qs => Similarity.ivfTopKIndexedMany(s, idx, qs, 20, nprobe = 4))
     }),
     // r14 (VERDICT r13 #7): IVF-index maintenance — build at a
     // DELIBERATELY STALE geometry (4 centroids; the sizing rule asks for
@@ -212,7 +223,7 @@ object PipelineQueries {
       Similarity.maintainIvfIndex(s, idx, targetBucket = 1,
         occupancyFactor = 0.0, numBuckets = 8)
       annRecallAudit(s, corpus, k = 20, minHits = 18,
-        qv => Similarity.ivfTopKIndexed(s, idx, qv, 20, nprobe = 4))
+        qs => Similarity.ivfTopKIndexedMany(s, idx, qs, 20, nprobe = 4))
     }),
     // ---- text analysis ----
     "p10_text_tokens" -> q((s, _) =>

@@ -310,14 +310,18 @@ object Similarity {
       (if (c.columns.contains("gen")) c.filter(col("gen") === genCur) else c)
         .count().toInt
     }
+    // total row count rides the SAME aggregation as the occupancy stats
+    // (r16, guide §1.2): every index row has a cid, so sum(bucket sizes)
+    // = count(*) — the separate idx.count() was a second full-scan job
     val occ = idx.groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("buckets"),
         expr("percentile_approx(n, 0.95, 10000)").as("p95"),
-        max(col("n")).as("mx"))
+        max(col("n")).as("mx"),
+        sum(col("n")).as("total"))
       .head()
     val (buckets, p95, mx) =
       (occ.getLong(0), occ.getAs[Number](1).doubleValue(), occ.getLong(2))
-    val n = idx.count()
+    val n = if (occ.isNullAt(3)) 0L else occ.getLong(3)
     val kNew = centroidsFor(math.max(1L, n))
     val trigger = p95 > occupancyFactor * targetBucket && kNew > kCur
     if (trigger) {
@@ -390,7 +394,29 @@ object Similarity {
       k: Int,
       nprobe: Int = 4,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfTopKIndexedMany(spark, indexTable, Seq((0L, queryVec)), k, nprobe,
+      idCol, vecCol).drop("query_id")
+
+  /** Batched [[ivfTopKIndexed]] (r16, guide §1.2/§2.6): one DataFrame of
+    * per-query top-k results, tagged `query_id`. The centroid table is
+    * collected and the index generation read ONCE for the whole batch
+    * (the single-query path paid one centroid-collect job and one
+    * gen-read job PER query), and the per-query bucket-pruned scans are
+    * branches of ONE union plan — a multi-probe audit runs as one Spark
+    * job instead of 3×|queries| sequential ones. Per-branch ORDER BY +
+    * LIMIT is preserved (each union branch plans its own
+    * TakeOrderedAndProject), so the row set per query_id is identical to
+    * the single-query form. */
+  def ivfTopKIndexedMany(
+      spark: SparkSession,
+      indexTable: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    require(queries.nonEmpty, "ivfTopKIndexedMany needs at least one query")
     GraftFunctions.register(spark)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -417,19 +443,23 @@ object Similarity {
         centRows0.map(_.getAs[Int]("gen")).min)
       centRows0.filter(_.getAs[Int]("gen") == g)
     } else centRows0
-    val probes = centRows
-      .map(r => (r.getAs[Int]("cid"),
-        cos(queryVec, r.getAs[scala.collection.Seq[Float]]("centroid").toArray)))
-      .sortBy { case (cid, c) => (-c, cid) }
-      .take(nprobe).map(_._1)
+    val cents = centRows.map(r => (r.getAs[Int]("cid"),
+      r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
     val s2 = indexScanSession(spark)
     GraftFunctions.register(s2)
-    s2.table(indexTable)
-      .filter(col("cid").isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
-      .select(col(idCol),
-        GraftFunctions.cosine_sim(col(vecCol), typedLit(queryVec.toSeq)).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    queries.map { case (qid, queryVec) =>
+      val probes = cents
+        .map { case (cid, c) => (cid, cos(queryVec, c)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(nprobe).map(_._1)
+      s2.table(indexTable)
+        .filter(col("cid").isin(probes.map(Integer.valueOf).toIndexedSeq: _*))
+        .select(col(idCol),
+          GraftFunctions.cosine_sim(col(vecCol), typedLit(queryVec.toSeq)).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+        .select(lit(qid).as("query_id"), col(idCol), col("cosine"))
+    }.reduce(_ unionByName _)
   }
 
   /** A previous JVM may have left the warehouse dir without a catalog entry
