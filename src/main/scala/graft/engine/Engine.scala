@@ -2238,6 +2238,15 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+      // r16 A/B knobs (guide §3.1): AQE runtime SMJ→SHJ conversion when
+      // every post-shuffle build partition is under the threshold
+      // (runtime-informed, so at scale oversized partitions keep SMJ and
+      // its graceful spill), and the static preferSortMergeJoin planner
+      // preference. Defaults = Spark defaults; env for measurement.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "0"))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       // r10 fuzz batch 7: DuckDB string literals carry NO backslash
       // escaping — Spark's default parser ate one level, silently
