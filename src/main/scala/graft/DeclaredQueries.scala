@@ -2202,6 +2202,48 @@ object DeclaredQueries {
         "array_to_string(list_filter([10, 20, 30], (x, i) -> i >= 2), ',') AS lf, " +
         "array_to_string(list_transform([5, 6], (x, i) -> i), ',') AS idx " +
         "FROM embeddings ORDER BY vec_id LIMIT 50"),
+    // ---- r16 q225-DRIFT LOCALIZERS (VERDICT r15 #2): q225 is the one
+    // driver red neither measured policy explains — it bundles four
+    // cells (count, sum-of-multiply, min, max-of-multiply), so its hash
+    // cannot localize the drift. These split it one cell per entry,
+    // SAME shape (grouped, o_orderkey < 500, outer type-pinning casts),
+    // plus a no-multiply sum (separates the multiply from the sum), a
+    // literal-only twin (separates fixture data from the agg machinery
+    // and the oracle harness's decimal conversion), and an asymmetric
+    // typeof probe (q264, below) that reads a 1.1 typing change
+    // directly. q225 itself is UNCHANGED. Whatever subset of these
+    // comes back red in CORRECTNESS_r16 pins the drifted cell class.
+    "q258_dec_agg_sum_mul" ->
+      ("SELECT o_orderstatus, " +
+        "CAST(sum(CAST(o_orderkey AS DECIMAL(18,2)) * 1.01) AS DECIMAL(38,4)) AS s_ex " +
+        "FROM orders WHERE o_orderkey < 500 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q259_dec_agg_sum_plain" ->
+      ("SELECT o_orderstatus, " +
+        "CAST(sum(CAST(o_orderkey AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_pl " +
+        "FROM orders WHERE o_orderkey < 500 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q260_dec_agg_min" ->
+      ("SELECT o_orderstatus, " +
+        "min(abs(CAST(o_orderkey AS DECIMAL(10,0)))) AS mn_d " +
+        "FROM orders WHERE o_orderkey < 500 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q261_dec_agg_max_mul" ->
+      ("SELECT o_orderstatus, " +
+        "CAST(max(CAST(o_orderkey AS DECIMAL(18,2)) * 1.25) AS DECIMAL(38,4)) AS mx_d " +
+        "FROM orders WHERE o_orderkey < 500 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q262_dec_agg_count" ->
+      ("SELECT o_orderstatus, count(*) AS n " +
+        "FROM orders WHERE o_orderkey < 500 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q263_dec_agg_literal" ->
+      // no fixture data at all: three literal rows through the exact
+      // same sum-of-multiply + outer cast — red here = the agg
+      // machinery or the harness's decimal conversion itself drifted,
+      // green = the drift needs table data (value-dependent)
+      ("SELECT CAST(sum(CAST(v AS DECIMAL(18,2)) * 1.01) AS DECIMAL(38,4)) AS s_lit " +
+        "FROM (VALUES (1), (2), (3)) t(v)"),
   )
 
   /** ASYMMETRIC entries (r15): name -> (engineSql, oracleSql).
@@ -2260,6 +2302,19 @@ object DeclaredQueries {
           "'1,3' AS g_l, " +
           "CASE WHEN o_orderkey % 3 = 0 THEN '0,9' ELSE '1,0' END AS l_c " +
           "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey")),
+    // r16 q225-drift TYPE probe (VERDICT r15 #2): the engine emits the
+    // 1.0.0-measured result-type strings for q225's expression classes;
+    // the oracle computes typeof() on its own version. Green = the
+    // driver's 1.1 types these like 1.0.0 (drift is elsewhere); red =
+    // decimal multiply/sum result typing changed in 1.1 and the
+    // mismatching cell names the surface directly.
+    "q264_dec_mul_typeof" ->
+      (("SELECT 'DECIMAL(18,4)' AS t_mul, 'DECIMAL(38,4)' AS t_sum_mul, " +
+        "'DECIMAL(38,2)' AS t_sum, 'DECIMAL(10,0)' AS t_min"),
+        ("SELECT typeof(CAST(1 AS DECIMAL(18,2)) * 1.01) AS t_mul, " +
+          "typeof(sum(CAST(1 AS DECIMAL(18,2)) * 1.01)) AS t_sum_mul, " +
+          "typeof(sum(CAST(1 AS DECIMAL(18,2)))) AS t_sum, " +
+          "typeof(min(abs(CAST(1 AS DECIMAL(10,0))))) AS t_min")),
   )
 
   /** Spark-side SQL with the sf dir substituted at runtime. */
