@@ -38,13 +38,35 @@ object Components {
     var edges = pairs.toDF("a", "b")
       .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
       .filter($"u" =!= $"v").distinct().localCheckpoint()
-    // edge count carried across rounds (r16, guide §1/§2.4): the
-    // convergence guard used to re-count the PREVIOUS round's frame every
-    // round — one whole Spark job per round for a number already known
-    var edgeCount = edges.count()
     val trace = sys.env.get("GRAFT_CC_TRACE").contains("1")
 
-    var converged = false
+    // Fixpoint test (r16, guide §1.2): the fixpoints of alternating
+    // large-star/small-star are EXACTLY the star forests (Kiveris et
+    // al.), and a canonical (u < v, distinct) edge set is a star forest
+    // iff no node appears both as a root (u) and a member (v) AND no
+    // member appears twice — (a) a doubly-rooted member (r1,m),(r2,m)
+    // is rewired by the next small-star (u=m links r2 to min(r1,r2)),
+    // (b) a root-that-is-member chain (r,m),(m,x) is rewired by the
+    // next large-star, and conversely a star forest maps to itself
+    // through both phases (roots re-link their members to themselves;
+    // members have no larger neighbors). The previous loop detected the
+    // fixpoint by comparing round output to round INPUT — which costs
+    // one full no-op round plus an exceptAll pass just to confirm;
+    // this detects it on the round that PRODUCES the forest (or on the
+    // input itself, skipping the loop for already-star-shaped pair
+    // sets) with ONE aggregation job. Node roles ride a single explode
+    // — no join, no second shuffle.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(explode(array(
+          struct($"u".as("n"), lit(1).as("r")),
+          struct($"v".as("n"), lit(0).as("r")))).as("x"))
+        .select($"x.n".as("n"), $"x.r".as("r"))
+        .groupBy($"n")
+        .agg(sum($"r").as("asRoot"), sum(lit(1) - $"r").as("asMember"))
+        .filter($"asMember" > 1 || ($"asMember" >= 1 && $"asRoot" >= 1))
+        .isEmpty
+
+    var converged = isStarForest(edges)
     var round = 0
     while (!converged && round < maxRounds) {
       val t0 = System.nanoTime()
@@ -75,19 +97,11 @@ object Components {
         .select(least($"v", $"m").as("u"), greatest($"v", $"m").as("v"))
         .unionByName(mins2.select(least($"u", $"m").as("u"), greatest($"u", $"m").as("v")))
         .filter($"u" =!= $"v").distinct().localCheckpoint()
-      // cheap count guard first (the count reads the blocks the checkpoint
-      // just materialized): an un-converged round almost always changes the
-      // edge count. When the counts DO agree, ONE exceptAll suffices —
-      // both frames are distinct sets, so |A| = |B| with A\B = ∅ already
-      // implies A = B (the second exceptAll was a redundant pair of
-      // shuffles at exactly the round that decides).
-      val newCount = smallStar.count()
-      converged = newCount == edgeCount && smallStar.exceptAll(edges).isEmpty
       edges = smallStar
-      edgeCount = newCount
+      converged = isStarForest(edges)
       round += 1
       if (trace) System.err.println(
-        f"[cc-trace] round $round: edges=$newCount converged=$converged " +
+        f"[cc-trace] round $round: converged=$converged " +
           f"${(System.nanoTime() - t0) / 1e9}%.3fs")
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
