@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r17 (VERDICT r16 #2): the forked run's stdout defaults to sbt's
+// LoggedOutput, which prefixes every line with "[info] " — the driver's
+// prefix-naive bench parser never parsed the JSON contract line
+// (BENCH_r13..r16 all carry `parsed: null`). StdoutOutput makes the
+// forked JVM inherit sbt's own stdout: same pipe, no prefix, no
+// re-buffering. Applies to every runMain (Bench/Verify/tools) — none of
+// which relied on the prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -170,6 +170,35 @@ def main(sfdir, outdir):
             print(f"ROWS     {name}: oracle={len(o_rows)} spark={len(s_rows)}")
             fail += 1
             continue
+        # Driver decimal-normalization parity (r17, VERDICT r16 #1): the
+        # driver fetches the ORACLE side into pandas, where duckdb
+        # converts DECIMAL columns to float64, while the SPARK parquet
+        # side keeps decimal.Decimal cells. A decimal output cell whose
+        # full-scale string differs from its shortest float repr
+        # ('6.0600' vs '6.06', '1' vs '1.0') is therefore driver-red
+        # even when values are identical (measured: the predicted-red
+        # set matched CORRECTNESS_r16's red set 11/11, zero false
+        # positives — dev/float_theory_probe.py). Declarations must
+        # read decimal cells out through CAST(.. AS VARCHAR) unless
+        # every possible value is float-repr-safe.
+        dec_risky = []
+        for i, t in enumerate(o_types):
+            if not str(t).upper().startswith("DECIMAL"):
+                continue
+            for r in o_rows:
+                v = r[i]
+                if v is None:
+                    continue
+                f = float(v)
+                if str(v) != (repr(round(f, 9)) if not math.isnan(f) else "NaN"):
+                    dec_risky.append((o_cols[i], str(v), repr(round(f, 9))))
+                    break
+        if dec_risky:
+            print(f"DRIVERDEC {name}: decimal cells not float-repr-safe "
+                  f"(driver hashes oracle decimals as float64): {dec_risky[:3]}"
+                  " — wrap in CAST(.. AS VARCHAR)")
+            fail += 1
+            continue
         # Driver-parity gate: rows sorted before hashing.
         ohs = table_digest(o_cols, o_rows, sort_rows=True)
         shs = table_digest(s_cols, s_rows, sort_rows=True)

@@ -113,8 +113,25 @@ object Bench {
     // mid-stream (BENCH_r*.json `parsed: null` every round). With the
     // summary printed after the dict, the tail always ENDS with one short
     // machine-parseable JSON line (r6 verdict task #5).
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct}""")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":${results.length},"sf":"$sfDir"$stealPct}""")
+    //
+    // r17 (VERDICT r16 #1-wrong/#2): `parsed: null` persisted through r16
+    // because BOTH lines went through println — inside sbt's `runMain`,
+    // System.out is redirected through the sbt logger, which prefixes
+    // every line with "[info] ", and the driver's parser is prefix-naive
+    // (BENCH_r13..r16 tails all show `[info] {"metric":...}`). Writing
+    // the bytes straight to file descriptor 1 bypasses the in-process
+    // logger redirection: the same stdout pipe the driver captures, no
+    // prefix. Timing methodology, fields, and line order are UNCHANGED —
+    // this is purely the §1 measurement-bug fix the round brief allows
+    // (documented in OPTIMIZATION_r17.md, old numbers kept).
+    def rawStdoutLine(s: String): Unit = {
+      System.out.flush() // keep logger-buffered lines ahead of the raw write
+      val out = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      out.write((s + "\n").getBytes("UTF-8"))
+      out.flush() // deliberately NOT closed: closing would close fd 1
+    }
+    rawStdoutLine(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct}""")
+    rawStdoutLine(f"""{"metric":"total","value":$total%.4f,"unit":"sec","n":${results.length},"sf":"$sfDir"$stealPct}""")
     spark.stop()
   }
 }

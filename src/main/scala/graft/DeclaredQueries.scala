@@ -1763,50 +1763,60 @@ object DeclaredQueries {
         // silent precision loss past 2^53)
         "CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), -2) AS BIGINT) AS rnd_dec " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
-    // ---- r15 (VERDICT r14 #1): the driver's oracle has now rejected
-    // TWO downscale policies — the replica's truncate (r13; q225's
-    // sum-compounded s_dn red while the same translation's avg cells
-    // are green in q226 implicates the downscale, not the agg path) and
-    // r14's half-away (q224 red with ONLY pure-downscale cells). The
-    // kernel default is now HALF-EVEN — the one simple policy
-    // consistent with both rounds of evidence — and q236-q247 below are
-    // a FINGERPRINT: single-class entries whose green/red pattern in
-    // the next driver CORRECTNESS uniquely identifies the oracle's
-    // policy among {even, away, half-ceiling, half-toward-zero, trunc}
-    // for the downscale and {nearbyint, exact, epsilon} for the
-    // double->decimal cast, so any further re-pin is evidence-forced
-    // (one conf flip), not a guess.
+    // ---- r17 HARNESS-NORMALIZATION PIN (VERDICT r16 #1, closed): the
+    // r16 localizer pattern (q258-q261+q263 red incl. the literal-only
+    // twin; q262 count and q264 typeof green; q236-q239 plain casts
+    // green) was never a VALUE or POLICY drift. The driver's gate
+    // fetches the ORACLE result into pandas, where duckdb converts
+    // every DECIMAL column to float64, while the SPARK parquet side
+    // keeps decimal.Decimal cells — so a decimal cell hashes as its
+    // shortest float repr on one side and its full-scale string on the
+    // other, and any value with trailing zeros at its scale ('6.0600'
+    // vs '6.06', '1' vs '1.0') is red under EVERY rounding policy.
+    // dev/float_theory_probe.py replays this model on the local duck:
+    // predicted-red == driver-red, 11/11, zero false positives over
+    // all 22 decimal-output entries. The fix: every decimal cell in
+    // the affected entries reads out through CAST(.. AS VARCHAR), so
+    // both engines RENDER (full-scale plain notation, verified
+    // identical on the replica) and the hash compares exact
+    // value+scale strings — strictly more discriminating than the old
+    // decimal cells and immune to the harness float conversion. The
+    // inner expressions are unchanged: the same downscale / fp-cast /
+    // coercion / aggregate kernels run under the readout.
+    // Engine policies (driver-measured, r16 fingerprint): downscale =
+    // trunc (q236/q238/q239 value-discriminating greens), fp-cast =
+    // render (q242/q243 greens).
     "q224_dec_downscale" ->
       // class 1 composite: DECIMAL->DECIMAL downscale — explicit CAST,
       // TRY_CAST, column source, and the COERCION-inserted cast (CASE
       // branch unification at reduced scale; the resolution-time
-      // DecDownscaleCast rule). Emitting half-even (r15 default); green
-      // iff the driver rounds half to even on every path. The
-      // aggregate-path witness moved to q241 (VERDICT r14 #1d) so q225
-      // certifies the exact-agg path independently.
+      // DecDownscaleCast rule). Engine emits trunc (r16 measured).
+      // r17: VARCHAR readout (harness pin above) — the red was the
+      // dc_case/dc_col cells' trailing-zero cents, not the policy.
       ("SELECT o_orderkey, " +
-        "CAST(2.555 AS DECIMAL(38,2)) AS dc_lit, " +
-        "TRY_CAST((-3.105 - 0.07) AS DECIMAL(6,2)) AS dc_try, " +
-        "CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DECIMAL(38,1)) AS dc_col, " +
-        "(CASE WHEN o_orderkey % 3 = 0 THEN (-0.125 % 2.5) " +
-        "ELSE CAST(o_totalprice AS DECIMAL(38,2)) END) AS dc_case, " +
-        "CAST(-1.256 AS DECIMAL(8,1)) AS dc_neg " +
+        "CAST(CAST(2.555 AS DECIMAL(38,2)) AS VARCHAR) AS dc_lit, " +
+        "CAST(TRY_CAST((-3.105 - 0.07) AS DECIMAL(6,2)) AS VARCHAR) AS dc_try, " +
+        "CAST(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DECIMAL(38,1)) AS VARCHAR) AS dc_col, " +
+        "CAST((CASE WHEN o_orderkey % 3 = 0 THEN (-0.125 % 2.5) " +
+        "ELSE CAST(o_totalprice AS DECIMAL(38,2)) END) AS VARCHAR) AS dc_case, " +
+        "CAST(CAST(-1.256 AS DECIMAL(8,1)) AS VARCHAR) AS dc_neg " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q225_dec_agg_exact" ->
       // class 2 (version-stable control): exact DECIMAL aggregation —
       // sum/min/max stay exact DECIMAL (duck widens sum to (38,s),
       // Spark to (p+10,s); values identical). r15: the sum-compounded
-      // downscale cell (s_dn) moved OUT to q241 — it was hostage to the
-      // version-sensitive class and burned the control's green — and
-      // every remaining cell is INTEGER-sourced (no DOUBLE→DECIMAL, no
-      // downscale) so the control certifies the agg machinery alone.
-      // The multiply is exact ((18,2)·(3,2) → scale 4); outer casts pin
-      // the result types (duck (20,4)/Spark (22,4) multiply widths
-      // differ — the q223 outer-cast convention).
+      // downscale cell (s_dn) moved OUT to q241. Every cell is
+      // INTEGER-sourced (no DOUBLE→DECIMAL, no downscale) so the
+      // control certifies the agg machinery alone; inner casts pin the
+      // result types (duck (20,4)/Spark (22,4) multiply widths differ —
+      // the q223 convention). r17: VARCHAR readout (harness pin above) —
+      // s_ex/mx_d values are X.XX00 at scale 4 and mn_d is scale-0, so
+      // every cell was representation-red while the VALUES matched all
+      // along (q262/q264 greens + the literal-only q263 red proved it).
       ("SELECT o_orderstatus, count(*) AS n, " +
-        "CAST(sum(CAST(o_orderkey AS DECIMAL(18,2)) * 1.01) AS DECIMAL(38,4)) AS s_ex, " +
-        "min(abs(CAST(o_orderkey AS DECIMAL(10,0)))) AS mn_d, " +
-        "CAST(max(CAST(o_orderkey AS DECIMAL(18,2)) * 1.25) AS DECIMAL(38,4)) AS mx_d " +
+        "CAST(CAST(sum(CAST(o_orderkey AS DECIMAL(18,2)) * 1.01) AS DECIMAL(38,4)) AS VARCHAR) AS s_ex, " +
+        "CAST(min(abs(CAST(o_orderkey AS DECIMAL(10,0)))) AS VARCHAR) AS mn_d, " +
+        "CAST(CAST(max(CAST(o_orderkey AS DECIMAL(18,2)) * 1.25) AS DECIMAL(38,4)) AS VARCHAR) AS mx_d " +
         "FROM orders WHERE o_orderkey < 500 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q226_dec_avg" ->
@@ -1853,26 +1863,26 @@ object DeclaredQueries {
         "CAST('99999999999999999998' AS HUGEINT)) AS VARCHAR) AS g_huge " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q229_double_dec_fp" ->
-      // class 6 composite: DOUBLE->DECIMAL. The 1.0.0 replica's model
-      // (scale, add a signed ABSOLUTE 1e-9 epsilon, round half away on
-      // the FP product — r14 re-probe, bit-identical to 1.0.0) was
-      // driver-red on first contact: the newer oracle dropped the
-      // epsilon. r15 default is NEARBYINT (half-even on the bare FP
-      // product): 0.145e0->(8,2)->0.14, 2.675e0->(10,2)->2.68 (the
-      // product IEEE-rounds to exactly 267.5, tie to even 268),
-      // 2.5e0->(8,0)->2. The per-cell-class split lives in q242-q246;
-      // bare DECIMAL is duck's (18,3) default (Spark's (10,0) silently
-      // truncated to integer).
+      // class 6 composite: DOUBLE->DECIMAL. r16 default is RENDER
+      // (shortest-decimal-string render + half-away parse, the
+      // q242/q243-certified model): 0.145e0->(8,2)->0.15,
+      // 2.675e0->(10,2)->2.68, 15.085->15.09, 2.5e0->(8,0)->3. The
+      // per-cell-class split lives in q242-q246; bare DECIMAL is
+      // duck's (18,3) default (Spark's (10,0) silently truncated to
+      // integer). r17: VARCHAR readout (harness pin above q224) — the
+      // dc_bare cell is scale 3 over 2-decimal data, so its trailing
+      // zero made this entry representation-red in EVERY round
+      // regardless of the fp model under test.
       ("SELECT o_orderkey, " +
-        "CAST(o_totalprice AS DECIMAL) AS dc_bare, " +
-        "CAST(2.675e0 AS DECIMAL(10,2)) AS fp_up, " +
-        "CAST(0.145e0 AS DECIMAL(8,2)) AS fp_dn, " +
-        "CAST(2.5e0 AS DECIMAL(8,0)) AS fp_tie, " +
-        "CAST(-2.5e0 AS DECIMAL(8,0)) AS fp_tneg, " +
+        "CAST(CAST(o_totalprice AS DECIMAL) AS VARCHAR) AS dc_bare, " +
+        "CAST(CAST(2.675e0 AS DECIMAL(10,2)) AS VARCHAR) AS fp_up, " +
+        "CAST(CAST(0.145e0 AS DECIMAL(8,2)) AS VARCHAR) AS fp_dn, " +
+        "CAST(CAST(2.5e0 AS DECIMAL(8,0)) AS VARCHAR) AS fp_tie, " +
+        "CAST(CAST(-2.5e0 AS DECIMAL(8,0)) AS VARCHAR) AS fp_tneg, " +
         // out-of-range try, not TRY_CAST(nan): duck 1.0.0's TRY_CAST
         // nan->DECIMAL ERRORS (internal INT32 narrowing) instead of
         // returning NULL, which would kill the whole oracle entry
-        "TRY_CAST(1e30 AS DECIMAL(8,2)) AS fp_oor " +
+        "CAST(TRY_CAST(1e30 AS DECIMAL(8,2)) AS VARCHAR) AS fp_oor " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q230_double_render" ->
       // class 7: doubles render through duck's formatter — shortest
@@ -2017,11 +2027,15 @@ object DeclaredQueries {
       // o_totalprice — a DOUBLE, bundling the fp class; this one is
       // pure). cs_even: -0.125 -> even -0.12 / away -0.13; cs_odd:
       // 2.555 -> round 2.56 / trunc 2.55.
+      // r17: VARCHAR readout (harness pin above q224) — the ELSE
+      // branch's 'k.00' cells guaranteed representation-red under any
+      // tie policy; the readout finally makes the THEN cells' coercion
+      // policy driver-observable.
       ("SELECT o_orderkey, " +
-        "(CASE WHEN o_orderkey % 3 = 0 THEN (-0.125 % 2.5) " +
-        "ELSE CAST(o_orderkey AS DECIMAL(38,2)) END) AS cs_even, " +
-        "(CASE WHEN o_orderkey % 3 = 0 THEN (2.555 % 10.5) " +
-        "ELSE CAST(o_orderkey AS DECIMAL(38,2)) END) AS cs_odd " +
+        "CAST((CASE WHEN o_orderkey % 3 = 0 THEN (-0.125 % 2.5) " +
+        "ELSE CAST(o_orderkey AS DECIMAL(38,2)) END) AS VARCHAR) AS cs_even, " +
+        "CAST((CASE WHEN o_orderkey % 3 = 0 THEN (2.555 % 10.5) " +
+        "ELSE CAST(o_orderkey AS DECIMAL(38,2)) END) AS VARCHAR) AS cs_odd " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q241_dec_agg_dn" ->
       // AGGREGATE-path twin (moved out of q225 so the exact-agg control
@@ -2067,20 +2081,29 @@ object DeclaredQueries {
       // exact-tie witnesses (products exactly representable): ties go
       // EVEN under nearbyint/exact-even (2.5e0->2, 4.5e0->4,
       // 0.125e0->0.12), AWAY under any half-away flavor (3, 5, 0.13).
+      // r17: VARCHAR readout (harness pin above q224) — the scale-0
+      // cells ('3' vs float '3.0') were representation-red under any
+      // tie policy; the readout makes the tie policy itself
+      // driver-observable (render+away says 3/-3/5/0.13; any
+      // half-even model says 2/-2/4/0.12).
       ("SELECT o_orderkey, " +
-        "CAST(2.5e0 AS DECIMAL(8,0)) AS t_2, " +
-        "CAST(-2.5e0 AS DECIMAL(8,0)) AS t_n2, " +
-        "CAST(4.5e0 AS DECIMAL(8,0)) AS t_4, " +
-        "CAST(0.125e0 AS DECIMAL(8,2)) AS t_q " +
+        "CAST(CAST(2.5e0 AS DECIMAL(8,0)) AS VARCHAR) AS t_2, " +
+        "CAST(CAST(-2.5e0 AS DECIMAL(8,0)) AS VARCHAR) AS t_n2, " +
+        "CAST(CAST(4.5e0 AS DECIMAL(8,0)) AS VARCHAR) AS t_4, " +
+        "CAST(CAST(0.125e0 AS DECIMAL(8,2)) AS VARCHAR) AS t_q " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q245_fp_col" ->
       // column/data witness: the bare-DECIMAL default type ((18,3) in
       // duck; Spark's (10,0) silently truncated to integer) and a
       // scale-2 column cast — catches any data-dependent residue the
       // literal cells miss.
+      // r17: VARCHAR readout (harness pin above q224) — scale 3 over
+      // 2-decimal data means EVERY dc_bare cell carries a trailing
+      // zero; this entry could never have been green as a decimal
+      // column.
       ("SELECT o_orderkey, " +
-        "CAST(o_totalprice AS DECIMAL) AS dc_bare, " +
-        "CAST(o_totalprice AS DECIMAL(18,2)) AS dc_p2 " +
+        "CAST(CAST(o_totalprice AS DECIMAL) AS VARCHAR) AS dc_bare, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS dc_p2 " +
         "FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey"),
     "q246_fp_oor" ->
       // out-of-range TRY twins return NULL (duck's loud Conversion
@@ -2202,35 +2225,41 @@ object DeclaredQueries {
         "array_to_string(list_filter([10, 20, 30], (x, i) -> i >= 2), ',') AS lf, " +
         "array_to_string(list_transform([5, 6], (x, i) -> i), ',') AS idx " +
         "FROM embeddings ORDER BY vec_id LIMIT 50"),
-    // ---- r16 q225-DRIFT LOCALIZERS (VERDICT r15 #2): q225 is the one
-    // driver red neither measured policy explains — it bundles four
-    // cells (count, sum-of-multiply, min, max-of-multiply), so its hash
-    // cannot localize the drift. These split it one cell per entry,
-    // SAME shape (grouped, o_orderkey < 500, outer type-pinning casts),
-    // plus a no-multiply sum (separates the multiply from the sum), a
-    // literal-only twin (separates fixture data from the agg machinery
-    // and the oracle harness's decimal conversion), and an asymmetric
-    // typeof probe (q264, below) that reads a 1.1 typing change
-    // directly. q225 itself is UNCHANGED. Whatever subset of these
-    // comes back red in CORRECTNESS_r16 pins the drifted cell class.
+    // ---- r16 q225-DRIFT LOCALIZERS (VERDICT r15 #2) — READ and
+    // RECLAIMED in r17. The r16 readout (q258-q261 red, q263
+    // literal-only red, q262 count green, q264 typeof green, q236-q239
+    // plain casts green) pinned the drift as value- and
+    // type-independent "decimal through aggregates"; the r17
+    // adjudication (harness pin above q224, dev/float_theory_probe.py,
+    // 11/11 prediction match) identified the mechanism: the localizers'
+    // aggregate values all carry trailing zeros at their scale
+    // (s_ex/mx_d are X.XX00 at scale 4 because k*1.01/k*1.25 only has
+    // 2 fractional digits; s_pl is X.00; mn_d is scale-0 '1' vs float
+    // '1.0'), while q241's scale-1 sums happen to end in nonzero
+    // tenths — so the red/green split was the harness's oracle-side
+    // decimal→float64 conversion, not the agg machinery. Each probe is
+    // reclaimed as a permanent VARCHAR-readout value witness over the
+    // SAME inner expression: green now certifies value+scale equality
+    // of the decimal aggregate paths, exactly what the original cells
+    // could never show.
     "q258_dec_agg_sum_mul" ->
       ("SELECT o_orderstatus, " +
-        "CAST(sum(CAST(o_orderkey AS DECIMAL(18,2)) * 1.01) AS DECIMAL(38,4)) AS s_ex " +
+        "CAST(CAST(sum(CAST(o_orderkey AS DECIMAL(18,2)) * 1.01) AS DECIMAL(38,4)) AS VARCHAR) AS s_ex " +
         "FROM orders WHERE o_orderkey < 500 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q259_dec_agg_sum_plain" ->
       ("SELECT o_orderstatus, " +
-        "CAST(sum(CAST(o_orderkey AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_pl " +
+        "CAST(CAST(sum(CAST(o_orderkey AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS s_pl " +
         "FROM orders WHERE o_orderkey < 500 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q260_dec_agg_min" ->
       ("SELECT o_orderstatus, " +
-        "min(abs(CAST(o_orderkey AS DECIMAL(10,0)))) AS mn_d " +
+        "CAST(min(abs(CAST(o_orderkey AS DECIMAL(10,0)))) AS VARCHAR) AS mn_d " +
         "FROM orders WHERE o_orderkey < 500 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q261_dec_agg_max_mul" ->
       ("SELECT o_orderstatus, " +
-        "CAST(max(CAST(o_orderkey AS DECIMAL(18,2)) * 1.25) AS DECIMAL(38,4)) AS mx_d " +
+        "CAST(CAST(max(CAST(o_orderkey AS DECIMAL(18,2)) * 1.25) AS DECIMAL(38,4)) AS VARCHAR) AS mx_d " +
         "FROM orders WHERE o_orderkey < 500 " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q262_dec_agg_count" ->
@@ -2239,10 +2268,11 @@ object DeclaredQueries {
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q263_dec_agg_literal" ->
       // no fixture data at all: three literal rows through the exact
-      // same sum-of-multiply + outer cast — red here = the agg
-      // machinery or the harness's decimal conversion itself drifted,
-      // green = the drift needs table data (value-dependent)
-      ("SELECT CAST(sum(CAST(v AS DECIMAL(18,2)) * 1.01) AS DECIMAL(38,4)) AS s_lit " +
+      // same sum-of-multiply + outer cast. Its r16 red (engine value
+      // 6.0600 == duck value 6.0600, bit-checked on the replica) was
+      // the decisive localizer cell: value-independent ⇒ the harness's
+      // decimal conversion, not the data or the agg.
+      ("SELECT CAST(CAST(sum(CAST(v AS DECIMAL(18,2)) * 1.01) AS DECIMAL(38,4)) AS VARCHAR) AS s_lit " +
         "FROM (VALUES (1), (2), (3)) t(v)"),
   )
 
