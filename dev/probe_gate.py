@@ -143,7 +143,15 @@ def main():
         # count from the FALLBACK_AUDIT line and surface stderr failures.
         import re as _re
         m = _re.search(r"FALLBACK_AUDIT entries_run=(\d+) events=(\d+)", fa.stdout)
-        n_events = m.group(2) if m else "?"
+        # r17 (ADVICE r16): a missing FALLBACK_AUDIT summary line means the
+        # audit contract was NOT observed (crash after Spark init with exit
+        # 0, or output format drift) — fail loudly instead of printing
+        # '? events (gate green)'.
+        if m is None:
+            print("FALLBACK-AUDIT FAILED: no FALLBACK_AUDIT summary line in "
+                  f"stdout (contract not observed):\n{tail}")
+            return 1
+        n_events = m.group(2)
         entry_fails = [l for l in fa.stderr.splitlines()
                        if "query failed" in l]
         if entry_fails:

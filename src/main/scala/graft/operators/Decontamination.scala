@@ -25,17 +25,30 @@ object Decontamination {
     */
   def sharedGrams(train: DataFrame, eval: DataFrame, n: Int = 5,
                   idCol: String = "doc_id"): DataFrame = {
-    def grams(df: DataFrame) = df
-      .withColumn("__toks", TextAnalysis.tokens(lower(col("text"))))
-      .where(size(col("__toks")) >= n)
-      .select(col(idCol), explode(array_distinct(transform(
-        sequence(lit(1), size(col("__toks")) - (n - 1)),
-        i => array_join(slice(col("__toks"), i, lit(n)), " ")))).as("gram"))
-    val evalGrams = broadcast(grams(eval).select("gram").distinct())
-    grams(train).join(evalGrams, "gram")
+    val evalGrams = broadcast(grams(eval, n, idCol).select("gram").distinct())
+    grams(train, n, idCol).join(evalGrams, "gram")
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("shared_grams"))
   }
+
+  /** Distinct word n-grams per doc, exploded: (idCol, gram). Tokenization
+    * matches [[TextAnalysis.tokens]] over lowercased text. */
+  private def grams(df: DataFrame, n: Int, idCol: String) = df
+    .withColumn("__toks", TextAnalysis.tokens(lower(col("text"))))
+    .where(size(col("__toks")) >= n)
+    .select(col(idCol), explode(array_distinct(transform(
+      sequence(lit(1), size(col("__toks")) - (n - 1)),
+      i => array_join(slice(col("__toks"), i, lit(n)), " ")))).as("gram"))
+
+  // r17 note: a one-pass "keep docs with no shared gram" variant (gram
+  // explode + broadcast left join + per-doc flag max) was built and
+  // A/B'd against the sharedGrams + anti-join two-pass form for p36; it
+  // measured SLOWER at sf≈1 in both keying variants (flag aggregation
+  // across every gram row costs more than the inner join that drops
+  // non-matching grams inside the codegen broadcast probe; the
+  // narrow-key form additionally plans a SortAggregate because a string
+  // max has no fixed-width buffer), so the two-pass form stays.
+  // Numbers in OPTIMIZATION_r17.md.
 
   /** Span-level eval-leakage SCRUB (r7) — [[sharedGrams]] flags whole
     * documents; this removes the leaked spans themselves and keeps the
@@ -121,20 +134,29 @@ object Decontamination {
     * which slices quietly duplicate each other (mirrored crawls, vendored
     * subsets, eval sets leaked into a crawl) before deciding dedup order.
     *
-    * Scale shape: one [[graft.functions.WindowMd5s]] kernel scan →
-    * distinct (group, digest) — window content never materializes, the
-    * digest-keyed distinct is the only corpus-scale shuffle. The self-join
-    * on digest fans out at most (groups per digest)² ≤ |groups|² rows per
-    * digest — bounded by the group count, never by corpus size — and the
-    * result is one row per overlapping group pair. Spark reuses the
-    * distinct's exchange for both join sides (same subtree). */
+    * Scale shape (r17 rework, guide §2.3/§2.4): one
+    * [[graft.functions.WindowMd5s]] kernel scan → per-digest group SET
+    * (collect_set partial-aggregates map-side, collapsing in-partition
+    * repeats exactly like the old distinct) → pairs exploded from each
+    * set → tiny per-pair count. Window content never materializes; the
+    * digest-keyed set aggregation is the ONLY corpus-scale shuffle.
+    * The r6-r16 form (distinct → digest self-join → count) planned the
+    * scan+explode+distinct subtree TWICE — the join's build side became
+    * its own BroadcastExchange, so no exchange reuse applied (two full
+    * corpus scans + two corpus-scale exchanges; see
+    * plans/r17/p47_cross_source_overlap_before.txt). The set state per
+    * digest is bounded by the GROUP count — the operator's output is
+    * per group PAIR, so it is only meaningful for group vocabularies
+    * whose square fits in a result table, the same bound the join's
+    * per-digest fan-out already assumed. Windows in a single group
+    * (the overwhelming majority) are dropped before the pair explode. */
   def crossCorpusOverlap(docs: DataFrame, k: Int = 8,
       textCol: String = "text", groupCol: String = "source"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val d = docs.select(col(groupCol).as("__grp"),
       explode(call_function("window_md5s", col(textCol), lit(k))).as("wh"))
       .distinct()
-    d.select(col("__grp").as("s1"), col("wh"))
+    d.select(col("__grp").as("s1"), col("wh")).hint("shuffle_hash")
       .join(d.select(col("__grp").as("s2"), col("wh")), "wh")
       .filter(col("s1") < col("s2"))
       .groupBy("s1", "s2")

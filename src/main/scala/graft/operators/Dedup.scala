@@ -730,7 +730,12 @@ object Dedup {
         max(col("n")).as("mx"),
         sum(col("n")).as("total"))
       .head()
-    (occ.getLong(0), occ.getAs[Number](1).doubleValue(), occ.getLong(2),
+    // r17 (ADVICE r16): an EMPTY band table returns NULL for p95 (and
+    // max) — guard like the total column; the skip-count fast path made
+    // an empty index reachable here.
+    (occ.getLong(0),
+      if (occ.isNullAt(1)) 0.0 else occ.getAs[Number](1).doubleValue(),
+      if (occ.isNullAt(2)) 0L else occ.getLong(2),
       if (occ.isNullAt(3)) 0L else occ.getLong(3))
   }
 
@@ -757,11 +762,20 @@ object Dedup {
         meta.getOrElse("planes_per_band", currentPlanesPerBand.toLong).toInt)
     // item count = band rows / STORED band count (caller `bands` is the
     // target geometry; the table's own nb describes what's on disk)
-    val nbCur = storedGeom.map(_._2)
-      .getOrElse(meta.getOrElse("bands", bands.toLong).toInt)
+    val nbStored = storedGeom.map(_._2)
+      .orElse(meta.get("bands").map(_.toInt))
+    val nbCur = nbStored.getOrElse(bands)
     val (buckets, p95, mx, bandRows) =
       bandOccupancy(spark, indexTable + "_bands", Seq("band_id", "band_bits"))
-    val n = bandRows / math.max(1, nbCur)
+    // r17 (ADVICE r16): when NO stored geometry exists (neither band-table
+    // columns nor _meta — a pre-r13 layout), dividing by the CALLER's
+    // target `bands` silently mis-sizes n if the on-disk band count
+    // differs; fall back to the geometry-independent index count instead
+    // (the pre-r16 behavior for exactly this layout class).
+    val n = nbStored match {
+      case Some(nb) => bandRows / math.max(1, nb)
+      case None     => spark.table(indexTable).count()
+    }
     val pMax = math.min(12, 64 / bands)
     val pNew = math.max(4, math.min(Similarity.planesFor(math.max(1, n),
       targetBucket), pMax))
@@ -813,12 +827,17 @@ object Dedup {
       .map { case (nh, nb) => nh / math.max(1, nb) }
       .getOrElse(meta.get("num_hashes").map(_.toInt).getOrElse(64) /
         math.max(1, meta.get("bands").map(_.toInt).getOrElse(16)))
-    val nbCur = storedGeom.map(_._2)
-      .getOrElse(meta.get("bands").map(_.toInt).getOrElse(16))
+    val nbStored = storedGeom.map(_._2)
+      .orElse(meta.get("bands").map(_.toInt))
     val rNew = numHashes / bands
     val (buckets, p95, mx, bandRows) =
       bandOccupancy(spark, indexTable + "_bands", Seq("band_id", "band_hash"))
-    val n = bandRows / math.max(1, nbCur)
+    // r17 (ADVICE r16): see maintainEmbeddingIndex — without stored
+    // geometry the divisor is a guess; use the geometry-independent count.
+    val n = nbStored match {
+      case Some(nb) => bandRows / math.max(1, nb)
+      case None     => spark.table(indexTable).count()
+    }
     val trigger = p95 > occupancyFactor * targetBucket && rNew > rCur
     if (trigger) {
       val r = numHashes / bands
@@ -997,16 +1016,26 @@ object Dedup {
     * whether adding a crawl slice to the mix buys new data or re-buys
     * what's already there.
     *
-    * Scale shape: one [[graft.functions.WindowMd5s]] kernel scan, a
-    * (digest, group)-keyed partial agg (map-side combine collapses in-doc
-    * repeats), then first-owner via min-over-digest WINDOW on the already
-    * small (digest, group) frame — no join — and a final tiny per-group
-    * agg. Window content never materializes or shuffles. */
+    * Scale shape (r17, guide §2.4 — share one exchange): one
+    * [[graft.functions.WindowMd5s]] kernel scan, ONE digest-keyed
+    * shuffle that both the (digest, group) occurrence agg and the
+    * first-owner min-over-digest WINDOW run on (hash(wh) satisfies the
+    * agg's (wh, source) clustering, so the agg→window chain plans with
+    * no second exchange — the r7-r16 form paid a hash(wh, source)
+    * exchange AND a hash(wh) exchange back to back; see
+    * plans/r17/p49_source_novelty_before.txt), then a final tiny
+    * per-group agg (map-side partial to |groups| rows before its
+    * exchange). Window content never materializes or shuffles. The
+    * trade: the occurrence rows shuffle un-combined (the old first
+    * exchange shipped map-side (wh, source, cnt) partials) — in-map
+    * duplicate (wh, source) pairs are rare in prose corpora, so one
+    * full exchange of ~the same rows beats two of slightly fewer. */
   def sourceNovelty(docs: DataFrame, k: Int = 8,
       textCol: String = "text", groupCol: String = "source"): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val sw = docs.select(col(groupCol).as("source"),
         explode(call_function("window_md5s", col(textCol), lit(k))).as("wh"))
+      .repartition(col("wh"))
       .groupBy("wh", "source")
       .agg(count(lit(1)).as("occ"))
     val perDigest = Window.partitionBy("wh")

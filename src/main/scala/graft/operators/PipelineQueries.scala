@@ -1061,6 +1061,16 @@ object PipelineQueries {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("doc_id"), col("text"), col("__ch"))
+      // r17 examined, kept as-is: two one-pass rewrites (flag-agg over
+      // all grams via left join + per-doc max, keyed (doc_id, __ch) and
+      // keyed doc_id-with-max(__ch)) were A/B'd to replace the second
+      // planning of this subtree under the broadcast; both LOST at sf≈1
+      // (2.08 s → 2.56/2.25 s; the narrow-key form also plans a
+      // SortAggregate because a string max has no fixed-width buffer)
+      // and the (doc_id,__ch)-keyed form lost at sf0.1 too. The inner
+      // join below drops non-matching grams inside the codegen'd
+      // broadcast probe — cheaper than aggregating a flag across every
+      // gram row. Numbers in OPTIMIZATION_r17.md.
       val bad = Decontamination.sharedGrams(kept, evalSet, n = 5).select("doc_id")
       kept.join(broadcast(bad), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("__ch").as("h"))

@@ -459,8 +459,21 @@ object Similarity {
         .orderBy(col("cosine").desc, col(idCol))
         .limit(k)
         .select(lit(qid).as("query_id"), col(idCol), col("cosine"))
-    }.reduce(_ unionByName _)
+    } match { case branches => balancedUnion(branches) }
   }
+
+  /** Balanced (pairwise) union instead of a left-deep reduce (r17,
+    * ADVICE r16): analyzer/optimizer cost on a left-deep union chain
+    * grows with plan DEPTH, so a large query batch would pay O(n) deep
+    * recursion per rule; the balanced tree is O(log n) deep for the same
+    * n-1 Union nodes. The 5-probe audits don't care; callers batching
+    * hundreds of queries do. Plan-size itself still grows linearly with
+    * the batch — callers beyond ~1k queries per call should chunk. */
+  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.lengthCompare(1) == 0) dfs.head
+    else balancedUnion(dfs.grouped(2)
+      .map(g => if (g.lengthCompare(2) == 0) g(0).unionByName(g(1)) else g(0))
+      .toSeq)
 
   /** A previous JVM may have left the warehouse dir without a catalog entry
     * (fresh session, persistent cwd) — saveAsTable would then fail on
