@@ -727,7 +727,7 @@ object Engine {
     tableWriteLock(table).synchronized {
       rows.write.mode("append").insertInto(table)
     }
-    bumpCatalogVersion()
+    bumpDataVersion() // append: schema unchanged (r17)
     sql(spark, s"SELECT $proj FROM graft_returning_src")
   }
   private val updateRe =
@@ -737,9 +737,12 @@ object Engine {
     * pays at most ONE rewrite (the r8 coalescer contract). */
   private[graft] val swapCount = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Rewrite `table` to df's rows atomically; returns the new row count. */
+  /** Rewrite `table` to df's rows atomically; returns the new row count.
+    * `schemaChanged` = true only for the ALTER column-op callers — pure
+    * DML rewrites keep the schema and take the cheaper data-version bump
+    * (r17, VERDICT r16 #5). */
   private def swapInto(spark: SparkSession, table: String,
-      df: DataFrame): Long = {
+      df: DataFrame, schemaChanged: Boolean = false): Long = {
     swapCount.incrementAndGet()
     val tmp = table + "__rewriting"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
@@ -752,7 +755,7 @@ object Engine {
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     }
     dropCowPruneView(spark)
-    bumpCatalogVersion()
+    if (schemaChanged) bumpCatalogVersion() else bumpDataVersion()
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -907,7 +910,7 @@ object Engine {
     }
     dropCowPruneView(spark)
     spark.catalog.refreshTable(table)
-    bumpCatalogVersion()
+    bumpDataVersion() // COW UPDATE/DELETE: schema unchanged (r17)
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -1371,7 +1374,7 @@ object Engine {
           try sql(spark, s"SELECT $proj2 FROM $table")
           catch { case e: Throwable =>
             if (k > 0) throw e else return false }
-        swapInto(spark, table, projected2)
+        swapInto(spark, table, projected2, schemaChanged = true)
         return true
       }
     }
@@ -1384,7 +1387,7 @@ object Engine {
     // still intact here
     val projected = try sql(spark, s"SELECT $proj FROM $table")
       catch { case _: Throwable => return false }
-    swapInto(spark, table, projected)
+    swapInto(spark, table, projected, schemaChanged = true)
     true
   }
 
@@ -1411,7 +1414,8 @@ object Engine {
           val proj = cols.map { case (n, e) =>
             if (e == n) n else s"($e) AS $n"
           }.mkString(", ")
-          swapInto(spark, t, sql(spark, s"SELECT $proj FROM $t"))
+          swapInto(spark, t, sql(spark, s"SELECT $proj FROM $t"),
+            schemaChanged = true)
       }
       spark.emptyDataFrame
     }
@@ -1985,6 +1989,19 @@ object Engine {
   def bumpCatalogVersion(): Unit = {
     ddlVersion.incrementAndGet()
     userViewsDirty.set(true) // user views re-resolve on next statement
+  }
+
+  /** Call after schema-PRESERVING table mutation (INSERT/UPDATE/DELETE —
+    * r17, VERDICT r16 #5): user views must re-resolve (the COW swap
+    * replaces the table's files, so a resolved temp-view plan would read
+    * the old ones), but every ddlVersion-keyed snapshot (colTypeInfo,
+    * map/collection column sets, information_schema) depends only on
+    * SCHEMAS, which pure DML cannot change — re-collecting them per
+    * statement cost a listTables Spark job plus a full catalog schema
+    * walk after every statement of a DML script (measured: q216 paid 2
+    * extra listTables jobs + 3 snapshot rebuilds per run). */
+  def bumpDataVersion(): Unit = {
+    userViewsDirty.set(true)
   }
 
   // lower-cased names of MAP-typed columns across the visible catalog —

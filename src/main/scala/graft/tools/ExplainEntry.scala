@@ -28,8 +28,17 @@ object ExplainEntry {
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
     override def onJobStart(
-        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       jobs.incrementAndGet()
+      // GRAFT_EXPLAIN_JOBS=1: per-job trace on stderr — maps each Spark
+      // job of a scripted/iterative entry to the call site that ran it
+      if (sys.env.get("GRAFT_EXPLAIN_JOBS").contains("1")) {
+        val names = j.stageInfos.map(_.name.takeWhile(_ != '\n').take(70))
+          .mkString(" | ")
+        System.err.println(
+          s"[explain-job] #${j.jobId} stages=${j.stageInfos.size} $names")
+      }
+    }
     override def onStageCompleted(
         s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       stages.incrementAndGet()
