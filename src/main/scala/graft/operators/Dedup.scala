@@ -962,20 +962,52 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val d = docs.select(col(idCol).as("doc_id"), col(groupCol).as("__grp"),
       col(textCol).as("text"))
+    // r17 (guide §2.4 — one exchange, one kernel scan): the r7-r16 form
+    // ran the window_md5s kernel scan TWICE (detection branch + removal
+    // branch — the adjudicated "cheap re-scan vs 16×-row checkpoint"
+    // trade), and the detection's countDistinct exchange ALREADY shipped
+    // ~the occurrence rows (partial distinct only collapses in-doc window
+    // repeats, which real prose barely has). Repartitioning the exploded
+    // frame ONCE by (__grp, wh) makes that same shuffle serve both
+    // consumers: hash(__grp, wh) satisfies the distinct-count agg's
+    // clustering (grp, wh, doc) AND the detection join's distribution, so
+    // the agg runs with no further exchange and AQE reuses the ONE
+    // shuffle stage for both branches — one kernel scan, same shuffled
+    // bytes (+4 B/row for pos), no 16×-row checkpoint. A/B (TimeQuery
+    // min, adjacent JVMs): sf0.1 1.226 → 1.041 s (−15%), sf≈1 (the
+    // duplication-degenerate ×10 corpus) 7.385 → 5.648 s (−24%).
+    // the explicit doc_id null-filter is inferred on the REMOVAL branch
+    // anyway (right side of the reassembly left-outer join); stating it
+    // here puts it on BOTH branches so the two exchange subtrees
+    // canonicalize identically. Semantics-free: countDistinct ignores
+    // NULL doc_ids and a NULL rdoc never matches the reassembly join.
     val occ = d.select(col("doc_id"), col("__grp"),
       posexplode(call_function("window_md5s", col("text"), lit(k)))
         .as(Seq("pos", "wh")))
+      .where(col("doc_id").isNotNull)
+      .repartition(col("__grp"), col("wh"))
+    // the throwaway max(pos) keeps `pos` flowing through the detection
+    // branch: column pruning would otherwise project it away BELOW the
+    // repartition, making the two exchange subtrees canonically
+    // different and defeating the stage reuse this shape exists for
+    // (verified in the final AQE plan: with it, the removal join reads a
+    // ReusedExchange; without it, two scans+shuffles)
+    // (__mp >= 0 is vacuous — posexplode is 0-based — but referencing it
+    // in the filter stops the optimizer pruning the unused aggregate and
+    // with it the `pos` column)
     val boiler = occ.groupBy("__grp", "wh")
-      .agg(countDistinct(col("doc_id")).as("__nd"))
-      .filter(col("__nd") >= minDocs)
+      .agg(countDistinct(col("doc_id")).as("__nd"), max(col("pos")).as("__mp"))
+      .filter(col("__nd") >= minDocs && col("__mp") >= 0)
       .select(col("__grp"), col("wh"))
     // NO broadcast hint on the boiler side: a healthy corpus has a small
     // boilerplate set (AQE broadcasts it at runtime), but under heavy
     // whole-corpus duplication EVERY window crosses the threshold and the
     // set is corpus-sized — the hint would force a corpus-scale broadcast
     // build (measured degenerate at the ×10-copy sf≈1 bench corpus); the
-    // unhinted join lets AQE pick SMJ there. Spans aggregate as one start
-    // per matched window; remove_token_spans merges overlaps in-kernel.
+    // unhinted join lets AQE pick a co-partitioned SMJ there (both sides
+    // are already hash(__grp, wh) — zero further exchange). Spans
+    // aggregate as one start per matched window; remove_token_spans
+    // merges overlaps in-kernel.
     val rem = occ.join(boiler, Seq("__grp", "wh"))
       .select(col("doc_id").as("rdoc"), col("pos"))
       .groupBy("rdoc")
