@@ -1072,8 +1072,15 @@ object PipelineQueries {
       // broadcast probe — cheaper than aggregating a flag across every
       // gram row. Numbers in OPTIMIZATION_r17.md.
       val bad = Decontamination.sharedGrams(kept, evalSet, n = 5).select("doc_id")
+      // r17 (the p46 reuse recipe): re-deriving h as md5(text) keeps
+      // `text` alive above the anti-join branch's window exchange, so
+      // both uses of `kept` prune identically, the two hash(__ch)
+      // exchange subtrees canonicalize equal, and AQE computes the
+      // scrub+gate+window stage ONCE (final plan: ReusedExchange; was
+      // two full documents scans + two scrubPii passes). h == __ch by
+      // construction.
       kept.join(broadcast(bad), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("__ch").as("h"))
+        .select(col("doc_id"), md5(col("text")).as("h"))
         .orderBy("doc_id")
     }),
     // ---- scalable as-of join (same oracle as q22's ASOF SQL) ----
